@@ -1,0 +1,66 @@
+"""Aggregations (SURVEY §2.4) + groupBy breadth the reference lacks.
+
+The reference's only aggregate is a global mean (JavaDoubleRDD.mean,
+CollabFilterCassandra8.java:50-53). Everything here is a Catalyst
+hash-aggregate: partial (map-side combine) per partition, shuffle only
+the partial states on the group key, final merge — the shape that
+scales linearly to 100 TB.
+
+Determinism note (matters for oracle hash-checks and for reproducible
+pipelines): floating-point ``sum``/``avg`` over a shuffled dataset is
+order-dependent in ANY parallel engine. ``decimal_sum`` computes exact
+fixed-point sums (associative integer arithmetic) and casts back, so
+results are bit-identical run-to-run and engine-to-engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_mean(df: DataFrame, col: str, alias: str = "mean") -> Column | DataFrame:
+    """A2: the reference's global mean as a one-row hash-aggregate."""
+    return df.agg(F.avg(col).alias(alias))
+
+
+def decimal_sum(col: str, scale: int = 2, alias: str | None = None) -> Column:
+    """Exact, order-independent sum of a double column: cast each value
+    to DECIMAL(18, scale) (exact at source precision for money-like
+    data), sum in integer space, cast back to double."""
+    c = F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+    return c.alias(alias or f"sum_{col}")
+
+
+def decimal_avg(col: str, scale: int = 2, places: int = 6, alias: str | None = None) -> Column:
+    """Order-independent mean: exact decimal sum / count, rounded.
+    The single final division is deterministic; rounding guards the
+    last-bit difference of sum/count division across engines."""
+    c = F.round(
+        F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1)),
+        places,
+    )
+    return c.alias(alias or f"avg_{col}")
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """GroupBy aggregate (absent from the reference — breadth)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """CUBE over all key subsets."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05, alias: str = "approx_nd") -> DataFrame:
+    """HyperLogLog++ cardinality — the sketch path for 100 TB where an
+    exact countDistinct would shuffle every distinct value."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias(alias))

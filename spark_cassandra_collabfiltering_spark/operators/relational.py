@@ -1,0 +1,115 @@
+"""Relational operators (SURVEY §2.2, §2.3, §2.6, §2.7).
+
+Each function is a thin, named, documented wrapper over the DataFrame
+primitive that replaces a reference RDD construct — thin on purpose:
+the value is in declaring the plan so Catalyst optimizes it (pushdown,
+pruning, join strategy, AQE), not in re-implementing execution.
+
+Scale notes are attached per operator: what shuffles, what broadcasts,
+what survives a 100 TB input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, *cols: str) -> DataFrame:
+    """P3/P4: column projection (reference: per-row ``map`` extracting
+    fields, CollabFilterCassandra8.java:34,40). As a select, Catalyst
+    prunes the scan to exactly these columns (ReadSchema in the plan)."""
+    return df.select(*cols)
+
+
+def filter_eq(df: DataFrame, col: str, value) -> DataFrame:
+    """P1: equality predicate (reference: client-side line-prefix filter,
+    CollabFilterCassandraDriver.java:110-121). Declarative filter →
+    pushed into the scan (PushedFilters), so at 100 TB only matching
+    row groups are read."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def filter_prefix(df: DataFrame, col: str, prefix: str) -> DataFrame:
+    """P1/F1: startswith predicate — pushable as a StringStartsWith."""
+    return df.filter(F.col(col).startswith(prefix))
+
+
+def inner_join_on(
+    df_left: DataFrame, df_right: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """J1: equi inner join on a (composite) key — the reference's
+    pair-RDD hash shuffle join on (user, product)
+    (CollabFilterCassandra8.java:48). Catalyst/AQE picks the physical
+    strategy (broadcast-hash for a bounded side, else sort-merge with
+    skew splitting); both sides shuffle on the key only when neither
+    is broadcastable."""
+    return df_left.join(df_right, on=list(keys), how="inner")
+
+
+def broadcast_join(
+    df_big: DataFrame, df_small: DataFrame, keys: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """J2: explicit broadcast-hash join — the distributed form of the
+    reference's driver-side HashMap probe
+    (CollabFilterCassandra8.java:64-69). The small side ships to every
+    executor once; the big side never shuffles. Use only for bounded
+    dimension tables (the reference collects to ONE driver — that dies
+    at scale; broadcast does not)."""
+    return df_big.join(F.broadcast(df_small), on=list(keys), how=how)
+
+
+def semi_join(df: DataFrame, other: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """EXISTS (capability breadth; absent from reference, SURVEY §2.3).
+    Left-semi never materializes right columns → less shuffle payload
+    than inner+distinct."""
+    return df.join(other, on=list(keys), how="left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """NOT EXISTS — left-anti."""
+    return df.join(other, on=list(keys), how="left_anti")
+
+
+def outer_join(
+    df_left: DataFrame, df_right: DataFrame, keys: Sequence[str], how: str = "left"
+) -> DataFrame:
+    """Outer joins (absent from reference — breadth)."""
+    return df_left.join(df_right, on=list(keys), how=how)
+
+
+def sort_by(df: DataFrame, *cols: str, ascending: bool = True) -> DataFrame:
+    """O1: composite-key sort — the reference sorts collect()ed rows on
+    the driver (CollabFilterCassandra8.java:73); here it is a
+    distributed range-partitioned sort (sampled range boundaries, no
+    single-node bottleneck)."""
+    return df.orderBy(*[F.col(c).asc() if ascending else F.col(c).desc() for c in cols])
+
+
+def top_k(df: DataFrame, k: int, *order_cols) -> DataFrame:
+    """Limit/top-k (absent from reference — breadth). Spark executes
+    orderBy+limit as TakeOrderedAndProject: per-partition top-k then a
+    driver merge of k·partitions rows — no global sort at any scale."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def distinct_rows(df: DataFrame, *cols: str) -> DataFrame:
+    """DISTINCT (absent from reference — breadth); hash-aggregate with
+    partial dedup map-side before the shuffle."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def union_all(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Set ops (SURVEY §2.7 — the reference only ever splits; union is
+    the inverse). By-name resolution avoids positional surprises."""
+    return df_a.unionByName(df_b)
+
+
+def intersect_rows(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    return df_a.intersect(df_b)
+
+
+def except_rows(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    return df_a.exceptAll(df_b).distinct()

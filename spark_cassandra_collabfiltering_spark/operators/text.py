@@ -1,0 +1,144 @@
+"""Text analysis operators for a training-data pipeline (driver-mandated
+extension; no reference counterpart — reference scope is SURVEY §2.8
+string functions only).
+
+All operators are built-in Column expressions (regexp/string functions
+— JVM-side, codegen'd, no Python in the row path), so they scan-scale:
+one pass over the documents table, no shuffle at all until an explicit
+aggregation. Outputs are integers/strings/exact ratios → deterministic
+across engines (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# heuristic. Real pipelines plug fastText/CLD3 here via a pandas_udf;
+# the heuristic keeps the plumbing dependency-free and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por"],
+}
+
+_WORD_RE = r"[A-Za-z0-9]+"
+# BPE-ish segmentation: word pieces OR single non-space symbols — the
+# shape (not the vocab) of a byte-pair tokenizer's pretokenizer.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_hits(col: Column, words: list[str]) -> Column:
+    """Count of stopword occurrences (word-boundary matched)."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Per-language stopword-hit counts, one int column per language."""
+    return [
+        _marker_hits(F.col(text_col), words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID: argmax of stopword-hit counts, 'und' when all zero.
+
+    Ties break by language-code order via the greatest-of struct trick
+    (compare (score, neg-ordinal) pairs) — fully deterministic.
+    """
+    langs = list(LANG_MARKERS)
+    scored = df.select("*", *lang_scores(text_col))
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(-i).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish pieces.
+
+    ``split`` on whitespace counts runs; the regex extract counts word
+    pieces + individual symbols — both pure scans.
+    """
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0)),
+            "bpe_tokens": F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0)),
+        }
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring features: length, punctuation/alpha/stopword
+    ratios, mean word length. Ratios are int/int divisions rounded to
+    6dp → engine-portable."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(F.regexp_extract_all(c, F.lit(_WORD_RE), 0))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_stop = _marker_hits(c, LANG_MARKERS["en"])
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(None))
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars,
+            "n_words": n_words,
+            "punct_ratio": F.round(n_punct / nz, 6),
+            "stopword_ratio": F.round(
+                n_stop / F.when(n_words > 0, n_words.cast("double")), 6
+            ),
+            "mean_word_len": F.round(
+                F.aggregate(
+                    F.regexp_extract_all(c, F.lit(_WORD_RE), 0),
+                    F.lit(0),
+                    lambda acc, w: acc + F.length(w),
+                )
+                / F.when(n_words > 0, n_words.cast("double")),
+                6,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the features — a simple
+    monotone rubric (long enough, not punctuation-soup, has function
+    words). Exact arithmetic on rounded features → deterministic."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_chars_q") / F.lit(500.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
+        + F.least(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * 5, F.lit(1.0)) * 0.3
+    )
+    return feats.withColumn("quality", F.round(score, 6))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alnum → space,
+    collapse runs, trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "), r"\s+", " "
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text. md5 is
+    identical across engines/runs (unlike hash()/xxhash64 which are
+    engine-specific), so fingerprints are portable join keys."""
+    return df.withColumn(alias, F.md5(normalize_text(F.col(text_col)).cast("binary")))

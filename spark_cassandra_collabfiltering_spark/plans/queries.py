@@ -1,0 +1,671 @@
+"""The engine's query registry: every operator from SURVEY §2 (plus the
+driver-mandated extensions) as a named (spark_builder, oracle_sql) pair.
+
+Each builder is a DataFrame-API plan over the driver testdata tables;
+each oracle is the equivalent ANSI SQL for DuckDB over the same parquet.
+The driver hash-compares both at sf0.01 (CORRECTNESS_r{N}.json), so
+every query here is designed to be **bit-deterministic across engines**:
+
+- integer/string outputs: naturally exact;
+- floating-point AGGREGATES go through exact decimal arithmetic
+  (parallel double summation is order-dependent in any engine — see
+  operators/aggregates.py) or sum integral-valued doubles (exact in
+  IEEE);
+- per-row double expressions are deterministic given identical inputs;
+- ranking over doubles rounds first (stable ordering), with explicit
+  id tiebreakers;
+- content hashing is md5 (engine-portable), never hash()/xxhash64.
+
+The reference workload's operators (SURVEY §2, cited per query) are
+exercised on the TPC-H-ish corpus through the FIXTURES.md §4 mapping:
+(o_custkey, l_partkey, qty-derived score) ≙ (user, product, rating).
+ALS itself is non-SQL-expressible (iterative solver) → rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.functions.scalar import err_flag, round_half_up
+from spark_cassandra_collabfiltering_spark.operators import (
+    aggregates as agg,
+    relational as rel,
+    windows as win,
+)
+
+
+@dataclass
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → non-SQL-expressible (rows-only check)
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: q.builder for n, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: q.oracle for n, q in QUERIES.items() if q.oracle is not None}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (parquet; filters/pruning push down).
+
+    The events table stores ts as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as nanos-long (legacy
+    conf) and truncate to microsecond timestamps — bit-identical to
+    DuckDB's micros TIMESTAMP of the same file.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Shared derived tables: the FIXTURES.md §4 ratings analog.
+# rating = sum(l_quantity) per (customer, part) — quantities are
+# integral-valued doubles, so the sum is EXACT (order-independent).
+# ---------------------------------------------------------------------------
+
+def ratings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        rel.inner_join_on(
+            li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"]
+        )
+        .groupBy(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("product")
+        )
+        .agg(F.sum("l_quantity").alias("rating"))
+    )
+
+
+RATINGS_SQL = """
+    SELECT o_custkey AS user, l_partkey AS product, sum(l_quantity) AS rating
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+"""
+
+
+def item_mean_preds_df(ratings: DataFrame) -> DataFrame:
+    # item-mean predictor: exact (sum of integral doubles / count)
+    return ratings.groupBy("product").agg(
+        (F.sum("rating") / F.count(F.lit(1))).alias("prediction")
+    )
+
+
+PREDS_SQL = f"""
+    SELECT product, sum(rating) / count(*) AS prediction
+    FROM ({RATINGS_SQL}) GROUP BY product
+"""
+
+
+# ===========================================================================
+# §2.1/§2.2 — scans, projections, filters
+# ===========================================================================
+
+@register(
+    "s2_scan_project",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+    "S2+P3: full scan with column-pruned projection (reference scans "
+    "Cassandra then drops columns in map — CollabFilterCassandra8.java:33-34; "
+    "here ReadSchema prunes at the parquet scan).",
+)
+def q_scan_project(spark, sf_dir):
+    return rel.project(t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", "l_quantity")
+
+
+@register(
+    "p1_filter_prefix",
+    "SELECT event_id, user_id, event_type FROM events WHERE event_type LIKE 'c%'",
+    "P1/F1: startswith predicate, pushed to the scan (reference filters "
+    "client-side after full read — CollabFilterCassandraDriver.java:95-96).",
+)
+def q_filter_prefix(spark, sf_dir):
+    ev = rel.project(t(spark, sf_dir, "events"), "event_id", "user_id", "event_type")
+    return rel.filter_prefix(ev, "event_type", "c")
+
+
+@register(
+    "p2_parse_cast",
+    """SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val,
+              trunc(value)::INT AS value_int
+       FROM events""",
+    "P2/F3: parse + cast projection (reference: positional split + "
+    "parseInt/parseDouble, CollabFilterCassandraDriver.java:123-134). "
+    "Spark's double→int cast truncates toward zero; the oracle says "
+    "trunc explicitly (DuckDB's ::INT rounds).",
+)
+def q_parse_cast(spark, sf_dir):
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.col("value").cast("int").alias("value_int"),
+    )
+
+
+# ===========================================================================
+# §2.3 — joins
+# ===========================================================================
+
+@register(
+    "j1_join_composite",
+    f"""SELECT r.user, r.product, r.rating, p.prediction
+        FROM ({RATINGS_SQL}) r JOIN ({PREDS_SQL}) p USING (product)""",
+    "J1: equi inner join on the ratings analog (reference: pair-RDD "
+    "shuffle join on (user, product), CollabFilterCassandra8.java:48). "
+    "AQE picks broadcast-hash when the predictor side is bounded.",
+)
+def q_join_composite(spark, sf_dir):
+    r = ratings_df(spark, sf_dir)
+    p = item_mean_preds_df(r)
+    return rel.inner_join_on(r, p, ["product"]).select(
+        "user", "product", "rating", "prediction"
+    )
+
+
+@register(
+    "j2_broadcast_dim",
+    """SELECT r.r_name, n.n_name, count(*) AS n_customers
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY 1, 2""",
+    "J2: broadcast-hash join of fact against small dims — the distributed "
+    "form of the reference's driver-side HashMap probe "
+    "(CollabFilterCassandra8.java:64-69); dims ship to executors once.",
+)
+def q_broadcast_dim(spark, sf_dir):
+    c = rel.project(t(spark, sf_dir, "customer"), "c_custkey", "c_nationkey")
+    n = rel.project(t(spark, sf_dir, "nation"), "n_nationkey", "n_name", "n_regionkey")
+    r = rel.project(t(spark, sf_dir, "region"), "r_regionkey", "r_name")
+    joined = rel.broadcast_join(
+        c.withColumnRenamed("c_nationkey", "n_nationkey"), n, ["n_nationkey"]
+    ).withColumnRenamed("n_regionkey", "r_regionkey")
+    joined = rel.broadcast_join(joined, r, ["r_regionkey"])
+    return joined.groupBy("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "j3_semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    "Left-semi (EXISTS) — breadth beyond the reference (SURVEY §2.3 notes "
+    "semi/anti absent); right columns never shuffle.",
+)
+def q_semi_join(spark, sf_dir):
+    c = rel.project(t(spark, sf_dir, "customer"), "c_custkey", "c_name")
+    big = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rel.semi_join(c, big, ["c_custkey"])
+
+
+@register(
+    "j4_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    "Left-anti (NOT EXISTS).",
+)
+def q_anti_join(spark, sf_dir):
+    c = rel.project(t(spark, sf_dir, "customer"), "c_custkey", "c_name")
+    big = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rel.anti_join(c, big, ["c_custkey"])
+
+
+@register(
+    "j5_outer_join",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+       FROM customer c LEFT JOIN orders o
+         ON o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+       GROUP BY 1""",
+    "Left-outer join preserving unmatched customers (absent from the "
+    "reference — breadth). count(col) skips the null-extended rows.",
+)
+def q_outer_join(spark, sf_dir):
+    c = rel.project(t(spark, sf_dir, "customer"), "c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    )
+    return rel.outer_join(c, o, ["c_custkey"], how="left").groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+
+
+@register(
+    "j6_multiway_revenue",
+    """SELECT n.n_name,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM region r
+       JOIN nation n   ON n.n_regionkey = r.r_regionkey
+       JOIN customer c ON c.c_nationkey = n.n_nationkey
+       JOIN orders o   ON o.o_custkey = c.c_custkey
+       WHERE r.r_name = 'ASIA'
+       GROUP BY 1""",
+    "Multi-join star query (Q5-ish): Catalyst reorders, broadcasts dims, "
+    "pushes the region filter below the joins. Revenue sums in exact "
+    "decimal (order-independent), cast back to double.",
+)
+def q_multiway_revenue(spark, sf_dir):
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = rel.project(t(spark, sf_dir, "nation"), "n_nationkey", "n_name", "n_regionkey")
+    c = rel.project(t(spark, sf_dir, "customer"), "c_custkey", "c_nationkey")
+    o = rel.project(t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice")
+    j = (
+        rel.broadcast_join(n.withColumnRenamed("n_regionkey", "r_regionkey"), r, ["r_regionkey"])
+        .join(c.withColumnRenamed("c_nationkey", "n_nationkey"), "n_nationkey")
+        .join(o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+    )
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        agg.decimal_sum("o_totalprice", scale=2, alias="revenue"),
+    )
+
+
+# ===========================================================================
+# §2.4 — aggregations (A1-A3) and the RMSE pipeline analog
+# ===========================================================================
+
+@register(
+    "a2_global_mean",
+    """SELECT sum(l_quantity) / count(*) AS mean_qty, count(*) AS n
+       FROM lineitem""",
+    "A2: the reference's only aggregation — a global mean "
+    "(JavaDoubleRDD.mean, CollabFilterCassandra8.java:50-53) — as a "
+    "partial+final hash aggregate. Quantities are integral doubles → "
+    "the sum is exact, mean deterministic.",
+)
+def q_global_mean(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("mean_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a3_rmse_item_mean",
+    f"""SELECT round(sqrt(CAST(sum(CAST((rating - prediction) * (rating - prediction)
+                                   AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 6) AS rmse,
+               count(*) AS n
+        FROM ({RATINGS_SQL}) r JOIN ({PREDS_SQL}) p USING (product)""",
+    "A1-A3: RMSE = sqrt(mean(squared error)) over the J1 join — the "
+    "reference's validate() (CollabFilterCassandra8.java:45-57) with an "
+    "item-mean predictor standing in for ALS. Squared errors accumulate "
+    "in exact decimal; squares of binary fractions cannot tie at the "
+    "cast scale, so the decimal cast is engine-portable.",
+)
+def q_rmse_item_mean(spark, sf_dir):
+    r = ratings_df(spark, sf_dir)
+    p = item_mean_preds_df(r)
+    joined = rel.inner_join_on(r, p, ["product"])
+    sq = (F.col("rating") - F.col("prediction")) * (F.col("rating") - F.col("prediction"))
+    return joined.agg(
+        F.round(
+            F.sqrt(
+                F.sum(sq.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "g1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              round(sum(l_quantity) / count(*), 6) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+    "GroupBy aggregate breadth (TPC-H Q1 shape; the reference has no "
+    "group-by at all — SURVEY §2.4). Money sums via exact decimal.",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    return agg.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.sum("l_quantity").alias("sum_qty"),
+        agg.decimal_sum("l_extendedprice", scale=2, alias="sum_base_price"),
+        F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "g2_rollup_counts",
+    """SELECT coalesce(r_name, 'ALL') AS region_name,
+              coalesce(n_name, 'ALL') AS nation_name,
+              count(*) AS n_customers
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)""",
+    "ROLLUP hierarchy totals (absent from reference — breadth).",
+)
+def q_rollup_counts(spark, sf_dir):
+    c = rel.project(t(spark, sf_dir, "customer"), "c_custkey", "c_nationkey")
+    n = rel.project(t(spark, sf_dir, "nation"), "n_nationkey", "n_name", "n_regionkey")
+    r = rel.project(t(spark, sf_dir, "region"), "r_regionkey", "r_name")
+    j = rel.broadcast_join(
+        c.withColumnRenamed("c_nationkey", "n_nationkey"), n, ["n_nationkey"]
+    ).withColumnRenamed("n_regionkey", "r_regionkey")
+    j = rel.broadcast_join(j, r, ["r_regionkey"])
+    return agg.rollup_agg(
+        j, ["r_name", "n_name"], F.count(F.lit(1)).alias("n_customers")
+    ).select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+        "n_customers",
+    )
+
+
+@register(
+    "g3_cube_qty",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              coalesce(l_linestatus, 'ALL') AS linestatus,
+              sum(l_quantity) AS sum_qty
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "CUBE over flag dimensions (breadth).",
+)
+def q_cube_qty(spark, sf_dir):
+    return agg.cube_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        F.sum("l_quantity").alias("sum_qty"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_qty",
+    )
+
+
+@register(
+    "g4_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "DISTINCT as map-side-combined hash aggregate (breadth).",
+)
+def q_distinct(spark, sf_dir):
+    return rel.distinct_rows(t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus")
+
+
+@register(
+    "g5_count_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts
+       FROM lineitem GROUP BY 1""",
+    "Exact distinct-count per group (expand+two-phase agg in Spark).",
+)
+def q_count_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts")
+    )
+
+
+# ===========================================================================
+# §2.5 — windows; §2.6 — sort/limit; §2.7 — set ops
+# ===========================================================================
+
+@register(
+    "w1_topk_per_user",
+    """SELECT * FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+         FROM orders) WHERE rank <= 3""",
+    "Top-k per group (SURVEY §2.5: the natural capability-parity window "
+    "— top-k per user ≙ recommendProducts, which the reference never "
+    "calls). Explicit orderkey tiebreak → deterministic.",
+)
+def q_topk_per_user(spark, sf_dir):
+    return win.top_k_per_group(
+        rel.project(t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+@register(
+    "w2_running_sum",
+    """SELECT event_id, user_id,
+              CAST(sum(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+       FROM events""",
+    "Cumulative sum per user — frame-spec window. Accumulates in exact "
+    "decimal: engines disagree at 1e-13 on running double sums (DuckDB "
+    "does not fold frames strictly sequentially), decimal is exact.",
+)
+def q_running_sum(spark, sf_dir):
+    ev = rel.project(t(spark, sf_dir, "events"), "event_id", "user_id", "ts", "value")
+    ev = ev.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    return (
+        win.running_sum(
+            ev,
+            ["user_id"],
+            [F.col("ts").asc(), F.col("event_id").asc()],
+            "value",
+        )
+        .select(
+            "event_id", "user_id", F.col("running_sum").cast("double").alias("running_sum")
+        )
+    )
+
+
+@register(
+    "w3_lag_delta",
+    """SELECT event_id, user_id,
+              value - lag(value, 1) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS delta
+       FROM events""",
+    "lag()-based change-since-previous (analytic function breadth).",
+)
+def q_lag_delta(spark, sf_dir):
+    return win.lag_delta(
+        rel.project(t(spark, sf_dir, "events"), "event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "value",
+    ).select("event_id", "user_id", "delta")
+
+
+@register(
+    "o1_sort_composite",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""",
+    "O1: composite-key sort as a distributed range-partitioned sort "
+    "(reference sorts on the driver after collect(), "
+    "CollabFilterCassandra8.java:73).",
+)
+def q_sort_composite(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return rel.sort_by(
+        rel.project(li, "l_orderkey", "l_linenumber", "l_quantity"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@register(
+    "o2_topk_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "Global top-k: executes as TakeOrderedAndProject (per-partition "
+    "top-k + driver merge of k·P rows — no full sort; absent from the "
+    "reference, SURVEY §2.6).",
+)
+def q_topk_limit(spark, sf_dir):
+    return rel.top_k(
+        rel.project(t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"),
+        10,
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+def _user_days_by_type(spark, sf_dir, event_type):
+    # (user, activity-day) pairs per event type — fine-grained enough
+    # that the three set ops all produce non-trivial results
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == event_type)
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+    )
+
+
+_SET_SQL = """SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+              FROM events WHERE event_type = '{et}'"""
+
+
+@register(
+    "set1_union",
+    f"{_SET_SQL.format(et='click')} UNION {_SET_SQL.format(et='purchase')}",
+    "UNION (SURVEY §2.7 — the reference only splits; set ops are the "
+    "inverse capability).",
+)
+def q_set_union(spark, sf_dir):
+    return rel.union_all(
+        _user_days_by_type(spark, sf_dir, "click"),
+        _user_days_by_type(spark, sf_dir, "purchase"),
+    ).distinct()
+
+
+@register(
+    "set2_intersect",
+    f"{_SET_SQL.format(et='click')} INTERSECT {_SET_SQL.format(et='purchase')}",
+    "INTERSECT.",
+)
+def q_set_intersect(spark, sf_dir):
+    return rel.intersect_rows(
+        _user_days_by_type(spark, sf_dir, "click"),
+        _user_days_by_type(spark, sf_dir, "purchase"),
+    )
+
+
+@register(
+    "set3_except",
+    f"{_SET_SQL.format(et='click')} EXCEPT {_SET_SQL.format(et='purchase')}",
+    "EXCEPT.",
+)
+def q_set_except(spark, sf_dir):
+    return rel.except_rows(
+        _user_days_by_type(spark, sf_dir, "click"),
+        _user_days_by_type(spark, sf_dir, "purchase"),
+    )
+
+
+# ===========================================================================
+# §2.8 — scalar functions (F1-F10) incl. the report-row expression
+# ===========================================================================
+
+@register(
+    "f_report_flags",
+    f"""SELECT user, product,
+               round(prediction, 1) AS predicted,
+               round(rating, 1) AS actual,
+               CASE WHEN abs(rating - prediction) >= 10 THEN 'ERR' ELSE 'OK' END AS error_flag
+        FROM ({RATINGS_SQL}) r JOIN ({PREDS_SQL}) p USING (product)""",
+    "F4/F6/F7: the report-row expression — round to 1dp, abs-threshold "
+    "ERR/OK flag (CollabFilterCassandra8.java:69-71, Util.java:8-15; "
+    "threshold scaled to the qty domain).",
+)
+def q_report_flags(spark, sf_dir):
+    r = ratings_df(spark, sf_dir)
+    p = item_mean_preds_df(r)
+    joined = rel.inner_join_on(r, p, ["product"])
+    return joined.select(
+        "user",
+        "product",
+        round_half_up(F.col("prediction"), 1).alias("predicted"),
+        round_half_up(F.col("rating"), 1).alias("actual"),
+        err_flag(F.col("rating"), F.col("prediction"), threshold=10.0).alias("error_flag"),
+    )
+
+
+@register(
+    "f_scalar_suite",
+    r"""SELECT p_partkey,
+              upper(p_name) AS name_upper,
+              length(p_name) AS name_len,
+              substr(p_name, 1, 5) AS name_head,
+              abs(p_size - 25) AS size_dev,
+              round(sqrt(p_retailprice), 6) AS sqrt_price,
+              concat_ws('|', p_brand, p_type) AS brand_type,
+              CASE WHEN p_name LIKE 'a%' THEN 'A' ELSE 'other' END AS initial_class,
+              len(string_split(p_type, ' ')) AS type_words
+       FROM part""",
+    "F1-F8 scalar suite: string prefix/length/case/concat, split, abs, "
+    "sqrt, conditional — all JVM-side Column expressions "
+    "(SURVEY §2.8/§2.10: the reference's closures become built-ins).",
+)
+def q_scalar_suite(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").startswith("a"), "A").otherwise("other").alias("initial_class"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+    )
+
+
+@register(
+    "f_date_extract",
+    """SELECT year(o_orderdate) AS order_year,
+              month(o_orderdate) AS order_month,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1, 2""",
+    "Date/time extraction + monthly aggregate (absent from reference — "
+    "timeuuid is opaque there; SURVEY §2.8 'no date functions').",
+)
+def q_date_extract(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        agg.decimal_sum("o_totalprice", scale=2, alias="revenue"),
+    )

@@ -1,0 +1,36 @@
+"""Differential oracle tests (SURVEY §5.3-3): every registry query with
+an oracle must exact-match DuckDB at sf0.001 (fast); the driver repeats
+this at sf0.01. Rows-only queries must at least run and return rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_cassandra_collabfiltering_spark.plans.oracle import duckdb_conn, run_compare
+from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def conn():
+    c = duckdb_conn(SF_SMOKE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, conn, name):
+    res = run_compare(spark, SF_SMOKE, name, conn)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 25
