@@ -9,7 +9,7 @@ import pytest
 from spark_cassandra_collabfiltering_spark.plans.oracle import duckdb_conn, run_compare
 from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
 
-from .conftest import SF_SMOKE
+from conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
