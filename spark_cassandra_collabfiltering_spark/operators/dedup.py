@@ -218,22 +218,21 @@ def simhash(
         "bigint"
     )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftleft/shiftright take a Column bit count only in SQL form
     votes = (
         shingled.select(id_col, h60.alias("h"), bit)
         .select(
             id_col,
             "bit",
-            (F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                "vote"
-            ),
+            (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
         )
         .groupBy(id_col, "bit")
         .agg(F.sum("vote").alias("v"))
     )
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(
-                F.lit(0)
-            )
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )

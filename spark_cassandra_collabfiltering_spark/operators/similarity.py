@@ -86,15 +86,19 @@ def make_queries(corpus: DataFrame, query_ids: list[int], id_col: str = "vec_id"
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """LSH bucket id from the sign pattern of the first ``bits`` dims:
-    bucket = Σ (vec[i] > 0) << i. Pure integer math — portable."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, i: acc
-        + F.when(F.element_at(vec, i + 1) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+    bucket = Σ (vec[i] > 0) << i. Unrolled to a static expression
+    (``bits`` is small and known at plan time) — pure integer math,
+    portable across engines."""
+    terms = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
-        ),
-    )
+        )
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
 
 
 def cosine_topk_lsh(

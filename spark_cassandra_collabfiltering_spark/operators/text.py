@@ -83,10 +83,20 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _e6(col: Column) -> Column:
+    """Ratio → integer micro-units via floor(x·1e6).
+
+    floor of an identical double is the same integer in every engine —
+    unlike round(x, 6), whose half-tie rule differs across engines and
+    DOES get hit by this data (ratios with power-of-2·5 denominators
+    terminate exactly at the 7th decimal: 1/128 = 0.0078125)."""
+    return F.floor(col * F.lit(1000000.0)).cast("bigint")
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring features: length, punctuation/alpha/stopword
-    ratios, mean word length. Ratios are int/int divisions rounded to
-    6dp → engine-portable."""
+    ratios, mean word length. Ratios are int/int divisions emitted as
+    floor-scaled micro-unit integers → engine-portable."""
     c = F.col(text_col)
     n_chars = F.length(c)
     n_words = F.size(F.regexp_extract_all(c, F.lit(_WORD_RE), 0))
@@ -97,18 +107,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_chars_q": n_chars,
             "n_words": n_words,
-            "punct_ratio": F.round(n_punct / nz, 6),
-            "stopword_ratio": F.round(
-                n_stop / F.when(n_words > 0, n_words.cast("double")), 6
+            "punct_ratio_e6": _e6(n_punct / nz),
+            "stopword_ratio_e6": _e6(
+                n_stop / F.when(n_words > 0, n_words.cast("double"))
             ),
-            "mean_word_len": F.round(
+            "mean_word_len_e6": _e6(
                 F.aggregate(
                     F.regexp_extract_all(c, F.lit(_WORD_RE), 0),
                     F.lit(0),
                     lambda acc, w: acc + F.length(w),
                 )
-                / F.when(n_words > 0, n_words.cast("double")),
-                6,
+                / F.when(n_words > 0, n_words.cast("double"))
             ),
         }
     )
@@ -117,14 +126,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite [0,1] quality score from the features — a simple
     monotone rubric (long enough, not punctuation-soup, has function
-    words). Exact arithmetic on rounded features → deterministic."""
-    feats = quality_features(df, text_col)
+    words).
+
+    Computed from the RAW ratios (not the display-rounded feature
+    columns): summing already-rounded terms puts the composite right at
+    round-half boundaries where engines' round() implementations
+    disagree; raw quotients have long binary tails, so one final
+    round is stable.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(F.regexp_extract_all(c, F.lit(_WORD_RE), 0))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_stop = _marker_hits(c, LANG_MARKERS["en"])
+    punct_raw = n_punct / F.when(n_chars > 0, n_chars.cast("double"))
+    stop_raw = n_stop / F.when(n_words > 0, n_words.cast("double"))
     score = (
-        F.least(F.col("n_chars_q") / F.lit(500.0), F.lit(1.0)) * 0.4
-        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
-        + F.least(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * 5, F.lit(1.0)) * 0.3
+        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_raw * 4, F.lit(1.0))) * 0.3
+        + F.least(F.coalesce(stop_raw, F.lit(0.0)) * 5, F.lit(1.0)) * 0.3
     )
-    return feats.withColumn("quality", F.round(score, 6))
+    return quality_features(df, text_col).withColumn("quality_e6", _e6(score))
 
 
 def normalize_text(col: Column) -> Column:

@@ -669,3 +669,424 @@ def q_date_extract(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         agg.decimal_sum("o_totalprice", scale=2, alias="revenue"),
     )
+
+
+# ===========================================================================
+# Driver-mandated extensions (BASELINE.json north star; no reference
+# counterpart): dedup, similarity search, text analysis, multimodal,
+# event-time analytics, and the ALS pipeline itself (rows-only).
+# ===========================================================================
+
+from spark_cassandra_collabfiltering_spark.operators import (  # noqa: E402
+    dedup as dd,
+    multimodal as mm,
+    similarity as sim,
+    text as tx,
+)
+
+# Bounded subset for the quadratic-exact dedup baselines (the LSH/scale
+# paths run on the full table): ~20% of documents.
+_DOC_SUBSET_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+
+
+def _doc_subset(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+
+
+@register(
+    "dedup_exact",
+    """SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY text""",
+    "Exact dedup: hash-groupBy on content, keep smallest id "
+    "(dropDuplicates semantics made deterministic).",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                      '\\s+', ' ', 'g'))) AS fp,
+              min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY 1""",
+    "Normalized-fingerprint dedup: md5 of canonicalized text — at "
+    "100 TB the shuffle key is 16 bytes instead of the document body.",
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    docs = tx.fingerprint(t(spark, sf_dir, "documents"))
+    return docs.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH d AS ({_DOC_SUBSET_SQL}),
+        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
+              FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        cand AS (SELECT DISTINCT ga.doc_id AS id_a, gb.doc_id AS id_b
+                 FROM g ga JOIN g gb ON ga.shingle = gb.shingle AND ga.doc_id < gb.doc_id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS ix
+                  FROM cand c
+                  JOIN g ga ON ga.doc_id = c.id_a
+                  JOIN g gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, ix / (sa.sz + sb.sz - ix) AS jaccard
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                   JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE ix / (sa.sz + sb.sz - ix) >= 0.40""",
+    "Exact char-4-gram Jaccard near-dup pairs on a bounded subset — the "
+    "quadratic baseline the LSH variant approximates (Jaccard = exact "
+    "int division → bit-deterministic).",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        _doc_subset(spark, sf_dir), "doc_id", "text", n=4, threshold=0.40
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH d AS ({_DOC_SUBSET_SQL}),
+        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
+              FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
+        s AS (SELECT doc_id, v.seed, min(md5(shingle || '#' || v.seed::VARCHAR)) AS minhash
+              FROM g, LATERAL unnest(range(0, 16)) v(seed) GROUP BY 1, 2),
+        b AS (SELECT doc_id, (seed // 2)::INT AS band,
+                     md5(string_agg(seed::VARCHAR || ':' || minhash, '|'
+                                    ORDER BY seed::VARCHAR || ':' || minhash)) AS band_sig
+              FROM s GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                 FROM b b1 JOIN b b2 ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+                 WHERE b1.doc_id < b2.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS ix
+                  FROM cand c
+                  JOIN g ga ON ga.doc_id = c.id_a
+                  JOIN g gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, ix / (sa.sz + sb.sz - ix) AS jaccard
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                   JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE ix / (sa.sz + sb.sz - ix) >= 0.40""",
+    "MinHash+LSH near-dup: shingle → 16 md5-minhashes → 4 bands → "
+    "bucket self-join → exact-Jaccard verification. md5 minhashing is "
+    "engine-portable, so the full approximate pipeline is replicated "
+    "in the oracle stage-for-stage.",
+)
+def q_dedup_minhash(spark, sf_dir):
+    return dd.minhash_dedup_pairs(
+        _doc_subset(spark, sf_dir), "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.40,
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH d AS ({_DOC_SUBSET_SQL}),
+        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
+              FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
+        h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM g),
+        v AS (SELECT doc_id, b.bit::INT AS bit,
+                     sum(CASE WHEN (h >> b.bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h, LATERAL unnest(range(0, 32)) b(bit) GROUP BY 1, 2)
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM v GROUP BY doc_id""",
+    "SimHash 32-bit fingerprints via per-bit majority vote over shingle "
+    "hashes (first 60 bits of md5 — portable).",
+)
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(_doc_subset(spark, sf_dir), "doc_id", "text", n=4, bits=32)
+
+
+_ANN_QUERY_IDS = "(0, 1, 2, 3, 4)"
+_COS_SQL = """round(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(q.qv, q.qv)) *
+               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4)"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN {_ANN_QUERY_IDS}),
+        s AS (SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM s) WHERE rank <= 5""",
+    "Brute-force cosine top-k ANN baseline: broadcast query batch, "
+    "linear scan of the corpus, per-query top-k window. Cosine rounded "
+    "to 4dp before ranking (stable cross-engine order), id tiebreak.",
+)
+def q_ann_bruteforce(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_bruteforce(emb, qs, k=5).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(8)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+              FROM eb WHERE vec_id IN {_ANN_QUERY_IDS}),
+        s AS (SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+              FROM eb e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM s) WHERE rank <= 5""",
+    "Sign-LSH bucketed ANN (the scale path): bucket on the sign bits of "
+    "the first 8 dims, score only within the query's bucket — per-bucket "
+    "work instead of all-pairs; recall dialed by bucket bits.",
+)
+def q_ann_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_lsh(emb, qs, k=5, bits=8).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+              FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2""",
+    "Embedding-cosine near-duplicate pairs: self-join within sign-LSH "
+    "buckets, exact cosine inside the bucket (dedup strategy #5).",
+)
+def q_dedup_embedding(spark, sf_dir):
+    return sim.near_dup_pairs_cosine(
+        t(spark, sf_dir, "embeddings"), threshold=0.2, bits=8
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    words = "|".join(tx.LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+_LANG_SCORES_SQL = ",\n              ".join(
+    f"{_marker_sql(lang)} AS score_{lang}" for lang in tx.LANG_MARKERS
+)
+
+
+@register(
+    "text_lang_id",
+    f"""WITH s AS (SELECT doc_id, lang,
+              {_LANG_SCORES_SQL}
+           FROM documents)
+        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+               CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                    WHEN score_fr >= score_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM s""",
+    "Language ID via stopword n-gram hits: per-language counts + argmax "
+    "with first-wins tie-break — pure regexp scan, no shuffle.",
+)
+def q_text_lang_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return tx.lang_id(docs).select(
+        "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "pred_lang"
+    )
+
+
+@register(
+    "text_token_count",
+    r"""SELECT doc_id,
+              len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+       FROM documents""",
+    "Token counting: whitespace runs + BPE-ish word-piece segmentation "
+    "(regex pretokenizer shape) — scan-only.",
+)
+def q_text_token_count(spark, sf_dir):
+    return tx.token_counts(t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+@register(
+    "text_quality",
+    rf"""WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_q,
+                 len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                 len(regexp_extract_all(text, '[^a-zA-Z0-9_\s]'))
+                     / nullif(length(text), 0)::DOUBLE AS punct_raw,
+                 {_marker_sql('en')}
+                     / nullif(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)::DOUBLE AS stop_raw,
+                 list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                         w -> length(w)))
+                     / nullif(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)::DOUBLE AS mwl_raw
+          FROM documents)
+        SELECT doc_id, n_chars_q, n_words,
+               floor(punct_raw * 1000000.0)::BIGINT AS punct_ratio_e6,
+               floor(stop_raw * 1000000.0)::BIGINT AS stopword_ratio_e6,
+               floor(mwl_raw * 1000000.0)::BIGINT AS mean_word_len_e6,
+               floor((least(n_chars_q / 500.0, 1.0) * 0.4
+                      + (1 - least(punct_raw * 4, 1.0)) * 0.3
+                      + least(coalesce(stop_raw, 0.0) * 5, 1.0) * 0.3)
+                     * 1000000.0)::BIGINT AS quality_e6
+        FROM f""",
+    "Quality scoring: length/punctuation/stopword/word-length features "
+    "+ composite rubric, emitted as floor-scaled micro-unit ints "
+    "(round(x,6) half-tie rules differ across engines and this corpus "
+    "hits exact ties; floor of the identical double cannot).",
+)
+def q_text_quality(spark, sf_dir):
+    return tx.quality_score(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_q", "n_words", "punct_ratio_e6",
+        "stopword_ratio_e6", "mean_word_len_e6", "quality_e6",
+    )
+
+
+@register(
+    "text_fingerprint",
+    r"""SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                      '\s+', ' ', 'g'))) AS fp
+       FROM documents""",
+    "Per-document fingerprint: md5 of canonicalized text (portable "
+    "content address usable as a dedup/join key).",
+)
+def q_text_fingerprint(spark, sf_dir):
+    return tx.fingerprint(t(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+@register(
+    "mm_binary_meta",
+    """SELECT doc_id, 'image' AS modality,
+              octet_length(text::BLOB) AS n_bytes,
+              lower(hex(substr(text, 1, 8)::BLOB)) AS head_hex
+       FROM documents""",
+    "Multimodal plumbing (SQL-expressible half): opaque binary payload "
+    "column + typed metadata (modality, byte length, head bytes). The "
+    "decode half is mm_decode_features (rows-only).",
+)
+def q_mm_binary_meta(spark, sf_dir):
+    media = mm.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 8))).alias("head_hex"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    None,  # mapInPandas decode stub — not SQL-expressible (rows-only check)
+    "Multimodal decode path: Arrow-batched mapInPandas over the binary "
+    "payload producing byte-level features (crc32, byte_mean). The real "
+    "codec (Pillow/pyav) drops into the same batch harness.",
+)
+def q_mm_decode(spark, sf_dir):
+    return mm.media_feature_query(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ev_tumbling_agg",
+    """SELECT ((epoch_us(ts) // 1000000) // 300) AS bucket, event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+    "Tumbling 5-minute event-time aggregation — the batch semantics of "
+    "the Structured Streaming job in streaming/events.py (same plan, "
+    "readStream source + watermark in the streaming variant).",
+)
+def q_ev_tumbling(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.decimal_sum("value", scale=2, alias="sum_value"),
+    )
+
+
+@register(
+    "ev_sessionize",
+    """WITH o AS (
+         SELECT user_id, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+       FROM o GROUP BY user_id""",
+    "Sessionization (30-min inactivity gap) via lag + cumulative flags "
+    "— the batch analog of the streaming session-window operator; "
+    "microsecond-exact gap comparison in both engines.",
+)
+def q_ev_sessionize(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts", 1).over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w)) > 1800000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "cf_als_pipeline",
+    None,  # iterative ML — not SQL-expressible (rows-only check)
+    "M1-M3: the full reference pipeline (SURVEY §3.2) on the ratings "
+    "analog — seeded ALS(rank=6, iter=20, reg=0.01) train, transform of "
+    "held-out pairs with coldStart=drop, joined output with squared "
+    "error — the non-SQL core the rest of the registry oracles around.",
+)
+def q_cf_als(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.ml import collabfilter as cf
+
+    # bound the id space so factor matrices stay small at any sf
+    ratings = (
+        ratings_df(spark, sf_dir)
+        .select(
+            (F.col("user") % 500).cast("int").alias("user"),
+            (F.col("product") % 200).cast("int").alias("product"),
+            F.col("rating"),
+        )
+        .groupBy("user", "product")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    train, val = ratings.randomSplit([0.9, 0.1], seed=42)
+    model = cf.train(train, max_iter=10)
+    preds = cf.predict(model, val)
+    joined = val.join(preds, on=["user", "product"], how="inner")
+    return joined.select(
+        "user", "product", "rating", "prediction",
+        ((F.col("rating") - F.col("prediction")) ** 2).alias("sq_err"),
+    )
