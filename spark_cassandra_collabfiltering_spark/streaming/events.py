@@ -1,0 +1,166 @@
+"""Streaming event analytics: windowed aggregation with watermarks,
+session windows, and a custom stateful operator.
+
+Design rules for scale (SURVEY §7.4 discipline applied to streams):
+- event-time + watermark everywhere (late data bounded, state GC'd);
+- aggregations are keyed by (window, type) or (user) — fine-grained
+  keys so state and compute shard across executors;
+- the custom stateful op uses applyInPandasWithState (Arrow-batched,
+  per-key state, timeout-driven eviction) — the pattern for operators
+  Spark lacks natively.
+
+The batch analogs of these plans are registry queries
+(ev_tumbling_agg, ev_sessionize in plans/queries.py) — same logical
+semantics, oracle-checked there; the tests here check stream==batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (schema'd parquet directory). In
+    production the source line is the only change (kafka/kinesis/
+    rate); every operator below is source-agnostic."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data bound.
+    Batch analog: ev_tumbling_agg (plans/queries.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window mean value per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("avg_value"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "avg_value"
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Batch analog: ev_sessionize (lag+cumsum formulation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "total DOUBLE, n BIGINT"
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running totals — the custom-stateful-operator harness.
+    State is a (total, n) pair; each micro-batch folds its rows in and
+    emits the updated running aggregate for the key."""
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in batches:
+        total += float(pdf["value"].fillna(0.0).sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing: applyInPandasWithState keeps one
+    small state row per user (sharded by the grouping key across
+    executors; NoTimeout here — production adds ProcessingTimeTimeout
+    to GC idle users)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
+    """Drain a bounded stream into the in-memory sink (tests/demos):
+    availableNow processes everything then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,131 @@
+"""Streaming tests: each streaming plan drained with availableNow must
+equal its batch analog on the same events (stream/batch unification is
+the point of Structured Streaming)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.plans.queries import t as load_table
+from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    """Re-shard the events table into a multi-file stream source dir
+    (micro-batches pick up files incrementally)."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    batch = load_table(spark, SF_SMOKE, "events")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    return src
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, event_source):
+    return ev.EVENT_SCHEMA, spark.read.schema(ev.EVENT_SCHEMA).parquet(event_source)
+
+
+def test_tumbling_counts_matches_batch(spark, event_source, batch_events):
+    _, batch = batch_events
+    stream = ev.read_event_stream(spark, event_source)
+    ev.run_to_memory(ev.tumbling_counts(stream), "tumbling", output_mode="append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    # Append mode only emits windows the final watermark has closed
+    # (window_end <= max(ts) - 10min); the trailing open window stays
+    # in state forever on a bounded source. Compare against the batch
+    # result restricted to closed windows.
+    import datetime as _dt
+
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    final_wm = max_ts - _dt.timedelta(minutes=10)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in (
+            batch.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+        if r["window_end"] <= final_wm
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_counts_matches_batch(spark, event_source, batch_events):
+    _, batch = batch_events
+    stream = ev.read_event_stream(spark, event_source)
+    ev.run_to_memory(ev.session_counts(stream), "sessions", output_mode="append")
+    # Append mode emits only sessions closed by the final watermark
+    # (session_end <= max(ts) - 60min); compare per-session on that set.
+    import datetime as _dt
+
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    final_wm = max_ts - _dt.timedelta(minutes=60)
+    g = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    w = {
+        (r["user_id"], r["s"]["start"]): r["n"]
+        for r in (
+            batch.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if r["s"]["end"] <= final_wm
+    }
+    assert g == w and len(g) > 0
+
+
+def test_session_batch_analog_agrees_with_registry(spark, event_source, batch_events):
+    """session_window sessions == the lag+cumsum sessionization the
+    registry oracles (same 30-min gap semantics)."""
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    reg = QUERIES["ev_sessionize"].builder(spark, SF_SMOKE)
+    _, batch = batch_events
+    sw = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    r = {x["user_id"]: (x["n_sessions"], x["n_events"]) for x in reg.collect()}
+    s = {x["user_id"]: (x["n_sessions"], x["n_events"]) for x in sw.collect()}
+    assert r == s
+
+
+def test_stateful_running_totals(spark, event_source, batch_events):
+    _, batch = batch_events
+    stream = ev.read_event_stream(spark, event_source)
+    ev.run_to_memory(ev.running_user_totals(stream), "totals", output_mode="update")
+    # update mode with availableNow: one final row per user (single batch)
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM totals GROUP BY user_id"
+    ).collect()
+    want = {r["user_id"]: r["n"] for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r["user_id"]: r["n"] for r in got} == want
+
+
+def test_sliding_avg_runs(spark, event_source):
+    stream = ev.read_event_stream(spark, event_source)
+    ev.run_to_memory(ev.sliding_avg(stream), "sliding", output_mode="append")
+    rows = spark.sql("SELECT count(*) AS n FROM sliding").first()
+    assert rows["n"] > 0
