@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution per query: build the DataFrame plan, then drain it through the
+noop sink (`format("noop")`) — full distributed execution of every
+operator with no driver-side collect bottleneck, which is what a cluster
+run would measure. One warm-up query amortizes the JVM/codegen start so
+numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the reference's core pipeline (RMSE analog + ALS) plus
+# one representative per operator family (scan+agg, star join, window,
+# dedup/LSH, ANN, text, event sessionization).
+HEADLINE = [
+    "g1_pricing_summary",
+    "j6_multiway_revenue",
+    "a3_rmse_item_mean",
+    "w1_topk_per_user",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality",
+    "ev_sessionize",
+    "cf_als_pipeline",
+]
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark_cassandra_collabfiltering-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_one(spark, builder, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = builder(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM, parquet footers, codegen paths (not recorded).
+    run_one(spark, QUERIES["g4_distinct"].builder, SF_DIR)
+
+    sf = None
+    tail = os.path.basename(SF_DIR.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            sf = None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, QUERIES[name].builder, SF_DIR), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
