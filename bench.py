@@ -56,10 +56,19 @@ def make_spark():
 
 
 def run_one(spark, builder, sf_dir: str) -> float:
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     df = builder(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def run_best(spark, builder, sf_dir: str, repeats: int = 2) -> float:
+    """Best-of-N with the cache cleared each run: this VM shows >2x
+    transient slowdowns from host CPU steal, so a single sample can be
+    dominated by noise; the minimum of two cold runs is the stable
+    plan-cost signal."""
+    return min(run_one(spark, builder, sf_dir) for _ in range(repeats))
 
 
 def main() -> None:
@@ -81,7 +90,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, QUERIES[name].builder, SF_DIR), 3)
+        timings[name] = round(run_best(spark, QUERIES[name].builder, SF_DIR), 3)
 
     total = round(sum(timings.values()), 3)
     print(

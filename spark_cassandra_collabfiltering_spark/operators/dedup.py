@@ -11,20 +11,41 @@ Python in the row path:
 
 Portability design: content hashing uses md5 (identical bytes in every
 engine) rather than Spark's xxhash64/murmur, so every stage here is
-reproducible cross-engine and oracle-checkable in DuckDB. Minhash takes
-the lexicographic min over md5 hex digests — the min of a 128-bit
-uniform hash — per (doc, seed).
+reproducible cross-engine and oracle-checkable in DuckDB. Minhash uses
+ONE md5 per shingle, reduced to a 60-bit integer, then k universal-hash
+permutations ``(a_i * h + b_i) mod p`` — exact 64-bit integer
+arithmetic, identical in any engine, and ~k× cheaper than hashing each
+shingle k times.
 
-Scale: shingle explosion multiplies rows by ~doc_len, but each stage is
-a map + hash-aggregate on doc_id (combines map-side); the LSH bucket
-join shuffles only (band, signature) keys. Nothing is quadratic except
-within-bucket candidate generation, which LSH keeps tiny by design.
+Scale: shingle explosion multiplies rows by ~doc_len, but per-doc
+dedup happens inside the row (array_distinct — no shuffle) and each
+stage after it is a map + hash-aggregate on doc_id (combines
+map-side); the LSH bucket join shuffles only (band, signature) keys.
+Candidate pairs are prefiltered by signature agreement (the classic
+minhash Jaccard estimate) before the exact-Jaccard verification join,
+so the expensive join runs only on probable duplicates.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# 2^31 - 1 (Mersenne prime): a*h + b stays < 2^63 for a, b, h < p.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), a_i != 0.
+
+    Fixed constants (not RNG) so the DuckDB oracle can regenerate the
+    identical permutations from the same formula.
+    """
+    p = MINHASH_PRIME
+    return [
+        ((1103515245 * (i + 1)) % p, (12345 * (i + 1) * (i + 1)) % p)
+        for i in range(n_hashes)
+    ]
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -55,75 +76,128 @@ def char_shingles(
 
     JVM-side: sequence(1, len-n+1) positions → transform → explode.
     Docs shorter than n produce no shingles (dropped — they cannot be
-    near-dup candidates at this shingle size).
+    near-dup candidates at this shingle size). Per-doc dedup happens
+    BEFORE the explode via array_distinct — inside the row, no shuffle
+    (a global distinct would shuffle every shingle occurrence).
     """
     c = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.length(c) - (n - 1)),
         lambda i: c.substr(i, F.lit(n)),
     )
-    out = df.filter(F.length(c) >= n).select(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return df.filter(F.length(c) >= n).select(
         F.col(id_col), F.explode(grams).alias("shingle")
     )
-    return out.distinct() if distinct else out
 
 
-def minhash_signatures(
-    shingled: DataFrame, id_col: str, n_hashes: int = 16
-) -> DataFrame:
-    """k independent minhashes per doc: for seed s, the minimum of
-    md5(shingle || '#' || s) over the doc's shingles.
-
-    One explode (×k, k small) + one hash-aggregate on (doc, seed).
-    Output: id, seed, minhash (32-hex string).
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+def shingle_hash(col: F.Column) -> F.Column:
+    """60-bit integer hash of a shingle, reduced mod MINHASH_PRIME:
+    first 15 hex chars of md5 → base-10 bigint. Engine-portable (DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT % p``)."""
     return (
-        shingled.select(F.col(id_col), F.col("shingle"), seeds)
-        .select(
-            id_col,
-            "seed",
-            F.md5(
-                F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")).cast(
-                    "binary"
-                )
-            ).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
     )
+
+
+def doc_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """Per-doc set of hashed char n-grams as ONE array column — built
+    entirely inside the row (transform → array_distinct → transform),
+    no explode, no shuffle. A doc becomes (id, hs: array<bigint>); the
+    whole minhash pipeline downstream is row-local arithmetic on hs.
+    """
+    c = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+    hs = F.array_distinct(F.transform(grams, shingle_hash))
+    return df.filter(F.length(c) >= n).select(F.col(id_col), hs.alias("hs"))
+
+
+def minhash_signature_table(
+    sets: DataFrame, id_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """Wide signature table: one row per doc, columns mh0..mh{k-1}.
+
+    Each minhash is array_min over a row-local permutation of the hs
+    array — k integer transforms per row, zero shuffles, whole-stage
+    codegen end to end.
+    """
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    perms = [
+        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    return sets.select(F.col(id_col), *perms)
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Band the k minhashes into ``bands`` groups of k/bands rows; docs
-    sharing any band signature become candidate pairs (id_a < id_b).
-
-    The band signature is md5 of the concatenated row hashes, so the
-    self-join key is (band, 32-hex) — small shuffle payload. Candidate
-    generation is the classic LSH guarantee: pairs with Jaccard ≥ t
-    collide in ≥1 band with probability 1-(1-t^r)^b.
+    """Band the k minhash columns into ``bands`` groups of r = k/bands;
+    docs sharing any band signature become candidate pairs (id_a <
+    id_b). The self-join key is (band, 'v:v:..' string) — small shuffle
+    payload. Classic LSH guarantee: pairs with Jaccard ≥ t collide in
+    ≥1 band with probability 1-(1-t^r)^b.
     """
-    rows_per_band = n_hashes // bands
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash"))))
-                ).cast("binary")
-            ).alias("band_sig")
+    r = n_hashes // bands
+    entries = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(":", *[F.col(f"mh{j * r + k}") for k in range(r)]).alias("sig"),
         )
-    )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+        for j in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
-        a.join(b, on=["band", "band_sig"])
+        a.join(b, on=["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def signature_prefilter(
+    cands: DataFrame,
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    min_matches: int = 4,
+) -> DataFrame:
+    """Keep candidate pairs whose signatures agree on ≥ min_matches of
+    the k minhashes — the standard minhash Jaccard estimate
+    (E[matches/k] = J). The signature table is doc-level (tiny vs the
+    shingle table) so both joins broadcast; this fences the exact-
+    Jaccard verification join off from LSH's band false-positives.
+    """
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)]
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)]
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(est >= min_matches)
+        .select("id_a", "id_b")
     )
 
 
@@ -135,20 +209,53 @@ def minhash_dedup_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    prefilter_matches: int = 4,
 ) -> DataFrame:
-    """Full minhash-LSH near-dup pipeline: shingle → sign → band →
-    candidates → verify candidates with EXACT Jaccard (one extra
-    shingle join restricted to candidate pairs) → pairs ≥ threshold.
+    """Full minhash-LSH near-dup pipeline: shingle → k-permutation
+    signatures → band buckets → candidate pairs → signature-agreement
+    prefilter → EXACT Jaccard on survivors → pairs ≥ threshold.
 
-    Verification makes the output deterministic (no LSH
-    false-positives), which is what a production dedup emits.
+    Exact verification makes the surviving output deterministic (no
+    LSH false-positives); the prefilter bounds the verification join to
+    probable duplicates, which is what keeps this plan viable when the
+    corpus is dense with templated near-dups.
+
+    Shuffle budget: ONE repartition of the input docs (spreads the
+    row-local hashing; at scale it's the id-partitioning you'd keep),
+    the (band, sig) candidate self-join, and the pair distinct. Shingle
+    sets never leave their row; verification is array_intersect on the
+    doc-level hs arrays, joined by id.
     """
-    shingled = char_shingles(df, id_col, text_col, n=n).cache()
-    sigs = minhash_signatures(shingled, id_col, n_hashes=n_hashes)
+    sets = doc_shingle_sets(
+        df.repartition(F.col(id_col)), id_col, text_col, n=n
+    ).cache()
+    sigs = minhash_signature_table(sets, id_col, n_hashes=n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes, bands=bands)
-    verified = _jaccard_on_pairs(shingled, cands, id_col)
+    probable = signature_prefilter(
+        cands, sigs, id_col, n_hashes=n_hashes, min_matches=prefilter_matches
+    )
+    verified = _jaccard_on_sets(sets, probable, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
+    )
+
+
+def _jaccard_on_sets(sets: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard over hashed shingle SETS: join the two doc-level
+    hs arrays onto each pair (id-keyed joins; the sets table broadcasts
+    when small), |A∩B| via array_intersect — no per-shingle row
+    explosion. Division of exact ints → identical double everywhere."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    ix = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (ix / (F.size("hs_a") + F.size("hs_b") - ix)).alias("jaccard"),
+        )
     )
 
 

@@ -751,39 +751,73 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""WITH d AS ({_DOC_SUBSET_SQL}),
-        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
-              FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
-        s AS (SELECT doc_id, v.seed, min(md5(shingle || '#' || v.seed::VARCHAR)) AS minhash
-              FROM g, LATERAL unnest(range(0, 16)) v(seed) GROUP BY 1, 2),
-        b AS (SELECT doc_id, (seed // 2)::INT AS band,
-                     md5(string_agg(seed::VARCHAR || ':' || minhash, '|'
-                                    ORDER BY seed::VARCHAR || ':' || minhash)) AS band_sig
-              FROM s GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                 FROM b b1 JOIN b b2 ON b1.band = b2.band AND b1.band_sig = b2.band_sig
-                 WHERE b1.doc_id < b2.doc_id),
+def _minhash_oracle_sql(
+    subset_sql: str,
+    n: int = 4,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.40,
+    prefilter: int = 4,
+) -> str:
+    """DuckDB replica of minhash_dedup_pairs, generated from the SAME
+    coefficient constants (dedup.minhash_coeffs) so the k universal-hash
+    permutations are bit-identical stage-for-stage."""
+    p = dd.MINHASH_PRIME
+    r = n_hashes // bands
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dd.minhash_coeffs(n_hashes))
+    )
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + " || ':' || ".join(f"mh{j * r + k}::VARCHAR" for k in range(r))
+        + " AS sig FROM s"
+        for j in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""WITH d AS ({subset_sql}),
+        g AS (SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(substr(text, u.i::INT, {n})), 1, 15))::BIGINT
+                         % {p} AS h
+              FROM d, LATERAL unnest(range(1, length(text) - {n - 2})) u(i)),
+        s AS (SELECT doc_id, {mins}
+              FROM g GROUP BY doc_id),
+        b AS ({band_selects}),
+        cand0 AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM b b1 JOIN b b2 ON b1.band = b2.band AND b1.sig = b2.sig
+                  WHERE b1.doc_id < b2.doc_id),
+        cand AS (SELECT id_a, id_b FROM cand0
+                 JOIN s sa ON sa.doc_id = cand0.id_a
+                 JOIN s sb ON sb.doc_id = cand0.id_b
+                 WHERE {est} >= {prefilter}),
         sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
         inter AS (SELECT c.id_a, c.id_b, count(*) AS ix
                   FROM cand c
                   JOIN g ga ON ga.doc_id = c.id_a
-                  JOIN g gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+                  JOIN g gb ON gb.doc_id = c.id_b AND gb.h = ga.h
                   GROUP BY 1, 2)
         SELECT id_a, id_b, ix / (sa.sz + sb.sz - ix) AS jaccard
         FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
                    JOIN sizes sb ON inter.id_b = sb.doc_id
-        WHERE ix / (sa.sz + sb.sz - ix) >= 0.40""",
-    "MinHash+LSH near-dup: shingle → 16 md5-minhashes → 4 bands → "
-    "bucket self-join → exact-Jaccard verification. md5 minhashing is "
-    "engine-portable, so the full approximate pipeline is replicated "
-    "in the oracle stage-for-stage.",
+        WHERE ix / (sa.sz + sb.sz - ix) >= {threshold}"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle_sql(_DOC_SUBSET_SQL),
+    "MinHash+LSH near-dup: per-doc hashed-shingle SET built row-locally "
+    "(no explode/shuffle) → 16 universal-hash permutations (a*h+b mod "
+    "2^31-1, exact integer arithmetic) via array_min → 8 band buckets → "
+    "bucket self-join → signature-agreement prefilter (≥4/16 matching "
+    "minhashes) → exact set-Jaccard of survivors via array_intersect. "
+    "Every stage replicated arithmetically in the oracle.",
 )
 def q_dedup_minhash(spark, sf_dir):
     return dd.minhash_dedup_pairs(
         _doc_subset(spark, sf_dir), "doc_id", "text",
-        n=4, n_hashes=16, bands=8, threshold=0.40,
+        n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
     )
 
 
