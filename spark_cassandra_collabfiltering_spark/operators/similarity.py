@@ -131,6 +131,97 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF (inverted-file) index: k-means centroids + cluster-assigned
+    corpus. Returns (assigned_corpus, centroids_df).
+
+    Training samples the corpus once (k-means on the driver-free
+    pyspark.ml path); assignment is a model transform. At 100 TB you
+    train on a sample, broadcast the centroid matrix, and assignment
+    stays a map-only pass; the assigned table is then written
+    partitioned by cluster so probes prune partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    fitted = (
+        KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster")
+        .fit(
+            corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"))
+        )
+    )
+    assigned = fitted.transform(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+        )
+    ).select(id_col, vec_col, "cluster")
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(fitted.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    centroids and scores only those clusters' members — corpus work
+    drops to ~n_probe/n_clusters of brute force. Probing is a broadcast
+    cross of (queries × centroids), ranked per query; scoring joins on
+    the cluster key. Rows-only correctness check (k-means is iterative,
+    not SQL-expressible).
+    """
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_index(
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "query_vec",
+            "cluster",
+            F.round(cosine(F.col("query_vec"), F.col("centroid")), places).alias("c_cos"),
+        )
+        .withColumn("p", F.row_number().over(pw))
+        .filter(F.col("p") <= n_probe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    scored = assigned.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("query_vec"), F.col(vec_col)), places).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def near_dup_pairs_cosine(
     corpus: DataFrame,
     threshold: float = 0.95,

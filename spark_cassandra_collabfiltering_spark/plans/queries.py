@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from spark_cassandra_collabfiltering_spark.functions.scalar import err_flag, round_half_up
 from spark_cassandra_collabfiltering_spark.operators import (
     aggregates as agg,
+    joins_ext as jx,
     relational as rel,
     windows as win,
 )
@@ -77,9 +78,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div — ts/1000 via double would lose sub-µs bits
+        # (nanos ~2^60 > double's 53-bit mantissa) and round off by 1µs
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -295,6 +296,106 @@ def q_multiway_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "j7_salted_skew_join",
+    """SELECT c_name, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1""",
+    "Skew-resilient equi-join (salting): big side salted by "
+    "hash(event_id) mod 16, dim side exploded x16 — byte-identical "
+    "result to the plain join (the oracle IS the plain join), but hot "
+    "keys spread over 16 reducers. The explicit alternative to AQE "
+    "skew-join when one user dominates the event stream.",
+)
+def q_salted_skew_join(spark, sf_dir):
+    ev = rel.project(t(spark, sf_dir, "events"), "event_id", "user_id", "value")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    joined = jx.salted_join(ev, cust, on=["user_id"], salt_from="event_id", buckets=16)
+    return joined.groupBy("c_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.decimal_sum("value", scale=2, alias="sum_value"),
+    )
+
+
+@register(
+    "j8_asof_click_attribution",
+    """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+              epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND c.ts <= p.ts""",
+    "As-of join (absent from the reference, SURVEY §2.3): each "
+    "purchase attributed to the user's most recent click at or before "
+    "it. Union-merge plan — one window sort per user, last_value with "
+    "ignorenulls — no range explosion; DuckDB's native ASOF JOIN is "
+    "the oracle.",
+)
+def q_asof_click_attribution(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = jx.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )
+
+
+_PRICE_BANDS = [
+    (9000, 9400, "budget"),
+    (9400, 9550, "mid"),
+    (9550, 9900, "high"),
+    (9900, 10000, "premium"),
+]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _PRICE_BANDS)
+
+
+@register(
+    "j9_range_join_bands",
+    f"""WITH b(lo, hi, band) AS (VALUES {_BANDS_SQL}),
+        p AS (SELECT CAST(round(p_retailprice * 10, 0) AS BIGINT) AS val_e1,
+                     p_retailprice
+              FROM part)
+        SELECT band, count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM p JOIN b ON p.val_e1 >= b.lo AND p.val_e1 < b.hi
+        GROUP BY band""",
+    "Range join (absent from the reference) into half-open price "
+    "bands, bucketized: both sides gain an integer bucket key so the "
+    "non-equi predicate becomes equi-join + residual filter — the "
+    "shape that survives when the band table is too big for a "
+    "broadcast nested loop. Values in exact tenth-of-unit ints.",
+)
+def q_range_join_bands(spark, sf_dir):
+    bands = spark.createDataFrame(_PRICE_BANDS, "lo long, hi long, band string")
+    p = t(spark, sf_dir, "part").select(
+        "p_retailprice",
+        F.round(F.col("p_retailprice") * 10, 0).cast("long").alias("val_e1"),
+    )
+    joined = jx.range_join_bucketed(p, "val_e1", bands, bucket_width=250)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        agg.decimal_sum("p_retailprice", scale=2, alias="revenue"),
+    )
+
+
 # ===========================================================================
 # §2.4 — aggregations (A1-A3) and the RMSE pipeline analog
 # ===========================================================================
@@ -434,6 +535,78 @@ def q_distinct(spark, sf_dir):
 def q_count_distinct(spark, sf_dir):
     return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("nd_parts")
+    )
+
+
+@register(
+    "g6_percentiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25_qty,
+              quantile_cont(l_quantity, 0.50) AS median_qty,
+              quantile_cont(l_quantity, 0.90) AS p90_qty,
+              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+       FROM lineitem GROUP BY 1""",
+    "Exact percentiles per group (linear interpolation — Spark "
+    "percentile() ≡ DuckDB quantile_cont on integral-valued doubles; "
+    "interpolated midpoints of ints are exact halves).",
+)
+def q_percentiles(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.90)).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_CASES = ",\n              ".join(
+    f"""CAST(sum(CASE WHEN o_orderpriority = '{p}'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "{p}\""""
+    for p in _PRIORITIES
+)
+
+
+@register(
+    "g7_pivot_priority",
+    f"""SELECT year(o_orderdate) AS order_year,
+              {_PIVOT_CASES}
+       FROM orders GROUP BY 1""",
+    "PIVOT: revenue by year x order-priority, priorities as columns "
+    "(Spark groupBy().pivot() with an explicit value list — no extra "
+    "distinct-discovery job). Oracle is the equivalent CASE-sum "
+    "matrix; sums in exact decimal.",
+)
+def q_pivot_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@register(
+    "g8_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n_orders
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "GROUPING SETS (three independent groupings in one pass — the "
+    "general form rollup/cube specialize). Uses the engine's SQL entry "
+    "point (spark.sql) over a temp view.",
+)
+def q_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                  coalesce(o_orderpriority, 'ALL') AS priority,
+                  count(*) AS n_orders
+           FROM orders_gs
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
     )
 
 
@@ -647,6 +820,37 @@ def q_scalar_suite(spark, sf_dir):
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.when(F.col("p_name").startswith("a"), "A").otherwise("other").alias("initial_class"),
         F.size(F.split("p_type", " ")).alias("type_words"),
+    )
+
+
+@register(
+    "f_array_suite",
+    """SELECT p_partkey,
+              len(string_split(p_name, ' ')) AS n_words,
+              array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_words,
+              string_split(p_name, ' ')[1] AS first_word,
+              string_split(p_name, ' ')[-1] AS last_word,
+              list_contains(string_split(p_name, ' '), 'green') AS has_green,
+              array_to_string(list_transform(string_split(p_name, ' '),
+                                             w -> upper(substr(w, 1, 1))), '') AS initials
+       FROM part""",
+    "Array-function suite: split, size, array_sort, element_at "
+    "(first/last), array_contains, transform + array_join — all "
+    "row-local JVM expressions (SURVEY §2.8 notes the reference has "
+    "no array functions at all).",
+)
+def q_array_suite(spark, sf_dir):
+    words = F.split(F.col("p_name"), " ")
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.array_sort(words), "-").alias("sorted_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.array_join(
+            F.transform(words, lambda w: F.upper(F.substring(w, 1, 1))), ""
+        ).alias("initials"),
     )
 
 
@@ -895,6 +1099,24 @@ def q_ann_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
     return sim.cosine_topk_lsh(emb, qs, k=5, bits=8).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # k-means training is iterative — not SQL-expressible (rows-only)
+    "IVF ANN (the second scale path beside sign-LSH): k-means "
+    "centroids (seeded) → cluster-assigned corpus → each query probes "
+    "its 2 nearest of 16 centroids and scores only those clusters — "
+    "~n_probe/n_clusters of the brute-force work, and at 100 TB the "
+    "assigned table is partitioned by cluster so probes prune "
+    "partitions at the scan.",
+)
+def q_ann_ivf(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_ivf(emb, qs, k=5, n_clusters=16, n_probe=2).select(
         "query_id", "vec_id", "cos", "rank"
     )
 
