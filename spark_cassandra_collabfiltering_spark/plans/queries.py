@@ -418,20 +418,30 @@ def q_global_mean(spark, sf_dir):
 
 @register(
     "a3_rmse_item_mean",
-    f"""SELECT round(sqrt(CAST(sum(CAST((rating - prediction) * (rating - prediction)
+    f"""WITH j AS (
+          SELECT rating,
+                 sum(rating) OVER (PARTITION BY product)
+                     / count(*) OVER (PARTITION BY product) AS prediction
+          FROM ({RATINGS_SQL}))
+        SELECT round(sqrt(CAST(sum(CAST((rating - prediction) * (rating - prediction)
                                    AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 6) AS rmse,
                count(*) AS n
-        FROM ({RATINGS_SQL}) r JOIN ({PREDS_SQL}) p USING (product)""",
-    "A1-A3: RMSE = sqrt(mean(squared error)) over the J1 join — the "
-    "reference's validate() (CollabFilterCassandra8.java:45-57) with an "
-    "item-mean predictor standing in for ALS. Squared errors accumulate "
-    "in exact decimal; squares of binary fractions cannot tie at the "
-    "cast scale, so the decimal cast is engine-portable.",
+        FROM j""",
+    "A1-A3: RMSE = sqrt(mean(squared error)) — the reference's "
+    "validate() (CollabFilterCassandra8.java:45-57) with an item-mean "
+    "predictor standing in for ALS. The predictor is an unbounded "
+    "window avg over product (ONE pass over ratings) rather than a "
+    "self-join of the same subtree, which would recompute the "
+    "lineitem⋈orders aggregation twice — .explain showed 2x the scans. "
+    "Squared errors accumulate in exact decimal (sums of integral "
+    "doubles are exact; squares cannot tie at the cast scale).",
 )
 def q_rmse_item_mean(spark, sf_dir):
     r = ratings_df(spark, sf_dir)
-    p = item_mean_preds_df(r)
-    joined = rel.inner_join_on(r, p, ["product"])
+    w = Window.partitionBy("product")
+    joined = r.withColumn(
+        "prediction", F.sum("rating").over(w) / F.count(F.lit(1)).over(w)
+    )
     sq = (F.col("rating") - F.col("prediction")) * (F.col("rating") - F.col("prediction"))
     return joined.agg(
         F.round(
@@ -770,19 +780,27 @@ def q_set_except(spark, sf_dir):
 
 @register(
     "f_report_flags",
-    f"""SELECT user, product,
+    f"""WITH j AS (
+          SELECT user, product, rating,
+                 sum(rating) OVER (PARTITION BY product)
+                     / count(*) OVER (PARTITION BY product) AS prediction
+          FROM ({RATINGS_SQL}))
+        SELECT user, product,
                round(prediction, 1) AS predicted,
                round(rating, 1) AS actual,
                CASE WHEN abs(rating - prediction) >= 10 THEN 'ERR' ELSE 'OK' END AS error_flag
-        FROM ({RATINGS_SQL}) r JOIN ({PREDS_SQL}) p USING (product)""",
+        FROM j""",
     "F4/F6/F7: the report-row expression — round to 1dp, abs-threshold "
     "ERR/OK flag (CollabFilterCassandra8.java:69-71, Util.java:8-15; "
-    "threshold scaled to the qty domain).",
+    "threshold scaled to the qty domain). Item-mean via window avg — "
+    "single pass, no self-join recompute (see a3_rmse_item_mean).",
 )
 def q_report_flags(spark, sf_dir):
     r = ratings_df(spark, sf_dir)
-    p = item_mean_preds_df(r)
-    joined = rel.inner_join_on(r, p, ["product"])
+    w = Window.partitionBy("product")
+    joined = r.withColumn(
+        "prediction", F.sum("rating").over(w) / F.count(F.lit(1)).over(w)
+    )
     return joined.select(
         "user",
         "product",
