@@ -315,31 +315,95 @@ def simhash(
     """SimHash fingerprint: per-bit majority vote over shingle hashes.
 
     Hash = first 15 hex chars of md5 (60 uniform bits, engine-portable);
-    bit b of the fingerprint is 1 iff more shingles have bit b set than
-    unset. Executes as shingle-explode × bits → two hash-aggregates.
-    Near-dup docs differ in few bits (compare via hamming ≤ r or band
-    the code like LSH).
+    bit b of the fingerprint is 1 iff more distinct shingles have bit b
+    set than unset. Entirely ROW-LOCAL: the doc's distinct shingle
+    hashes form an array, each bit's vote is a filter-count over it
+    (``bits`` is plan-time constant, so the expression unrolls) — no
+    shingle explosion, no shuffle at all. Near-dup docs differ in few
+    bits (pair via ``simhash_near_pairs``).
     """
-    shingled = char_shingles(df, id_col, text_col, n=n)
-    h60 = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # shiftleft/shiftright take a Column bit count only in SQL form
-    votes = (
-        shingled.select(id_col, h60.alias("h"), bit)
-        .select(
-            id_col,
-            "bit",
-            (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    c = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
         )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
+    # votes are per distinct SHINGLE (not distinct hash) — matches the
+    # oracle's one-row-per-shingle formulation bit for bit
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    sets = df.filter(F.length(c) >= n).select(F.col(id_col), hs.alias("_hs"))
+    nsh = F.size("_hs")
+
+    def bit_term(b: int):
+        set_count = F.size(
+            F.filter(F.col("_hs"), lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)
+        )
+        return F.when(set_count * 2 > nsh, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    code = bit_term(0)
+    for b in range(1, bits):
+        code = code + bit_term(b)
+    return sets.select(F.col(id_col), code.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with hamming ≤ max_hamming.
+
+    Pigeonhole banding: split the code into ``chunks`` equal chunks —
+    any pair within hamming ≤ chunks-1 must agree on ≥1 whole chunk, so
+    candidates come from an equi-join on (chunk_idx, chunk_value) and
+    are verified exactly with bit_count(xor). Same candidate-join shape
+    as minhash-LSH: the only shuffle is on small integer keys.
+    """
+    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
+    w = bits // chunks
+    mask = (1 << w) - 1
+    sh = simhash(df, id_col, text_col, n=n, bits=bits)
+    chunked = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("ci"),
+                        F.shiftright("simhash", j * w).bitwiseAND(F.lit(mask)).alias("cv"),
+                    )
+                    for j in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -95,6 +95,18 @@ def top_k(df: DataFrame, k: int, *order_cols) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE/upsert emulation (SCD1): updated rows replace target rows
+    with the same key; unmatched target rows pass through. Plan =
+    left-anti join (target minus updated keys) + union — the standard
+    emulation when no transactional table format (Delta/Iceberg MERGE
+    INTO) is on the classpath. The anti-join shuffles only the key
+    columns of the updates side; at scale, partition both sides by key.
+    """
+    untouched = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(untouched)
+
+
 def distinct_rows(df: DataFrame, *cols: str) -> DataFrame:
     """DISTINCT (absent from reference — breadth); hash-aggregate with
     partial dedup map-side before the shuffle."""

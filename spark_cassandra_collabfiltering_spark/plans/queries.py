@@ -873,6 +873,56 @@ def q_array_suite(spark, sf_dir):
 
 
 @register(
+    "g9_unpivot",
+    """WITH m AS (SELECT year(o_orderdate) AS order_year,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                        count(*)::DOUBLE AS n_orders
+                 FROM orders GROUP BY 1)
+       SELECT order_year, 'revenue' AS metric, revenue AS val FROM m
+       UNION ALL
+       SELECT order_year, 'n_orders' AS metric, n_orders AS val FROM m""",
+    "UNPIVOT (wide→long) via stack(): the inverse of g7's pivot. "
+    "Row-local generator, no shuffle beyond the source aggregate.",
+)
+def q_unpivot(spark, sf_dir):
+    m = t(spark, sf_dir, "orders").groupBy(
+        F.year("o_orderdate").alias("order_year")
+    ).agg(
+        agg.decimal_sum("o_totalprice", scale=2, alias="revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return m.selectExpr(
+        "order_year",
+        "stack(2, 'revenue', revenue, 'n_orders', n_orders) AS (metric, val)",
+    )
+
+
+@register(
+    "cdc_upsert",
+    """WITH u AS (SELECT c_custkey, 'UPDATED-' || c_name AS c_name, c_nationkey
+                  FROM customer WHERE c_custkey % 10 = 0)
+       SELECT * FROM u
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.c_custkey = c.c_custkey)""",
+    "MERGE/upsert emulation (SCD1 apply): updates replace target rows "
+    "by key via left-anti + union — the engine's CDC-apply pattern "
+    "when no transactional format (Delta/Iceberg MERGE) is loaded. "
+    "Anti-join shuffles only key columns.",
+)
+def q_cdc_upsert(spark, sf_dir):
+    target = rel.project(
+        t(spark, sf_dir, "customer"), "c_custkey", "c_name", "c_nationkey"
+    )
+    updates = target.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+    )
+    return rel.upsert(target, updates, ["c_custkey"])
+
+
+@register(
     "f_date_extract",
     """SELECT year(o_orderdate) AS order_year,
               month(o_orderdate) AS order_month,
@@ -1043,23 +1093,51 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_simhash",
-    f"""WITH d AS ({_DOC_SUBSET_SQL}),
+_SIMHASH_CTES = f"""d AS ({_DOC_SUBSET_SQL}),
         g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
               FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
         h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM g),
         v AS (SELECT doc_id, b.bit::INT AS bit,
                      sum(CASE WHEN (h >> b.bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM h, LATERAL unnest(range(0, 32)) b(bit) GROUP BY 1, 2)
-        SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
-        FROM v GROUP BY doc_id""",
+              FROM h, LATERAL unnest(range(0, 32)) b(bit) GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+               FROM v GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_SIMHASH_CTES}\n        SELECT doc_id, simhash FROM sh",
     "SimHash 32-bit fingerprints via per-bit majority vote over shingle "
-    "hashes (first 60 bits of md5 — portable).",
+    "hashes (first 60 bits of md5 — portable). Computed ROW-LOCALLY in "
+    "Spark: the doc's shingle-hash array is filtered per bit (unrolled "
+    "plan-time constant), zero shuffles.",
 )
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash(_doc_subset(spark, sf_dir), "doc_id", "text", n=4, bits=32)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH {_SIMHASH_CTES},
+        ch AS (SELECT doc_id, simhash, c.ci::INT AS ci,
+                      (simhash >> (c.ci::INT * 8)) & 255 AS cv
+               FROM sh, LATERAL unnest(range(0, 4)) c(ci))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "SimHash near-dup pairs (hamming ≤ 3): pigeonhole banding — the "
+    "32-bit code splits into 4 byte-chunks; any pair within hamming ≤ 3 "
+    "agrees on ≥1 whole chunk, so candidates are an equi-join on "
+    "(chunk_idx, chunk_value) verified exactly by bit_count(xor). Only "
+    "small integer keys shuffle.",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dd.simhash_near_pairs(
+        _doc_subset(spark, sf_dir), "doc_id", "text", n=4, bits=32, chunks=4,
+        max_hamming=3,
+    )
 
 
 _ANN_QUERY_IDS = "(0, 1, 2, 3, 4)"
