@@ -1,0 +1,84 @@
+"""Lake-layout tests: partition pruning, bucketed co-located joins
+(plan-asserted: no exchange), JSONL round-trip."""
+
+from __future__ import annotations
+
+import io
+import sys
+
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.plans.queries import t as load_table
+from spark_cassandra_collabfiltering_spark.sources import lake
+
+from conftest import SF_SMOKE
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    stdout = sys.stdout
+    sys.stdout = buf
+    try:
+        df.explain("formatted")
+    finally:
+        sys.stdout = stdout
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lake.write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    # correctness: same row count overall and per partition value
+    assert back.count() == orders.count()
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    got_df = back.filter(F.col("o_orderstatus") == "F")
+    assert got_df.count() == want
+    # pruning: the scan should report a partition filter on the column
+    plan = _plan_str(got_df)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    lake.write_bucketed_table(
+        orders, "orders_b", ["o_orderkey"], 4, ["o_orderkey"],
+        path=str(tmp_path / "orders_b"),
+    )
+    lake.write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "li_b", ["o_orderkey"], 4,
+        ["o_orderkey"], path=str(tmp_path / "li_b"),
+    )
+    # at test scale the planner prefers broadcast (which ignores
+    # bucketing); disable it so the co-located sort-merge path shows
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lake.read_table(spark, "orders_b").join(
+            lake.read_table(spark, "li_b"), "o_orderkey"
+        )
+        plan = _plan_str(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it is the same answer as the plain join
+        plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "docs.jsonl")
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    lake.write_jsonl(docs, path)
+    back = lake.read_jsonl(spark, path, docs.schema)
+    a = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
+    b = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    assert a == b and len(a) > 0
