@@ -108,6 +108,83 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize step (STUB codec, real plumbing): mapInPandas 1→1 over
+    the binary column, emitting a fixed-size payload + dimensions.
+
+    The stub deterministically truncates/pads the payload to
+    width*height bytes — a real implementation replaces ONLY the inner
+    function body with e.g. ``PIL.Image.open(...).resize((w, h))``;
+    batch shape, schema, and plan are unchanged."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                None if p is None else (bytes(p)[:target]).ljust(target, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling (STUB codec, real plumbing): mapInPandas 1→N —
+    each payload yields every ``every_n``-th fixed-size chunk as a
+    'frame' row. The fan-out inside the Arrow batch is the exact shape
+    a pyav keyframe sampler produces; downstream operators (dedup,
+    embedding, resize) treat frames as independent rows, so frame
+    parallelism comes free from repartitioning the OUTPUT, not the
+    decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n_chunks = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_chunks, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def media_feature_query(df_documents: DataFrame) -> DataFrame:
     """documents → binary payload → Arrow-batched features, joined back
     to the metadata struct fields. The end-to-end multimodal path."""
