@@ -1331,6 +1331,47 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_winnowing",
+    f"""WITH g AS (SELECT doc_id, u.i AS pos,
+                     ('0x' || substr(md5(substr(text, u.i::INT, 4)), 1, 15))::BIGINT
+                         % {dd.MINHASH_PRIME} AS h
+              FROM documents, LATERAL unnest(range(1, length(text) - 2)) u(i)
+              WHERE length(text) >= 11),
+        l AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM g GROUP BY 1),
+        win AS (SELECT doc_id, list_min(hs[s.i::INT : s.i::INT + 7]) AS fp
+                FROM l, LATERAL unnest(range(1, len(hs) - 6)) s(i))
+        SELECT DISTINCT doc_id, fp FROM win""",
+    "Winnowing fingerprints (rolling-hash selection, MOSS): hash every "
+    "char 4-gram in order, keep the min of each window of 8 — selects "
+    "a shared fingerprint for any match of length >= 11 chars at ~2/9 "
+    "density. Row-local in Spark (positional hash array + window "
+    "minima inside the row); the oracle rebuilds the same arrays via "
+    "ordered list aggregation.",
+)
+def q_text_winnowing(spark, sf_dir):
+    return tx.winnow_fingerprints(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=4, w=8
+    )
+
+
+@register(
+    "g10_approx_distinct",
+    None,  # HLL sketch estimates differ across engines — rows-only
+    "Approximate distinct (HyperLogLog++): sketches are mergeable "
+    "partial aggregates, the scale answer when exact count-distinct's "
+    "expand+shuffle is too big. Estimates are engine-specific, so this "
+    "is rows-only; the exact twin g5_count_distinct is the oracle-"
+    "checked semantic anchor.",
+)
+def q_approx_distinct(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
+        F.countDistinct("l_partkey").alias("nd_parts_exact"),
+    )
+
+
+@register(
     "mm_binary_meta",
     """SELECT doc_id, 'image' AS modality,
               octet_length(text::BLOB) AS n_bytes,
