@@ -152,6 +152,87 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_join(
+    events: DataFrame, attribution_window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same
+    user's clicks in the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends — that pair is what lets Spark EVICT join state
+    (unbounded stream-stream joins otherwise buffer forever). State is
+    keyed by user and sharded across executors.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", attribution_window)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", attribution_window)
+    )
+    cond = (
+        (clicks["user_id"] == purchases["user_id"])
+        & (clicks["click_ts"] <= purchases["purchase_ts"])
+        & (
+            clicks["click_ts"]
+            >= purchases["purchase_ts"] - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        purchases["user_id"],
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "value",
+    )
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame, target_path: str, keys: list[str]
+):
+    """Exactly-once-style sink: every micro-batch MERGEs into a parquet
+    target by key (read target → left-anti out updated keys → union →
+    overwrite). foreachBatch gives the batch DataFrame + epoch id; a
+    transactional format (Delta/Iceberg) would replace the manual
+    read-modify-write with MERGE INTO, everything else unchanged.
+    Idempotent per key: replaying a batch converges to the same state.
+    """
+    from spark_cassandra_collabfiltering_spark.operators.relational import upsert
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        deduped = batch_df.dropDuplicates(keys)
+        try:
+            target = spark.read.parquet(target_path)
+            merged = upsert(target, deduped, keys)
+        except Exception:  # first batch: no target yet
+            merged = deduped
+        # materialize before overwriting the path we just read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain a bounded stream into the in-memory sink (tests/demos):
     availableNow processes everything then stops."""

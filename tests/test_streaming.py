@@ -129,3 +129,48 @@ def test_sliding_avg_runs(spark, event_source):
     ev.run_to_memory(ev.sliding_avg(stream), "sliding", output_mode="append")
     rows = spark.sql("SELECT count(*) AS n FROM sliding").first()
     assert rows["n"] > 0
+
+
+def test_stream_stream_join_matches_batch(spark, event_source, batch_events):
+    _, batch = batch_events
+    stream = ev.read_event_stream(spark, event_source)
+    ev.run_to_memory(ev.purchase_click_join(stream), "attrib", output_mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("u") == F.col("user_id"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_upsert(spark, event_source, batch_events, tmp_path):
+    _, batch = batch_events
+    target = str(tmp_path / "user_totals")
+    stream = ev.read_event_stream(spark, event_source)
+    totals = ev.running_user_totals(stream)
+    ev.run_foreach_batch_upsert(totals, target, ["user_id"])
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
