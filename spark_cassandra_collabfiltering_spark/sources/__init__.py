@@ -4,6 +4,7 @@ from spark_cassandra_collabfiltering_spark.sources.tables import (
     ParquetStorage,
     Storage,
     read_testdata,
+    register_testdata_views,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "ParquetStorage",
     "CassandraStorage",
     "read_testdata",
+    "register_testdata_views",
 ]

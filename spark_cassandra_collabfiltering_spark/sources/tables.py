@@ -47,6 +47,20 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view so the whole corpus
+    is queryable through the SQL entry point (``spark.sql``) — the
+    same Catalyst plans as the DataFrame API, pure-SQL surface. The
+    events view applies the engine's canonical nanos→micros timestamp
+    normalization, so SQL users see the same ``ts`` the DataFrame
+    queries do."""
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    for name in TESTDATA_TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TESTDATA_TABLES)
+
+
 class Storage(ABC):
     """Pluggable table store: full-scan read, bulk append, truncate."""
 
