@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -93,6 +93,38 @@ def top_k(df: DataFrame, k: int, *order_cols) -> DataFrame:
     orderBy+limit as TakeOrderedAndProject: per-partition top-k then a
     driver merge of k·partitions rows — no global sort at any scale."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): md5 of
+    the value's string form → 60-bit int → mod. Unlike rand()/
+    randomSplit, the assignment is a pure function of the ROW — stable
+    across runs, engines, partitionings, and retries, which is what a
+    reproducible train/eval split needs."""
+    h60 = F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    return h60 % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction_pct: int, buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < fraction_pct — a deterministic
+    ~fraction_pct% sample keyed on ``key_col`` (same key always lands
+    on the same side; sampling is a scan-local filter, no shuffle)."""
+    return df.filter(hash_bucket(F.col(key_col), buckets) < fraction_pct)
+
+
+def hash_split(
+    df: DataFrame, key_col: str, train_pct: int = 90, buckets: int = 100
+) -> tuple[DataFrame, DataFrame]:
+    """Reproducible train/eval split: (bucket < train_pct, rest).
+    Disjoint and exhaustive by construction; stable under retries and
+    engine changes (contrast randomSplit, whose assignment depends on
+    partitioning and sampler state)."""
+    b = hash_bucket(F.col(key_col), buckets)
+    return df.filter(b < train_pct), df.filter(b >= train_pct)
 
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:

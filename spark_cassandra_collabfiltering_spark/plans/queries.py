@@ -1403,6 +1403,94 @@ def q_mm_decode(spark, sf_dir):
 
 
 @register(
+    "sample_hash_split",
+    """WITH b AS (SELECT o_orderkey,
+                        ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                            % 100 AS bucket
+                 FROM orders)
+       SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split,
+              count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       FROM b GROUP BY 1""",
+    "Reproducible train/eval split: md5-derived hash bucket per key — "
+    "a pure function of the row, stable across runs/engines/retries/"
+    "partitionings (unlike randomSplit). Scan-local filter, no "
+    "shuffle; the oracle reproduces the identical assignment.",
+)
+def q_sample_hash_split(spark, sf_dir):
+    o = rel.project(t(spark, sf_dir, "orders"), "o_orderkey")
+    train, ev = rel.hash_split(o, "o_orderkey", train_pct=90)
+    return rel.union_all(
+        train.select(F.lit("train").alias("split"), "o_orderkey"),
+        ev.select(F.lit("eval").alias("split"), "o_orderkey"),
+    ).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "ev_gap_fill",
+    """WITH spine AS (
+         SELECT u.b AS bucket FROM (
+           SELECT unnest(range((SELECT min(epoch_us(ts) // 1000000 // 3600) FROM events),
+                               (SELECT max(epoch_us(ts) // 1000000 // 3600) FROM events) + 1)) AS b) u),
+        agg AS (SELECT (epoch_us(ts) // 1000000 // 3600) AS bucket, count(*) AS n
+                FROM events WHERE event_type = 'error' GROUP BY 1)
+       SELECT spine.bucket, coalesce(agg.n, 0) AS n_errors
+       FROM spine LEFT JOIN agg ON spine.bucket = agg.bucket""",
+    "Time-series gap-fill (hypertable-rollup shape): generate the "
+    "complete hourly bucket spine via sequence+explode, left-join the "
+    "sparse aggregate, zero-fill the holes. The spine generation is "
+    "row-local; the join broadcasts the spine at any realistic width.",
+)
+def q_ev_gap_fill(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.unix_micros("ts") / 1000000 / 3600).cast("long")
+    agg_df = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket")
+    )
+    return spine.join(agg_df, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).alias("n_errors")
+    )
+
+
+@register(
+    "f_null_string_suite",
+    """SELECT c_custkey,
+              coalesce(nullif(c_mktsegment, 'MACHINERY'), '<masked>') AS segment_or_tag,
+              levenshtein(c_mktsegment, 'FURNITURE') AS lev_seg,
+              CASE WHEN c_mktsegment IS NULL THEN 'null'
+                   WHEN c_mktsegment = 'MACHINERY' THEN 'masked' ELSE 'present' END AS segment_class
+       FROM customer""",
+    "Null-handling + string-distance scalars: nullif/coalesce chains "
+    "and Levenshtein edit distance (built-in JVM expression; identical "
+    "definition in DuckDB).",
+)
+def q_null_string_suite(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("<masked>")
+        ).alias("segment_or_tag"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("FURNITURE")).alias("lev_seg"),
+        F.when(F.col("c_mktsegment").isNull(), "null")
+        .when(F.col("c_mktsegment") == "MACHINERY", "masked")
+        .otherwise("present")
+        .alias("segment_class"),
+    )
+
+
+@register(
     "ev_tumbling_agg",
     """SELECT ((epoch_us(ts) // 1000000) // 300) AS bucket, event_type,
               count(*) AS n_events,
