@@ -625,6 +625,58 @@ def q_grouping_sets(spark, sf_dir):
 # ===========================================================================
 
 @register(
+    "g11_stats_moments",
+    """WITH s AS (
+         SELECT l_returnflag,
+                count(*)::DOUBLE AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag,
+              round((n * sxy - sx * sy)
+                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+              round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 9) AS stddev_qty,
+              round(sx / n, 9) AS mean_qty
+       FROM s""",
+    "Correlation/stddev via exact decimal MOMENTS: Σx, Σy, Σx², Σy², "
+    "Σxy accumulate in decimal (order-independent, unlike the "
+    "streaming float update built-ins corr()/stddev() whose partial "
+    "merges are partition-order-dependent), then the closed-form "
+    "formulas run on scalars — identical IEEE ops in both engines.",
+)
+def q_stats_moments(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dp * dp).cast("double").alias("syy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("corr_qty_price"),
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - 1))), 9).alias("stddev_qty"),
+        F.round(sx / n, 9).alias("mean_qty"),
+    )
+
+
+@register(
     "w1_topk_per_user",
     """SELECT * FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1488,6 +1540,31 @@ def q_null_string_suite(spark, sf_dir):
         .otherwise("present")
         .alias("segment_class"),
     )
+
+
+@register(
+    "cf_recommend_topk",
+    None,  # ALS factors — not SQL-expressible (rows-only check)
+    "M-plus: top-3 products per user from the trained ALS model "
+    "(recommendForAllUsers ≙ MatrixFactorizationModel.recommendProducts, "
+    "which the reference never calls — SURVEY §2.5 flags this as the "
+    "natural windowed capability-parity query).",
+)
+def q_cf_recommend(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.ml import collabfilter as cf
+
+    ratings = (
+        ratings_df(spark, sf_dir)
+        .select(
+            (F.col("user") % 100).cast("int").alias("user"),
+            (F.col("product") % 50).cast("int").alias("product"),
+            F.col("rating"),
+        )
+        .groupBy("user", "product")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    model = cf.train(ratings, max_iter=5)
+    return cf.recommend_top_k(model, k=3)
 
 
 @register(
