@@ -59,6 +59,10 @@ def make_spark():
 
 def run_one(spark, builder, sf_dir: str) -> float:
     spark.catalog.clearCache()
+    # Force a JVM GC so the ContextCleaner reclaims dead broadcasts /
+    # shuffle state from prior queries — accumulated debris otherwise
+    # bleeds multi-second GC pauses into later queries' timings.
+    spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     df = builder(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()

@@ -179,17 +179,23 @@ def winnow_fingerprints(
     select a shared fingerprint for any match of length ≥ w+k-1, at
     ~2/(w+1) sampling density.
 
-    The hash array builds ROW-LOCALLY (one md5 pass per k-gram), then
-    the sliding minimum runs as a frame-bounded window aggregate over
-    the posexploded hashes — one shuffle keyed by doc. (A fully
-    row-local `transform(starts, s -> array_min(slice(hs, s, w)))`
-    formulation is quadratic in practice: Catalyst inlines the hs
-    subexpression into the lambda — no CSE inside higher-order
-    functions — recomputing every k-gram hash per window start; 25x
-    slower measured.) Output: (id, fp) distinct per doc.
-    """
-    from pyspark.sql import Window
+    Fully row-local arithmetic with explicit exchange placement:
 
+    1. repartition the raw docs BY id — spreads the expensive hash
+       pass (a single parquet file otherwise hashes on one core);
+    2. build the ordered k-gram hash array (one md5 per position);
+    3. repartition AGAIN by id — this exchange is the load-bearing
+       optimizer barrier: without it, CollapseProject inlines the hash
+       array into the window-minima lambda (no CSE inside higher-order
+       functions) and every hash recomputes per window start — O(n·w·
+       hash) instead of O(n·hash), measured 25x slower. (A posexplode +
+       frame-window formulation avoids the inlining but pays a 1.5M-row
+       sort — 2x slower than this.)
+    4. window minima as array_min over slices — row-local, then one
+       explode of the per-doc distinct fingerprint set.
+
+    Output: (id, fp) distinct per doc.
+    """
     from spark_cassandra_collabfiltering_spark.operators.dedup import shingle_hash
 
     c = F.col(text_col)
@@ -198,19 +204,16 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.length(c) - (k - 1)),
         lambda i: shingle_hash(c.substr(i, F.lit(k))),
     )
-    rows = (
-        df.filter(F.length(c) >= k + w - 1)
+    hashed = (
+        df.repartition(F.col(id_col))
+        .filter(F.length(c) >= k + w - 1)
         .select(F.col(id_col), hs.alias("_hs"))
-        .select(
-            F.col(id_col),
-            F.size("_hs").alias("_nh"),
-            F.posexplode("_hs").alias("pos", "h"),
+        .repartition(F.col(id_col))
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_hs") - (w - 1)),
+            lambda s: F.array_min(F.slice(F.col("_hs"), s, w)),
         )
     )
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    return (
-        rows.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("_nh") - w)  # full windows only (pos 0-based)
-        .select(F.col(id_col), "fp")
-        .distinct()
-    )
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
