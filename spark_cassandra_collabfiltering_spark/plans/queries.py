@@ -624,6 +624,121 @@ def q_grouping_sets(spark, sf_dir):
 # §2.5 — windows; §2.6 — sort/limit; §2.7 — set ops
 # ===========================================================================
 
+_REV = """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"""
+
+
+def _rev_col():
+    # discounted revenue in exact decimal: price(2dp) x (1-disc)(2dp)
+    # multiplies as decimals (4dp product), sums order-independent
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+
+
+@register(
+    "q3_shipping_priority",
+    f"""SELECT l_orderkey, {_REV} AS revenue, o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "TPC-H Q3 shape: selective dim filter pushed below a 3-way join, "
+    "grouped discounted revenue, global top-10 (TakeOrderedAndProject "
+    "— per-partition top-k, no full sort). Revenue in exact decimal.",
+)
+def q_q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = o.join(
+        F.broadcast(c).withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).join(li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+    g = j.groupBy(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    ).agg(_rev_col().alias("revenue"))
+    return rel.top_k(
+        g.select("l_orderkey", "revenue", "o_orderdate"),
+        10,
+        F.col("revenue").desc(),
+        F.col("l_orderkey").asc(),
+    )
+
+
+@register(
+    "q12_priority_classes",
+    """SELECT l_linestatus,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+       GROUP BY l_linestatus""",
+    "TPC-H Q12 shape: conditional aggregation (CASE inside sum) over a "
+    "fact-fact join with the date filter pushed to the lineitem scan.",
+)
+def q_q12_priority_classes(spark, sf_dir):
+    o = rel.project(t(spark, sf_dir, "orders"), "o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1998-01-01"
+    ).select(F.col("l_orderkey").alias("o_orderkey"), "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, "o_orderkey")
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    f"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+                    / {_REV}, 9) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+          AND l_shipdate <  TIMESTAMP '1998-08-01'""",
+    "TPC-H Q14 shape: promo revenue share — conditional decimal "
+    "aggregate over a broadcast part join, single scalar out.",
+)
+def q_q14_promo_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-06-01") & (F.col("l_shipdate") < "1998-08-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = rel.project(t(spark, sf_dir, "part"), "p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(p).withColumnRenamed("p_partkey", "l_partkey"), "l_partkey"
+    )
+    dec_rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", dec_rev).otherwise(
+            F.lit(0).cast("decimal(22,4)")
+        )
+    ).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * promo / _rev_col(), 9).alias("promo_revenue_pct")
+    )
+
+
 @register(
     "g11_stats_moments",
     """WITH s AS (
