@@ -24,6 +24,11 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "la", "los", "de", "que", "es", "una", "por"],
 }
 
+# CJK unified ideographs as a literal character class — the same two
+# literal characters work in Java regex (Spark) and RE2 (DuckDB), so
+# the pattern is engine-portable without escape-syntax differences.
+CJK_RANGE = "[一-鿿]"
+
 _WORD_RE = r"[A-Za-z0-9]+"
 # BPE-ish segmentation: word pieces OR single non-space symbols — the
 # shape (not the vocab) of a byte-pair tokenizer's pretokenizer.
@@ -37,20 +42,26 @@ def _marker_hits(col: Column, words: list[str]) -> Column:
 
 
 def lang_scores(text_col: str = "text") -> list[Column]:
-    """Per-language stopword-hit counts, one int column per language."""
+    """Per-language feature counts: stopword hits for the latin-script
+    languages, CJK-ideograph count for zh (character-level — no
+    whitespace tokenization exists to exploit)."""
     return [
         _marker_hits(F.col(text_col), words).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
+    ] + [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(CJK_RANGE), 0)).alias(
+            "score_zh"
+        )
     ]
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Language ID: argmax of stopword-hit counts, 'und' when all zero.
+    """Language ID: argmax of per-language scores, 'und' when all zero.
 
     Ties break by language-code order via the greatest-of struct trick
     (compare (score, neg-ordinal) pairs) — fully deterministic.
     """
-    langs = list(LANG_MARKERS)
+    langs = [*LANG_MARKERS, "zh"]
     scored = df.select("*", *lang_scores(text_col))
     best = F.greatest(
         *[

@@ -1090,6 +1090,34 @@ def q_cdc_upsert(spark, sf_dir):
 
 
 @register(
+    "cdc_scd2_intervals",
+    """SELECT user_id, event_id AS version_id, value,
+              ts AS valid_from,
+              lead(ts) OVER w AS valid_to,
+              CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+       FROM events
+       WHERE event_type = 'signup'
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "SCD2 history build: an append-only change stream becomes a "
+    "validity-interval dimension via lead() — valid_from = change ts, "
+    "valid_to = next change (NULL = current version). One window sort "
+    "per key; as-of queries against the result are a range filter.",
+)
+def q_cdc_scd2_intervals(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = F.lead("ts", 1).over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
     "f_date_extract",
     """SELECT year(o_orderdate) AS order_year,
               month(o_orderdate) AS order_month,
@@ -1408,8 +1436,28 @@ def _marker_sql(lang: str) -> str:
 
 
 _LANG_SCORES_SQL = ",\n              ".join(
-    f"{_marker_sql(lang)} AS score_{lang}" for lang in tx.LANG_MARKERS
+    [f"{_marker_sql(lang)} AS score_{lang}" for lang in tx.LANG_MARKERS]
+    + [f"len(regexp_extract_all(text, '{tx.CJK_RANGE}')) AS score_zh"]
 )
+
+_ALL_LANGS = [*tx.LANG_MARKERS, "zh"]
+_SCORE_COLS = ", ".join(f"score_{lang}" for lang in _ALL_LANGS)
+
+
+def _argmax_case_sql() -> str:
+    # first-wins cascade in _ALL_LANGS order — mirrors the Spark side's
+    # greatest((score, -ordinal)) tiebreak exactly
+    branches = []
+    for i, lang in enumerate(_ALL_LANGS[:-1]):
+        rest = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in _ALL_LANGS[i + 1 :]
+        )
+        branches.append(f"WHEN {rest} THEN '{lang}'")
+    return (
+        f"CASE WHEN greatest({_SCORE_COLS}) = 0 THEN 'und' "
+        + " ".join(branches)
+        + f" ELSE '{_ALL_LANGS[-1]}' END"
+    )
 
 
 @register(
@@ -1417,20 +1465,18 @@ _LANG_SCORES_SQL = ",\n              ".join(
     f"""WITH s AS (SELECT doc_id, lang,
               {_LANG_SCORES_SQL}
            FROM documents)
-        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
-               CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
-                    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-                    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
-                    WHEN score_fr >= score_es THEN 'fr'
-                    ELSE 'es' END AS pred_lang
+        SELECT doc_id, lang, {_SCORE_COLS},
+               {_argmax_case_sql()} AS pred_lang
         FROM s""",
-    "Language ID via stopword n-gram hits: per-language counts + argmax "
-    "with first-wins tie-break — pure regexp scan, no shuffle.",
+    "Language ID: stopword hits for latin-script languages + CJK "
+    "ideograph count for zh (the unicode range is a literal char class "
+    "portable across Java regex and RE2), argmax with first-wins "
+    "tie-break — pure regexp scan, no shuffle.",
 )
 def q_text_lang_id(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return tx.lang_id(docs).select(
-        "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "pred_lang"
+        "doc_id", "lang", *[f"score_{lang}" for lang in _ALL_LANGS], "pred_lang"
     )
 
 

@@ -200,6 +200,27 @@ def purchase_click_join(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a key's state only until the
+    watermark passes it — duplicates arriving within the lateness bound
+    are dropped, state is GC'd after. (Plain dropDuplicates on a stream
+    grows state forever; this is the production form.)"""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream_static(
+    events: DataFrame, dim: DataFrame, on: list[str]
+) -> DataFrame:
+    """Stream-static join: the static dim is re-read per micro-batch
+    (picks up slowly-changing data), the stream side never buffers join
+    state. Broadcast when the dim is small; no watermark needed —
+    static side is not append-only."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame, target_path: str, keys: list[str]
 ):

@@ -159,6 +159,41 @@ def test_stream_stream_join_matches_batch(spark, event_source, batch_events):
     assert got == want and len(got) > 0
 
 
+def test_dedup_within_watermark(spark, event_source, batch_events, tmp_path):
+    """Duplicate every event in the source; the deduped stream must
+    equal the original distinct set."""
+    _, batch = batch_events
+    dup_src = str(tmp_path / "dup_events")
+    batch.unionByName(batch).repartition(4).write.mode("overwrite").parquet(dup_src)
+    stream = ev.read_event_stream(spark, dup_src)
+    ev.run_to_memory(
+        ev.dedup_within_watermark(stream, ["event_id"]), "deduped",
+        output_mode="append",
+    )
+    n = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM deduped").first()
+    assert n["n"] == n["d"] == batch.count()
+
+
+def test_stream_static_enrich(spark, event_source, batch_events):
+    _, batch = batch_events
+    from spark_cassandra_collabfiltering_spark.plans.queries import t as load_table
+
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    stream = ev.read_event_stream(spark, event_source)
+    ev.run_to_memory(
+        ev.enrich_stream_static(stream, dim, ["user_id"]), "enriched",
+        output_mode="append",
+    )
+    got = spark.sql(
+        "SELECT count(*) AS n, count(c_name) AS matched FROM enriched"
+    ).first()
+    want = batch.join(dim, "user_id", "left")
+    assert got["n"] == batch.count()
+    assert got["matched"] == want.filter(F.col("c_name").isNotNull()).count()
+
+
 def test_foreach_batch_upsert(spark, event_source, batch_events, tmp_path):
     _, batch = batch_events
     target = str(tmp_path / "user_totals")
