@@ -139,6 +139,51 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     return updates.unionByName(untouched)
 
 
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Incremental SCD2: merge a change batch into a validity-interval
+    history (columns = keys + attrs + valid_from + valid_to, where
+    valid_to IS NULL marks the current version).
+
+    - closed versions pass through untouched;
+    - each key's current version closes at that key's FIRST change ts;
+    - the change batch becomes new versions chained by lead() within
+      the batch (last one open).
+
+    Shuffles: one window per key over the (small) change batch and one
+    key-join against current rows — the full history never re-sorts.
+    Replaying the same batch yields the same history (idempotent under
+    replace-by-key writes, the foreachBatch sink pattern).
+    """
+    from pyspark.sql import Window
+
+    attr_cols = [
+        c for c in history.columns if c not in (*keys, "valid_from", "valid_to")
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    new_versions = changes.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col, 1).over(w).alias("valid_to"),
+    )
+    first_change = changes.groupBy(*keys).agg(F.min(ts_col).alias("_first_ts"))
+    closed = history.filter(F.col("valid_to").isNotNull())
+    current = history.filter(F.col("valid_to").isNull())
+    current_closed = (
+        current.join(first_change, on=keys, how="left")
+        .withColumn("valid_to", F.coalesce(F.col("_first_ts"), F.col("valid_to")))
+        .drop("_first_ts")
+    )
+    return closed.unionByName(current_closed).unionByName(
+        new_versions.select(*closed.columns)
+    )
+
+
 def distinct_rows(df: DataFrame, *cols: str) -> DataFrame:
     """DISTINCT (absent from reference — breadth); hash-aggregate with
     partial dedup map-side before the shuffle."""
