@@ -856,6 +856,89 @@ def q_lag_delta(spark, sf_dir):
 
 
 @register(
+    "w4_rank_suite",
+    """SELECT o_custkey, o_orderkey,
+              rank()         OVER w AS rnk,
+              dense_rank()   OVER w AS drnk,
+              ntile(4)       OVER w AS quartile,
+              round(percent_rank() OVER w, 9) AS pct_rank,
+              round(cume_dist()    OVER w, 9) AS cume
+       FROM orders
+       WHERE o_custkey < 50
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+    "Ranking-function suite: rank/dense_rank/ntile/percent_rank/"
+    "cume_dist share ONE window spec → one shuffle+sort serves all "
+    "five. Deterministic ordering via the orderkey tiebreak.",
+)
+def q_rank_suite(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+@register(
+    "emb_normalize_pool",
+    """WITH u AS (SELECT label,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                                     embedding::DOUBLE[]))) AS u
+                FROM embeddings),
+        n AS (SELECT label, count(*) AS n_vecs FROM u GROUP BY 1),
+        e AS (SELECT label, d.i AS dim, u[d.i::INT] AS v
+              FROM u, LATERAL unnest(range(1, 9)) d(i)),
+        m AS (SELECT label, dim,
+                     round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                           / count(*), 9) AS mv
+              FROM e GROUP BY 1, 2)
+       SELECT m.label, round(sum(mv * mv), 6) AS mean_vec_sqnorm, n.n_vecs
+       FROM m JOIN n ON m.label = n.label
+       GROUP BY m.label, n.n_vecs""",
+    "Embedding pipeline ops: L2-normalize each vector (row-local "
+    "arithmetic), mean-pool the unit vectors per label over the first "
+    "8 dims (components accumulate in DECIMAL — double sums are "
+    "partition-order-dependent), report the pooled vector's squared "
+    "norm — a class-coherence score.",
+)
+def q_emb_normalize_pool(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    from spark_cassandra_collabfiltering_spark.operators import similarity as s
+
+    u = emb.select(
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / s.norm(F.col("embedding")),
+        ).alias("u"),
+    )
+    dims = list(range(8))
+    pooled = u.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.round(
+                F.sum(F.element_at("u", d + 1).cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias(f"m{d}")
+            for d in dims
+        ],
+    )
+    sqnorm = sum(F.col(f"m{d}") * F.col(f"m{d}") for d in dims)
+    return pooled.select(
+        "label", F.round(sqnorm, 6).alias("mean_vec_sqnorm"), "n_vecs"
+    )
+
+
+@register(
     "o1_sort_composite",
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
        WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""",
