@@ -285,6 +285,69 @@ def _jaccard_on_pairs(shingled: DataFrame, pairs: DataFrame, id_col: str) -> Dat
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph via min-label
+    propagation: every node starts labeled with itself; each round a
+    node takes the minimum of its own and its neighbors' labels;
+    convergence (no label changed) ends the loop. The converged label
+    is the component's minimum member — the canonical doc id for a
+    near-dup cluster.
+
+    Each round is one join + one aggregate (both shuffle on the node
+    key); rounds needed = graph diameter, which for dedup clusters is
+    tiny. The driver-side loop only reads ONE scalar per round (the
+    changed-count) — the data never leaves the cluster. Output:
+    (node, cluster_id) for every node appearing in ``pairs``.
+    """
+    # localCheckpoint (not cache) on the loop state: caching keeps the
+    # full lineage, so after k rounds the plan nests k joins deep and
+    # planning/execution memory blows up — checkpointing truncates the
+    # DAG to the materialized partitions each round (the standard move
+    # for iterative DataFrame algorithms).
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -1418,6 +1418,32 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL)}) q),
+        edges AS (SELECT id_a AS a, id_b AS b FROM mh
+                  UNION SELECT id_b, id_a FROM mh),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a AS n FROM edges)
+        SELECT nodes.n AS node, least(nodes.n, min(reach.b)) AS cluster_id
+        FROM nodes JOIN reach ON reach.a = nodes.n
+        GROUP BY nodes.n""",
+    "Near-dup CLUSTERS from the minhash pair graph: connected "
+    "components via iterative min-label propagation (join+agg per "
+    "round, rounds = graph diameter, driver reads one scalar per "
+    "round). cluster_id = the component's minimum doc id — the "
+    "canonical representative a dedup pipeline keeps. Oracle: the "
+    "same components via a recursive-CTE transitive closure.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    pairs = dd.minhash_dedup_pairs(
+        _doc_subset(spark, sf_dir), "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+    )
+    return dd.connected_components(pairs)
+
+
 _ANN_QUERY_IDS = "(0, 1, 2, 3, 4)"
 _COS_SQL = """round(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
               (sqrt(list_dot_product(q.qv, q.qv)) *
