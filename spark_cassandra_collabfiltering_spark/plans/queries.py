@@ -1838,6 +1838,55 @@ def q_cf_recommend(spark, sf_dir):
 
 
 @register(
+    "ev_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+       SELECT count(v.user_id) AS stage_view,
+              count(c.user_id) AS stage_click,
+              count(p.user_id) AS stage_purchase
+       FROM v LEFT JOIN c ON v.user_id = c.user_id
+              LEFT JOIN p ON v.user_id = p.user_id""",
+    "Ordered event funnel (view → click → purchase, strictly "
+    "increasing timestamps): each stage is a keyed aggregate over "
+    "events after the user's previous-stage time. Three shuffles on "
+    "user_id; at scale pre-partition events by user once and every "
+    "stage co-locates.",
+)
+def q_ev_funnel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(event_type, prev, prev_ts):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t1"))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{int(prev_ts[1]) + 1}"))
+        )
+
+    v = stage("view", None, None)
+    c = stage("click", v, "t1")
+    p = stage("purchase", c, "t2")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t1").alias("stage_view"),
+            F.count("t2").alias("stage_click"),
+            F.count("t3").alias("stage_purchase"),
+        )
+    )
+
+
+@register(
     "ev_tumbling_agg",
     """SELECT ((epoch_us(ts) // 1000000) // 300) AS bucket, event_type,
               count(*) AS n_events,

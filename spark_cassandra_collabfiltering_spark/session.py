@@ -49,7 +49,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # -Xss16m: deep Java deserialization chains (Scala collection
+        # proxies inside ALS task closures) intermittently overflow the
+        # default thread stack — seen as whole-suite Py4J failures with
+        # a hundreds-deep ObjectInputStream trace. A bigger stack is
+        # the deterministic fix (same flag a cluster deploy would set).
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp -Xss16m")
+        .config("spark.executor.extraJavaOptions", "-Xss16m")
     )
     if cassandra_host:
         builder = builder.config("spark.cassandra.connection.host", cassandra_host)
