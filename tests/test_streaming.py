@@ -194,6 +194,39 @@ def test_stream_static_enrich(spark, event_source, batch_events):
     assert got["matched"] == want.filter(F.col("c_name").isNotNull()).count()
 
 
+def test_checkpoint_recovery_exactly_once(spark, batch_events, tmp_path):
+    """Restarting a checkpointed query must process only NEW files and
+    never duplicate rows in the file sink (exactly-once via the sink
+    commit log), including a no-op restart with nothing new."""
+    _, batch = batch_events
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    half1 = batch.filter(F.col("event_id") % 2 == 0)
+    half2 = batch.filter(F.col("event_id") % 2 == 1)
+    half1.repartition(2).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            ev.read_event_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half1.count()
+
+    half2.repartition(2).write.mode("append").parquet(src)
+    run_once()  # restart: picks up only the new files
+    run_once()  # idempotent no-op restart
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+
+
 def test_foreach_batch_upsert(spark, event_source, batch_events, tmp_path):
     _, batch = batch_events
     target = str(tmp_path / "user_totals")
