@@ -116,6 +116,26 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < fraction_pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions_pct: dict[str, int],
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling (`sampleBy` analog): each
+    stratum keeps ~its own percentage, selected by the key's hash
+    bucket — reproducible across runs/engines (F.sampleBy draws from a
+    seeded RNG whose assignment shifts with partitioning). Scan-local
+    filter; strata with no entry are dropped."""
+    b = hash_bucket(F.col(key_col), buckets)
+    cond = None
+    for stratum, pct in fractions_pct.items():
+        this = (F.col(strata_col) == stratum) & (b < pct)
+        cond = this if cond is None else (cond | this)
+    return df.filter(cond if cond is not None else F.lit(False))
+
+
 def hash_split(
     df: DataFrame, key_col: str, train_pct: int = 90, buckets: int = 100
 ) -> tuple[DataFrame, DataFrame]:

@@ -1751,6 +1751,35 @@ def q_sample_hash_split(spark, sf_dir):
     )
 
 
+_STRATA_PCT = {"en": 10, "de": 50, "fr": 80}
+_STRATA_SQL = " OR ".join(
+    f"(lang = '{s}' AND bucket < {p})" for s, p in _STRATA_PCT.items()
+)
+
+
+@register(
+    "sample_stratified",
+    f"""WITH b AS (SELECT doc_id, lang,
+                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                            % 100 AS bucket
+                 FROM documents)
+       SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM b WHERE {_STRATA_SQL} GROUP BY lang""",
+    "Deterministic stratified sampling (sampleBy analog): per-stratum "
+    "keep-percentages selected by the key's md5 hash bucket — "
+    "reproducible across runs/engines where RNG-based sampleBy "
+    "assignment shifts with partitioning. Scan-local filter.",
+)
+def q_sample_stratified(spark, sf_dir):
+    docs = rel.project(t(spark, sf_dir, "documents"), "doc_id", "lang")
+    sampled = rel.stratified_sample(docs, "doc_id", "lang", _STRATA_PCT)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 @register(
     "ev_gap_fill",
     """WITH spine AS (
