@@ -290,6 +290,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair graph via min-label
     propagation: every node starts labeled with itself; each round a
@@ -304,29 +305,45 @@ def connected_components(
     changed-count) — the data never leaves the cluster. Output:
     (node, cluster_id) for every node appearing in ``pairs``.
     """
-    # localCheckpoint (not cache) on the loop state: caching keeps the
+    # Checkpoint (not cache) on the loop state: caching keeps the
     # full lineage, so after k rounds the plan nests k joins deep and
     # planning/execution memory blows up — checkpointing truncates the
     # DAG to the materialized partitions each round (the standard move
     # for iterative DataFrame algorithms).
-    edges = (
+    #
+    # localCheckpoint stores blocks on executors: fastest, but an
+    # executor loss discards them and fails the iteration — fine on
+    # local[n], fragile on a real cluster. reliable_checkpoint=True
+    # switches to fault-tolerant checkpoint() into
+    # SparkContext.setCheckpointDir (HDFS/S3 on a cluster), surviving
+    # executor loss at the cost of a write per round.
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            sc = df.sparkSession.sparkContext
+            assert sc.getCheckpointDir() is not None, (
+                "reliable_checkpoint=True requires "
+                "SparkContext.setCheckpointDir(<fault-tolerant path>)"
+            )
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = ckpt(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
@@ -334,7 +351,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -344,7 +360,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    # min-label propagation converges in <= diameter rounds; hitting
+    # max_iter means the caller's bound is too small for this graph —
+    # returning a half-propagated labeling would silently split
+    # clusters, so fail loudly instead.
+    assert converged, (
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds; raise max_iter (graph diameter exceeds the bound)"
+    )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -221,4 +221,14 @@ def intersect_rows(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
 
 
 def except_rows(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
-    return df_a.exceptAll(df_b).distinct()
+    """SQL EXCEPT (DISTINCT): rows of A not in B, deduplicated BEFORE
+    the difference — for A={x,x}, B={x} the answer is empty. (The r1
+    ``exceptAll().distinct()`` form got that case wrong: it removed one
+    occurrence then deduped, yielding {x}.)"""
+    return df_a.subtract(df_b)
+
+
+def except_all_rows(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """SQL EXCEPT ALL (multiset difference): each row of A survives
+    max(count_A - count_B, 0) times."""
+    return df_a.exceptAll(df_b)

@@ -52,6 +52,22 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         return CompareResult(name, False, f"columns {list(s.columns)} vs {list(o.columns)}")
     if len(s) != len(o):
         return CompareResult(name, False, f"row count {len(s)} vs {len(o)}")
+    # Dtype-KIND parity: the driver's value-hash is representation-
+    # sensitive across kinds — a DuckDB HUGEINT (sum over INTEGER)
+    # lands in pandas as float64/object and hashes differently from
+    # Spark's int64 even when every value is equal (r1:
+    # q12_priority_classes, dedup_simhash). Width differences within a
+    # kind (int32 vs int64, datetime64[ns] vs [us]) hash identically —
+    # r1 driver rows for q3/w1/w4/f_scalar_suite were green — so only
+    # kind mismatches fail here.
+    for col in s.columns:
+        ks, ko = s[col].dtype.kind, o[col].dtype.kind
+        if ks != ko:
+            return CompareResult(
+                name, False,
+                f"dtype-kind col {col}: spark={s[col].dtype}({ks}) vs "
+                f"oracle={o[col].dtype}({ko}) (cast the oracle, e.g. ::BIGINT)",
+            )
     for col in s.columns:
         a, b = s[col].tolist(), o[col].tolist()
         for i, (x, y) in enumerate(zip(a, b)):

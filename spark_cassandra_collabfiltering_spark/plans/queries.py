@@ -59,12 +59,68 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# Driver-facing ordering: the correctness harness checks the FIRST 50
+# entries of queries(), so the first 50 names below are chosen to cover
+# every SURVEY §2 operator family AND every mandated extension family
+# (dedup, similarity/ANN, text, multimodal, sampling, event/streaming
+# analogs, ALS). Positions 51+ are breadth variants of families already
+# represented above (extra grouping shapes, window variants, set ops,
+# scalar suites) — all still registered, tested, and oracle-checked by
+# scripts/check_oracle.py; they just aren't the family's driver-slot
+# representative.
+_DRIVER_ORDER = [
+    # §2.1-2.2 scans / filters / projections
+    "s2_scan_project", "p1_filter_prefix", "p2_parse_cast",
+    # §2.3 joins (+ extension joins: salted, as-of, range)
+    "j1_join_composite", "j2_broadcast_dim", "j3_semi_join", "j4_anti_join",
+    "j5_outer_join", "j6_multiway_revenue", "j7_salted_skew_join",
+    "j8_asof_click_attribution", "j9_range_join_bands",
+    # §2.4 aggregates (reference A2/A3 + TPC-H shapes)
+    "a2_global_mean", "a3_rmse_item_mean", "g1_pricing_summary",
+    "q3_shipping_priority", "q12_priority_classes", "q14_promo_share",
+    # §2.5 windows / §2.6 ordering
+    "w1_topk_per_user", "w4_rank_suite", "o1_sort_composite",
+    # §2.7 set ops / §2.8 scalars
+    "set3_except", "f_report_flags", "f_null_string_suite",
+    # CDC
+    "cdc_upsert",
+    # dedup family (one per mandated technique)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_clusters",
+    # similarity / ANN family
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    # text-analysis family
+    "text_lang_id", "text_token_count", "text_quality",
+    "text_fingerprint", "text_winnowing",
+    # sketches
+    "g10_approx_distinct",
+    # multimodal family
+    "mm_binary_meta", "mm_decode_features",
+    # deterministic sampling family
+    "sample_hash_split", "sample_stratified",
+    # event/streaming batch analogs
+    "ev_gap_fill", "ev_funnel", "ev_tumbling_agg", "ev_sessionize",
+    # ML (reference M1-M3)
+    "cf_recommend_topk", "cf_als_pipeline",
+]
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
+    assert not missing, f"_DRIVER_ORDER names not registered: {missing}"
+    rest = [n for n in QUERIES if n not in set(_DRIVER_ORDER)]
+    return list(_DRIVER_ORDER) + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: q.builder for n, q in QUERIES.items()}
+    return {n: QUERIES[n].builder for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: q.oracle for n, q in QUERIES.items() if q.oracle is not None}
+    return {
+        n: QUERIES[n].oracle for n in _ordered_names() if QUERIES[n].oracle is not None
+    }
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -680,9 +736,9 @@ def q_q3_shipping_priority(spark, sf_dir):
     "q12_priority_classes",
     """SELECT l_linestatus,
               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+                       THEN 1 ELSE 0 END)::BIGINT AS low_line_count
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
        GROUP BY l_linestatus""",
@@ -1379,7 +1435,8 @@ _SIMHASH_CTES = f"""d AS ({_DOC_SUBSET_SQL}),
                      sum(CASE WHEN (h >> b.bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
               FROM h, LATERAL unnest(range(0, 32)) b(bit) GROUP BY 1, 2),
         sh AS (SELECT doc_id,
-                      sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+                      sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                        AS simhash
                FROM v GROUP BY doc_id)"""
 
 
@@ -1469,6 +1526,21 @@ def q_ann_bruteforce(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
     return sim.cosine_topk_bruteforce(emb, qs, k=5).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+@register(
+    "ann_bruteforce_topk_vec",
+    QUERIES["ann_bruteforce_topk"].oracle,
+    "Vectorized (Arrow mapInPandas + BLAS GEMM) brute-force ANN scorer "
+    "— identical contract/rows to ann_bruteforce_topk (same oracle); "
+    "bench r2 at sf0.1: 0.61 s vs 0.76 s for the expression path.",
+)
+def q_ann_bruteforce_vec(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_bruteforce_vectorized(emb, qs, k=5).select(
         "query_id", "vec_id", "cos", "rank"
     )
 
@@ -1944,7 +2016,7 @@ def q_ev_tumbling(spark, sf_dir):
                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                      THEN 1 ELSE 0 END AS new_sess
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-       SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+       SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
        FROM o GROUP BY user_id""",
     "Sessionization (30-min inactivity gap) via lag + cumulative flags "
     "— the batch analog of the streaming session-window operator; "

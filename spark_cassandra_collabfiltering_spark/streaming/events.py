@@ -20,6 +20,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -236,11 +237,19 @@ def run_foreach_batch_upsert(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         deduped = batch_df.dropDuplicates(keys)
+        # Only a MISSING target means "first batch → start fresh". Any
+        # other read failure (corruption, transient IO) must propagate:
+        # falling back to `deduped` there would overwrite the target
+        # with just the current micro-batch and silently discard all
+        # previously merged state.
         try:
             target = spark.read.parquet(target_path)
-            merged = upsert(target, deduped, keys)
-        except Exception:  # first batch: no target yet
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             merged = deduped
+        else:
+            merged = upsert(target, deduped, keys)
         # materialize before overwriting the path we just read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 

@@ -1,0 +1,111 @@
+"""Round-2 semantics hardening (VERDICT r1 items 3-5 + ADVICE):
+
+- except_rows must implement SQL EXCEPT (DISTINCT) on MULTISET inputs
+  (the r1 exceptAll().distinct() form yielded {x} for A={x,x}, B={x}).
+- except_all_rows is the separately-named EXCEPT ALL.
+- connected_components: reliable-checkpoint mode must agree with the
+  localCheckpoint mode; non-convergence within max_iter must raise.
+- run_foreach_batch_upsert must NOT swallow a corrupt/unreadable
+  existing target by overwriting it with just the current micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_cassandra_collabfiltering_spark.operators import dedup as dd  # noqa: E402
+from spark_cassandra_collabfiltering_spark.operators import relational as rel  # noqa: E402
+
+
+def test_except_rows_multiset_inputs(spark):
+    # A = {x, x, y}, B = {x}: SQL EXCEPT (distinct semantics) -> {y}
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["v"])
+    b = spark.createDataFrame([(1,)], ["v"])
+    got = sorted(r["v"] for r in rel.except_rows(a, b).collect())
+    assert got == [2]
+
+
+def test_except_all_rows_multiset_inputs(spark):
+    # A = {x, x, x, y}, B = {x}: EXCEPT ALL -> {x, x, y}
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,)], ["v"])
+    b = spark.createDataFrame([(1,)], ["v"])
+    got = sorted(r["v"] for r in rel.except_all_rows(a, b).collect())
+    assert got == [1, 1, 2]
+
+
+def _cc_pairs(spark):
+    # two components: {1,2,3} (path 1-2-3) and {10,11}
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+
+
+def test_connected_components_reliable_checkpoint_agrees(spark, tmp_path):
+    local = {
+        (r["node"], r["cluster_id"])
+        for r in dd.connected_components(_cc_pairs(spark)).collect()
+    }
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = {
+        (r["node"], r["cluster_id"])
+        for r in dd.connected_components(
+            _cc_pairs(spark), reliable_checkpoint=True
+        ).collect()
+    }
+    assert local == reliable
+    assert {c for _, c in local} == {1, 10}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # a 5-node path needs >1 round; max_iter=1 must fail loudly, not
+    # return a half-propagated labeling that silently splits clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    with pytest.raises(AssertionError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=1)
+
+
+def test_ann_vectorized_scorer_agrees_with_expression_path(spark):
+    from conftest import SF_SMOKE
+
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    expr = sorted(map(tuple, sim.cosine_topk_bruteforce(emb, qs, k=5).collect()))
+    vec = sorted(
+        map(tuple, sim.cosine_topk_bruteforce_vectorized(emb, qs, k=5).collect())
+    )
+    assert expr == vec
+    assert len(expr) == 25  # 5 queries x k=5
+
+
+def test_foreach_batch_upsert_corrupt_target_raises(spark, tmp_path):
+    from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+    # existing-but-unreadable target: a directory with a garbage footer
+    target = tmp_path / "merged"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"not a parquet file")
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, 10)], ["user_id", "n_events"]).write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("user_id BIGINT, n_events BIGINT")
+        .parquet(str(src))
+    )
+    with pytest.raises(Exception):
+        ev.run_foreach_batch_upsert(stream, str(target), ["user_id"])
+    # the corrupt target must still be there, NOT overwritten by the batch
+    assert (target / "part-00000.parquet").read_bytes() == b"not a parquet file"
