@@ -71,25 +71,18 @@ def run_one(spark, builder, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def run_best(spark, builder, sf_dir: str, repeats: int = 3) -> float:
-    """One untimed warm-up, then best-of-N with the cache cleared each
-    run. The warm-up absorbs codegen/JIT compilation of the query's
-    generated classes (measured 5-6x on expression-heavy plans, and it
-    amortizes to nothing over cluster-scale data); best-of-N filters
-    this VM's transient >2x host CPU-steal stalls. What remains is the
-    steady-state distributed execution cost of the plan."""
-    run_one(spark, builder, sf_dir)
-    return min(run_one(spark, builder, sf_dir) for _ in range(repeats))
-
-
 def main() -> None:
     from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
 
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM, parquet footers, codegen paths (not recorded).
-    run_one(spark, QUERIES["g4_distinct"].builder, SF_DIR)
+    # Pass 0 (untimed): one full-suite warm-up pass. Absorbs JVM start,
+    # parquet footers, and per-query codegen/JIT compilation (measured
+    # 5-6x on expression-heavy plans; amortizes to nothing over
+    # cluster-scale data).
+    for name in HEADLINE:
+        run_one(spark, QUERIES[name].builder, SF_DIR)
 
     sf = None
     tail = os.path.basename(SF_DIR.rstrip("/"))
@@ -99,9 +92,21 @@ def main() -> None:
         except ValueError:
             sf = None
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(run_best(spark, QUERIES[name].builder, SF_DIR), 3)
+    # Passes 1-3 (timed): full-suite passes, per-query min across
+    # passes. INTERLEAVED on purpose: this host shows multi-second CPU-
+    # steal bursts, and back-to-back best-of-3 on one query lets a
+    # single burst poison all of that query's repeats (r1: the same
+    # queries measured 0.6 s and 3.5 s in different fresh runs).
+    # Spreading repeats across suite passes puts a burst on different
+    # queries each pass, so the min recovers the plan cost. Same total
+    # work as per-query best-of-3.
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            timings[name] = min(
+                timings[name], run_one(spark, QUERIES[name].builder, SF_DIR)
+            )
+    timings = {name: round(v, 3) for name, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

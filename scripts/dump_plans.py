@@ -25,6 +25,9 @@ SHOWN = [
     "dedup_minhash_lsh",
     "text_winnowing",
     "ev_sessionize",
+    "curation_pii_redact",
+    "curation_contamination",
+    "curation_pack",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)

@@ -91,8 +91,9 @@ _DRIVER_ORDER = [
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "dedup_embedding_cosine",
     # text-analysis family
-    "text_lang_id", "text_token_count", "text_quality",
-    "text_fingerprint", "text_winnowing",
+    "text_lang_id", "text_quality", "text_winnowing",
+    # training-data curation family
+    "curation_pii_redact", "curation_contamination",
     # sketches
     "g10_approx_distinct",
     # multimodal family
@@ -100,7 +101,8 @@ _DRIVER_ORDER = [
     # deterministic sampling family
     "sample_hash_split", "sample_stratified",
     # event/streaming batch analogs
-    "ev_gap_fill", "ev_funnel", "ev_tumbling_agg", "ev_sessionize",
+    "ev_gap_fill", "ev_funnel", "ev_sessionize",
+    "curation_pack",
     # ML (reference M1-M3)
     "cf_recommend_topk", "cf_als_pipeline",
 ]
@@ -2067,4 +2069,263 @@ def q_cf_als(spark, sf_dir):
     return joined.select(
         "user", "product", "rating", "prediction",
         ((F.col("rating") - F.col("prediction")) ** 2).alias("sq_err"),
+    )
+
+# ===========================================================================
+# Training-data curation: PII redaction, contamination check, packing
+# (operators/curation.py — mandated-extension territory; no reference
+# counterpart, the reference stops at SURVEY §2.8 string functions)
+# ===========================================================================
+
+from spark_cassandra_collabfiltering_spark.operators import curation as cu  # noqa: E402
+
+# Deterministic synthetic-PII injection: the word-soup documents carry no
+# natural PII, so both engines plant identical category exemplars keyed
+# off doc_id and the operator must find and redact exactly those.
+_PII_INJECT_SQL = """SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' mail user' || doc_id || '@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' ssn 123-45-6789 from 10.0.0.12 pay 4111 1111 1111 1111'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-0137' ELSE '' END
+               AS text
+    FROM documents"""
+
+
+def _pii_counts_sql() -> str:
+    # DuckDB single-quoted literals keep backslashes as-is (no escape
+    # processing), so the Python pattern strings embed verbatim.
+    counts = ",\n               ".join(
+        "len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}".format(
+            pat=pat.replace("'", "''"), name=name
+        )
+        for name, pat, _ in cu.PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, tag in cu.PII_PATTERNS:
+        redacted = "regexp_replace({src}, '{pat}', '{tag}', 'g')".format(
+            src=redacted, pat=pat.replace("'", "''"), tag=tag
+        )
+    return (
+        f"WITH d AS ({_PII_INJECT_SQL})\n"
+        f"        SELECT doc_id,\n               {counts},\n"
+        f"               md5({redacted}) AS redacted_md5\n"
+        f"        FROM d"
+    )
+
+
+def _pii_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" ssn 123-45-6789 from 10.0.0.12 pay 4111 1111 1111 1111"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" call 415-555-0137")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "curation_pii_redact",
+    _pii_counts_sql(),
+    "PII redaction: typed-tag replacement (email/cc/ssn/phone/ipv4, "
+    "specific-before-loose order) + per-category hit counts, all JVM "
+    "regexp built-ins — map-only scan, no shuffle. md5 of the redacted "
+    "text proves byte-identical redaction across engines.",
+)
+def q_curation_pii(spark, sf_dir):
+    out = cu.redact_pii(_pii_injected(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in cu.PII_PATTERNS],
+        F.md5(F.col("text_redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "curation_contamination",
+    """WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws
+                      FROM documents),
+        grams AS (SELECT doc_id, array_to_string(ws[u.i:u.i+4], ' ') AS gram
+                  FROM words,
+                       LATERAL unnest(range(1, greatest(len(ws)-4, 0)+1)) u(i)),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        hits AS (SELECT g.doc_id, count(*) AS n_hits
+                 FROM grams g JOIN bench b USING (gram) GROUP BY 1)
+       SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+              coalesce(h.n_hits, 0) > 0 AS contaminated
+       FROM documents d LEFT JOIN hits h USING (doc_id)""",
+    "Benchmark-contamination detection: word 5-gram overlap between the "
+    "corpus and a small eval set (docs with doc_id % 97 = 0). Bench "
+    "shingle set broadcasts; corpus side is a map-side explode + "
+    "broadcast-hash join — the only shuffle carries (doc_id, count).",
+)
+def q_curation_contamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return cu.contamination_check(d, bench, n=5)
+
+
+@register(
+    "curation_pack",
+    """WITH g AS (SELECT doc_id,
+                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8
+                            AS pack_group,
+                        len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+                 FROM documents),
+        c AS (SELECT doc_id, pack_group, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                         AS tok_start
+              FROM g)
+       SELECT doc_id, pack_group, n_tokens,
+              floor(tok_start / 128)::BIGINT AS seq_id,
+              (tok_start % 128)::BIGINT AS seq_offset
+       FROM c""",
+    "Token-budget document packing (concat-then-chunk, budget=128): "
+    "md5 pack groups → per-group cumsum window (parallel, no global "
+    "sort) → each doc's sequence id + offset. The deterministic shard "
+    "layout a pretraining loader materializes packed sequences from.",
+)
+def q_curation_pack(spark, sf_dir):
+    return cu.pack_documents(
+        t(spark, sf_dir, "documents"), budget=128, n_groups=8
+    ).select(
+        "doc_id",
+        "pack_group",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+    )
+
+# ===========================================================================
+# Correlated-subquery shapes (TPC-H Q4/Q17/Q22 patterns) — exercises
+# Catalyst's subquery-to-join rewrites (RewritePredicateSubquery,
+# scalar-subquery de-correlation), a plan class the rest of the
+# registry reaches only via explicit joins.
+# ===========================================================================
+
+
+@register(
+    "sub1_exists_semi",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+    "TPC-H Q4 shape: EXISTS correlated subquery. The DataFrame plan is "
+    "the rewrite Catalyst would produce — LEFT SEMI join on the filtered "
+    "fact — shuffling only (orderkey) pairs, never lineitem payload.",
+)
+def q_sub1_exists(spark, sf_dir):
+    o = rel.project(t(spark, sf_dir, "orders"), "o_orderkey", "o_orderpriority")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        rel.semi_join(o, li, ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "sub2_scalar_avg",
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / 7.0, 2) AS avg_yearly
+       FROM lineitem l1
+       WHERE l_quantity < 0.2 * (SELECT sum(l_quantity) / count(*)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = l1.l_partkey)""",
+    "TPC-H Q17 shape: correlated SCALAR subquery (per-part average "
+    "quantity). De-correlated form: per-part aggregate + equi-join back "
+    "to the fact — one shuffle on l_partkey, partial aggs map-side. "
+    "avg = sum(integral doubles)/count is IEEE-exact in both engines; "
+    "the money sum goes through decimal.",
+)
+def q_sub2_scalar(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "sub3_not_exists_anti",
+    """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                             / count(*) AS avg_bal
+                  FROM customer WHERE c_acctbal > 0.0)
+       SELECT c_nationkey, count(*) AS numcust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       FROM customer, a
+       WHERE c_acctbal > a.avg_bal
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY c_nationkey""",
+    "TPC-H Q22 shape: scalar subquery (global positive-balance average, "
+    "broadcast single row) + NOT EXISTS (LEFT ANTI join against orders "
+    "keys with an URGENT-priority filter). Anti side shuffles only o_custkey; the scalar is one "
+    "broadcast row. c_acctbal is 2dp-money stored as double, so BOTH "
+    "engines compute the average through an exact decimal sum — "
+    "parallel raw-double summation is order-dependent and the filter "
+    "compares against this scalar, so the threshold must be "
+    "bit-identical.",
+)
+def q_sub3_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    o_keys = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        rel.anti_join(c, o_keys, ["c_custkey"])
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            agg.decimal_sum("c_acctbal", scale=2, alias="totacctbal"),
+        )
     )

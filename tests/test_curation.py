@@ -1,0 +1,107 @@
+"""Behavioral tests for training-data curation operators
+(operators/curation.py) — edge cases the sf0.01 oracle rows don't pin
+down: redaction ordering, sub-n-gram docs, pack-boundary math.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_cassandra_collabfiltering_spark.operators import curation as cu  # noqa: E402
+
+
+def test_redact_pii_each_category(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+x@mail.example.org thanks"),
+            (2, "card 4111 1111 1111 1111 on file"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "call 415-555-0137 today"),
+            (5, "host 192.168.0.1 up"),
+            (6, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cu.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["text_redacted"]
+    assert out[2]["n_cc"] == 1 and "<CC>" in out[2]["text_redacted"]
+    assert out[3]["n_ssn"] == 1 and "<SSN>" in out[3]["text_redacted"]
+    assert out[4]["n_phone"] == 1 and "<PHONE>" in out[4]["text_redacted"]
+    assert out[5]["n_ipv4"] == 1 and "<IP>" in out[5]["text_redacted"]
+    assert out[6]["text_redacted"] == "nothing sensitive here"
+    for doc_id, r in out.items():
+        if doc_id != 6:
+            # the raw span must be gone from the redacted text
+            assert "@" not in r["text_redacted"] or doc_id != 1
+            assert "4111" not in r["text_redacted"]
+            assert "123-45-6789" not in r["text_redacted"]
+
+
+def test_redact_pii_specific_before_loose(spark):
+    # an SSN must become <SSN>, not be half-eaten by the phone pattern;
+    # a credit card must not decay into <PHONE>/<IP> fragments
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 card 4111-1111-1111-1111")], ["doc_id", "text"]
+    )
+    r = cu.redact_pii(df).collect()[0]
+    assert r["text_redacted"] == "ssn <SSN> card <CC>"
+    assert (r["n_ssn"], r["n_cc"]) == (1, 1)
+
+
+def test_contamination_marks_only_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-gram with bench
+            (2, "one two three four five six"),  # disjoint
+            (3, "too short"),  # < n words -> no grams at all
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in cu.contamination_check(corpus, bench, n=5).collect()}
+    assert len(out) == 3  # every corpus doc reported, clean ones included
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_hits"] == 0
+
+
+def test_pack_documents_boundary_math(spark):
+    # single group so the chunk layout is fully determined: docs of
+    # 100/50/30 tokens in id order against budget 64:
+    #   doc 1 -> start 0   (seq 0, off 0)
+    #   doc 2 -> start 100 (seq 1, off 36)
+    #   doc 3 -> start 150 (seq 2, off 22)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(1, 100), (2, 50), (3, 30)]],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cu.pack_documents(docs, budget=64, n_groups=1).collect()
+    }
+    assert all(r["pack_group"] == 0 for r in out.values())
+    assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (1, 36)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (2, 22)
+    assert [r["n_tokens"] for r in out.values()] == [100, 50, 30]
+
+
+def test_pack_documents_groups_are_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(40)], ["doc_id", "text"]
+    )
+    one = sorted(map(tuple, cu.pack_documents(docs, budget=8, n_groups=4).collect()))
+    two = sorted(
+        map(
+            tuple,
+            cu.pack_documents(docs.repartition(13), budget=8, n_groups=4).collect(),
+        )
+    )
+    assert one == two  # placement is a pure function of the rows

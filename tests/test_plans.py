@@ -104,13 +104,17 @@ def test_broadcast_hash_join_on_dim_joins(plans):
     assert "BroadcastHashJoin" in plans["j2_broadcast_dim"]
 
 
-def test_minhash_lsh_exchange_budget(plans):
-    # the LSH candidate join must stay bucketed: no per-shingle
-    # shuffles. Current plan carries 9 Exchange nodes (doc repartition
-    # + band-key join + pair distinct + agg partials); a jump past
-    # that budget means someone introduced a shingle-row shuffle or
-    # broke the row-local signature build.
-    assert len(re.findall(r"\bExchange\b", plans["dedup_minhash_lsh"])) <= 9
+def test_minhash_lsh_no_shingle_shuffle(plans):
+    # the LSH candidate join must stay bucketed: signatures are built
+    # from ROW-LOCAL shingle arrays, so no Exchange may partition on a
+    # shingle/gram column (that would mean someone exploded shingles
+    # into rows and shuffled them — the quadratic-blowup failure mode).
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)",
+                           plans["dedup_minhash_lsh"]):
+        assert "shingle" not in args and "gram" not in args, args
+    # loose overall budget: a blow-up past this means the plan shape
+    # changed fundamentally (exact count varies with session conf/AQE)
+    assert len(re.findall(r"\bExchange\b", plans["dedup_minhash_lsh"])) <= 16
 
 
 def test_topk_uses_take_ordered(plans):
