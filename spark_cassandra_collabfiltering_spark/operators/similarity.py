@@ -285,6 +285,84 @@ def cosine_topk_ivf(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index as a lake layout: the cluster-assigned
+    corpus written PARTITIONED BY cluster (one directory per inverted
+    list) plus the centroid table. This is the 100 TB serving shape:
+    a probe only opens the directories of its probed clusters —
+    partition pruning at plan time — instead of scanning the corpus.
+    """
+    assigned, centroids = ivf_index(
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/corpus"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def cosine_topk_ivf_pruned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+) -> DataFrame:
+    """IVF top-k served from a :func:`write_ivf_index` layout.
+
+    Probe ranking is identical to :func:`cosine_topk_ivf`; the probed
+    cluster ids (≤ n_queries × n_probe small integers — an index
+    lookup, not a data collect) become a literal IN filter on the
+    partition column, so the corpus scan reads ONLY the probed
+    clusters' directories (``PartitionFilters`` in the plan, asserted
+    in tests). Scoring inside the pruned scan matches the in-memory
+    path row-for-row.
+    """
+    from pyspark.sql import Window
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "query_vec",
+            "cluster",
+            F.round(cosine(F.col("query_vec"), F.col("centroid")), places).alias("c_cos"),
+        )
+        .withColumn("p", F.row_number().over(pw))
+        .filter(F.col("p") <= n_probe)
+        .select("query_id", "query_vec", "cluster")
+    )
+    probed_clusters = [r["cluster"] for r in probes.select("cluster").distinct().collect()]
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cluster").isin(probed_clusters)
+    )
+    scored = corpus.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("query_vec"), F.col(vec_col)), places).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def near_dup_pairs_cosine(
     corpus: DataFrame,
     threshold: float = 0.95,
