@@ -2329,3 +2329,32 @@ def q_sub3_anti(spark, sf_dir):
             agg.decimal_sum("c_acctbal", scale=2, alias="totacctbal"),
         )
     )
+
+
+@register(
+    "text_lang_id_eval",
+    f"""WITH s AS (SELECT doc_id, lang,
+              {_LANG_SCORES_SQL}
+           FROM documents),
+        p AS (SELECT doc_id, lang, {_argmax_case_sql()} AS pred_lang FROM s)
+       SELECT lang, pred_lang, count(*) AS n,
+              sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)::BIGINT
+                  AS n_correct
+       FROM p GROUP BY lang, pred_lang""",
+    "Language-ID quality evaluation: confusion matrix of ground-truth "
+    "lang vs predicted lang over the documents corpus — the accuracy "
+    "readout a curation pipeline monitors. Reuses the exact lang_id "
+    "scoring; the only shuffle carries (lang, pred_lang, count) rows.",
+)
+def q_text_lang_id_eval(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        tx.lang_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )

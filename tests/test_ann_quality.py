@@ -1,0 +1,73 @@
+"""Approximation-quality tests for the ANN paths the DuckDB oracle
+can't fully check (IVF is rows-only — k-means isn't SQL-expressible;
+LSH recall is by-design < 1): recall against the exact brute-force
+top-k, which IS oracle-verified.
+
+Recall@k here = |approx ∩ exact| / |exact| over all query vectors.
+Thresholds are deliberately loose — they pin "the index works" without
+chasing the sampling noise of a small corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_cassandra_collabfiltering_spark.operators import similarity as sim  # noqa: E402
+from spark_cassandra_collabfiltering_spark.plans.queries import t  # noqa: E402
+
+from conftest import SF_SMOKE  # noqa: E402
+
+K = 5
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _pairs(df):
+    return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+
+def _recall(approx, exact) -> float:
+    return len(approx & exact) / len(exact)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, QUERY_IDS)
+    exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
+    approx = _pairs(
+        sim.cosine_topk_ivf(emb, qs, k=K, n_clusters=8, n_probe=4, seed=42)
+    )
+    # probing half the clusters must recover most of the true top-k
+    assert _recall(approx, exact) >= 0.5, (approx, exact)
+
+
+def test_ivf_more_probes_never_hurt_recall(spark):
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, QUERY_IDS)
+    exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
+    r_few = _recall(
+        _pairs(sim.cosine_topk_ivf(emb, qs, k=K, n_clusters=8, n_probe=1, seed=42)),
+        exact,
+    )
+    r_all = _recall(
+        _pairs(sim.cosine_topk_ivf(emb, qs, k=K, n_clusters=8, n_probe=8, seed=42)),
+        exact,
+    )
+    assert r_all >= r_few
+    # probing EVERY cluster is exhaustive search -> exact recall
+    assert r_all == 1.0
+
+
+def test_lsh_within_bucket_results_are_exact_subset(spark):
+    # sign-LSH trades recall, never precision: every returned neighbor
+    # must carry the exact cosine the brute-force path assigns it
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, QUERY_IDS)
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in sim.cosine_topk_bruteforce(emb, qs, k=10**6).collect()
+    }
+    for r in sim.cosine_topk_lsh(emb, qs, k=K, bits=8).collect():
+        assert exact_scores[(r["query_id"], r["vec_id"])] == r["cos"]
