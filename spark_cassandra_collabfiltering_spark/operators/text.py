@@ -94,6 +94,83 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(c: Column, n: int) -> Column:
+    """Ordered lowercase word n-grams as an array<string> (space-joined).
+
+    Row-local: the word array and every n-gram window stay inside the
+    row — no explode, no shuffle. Docs with < n words yield an EMPTY
+    array (not null), so downstream size() arithmetic is well-defined.
+    """
+    ws = F.regexp_extract_all(F.lower(c), F.lit(_WORD_RE), 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_multiplicity(grams: Column) -> Column:
+    """Highest occurrence count of any single element in the array.
+
+    Sort the array, then one aggregate() pass tracking the current run
+    length and the best run — max multiplicity of a sorted multiset ==
+    longest equal-run. Row-local (no explode + groupBy shuffle), which
+    is the point: at 100 TB this stays inside the document scan.
+    Empty array → 0.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    return F.aggregate(
+        F.array_sort(grams),
+        zero,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals over word n-grams (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed on word counts):
+
+    - ``dup_{2,3}gram_frac``: fraction of n-grams that are repeats of
+      an n-gram already seen in the doc (1 − distinct/total);
+    - ``top_2gram_frac``: fraction of 2-grams taken by the single most
+      frequent 2-gram (boilerplate/spam marker).
+
+    Emitted as floor-scaled micro-unit ints (engine-portable, see
+    :func:`_e6`); NULL when the doc has no n-grams of that order.
+    Everything is per-row array arithmetic on the scan — zero shuffles,
+    which is what makes this viable as a 100 TB pre-training filter.
+    (Line-level variants are the same shapes over split(text, '\\n');
+    this corpus is single-line so they are not registered.)
+    """
+    c = F.col(text_col)
+    g2, g3 = _word_ngrams(c, 2), _word_ngrams(c, 3)
+    n2 = F.size(g2)
+    n3 = F.size(g3)
+    nz2 = F.when(n2 > 0, n2.cast("double"))
+    nz3 = F.when(n3 > 0, n3.cast("double"))
+    return df.withColumns(
+        {
+            "n_2grams": n2,
+            "n_3grams": n3,
+            "dup_2gram_frac_e6": _e6((n2 - F.size(F.array_distinct(g2))) / nz2),
+            "dup_3gram_frac_e6": _e6((n3 - F.size(F.array_distinct(g3))) / nz3),
+            "top_2gram_frac_e6": _e6(_max_multiplicity(g2) / nz2),
+        }
+    )
+
+
 def _e6(col: Column) -> Column:
     """Ratio → integer micro-units via floor(x·1e6).
 

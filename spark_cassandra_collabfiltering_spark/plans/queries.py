@@ -1727,6 +1727,53 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_repetition",
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+               FROM documents),
+        g AS (SELECT doc_id,
+                CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)),
+                                         i -> array_to_string(ws[i::INT : i::INT + 1], ' '))
+                     ELSE []::VARCHAR[] END AS g2,
+                CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                                         i -> array_to_string(ws[i::INT : i::INT + 2], ' '))
+                     ELSE []::VARCHAR[] END AS g3
+              FROM w),
+        top AS (SELECT doc_id, max(c) AS top_c FROM (
+                  SELECT doc_id, gr, count(*) AS c
+                  FROM (SELECT doc_id, unnest(g2) AS gr FROM g) GROUP BY 1, 2)
+                GROUP BY 1)
+       SELECT g.doc_id,
+              len(g2) AS n_2grams,
+              len(g3) AS n_3grams,
+              floor((len(g2) - len(list_distinct(g2)))
+                    / nullif(len(g2), 0)::DOUBLE * 1000000.0)::BIGINT
+                  AS dup_2gram_frac_e6,
+              floor((len(g3) - len(list_distinct(g3)))
+                    / nullif(len(g3), 0)::DOUBLE * 1000000.0)::BIGINT
+                  AS dup_3gram_frac_e6,
+              floor(top_c / nullif(len(g2), 0)::DOUBLE * 1000000.0)::BIGINT
+                  AS top_2gram_frac_e6
+       FROM g LEFT JOIN top ON g.doc_id = top.doc_id""",
+    "Gopher-style repetition filters (Rae et al. 2021 A1.1): duplicate "
+    "2-/3-gram fraction and top-2-gram fraction per document — the "
+    "boilerplate/spam signals a pre-training curation pipeline gates "
+    "on. Spark side is pure row-local array arithmetic on the scan "
+    "(n-gram windows, distinct counts, and max-multiplicity as a "
+    "longest-equal-run aggregate over the sorted array — no explode, "
+    "no shuffle); the oracle rebuilds the same lists in SQL and takes "
+    "the top-gram count via unnest+group.",
+)
+def q_text_repetition(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.repetition_features(docs).select(
+        "doc_id", "n_2grams", "n_3grams",
+        "dup_2gram_frac_e6", "dup_3gram_frac_e6", "top_2gram_frac_e6",
+    )
+
+
+@register(
     "text_winnowing",
     f"""WITH g AS (SELECT doc_id, u.i AS pos,
                      ('0x' || substr(md5(substr(text, u.i::INT, 4)), 1, 15))::BIGINT
