@@ -72,6 +72,69 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_b")
 
 
+def test_bucketed_ratings_prejoin_single_exchange(spark, tmp_path):
+    """CF ratings-analog build (FIXTURES §4: join lineitem+orders on
+    the order key, aggregate to (user, product, rating)) over tables
+    bucketed on the join key: the join itself needs NO exchange, so
+    the whole pipeline's only shuffle is the unavoidable key-change
+    aggregation. At 100 TB this is the layout that amortizes the
+    ratings-build join shuffle into the write — the reference re-joins
+    per run (CollabFilterCassandra8.java:33-43); here the layout
+    pre-pays it once."""
+    import re
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    lake.write_bucketed_table(
+        li, "li_r", ["l_orderkey"], 4, ["l_orderkey"],
+        path=str(tmp_path / "li_r"),
+    )
+    lake.write_bucketed_table(
+        orders, "ord_r", ["l_orderkey"], 4, ["l_orderkey"],
+        path=str(tmp_path / "ord_r"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ratings = (
+            lake.read_table(spark, "li_r")
+            .join(lake.read_table(spark, "ord_r"), "l_orderkey")
+            .groupBy(
+                F.col("o_custkey").alias("user"),
+                F.col("l_partkey").alias("product"),
+            )
+            .agg(F.sum("l_quantity").alias("rating"))
+        )
+        plan = _plan_str(ratings)
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, f"want exactly the agg exchange:\n{plan}"
+        # the surviving exchange hashes the NEW agg keys (aliasing is
+        # resolved below the exchange, so the underlying names show),
+        # not the join key
+        detail = plan.split("Exchange", 2)[-1][:300]
+        assert "o_custkey" in detail and "l_partkey" in detail, detail
+        assert "hashpartitioning(l_orderkey" not in plan
+        # value parity with the registry's plain ratings build
+        from spark_cassandra_collabfiltering_spark.plans.queries import ratings_df
+
+        want = {
+            (r["user"], r["product"]): r["rating"]
+            for r in ratings_df(spark, SF_SMOKE).collect()
+        }
+        got = {
+            (r["user"], r["product"]): r["rating"] for r in ratings.collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_r")
+        spark.sql("DROP TABLE IF EXISTS ord_r")
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     path = str(tmp_path / "docs.jsonl")
     docs = load_table(spark, SF_SMOKE, "documents").select(
