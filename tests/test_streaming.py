@@ -242,3 +242,35 @@ def test_foreach_batch_upsert(spark, event_source, batch_events, tmp_path):
         for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_kafka_value_decode_roundtrip(spark, batch_events):
+    """parse_kafka_events must invert to_json over EVENT_SCHEMA — the
+    broker-free check of the kafka path's only transformation (the
+    source itself is option plumbing, pinned below)."""
+    _, batch = batch_events
+    payload = batch.select(
+        F.to_json(
+            F.struct(*batch.columns), {"timestampFormat": ev.KAFKA_TS_FORMAT}
+        ).cast("binary").alias("value")
+    )
+    back = ev.parse_kafka_events(payload)
+    assert back.schema == ev.EVENT_SCHEMA
+    key = lambda r: r["event_id"]  # noqa: E731
+    assert sorted(back.collect(), key=key) == sorted(batch.collect(), key=key)
+
+
+def test_kafka_reader_option_wiring():
+    opts = ev.kafka_reader_options(
+        "broker1:9092,broker2:9092", "events", "latest",
+        max_offsets_per_trigger=10_000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    # default: no backpressure cap entry at all (kafka treats the
+    # option's mere presence as a cap)
+    assert "maxOffsetsPerTrigger" not in ev.kafka_reader_options("b:9092", "t")
