@@ -54,6 +54,49 @@ def test_report_shape(spark, tmp_path, csv_path):
     assert keys == sorted(keys)
 
 
+def test_report_bytes_match_reference_formatting(spark, tmp_path, csv_path):
+    """Golden-bytes parity: the distributed report must equal, byte for
+    byte, an independent driver-side re-derivation of the reference's
+    resultsReport/predictionString semantics
+    (CollabFilterCassandra8.java:59-77 + Util.round's
+    Math.round(factor*x)/factor half-up) applied to the same
+    predictions — sort on (user, product), 1dp half-up values, the
+    double-tab quirk after Predicted, ERR at abs(err) >= 1, trailer
+    RMSE at 2dp. The shape test above can't catch a formatting or
+    rounding drift; a byte diff does."""
+    import math
+
+    def jround(x: float, places: int) -> float:
+        factor = 10.0 ** places
+        return math.floor(factor * x + 0.5) / factor
+
+    # collect inside the lifecycle: close() truncates the backing
+    # tables (S5), after which the lazy frames can't re-scan
+    with CollabFilterPipeline(spark, ParquetStorage(str(tmp_path))) as p:
+        result = p.run(csv_path)
+        vmap = {
+            (r["user"], r["product"]): float(r["rating"])
+            for r in result.validation.collect()
+        }
+        preds = sorted(
+            (r["user"], r["product"], float(r["prediction"]))
+            for r in result.predictions.collect()
+        )
+    body = []
+    for u, p, pred in preds:
+        actual = vmap[(u, p)]
+        flag = "ERR" if abs(actual - pred) >= 1 else "OK"
+        body.append(
+            f"{u}\t{p}\t{jround(pred, 1)!r}\t\t{jround(actual, 1)!r}\t{flag}"
+        )
+    expected = (
+        "User\tProduct\tPredicted\tActual\tError?\n"
+        + "\n".join(body)
+        + f"\nRMSE = {jround(result.rmse, 2)!r}"
+    )
+    assert result.report.encode() == expected.encode()
+
+
 def test_determinism(spark, tmp_path, csv_path):
     r1 = run_pipeline(spark, tmp_path / "a", csv_path)
     r2 = run_pipeline(spark, tmp_path / "b", csv_path)
