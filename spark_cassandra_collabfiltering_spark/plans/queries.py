@@ -1596,6 +1596,26 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "ann_pq_topk",
+    None,  # per-subspace k-means codebooks — not SQL-expressible (rows-only)
+    "Product-quantization ANN (Jégou et al. 2011): per-subspace "
+    "k-means codebooks compress each vector to m small codes (~32x), "
+    "queries score the compressed corpus via an ADC lookup-table fold "
+    "that is row-local after a broadcast join, and an exact re-rank of "
+    "the shortlist recovers recall. The memory-compression scale path: "
+    "a 100 TB corpus is only ever scanned as codes. Exactness/recall "
+    "invariants pinned in tests/test_pq.py (lossless on vocabulary "
+    "corpora; shortlist recall vs brute force).",
+)
+def q_ann_pq(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_pq(
+        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42
+    ).select("query_id", "vec_id", "cos", "rank")
+
+
+@register(
     "dedup_embedding_cosine",
     f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
