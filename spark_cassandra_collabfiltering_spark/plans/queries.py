@@ -100,9 +100,9 @@ _DRIVER_ORDER = [
     "mm_binary_meta", "mm_decode_features",
     # deterministic sampling family
     "sample_hash_split", "sample_stratified",
-    # event/streaming batch analogs
+    # event/streaming batch analogs (+ continuous-aggregate rollup)
     "ev_gap_fill", "ev_funnel", "ev_sessionize",
-    "curation_pack",
+    "ev_rollup_merge",
     # ML (reference M1-M3)
     "cf_recommend_topk", "cf_als_pipeline",
 ]
@@ -2075,6 +2075,31 @@ def q_ev_tumbling(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         agg.decimal_sum("value", scale=2, alias="sum_value"),
     )
+
+
+@register(
+    "ev_rollup_merge",
+    """SELECT ((epoch_us(ts) // 1000000) // 86400) AS bucket, event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              min(value) AS min_value,
+              max(value) AS max_value,
+              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 6) AS avg_value
+       FROM events GROUP BY 1, 2""",
+    "Hypertable-style continuous-aggregate rollup: hourly partial "
+    "states (count, decimal sum, min, max — all associative) merged "
+    "24:1 to daily grain WITHOUT re-scanning raw events. The oracle "
+    "aggregates raw events straight to days; equality proves the "
+    "merge path is lossless. At 100 TB the partial table is what "
+    "dashboards read — orders of magnitude smaller than the stream.",
+)
+def q_ev_rollup_merge(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.operators import rollup as ru
+
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = ru.rollup_partials(ev, bucket_seconds=3600)
+    return ru.finalize(ru.merge_rollup(hourly, factor=24))
 
 
 @register(
