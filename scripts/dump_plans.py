@@ -25,9 +25,11 @@ SHOWN = [
     "dedup_minhash_lsh",
     "text_winnowing",
     "ev_sessionize",
+    "ev_rollup_merge",
     "curation_pii_redact",
     "curation_contamination",
     "curation_pack",
+    "text_repetition",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
