@@ -29,6 +29,8 @@ QUERIES_SHOWN = [
     ("dedup_minhash_lsh", "documents"),
     ("ann_bruteforce_topk", "embeddings"),
     ("curation_pack", "documents"),
+    ("ev_rollup_merge", "events"),
+    ("text_repetition", "documents"),
 ]
 PASSES = 2
 
