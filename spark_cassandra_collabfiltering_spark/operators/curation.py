@@ -65,17 +65,21 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _word_ngrams(text_col: Column, n: int) -> Column:
     """Array of word n-grams (space-rejoined) from a text column —
-    row-local: words → sliding windows via transform over an index
-    sequence. Empty when the doc has fewer than ``n`` words."""
+    row-local, built by zip_with over shifted slices of the word array
+    so the tokenizer evaluates per ROW. (The earlier
+    ``transform(sequence, i -> slice(words, i, n))`` form captured
+    ``words`` in the lambda body, and captured expressions re-evaluate
+    per element inside higher-order functions — the regexp ran once
+    per n-gram; see operators/text.py:_word_ngrams for the measured
+    cost.) Empty when the doc has fewer than ``n`` words."""
     words = F.regexp_extract_all(text_col, F.lit(r"[A-Za-z0-9]+"), 0)
-    k = F.size(words)
-    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
-    # a doc with fewer than n words must yield no grams, not slice(…, 0)
-    idx = F.when(
-        k >= n, F.sequence(F.lit(1), k - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i, n), " ")
+    k = F.size(words) - (n - 1)  # gram count when >= 1
+    shifted = [F.slice(words, s + 1, k) for s in range(n)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
