@@ -315,3 +315,75 @@ def winnow_fingerprints(
         )
     )
     return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide boilerplate vocabulary: word n-grams present in at
+    least ``min_docs`` DISTINCT documents (C4-style cross-document
+    repetition — headers, footers, license blurbs — which per-doc
+    repetition scores cannot see).
+
+    Per-doc dedup happens inside the row (array_distinct) BEFORE the
+    explode, so the shuffle counts each (doc, gram) once; the groupBy
+    is a partial-agg count on the gram key. The result is small by
+    construction (only grams crossing the threshold) → broadcastable.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of the doc's
+    distinct n-grams that belong to the corpus boilerplate vocabulary
+    — the gate a curation pipeline uses to drop template-heavy docs.
+
+    Two passes over the gram stream (vocabulary count, then per-doc
+    tally against the broadcast vocabulary); production persists the
+    exploded gram table once and feeds both. NULL fraction for docs
+    with no n-grams.
+    """
+    per_doc = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    bp = boilerplate_ngrams(df, n, min_docs, id_col, text_col).select(
+        "gram", F.lit(1).alias("_bp")
+    )
+    stats = (
+        per_doc.join(F.broadcast(bp), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_bp"), F.lit(0))).alias("n_bp"),
+        )
+    )
+    nz = F.when(F.col("n_grams") > 0, F.col("n_grams").cast("double"))
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_bp"), F.lit(0)).alias("n_bp"),
+            _e6(F.col("n_bp") / nz).alias("bp_frac_e6"),
+        )
+    )

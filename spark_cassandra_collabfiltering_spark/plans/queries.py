@@ -1794,6 +1794,40 @@ def q_text_repetition(spark, sf_dir):
 
 
 @register(
+    "text_boilerplate",
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+               FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                                         i -> array_to_string(ws[i::INT : i::INT + 2], ' '))
+                     ELSE []::VARCHAR[] END)) AS gram
+              FROM w),
+        c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5),
+        per AS (SELECT g.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                           AS n_bp
+                FROM g LEFT JOIN c ON g.gram = c.gram GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(n_grams, 0) AS n_grams,
+              coalesce(n_bp, 0) AS n_bp,
+              floor(n_bp / nullif(n_grams, 0)::DOUBLE * 1000000.0)::BIGINT
+                  AS bp_frac_e6
+       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+    "Cross-document boilerplate exposure (C4-style): word 3-grams in "
+    ">= 5 distinct docs form the corpus boilerplate vocabulary; each "
+    "doc reports what fraction of its distinct 3-grams are "
+    "boilerplate — the template/footer signal per-doc repetition "
+    "cannot see. Row-local gram dedup before the explode (each (doc, "
+    "gram) shuffles once), partial-agg vocabulary count, broadcast "
+    "vocabulary join back.",
+)
+def q_text_boilerplate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.boilerplate_fraction(docs, n=3, min_docs=5)
+
+
+@register(
     "text_winnowing",
     f"""WITH g AS (SELECT doc_id, u.i AS pos,
                      ('0x' || substr(md5(substr(text, u.i::INT, 4)), 1, 15))::BIGINT

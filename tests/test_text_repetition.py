@@ -73,3 +73,25 @@ def test_case_and_punctuation_normalize_into_words(spark):
     assert got["n_2grams"] == 2  # ["the the", "the the"]
     assert got["dup_2gram_frac_e6"] == 500_000
     assert got["top_2gram_frac_e6"] == 1_000_000
+
+
+def test_boilerplate_planted_vocabulary(spark):
+    """Six docs share one planted 3-gram ('lorem ipsum dolor'); with
+    min_docs=5 exactly that gram is boilerplate, and each doc's
+    fraction counts it against the doc's own distinct-3-gram count."""
+    rows = [(i, f"lorem ipsum dolor unique{i} tail{i}") for i in range(6)]
+    rows += [(6, "entirely different words here"), (7, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    vocab = tx.boilerplate_ngrams(df, n=3, min_docs=5)
+    assert [r["gram"] for r in vocab.collect()] == ["lorem ipsum dolor"]
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_bp"], r["bp_frac_e6"])
+        for r in tx.boilerplate_fraction(df, n=3, min_docs=5).collect()
+    }
+    # planted docs: 3 distinct 3-grams each, 1 of them boilerplate
+    for i in range(6):
+        assert got[i] == (3, 1, 333_333)
+    assert got[6] == (2, 0, 0)       # no boilerplate hits
+    assert got[7] == (0, 0, None)    # gramless doc: NULL fraction
