@@ -578,3 +578,154 @@ def cosine_topk_pq(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Composed IVF+PQ index (the FAISS IVFPQ layout): coarse k-means
+    clusters for probe pruning, then PQ codebooks trained on the
+    RESIDUALS (vec − assigned centroid), which are far more
+    quantizable than raw vectors because the coarse structure is
+    already removed. Returns (codes, centroids, codebook) where codes
+    is (id, cluster, codes array<int>) — at scale written
+    partitioned by cluster (see write_ivf_index) so probes prune
+    partitions AND scan only ~m bytes per row.
+    """
+    assigned, centroids = ivf_index(
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    resid = assigned.join(F.broadcast(centroids), "cluster").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda v, c: v - c,
+        ).alias("_resid"),
+    )
+    codes, codebook = pq_index(
+        resid, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col="_resid"
+    )
+    codes = codes.join(resid.select(id_col, "cluster"), id_col)
+    return codes, centroids, codebook
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+) -> DataFrame:
+    """IVF+PQ approximate top-k: probe the n_probe nearest clusters,
+    shortlist inside them by ADC over residual codes, then exact-score
+    the shortlist against the raw vectors.
+
+    approx_dot(q, v) = <q, centroid_cluster> + Σ_s LUT[s][code_s]
+    where LUT[s][c] = <q_sub_s, residual_codebook[s][c]> — the
+    centroid term rides on the probe row, the LUT on the query row;
+    scoring each compressed row is one row-local fold. The shortlist
+    ranks by approximate INNER PRODUCT (norm reconstruction is skipped
+    on purpose — the mandatory exact re-rank re-scores with true
+    cosine, so shortlist order only has to be good enough to keep the
+    true neighbors in the top ``rerank``). Rows-only (two k-means
+    stages); recall pinned vs brute force in tests.
+    """
+    from pyspark.sql import Window
+
+    d = len(corpus.select(vec_col).first()[0])
+    sub_d = d // m
+    codes, centroids, codebook = ivfpq_index(
+        corpus, n_clusters=n_clusters, m=m, n_codes=n_codes, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    # probe ranking identical to cosine_topk_ivf, but keep <q, centroid>
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "query_vec",
+            "cluster",
+            F.round(cosine(F.col("query_vec"), F.col("centroid")), places).alias(
+                "c_cos"
+            ),
+            dot(F.col("query_vec"), F.col("centroid")).alias("qc_dot"),
+        )
+        .withColumn("p", F.row_number().over(pw))
+        .filter(F.col("p") <= n_probe)
+        .select("query_id", "cluster", "qc_dot")
+    )
+    # residual LUT per query (cluster-independent — residual codebooks
+    # are shared across clusters)
+    lut = (
+        queries.join(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            dot(
+                F.slice(F.col("query_vec"), F.col("subspace") * sub_d + 1, sub_d),
+                F.col("centroid"),
+            ).alias("part"),
+        )
+        .groupBy("query_id", "subspace")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "part"))),
+                lambda e: e["part"],
+            ).alias("lut_s")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "lut_s"))),
+                lambda e: e["lut_s"],
+            ).alias("lut")
+        )
+    )
+    probe_q = probes.join(lut, "query_id")  # small x small
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    approx_dot = F.col("qc_dot") + F.aggregate(
+        idx, F.lit(0.0), lambda acc, s: acc + F.col("lut")[s][F.col("codes")[s]]
+    )
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        codes.join(F.broadcast(probe_q), "cluster")
+        .select("query_id", id_col, approx_dot.alias("adot"))
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("r", F.row_number().over(shortlist_w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", id_col)
+    )
+    exact = (
+        corpus.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("query_vec"), F.col(vec_col)), places).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

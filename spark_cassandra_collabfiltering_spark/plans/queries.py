@@ -1616,6 +1616,24 @@ def q_ann_pq(spark, sf_dir):
 
 
 @register(
+    "ann_ivfpq_topk",
+    None,  # coarse + per-subspace k-means — not SQL-expressible (rows-only)
+    "Composed IVF+PQ (the FAISS IVFPQ shape): coarse clusters prune "
+    "probes, PQ codebooks trained on RESIDUALS (vec − centroid) give "
+    "the ADC shortlist inside probed clusters, exact re-rank restores "
+    "true cosine order. At 100 TB: partition-pruned scan that reads "
+    "~m bytes per row. Recall pinned in tests/test_pq.py.",
+)
+def q_ann_ivfpq(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_ivfpq(
+        emb, qs, k=5, n_clusters=8, n_probe=4, m=8, n_codes=16,
+        rerank=50, seed=42,
+    ).select("query_id", "vec_id", "cos", "rank")
+
+
+@register(
     "dedup_embedding_cosine",
     f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -89,3 +89,27 @@ def test_pq_rerank_recovers_recall_on_real_corpus(spark):
     # (measured 0.8 at this seed; bound left loose for robustness)
     recall = len(_pairs(reranked) & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_composed_recall(spark):
+    """IVF+PQ: probe pruning + residual-ADC shortlist + exact re-rank
+    must recover most true neighbors while only ever ranking inside
+    probed clusters. (Residual PQ quantizes better than raw PQ — the
+    coarse structure is removed — so the same codebook budget gets a
+    usable shortlist.)"""
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, QUERY_IDS)
+    exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
+    got = sim.cosine_topk_ivfpq(
+        emb, qs, k=K, n_clusters=8, n_probe=4, m=8, n_codes=16,
+        rerank=50, seed=42,
+    )
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(QUERY_IDS)
+    assert all(sorted(v) == list(range(1, K + 1)) for v in by_q.values())
+    recall = len(_pairs(got) & exact) / len(exact)
+    # half the clusters probed + 10% exact re-rank: most of top-k
+    assert recall >= 0.4, recall
