@@ -64,3 +64,55 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05, alias: str = "ap
     """HyperLogLog++ cardinality — the sketch path for 100 TB where an
     exact countDistinct would shuffle every distinct value."""
     return df.agg(F.approx_count_distinct(col, rsd).alias(alias))
+
+
+def top_frequent(
+    df: DataFrame, col: str, n: int = 20, alias: str = "n_occurrences"
+) -> DataFrame:
+    """Exact heavy hitters: top-``n`` most frequent values of a column
+    (count desc, value asc tiebreak — fully deterministic). The exact
+    anchor for the count-min estimates below; at scale this is a
+    partial-agg count (map-side combine on the value key) + TopK —
+    fine whenever the DISTINCT value set fits the shuffle, which is
+    exactly the regime where you don't need the sketch yet."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias(alias))
+        .orderBy(F.col(alias).desc(), F.col(col).asc())
+        .limit(n)
+    )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    col: str,
+    items: list[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> list[tuple[str, int]]:
+    """Count-min sketch estimates for ``items`` — the sub-linear-memory
+    heavy-hitter path when the distinct value set does NOT fit a
+    shuffle. ``F.count_min_sketch`` builds the sketch as a mergeable
+    partial aggregate (each partition sketches locally, merges
+    associatively — the same contract as the rollup partials), so the
+    full pass over the column never shuffles raw values, only
+    fixed-size sketch arrays. CMS guarantees estimate >= true count,
+    overshooting by at most eps·N with probability ``confidence``
+    (pinned in tests). Deterministic under ``seed``.
+
+    Returns [(item, estimated_count)] — a driver-side list: the sketch
+    is one small binary blob by design, and querying it is an O(1)
+    lookup, not a distributed job.
+    """
+    blob = df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("s")
+    ).first()["s"]
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    return [(item, sketch.estimateCount(item)) for item in items]

@@ -1812,6 +1812,28 @@ def q_text_repetition(spark, sf_dir):
 
 
 @register(
+    "text_topterms",
+    """SELECT term, count(*) AS n_occurrences
+       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents)
+       GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 20""",
+    "Exact corpus heavy hitters: top-20 most frequent terms (count "
+    "desc, term asc tiebreak). Partial-agg count on the term key + "
+    "TopK — the exact anchor for the count-min sketch estimator "
+    "(aggregates.count_min_estimates, tested against this query's "
+    "truth in tests/test_heavy_hitters.py).",
+)
+def q_text_topterms(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    return agg.top_frequent(words, "term", n=20)
+
+
+@register(
     "text_boilerplate",
     """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
                FROM documents),
