@@ -1259,6 +1259,58 @@ def q_cdc_scd2_intervals(spark, sf_dir):
 
 
 @register(
+    "cdc_pit_join",
+    """WITH dim AS (SELECT user_id, event_id AS version_id, value,
+                       ts AS valid_from, lead(ts) OVER w AS valid_to
+                FROM events WHERE event_type = 'signup'
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        f AS (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click')
+       SELECT f.event_id, f.user_id, f.ts, dim.version_id,
+              dim.value AS version_value
+       FROM f JOIN dim ON f.user_id = dim.user_id
+        AND f.ts >= valid_from AND (valid_to IS NULL OR f.ts < valid_to)""",
+    "Point-in-time (PIT) join: each click fact joins the SCD2 "
+    "dimension version valid AT ITS OWN timestamp — the classic "
+    "warehouse pattern connecting the CDC/SCD2 family to the range-"
+    "join family. Physically one hash join on user_id with the "
+    "interval predicate as a join filter: versions-per-key are few, "
+    "so no pair explosion, and intervals partition time so each fact "
+    "matches at most one version (deterministic). At extreme "
+    "versions-per-key the union-merge as-of join (joins_ext.asof_join) "
+    "is the drop-in alternative.",
+)
+def q_cdc_pit_join(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "event_id", "value", "ts")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("version_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts", 1).over(w).alias("valid_to"),
+        )
+    )
+    f = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return f.join(
+        dim,
+        (f["user_id"] == dim["user_id"])
+        & (f["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"])),
+    ).select(
+        f["event_id"], f["user_id"], f["ts"], dim["version_id"],
+        dim["version_value"],
+    )
+
+
+@register(
     "f_date_extract",
     """SELECT year(o_orderdate) AS order_year,
               month(o_orderdate) AS order_month,
