@@ -169,18 +169,33 @@ def cosine_topk_lsh(
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
+    multi_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     places: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's sign
     bucket. Same output shape as the brute-force path (rank within
-    bucket); recall < 1 by design — the scale/recall dial is ``bits``.
+    bucket); recall < 1 by design — the scale/recall dial is ``bits``
+    plus ``multi_probe``: probe the buckets at Hamming distance 1 in
+    the first ``multi_probe`` bit positions too (near-misses on a
+    single sign are the dominant recall loss). Probing multiplies only
+    the broadcast QUERY side — corpus work stays per-bucket — and each
+    (query, corpus) pair still matches at most once (a corpus row has
+    one bucket; the probe set is distinct buckets).
     """
     from pyspark.sql import Window
 
     cb = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
     qb = queries.withColumn("bucket", sign_bucket(F.col("query_vec"), bits))
+    if multi_probe:
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(min(multi_probe, bits))
+        ]
+        qb = qb.select(
+            "query_id", "query_vec", F.explode(F.array(*flips)).alias("bucket")
+        )
     scored = cb.join(F.broadcast(qb), "bucket").select(
         "query_id",
         id_col,

@@ -1629,6 +1629,37 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+_PROBE_LIST_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << i})" for i in range(8)
+) + "]"
+
+
+@register(
+    "ann_lsh_multiprobe",
+    f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+              FROM eb WHERE vec_id IN {_ANN_QUERY_IDS}),
+        p AS (SELECT query_id, qv, unnest({_PROBE_LIST_SQL}) AS bucket FROM q),
+        s AS (SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+              FROM eb e JOIN p q ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM s) WHERE rank <= 5""",
+    "Multi-probe sign-LSH ANN: each query also probes the 8 buckets at "
+    "Hamming distance 1 (single sign near-misses are the dominant "
+    "recall loss). Probing multiplies only the broadcast query side — "
+    "corpus work stays per-bucket, each pair matches at most once.",
+)
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_lsh(emb, qs, k=5, bits=8, multi_probe=8).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
 @register(
     "ann_ivf_topk",
     None,  # k-means training is iterative — not SQL-expressible (rows-only)
