@@ -64,3 +64,50 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    total_cores: int,
+    target_partition_mb: int = 256,
+    broadcast_mb: int = 64,
+) -> dict[str, str]:
+    """Deployment preset for a real cluster run (the 100 TB sizing the
+    local defaults stand in for). Returned as a plain dict so it plugs
+    into ``get_spark(extra_conf=...)`` or spark-submit ``--conf``; every
+    knob is sizing, not semantics — plans are identical either way.
+
+    - shuffle.partitions = 2x total cores: enough tasks to keep every
+      core busy through stragglers, few enough that task overhead
+      doesn't dominate; AQE coalesces small post-shuffle partitions
+      down, so erring high is safe.
+    - files.maxPartitionBytes / advisoryPartitionSizeInBytes: scan and
+      shuffle partitions sized so a partition comfortably fits executor
+      memory with room for hash tables (spill-aware; at 100 TB this —
+      not parallelism — is what bounds per-task memory).
+    - autoBroadcastJoinThreshold raised to ``broadcast_mb``: dimension
+      tables in this workload (nation/region/part at any SF, query
+      batches, LSH vocabularies, PQ codebooks) are worth shipping to
+      every executor long before the 10 MB default admits them.
+    - Kryo: smaller/faster task and shuffle serialization (matters for
+      the array-heavy rows: embeddings, shingle sets, PQ codes).
+    - dynamicAllocation + shuffleTracking: right-size the fleet across
+      the pipeline's phases (scan-heavy vs solver-heavy stages differ
+      by an order of magnitude in useful parallelism).
+    - Arrow batch size bounds mapInPandas memory (multimodal decode
+      rows carry megabyte payloads — 10k-row default batches would
+      balloon).
+
+    Separately from confs: call ``sc.setCheckpointDir(<reliable fs>)``
+    on the cluster so iterative ops (operators/dedup.py
+    connected_components) can run with ``reliable_checkpoint=True``.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{target_partition_mb}m",
+        "spark.sql.autoBroadcastJoinThreshold": f"{broadcast_mb}m",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    }

@@ -110,3 +110,13 @@ def test_cassandra_truncate_issues_truncate_ddl():
     log: list = []
     CassandraStorage(keyspace="employerratings").truncate(_Recorder(log), "ratings")
     assert log == [("sql", ("TRUNCATE TABLE employerratings.ratings",), {})]
+
+
+def test_cluster_conf_preset_shape():
+    from spark_cassandra_collabfiltering_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=4000, target_partition_mb=256)
+    assert conf["spark.sql.shuffle.partitions"] == "8000"
+    assert conf["spark.sql.files.maxPartitionBytes"] == "256m"
+    # every value must be a string (spark-submit --conf compatible)
+    assert all(isinstance(v, str) for v in conf.values())
