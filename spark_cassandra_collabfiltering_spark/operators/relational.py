@@ -136,6 +136,18 @@ def stratified_sample(
     return df.filter(cond if cond is not None else F.lit(False))
 
 
+def weighted_sample(df: DataFrame, key_col: str, prob_e6: Column) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row iff its
+    md5-uniform draw in [0, 1e6) — a pure function of the key, like
+    every sampler here — falls below the row's OWN inclusion
+    probability ``prob_e6`` (micro-units, clamp to [0, 1e6] yourself).
+    The per-row probability is what quality-weighted data curation
+    needs (keep high-quality docs w.p. ~1, boilerplate w.p. ~0.05);
+    still a scan-local filter, no shuffle, reproducible across
+    engines/retries/partitionings."""
+    return df.filter(hash_bucket(F.col(key_col), 1_000_000) < prob_e6)
+
+
 def hash_split(
     df: DataFrame, key_col: str, train_pct: int = 90, buckets: int = 100
 ) -> tuple[DataFrame, DataFrame]:

@@ -1259,6 +1259,29 @@ def q_cdc_scd2_intervals(spark, sf_dir):
 
 
 @register(
+    "sample_weighted",
+    """SELECT event_id, user_id, event_type, value
+       FROM events
+       WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 1000000
+             < least(floor(value * 2000.0)::BIGINT, 1000000)""",
+    "Deterministic weighted Bernoulli sample: each event keeps with "
+    "probability proportional to its own value (clamped) — the "
+    "quality-weighted keep/drop a curation pipeline applies. The draw "
+    "is the md5-uniform of the key (pure function of the row), so the "
+    "sample is identical across engines, retries, and partitionings — "
+    "unlike rand()-based sampling. Scan-local filter, no shuffle.",
+)
+def q_sample_weighted(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    prob = F.least(
+        F.floor(F.col("value") * 2000.0).cast("bigint"), F.lit(1_000_000)
+    )
+    return rel.weighted_sample(ev, "event_id", prob)
+
+
+@register(
     "cdc_pit_join",
     """WITH dim AS (SELECT user_id, event_id AS version_id, value,
                        ts AS valid_from, lead(ts) OVER w AS valid_to

@@ -109,3 +109,17 @@ def test_foreach_batch_upsert_corrupt_target_raises(spark, tmp_path):
         ev.run_foreach_batch_upsert(stream, str(target), ["user_id"])
     # the corrupt target must still be there, NOT overwritten by the batch
     assert (target / "part-00000.parquet").read_bytes() == b"not a parquet file"
+
+
+def test_weighted_sample_probability_edges(spark):
+    from pyspark.sql import functions as F
+
+    from spark_cassandra_collabfiltering_spark.operators import relational as rel
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id int")
+    assert rel.weighted_sample(df, "id", F.lit(0)).count() == 0
+    assert rel.weighted_sample(df, "id", F.lit(1_000_000)).count() == 100
+    # monotone: doubling every row's probability can only grow the sample
+    small = rel.weighted_sample(df, "id", F.lit(100_000)).count()
+    big = rel.weighted_sample(df, "id", F.lit(200_000)).count()
+    assert small <= big
