@@ -324,6 +324,49 @@ def run_foreach_batch_upsert(
     return q
 
 
+def run_foreach_batch_rollup(
+    event_stream: DataFrame,
+    target_path: str,
+    bucket_seconds: int = 3600,
+):
+    """Continuous-aggregate refresher: every micro-batch becomes its own
+    partial-aggregate rows (operators/rollup.py states — associative by
+    contract), which UNION-MERGE with the persisted partial table
+    (merge_rollup factor=1) instead of key-replacing it. This is the
+    streaming maintenance path for the hypertable rollup: the partial
+    table stays exactly equal to a one-shot batch rollup of everything
+    ever streamed (asserted in tests), and coarse-grain queries read
+    only the partials. Same missing-vs-broken target discipline as the
+    upsert sink above.
+    """
+    from spark_cassandra_collabfiltering_spark.operators.rollup import (
+        merge_rollup,
+        rollup_partials,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_partials = rollup_partials(batch_df, bucket_seconds)
+        try:
+            target = spark.read.parquet(target_path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            merged = batch_partials
+        else:
+            merged = merge_rollup(target.unionByName(batch_partials), factor=1)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    q = (
+        event_stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain a bounded stream into the in-memory sink (tests/demos):
     availableNow processes everything then stops."""

@@ -78,3 +78,28 @@ def test_coarse_query_reads_only_partials(spark):
     # and the answer still matches the direct daily aggregation
     direct = ru.finalize(ru.rollup_partials(ev, 86400))
     assert _rows(daily) == _rows(direct)
+
+
+def test_streaming_refresh_equals_batch_rollup(spark, tmp_path):
+    """Drain the event stream through the foreachBatch rollup refresher
+    (multiple micro-batches) — the persisted partial table must equal a
+    one-shot batch rollup of the same events, and the daily merge on
+    top must equal the direct daily aggregation."""
+    from spark_cassandra_collabfiltering_spark.streaming import events as evs
+
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "partials")
+
+    stream = evs.read_event_stream(spark, src, max_files_per_trigger=1)
+    evs.run_foreach_batch_rollup(
+        stream.select("ts", "event_type", "value"), target, bucket_seconds=3600
+    )
+
+    streamed = spark.read.parquet(target)
+    one_shot = ru.rollup_partials(ev, 3600)
+    assert _rows(ru.finalize(streamed)) == _rows(ru.finalize(one_shot))
+    daily = ru.finalize(ru.merge_rollup(streamed, factor=24))
+    direct = ru.finalize(ru.rollup_partials(ev, 86400))
+    assert _rows(daily) == _rows(direct)
