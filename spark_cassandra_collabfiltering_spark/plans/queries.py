@@ -1918,6 +1918,40 @@ def q_text_repetition(spark, sf_dir):
 
 
 @register(
+    "curation_quality_sample",
+    rf"""WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_q,
+                 len(regexp_extract_all(text, '[^a-zA-Z0-9_\s]'))
+                     / nullif(length(text), 0)::DOUBLE AS punct_raw,
+                 {_marker_sql('en')}
+                     / nullif(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)::DOUBLE AS stop_raw
+          FROM documents),
+        q AS (SELECT doc_id,
+                 floor((least(n_chars_q / 500.0, 1.0) * 0.4
+                        + (1 - least(punct_raw * 4, 1.0)) * 0.3
+                        + least(coalesce(stop_raw, 0.0) * 5, 1.0) * 0.3)
+                       * 1000000.0)::BIGINT AS quality_e6
+              FROM f)
+       SELECT doc_id, quality_e6 FROM q
+       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+             < quality_e6""",
+    "Quality-weighted curation sampling — the composition a real "
+    "pipeline runs: each document kept with probability equal to its "
+    "own quality score (text_quality's rubric) via the deterministic "
+    "md5-uniform draw (sample_weighted's machinery). High-quality "
+    "docs survive w.p. ~1, junk w.p. ~0; the whole gate is one "
+    "scan-local filter, no shuffle, reproducible across engines.",
+)
+def q_curation_quality_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = tx.quality_score(docs)
+    return rel.weighted_sample(scored, "doc_id", F.col("quality_e6")).select(
+        "doc_id", "quality_e6"
+    )
+
+
+@register(
     "text_topterms",
     """SELECT term, count(*) AS n_occurrences
        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
