@@ -41,6 +41,10 @@ PLAN_QUERIES = [
     "text_winnowing",
     "sample_hash_split", "sample_stratified",
     "ev_gap_fill", "ev_funnel", "ev_tumbling_agg", "ev_sessionize",
+    # r2 additions (all plan-only-cheap)
+    "text_repetition", "text_boilerplate", "text_topterms",
+    "ev_rollup_merge", "cdc_pit_join", "sample_weighted",
+    "curation_quality_sample", "ann_lsh_multiprobe",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -134,3 +138,35 @@ def test_no_python_eval_in_jvm_hot_paths(plans):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def _op_count(plan: str, op: str) -> int:
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_r2_scan_local_ops_have_zero_exchanges(plans):
+    """The row-local text ops and the weighted sample must stay pure
+    scan+project/filter — any exchange is a regression."""
+    for name in ("text_repetition", "sample_weighted"):
+        assert _op_count(plans[name], "Exchange") == 0, plans[name]
+
+
+def test_rollup_merge_is_two_level_aggregate(plans):
+    """Hourly→daily from raw is exactly two aggregate levels (one
+    exchange per grain change); more means the merge re-shuffled."""
+    assert _op_count(plans["ev_rollup_merge"], "Exchange") == 2, plans[
+        "ev_rollup_merge"
+    ]
+
+
+def test_pit_join_single_join_no_explosion(plans):
+    """PIT join: one equi-join on the user key (interval predicate as
+    join filter), no cartesian/BNLJ path."""
+    plan = plans["cdc_pit_join"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = sum(
+        _op_count(plan, op)
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert joins == 1, plan
