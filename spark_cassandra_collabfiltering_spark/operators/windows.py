@@ -51,6 +51,32 @@ def running_sum(
     return df.withColumn(alias, F.sum(value_col).over(w))
 
 
+def range_frame_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    range_preceding: int,
+    aggs: Sequence[tuple[Column, str]],
+) -> DataFrame:
+    """Value-range window frame: for each row, aggregate over peer rows
+    whose ``order_col`` lies in ``[current - range_preceding, current]``.
+
+    RANGE frames are the time-window analytic the reference lacks
+    (SURVEY §2.5): "sum of activity in the trailing hour per user" is
+    ``rangeBetween(-3600, 0)`` over epoch seconds/micros. Unlike ROWS
+    frames, frame membership is defined by the ORDER value, so ties
+    (peers) are always all-in — deterministic without a tiebreaker.
+    Execution = one shuffle on the partition keys + per-partition sort;
+    Spark evaluates sliding range frames incrementally, not O(n²).
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(order_col).asc())
+        .rangeBetween(-range_preceding, Window.currentRow)
+    )
+    return df.select("*", *[a.over(w).alias(name) for a, name in aggs])
+
+
 def lag_delta(
     df: DataFrame,
     group_cols: Sequence[str],

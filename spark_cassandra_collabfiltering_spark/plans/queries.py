@@ -945,6 +945,43 @@ def q_rank_suite(spark, sf_dir):
 
 
 @register(
+    "w5_range_frame",
+    """SELECT event_id, user_id,
+              count(*) OVER w AS cnt_1h,
+              round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 6)
+                  AS sum_1h
+       FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "RANGE window frame (trailing 1 hour per user): frame membership "
+    "is defined by the ORDER value (epoch micros), so peers are all-in "
+    "and the result is deterministic without a tiebreak column. The "
+    "sliding sum accumulates in DECIMAL — a raw double running sum "
+    "would be partition-order-dependent. One shuffle on user_id.",
+)
+def q_range_frame(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    out = win.range_frame_agg(
+        ev,
+        ["user_id"],
+        "ts_us",
+        3_600_000_000,
+        [
+            (F.count(F.lit(1)), "cnt_1h"),
+            (F.sum(F.col("value").cast("decimal(28,6)")), "sum_dec"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "cnt_1h",
+        F.round(F.col("sum_dec").cast("double"), 6).alias("sum_1h"),
+    )
+
+
+@register(
     "emb_normalize_pool",
     """WITH u AS (SELECT label,
                        list_transform(embedding::DOUBLE[],
@@ -1177,6 +1214,96 @@ def q_array_suite(spark, sf_dir):
         F.array_join(
             F.transform(words, lambda w: F.upper(F.substring(w, 1, 1))), ""
         ).alias("initials"),
+    )
+
+
+@register(
+    "f_json_suite",
+    """SELECT event_id,
+              json_extract_string(props, '$.k') AS k_str,
+              CAST(json_extract(props, '$.k') AS INT) AS k_int,
+              len(json_keys(props))::BIGINT AS n_keys,
+              to_json({'event_id': event_id, 'k': CAST(json_extract(props, '$.k') AS INT)})
+                  AS json_out
+       FROM events""",
+    "JSON-function suite over the events props column: path extraction "
+    "(get_json_object), schema'd parse (from_json → typed struct), key "
+    "enumeration, and to_json re-serialization — all row-local JVM "
+    "expressions; the schema'd from_json path is the one that scales "
+    "(parse once, then columnar access), and both engines emit the "
+    "same compact JSON so the round-trip is hash-checked byte-exact.",
+)
+def q_json_suite(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "props",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.col("p.k").alias("k_int"),
+        F.size(F.json_object_keys("props")).cast("bigint").alias("n_keys"),
+        F.to_json(F.struct(F.col("event_id"), F.col("p.k").alias("k"))).alias(
+            "json_out"
+        ),
+    )
+
+
+@register(
+    "f_map_suite",
+    """SELECT user_id,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+              count(DISTINCT event_type)::BIGINT AS n_types
+       FROM events GROUP BY user_id""",
+    "Map-function suite: per-user event-type counts collected into a "
+    "MAP column (map_from_entries over collect_list of structs — "
+    "entries are unique because the inner agg grouped first), then "
+    "key-probed with element_at and sized with map_keys. The oracle "
+    "verifies the same semantics via conditional aggregation — the "
+    "map is an in-flight data shape, not a storage format.",
+)
+def q_map_suite(spark, sf_dir):
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).cast("bigint").alias("n_click"),
+        F.coalesce(F.element_at("m", F.lit("view")), F.lit(0)).cast("bigint").alias("n_view"),
+        F.size(F.map_keys("m")).cast("bigint").alias("n_types"),
+    )
+
+
+@register(
+    "f_posexplode_tokens",
+    r"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                     FROM documents WHERE doc_id < 20)
+       SELECT doc_id, (d.i - 1)::BIGINT AS pos, w[d.i::INT] AS token
+       FROM toks, LATERAL unnest(range(1, len(w) + 1)) d(i)
+       WHERE w[d.i::INT] <> ''""",
+    "Generator/UDTF surface: posexplode of a tokenized text column — "
+    "one input row fans out to one row per token with its position. "
+    "Row-local lateral expansion (no shuffle); the 100 TB shape for "
+    "token-level corpus work. Oracle replays it with LATERAL unnest "
+    "WITH-ORDINALITY-style indexing.",
+)
+def q_posexplode_tokens(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
     )
 
 

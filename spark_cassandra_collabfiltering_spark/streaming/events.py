@@ -215,15 +215,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def purchase_click_join(
-    events: DataFrame, attribution_window: str = "30 minutes"
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase paired with the same
-    user's clicks in the preceding ``attribution_window``.
+    """Stream-stream join: each purchase paired with the same user's
+    clicks in the preceding ``attribution_window``.
 
     Both sides carry watermarks and the join condition bounds event
     time on both ends — that pair is what lets Spark EVICT join state
     (unbounded stream-stream joins otherwise buffer forever). State is
     keyed by user and sharded across executors.
+
+    ``how="left_outer"`` keeps purchases with NO qualifying click: the
+    engine holds each purchase in state until the watermark passes the
+    last instant a matching click could still arrive (purchase_ts plus
+    the watermark delay), then emits it once with null click columns —
+    so outer results trail the inner ones by up to the delay, and a
+    drain needs a micro-batch AFTER the one that read the row for the
+    null to surface (no-data batches handle this on a live stream).
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -252,7 +262,7 @@ def purchase_click_join(
             >= purchases["purchase_ts"] - F.expr(f"INTERVAL {attribution_window}")
         )
     )
-    return purchases.join(clicks, cond, "inner").select(
+    return purchases.join(clicks, cond, how).select(
         purchases["user_id"],
         "purchase_id",
         "purchase_ts",

@@ -63,7 +63,15 @@ def test_report_bytes_match_reference_formatting(spark, tmp_path, csv_path):
     predictions — sort on (user, product), 1dp half-up values, the
     double-tab quirk after Predicted, ERR at abs(err) >= 1, trailer
     RMSE at 2dp. The shape test above can't catch a formatting or
-    rounding drift; a byte diff does."""
+    rounding drift; a byte diff does.
+
+    This single golden covers BOTH reference implementations: the
+    Java-7 report path (CollabFilterCassandra7.java:98-136) is
+    statement-for-statement identical to the Java-8 one
+    (CollabFilterCassandra8.java:59-77) — same header/format strings
+    incl. the double tab, same Util.round call sites, same
+    (user, product) comparator — differing only in closure syntax
+    (anonymous classes vs lambdas), verified side-by-side."""
     import math
 
     def jround(x: float, places: int) -> float:

@@ -123,3 +123,26 @@ def test_weighted_sample_probability_edges(spark):
     small = rel.weighted_sample(df, "id", F.lit(100_000)).count()
     big = rel.weighted_sample(df, "id", F.lit(200_000)).count()
     assert small <= big
+
+
+def test_range_frame_ties_are_all_in(spark):
+    """RANGE frames are defined by the ORDER value: peer rows (equal
+    order value) always see each other in the frame, in every copy —
+    deterministic without a tiebreaker (unlike ROWS frames, where tied
+    rows' cumulative results depend on arrival order)."""
+    from spark_cassandra_collabfiltering_spark.operators import windows as win
+
+    rows = [("g", 10, 1.0), ("g", 10, 2.0), ("g", 11, 4.0), ("g", 25, 8.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        (r["t"], r["v"]): (r["cnt"], r["s"])
+        for r in win.range_frame_agg(
+            df, ["k"], "t", 10, [(F.count(F.lit(1)), "cnt"), (F.sum("v"), "s")]
+        ).collect()
+    }
+    # t=10 peers: both rows see BOTH peer rows (cnt=2, sum=3).
+    assert out[(10, 1.0)] == (2, 3.0) and out[(10, 2.0)] == (2, 3.0)
+    # t=11: frame [1, 11] includes the two t=10 peers and itself.
+    assert out[(11, 4.0)] == (3, 7.0)
+    # t=25: frame [15, 25] excludes everything earlier.
+    assert out[(25, 8.0)] == (1, 8.0)

@@ -159,6 +159,97 @@ def test_stream_stream_join_matches_batch(spark, event_source, batch_events):
     assert got == want and len(got) > 0
 
 
+@pytest.fixture(scope="module")
+def ordered_event_source(spark, batch_events, tmp_path_factory):
+    """Time-ordered multi-file source: events split into 4 sequential
+    time ranges, one file each, named so the file source picks them up
+    in event-time order. An arrival order that tracks event time is
+    what outer-join tests need — with random file order, rows behind
+    the watermark are (correctly) dropped as late."""
+    _, batch = batch_events
+    src = str(tmp_path_factory.mktemp("events_ordered"))
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    quarter = (len(pdf) + 3) // 4
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    chunk_max_ts = []
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter : (i + 1) * quarter]
+        chunk_max_ts.append(chunk["ts"].max().to_pydatetime())
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(src, f"chunk-{i:02d}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return src, chunk_max_ts
+
+
+def test_stream_stream_left_outer_join(spark, ordered_event_source, batch_events):
+    """left_outer keeps purchases with no qualifying click, emitting
+    them with null click columns once the watermark passes their
+    eviction point. Drained file-by-file over a time-ordered source so
+    the watermark advances across micro-batches (a single giant batch
+    would read everything before the watermark ever moves)."""
+    _, batch = batch_events
+    src, chunk_max_ts = ordered_event_source
+    stream = ev.read_event_stream(spark, src, max_files_per_trigger=1)
+    ev.run_to_memory(
+        ev.purchase_click_join(stream, how="left_outer"), "attrib_outer",
+        output_mode="append",
+    )
+    rows = spark.sql("SELECT * FROM attrib_outer").collect()
+    got_matched = {(r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None}
+    got_nulls = {r["purchase_id"] for r in rows if r["click_id"] is None}
+
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("u") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
+    )
+    want_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(clicks, cond).collect()
+    }
+    # Matched pairs: exactly the batch inner join (outer ⊇ inner).
+    assert got_matched == want_matched
+    # Null rows must be genuinely unmatched purchases — no false nulls,
+    # and each emitted at most once.
+    want_unmatched = {
+        r["purchase_id"]
+        for r in purchases.join(clicks, cond, "left_anti").collect()
+    }
+    assert got_nulls <= want_unmatched
+    assert len(got_nulls) == len([r for r in rows if r["click_id"] is None])
+    # Every unmatched purchase whose eviction point (purchase_ts +
+    # watermark delay) the final batch's GOVERNING watermark has passed
+    # must have been emitted. Watermarks take effect one batch late:
+    # the watermark in force while batch k processes was computed from
+    # batch k-1's max event time — so the last guaranteed-applied
+    # watermark derives from the penultimate chunk.
+    import datetime as _dt
+
+    governing_wm = chunk_max_ts[-2] - _dt.timedelta(minutes=30)
+    must_emit = {
+        r["purchase_id"]
+        for r in purchases.join(clicks, cond, "left_anti")
+        .filter(
+            F.col("pts") + F.expr("INTERVAL 30 minutes") < F.lit(governing_wm)
+        )
+        .collect()
+    }
+    assert must_emit <= got_nulls and len(got_nulls) > 0
+
+
 def test_dedup_within_watermark(spark, event_source, batch_events, tmp_path):
     """Duplicate every event in the source; the deduped stream must
     equal the original distinct set."""
