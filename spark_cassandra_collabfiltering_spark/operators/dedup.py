@@ -320,10 +320,13 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         if reliable_checkpoint:
             sc = df.sparkSession.sparkContext
-            assert sc.getCheckpointDir() is not None, (
-                "reliable_checkpoint=True requires "
-                "SparkContext.setCheckpointDir(<fault-tolerant path>)"
-            )
+            # ValueError, not assert: stripped under `python -O`, and a
+            # missing checkpoint dir must never silently degrade.
+            if sc.getCheckpointDir() is None:
+                raise ValueError(
+                    "reliable_checkpoint=True requires "
+                    "SparkContext.setCheckpointDir(<fault-tolerant path>)"
+                )
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
@@ -366,10 +369,11 @@ def connected_components(
     # max_iter means the caller's bound is too small for this graph —
     # returning a half-propagated labeling would silently split
     # clusters, so fail loudly instead.
-    assert converged, (
-        f"connected_components did not converge within max_iter={max_iter} "
-        "rounds; raise max_iter (graph diameter exceeds the bound)"
-    )
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (graph diameter exceeds the bound)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
@@ -459,7 +463,8 @@ def simhash_near_pairs(
     are verified exactly with bit_count(xor). Same candidate-join shape
     as minhash-LSH: the only shuffle is on small integer keys.
     """
-    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
+    if not max_hamming < chunks:
+        raise ValueError("pigeonhole guarantee needs max_hamming < chunks")
     w = bits // chunks
     mask = (1 << w) - 1
     sh = simhash(df, id_col, text_col, n=n, bits=bits)

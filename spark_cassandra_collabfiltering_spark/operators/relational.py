@@ -144,8 +144,16 @@ def weighted_sample(df: DataFrame, key_col: str, prob_e6: Column) -> DataFrame:
     The per-row probability is what quality-weighted data curation
     needs (keep high-quality docs w.p. ~1, boilerplate w.p. ~0.05);
     still a scan-local filter, no shuffle, reproducible across
-    engines/retries/partitionings."""
-    return df.filter(hash_bucket(F.col(key_col), 1_000_000) < prob_e6)
+    engines/retries/partitionings.
+
+    NULL contract: a NULL ``prob_e6`` is treated as probability 0 —
+    the row is dropped, explicitly via coalesce rather than by the
+    accident of NULL-comparison semantics, so a quality score with a
+    NULL input column shrinks the sample by documented design (compute
+    the probability with its own default if you want NULLs kept)."""
+    return df.filter(
+        hash_bucket(F.col(key_col), 1_000_000) < F.coalesce(prob_e6, F.lit(0))
+    )
 
 
 def hash_split(

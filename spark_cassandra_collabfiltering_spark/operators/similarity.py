@@ -40,7 +40,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with a defined zero-vector contract: a zero
+    vector has no direction, so cos = 0.0 (Spark's raw double division
+    would emit NaN, which sorts ABOVE every real score in a descending
+    window — a zero vector would win every top-k)."""
+    den = norm(a) * norm(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def cosine_topk_bruteforce(
@@ -105,9 +110,18 @@ def cosine_topk_bruteforce_vectorized(
     from pyspark.sql import Window
 
     qrows = queries.select("query_id", "query_vec").collect()  # bounded batch
+    if not qrows:
+        # np.linalg.norm(axis=1) crashes on an empty 1-D array; zero
+        # queries legitimately means zero result rows.
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, cos double, rank int"
+        )
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["query_vec"] for r in qrows], dtype=np.float64)  # (q, d)
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # Zero-norm guard: divide by 1 so a zero vector scores cos = 0.0,
+    # matching the expression path's defined zero-vector contract.
+    q_unit = q_mat / np.where(q_norm == 0.0, 1.0, q_norm)
 
     out_schema = f"query_id bigint, {id_col} bigint, cos double"
 
@@ -118,7 +132,7 @@ def cosine_topk_bruteforce_vectorized(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, d)
             c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            cos = (c_mat / c_norm) @ q_unit.T  # (b, q)
+            cos = (c_mat / np.where(c_norm == 0.0, 1.0, c_norm)) @ q_unit.T  # (b, q)
             b, q = cos.shape
             yield pd.DataFrame(
                 {
@@ -439,7 +453,8 @@ def pq_index(
 
     spark = corpus.sparkSession
     d = len(corpus.select(vec_col).first()[0])
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
     sub_d = d // m
     encoded = corpus.select(
         F.col(id_col),

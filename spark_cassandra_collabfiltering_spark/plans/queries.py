@@ -128,17 +128,26 @@ def oracle_sql() -> dict[str, str]:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (parquet; filters/pruning push down).
 
-    The events table stores ts as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read it as nanos-long (legacy
-    conf) and truncate to microsecond timestamps — bit-identical to
-    DuckDB's micros TIMESTAMP of the same file.
+    The events table's on-disk ts flavor has varied across testdata
+    generations — parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects) or TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    (which Spark 4 reads as TIMESTAMP_NTZ). Normalize BOTH to session
+    TimestampType micros so every downstream operator (watermarks,
+    windows, EVENT_SCHEMA) sees one type; the session tz is pinned UTC
+    (session.py) so the NTZ cast is value-exact vs DuckDB's naive
+    TIMESTAMP of the same file.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer div — ts/1000 via double would lose sub-µs bits
-        # (nanos ~2^60 > double's 53-bit mantissa) and round off by 1µs
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # nanos-as-long: integer div — ts/1000 via double would lose
+            # sub-µs bits (nanos ~2^60 > double's 53-bit mantissa)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

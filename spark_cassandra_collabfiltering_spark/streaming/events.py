@@ -20,7 +20,6 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -293,6 +292,19 @@ def enrich_stream_static(
     return events.join(F.broadcast(dim), on=on, how="left")
 
 
+def _target_exists(spark, path: str) -> bool:
+    """Probe sink-target existence via the Hadoop FileSystem API — the
+    same resolution the parquet reader uses, and works for any scheme
+    (file://, hdfs://, s3a://). Deterministic, so 'first batch on a
+    missing target' never depends on exception-message formats (which
+    change across Spark versions). TOCTOU is not a concern: foreachBatch
+    sinks are single-writer by construction."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame, target_path: str, keys: list[str]
 ):
@@ -309,18 +321,15 @@ def run_foreach_batch_upsert(
         spark = batch_df.sparkSession
         deduped = batch_df.dropDuplicates(keys)
         # Only a MISSING target means "first batch → start fresh". Any
-        # other read failure (corruption, transient IO) must propagate:
+        # read failure (corruption, transient IO) must propagate:
         # falling back to `deduped` there would overwrite the target
         # with just the current micro-batch and silently discard all
-        # previously merged state.
-        try:
-            target = spark.read.parquet(target_path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-            merged = deduped
+        # previously merged state. Existence is probed via the
+        # FileSystem API, not by matching exception messages.
+        if _target_exists(spark, target_path):
+            merged = upsert(spark.read.parquet(target_path), deduped, keys)
         else:
-            merged = upsert(target, deduped, keys)
+            merged = deduped
         # materialize before overwriting the path we just read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 
@@ -357,14 +366,11 @@ def run_foreach_batch_rollup(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_partials = rollup_partials(batch_df, bucket_seconds)
-        try:
+        if _target_exists(spark, target_path):
             target = spark.read.parquet(target_path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-            merged = batch_partials
-        else:
             merged = merge_rollup(target.unionByName(batch_partials), factor=1)
+        else:
+            merged = batch_partials
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 
     q = (

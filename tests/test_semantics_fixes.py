@@ -69,8 +69,16 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
     )
-    with pytest.raises(AssertionError, match="did not converge"):
+    # RuntimeError, not assert: must survive `python -O`
+    with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_reliable_without_ckpt_dir_raises(spark):
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set by another test")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        dd.connected_components(_cc_pairs(spark), reliable_checkpoint=True)
 
 
 def test_ann_vectorized_scorer_agrees_with_expression_path(spark):
@@ -87,6 +95,36 @@ def test_ann_vectorized_scorer_agrees_with_expression_path(spark):
     )
     assert expr == vec
     assert len(expr) == 25  # 5 queries x k=5
+
+
+def test_ann_vectorized_empty_query_batch(spark):
+    from conftest import SF_SMOKE
+
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, [])  # no queries: empty result, no crash
+    out = sim.cosine_topk_bruteforce_vectorized(emb, qs, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos", "rank"]
+
+
+def test_ann_zero_norm_vector_contract(spark):
+    """Zero vectors score cos=0.0 (defined contract) in BOTH scorer
+    paths — NOT NaN, which would sort above every real score."""
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [-1.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = sim.make_queries(corpus, [0])
+    expr = {(r["vec_id"]): r["cos"] for r in
+            sim.cosine_topk_bruteforce(corpus, qs, k=4).collect()}
+    vec = {(r["vec_id"]): r["cos"] for r in
+           sim.cosine_topk_bruteforce_vectorized(corpus, qs, k=4).collect()}
+    assert expr == vec
+    assert expr[1] == 0.0  # the zero vector
+    assert expr[3] == -1.0  # and it outranks genuinely negative scores
 
 
 def test_foreach_batch_upsert_corrupt_target_raises(spark, tmp_path):
@@ -123,6 +161,17 @@ def test_weighted_sample_probability_edges(spark):
     small = rel.weighted_sample(df, "id", F.lit(100_000)).count()
     big = rel.weighted_sample(df, "id", F.lit(200_000)).count()
     assert small <= big
+
+
+def test_weighted_sample_null_probability_drops(spark):
+    """NULL prob_e6 == probability 0 by documented contract: rows with a
+    NULL score are dropped, others sampled normally."""
+    df = spark.createDataFrame(
+        [(i, 1_000_000 if i % 2 == 0 else None) for i in range(100)],
+        "id int, p int",
+    )
+    kept = rel.weighted_sample(df, "id", F.col("p"))
+    assert sorted(r["id"] for r in kept.collect()) == list(range(0, 100, 2))
 
 
 def test_range_frame_ties_are_all_in(spark):
