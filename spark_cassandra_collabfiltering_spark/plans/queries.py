@@ -1876,6 +1876,26 @@ def q_ann_ivfpq(spark, sf_dir):
 
 
 @register(
+    "ann_opq_topk",
+    None,  # seeded rotation + per-subspace k-means — rows-only
+    "OPQ-style ANN (Ge et al. 2014 random-rotation baseline): corpus "
+    "and queries are rotated by one seeded orthonormal matrix before "
+    "PQ, spreading variance evenly across the m subspaces so no "
+    "subspace dominates ADC error; inner products/norms are invariant "
+    "so the exact re-rank is unchanged. Rotation is a map-only "
+    "row-local matvec (nested array literal in the plan) — same "
+    "codes-only 100 TB scan as plain PQ. Invariance + recall pinned "
+    "in tests/test_pq.py.",
+)
+def q_ann_opq(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_opq(
+        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42
+    ).select("query_id", "vec_id", "cos", "rank")
+
+
+@register(
     "dedup_embedding_cosine",
     f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -113,3 +113,45 @@ def test_ivfpq_composed_recall(spark):
     recall = len(_pairs(got) & exact) / len(exact)
     # half the clusters probed + 10% exact re-rank: most of top-k
     assert recall >= 0.4, recall
+
+
+def test_opq_rotation_is_orthonormal_and_seeded(spark):
+    import numpy as np
+
+    r1 = np.array(sim.opq_rotation(16, seed=7))
+    r2 = np.array(sim.opq_rotation(16, seed=7))
+    r3 = np.array(sim.opq_rotation(16, seed=8))
+    assert np.allclose(r1 @ r1.T, np.eye(16), atol=1e-10)  # orthonormal
+    assert (r1 == r2).all()  # deterministic under the seed
+    assert not (r1 == r3).all()  # and actually seed-dependent
+
+
+def test_opq_rotation_preserves_exact_scores(spark):
+    """<Rq, Rv> = <q, v>: brute-force top-k over rotated vectors must
+    equal brute-force over the raw ones, rows and rounded scores."""
+    emb = t(spark, SF_SMOKE, "embeddings")
+    rot = sim.opq_rotation(64, seed=42)
+    remb = sim.rotate_vectors(emb, rot, "embedding")
+    qs = sim.make_queries(emb, QUERY_IDS)
+    rqs = sim.rotate_vectors(qs, rot, "query_vec")
+    raw = {(r["query_id"], r["vec_id"]): r["cos"]
+           for r in sim.cosine_topk_bruteforce(emb, qs, k=K).collect()}
+    rotated = {(r["query_id"], r["vec_id"]): r["cos"]
+               for r in sim.cosine_topk_bruteforce(remb, rqs, k=K).collect()}
+    assert set(raw) == set(rotated)
+    assert all(abs(raw[p] - rotated[p]) <= 1e-3 for p in raw)
+
+
+def test_opq_rerank_recall_on_real_corpus(spark):
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, QUERY_IDS)
+    exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
+    got = sim.cosine_topk_opq(emb, qs, k=K, m=8, n_codes=16, rerank=50, seed=42)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(QUERY_IDS)
+    assert all(sorted(v) == list(range(1, K + 1)) for v in by_q.values())
+    recall = len(_pairs(got) & exact) / len(exact)
+    assert recall >= 0.5, recall
