@@ -71,10 +71,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _DRIVER_ORDER = [
     # §2.1-2.2 scans / filters / projections
     "s2_scan_project", "p1_filter_prefix", "p2_parse_cast",
-    # §2.3 joins (+ extension joins: salted, as-of, range)
+    # §2.3 joins (+ extension joins: salted, as-of, range).
+    # r4: j5_outer_join demoted to a breadth slot (NULL-extension
+    # semantics are also exercised by f_null_string_suite) to free a
+    # window slot for the correlated-subquery family below.
     "j1_join_composite", "j2_broadcast_dim", "j3_semi_join", "j4_anti_join",
-    "j5_outer_join", "j6_multiway_revenue", "j7_salted_skew_join",
+    "j6_multiway_revenue", "j7_salted_skew_join",
     "j8_asof_click_attribution", "j9_range_join_bands",
+    # correlated subqueries (TPC-H Q4 shape; decorrelated to a semi join)
+    "sub1_exists_semi",
     # §2.4 aggregates (reference A2/A3 + TPC-H shapes)
     "a2_global_mean", "a3_rmse_item_mean", "g1_pricing_summary",
     "q3_shipping_priority", "q12_priority_classes", "q14_promo_share",
@@ -87,24 +92,29 @@ _DRIVER_ORDER = [
     # dedup family (one per mandated technique)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_clusters",
-    # similarity / ANN family
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    # similarity / ANN family. r4: ann_pq_topk replaces ann_ivf_topk in
+    # the window (both rows-only; PQ makes the r2/r3 compression family
+    # driver-visible — IVF stays local-checked at position 51+).
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_pq_topk",
     "dedup_embedding_cosine",
-    # text-analysis family
-    "text_lang_id", "text_quality", "text_winnowing",
-    # training-data curation family
-    "curation_pii_redact", "curation_contamination",
-    # sketches
-    "g10_approx_distinct",
+    # text-analysis family (r4: + text_repetition, previously local-only)
+    "text_lang_id", "text_quality", "text_winnowing", "text_repetition",
+    # training-data curation family (r4: + curation_pack for seq packing;
+    # slot freed by demoting g10_approx_distinct — rows-only HLL, the
+    # family's CMS/top-frequent side stays pytest-pinned)
+    "curation_pii_redact", "curation_contamination", "curation_pack",
     # multimodal family
     "mm_binary_meta", "mm_decode_features",
     # deterministic sampling family
     "sample_hash_split", "sample_stratified",
-    # event/streaming batch analogs (+ continuous-aggregate rollup)
-    "ev_gap_fill", "ev_funnel", "ev_sessionize",
+    # event/streaming batch analogs (+ continuous-aggregate rollup).
+    # r4: ev_tumbling_agg (the canonical windowed-agg analog) takes
+    # ev_gap_fill's slot; gap-fill stays local-checked at 51+.
+    "ev_tumbling_agg", "ev_funnel", "ev_sessionize",
     "ev_rollup_merge",
-    # ML (reference M1-M3)
-    "cf_recommend_topk", "cf_als_pipeline",
+    # ML (reference M1-M3; cf_recommend_topk demoted r4 — rows-only,
+    # the ALS family's driver evidence rides on cf_als_pipeline)
+    "cf_als_pipeline",
 ]
 
 
