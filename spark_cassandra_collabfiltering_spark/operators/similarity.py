@@ -223,41 +223,156 @@ def cosine_topk_lsh(
     )
 
 
+def _training_sample(
+    df: DataFrame, key_col: str, train_fraction: float | None
+) -> DataFrame:
+    """Deterministic ~train_fraction sample for index TRAINING (the
+    k-means fits); the full corpus is still transformed/encoded. This
+    is the 100 TB contract: codebooks/centroids only need to see a
+    representative sample (FAISS trains on ~1e5-1e6 vectors regardless
+    of corpus size), so the iterative multi-pass fit runs over a bounded
+    slice while encode/assign stays one map-only pass over everything.
+    Keyed md5-bucket filter (operators/relational.hash_bucket) — a pure
+    function of the row, so the training set is stable across runs,
+    engines, and partitionings, keeping seeded k-means deterministic.
+    """
+    if train_fraction is None or train_fraction >= 1.0:
+        return df
+    if not 0.0 < train_fraction < 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    from spark_cassandra_collabfiltering_spark.operators.relational import hash_bucket
+
+    return df.filter(
+        hash_bucket(F.col(key_col), 1000) < int(round(train_fraction * 1000))
+    )
+
+
+def _kmeans_np(X, k: int, seed: int, max_iter: int = 20):
+    """Seeded Lloyd's k-means on a driver-side sample (NumPy) — the
+    trainer for the ``train_fraction`` path, where the sample is
+    bounded by design (FAISS-style: codebooks/centroids are trained on
+    ~1e5-1e6 vectors regardless of corpus size, so a distributed
+    iterative fit is all scheduling overhead and no compute).
+    kmeans++ init from a seeded RNG; an empty cluster is reseeded to
+    the point farthest from its centroid. Deterministic given
+    (X, k, seed) — callers sort the sample by key before building X so
+    partition order can't leak in.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    if n == 0:
+        raise ValueError("k-means training sample is empty — raise train_fraction")
+    rng = np.random.RandomState(seed)
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, min(k, n)):
+        d2 = ((X[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1).min(1)
+        tot = d2.sum()
+        if tot == 0.0:
+            centers.append(X[rng.randint(n)])
+        else:
+            # kmeans++: draw proportional to squared distance
+            idx = int(np.searchsorted(np.cumsum(d2 / tot), rng.rand()))
+            centers.append(X[min(idx, n - 1)])
+    C = np.array(centers, dtype=np.float64)
+    if len(C) < k:  # fewer sample points than codes: repeat (harmless)
+        C = np.vstack([C, C[rng.randint(len(C), size=k - len(C))]])
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        new_c = C.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                new_c[c] = members.mean(0)
+            else:
+                new_c[c] = X[int(d2.min(1).argmax())]
+        if np.allclose(new_c, C, atol=1e-12):
+            C = new_c
+            break
+        C = new_c
+    return [[float(x) for x in row] for row in C]
+
+
+def _nearest_code(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared Euclidean) as a pure
+    JVM-side expression over a literal codebook — the map-only encode/
+    assign used by the sampled-training paths. Replaces a chain of
+    pyspark.ml model transforms with ONE select; ties (measure-zero on
+    real data) resolve to the lowest code via array_position."""
+    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    d2 = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(c, vec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+
+
+def _probe_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first corpus row, with a clear
+    contract on the degenerate cases (``.first()`` on an empty frame
+    returns None and a bare ``len(None[0])`` is an opaque TypeError)."""
+    row = corpus.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot derive embedding dim: corpus is empty or first '{vec_col}' is NULL"
+        )
+    return len(row[0])
+
+
 def ivf_index(
     corpus: DataFrame,
     n_clusters: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ):
     """IVF (inverted-file) index: k-means centroids + cluster-assigned
     corpus. Returns (assigned_corpus, centroids_df).
 
-    Training samples the corpus once (k-means on the driver-free
-    pyspark.ml path); assignment is a model transform. At 100 TB you
-    train on a sample, broadcast the centroid matrix, and assignment
-    stays a map-only pass; the assigned table is then written
+    ``train_fraction`` switches the trainer: None fits distributed
+    pyspark.ml KMeans over the whole corpus; a fraction collects the
+    deterministic keyed sample (bounded by design — see
+    :func:`_training_sample`) and runs seeded NumPy Lloyd's on the
+    driver, which is the 100 TB shape (FAISS trains coarse quantizers
+    on a driver-scale sample; a distributed fit over ~1e5 sampled rows
+    is scheduling overhead, not compute). Either way, assignment of
+    the FULL corpus is one map-only expression pass over a broadcast/
+    literal centroid matrix; the assigned table is then written
     partitioned by cluster so probes prune partitions.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    train = _training_sample(corpus, id_col, train_fraction)
+    if train is not corpus:
+        rows = train.select(id_col, vec_col).sort(id_col).collect()
+        centers = _kmeans_np(
+            [list(r[1]) for r in rows], n_clusters, seed=seed
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    fitted = (
-        KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster")
-        .fit(
-            corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"))
+        fitted = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster"
+        ).fit(
+            corpus.select(
+                array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+            )
         )
+        centers = [[float(x) for x in c] for c in fitted.clusterCenters()]
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_code(F.col(vec_col).cast("array<double>"), centers).alias("cluster"),
     )
-    assigned = fitted.transform(
-        corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
-        )
-    ).select(id_col, vec_col, "cluster")
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(fitted.clusterCenters())],
+        [(i, c) for i, c in enumerate(centers)],
         "cluster int, centroid array<double>",
     )
     return assigned, centroids
@@ -273,6 +388,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     places: int = 4,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe`` nearest
     centroids and scores only those clusters' members — corpus work
@@ -284,7 +400,8 @@ def cosine_topk_ivf(
     from pyspark.sql import Window
 
     assigned, centroids = ivf_index(
-        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col,
+        train_fraction=train_fraction,
     )
     pw = Window.partitionBy("query_id").orderBy(
         F.col("c_cos").desc(), F.col("cluster").asc()
@@ -432,6 +549,8 @@ def pq_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
+    d: int | None = None,
 ):
     """Product-quantization index (Jégou et al. 2011): split each
     d-dim vector into ``m`` contiguous subspaces and k-means each
@@ -444,42 +563,69 @@ def pq_index(
     - codebook: (subspace, code, centroid array<double>) — m·n_codes
       rows, always broadcastable.
 
-    Training runs one pyspark.ml KMeans per subspace on the sliced
-    subvectors (at scale: on a sample); encoding is m model transforms,
-    all map-only passes. Deterministic under ``seed``.
+    Trainer switch mirrors :func:`ivf_index`: ``train_fraction=None``
+    fits one distributed pyspark.ml KMeans per subspace over the whole
+    corpus; a fraction collects the deterministic keyed sample ONCE
+    (sorted by key — partition order can't leak into the codebooks)
+    and trains all m codebooks with seeded NumPy Lloyd's on the driver
+    — the FAISS shape, and the 100 TB default. Encoding the FULL
+    corpus is a single map-only select: per subspace, a JVM expression
+    argmin over the literal codebook (:func:`_nearest_code`) — no
+    model-transform chain, no Python in the row path. Deterministic
+    under ``seed``. Pass ``d`` when the caller already knows the
+    dimensionality to skip the first-row probe job.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     spark = corpus.sparkSession
-    d = len(corpus.select(vec_col).first()[0])
+    if d is None:
+        d = _probe_dim(corpus, vec_col)
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub_d = d // m
-    encoded = corpus.select(
+
+    def sub(vec: Column, s: int) -> Column:
+        return F.slice(vec, s * sub_d + 1, sub_d).cast("array<double>")
+
+    train = _training_sample(corpus, id_col, train_fraction)
+    codebooks: list[list[list[float]]] = []
+    if train is not corpus:
+        import numpy as np
+
+        rows = train.select(id_col, vec_col).sort(id_col).collect()
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        if X.ndim != 2:
+            raise ValueError("k-means training sample is empty — raise train_fraction")
+        for s in range(m):
+            codebooks.append(
+                _kmeans_np(X[:, s * sub_d : (s + 1) * sub_d], n_codes, seed=seed + s)
+            )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(
+            *[
+                array_to_vector(sub(F.col(vec_col), s)).alias(f"_sub{s}")
+                for s in range(m)
+            ]
+        )
+        for s in range(m):
+            fitted = KMeans(
+                k=n_codes, seed=seed + s, featuresCol=f"_sub{s}", predictionCol=f"_c{s}"
+            ).fit(feats)
+            codebooks.append([[float(x) for x in c] for c in fitted.clusterCenters()])
+    codes = corpus.select(
         F.col(id_col),
-        *[
-            array_to_vector(
-                F.slice(F.col(vec_col), s * sub_d + 1, sub_d).cast("array<double>")
-            ).alias(f"_sub{s}")
-            for s in range(m)
-        ],
-    )
-    codebook_rows = []
-    for s in range(m):
-        fitted = KMeans(
-            k=n_codes, seed=seed + s, featuresCol=f"_sub{s}", predictionCol=f"_c{s}"
-        ).fit(encoded)
-        encoded = fitted.transform(encoded)
-        codebook_rows += [
-            (s, i, [float(x) for x in c])
-            for i, c in enumerate(fitted.clusterCenters())
-        ]
-    codes = encoded.select(
-        F.col(id_col), F.array(*[f"_c{s}" for s in range(m)]).alias("codes")
+        F.array(
+            *[_nearest_code(sub(F.col(vec_col), s), codebooks[s]) for s in range(m)]
+        ).alias("codes"),
     )
     codebook = spark.createDataFrame(
-        codebook_rows, "subspace int, code int, centroid array<double>"
+        [
+            (s, i, c)
+            for s in range(m)
+            for i, c in enumerate(codebooks[s])
+        ],
+        "subspace int, code int, centroid array<double>",
     )
     return codes, codebook
 
@@ -495,6 +641,8 @@ def cosine_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     places: int = 4,
+    train_fraction: float | None = None,
+    d: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance computation (ADC).
 
@@ -519,10 +667,12 @@ def cosine_topk_pq(
     """
     from pyspark.sql import Window
 
-    d = len(corpus.select(vec_col).first()[0])
+    if d is None:
+        d = _probe_dim(corpus, vec_col)
     sub_d = d // m
     codes, codebook = pq_index(
-        corpus, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col=vec_col
+        corpus, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col=vec_col,
+        train_fraction=train_fraction, d=d,
     )
     # LUT build: (query x codebook entry) -> partial dot + centroid
     # norm^2, folded to per-subspace arrays then per-query matrices.
@@ -618,6 +768,7 @@ def ivfpq_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ):
     """Composed IVF+PQ index (the FAISS IVFPQ layout): coarse k-means
     clusters for probe pruning, then PQ codebooks trained on the
@@ -629,7 +780,8 @@ def ivfpq_index(
     partitions AND scan only ~m bytes per row.
     """
     assigned, centroids = ivf_index(
-        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col,
+        train_fraction=train_fraction,
     )
     resid = assigned.join(F.broadcast(centroids), "cluster").select(
         F.col(id_col),
@@ -641,7 +793,8 @@ def ivfpq_index(
         ).alias("_resid"),
     )
     codes, codebook = pq_index(
-        resid, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col="_resid"
+        resid, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col="_resid",
+        train_fraction=train_fraction,
     )
     codes = codes.join(resid.select(id_col, "cluster"), id_col)
     return codes, centroids, codebook
@@ -660,6 +813,7 @@ def cosine_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     places: int = 4,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF+PQ approximate top-k: probe the n_probe nearest clusters,
     shortlist inside them by ADC over residual codes, then exact-score
@@ -677,11 +831,11 @@ def cosine_topk_ivfpq(
     """
     from pyspark.sql import Window
 
-    d = len(corpus.select(vec_col).first()[0])
+    d = _probe_dim(corpus, vec_col)
     sub_d = d // m
     codes, centroids, codebook = ivfpq_index(
         corpus, n_clusters=n_clusters, m=m, n_codes=n_codes, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, train_fraction=train_fraction,
     )
     # probe ranking identical to cosine_topk_ivf, but keep <q, centroid>
     pw = Window.partitionBy("query_id").orderBy(
@@ -813,6 +967,7 @@ def cosine_topk_opq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     places: int = 4,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """OPQ-style ANN: rotate corpus and queries with the same seeded
     orthonormal matrix, then run the standard PQ/ADC path in the
@@ -823,11 +978,12 @@ def cosine_topk_opq(
     plan shape and 100 TB story as :func:`cosine_topk_pq`: rotation is
     one extra map-only projection on each side.
     """
-    d = len(corpus.select(vec_col).first()[0])
+    d = _probe_dim(corpus, vec_col)
     rot = opq_rotation(d, seed=seed)
     rc = rotate_vectors(corpus, rot, vec_col)
     rq = rotate_vectors(queries, rot, "query_vec")
     return cosine_topk_pq(
         rc, rq, k=k, m=m, n_codes=n_codes, seed=seed, rerank=rerank,
         id_col=id_col, vec_col=vec_col, places=places,
+        train_fraction=train_fraction, d=d,
     )

@@ -1842,7 +1842,9 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
-    return sim.cosine_topk_ivf(emb, qs, k=5, n_clusters=16, n_probe=2).select(
+    return sim.cosine_topk_ivf(
+        emb, qs, k=5, n_clusters=16, n_probe=2, train_fraction=0.25
+    ).select(
         "query_id", "vec_id", "cos", "rank"
     )
 
@@ -1863,7 +1865,7 @@ def q_ann_pq(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
     return sim.cosine_topk_pq(
-        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42
+        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42, train_fraction=0.25
     ).select("query_id", "vec_id", "cos", "rank")
 
 
@@ -1881,7 +1883,7 @@ def q_ann_ivfpq(spark, sf_dir):
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
     return sim.cosine_topk_ivfpq(
         emb, qs, k=5, n_clusters=8, n_probe=4, m=8, n_codes=16,
-        rerank=50, seed=42,
+        rerank=50, seed=42, train_fraction=0.25,
     ).select("query_id", "vec_id", "cos", "rank")
 
 
@@ -1901,7 +1903,7 @@ def q_ann_opq(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
     return sim.cosine_topk_opq(
-        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42
+        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42, train_fraction=0.25
     ).select("query_id", "vec_id", "cos", "rank")
 
 

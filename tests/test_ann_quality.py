@@ -37,7 +37,9 @@ def test_ivf_recall_vs_bruteforce(spark):
     qs = sim.make_queries(emb, QUERY_IDS)
     exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
     approx = _pairs(
-        sim.cosine_topk_ivf(emb, qs, k=K, n_clusters=8, n_probe=4, seed=42)
+        sim.cosine_topk_ivf(
+            emb, qs, k=K, n_clusters=8, n_probe=4, seed=42, train_fraction=0.25
+        )
     )
     # probing half the clusters must recover most of the true top-k
     assert _recall(approx, exact) >= 0.5, (approx, exact)

@@ -75,8 +75,10 @@ def test_pq_rerank_recovers_recall_on_real_corpus(spark):
     emb = t(spark, SF_SMOKE, "embeddings")
     qs = sim.make_queries(emb, QUERY_IDS)
     exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
+    # train_fraction=0.25 exercises the 100 TB mode: codebooks fit on a
+    # deterministic quarter sample, full corpus still encoded/reranked
     reranked = sim.cosine_topk_pq(
-        emb, qs, k=K, m=8, n_codes=16, rerank=50, seed=42
+        emb, qs, k=K, m=8, n_codes=16, rerank=50, seed=42, train_fraction=0.25
     )
     rows = reranked.collect()
     # output contract: k ranked rows per query, ranks 1..k
@@ -102,7 +104,7 @@ def test_ivfpq_composed_recall(spark):
     exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
     got = sim.cosine_topk_ivfpq(
         emb, qs, k=K, n_clusters=8, n_probe=4, m=8, n_codes=16,
-        rerank=50, seed=42,
+        rerank=50, seed=42, train_fraction=0.25,
     )
     rows = got.collect()
     by_q = {}
@@ -113,6 +115,37 @@ def test_ivfpq_composed_recall(spark):
     recall = len(_pairs(got) & exact) / len(exact)
     # half the clusters probed + 10% exact re-rank: most of top-k
     assert recall >= 0.4, recall
+
+
+def test_training_sample_is_deterministic_and_validated(spark):
+    import pytest
+
+    corpus = _vocab_corpus(spark)
+    s1 = sim._training_sample(corpus, "vec_id", 0.5)
+    s2 = sim._training_sample(corpus, "vec_id", 0.5)
+    ids1 = sorted(r["vec_id"] for r in s1.collect())
+    assert ids1 == sorted(r["vec_id"] for r in s2.collect())  # keyed, not RNG
+    assert 0 < len(ids1) < corpus.count()
+    # fraction 1.0 / None are identity (full-corpus training)
+    assert sim._training_sample(corpus, "vec_id", None) is corpus
+    assert sim._training_sample(corpus, "vec_id", 1.0) is corpus
+    with pytest.raises(ValueError):
+        sim._training_sample(corpus, "vec_id", 0.0)
+    with pytest.raises(ValueError):
+        sim._training_sample(corpus, "vec_id", -0.2)
+
+
+def test_probe_dim_empty_corpus_raises_clearly(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id bigint, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        sim.cosine_topk_pq(empty, qs, k=3, m=4)
+    with pytest.raises(ValueError, match="empty"):
+        sim.cosine_topk_opq(empty, qs, k=3, m=4)
 
 
 def test_opq_rotation_is_orthonormal_and_seeded(spark):
@@ -146,7 +179,9 @@ def test_opq_rerank_recall_on_real_corpus(spark):
     emb = t(spark, SF_SMOKE, "embeddings")
     qs = sim.make_queries(emb, QUERY_IDS)
     exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
-    got = sim.cosine_topk_opq(emb, qs, k=K, m=8, n_codes=16, rerank=50, seed=42)
+    got = sim.cosine_topk_opq(
+        emb, qs, k=K, m=8, n_codes=16, rerank=50, seed=42, train_fraction=0.25
+    )
     rows = got.collect()
     by_q = {}
     for r in rows:
