@@ -937,23 +937,127 @@ def opq_rotation(d: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in q]
 
 
+def _pq_quant_error(X, R, m: int, n_codes: int, seed: int):
+    """PQ quantization error of sample ``X`` under rotation ``R``:
+    train per-subspace codebooks on the rotated sample, quantize, and
+    return (Σ‖XRᵀ − Q‖², Q). Driver-side NumPy; shared by the trained-
+    OPQ loop and the tests that pin trained ≤ random error."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    R = np.asarray(R, dtype=np.float64)
+    Xr = X @ R.T
+    sub_d = Xr.shape[1] // m
+    Q = np.empty_like(Xr)
+    for s in range(m):
+        sl = slice(s * sub_d, (s + 1) * sub_d)
+        C = np.array(_kmeans_np(Xr[:, sl], n_codes, seed=seed + s))
+        d2 = ((Xr[:, sl][:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        Q[:, sl] = C[d2.argmin(1)]
+    return float(((Xr - Q) ** 2).sum()), Q
+
+
+def opq_rotation_trained(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    iters: int = 6,
+    train_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int | None = None,
+) -> list[list[float]]:
+    """The real OPQ of Ge et al. 2014 (non-parametric variant):
+    alternate between (a) fitting per-subspace codebooks in the
+    rotated space and (b) the orthogonal-Procrustes update of R —
+    min_R ‖XRᵀ − Q‖_F over orthogonal R, solved by the SVD of XᵀQ —
+    so the rotation is OPTIMIZED for the quantizer instead of merely
+    spreading variance at random.
+
+    Trains on the driver over the deterministic keyed sample
+    (``train_fraction``; bounded by design — at 100 TB you never train
+    a rotation on the full corpus), sorted by key so partition order
+    can't leak in. Returns the d×d rotation rows; apply with
+    :func:`rotate_vectors` — application cost is identical to the
+    random-rotation path, training cost is a driver-side loop of m
+    seeded Lloyd fits + one d×d SVD per iteration.
+    """
+    import numpy as np
+
+    if d is None:
+        d = _probe_dim(corpus, vec_col)
+    train = _training_sample(corpus, id_col, train_fraction)
+    rows = train.select(id_col, vec_col).sort(id_col).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if X.ndim != 2 or not len(X):
+        raise ValueError("OPQ training sample is empty — raise train_fraction")
+    R = np.array(opq_rotation(d, seed=seed), dtype=np.float64)
+    for _ in range(iters):
+        _, Q = _pq_quant_error(X, R, m, n_codes, seed)
+        # max_R tr(R·XᵀQ): SVD XᵀQ = USVᵀ → R = VUᵀ
+        u, _s, vt = np.linalg.svd(X.T @ Q)
+        R = vt.T @ u.T
+    return [[float(x) for x in row] for row in R]
+
+
 def rotate_vectors(
-    df: DataFrame, rotation: list[list[float]], vec_col: str
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str,
+    gemm_threshold: int = 256,
 ) -> DataFrame:
     """Apply an orthonormal rotation row-locally: out[i] = <R[i], v>.
 
-    The matrix rides in the plan as a nested array literal and the
-    matvec is a transform-over-rows fold — map-only, no shuffle, no
-    Python in the row path. At much larger d, swap the inner matvec
-    for an Arrow ``mapInPandas`` GEMM (same contract as the vectorized
-    brute-force scorer); at d=64 the expression path keeps the whole
-    plan JVM-side.
+    Two implementations behind one contract, switched on d:
+
+    - d <= ``gemm_threshold``: the matrix rides in the plan as a
+      nested array literal and the matvec is a transform-over-rows
+      fold — map-only, no shuffle, no Python in the row path. At d=64
+      that is 4K literals; cheap, and the whole plan stays JVM-side.
+    - d > ``gemm_threshold``: the literal matrix would be ~d²
+      expression-tree nodes (a plan-size/codegen killer at d=1024), so
+      the rotation becomes an Arrow ``mapInPandas`` GEMM — each batch
+      is one (batch × d)·(d × d) BLAS multiply, same shape as the
+      vectorized brute-force scorer. Still map-only, no shuffle; all
+      non-vector columns pass through the Arrow batch untouched.
+
+    Both paths emit array<double> and agree to float accumulation
+    error (<1 ulp·d; the downstream score rounding at ``places``
+    absorbs it — pinned row-identical in tests/test_pq.py).
     """
-    rows = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in rotation]
+    d = len(rotation)
+    if d <= gemm_threshold:
+        rows = F.array(
+            *[F.array(*[F.lit(x) for x in row]) for row in rotation]
+        )
+        rotated = F.transform(
+            rows, lambda r: dot(r, F.col(vec_col).cast("array<double>"))
+        )
+        return df.withColumn(vec_col, rotated)
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    R = np.array(rotation, dtype=np.float64)  # (d, d), captured in closure
+    out_schema = StructType(
+        [
+            StructField(f.name, ArrayType(DoubleType()), f.nullable)
+            if f.name == vec_col
+            else f
+            for f in df.schema.fields
+        ]
     )
-    rotated = F.transform(rows, lambda r: dot(r, F.col(vec_col).cast("array<double>")))
-    return df.withColumn(vec_col, rotated)
+
+    def rotate(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, d)
+                pdf = pdf.copy()
+                pdf[vec_col] = list(V @ R.T)  # out[i] = R @ v_i
+            yield pdf
+
+    return df.mapInPandas(rotate, out_schema)
 
 
 def cosine_topk_opq(
@@ -968,6 +1072,7 @@ def cosine_topk_opq(
     vec_col: str = "embedding",
     places: int = 4,
     train_fraction: float | None = None,
+    rotation: str = "random",
 ) -> DataFrame:
     """OPQ-style ANN: rotate corpus and queries with the same seeded
     orthonormal matrix, then run the standard PQ/ADC path in the
@@ -977,9 +1082,23 @@ def cosine_topk_opq(
     — improves — where the QUANTIZER spends its error budget. Same
     plan shape and 100 TB story as :func:`cosine_topk_pq`: rotation is
     one extra map-only projection on each side.
+
+    ``rotation``: "random" = the seeded RR baseline of Ge et al.;
+    "trained" = their alternating-optimization rotation
+    (:func:`opq_rotation_trained`, fit on the ``train_fraction``
+    sample), which provably spends the quantizer's error budget better
+    (trained ADC error ≤ random's — pinned in tests/test_pq.py).
     """
     d = _probe_dim(corpus, vec_col)
-    rot = opq_rotation(d, seed=seed)
+    if rotation == "trained":
+        rot = opq_rotation_trained(
+            corpus, m=m, n_codes=n_codes, seed=seed,
+            train_fraction=train_fraction, id_col=id_col, vec_col=vec_col, d=d,
+        )
+    elif rotation == "random":
+        rot = opq_rotation(d, seed=seed)
+    else:
+        raise ValueError(f"rotation must be 'random' or 'trained', got {rotation!r}")
     rc = rotate_vectors(corpus, rot, vec_col)
     rq = rotate_vectors(queries, rot, "query_vec")
     return cosine_topk_pq(

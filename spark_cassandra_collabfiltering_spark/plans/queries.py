@@ -1890,20 +1890,23 @@ def q_ann_ivfpq(spark, sf_dir):
 @register(
     "ann_opq_topk",
     None,  # seeded rotation + per-subspace k-means — rows-only
-    "OPQ-style ANN (Ge et al. 2014 random-rotation baseline): corpus "
-    "and queries are rotated by one seeded orthonormal matrix before "
-    "PQ, spreading variance evenly across the m subspaces so no "
-    "subspace dominates ADC error; inner products/norms are invariant "
-    "so the exact re-rank is unchanged. Rotation is a map-only "
-    "row-local matvec (nested array literal in the plan) — same "
-    "codes-only 100 TB scan as plain PQ. Invariance + recall pinned "
+    "OPQ ANN (Ge et al. 2014): corpus and queries are rotated by one "
+    "trained orthonormal matrix before PQ — the alternating "
+    "codebook-fit / orthogonal-Procrustes optimization, fit on the "
+    "deterministic keyed training sample — so the quantizer's error "
+    "budget is spent where it helps; inner products/norms are "
+    "invariant so the exact re-rank is unchanged. Rotation applies as "
+    "a map-only row-local matvec (literal matrix at d=64, Arrow GEMM "
+    "above the d threshold) — same codes-only 100 TB scan as plain "
+    "PQ. Invariance + trained-error-dominates-random + recall pinned "
     "in tests/test_pq.py.",
 )
 def q_ann_opq(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
     return sim.cosine_topk_opq(
-        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42, train_fraction=0.25
+        emb, qs, k=5, m=8, n_codes=16, rerank=50, seed=42,
+        train_fraction=0.25, rotation="trained",
     ).select("query_id", "vec_id", "cos", "rank")
 
 

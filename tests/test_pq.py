@@ -175,6 +175,77 @@ def test_opq_rotation_preserves_exact_scores(spark):
     assert all(abs(raw[p] - rotated[p]) <= 1e-3 for p in raw)
 
 
+def test_rotate_vectors_gemm_path_row_identical_to_expression(spark):
+    """The Arrow-GEMM rotation (d > gemm_threshold) must match the
+    expression-literal rotation row-for-row: same ids, elementwise
+    agreement to accumulation noise (<1 ulp·d), and bit-identical
+    downstream top-k under the places=4 rounding contract."""
+    emb = t(spark, SF_SMOKE, "embeddings")
+    rot = sim.opq_rotation(64, seed=42)
+    by_expr = {
+        r["vec_id"]: r["embedding"]
+        for r in sim.rotate_vectors(emb, rot, "embedding").collect()
+    }
+    by_gemm = {
+        r["vec_id"]: r["embedding"]
+        for r in sim.rotate_vectors(emb, rot, "embedding", gemm_threshold=0).collect()
+    }
+    assert set(by_expr) == set(by_gemm)
+    assert all(
+        abs(a - b) <= 1e-9
+        for vid in by_expr
+        for a, b in zip(by_expr[vid], by_gemm[vid])
+    )
+    # end-to-end: identical ranked rows once scores round at places=4
+    qs = sim.make_queries(emb, QUERY_IDS)
+    gq = sim.rotate_vectors(qs, rot, "query_vec", gemm_threshold=0)
+    eq = sim.rotate_vectors(qs, rot, "query_vec")
+    gemm_rows = sorted(
+        map(tuple, sim.cosine_topk_bruteforce(
+            sim.rotate_vectors(emb, rot, "embedding", gemm_threshold=0), gq, k=K
+        ).collect())
+    )
+    expr_rows = sorted(
+        map(tuple, sim.cosine_topk_bruteforce(
+            sim.rotate_vectors(emb, rot, "embedding"), eq, k=K
+        ).collect())
+    )
+    assert gemm_rows == expr_rows
+
+
+def test_opq_trained_rotation_beats_random_on_adc_error(spark):
+    """Ge et al.'s alternating optimization must spend the quantizer's
+    error budget at least as well as the seeded random rotation: PQ
+    quantization error of the trained rotation <= random's on the same
+    sample/codebook budget. Also pins orthonormality + determinism."""
+    import numpy as np
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    X = np.array(
+        [list(r["embedding"]) for r in emb.sort("vec_id").collect()], dtype=np.float64
+    )
+    r_rand = np.array(sim.opq_rotation(64, seed=42))
+    r_tr = np.array(sim.opq_rotation_trained(emb, m=8, n_codes=16, seed=42, iters=4))
+    assert np.allclose(r_tr @ r_tr.T, np.eye(64), atol=1e-9)
+    r_tr2 = np.array(sim.opq_rotation_trained(emb, m=8, n_codes=16, seed=42, iters=4))
+    assert (r_tr == r_tr2).all()
+    err_rand, _ = sim._pq_quant_error(X, r_rand, 8, 16, seed=42)
+    err_tr, _ = sim._pq_quant_error(X, r_tr, 8, 16, seed=42)
+    assert err_tr <= err_rand, (err_tr, err_rand)
+
+
+def test_opq_trained_rerank_recall_on_real_corpus(spark):
+    emb = t(spark, SF_SMOKE, "embeddings")
+    qs = sim.make_queries(emb, QUERY_IDS)
+    exact = _pairs(sim.cosine_topk_bruteforce(emb, qs, k=K))
+    got = sim.cosine_topk_opq(
+        emb, qs, k=K, m=8, n_codes=16, rerank=50, seed=42,
+        train_fraction=0.25, rotation="trained",
+    )
+    recall = len(_pairs(got) & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
 def test_opq_rerank_recall_on_real_corpus(spark):
     emb = t(spark, SF_SMOKE, "embeddings")
     qs = sim.make_queries(emb, QUERY_IDS)
