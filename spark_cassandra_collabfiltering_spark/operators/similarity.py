@@ -109,12 +109,15 @@ def cosine_topk_bruteforce_vectorized(
     import pandas as pd
     from pyspark.sql import Window
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
     qrows = queries.select("query_id", "query_vec").collect()  # bounded batch
     if not qrows:
         # np.linalg.norm(axis=1) crashes on an empty 1-D array; zero
-        # queries legitimately means zero result rows.
+        # queries legitimately means zero result rows. The id column
+        # keeps the CORPUS's type so the empty frame's schema matches
+        # the non-empty path for any id type, not just bigint.
         return corpus.sparkSession.createDataFrame(
-            [], f"query_id bigint, {id_col} bigint, cos double, rank int"
+            [], f"query_id bigint, {id_col} {id_type}, cos double, rank int"
         )
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["query_vec"] for r in qrows], dtype=np.float64)  # (q, d)
@@ -123,13 +126,13 @@ def cosine_topk_bruteforce_vectorized(
     # matching the expression path's defined zero-vector contract.
     q_unit = q_mat / np.where(q_norm == 0.0, 1.0, q_norm)
 
-    out_schema = f"query_id bigint, {id_col} bigint, cos double"
+    out_schema = f"query_id bigint, {id_col} {id_type}, cos double"
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()  # corpus id dtype passes through
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, d)
             c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
             cos = (c_mat / np.where(c_norm == 0.0, 1.0, c_norm)) @ q_unit.T  # (b, q)

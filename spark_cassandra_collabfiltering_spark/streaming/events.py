@@ -298,11 +298,29 @@ def _target_exists(spark, path: str) -> bool:
     (file://, hdfs://, s3a://). Deterministic, so 'first batch on a
     missing target' never depends on exception-message formats (which
     change across Spark versions). TOCTOU is not a concern: foreachBatch
-    sinks are single-writer by construction."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    sinks are single-writer by construction.
+
+    Under Spark Connect there is no py4j gateway (``spark._jvm`` is
+    absent), so fall back to a bounded read probe: try to resolve the
+    path as a parquet source and treat only AnalysisException-style
+    'path does not exist' resolution failures as missing — any other
+    error (corruption, transient IO) propagates, preserving the
+    'never overwrite merged state on a read failure' contract."""
+    jvm = getattr(spark, "_jvm", None)
+    jsc = getattr(spark, "_jsc", None)
+    if jvm is not None and jsc is not None:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema  # resolves the path, reads no data
+        return True
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc):
+            return False
+        raise
 
 
 def run_foreach_batch_upsert(

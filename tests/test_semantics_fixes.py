@@ -74,11 +74,40 @@ def test_connected_components_nonconvergence_raises(spark):
         dd.connected_components(pairs, max_iter=1)
 
 
-def test_connected_components_reliable_without_ckpt_dir_raises(spark):
-    if spark.sparkContext.getCheckpointDir() is not None:
-        pytest.skip("checkpoint dir already set by another test")
-    with pytest.raises(ValueError, match="setCheckpointDir"):
-        dd.connected_components(_cc_pairs(spark), reliable_checkpoint=True)
+def test_connected_components_reliable_without_ckpt_dir_raises():
+    """The no-checkpoint-dir guard, exercised in a SUBPROCESS with its
+    own fresh SparkContext: the session-scoped context shared by this
+    suite may already have a checkpoint dir (another test sets one), so
+    an in-process check would silently skip depending on test order —
+    this way the ValueError path is covered in every full-suite run."""
+    import subprocess
+
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from spark_cassandra_collabfiltering_spark.operators import dedup as dd
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("ckpt-guard")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+assert spark.sparkContext.getCheckpointDir() is None
+pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+try:
+    dd.connected_components(pairs, reliable_checkpoint=True)
+except ValueError as exc:
+    assert "setCheckpointDir" in str(exc), exc
+    print("GUARD_OK")
+else:
+    print("GUARD_MISSED")
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "GUARD_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
 
 
 def test_ann_vectorized_scorer_agrees_with_expression_path(spark):
