@@ -1,0 +1,116 @@
+"""Skew evidence for the salted-join path (VERDICT r3 item 7).
+
+The uniform testdata never stresses skew, so this file builds a
+deliberately skewed fixture — ONE hot key owning ~10% of all rows —
+and pins both properties the mitigation must have:
+
+1. correctness: salted_join output == the plain join, exactly;
+2. spread: hashing the hot key across salt buckets bounds the largest
+   shuffle partition, i.e. the straggler task shrinks by ~buckets.
+
+Mitigation choice, documented: we salt EXPLICITLY
+(operators/joins_ext.salted_join) rather than rely on AQE's skew-join
+rewrite because (a) AQE only rewrites sort-merge joins whose skewed
+partitions exceed ~256 MB — real at cluster scale, never at CI scale,
+so a test of AQE would assert nothing — and (b) explicit salting also
+covers aggregations and is deterministic in the plan, not dependent on
+runtime statistics. AQE stays enabled in the session as the backstop
+for skew we did NOT predict.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_cassandra_collabfiltering_spark.operators import joins_ext as jx  # noqa: E402
+
+N_ROWS = 60_000
+HOT_KEY = 0
+HOT_SHARE = 6_000  # one key owns 10% of all rows
+N_KEYS = 1_000
+SHUFFLE_PARTS = 32
+BUCKETS = 16
+
+
+def _skewed_events(spark):
+    """(key, val): key 0 carries HOT_SHARE rows, the rest spread
+    uniformly over N_KEYS keys. Deterministic (no RNG)."""
+    return spark.range(N_ROWS).select(
+        F.when(F.col("id") < HOT_SHARE, F.lit(HOT_KEY))
+        .otherwise(F.col("id") % N_KEYS)
+        .alias("key"),
+        F.col("id").alias("val"),
+    )
+
+
+def _dim(spark):
+    return spark.range(N_KEYS).select(
+        F.col("id").alias("key"), (F.col("id") * 10).alias("attr")
+    )
+
+
+def _max_partition_rows(df, parts, *cols) -> int:
+    sizes = (
+        df.repartition(parts, *[F.col(c) for c in cols])
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    return max(r["count"] for r in sizes)
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    big, dim = _skewed_events(spark), _dim(spark)
+    plain = big.join(dim, "key").select("key", "val", "attr")
+    salted = jx.salted_join(big, dim, on=["key"], salt_from="val", buckets=BUCKETS)
+    salted = salted.select("key", "val", "attr")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salting_bounds_hot_key_partition_spread(spark):
+    """The straggler evidence: keyed by `key` alone, the hot key pins
+    ~10% of all rows onto one shuffle partition; keyed by (key, salt)
+    the same rows spread over BUCKETS partitions, so the largest task
+    shrinks by ~BUCKETS (slack 2x for hash collisions with the uniform
+    background keys)."""
+    big = _skewed_events(spark)
+    unsalted_max = _max_partition_rows(big, SHUFFLE_PARTS, "key")
+    assert unsalted_max >= HOT_SHARE  # the hot key IS one task's burden
+
+    salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("val")), F.lit(BUCKETS))
+    )
+    salted_max = _max_partition_rows(salted, SHUFFLE_PARTS, "key", "_salt")
+    # hot key now contributes <= ~HOT_SHARE/BUCKETS per partition, so the
+    # largest task is bounded by hash variance of the background keys
+    # alone: within 2x of the perfectly-uniform partition size (the
+    # unsalted hot partition sits at ~4x uniform)
+    assert salted_max <= 2 * (N_ROWS // SHUFFLE_PARTS), (unsalted_max, salted_max)
+    # and the straggler shrank materially, not within noise
+    assert salted_max * 2 <= unsalted_max, (unsalted_max, salted_max)
+
+
+def test_salted_join_handles_hot_aggregation_shape(spark):
+    """Two-phase (salted partial -> final) aggregation over the hot
+    key: partial per (key, salt) then merge — equals the direct agg.
+    This is the groupBy analog of the salted join, same mitigation."""
+    big = _skewed_events(spark)
+    direct = {
+        (r["key"], r["n"], r["s"])
+        for r in big.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    two_phase = (
+        big.withColumn("_salt", F.pmod(F.xxhash64(F.col("val")), F.lit(BUCKETS)))
+        .groupBy("key", "_salt")
+        .agg(F.count("*").alias("pn"), F.sum("val").alias("ps"))
+        .groupBy("key")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+    )
+    assert {(r["key"], r["n"], r["s"]) for r in two_phase.collect()} == direct
