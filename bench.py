@@ -26,7 +26,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline set: the reference's core pipeline (RMSE analog + ALS) plus
 # one representative per operator family (scan+agg, star join, window,
-# dedup/LSH, ANN, text, event sessionization).
+# dedup/LSH, ANN, text, event sessionization). r4 adds the two
+# mandated-extension paths that previously had no tracked perf series:
+# approximate ANN (sign-LSH bucketed top-k) and curation
+# (contamination check via broadcast n-gram join). Totals therefore
+# jump vs r1-r3 BY CONSTRUCTION; BASELINE.md carries the r4 comparable
+# per-query series and the widened band.
 HEADLINE = [
     "g1_pricing_summary",
     "j6_multiway_revenue",
@@ -36,7 +41,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_winnowing",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "text_quality",
+    "curation_contamination",
     "ev_sessionize",
     "cf_als_pipeline",
 ]
