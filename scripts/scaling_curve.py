@@ -17,7 +17,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SFS = ["0.001", "0.01", "0.1"]
+SFS = ["0.001", "0.01", "0.1", "1"]
+
+
+def sf_dir_for(sf: str) -> str:
+    """Driver-shipped scales live in /root/testdata; the sf1 step is
+    self-generated (scripts/gen_testdata.py, same schemas) under the
+    repo's gitignored .localdata/."""
+    driver = f"/root/testdata/sf{sf}"
+    if os.path.isdir(driver):
+        return driver
+    local = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", f"sf{sf}",
+    )
+    if os.path.isdir(local):
+        return local
+    raise SystemExit(
+        f"missing sf{sf} corpus: run `python scripts/gen_testdata.py {sf}` first"
+    )
 QUERIES_SHOWN = [
     ("g1_pricing_summary", "lineitem"),
     ("j6_multiway_revenue", "lineitem"),
@@ -38,7 +56,7 @@ HEADER = """# SCALING — measured scale-up behavior (auto-generated)
 
 `python scripts/scaling_curve.py` regenerates this file.
 
-Input grows 10× per step (sf0.001 → sf0.01 → sf0.1); the table shows
+Input grows 10× per step (sf0.001 → sf0.01 → sf0.1 → sf1); the table shows
 wall time per query (noop sink, warm JVM, per-query min over
 interleaved passes) and the time ratio of each 10× data step. How to
 read the ratios:
@@ -58,7 +76,11 @@ Driver tables (rows at each sf): lineitem 6k/60k/600k, orders
 1.5k/15k/150k, events 1k/10k/100k — 10× per step. documents is
 500/500/5000 and embeddings 500/500/2000, so document/embedding
 queries see NO data growth at step A (expect ≈1×) and 10×/4× at
-step B.
+step B. The sf1 step (step C) is self-generated with
+`scripts/gen_testdata.py` (same schemas/distributions, seeded; the
+driver ships no sf1): lineitem 6M, orders 1.5M, events 1M, documents
+50k (10×), embeddings 20k (10×) — the first scale where shuffled data
+work clearly dominates fixed overhead on local[32].
 
 Step-A ratios BELOW 1.0 are an artifact of measurement order: sf0.001
 is timed first, while the JVM still carries residual JIT/codegen cost
@@ -77,7 +99,7 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {name: {} for name, _ in QUERIES_SHOWN}
     for sf in SFS:
-        sf_dir = f"/root/testdata/sf{sf}"
+        sf_dir = sf_dir_for(sf)
         for name, _ in QUERIES_SHOWN:  # untimed warm-up pass
             run_one(spark, QUERIES[name].builder, sf_dir)
         best = {name: float("inf") for name, _ in QUERIES_SHOWN}
@@ -92,15 +114,15 @@ def main() -> None:
 
     lines = [HEADER]
     lines.append(
-        "| query | driving table | sf0.001 s | sf0.01 s | sf0.1 s "
-        "| ×10 step A | ×10 step B |"
+        "| query | driving table | sf0.001 s | sf0.01 s | sf0.1 s | sf1 s "
+        "| ×10 step A | ×10 step B | ×10 step C |"
     )
-    lines.append("|---|---|---|---|---|---|---|")
+    lines.append("|---|---|---|---|---|---|---|---|---|")
     for name, table in QUERIES_SHOWN:
-        a, b, c = (results[name][sf] for sf in SFS)
+        a, b, c, d = (results[name][sf] for sf in SFS)
         lines.append(
-            f"| {name} | {table} | {a:.2f} | {b:.2f} | {c:.2f} "
-            f"| {b / a:.1f}× | {c / b:.1f}× |"
+            f"| {name} | {table} | {a:.2f} | {b:.2f} | {c:.2f} | {d:.2f} "
+            f"| {b / a:.1f}× | {c / b:.1f}× | {d / c:.1f}× |"
         )
     lines.append("")
     lines.append(
