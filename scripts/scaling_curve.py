@@ -86,7 +86,12 @@ Step-A ratios BELOW 1.0 are an artifact of measurement order: sf0.001
 is timed first, while the JVM still carries residual JIT/codegen cost
 its single warm-up pass didn't fully absorb — i.e. at these sizes the
 fixed overhead exceeds all data-dependent work. The load-bearing
-number is step B (60k→600k lineitem rows, fully warm).
+numbers are steps B and C (fully warm; step C is the first where most
+queries' shuffle/data work dominates). Measured step-C verdict: every
+ratio is SUB-linear (max 6.9× for dedup_minhash_lsh on a 10× document
+step — band-join pair work growing with corpus density but still
+bounded by LSH bucketing; no query shows the >10× super-linear
+signature of quadratic blowup or spill).
 """
 
 
