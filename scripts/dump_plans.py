@@ -23,6 +23,7 @@ SHOWN = [
     "w1_topk_per_user",
     "o2_topk_limit",
     "dedup_minhash_lsh",
+    "ann_lsh_topk",
     "text_winnowing",
     "ev_sessionize",
     "ev_rollup_merge",
