@@ -554,6 +554,7 @@ def pq_index(
     vec_col: str = "embedding",
     train_fraction: float | None = None,
     d: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ):
     """Product-quantization index (Jégou et al. 2011): split each
     d-dim vector into ``m`` contiguous subspaces and k-means each
@@ -576,7 +577,9 @@ def pq_index(
     argmin over the literal codebook (:func:`_nearest_code`) — no
     model-transform chain, no Python in the row path. Deterministic
     under ``seed``. Pass ``d`` when the caller already knows the
-    dimensionality to skip the first-row probe job.
+    dimensionality to skip the first-row probe job. Pass ``codebooks``
+    (m lists of n_codes centroids, e.g. from :func:`opq_train`) to
+    skip training entirely and only encode.
     """
     spark = corpus.sparkSession
     if d is None:
@@ -588,8 +591,23 @@ def pq_index(
     def sub(vec: Column, s: int) -> Column:
         return F.slice(vec, s * sub_d + 1, sub_d).cast("array<double>")
 
+    if codebooks is not None:
+        if len(codebooks) != m:
+            raise ValueError(f"expected {m} codebooks, got {len(codebooks)}")
+        codes = corpus.select(
+            F.col(id_col),
+            F.array(
+                *[_nearest_code(sub(F.col(vec_col), s), codebooks[s]) for s in range(m)]
+            ).alias("codes"),
+        )
+        codebook = spark.createDataFrame(
+            [(s, i, c) for s in range(m) for i, c in enumerate(codebooks[s])],
+            "subspace int, code int, centroid array<double>",
+        )
+        return codes, codebook
+
     train = _training_sample(corpus, id_col, train_fraction)
-    codebooks: list[list[list[float]]] = []
+    codebooks = []
     if train is not corpus:
         import numpy as np
 
@@ -646,6 +664,7 @@ def cosine_topk_pq(
     places: int = 4,
     train_fraction: float | None = None,
     d: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance computation (ADC).
 
@@ -675,7 +694,7 @@ def cosine_topk_pq(
     sub_d = d // m
     codes, codebook = pq_index(
         corpus, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col=vec_col,
-        train_fraction=train_fraction, d=d,
+        train_fraction=train_fraction, d=d, codebooks=codebooks,
     )
     # LUT build: (query x codebook entry) -> partial dot + centroid
     # norm^2, folded to per-subspace arrays then per-query matrices.
@@ -943,8 +962,9 @@ def opq_rotation(d: int, seed: int = 42) -> list[list[float]]:
 def _pq_quant_error(X, R, m: int, n_codes: int, seed: int):
     """PQ quantization error of sample ``X`` under rotation ``R``:
     train per-subspace codebooks on the rotated sample, quantize, and
-    return (Σ‖XRᵀ − Q‖², Q). Driver-side NumPy; shared by the trained-
-    OPQ loop and the tests that pin trained ≤ random error."""
+    return (Σ‖XRᵀ − Q‖², Q, codebooks). Driver-side NumPy; shared by
+    the trained-OPQ loop and the tests that pin trained ≤ random
+    error."""
     import numpy as np
 
     X = np.asarray(X, dtype=np.float64)
@@ -952,12 +972,14 @@ def _pq_quant_error(X, R, m: int, n_codes: int, seed: int):
     Xr = X @ R.T
     sub_d = Xr.shape[1] // m
     Q = np.empty_like(Xr)
+    codebooks = []
     for s in range(m):
         sl = slice(s * sub_d, (s + 1) * sub_d)
         C = np.array(_kmeans_np(Xr[:, sl], n_codes, seed=seed + s))
         d2 = ((Xr[:, sl][:, None, :] - C[None, :, :]) ** 2).sum(-1)
         Q[:, sl] = C[d2.argmin(1)]
-    return float(((Xr - Q) ** 2).sum()), Q
+        codebooks.append([[float(x) for x in row] for row in C])
+    return float(((Xr - Q) ** 2).sum()), Q, codebooks
 
 
 def opq_rotation_trained(
@@ -986,6 +1008,31 @@ def opq_rotation_trained(
     random-rotation path, training cost is a driver-side loop of m
     seeded Lloyd fits + one d×d SVD per iteration.
     """
+    rot, _ = opq_train(
+        corpus, m=m, n_codes=n_codes, seed=seed, iters=iters,
+        train_fraction=train_fraction, id_col=id_col, vec_col=vec_col, d=d,
+    )
+    return rot
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    iters: int = 6,
+    train_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int | None = None,
+):
+    """Full OPQ training: returns (rotation, codebooks) where the
+    codebooks are fit on the SAME rotated driver-side sample in a
+    final pass after the last rotation update — so a caller feeding
+    both into :func:`rotate_vectors` + :func:`pq_index` pays ONE
+    sample collect for the whole trained-OPQ pipeline instead of one
+    per stage (rotation consistent with codebooks by construction).
+    """
     import numpy as np
 
     if d is None:
@@ -997,11 +1044,13 @@ def opq_rotation_trained(
         raise ValueError("OPQ training sample is empty — raise train_fraction")
     R = np.array(opq_rotation(d, seed=seed), dtype=np.float64)
     for _ in range(iters):
-        _, Q = _pq_quant_error(X, R, m, n_codes, seed)
+        _, Q, _cb = _pq_quant_error(X, R, m, n_codes, seed)
         # max_R tr(R·XᵀQ): SVD XᵀQ = USVᵀ → R = VUᵀ
         u, _s, vt = np.linalg.svd(X.T @ Q)
         R = vt.T @ u.T
-    return [[float(x) for x in row] for row in R]
+    # final codebooks consistent with the final R
+    _, _, codebooks = _pq_quant_error(X, R, m, n_codes, seed)
+    return [[float(x) for x in row] for row in R], codebooks
 
 
 def rotate_vectors(
@@ -1093,8 +1142,11 @@ def cosine_topk_opq(
     (trained ADC error ≤ random's — pinned in tests/test_pq.py).
     """
     d = _probe_dim(corpus, vec_col)
+    cbs = None
     if rotation == "trained":
-        rot = opq_rotation_trained(
+        # one driver-side sample collect trains BOTH the rotation and
+        # the (rotated-space) codebooks — pq_index then only encodes
+        rot, cbs = opq_train(
             corpus, m=m, n_codes=n_codes, seed=seed,
             train_fraction=train_fraction, id_col=id_col, vec_col=vec_col, d=d,
         )
@@ -1107,5 +1159,5 @@ def cosine_topk_opq(
     return cosine_topk_pq(
         rc, rq, k=k, m=m, n_codes=n_codes, seed=seed, rerank=rerank,
         id_col=id_col, vec_col=vec_col, places=places,
-        train_fraction=train_fraction, d=d,
+        train_fraction=train_fraction, d=d, codebooks=cbs,
     )

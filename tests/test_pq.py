@@ -229,8 +229,8 @@ def test_opq_trained_rotation_beats_random_on_adc_error(spark):
     assert np.allclose(r_tr @ r_tr.T, np.eye(64), atol=1e-9)
     r_tr2 = np.array(sim.opq_rotation_trained(emb, m=8, n_codes=16, seed=42, iters=4))
     assert (r_tr == r_tr2).all()
-    err_rand, _ = sim._pq_quant_error(X, r_rand, 8, 16, seed=42)
-    err_tr, _ = sim._pq_quant_error(X, r_tr, 8, 16, seed=42)
+    err_rand, _, _ = sim._pq_quant_error(X, r_rand, 8, 16, seed=42)
+    err_tr, _, _ = sim._pq_quant_error(X, r_tr, 8, 16, seed=42)
     assert err_tr <= err_rand, (err_tr, err_rand)
 
 
