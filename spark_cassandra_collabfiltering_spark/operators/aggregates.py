@@ -116,3 +116,66 @@ def count_min_estimates(
         bytes(blob)
     )
     return [(item, sketch.estimateCount(item)) for item in items]
+
+
+def space_saving_topk(
+    df: DataFrame, col: str, k: int = 20, capacity: int = 256
+) -> DataFrame:
+    """Misra-Gries / space-saving heavy hitters with BOUNDED memory:
+    each partition keeps at most ``capacity`` counters (Arrow-batched
+    mapInPandas; batch counts folded in vectorized, then pruned by
+    subtracting the (capacity+1)-largest count — the standard mergeable
+    batched MG step), and only those counter rows ever shuffle. The
+    final merge is one small groupBy over <= n_partitions x capacity
+    summary rows — raw values never leave their partition, which is
+    the piece CMS (fixed-size blob, query-by-item) and the exact
+    top_frequent (full distinct-key shuffle) don't give you: a
+    SCANNABLE top-k whose shuffle is O(capacity), not O(distinct).
+
+    Output: (value, est, max_err), count-desc/value-asc top-k, where
+    ``est`` is a LOWER bound on the true count, ``max_err`` (same for
+    every row) is the summed per-partition subtraction total, and
+    true count ∈ [est, est + max_err]. Any value with true count >
+    max_err is guaranteed present (Agarwal et al., Mergeable
+    Summaries). capacity >= distinct values ==> est exact, max_err 0.
+    Deterministic: counting + pruning are order-free arithmetic.
+    """
+    import pandas as pd
+
+    out_schema = "value string, est bigint, err bigint"
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            vc = pdf[col].astype(str).value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                err += cut
+                counters = {
+                    v: c - cut for v, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "est": list(counters.values()) + [0],
+                # ride the partition error on a sentinel row so the
+                # global bound is a plain SUM downstream
+                "err": [0] * len(counters) + [err],
+            }
+        )
+
+    summaries = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg, out_schema
+    )
+    total_err = summaries.agg(F.sum("err").alias("max_err"))
+    return (
+        summaries.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("est").alias("est"))
+        .join(F.broadcast(total_err))
+        .orderBy(F.col("est").desc(), F.col("value").asc())
+        .limit(k)
+    )

@@ -57,3 +57,38 @@ def test_count_min_deterministic_under_seed(spark):
     a = agg.count_min_estimates(words, "term", top, seed=7)
     b = agg.count_min_estimates(words, "term", top, seed=7)
     assert a == b
+
+
+def test_space_saving_exact_when_capacity_covers_distinct(spark):
+    """capacity >= distinct values: no prune ever fires, so the merged
+    summaries ARE the exact counts and the error bound is zero."""
+    words = _terms(spark)
+    exact = {
+        r["term"]: r["n_occurrences"]
+        for r in agg.top_frequent(words, "term", n=10).collect()
+    }
+    got = agg.space_saving_topk(words, "term", k=10, capacity=10_000).collect()
+    assert {r["value"]: r["est"] for r in got} == exact
+    assert all(r["max_err"] == 0 for r in got)
+
+
+def test_space_saving_bounds_under_pruning(spark):
+    """capacity << distinct: for every emitted value the true count is
+    in [est, est + max_err], and every value with true count > max_err
+    is guaranteed emitted (mergeable Misra-Gries bound)."""
+    words = _terms(spark)
+    truth = {
+        r["term"]: r["n"]
+        for r in words.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    rows = agg.space_saving_topk(words, "term", k=50, capacity=16).collect()
+    assert rows, "sketch returned nothing"
+    max_err = rows[0]["max_err"]
+    assert max_err > 0  # pruning actually fired at this capacity
+    emitted = {r["value"] for r in rows}
+    for r in rows:
+        assert r["est"] <= truth[r["value"]] <= r["est"] + max_err, r
+    # every guaranteed-heavy value must be present (top-50 >> survivors)
+    for term, n in truth.items():
+        if n > max_err:
+            assert term in emitted, (term, n, max_err)
