@@ -141,14 +141,33 @@ def minhash_signature_table(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Band the k minhash columns into ``bands`` groups of r = k/bands;
     docs sharing any band signature become candidate pairs (id_a <
     id_b). The self-join key is (band, 'v:v:..' string) — small shuffle
     payload. Classic LSH guarantee: pairs with Jaccard ≥ t collide in
     ≥1 band with probability 1-(1-t^r)^b.
+
+    ``max_band_bucket`` is the density safeguard: a band signature
+    shared by B docs generates B·(B-1)/2 candidate pairs, so one
+    templated cluster (B in the thousands) turns the self-join
+    quadratic — the exact blowup LSH bucketing exists to avoid. With
+    the cap set, buckets larger than it are EXCLUDED from pairwise
+    candidate generation (bounding any bucket's pair work to cap²);
+    such crowds are better handled as clusters (exact dedup on the
+    band signature, or connected_components over the surviving pairs)
+    than as all-pairs verification. Capping can only LOSE candidate
+    pairs whose every shared band is oversized — recall, not
+    precision. Default None preserves exact uncapped semantics (the
+    oracle-checked registry query uses the default).
     """
+    from pyspark.sql import Window
+
     r = n_hashes // bands
     entries = [
         F.struct(
@@ -160,6 +179,13 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_band_bucket is not None:
+        # one count-over-window on the SAME (band, sig) key the join
+        # shuffles on — no extra scan, no second shuffle key
+        bc = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+        banded = banded.withColumn("_bc", bc).filter(
+            F.col("_bc") <= max_band_bucket
+        ).drop("_bc")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -210,6 +236,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     prefilter_matches: int = 4,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Full minhash-LSH near-dup pipeline: shingle → k-permutation
     signatures → band buckets → candidate pairs → signature-agreement
@@ -230,7 +257,10 @@ def minhash_dedup_pairs(
         df.repartition(F.col(id_col)), id_col, text_col, n=n
     ).cache()
     sigs = minhash_signature_table(sets, id_col, n_hashes=n_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes, bands=bands)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, n_hashes=n_hashes, bands=bands,
+        max_band_bucket=max_band_bucket,
+    )
     probable = signature_prefilter(
         cands, sigs, id_col, n_hashes=n_hashes, min_matches=prefilter_matches
     )

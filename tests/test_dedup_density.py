@@ -1,0 +1,83 @@
+"""Density safeguard for minhash-LSH: the max_band_bucket cap.
+
+A corpus dense with one templated document crowd makes some band
+bucket huge; its pairwise candidate generation is quadratic in the
+crowd size — the blowup LSH bucketing exists to avoid. The cap
+excludes oversized buckets from PAIR generation (the crowd is cluster
+work, not all-pairs work). Pins:
+
+1. default (None) semantics are unchanged;
+2. capped candidates ⊆ uncapped candidates (cap only loses pairs);
+3. genuine near-dup pairs living in small buckets survive the cap
+   while the hot crowd's quadratic pair set is gone;
+4. end-to-end minhash_dedup_pairs honours the knob.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_cassandra_collabfiltering_spark.operators import dedup as dd  # noqa: E402
+
+CROWD = 40  # identical templated docs -> one hot bucket per band
+
+
+def _dense_corpus(spark):
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(CROWD)]
+    # two genuine near-dup pairs, each its own small bucket
+    rows += [
+        (100, "spark shuffles partition data between executor stages quickly"),
+        (101, "spark shuffles partition data between executor stages quick"),
+        (200, "columnar parquet scans prune row groups with min max stats"),
+        (201, "columnar parquet scans prune row groups with min max stat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _cands(spark, cap):
+    df = _dense_corpus(spark)
+    sets = dd.doc_shingle_sets(df, "doc_id", "text", n=4)
+    sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=16)
+    return {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=16, bands=4, max_band_bucket=cap
+        ).collect()
+    }
+
+
+def test_cap_is_subset_and_kills_the_crowd_quadratic(spark):
+    uncapped = _cands(spark, None)
+    capped = _cands(spark, 10)
+    assert capped <= uncapped
+    # uncapped: the 40-doc crowd contributes 40*39/2 = 780 pairs
+    crowd_pairs = {(a, b) for (a, b) in uncapped if a < CROWD and b < CROWD}
+    assert len(crowd_pairs) == CROWD * (CROWD - 1) // 2
+    # capped: the crowd's quadratic pair set is fully excluded...
+    assert not {(a, b) for (a, b) in capped if a < CROWD and b < CROWD}
+    # ...while the small-bucket near-dup pairs survive
+    assert (100, 101) in capped and (200, 201) in capped
+
+
+def test_end_to_end_pipeline_honours_cap(spark):
+    df = _dense_corpus(spark)
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_dedup_pairs(
+            df, "doc_id", "text", n=4, threshold=0.5, max_band_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in out and (200, 201) in out
+    assert not {(a, b) for (a, b) in out if a < CROWD and b < CROWD}
+    # and the default path still verifies the crowd as true duplicates
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_dedup_pairs(
+            df, "doc_id", "text", n=4, threshold=0.5
+        ).collect()
+    }
+    assert {(a, b) for (a, b) in full if a < CROWD and b < CROWD}
