@@ -112,3 +112,65 @@ def test_upsert_semantics(spark, target, updates):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+words = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"])
+
+
+@SETTINGS
+@given(
+    values=st.lists(words, min_size=1, max_size=60),
+    capacity=st.integers(min_value=2, max_value=10),
+)
+def test_space_saving_bounds_hold_for_any_input(spark, values, capacity):
+    """Mergeable Misra-Gries invariants for ANY value multiset and any
+    counter capacity: est is a lower bound, est + max_err an upper
+    bound, and every value with true count > max_err is emitted."""
+    from collections import Counter
+
+    from spark_cassandra_collabfiltering_spark.operators.aggregates import (
+        space_saving_topk,
+    )
+
+    truth = Counter(values)
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    rows = space_saving_topk(df, "v", k=len(truth), capacity=capacity).collect()
+    max_err = rows[0]["max_err"] if rows else 0
+    emitted = {r["value"] for r in rows}
+    for r in rows:
+        assert r["est"] <= truth[r["value"]] <= r["est"] + max_err, (
+            r, truth, max_err,
+        )
+    for v, n in truth.items():
+        if n > max_err:
+            assert v in emitted, (v, n, max_err, rows)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=24), min_size=2, max_size=10
+    ),
+    cap=st.integers(min_value=1, max_value=4),
+)
+def test_lsh_band_cap_is_monotone_subset(spark, texts, cap):
+    """For ANY corpus: capped candidate pairs ⊆ uncapped, and raising
+    the cap can only add pairs (monotone in max_band_bucket)."""
+    from spark_cassandra_collabfiltering_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    sets = dd.doc_shingle_sets(df, "doc_id", "text", n=3)
+    sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=8)
+
+    def pairs(c):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dd.lsh_candidate_pairs(
+                sigs, "doc_id", n_hashes=8, bands=4, max_band_bucket=c
+            ).collect()
+        }
+
+    capped, looser, uncapped = pairs(cap), pairs(cap + 1), pairs(None)
+    assert capped <= looser <= uncapped
