@@ -2145,6 +2145,33 @@ def q_text_topterms(spark, sf_dir):
 
 
 @register(
+    "sketch_space_saving_topterms",
+    """SELECT term AS value, count(*)::BIGINT AS est, 0::BIGINT AS max_err
+       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents)
+       GROUP BY term ORDER BY est DESC, value ASC LIMIT 20""",
+    "Mergeable space-saving (Misra-Gries) heavy hitters through the "
+    "BOUNDED-memory path: each partition keeps <= capacity counters "
+    "(Arrow mapInPandas), only counter rows shuffle to one small "
+    "groupBy merge — O(capacity) shuffle instead of the exact path's "
+    "O(distinct). Registered at a capacity that provably never prunes "
+    "on this corpus's closed vocabulary, where the MG estimates are "
+    "EXACT and max_err is 0 by the mergeable-summaries bound — so the "
+    "sketch path itself is DuckDB-oracle-verified; the lossy regime's "
+    "bracketing bounds are pinned in tests/test_heavy_hitters.py and "
+    "property-tested in tests/test_property.py.",
+)
+def q_sketch_space_saving(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    return agg.space_saving_topk(words, "term", k=20, capacity=10_000)
+
+
+@register(
     "text_boilerplate",
     """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
                FROM documents),
