@@ -170,3 +170,63 @@ def test_pit_join_single_join_no_explosion(plans):
         for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     assert joins == 1, plan
+
+
+def test_pq_encode_is_map_only_and_jvm_side(spark):
+    """The 100 TB claim for the sampled-training PQ path: encoding the
+    full corpus to codes is ONE map-only select — no exchange, no
+    Python eval in the plan (codebooks ride as literals into a JVM
+    expression argmin). Training runs driver-side before planning, so
+    the plan is exactly the serving-shape scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    codes, _ = sim.pq_index(emb, m=8, n_codes=16, train_fraction=0.25)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        codes.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan  # neither Batch- nor Arrow-
+    assert "Scan parquet" in plan
+
+
+def test_space_saving_shuffles_counters_not_rows(spark):
+    """The sketch's merge exchange must sit ABOVE the mapInPandas
+    summarizer (only counter rows shuffle), never between the scan and
+    the summarizer (which would shuffle raw values)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cassandra_collabfiltering_spark.operators.aggregates import (
+        space_saving_topk,
+    )
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    from pyspark.sql import functions as F
+
+    docs = t(spark, SF_SMOKE, "documents").select("text")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        space_saving_topk(words, "term", k=10, capacity=64).explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan, plan
+    # the formatted tree is root-first (scan deepest): assert the scan
+    # feeds MapInPandas directly — no Exchange on the lines between
+    # them (an Exchange above the summarizer, merging counters, is the
+    # designed shape)
+    tree = plan.split("\n\n")[0]
+    lines = [ln for ln in tree.splitlines() if ln.strip()]
+    scan_i = max(i for i, ln in enumerate(lines) if "Scan parquet" in ln)
+    mip_i = max(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    between = lines[min(scan_i, mip_i): max(scan_i, mip_i)]
+    assert not any("Exchange" in ln for ln in between), between
