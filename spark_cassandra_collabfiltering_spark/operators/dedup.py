@@ -146,6 +146,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     max_band_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Band the k minhash columns into ``bands`` groups of r = k/bands;
     docs sharing any band signature become candidate pairs (id_a <
@@ -157,17 +158,30 @@ def lsh_candidate_pairs(
     shared by B docs generates B·(B-1)/2 candidate pairs, so one
     templated cluster (B in the thousands) turns the self-join
     quadratic — the exact blowup LSH bucketing exists to avoid. With
-    the cap set, buckets larger than it are EXCLUDED from pairwise
-    candidate generation (bounding any bucket's pair work to cap²);
-    such crowds are better handled as clusters (exact dedup on the
-    band signature, or connected_components over the surviving pairs)
-    than as all-pairs verification. Capping can only LOSE candidate
-    pairs whose every shared band is oversized — recall, not
-    precision. Default None preserves exact uncapped semantics (the
-    oracle-checked registry query uses the default).
+    the cap set, ``oversize`` picks what happens to buckets larger
+    than it:
+
+    - ``"drop"`` (default): oversized buckets are EXCLUDED from pair
+      generation entirely. Can only LOSE candidate pairs whose every
+      shared band is oversized — recall, not precision.
+    - ``"star"``: oversized buckets emit STAR edges — each member
+      pairs with the bucket's minimum id only — B-1 edges instead of
+      B·(B-1)/2. Downstream exact-Jaccard verification still prunes
+      false positives, and for the clustering consumer
+      (:func:`connected_components`) a verified star keeps the crowd
+      one component, so transitive dedup recall is preserved at
+      linear cost; only the non-center pairwise enumeration inside
+      the crowd is given up.
+
+    Default (None) preserves exact uncapped semantics (the primary
+    oracle-checked registry query uses the default; the dense-corpus
+    registry query pins the cap+star path against the same oracle
+    arithmetic).
     """
     from pyspark.sql import Window
 
+    if oversize not in ("drop", "star"):
+        raise ValueError(f"oversize must be 'drop' or 'star', got {oversize!r}")
     r = n_hashes // bands
     entries = [
         F.struct(
@@ -179,21 +193,32 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    star = None
     if max_band_bucket is not None:
-        # one count-over-window on the SAME (band, sig) key the join
-        # shuffles on — no extra scan, no second shuffle key
-        bc = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-        banded = banded.withColumn("_bc", bc).filter(
-            F.col("_bc") <= max_band_bucket
-        ).drop("_bc")
+        # one count/min-over-window on the SAME (band, sig) key the
+        # join shuffles on — no extra scan, no second shuffle key
+        w = Window.partitionBy("band", "sig")
+        banded = banded.withColumn("_bc", F.count(F.lit(1)).over(w))
+        if oversize == "star":
+            banded = banded.withColumn("_mn", F.min(id_col).over(w))
+            star = (
+                banded.filter(
+                    (F.col("_bc") > max_band_bucket) & (F.col(id_col) != F.col("_mn"))
+                )
+                # _mn is the bucket min, so id_a < id_b holds by construction
+                .select(F.col("_mn").alias("id_a"), F.col(id_col).alias("id_b"))
+            )
+        banded = banded.filter(F.col("_bc") <= max_band_bucket).drop("_bc", "_mn")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
-    return (
+    pairs = (
         a.join(b, on=["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def signature_prefilter(
@@ -237,6 +262,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     prefilter_matches: int = 4,
     max_band_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Full minhash-LSH near-dup pipeline: shingle → k-permutation
     signatures → band buckets → candidate pairs → signature-agreement
@@ -259,7 +285,7 @@ def minhash_dedup_pairs(
     sigs = minhash_signature_table(sets, id_col, n_hashes=n_hashes)
     cands = lsh_candidate_pairs(
         sigs, id_col, n_hashes=n_hashes, bands=bands,
-        max_band_bucket=max_band_bucket,
+        max_band_bucket=max_band_bucket, oversize=oversize,
     )
     probable = signature_prefilter(
         cands, sigs, id_col, n_hashes=n_hashes, min_matches=prefilter_matches

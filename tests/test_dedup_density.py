@@ -10,7 +10,11 @@ work, not all-pairs work). Pins:
 2. capped candidates ⊆ uncapped candidates (cap only loses pairs);
 3. genuine near-dup pairs living in small buckets survive the cap
    while the hot crowd's quadratic pair set is gone;
-4. end-to-end minhash_dedup_pairs honours the knob.
+4. end-to-end minhash_dedup_pairs honours the knob;
+5. oversize='star' replaces a crowd's quadratic pair set with B-1
+   star edges to the bucket minimum — linear work — and the verified
+   star keeps the crowd ONE connected component for the clustering
+   consumer, which oversize='drop' gives up.
 """
 
 from __future__ import annotations
@@ -38,14 +42,15 @@ def _dense_corpus(spark):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
-def _cands(spark, cap):
+def _cands(spark, cap, oversize="drop"):
     df = _dense_corpus(spark)
     sets = dd.doc_shingle_sets(df, "doc_id", "text", n=4)
     sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=16)
     return {
         (r["id_a"], r["id_b"])
         for r in dd.lsh_candidate_pairs(
-            sigs, "doc_id", n_hashes=16, bands=4, max_band_bucket=cap
+            sigs, "doc_id", n_hashes=16, bands=4, max_band_bucket=cap,
+            oversize=oversize,
         ).collect()
     }
 
@@ -81,3 +86,42 @@ def test_end_to_end_pipeline_honours_cap(spark):
         ).collect()
     }
     assert {(a, b) for (a, b) in full if a < CROWD and b < CROWD}
+
+
+def test_star_candidates_are_linear_in_crowd_size(spark):
+    starred = _cands(spark, 10, oversize="star")
+    crowd = {(a, b) for (a, b) in starred if a < CROWD and b < CROWD}
+    # all 40 identical docs share every band bucket; star mode links
+    # each non-minimum member to doc 0 only: exactly B-1 edges
+    assert crowd == {(0, i) for i in range(1, CROWD)}
+    # small-bucket near-dup pairs still come from full pairwise
+    assert (100, 101) in starred and (200, 201) in starred
+    # star output is a superset of drop output (it only adds edges)
+    assert _cands(spark, 10, oversize="drop") <= starred
+
+
+def test_star_keeps_crowd_one_component_end_to_end(spark):
+    df = _dense_corpus(spark)
+    pairs = dd.minhash_dedup_pairs(
+        df, "doc_id", "text", n=4, threshold=0.5,
+        max_band_bucket=10, oversize="star",
+    )
+    clusters = {
+        r["node"]: r["cluster_id"] for r in dd.connected_components(pairs).collect()
+    }
+    # every crowd member lands in doc 0's component — transitive dedup
+    # recall preserved at linear candidate cost
+    assert all(clusters[i] == 0 for i in range(CROWD))
+    assert clusters[101] == 100 and clusters[201] == 200
+
+
+def test_oversize_rejects_unknown_mode(spark):
+    import pytest
+
+    df = _dense_corpus(spark)
+    sets = dd.doc_shingle_sets(df, "doc_id", "text", n=4)
+    sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=16)
+    with pytest.raises(ValueError, match="oversize"):
+        dd.lsh_candidate_pairs(
+            sigs, "doc_id", max_band_bucket=5, oversize="reband"
+        )
