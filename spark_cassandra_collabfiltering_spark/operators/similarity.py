@@ -545,6 +545,74 @@ def near_dup_pairs_cosine(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, compare
+    pairs WITHIN each cluster only, and prune every doc whose cosine
+    to a lower-id doc in the same cluster is ≥ threshold. Output:
+    (id, cluster, keep) for every corpus row — the keep=true slice is
+    the semantically deduplicated corpus.
+
+    Clustering reuses :func:`ivf_index` (same sampled-training
+    contract — seeded NumPy Lloyd's on a deterministic keyed sample,
+    map-only full-corpus assignment over literal centroids), so the
+    whole operator is deterministic given (corpus, seed) and the only
+    shuffles are the k-means assignment groupBy and the within-cluster
+    self-join on the small integer cluster key.
+
+    Scale: the self-join is quadratic per cluster — exactly the paper's
+    design point: n_clusters grows with the corpus so the expected
+    cluster stays bounded (they use 50k clusters for LAION), turning
+    all-pairs O(N²) into O(N²/k). A skewed hot cluster is the same
+    density problem as a hot LSH bucket; compose with the cap/star
+    safeguard of dedup.lsh_candidate_pairs if assignments crowd.
+
+    Keep rule: a doc is pruned iff some LOWER-ID same-cluster doc is
+    within the threshold ball. Deterministic and single-pass (one
+    semi-join), at the cost of chain effects (a~b, b~c, a≁c prunes
+    both b and c). For one-representative-per-component semantics,
+    feed the dup pairs to dedup.connected_components instead and keep
+    label==node rows.
+    """
+    assigned, _ = ivf_index(
+        corpus, n_clusters=n_clusters, seed=seed, id_col=id_col,
+        vec_col=vec_col, train_fraction=train_fraction,
+    )
+    a = assigned.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = assigned.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    dup_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), places).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    pruned = (
+        dup_pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    # one left join (pruned is tiny relative to the corpus → broadcast)
+    return assigned.join(pruned, id_col, "left").select(
+        F.col(id_col), F.col("cluster"), F.col("_pruned").isNull().alias("keep")
+    )
+
+
 def pq_index(
     corpus: DataFrame,
     m: int = 8,

@@ -2006,6 +2006,23 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_semantic",
+    None,  # k-means clustering — not SQL-expressible; rows-only check
+    "SemDeDup-style semantic dedup (Abbas et al. 2023): k-means over "
+    "the embedding space (sampled seeded trainer, map-only full-corpus "
+    "assignment), pairwise cosine WITHIN clusters only, prune docs "
+    "with a lower-id near-twin ≥ threshold. O(N²/k) instead of "
+    "all-pairs; deterministic given seed (pinned in "
+    "tests/test_semantic_dedup.py).",
+)
+def q_dedup_semantic(spark, sf_dir):
+    return sim.semantic_dedup(
+        t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.3,
+        seed=42, train_fraction=0.5,
+    )
+
+
 def _marker_sql(lang: str) -> str:
     words = "|".join(tx.LANG_MARKERS[lang])
     return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
