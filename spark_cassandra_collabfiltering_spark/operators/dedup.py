@@ -140,6 +140,26 @@ def minhash_signature_table(
     return sets.select(F.col(id_col), *perms)
 
 
+def banded_signatures(
+    signatures: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Explode a wide signature table into (id, band, sig) rows: the
+    k minhash columns split into ``bands`` groups of r = k/bands, each
+    concatenated to one small string key — the LSH join key. Row-local
+    (one explode of a plan-time-constant array), no shuffle."""
+    r = n_hashes // bands
+    entries = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(":", *[F.col(f"mh{j * r + k}") for k in range(r)]).alias("sig"),
+        )
+        for j in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -182,17 +202,7 @@ def lsh_candidate_pairs(
 
     if oversize not in ("drop", "star"):
         raise ValueError(f"oversize must be 'drop' or 'star', got {oversize!r}")
-    r = n_hashes // bands
-    entries = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(":", *[F.col(f"mh{j * r + k}") for k in range(r)]).alias("sig"),
-        )
-        for j in range(bands)
-    ]
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    banded = banded_signatures(signatures, id_col, n_hashes=n_hashes, bands=bands)
     star = None
     if max_band_bucket is not None:
         # one count/min-over-window on the SAME (band, sig) key the
@@ -455,6 +465,110 @@ def ngram_jaccard_pairs(
     return _jaccard_on_pairs(shingled, cand, id_col).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    prefilter_matches: int = 4,
+) -> DataFrame:
+    """Batch-vs-corpus near-dup join — the INGEST dedup shape: match a
+    small incoming batch against an already-indexed corpus without the
+    corpus self-join. Returns (batch_id, corpus_id, jaccard ≥ threshold).
+
+    Same stages as :func:`minhash_dedup_pairs` but CROSS-side: band
+    signatures of both sides equi-join on (band, sig) — no id ordering
+    filter (the sides are distinct namespaces), so a batch doc matching
+    B corpus docs costs B rows, never B². At 100 TB the corpus side's
+    signature/band table is the precomputed index (computed once at
+    ingest, stored banded, bucketed by (band, sig)); each arriving
+    batch shingles itself row-locally, broadcasts its banded keys into
+    the join, prefilters on signature agreement, and verifies exact
+    set-Jaccard only for probable matches — corpus documents are never
+    re-scanned beyond the matched candidates.
+    """
+    sets_c = doc_shingle_sets(corpus, id_col, text_col, n=n).cache()
+    sets_b = doc_shingle_sets(batch, id_col, text_col, n=n).cache()
+    sig_c = minhash_signature_table(sets_c, id_col, n_hashes=n_hashes)
+    sig_b = minhash_signature_table(sets_b, id_col, n_hashes=n_hashes)
+    band_c = banded_signatures(sig_c, id_col, n_hashes, bands).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    band_b = banded_signatures(sig_b, id_col, n_hashes, bands).withColumnRenamed(
+        id_col, "batch_id"
+    )
+    cands = (
+        band_b.join(band_c, on=["band", "sig"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    # signature-agreement prefilter (E[matches/k] = J), cross-side
+    sb = sig_b.select(
+        F.col(id_col).alias("batch_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    sc = sig_c.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"c{i}") for i in range(n_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"b{i}") == F.col(f"c{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    probable = (
+        cands.join(sb, "batch_id")
+        .join(sc, "corpus_id")
+        .filter(est >= prefilter_matches)
+        .select("batch_id", "corpus_id")
+    )
+    hb = sets_b.select(F.col(id_col).alias("batch_id"), F.col("hs").alias("hs_b"))
+    hc = sets_c.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("hs_c"))
+    ix = F.size(F.array_intersect("hs_b", "hs_c"))
+    return (
+        probable.join(hb, "batch_id")
+        .join(hc, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            (ix / (F.size("hs_b") + F.size("hs_c") - ix)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_new_docs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    prefilter_matches: int = 4,
+) -> DataFrame:
+    """The ingest FILTER: batch rows that are neither exact (md5
+    fingerprint) nor near (minhash ≥ threshold) duplicates of the
+    corpus — what actually gets appended. Exact hits are removed by an
+    anti-join on the 16-byte fingerprint (never shipping bodies); near
+    hits by an anti-join against the incremental match table."""
+    fp = lambda df: df.withColumn(  # noqa: E731
+        "_fp", F.md5(F.col(text_col).cast("binary"))
+    )
+    exact_clean = fp(batch).join(
+        fp(corpus).select("_fp").distinct(), "_fp", "left_anti"
+    ).drop("_fp")
+    near = incremental_minhash_pairs(
+        corpus, batch, id_col, text_col, n=n, n_hashes=n_hashes,
+        bands=bands, threshold=threshold, prefilter_matches=prefilter_matches,
+    ).select(F.col("batch_id").alias(id_col)).distinct()
+    return exact_clean.join(near, id_col, "left_anti")
 
 
 def simhash(

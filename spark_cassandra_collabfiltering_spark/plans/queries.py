@@ -1728,6 +1728,120 @@ def q_dedup_minhash_dense(spark, sf_dir):
     )
 
 
+def _minhash_incremental_oracle_sql(
+    corpus_sql: str,
+    batch_sql: str,
+    n: int = 4,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.40,
+    prefilter: int = 4,
+) -> str:
+    """DuckDB replica of dedup.incremental_minhash_pairs — the batch-
+    vs-corpus (ingest) variant of the minhash pipeline, from the same
+    coefficient constants."""
+    p = dd.MINHASH_PRIME
+    r = n_hashes // bands
+
+    def mins() -> str:
+        return ",\n                     ".join(
+            f"min(({a} * h + {b}) % {p}) AS mh{i}"
+            for i, (a, b) in enumerate(dd.minhash_coeffs(n_hashes))
+        )
+
+    def band_selects(src: str) -> str:
+        return "\n              UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band, "
+            + " || ':' || ".join(f"mh{j * r + k}::VARCHAR" for k in range(r))
+            + f" AS sig FROM {src}"
+            for j in range(bands)
+        )
+
+    est = " + ".join(
+        f"(CASE WHEN sb.mh{i} = sc.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    shingle = (
+        f"SELECT DISTINCT doc_id, ('0x' || substr(md5(substr(text, u.i::INT, {n})), 1, 15))::BIGINT"
+        f" % {p} AS h FROM {{src}}, LATERAL unnest(range(1, length(text) - {n - 2})) u(i)"
+    )
+    return f"""WITH dc AS ({corpus_sql}),
+        db AS ({batch_sql}),
+        gc AS ({shingle.format(src='dc')}),
+        gb AS ({shingle.format(src='db')}),
+        sc AS (SELECT doc_id, {mins()} FROM gc GROUP BY doc_id),
+        sb AS (SELECT doc_id, {mins()} FROM gb GROUP BY doc_id),
+        bc AS ({band_selects('sc')}),
+        bb AS ({band_selects('sb')}),
+        cand0 AS (SELECT DISTINCT bb.doc_id AS batch_id, bc.doc_id AS corpus_id
+                  FROM bb JOIN bc ON bb.band = bc.band AND bb.sig = bc.sig),
+        cand AS (SELECT batch_id, corpus_id FROM cand0
+                 JOIN sb ON sb.doc_id = cand0.batch_id
+                 JOIN sc ON sc.doc_id = cand0.corpus_id
+                 WHERE {est} >= {prefilter}),
+        szc AS (SELECT doc_id, count(*) AS sz FROM gc GROUP BY 1),
+        szb AS (SELECT doc_id, count(*) AS sz FROM gb GROUP BY 1),
+        inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS ix
+                  FROM cand c
+                  JOIN gb ON gb.doc_id = c.batch_id
+                  JOIN gc ON gc.doc_id = c.corpus_id AND gc.h = gb.h
+                  GROUP BY 1, 2)
+        SELECT batch_id, corpus_id, ix / (zb.sz + zc.sz - ix) AS jaccard
+        FROM inter JOIN szb zb ON inter.batch_id = zb.doc_id
+                   JOIN szc zc ON inter.corpus_id = zc.doc_id
+        WHERE ix / (zb.sz + zc.sz - ix) >= {threshold}"""
+
+
+# Ingest split: the indexed corpus vs an arriving batch, derived
+# disjointly from `documents` in both engines.
+_DOC_BATCH_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1"
+
+
+def _doc_batch(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id", "text")
+    )
+
+
+@register(
+    "dedup_incremental",
+    _minhash_incremental_oracle_sql(_DOC_SUBSET_SQL, _DOC_BATCH_SQL, threshold=0.30),
+    "Incremental (ingest) near-dup join: an arriving batch matched "
+    "against the indexed corpus via cross-side minhash-LSH banding — "
+    "no corpus self-join, no id-ordering filter; a batch doc matching "
+    "B corpus docs costs B rows. At 100 TB the corpus's banded "
+    "signature table is precomputed once and bucketed by (band, sig); "
+    "each batch re-derives only its own signatures. Same prefilter + "
+    "exact set-Jaccard verification as the self-join path; oracle "
+    "replicates both sides stage-for-stage.",
+)
+def q_dedup_incremental(spark, sf_dir):
+    return dd.incremental_minhash_pairs(
+        _doc_subset(spark, sf_dir), _doc_batch(spark, sf_dir), "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.30, prefilter_matches=4,
+    )
+
+
+@register(
+    "dedup_incremental_new",
+    f"""WITH near AS ({_minhash_incremental_oracle_sql(_DOC_SUBSET_SQL, _DOC_BATCH_SQL, threshold=0.30)}),
+        b AS ({_DOC_BATCH_SQL}),
+        c AS ({_DOC_SUBSET_SQL})
+        SELECT b.doc_id FROM b
+        WHERE md5(b.text) NOT IN (SELECT md5(text) FROM c)
+          AND b.doc_id NOT IN (SELECT batch_id FROM near)""",
+    "The ingest FILTER composed from the incremental matcher: batch "
+    "docs that are neither exact-fingerprint nor near duplicates of "
+    "the corpus — the rows an append pipeline actually writes.",
+)
+def q_dedup_incremental_new(spark, sf_dir):
+    return dd.incremental_new_docs(
+        _doc_subset(spark, sf_dir), _doc_batch(spark, sf_dir), "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.30, prefilter_matches=4,
+    ).select("doc_id")
+
+
 _SIMHASH_CTES = f"""d AS ({_DOC_SUBSET_SQL}),
         g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
               FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
