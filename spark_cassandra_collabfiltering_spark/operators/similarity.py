@@ -298,13 +298,28 @@ def _kmeans_np(X, k: int, seed: int, max_iter: int = 20):
     return [[float(x) for x in row] for row in C]
 
 
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """A nested array<array<double>> literal built as ONE parsed SQL
+    expression. Building the same matrix from nested F.array(F.lit(..))
+    calls costs one py4j round-trip per element — measured ~2 s of
+    driver time for a 256×8 codebook, repeated per plan build — while
+    parsing a single expr string is milliseconds for the same literal
+    tree (values bit-identical: repr() round-trips doubles exactly and
+    Spark's `<repr>D` literal parses scientific notation). Finite
+    values only (codebooks/rotations never hold NaN/Inf)."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def _nearest_code(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared Euclidean) as a pure
     JVM-side expression over a literal codebook — the map-only encode/
     assign used by the sampled-training paths. Replaces a chain of
     pyspark.ml model transforms with ONE select; ties (measure-zero on
     real data) resolve to the lowest code via array_position."""
-    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cb = _lit_matrix(centroids)
     d2 = F.transform(
         cb,
         lambda c: F.aggregate(
@@ -352,7 +367,10 @@ def ivf_index(
     """
     train = _training_sample(corpus, id_col, train_fraction)
     if train is not corpus:
-        rows = train.select(id_col, vec_col).sort(id_col).collect()
+        # collect unsorted (no shuffle), sort driver-side: the sample is
+        # driver-scale by design and the key sort keeps partition order
+        # out of the seeded trainer
+        rows = sorted(train.select(id_col, vec_col).collect(), key=lambda r: r[0])
         centers = _kmeans_np(
             [list(r[1]) for r in rows], n_clusters, seed=seed
         )
@@ -679,7 +697,10 @@ def pq_index(
     if train is not corpus:
         import numpy as np
 
-        rows = train.select(id_col, vec_col).sort(id_col).collect()
+        # collect unsorted (no shuffle), sort driver-side: the sample is
+        # driver-scale by design and the key sort keeps partition order
+        # out of the seeded trainer
+        rows = sorted(train.select(id_col, vec_col).collect(), key=lambda r: r[0])
         X = np.array([list(r[1]) for r in rows], dtype=np.float64)
         if X.ndim != 2:
             raise ValueError("k-means training sample is empty — raise train_fraction")
@@ -1106,7 +1127,10 @@ def opq_train(
     if d is None:
         d = _probe_dim(corpus, vec_col)
     train = _training_sample(corpus, id_col, train_fraction)
-    rows = train.select(id_col, vec_col).sort(id_col).collect()
+    # collect unsorted (no shuffle), sort driver-side: the sample is
+    # driver-scale by design and the key sort keeps partition order
+    # out of the seeded trainer
+    rows = sorted(train.select(id_col, vec_col).collect(), key=lambda r: r[0])
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if X.ndim != 2 or not len(X):
         raise ValueError("OPQ training sample is empty — raise train_fraction")
@@ -1148,9 +1172,7 @@ def rotate_vectors(
     """
     d = len(rotation)
     if d <= gemm_threshold:
-        rows = F.array(
-            *[F.array(*[F.lit(x) for x in row]) for row in rotation]
-        )
+        rows = _lit_matrix(rotation)
         rotated = F.transform(
             rows, lambda r: dot(r, F.col(vec_col).cast("array<double>"))
         )
