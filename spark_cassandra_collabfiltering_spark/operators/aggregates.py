@@ -179,3 +179,75 @@ def space_saving_topk(
         .orderBy(F.col("est").desc(), F.col("value").asc())
         .limit(k)
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Fixed-range histogram counts per group: (group..., bin, cnt).
+
+    bin = clamp(floor((x − lo)·bins/(hi − lo)), 0, bins−1) — one
+    per-row expression, then ONE hash-aggregate on (group, bin). The
+    partial states are plain counts, so they map-side combine AND
+    merge across any partitioning/time-slicing (sum the cnt column) —
+    the mergeable-sketch property that makes this the 100 TB quantile
+    path: bounded state (bins rows per group) instead of shuffling
+    every value like an exact percentile. All arithmetic is
+    deterministic per-row double math → exact cross-engine oracle.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    x = F.col(value_col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
+    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.select(*group_cols, clamped.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Quantile estimates from fixed-width histogram counts: for each
+    quantile q, the UPPER EDGE of the first bin whose cumulative count
+    reaches rank ceil(q·n) — error bounded by one bin width (hi−lo)/
+    bins, the classic histogram-quantile tradeoff. Input is the
+    (group, bin, cnt) table of :func:`fixed_width_histogram` — or any
+    MERGE of such tables (sum cnt per (group, bin) first), which is
+    how a continuous-aggregate rollup serves sliding quantiles without
+    touching raw data. One window cumsum over ≤ bins rows per group +
+    one explode of the constant quantile list; no second scan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    wn = Window.partitionBy(*group_cols)
+    c = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    width = (float(hi) - float(lo)) / bins
+    est = F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)
+    return (
+        c.select(*group_cols, "bin", "cum", "n", qlit)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min(est).alias("est"))
+    )

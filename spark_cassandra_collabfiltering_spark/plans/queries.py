@@ -821,6 +821,37 @@ def q_q14_promo_share(spark, sf_dir):
 
 
 @register(
+    "g12_hist_quantiles",
+    """WITH h AS (SELECT l_returnflag,
+                       LEAST(GREATEST(floor((l_quantity - 0.0) * 25 / 50.0), 0), 24)::INT AS bin,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, bin,
+                     sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+              FROM h),
+        e AS (SELECT l_returnflag, bin, cum, n, v.q
+              FROM c, (VALUES (0.5), (0.95)) v(q))
+        SELECT l_returnflag, q, min(0.0 + (bin + 1) * 2.0) AS est
+        FROM e WHERE cum >= ceil(q * n) GROUP BY 1, 2""",
+    "Mergeable fixed-width-histogram quantiles — the 100 TB quantile "
+    "path: ONE hash-aggregate builds bounded per-group state (25 bins "
+    "over [0, 50)), quantile = upper edge of the first bin reaching "
+    "rank ceil(q*n), error ≤ one bin width. Unlike exact percentile "
+    "(shuffles every value) or approx_percentile (GK sketch, not "
+    "engine-portable), histogram counts merge across any partitioning "
+    "or time-slicing by summing — rollup parity pinned in "
+    "tests/test_hist_quantiles.py — and the whole estimate is exact "
+    "cross-engine arithmetic.",
+)
+def q_hist_quantiles(spark, sf_dir):
+    h = agg.fixed_width_histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity", ["l_returnflag"], 0.0, 50.0, 25
+    )
+    return agg.histogram_quantiles(h, ["l_returnflag"], [0.5, 0.95], 0.0, 50.0, 25)
+
+
+@register(
     "g11_stats_moments",
     """WITH s AS (
          SELECT l_returnflag,

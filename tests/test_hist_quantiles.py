@@ -1,0 +1,93 @@
+"""Mergeable fixed-width-histogram quantiles (operators/aggregates.py).
+
+Pins the three properties that make this the scale-path quantile:
+
+1. MERGEABILITY: histograms built per time-slice and merged by summing
+   counts give bit-identical quantiles to one direct build — the
+   continuous-aggregate contract (same as ev_rollup_merge).
+2. ERROR BOUND: the estimate is within one bin width of the exact
+   percentile.
+3. determinism + bin-edge clamping contracts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_cassandra_collabfiltering_spark.operators import aggregates as agg  # noqa: E402
+
+LO, HI, BINS = 0.0, 50.0, 25
+WIDTH = (HI - LO) / BINS
+
+
+def _li(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_shipdate"
+    )
+
+
+def test_merged_slices_equal_direct(spark):
+    li = _li(spark)
+    direct = agg.fixed_width_histogram(li, "l_quantity", ["l_returnflag"], LO, HI, BINS)
+    # slice by ship month, histogram each slice, merge by summing counts
+    sliced = agg.fixed_width_histogram(
+        li.withColumn("m", F.month("l_shipdate")),
+        "l_quantity", ["l_returnflag", "m"], LO, HI, BINS,
+    )
+    merged = sliced.groupBy("l_returnflag", "bin").agg(F.sum("cnt").alias("cnt"))
+    qd = sorted(
+        map(tuple, agg.histogram_quantiles(
+            direct, ["l_returnflag"], [0.5, 0.9, 0.95], LO, HI, BINS
+        ).collect())
+    )
+    qm = sorted(
+        map(tuple, agg.histogram_quantiles(
+            merged, ["l_returnflag"], [0.5, 0.9, 0.95], LO, HI, BINS
+        ).collect())
+    )
+    assert qd == qm and len(qd) > 0
+
+
+def test_estimate_within_one_bin_of_exact(spark):
+    li = _li(spark)
+    h = agg.fixed_width_histogram(li, "l_quantity", ["l_returnflag"], LO, HI, BINS)
+    est = {
+        (r["l_returnflag"], r["q"]): r["est"]
+        for r in agg.histogram_quantiles(
+            h, ["l_returnflag"], [0.5, 0.95], LO, HI, BINS
+        ).collect()
+    }
+    exact = {
+        (r["l_returnflag"], q): r[f"p{int(q*100)}"]
+        for r in li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+        ).collect()
+        for q in (0.5, 0.95)
+    }
+    assert set(est) == set(exact)
+    for key, e in est.items():
+        assert abs(e - exact[key]) <= WIDTH, (key, e, exact[key])
+
+
+def test_clamping_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 49.99), ("a", 50.0), ("a", 99.0)],
+        "g string, x double",
+    )
+    h = {
+        r["bin"]: r["cnt"]
+        for r in agg.fixed_width_histogram(df, "x", ["g"], LO, HI, BINS).collect()
+    }
+    # below-range clamps to bin 0, at/above hi clamps to the last bin
+    assert h[0] == 2 and h[BINS - 1] == 3
+    with pytest.raises(ValueError, match="bins"):
+        agg.fixed_width_histogram(df, "x", ["g"], LO, HI, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        agg.fixed_width_histogram(df, "x", ["g"], 10.0, 10.0, 4)
