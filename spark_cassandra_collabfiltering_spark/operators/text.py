@@ -387,3 +387,51 @@ def boilerplate_fraction(
             _e6(F.col("n_bp") / nz).alias("bp_frac_e6"),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-doc top-k DISTINCTIVE terms by TF-IDF, in exact integer
+    arithmetic: score_e6 = (tf · (N+1) · 1e6) div (df+1) where tf =
+    occurrences in the doc, df = docs containing the term, N = corpus
+    size — reciprocal-df weighting (the log damping of classic idf is
+    traded for bit-exact cross-engine output, per this module's
+    floor-scaled-e6 convention; ranking is unchanged for terms with
+    equal tf). Integer div keeps every stage exact while
+    tf·(N+1)·1e6 < 2^63 (overflow only past ~9e18 — switch the
+    numerator to decimal(38,0) beyond ~1e9 docs × tf 1e3).
+
+    Plan: term explode → (doc, term) hash-agg → term-level df
+    hash-agg (small, broadcast back) → one-row corpus count riding a
+    broadcast — tf never re-shuffles after its aggregate; top-k is a
+    per-doc window. Output: (id, term, score_e6, rank ≤ k), ordered
+    within doc by score desc / term asc.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    ndocs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "score_e6",
+            F.expr("(tf * (n_docs + 1) * 1000000L) div (df_docs + 1)"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score_e6", "rank")
+    )

@@ -2385,6 +2385,32 @@ def q_text_topterms(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_topk",
+    """WITH w AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        s AS (SELECT tf.doc_id, tf.term,
+                     (tf.tf * (n.n_docs + 1) * 1000000) // (dfq.df_docs + 1) AS score_e6
+              FROM tf JOIN dfq USING (term), n)
+        SELECT doc_id, term, score_e6, rank FROM (
+          SELECT doc_id, term, score_e6,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_e6 DESC, term) AS rank
+          FROM s) WHERE rank <= 5""",
+    "Per-doc top-5 distinctive terms by TF-IDF with reciprocal-df "
+    "weighting in exact bigint arithmetic (score_e6 = tf·(N+1)·1e6 "
+    "div (df+1) — log damping traded for bit-exact cross-engine "
+    "output). tf aggregates once; the term-level df table and the "
+    "one-row corpus count broadcast back; per-doc window top-k.",
+)
+def q_text_tfidf(spark, sf_dir):
+    return tx.tfidf_topk(t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+@register(
     "sketch_space_saving_topterms",
     """SELECT term AS value, count(*)::BIGINT AS est, 0::BIGINT AS max_err
        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
