@@ -45,12 +45,16 @@ PLAN_QUERIES = [
     "text_repetition", "text_boilerplate", "text_topterms",
     "ev_rollup_merge", "cdc_pit_join", "sample_weighted",
     "curation_quality_sample", "ann_lsh_multiprobe",
+    # late-r4 additions (plan-only cheap)
+    "dedup_minhash_dense", "dedup_incremental", "dedup_incremental_new",
+    "g12_hist_quantiles", "text_tfidf_topk",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
-# construction (5-vector query batch / quadratic-baseline doc subset),
-# documented in the operator docstrings. Everything else must be 0.
-BNLJ_ALLOWED = {"ann_bruteforce_topk", "dedup_ngram_jaccard"}
+# construction (5-vector query batch / quadratic-baseline doc subset /
+# tfidf's ONE-ROW corpus-count join), documented in the operator
+# docstrings. Everything else must be 0.
+BNLJ_ALLOWED = {"ann_bruteforce_topk", "dedup_ngram_jaccard", "text_tfidf_topk"}
 
 
 @pytest.fixture(scope="module")
@@ -119,6 +123,26 @@ def test_minhash_lsh_no_shingle_shuffle(plans):
     # loose overall budget: a blow-up past this means the plan shape
     # changed fundamentally (exact count varies with session conf/AQE)
     assert len(re.findall(r"\bExchange\b", plans["dedup_minhash_lsh"])) <= 16
+
+
+def test_dense_and_incremental_lsh_no_shingle_shuffle(plans):
+    """Same guard as the self-join LSH path: the dense (cap+star) and
+    cross-side (ingest) variants must never shuffle on a shingle/gram
+    key — signatures stay row-local arrays."""
+    for name in ("dedup_minhash_dense", "dedup_incremental"):
+        for args in re.findall(
+            r"Arguments: hashpartitioning\(([^)]*)\)", plans[name]
+        ):
+            assert "shingle" not in args and "gram" not in args, (name, args)
+
+
+def test_hist_quantiles_is_two_exchanges(plans):
+    """Histogram quantiles: one exchange for the (group, bin) count
+    aggregate, one for the per-group window cumsum — bounded state, no
+    raw-value shuffle beyond those."""
+    assert _op_count(plans["g12_hist_quantiles"], "Exchange") == 2, plans[
+        "g12_hist_quantiles"
+    ]
 
 
 def test_topk_uses_take_ordered(plans):
