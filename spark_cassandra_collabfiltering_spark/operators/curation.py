@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_cassandra_collabfiltering_spark.operators.relational import hash_bucket
+from spark_cassandra_collabfiltering_spark.operators.relational import (
+    hash_bucket,
+    md5_draw60,
+)
 
 # RE2-and-Java-portable patterns (no backrefs/lookaround): the ORDER
 # matters — SSN and credit-card shapes are substrings of looser phone/
@@ -123,6 +126,78 @@ def contamination_check(
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    range_bits: int = 8,
+) -> DataFrame:
+    """Exact-quota domain-mix rebalancing — the "data recipe" step of a
+    pretraining pipeline (take exactly 40 B docs of web, 20 B of code,
+    ...), deterministic and skew-free at corpus scale.
+
+    Semantics: per domain, keep EXACTLY ``min(quota, available)`` rows
+    — the ones ranked first by a pure-function-of-the-row md5 draw
+    (ties broken by key). Equivalent to
+    ``row_number() OVER (PARTITION BY domain ORDER BY draw, key)
+    <= quota`` — which is how the DuckDB oracle states it — but that
+    direct window puts an entire domain's rows in ONE task, and a
+    pretraining mix has FEW domains with BILLIONS of rows each: the
+    naive plan serializes on the hottest domain. Instead, a two-phase
+    distributed top-n:
+
+    1. Range-split the 60-bit draw into ``2^range_bits`` ordered
+       buckets (top bits — bucket order IS draw order). Per
+       (domain, bucket) counts are one map-side-combinable agg whose
+       output is tiny (domains x 256 rows), so the running prefix
+       count per domain is a window over a broadcast-scale table.
+    2. Broadcast the per-bucket prefix counts back onto the rows:
+       buckets wholly under quota keep ALL rows scan-locally (no sort,
+       no shuffle); buckets wholly past quota drop scan-locally; only
+       each domain's single BOUNDARY bucket — ~1/256th of one domain —
+       shuffles for an exact within-bucket rank to fill the remainder.
+
+    Domains absent from ``quotas`` get quota 0 (dropped). Output is
+    the selected (key, domain) rows."""
+    nb_shift = 60 - range_bits
+    base = df.select(
+        F.col(key_col),
+        F.col(domain_col),
+        md5_draw60(F.col(key_col)).alias("_draw"),
+    ).withColumn("_rb", F.shiftright(F.col("_draw"), nb_shift))
+
+    stats = base.groupBy(domain_col, "_rb").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_before = (
+        Window.partitionBy(domain_col)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = stats.withColumn(
+        "_before", F.coalesce(F.sum("_cnt").over(w_before), F.lit(0))
+    )
+
+    quota: Column = F.lit(0)
+    for d, q in quotas.items():
+        quota = F.when(F.col(domain_col) == d, F.lit(int(q))).otherwise(quota)
+
+    j = base.join(F.broadcast(stats), [domain_col, "_rb"]).withColumn(
+        "_quota", quota
+    )
+    keep_all = j.filter(F.col("_before") + F.col("_cnt") <= F.col("_quota"))
+    boundary = j.filter(
+        (F.col("_before") < F.col("_quota"))
+        & (F.col("_before") + F.col("_cnt") > F.col("_quota"))
+    )
+    w_rank = Window.partitionBy(domain_col, "_rb").orderBy("_draw", key_col)
+    boundary_kept = boundary.withColumn(
+        "_rk", F.row_number().over(w_rank)
+    ).filter(F.col("_before") + F.col("_rk") <= F.col("_quota"))
+    return keep_all.select(key_col, domain_col).unionByName(
+        boundary_kept.select(key_col, domain_col)
     )
 
 

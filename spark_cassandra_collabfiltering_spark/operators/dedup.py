@@ -141,23 +141,41 @@ def minhash_signature_table(
 
 
 def banded_signatures(
-    signatures: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    with_next_band_ref: bool = False,
 ) -> DataFrame:
     """Explode a wide signature table into (id, band, sig) rows: the
     k minhash columns split into ``bands`` groups of r = k/bands, each
     concatenated to one small string key — the LSH join key. Row-local
-    (one explode of a plan-time-constant array), no shuffle."""
+    (one explode of a plan-time-constant array), no shuffle.
+
+    ``with_next_band_ref`` additionally carries ``ref`` — the NEXT
+    band's signature ((band+1) mod bands) — per row, which the
+    ``oversize='reband'`` density safeguard uses as the second-level
+    refinement key. Still row-local: it reads minhash columns already
+    in the row."""
     r = n_hashes // bands
+
+    def sig_of(j: int):
+        return F.concat_ws(":", *[F.col(f"mh{j * r + k}") for k in range(r)])
+
     entries = [
         F.struct(
             F.lit(j).alias("band"),
-            F.concat_ws(":", *[F.col(f"mh{j * r + k}") for k in range(r)]).alias("sig"),
+            sig_of(j).alias("sig"),
+            *([sig_of((j + 1) % bands).alias("ref")] if with_next_band_ref else []),
         )
         for j in range(bands)
     ]
+    cols = [id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")]
+    if with_next_band_ref:
+        cols.append(F.col("bs.ref").alias("ref"))
     return signatures.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -192,6 +210,18 @@ def lsh_candidate_pairs(
       one component, so transitive dedup recall is preserved at
       linear cost; only the non-center pairwise enumeration inside
       the crowd is given up.
+    - ``"reband"``: oversized buckets are SPLIT by a second-level key
+      — the row's NEXT band signature ((band+1) mod bands) appended to
+      the bucket key — and the cap re-applied. Sub-buckets that come
+      in under the cap keep full pairwise enumeration (so a hot bucket
+      of docs that merely collide on one band splits into genuine
+      two-band-agreement groups); sub-buckets still over the cap (a
+      truly identical crowd refines to itself) fall back to STAR
+      edges. Recall loss relative to "star" is zero (star arm keeps
+      components connected); relative to uncapped, only cross-sub-
+      bucket pairs inside a hot bucket that agree on band j but not
+      band j+1 lose their direct edge. Costs one extra count window
+      over the refined key — still no quadratic work anywhere.
 
     Default (None) preserves exact uncapped semantics (the primary
     oracle-checked registry query uses the default; the dense-corpus
@@ -200,9 +230,14 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    if oversize not in ("drop", "star"):
-        raise ValueError(f"oversize must be 'drop' or 'star', got {oversize!r}")
-    banded = banded_signatures(signatures, id_col, n_hashes=n_hashes, bands=bands)
+    if oversize not in ("drop", "star", "reband"):
+        raise ValueError(
+            f"oversize must be 'drop', 'star' or 'reband', got {oversize!r}"
+        )
+    banded = banded_signatures(
+        signatures, id_col, n_hashes=n_hashes, bands=bands,
+        with_next_band_ref=(oversize == "reband"),
+    )
     star = None
     if max_band_bucket is not None:
         # one count/min-over-window on the SAME (band, sig) key the
@@ -216,6 +251,29 @@ def lsh_candidate_pairs(
                     (F.col("_bc") > max_band_bucket) & (F.col(id_col) != F.col("_mn"))
                 )
                 # _mn is the bucket min, so id_a < id_b holds by construction
+                .select(F.col("_mn").alias("id_a"), F.col(id_col).alias("id_b"))
+            )
+        elif oversize == "reband":
+            # Second-level banding: oversized buckets refine their key
+            # with the next band's signature ("|" separator cannot
+            # occur in a ":"-joined integer sig, so refined keys never
+            # collide with intact small-bucket keys), then the cap is
+            # re-applied on the refined key with a STAR fallback.
+            banded = banded.withColumn(
+                "sig",
+                F.when(
+                    F.col("_bc") > max_band_bucket,
+                    F.concat_ws("|", F.col("sig"), F.col("ref")),
+                ).otherwise(F.col("sig")),
+            ).drop("_bc", "ref")
+            w2 = Window.partitionBy("band", "sig")
+            banded = banded.withColumn(
+                "_bc", F.count(F.lit(1)).over(w2)
+            ).withColumn("_mn", F.min(id_col).over(w2))
+            star = (
+                banded.filter(
+                    (F.col("_bc") > max_band_bucket) & (F.col(id_col) != F.col("_mn"))
+                )
                 .select(F.col("_mn").alias("id_a"), F.col(id_col).alias("id_b"))
             )
         banded = banded.filter(F.col("_bc") <= max_band_bucket).drop("_bc", "_mn")

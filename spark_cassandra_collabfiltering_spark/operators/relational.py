@@ -95,16 +95,24 @@ def top_k(df: DataFrame, k: int, *order_cols) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def md5_draw60(col: Column) -> Column:
+    """Deterministic 60-bit uniform draw from a value: md5 of its
+    string form, first 15 hex digits parsed base-16. Pure function of
+    the ROW — stable across runs, engines, partitionings, and retries.
+    DuckDB equivalent (oracle parity):
+    ``('0x' || substr(md5(x::VARCHAR), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def hash_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic, engine-portable bucket in [0, buckets): md5 of
     the value's string form → 60-bit int → mod. Unlike rand()/
     randomSplit, the assignment is a pure function of the ROW — stable
     across runs, engines, partitionings, and retries, which is what a
     reproducible train/eval split needs."""
-    h60 = F.conv(
-        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
-    ).cast("bigint")
-    return h60 % buckets
+    return md5_draw60(col) % buckets
 
 
 def deterministic_sample(

@@ -2984,6 +2984,38 @@ def q_curation_pack(spark, sf_dir):
         "seq_offset",
     )
 
+_MIX_QUOTAS = {"src0": 10, "src1": 3, "src2": 40, "src3": 25}
+_MIX_SQL = " OR ".join(
+    f"(source = '{d}' AND rk <= {q})" for d, q in _MIX_QUOTAS.items()
+)
+
+
+@register(
+    "curation_domain_mix",
+    f"""WITH d AS (SELECT doc_id, source,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                             AS draw
+                  FROM documents),
+        r AS (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY draw, doc_id) AS rk
+              FROM d)
+       SELECT doc_id, source FROM r WHERE {_MIX_SQL}""",
+    "Exact-quota domain-mix rebalancing (the pretraining data-recipe "
+    "step): per domain keep exactly min(quota, available) rows ranked "
+    "by a deterministic md5 draw. The oracle states it as a per-domain "
+    "row_number window; the Spark plan is the skew-free two-phase "
+    "top-n — draw-range bucket counts (tiny, broadcast) decide whole "
+    "buckets scan-locally, and only each domain's single boundary "
+    "bucket shuffles for an exact rank. One hot domain with billions "
+    "of rows never serializes onto one task.",
+)
+def q_curation_domain_mix(spark, sf_dir):
+    return cu.domain_mix_sample(
+        t(spark, sf_dir, "documents"), _MIX_QUOTAS
+    )
+
+
 # ===========================================================================
 # Correlated-subquery shapes (TPC-H Q4/Q17/Q22 patterns) — exercises
 # Catalyst's subquery-to-join rewrites (RewritePredicateSubquery,

@@ -105,3 +105,70 @@ def test_pack_documents_groups_are_deterministic(spark):
         )
     )
     assert one == two  # placement is a pure function of the rows
+
+
+def _naive_mix(spark, df, quotas):
+    """The oracle's statement of domain_mix_sample: per-domain
+    row_number over (md5 draw, key) <= quota."""
+    from pyspark.sql import Window
+    from spark_cassandra_collabfiltering_spark.operators.relational import (
+        md5_draw60,
+    )
+
+    w = Window.partitionBy("source").orderBy(
+        md5_draw60(F.col("doc_id")), F.col("doc_id")
+    )
+    quota = F.lit(0)
+    for d, q in quotas.items():
+        quota = F.when(F.col("source") == d, F.lit(q)).otherwise(quota)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .select("doc_id", "source")
+    )
+
+
+def test_domain_mix_exact_quotas_and_caps(spark):
+    rows = [(i, f"dom{i % 3}") for i in range(90)]  # 30 per domain
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    quotas = {"dom0": 7, "dom1": 45}  # dom1 over-quota; dom2 absent
+    out = cu.domain_mix_sample(df, quotas).collect()
+    by_dom: dict[str, set] = {}
+    for r in out:
+        by_dom.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_dom.get("dom0", set())) == 7      # exact quota
+    assert len(by_dom.get("dom1", set())) == 30     # capped at available
+    assert "dom2" not in by_dom                     # no quota -> dropped
+
+
+def test_domain_mix_matches_naive_window_statement(spark):
+    rows = [(i, f"dom{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    quotas = {"dom0": 11, "dom1": 1, "dom3": 40, "dom4": 0}
+    got = sorted(map(tuple, cu.domain_mix_sample(df, quotas).collect()))
+    want = sorted(map(tuple, _naive_mix(spark, df, quotas).collect()))
+    assert got == want and len(got) == 11 + 1 + 40
+
+
+def test_domain_mix_is_partitioning_invariant(spark):
+    rows = [(i, f"dom{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    quotas = {"dom0": 13, "dom1": 29, "dom2": 5}
+    one = sorted(map(tuple, cu.domain_mix_sample(df, quotas).collect()))
+    two = sorted(
+        map(tuple, cu.domain_mix_sample(df.repartition(17), quotas).collect())
+    )
+    assert one == two
+
+
+def test_domain_mix_boundary_bucket_ranking(spark):
+    # range_bits=1 forces two coarse buckets so at least one domain's
+    # quota lands strictly INSIDE a bucket -> exercises the boundary-
+    # rank arm (keep_all/drop_all alone can't hit an odd quota)
+    rows = [(i, "only") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = sorted(
+        map(tuple, cu.domain_mix_sample(df, {"only": 23}, range_bits=1).collect())
+    )
+    want = sorted(map(tuple, _naive_mix(spark, df, {"only": 23}).collect()))
+    assert got == want and len(got) == 23

@@ -123,5 +123,78 @@ def test_oversize_rejects_unknown_mode(spark):
     sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=16)
     with pytest.raises(ValueError, match="oversize"):
         dd.lsh_candidate_pairs(
-            sigs, "doc_id", max_band_bucket=5, oversize="reband"
+            sigs, "doc_id", max_band_bucket=5, oversize="explode"
         )
+
+
+def _crafted_signatures(spark, subgroup_sizes):
+    """Signature table engineered to isolate the reband refinement:
+    every doc shares ONE band-0 signature (the hot bucket); band 1
+    splits docs into contiguous sub-groups; bands 2 and 3 are unique
+    per doc (singleton buckets, contribute nothing)."""
+    rows = []
+    doc_id = 0
+    for g, size in enumerate(subgroup_sizes):
+        for _ in range(size):
+            rows.append(
+                (doc_id, *([7] * 4), *([100 + g] * 4),
+                 *([1000 + doc_id] * 4), *([5000 + doc_id] * 4))
+            )
+            doc_id += 1
+    cols = ", ".join(["doc_id bigint"] + [f"mh{i} int" for i in range(16)])
+    return spark.createDataFrame(rows, cols)
+
+
+def _pairs(spark, sigs, cap, oversize):
+    return {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=16, bands=4,
+            max_band_bucket=cap, oversize=oversize,
+        ).collect()
+    }
+
+
+def test_reband_splits_hot_bucket_by_second_level_key(spark):
+    # 25 docs all share band 0; band 1 splits them 10/10/5. cap=9:
+    # - band 0 bucket (25) rebands by band-1 sig -> sub-buckets 10/10/5
+    #   - the 5-sub-bucket is under the cap: FULL pairwise enumeration
+    #   - the 10-sub-buckets are still over: star fallback (9 edges)
+    # - band 1's own 10-buckets reband by unique band-2 sigs ->
+    #   singletons (nothing); its 5-bucket enumerates the same 10 pairs
+    sigs = _crafted_signatures(spark, [10, 10, 5])
+    got = _pairs(spark, sigs, cap=9, oversize="reband")
+    want = (
+        {(0, i) for i in range(1, 10)}
+        | {(10, i) for i in range(11, 20)}
+        | {(a, b) for a in range(20, 25) for b in range(a + 1, 25)}
+    )
+    assert got == want
+    # drop mode loses the hot bucket entirely except the small band-1
+    # sub-group's own bucket
+    assert _pairs(spark, sigs, cap=9, oversize="drop") == {
+        (a, b) for a in range(20, 25) for b in range(a + 1, 25)
+    }
+
+
+def test_reband_identical_crowd_falls_back_to_star(spark):
+    # a truly identical crowd refines to itself: every band signature
+    # equal, so the refined bucket is the same bucket -> star edges
+    crowd = _cands(spark, 10, oversize="reband")
+    crowd_edges = {(a, b) for (a, b) in crowd if a < CROWD and b < CROWD}
+    assert crowd_edges == {(0, i) for i in range(1, CROWD)}
+    # small-bucket near-dup pairs untouched
+    assert (100, 101) in crowd and (200, 201) in crowd
+
+
+def test_reband_end_to_end_keeps_components(spark):
+    df = _dense_corpus(spark)
+    pairs = dd.minhash_dedup_pairs(
+        df, "doc_id", "text", n=4, threshold=0.5,
+        max_band_bucket=10, oversize="reband",
+    )
+    clusters = {
+        r["node"]: r["cluster_id"] for r in dd.connected_components(pairs).collect()
+    }
+    assert all(clusters[i] == 0 for i in range(CROWD))
+    assert clusters[101] == 100 and clusters[201] == 200
