@@ -86,12 +86,80 @@ def _word_ngrams(text_col: Column, n: int) -> Column:
     )
 
 
+def bloom_build(
+    grams: DataFrame,
+    gram_col: str = "gram",
+    bits_log2: int = 18,
+    n_hashes: int = 5,
+) -> list[int]:
+    """Distributed Bloom-filter build over a (small-ish) gram set:
+    each gram sets ``n_hashes`` xxhash64-derived bits in an m = 2^
+    ``bits_log2`` bitmap. The build is one map-side explode + a
+    bit_or aggregate keyed on the 64-bit word index — fully
+    distributed, shuffling at most m/64 (word, bits) rows — then a
+    BOUNDED driver collect of ≤ m/64 longs (m=2^18 → 4096 longs,
+    32 KiB). This is the same shape Spark's own runtime bloom-filter
+    join uses: aggregate the small side into a filter, broadcast it
+    into the big side's scan.
+
+    Sizing: false-positive rate ≈ (1 - e^(-kn/m))^k; the default
+    m=2^18, k=5 holds ~1% FP up to n ≈ 25k grams — an eval-suite
+    scale. Raise ``bits_log2`` for bigger benchmark sets; the literal
+    the test side embeds grows as m/64 longs."""
+    m = 1 << bits_log2
+    hashes = [
+        F.pmod(F.xxhash64(F.lit(i), F.col(gram_col)), F.lit(m))
+        for i in range(n_hashes)
+    ]
+    agg = (
+        grams.select(F.explode(F.array(*hashes)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    words = [0] * (m // 64)
+    for r in agg.collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_might_contain(
+    words: list[int],
+    gram: Column,
+    bits_log2: int = 18,
+    n_hashes: int = 5,
+) -> Column:
+    """Membership test against a :func:`bloom_build` filter — pure JVM
+    expressions (xxhash64 + bit ops against a constant-folded literal
+    array), no UDF. No false negatives ever; false positives at the
+    filter's designed rate, which is why callers use this as a
+    PREFILTER in front of an exact join, never as the verdict."""
+    m = 1 << bits_log2
+    arr = F.expr("array(" + ",".join(f"{int(w)}L" for w in words) + ")")
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(i), gram), F.lit(m))
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
+        # call_function: the Python shiftleft wrapper only takes an int
+        # literal for numBits; the SQL function accepts a column
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_bits_log2: int | None = None,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Benchmark-contamination detection by word n-gram overlap.
 
@@ -104,6 +172,17 @@ def contamination_check(
     inner join → per-doc count. Output: (doc_id, n_hits,
     contaminated) for EVERY corpus doc (zero-hit docs included via the
     left join back — the decontamination filter needs the clean rows).
+
+    ``bloom_bits_log2`` switches on a Bloom PREFILTER on the corpus
+    gram stream: the bench grams aggregate into a 2^bits bitmap
+    (:func:`bloom_build`) and each corpus gram is bit-tested
+    scan-locally (:func:`bloom_might_contain`) BEFORE entering the
+    broadcast join. Results are IDENTICAL (Bloom filters have no false
+    negatives; false positives still hit the exact join) — what
+    changes is that at 100 TB the overwhelmingly-clean gram stream is
+    rejected by a few bit ops inside the scan stage instead of being
+    hashed against the full broadcast set, the same trade Spark's own
+    runtime bloom-filter join makes.
     """
     bench_grams = (
         benchmark.select(
@@ -113,6 +192,16 @@ def contamination_check(
     corpus_grams = corpus.select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
     )
+    if bloom_bits_log2 is not None:
+        words = bloom_build(
+            bench_grams, "gram", bits_log2=bloom_bits_log2, n_hashes=bloom_hashes
+        )
+        corpus_grams = corpus_grams.filter(
+            bloom_might_contain(
+                words, F.col("gram"), bits_log2=bloom_bits_log2,
+                n_hashes=bloom_hashes,
+            )
+        )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)

@@ -2928,9 +2928,7 @@ def q_curation_pii(spark, sf_dir):
     )
 
 
-@register(
-    "curation_contamination",
-    """WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws
+_CONTAM_SQL = """WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws
                       FROM documents),
         grams AS (SELECT doc_id, array_to_string(ws[u.i:u.i+4], ' ') AS gram
                   FROM words,
@@ -2940,7 +2938,12 @@ def q_curation_pii(spark, sf_dir):
                  FROM grams g JOIN bench b USING (gram) GROUP BY 1)
        SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
               coalesce(h.n_hits, 0) > 0 AS contaminated
-       FROM documents d LEFT JOIN hits h USING (doc_id)""",
+       FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+
+@register(
+    "curation_contamination",
+    _CONTAM_SQL,
     "Benchmark-contamination detection: word 5-gram overlap between the "
     "corpus and a small eval set (docs with doc_id % 97 = 0). Bench "
     "shingle set broadcasts; corpus side is a map-side explode + "
@@ -2950,6 +2953,25 @@ def q_curation_contamination(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return cu.contamination_check(d, bench, n=5)
+
+
+@register(
+    "curation_contamination_bloom",
+    _CONTAM_SQL,
+    "Same contamination semantics and the SAME oracle as "
+    "curation_contamination, executed with a Bloom prefilter: bench "
+    "grams aggregate into a 2^16-bit bitmap (distributed bit_or, "
+    "bounded 8 KiB collect) and corpus grams are bit-tested inside the "
+    "scan stage before the exact broadcast join. Bloom filters have no "
+    "false negatives and survivors are exactly re-verified, so the "
+    "result hash-matches the exact path — the runtime-filter trade "
+    "Spark's own bloom-filter join optimization makes, stated as an "
+    "operator.",
+)
+def q_curation_contamination_bloom(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return cu.contamination_check(d, bench, n=5, bloom_bits_log2=16)
 
 
 @register(

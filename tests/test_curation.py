@@ -172,3 +172,55 @@ def test_domain_mix_boundary_bucket_ranking(spark):
     )
     want = sorted(map(tuple, _naive_mix(spark, df, {"only": 23}).collect()))
     assert got == want and len(got) == 23
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    vocab = [f"alpha beta gamma delta token{i}" for i in range(60)]
+    grams = spark.createDataFrame([(g,) for g in vocab], ["gram"])
+    words = cu.bloom_build(grams, "gram", bits_log2=16, n_hashes=5)
+    probes = vocab + [f"zeta eta theta iota other{i}" for i in range(400)]
+    df = spark.createDataFrame([(p,) for p in probes], ["gram"])
+    kept = {
+        r["gram"]
+        for r in df.filter(
+            cu.bloom_might_contain(words, F.col("gram"), bits_log2=16, n_hashes=5)
+        ).collect()
+    }
+    assert set(vocab) <= kept                 # no false negatives, ever
+    fp = len(kept) - len(vocab)
+    assert fp <= 8                            # 400 probes vs ~0.002% design FP
+
+
+def test_contamination_bloom_path_is_result_identical(spark):
+    rows = [
+        (i, f"w{i} shared common phrase here and tail {i} " + " ".join(
+            f"t{i}_{j}" for j in range(8)))
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = corpus.filter(F.col("doc_id") % 7 == 0)
+    exact = sorted(
+        map(tuple, cu.contamination_check(corpus, bench, n=5).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            cu.contamination_check(
+                corpus, bench, n=5, bloom_bits_log2=14
+            ).collect(),
+        )
+    )
+    assert exact == bloom
+
+
+def test_bloom_empty_bench_rejects_everything(spark):
+    empty = spark.createDataFrame([], "gram string")
+    words = cu.bloom_build(empty, "gram", bits_log2=12, n_hashes=3)
+    assert all(w == 0 for w in words)
+    df = spark.createDataFrame([("anything",)], ["gram"])
+    assert (
+        df.filter(
+            cu.bloom_might_contain(words, F.col("gram"), bits_log2=12, n_hashes=3)
+        ).count()
+        == 0
+    )
