@@ -1,4 +1,9 @@
 from spark_cassandra_collabfiltering_spark.sources.csv_source import read_ratings_csv
+from spark_cassandra_collabfiltering_spark.sources.jsonl_source import (
+    read_jsonl,
+    split_corrupt,
+    write_jsonl,
+)
 from spark_cassandra_collabfiltering_spark.sources.tables import (
     CassandraStorage,
     ParquetStorage,
@@ -9,6 +14,9 @@ from spark_cassandra_collabfiltering_spark.sources.tables import (
 
 __all__ = [
     "read_ratings_csv",
+    "read_jsonl",
+    "split_corrupt",
+    "write_jsonl",
     "Storage",
     "ParquetStorage",
     "CassandraStorage",
