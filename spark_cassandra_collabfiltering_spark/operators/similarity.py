@@ -871,6 +871,176 @@ def cosine_topk_pq(
     )
 
 
+def _lit_vec(vals: list[float]) -> Column:
+    """1-D array<double> literal as ONE parsed expression (see
+    :func:`_lit_matrix` for why not per-element F.lit)."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
+def sq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+    d: int | None = None,
+):
+    """Scalar-quantization (SQ8) index: each dimension is affinely
+    mapped to an 8-bit code against per-dim (lo, hi) bounds —
+    code_j = clamp(round((x_j - lo_j) / step_j), 0, 255) with
+    step_j = (hi_j - lo_j)/255. The FAISS SQ8 shape: 4x compression
+    with NO codebook lookup at scoring time, the cheapest rung of the
+    compression ladder below PQ's ~32x.
+
+    Returns (codes, lo, hi, step):
+
+    - codes: (id, codes array<int> length d, anorm2 double) — anorm2
+      is the DEQUANTIZED vector's squared norm, computed once at
+      encode time (it is query-independent) so scoring never
+      reconstructs it per query.
+    - lo/hi/step: per-dim bounds + quantization step as plain lists
+      (driver-scale: 3·d doubles), embedded as one-parse literals.
+
+    Training = per-dim min/max. ``train_fraction=None`` computes EXACT
+    bounds in one distributed pass (pyspark.ml Summarizer — no
+    explode, no shuffle beyond the single agg); a fraction collects
+    the deterministic keyed sample and takes NumPy min/max — the
+    100 TB default, with out-of-range values at encode time saturating
+    to code 0/255 by the clamp (the standard SQ trade). Encoding the
+    full corpus is a map-only zip_with/fold over JVM expressions; a
+    degenerate dim (hi == lo) encodes to 0 and dequantizes to lo
+    exactly."""
+    if d is None:
+        d = _probe_dim(corpus, vec_col)
+    train = _training_sample(corpus, id_col, train_fraction)
+    if train is not corpus:
+        import numpy as np
+
+        rows = train.select(vec_col).collect()
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        if X.ndim != 2 or X.shape[0] == 0:
+            raise ValueError("SQ training sample is empty — raise train_fraction")
+        lo = [float(x) for x in X.min(axis=0)]
+        hi = [float(x) for x in X.max(axis=0)]
+    else:
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.stat import Summarizer
+
+        s = train.select(
+            Summarizer.metrics("min", "max")
+            .summary(array_to_vector(F.col(vec_col).cast("array<double>")))
+            .alias("s")
+        ).first()
+        lo = [float(x) for x in s["s"]["min"]]
+        hi = [float(x) for x in s["s"]["max"]]
+    step = [(h - l) / 255.0 for l, h in zip(lo, hi)]
+
+    lo_arr, step_arr = _lit_vec(lo), _lit_vec(step)
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(v, lo_arr, lambda x, l: x - l)
+    codes = F.zip_with(
+        centered,
+        step_arr,
+        lambda c, s: F.when(
+            s > 0,
+            F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.round(c / s, 0))),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    dequant = F.zip_with(
+        F.zip_with(F.col("codes").cast("array<double>"), step_arr, lambda c, s: c * s),
+        lo_arr,
+        lambda a, l: a + l,
+    )
+    out = corpus.select(F.col(id_col), codes.alias("codes")).withColumn(
+        "anorm2",
+        F.aggregate(dequant, F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+    return out, lo, hi, step
+
+
+def cosine_topk_sq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+    train_fraction: float | None = None,
+    d: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over the SQ8-compressed corpus.
+
+    The affine code makes the approximate dot product separable:
+    <q, dequant(c)> = <q, lo> + sum_j (q_j·step_j)·c_j, so each query
+    precomputes a scalar <q, lo> and a d-vector q∘step ONCE, and the
+    corpus scan scores a compressed row with one zip_with fold over
+    its codes — row-local, no codebook lookup (cheaper per row than
+    PQ's ADC table indexing). anorm2 comes free from the index. After
+    the broadcast join the plan shape is identical to brute force but
+    reads the 4x-smaller codes column.
+
+    ``rerank=R`` is the standard exact second stage over the broadcast
+    shortlist, as in :func:`cosine_topk_pq`. Rows-only correctness
+    (float-sum order makes cross-engine hashing fragile); quantization
+    error and recall pinned in tests/test_sq.py."""
+    from pyspark.sql import Window
+
+    if d is None:
+        d = _probe_dim(corpus, vec_col)
+    codes, lo, hi, step = sq_index(
+        corpus, id_col=id_col, vec_col=vec_col,
+        train_fraction=train_fraction, d=d,
+    )
+    lo_arr, step_arr = _lit_vec(lo), _lit_vec(step)
+    qv = F.col("query_vec").cast("array<double>")
+    q = queries.select(
+        "query_id",
+        norm(qv).alias("qnorm"),
+        dot(qv, lo_arr).alias("qlo"),
+        F.zip_with(qv, step_arr, lambda x, s: x * s).alias("qstep"),
+    )
+    approx_dot = F.col("qlo") + F.aggregate(
+        F.zip_with(F.col("qstep"), F.col("codes"), lambda qs, c: qs * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(q))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                approx_dot / (F.col("qnorm") * F.sqrt(F.col("anorm2"))), places
+            ).alias("cos"),
+        )
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    if rerank is None:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", id_col)
+    )
+    exact = (
+        corpus.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("query_vec"), F.col(vec_col)), places).alias("cos"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_index(
     corpus: DataFrame,
     n_clusters: int = 16,

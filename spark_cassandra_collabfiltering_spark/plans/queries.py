@@ -2093,6 +2093,24 @@ def q_ann_pq(spark, sf_dir):
 
 
 @register(
+    "ann_sq_topk",
+    None,  # float-sum order makes cross-engine hashing fragile (rows-only)
+    "Scalar-quantization SQ8 ANN (the cheapest rung of the compression "
+    "ladder, 4x vs PQ's 32x): per-dim affine 8-bit codes trained from "
+    "one min/max pass, scored by a separable row-local fold "
+    "(<q,lo> + sum q_j·step_j·c_j) with no codebook lookup, exact "
+    "re-rank over the broadcast shortlist. Error bound, invariance and "
+    "recall pinned in tests/test_sq.py.",
+)
+def q_ann_sq(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_sq(
+        emb, qs, k=5, rerank=50, train_fraction=0.25
+    ).select("query_id", "vec_id", "cos", "rank")
+
+
+@register(
     "ann_ivfpq_topk",
     None,  # coarse + per-subspace k-means — not SQL-expressible (rows-only)
     "Composed IVF+PQ (the FAISS IVFPQ shape): coarse clusters prune "
