@@ -48,6 +48,10 @@ PLAN_QUERIES = [
     # late-r4 additions (plan-only cheap)
     "dedup_minhash_dense", "dedup_incremental", "dedup_incremental_new",
     "g12_hist_quantiles", "text_tfidf_topk",
+    # continuation-session additions (curation_contamination_bloom and
+    # ann_sq_topk are excluded: their BUILDERS run the bloom-build /
+    # min-max-training jobs; their plan shapes get standalone tests)
+    "curation_domain_mix",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -254,3 +258,74 @@ def test_space_saving_shuffles_counters_not_rows(spark):
     mip_i = max(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
     between = lines[min(scan_i, mip_i): max(scan_i, mip_i)]
     assert not any("Exchange" in ln for ln in between), between
+
+
+def test_domain_mix_windows_never_partition_by_domain_alone(spark):
+    """The skew-free claim: every window in the domain-mix plan keys on
+    (domain, range-bucket) — or runs over the tiny per-bucket stats —
+    and the row-scale rank window must NOT partition by the domain
+    column alone (that is the naive plan that serializes one hot
+    domain onto one task)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["curation_domain_mix"].builder(spark, SF_SMOKE).explain("formatted")
+    plan = buf.getvalue()
+    # every ROW-SCALE rank window (row_number) must partition on
+    # (source, _rb); per-domain-only partitioning is allowed ONLY for
+    # the prefix-cumsum windows over the tiny stats table (sum(_cnt))
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan  # guard must bite: the rank window exists
+    for spec in specs:
+        assert "source#" in spec and "_rb#" in spec, spec
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_is_jvm_scan_local(spark):
+    """The bloom membership test must compile to JVM expressions inside
+    the scan stage: no Python eval anywhere, and the corpus gram
+    stream's filter happens before any exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spark_cassandra_collabfiltering_spark.operators import curation as cu
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    d = t(spark, SF_SMOKE, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out = cu.contamination_check(d, bench, n=5, bloom_bits_log2=12)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan, plan
+    assert "xxhash64" in plan, plan  # the bit test rides in the scan stage
+    assert "CartesianProduct" not in plan
+
+
+def test_sq_encode_is_map_only_and_jvm_side(spark):
+    """SQ8 mirrors the PQ claim: after driver-side min/max training the
+    full-corpus encode is ONE map-only select — bounds ride as
+    literals into zip_with/fold JVM expressions."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    codes, _, _, _ = sim.sq_index(emb, train_fraction=0.25)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        codes.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Scan parquet" in plan
