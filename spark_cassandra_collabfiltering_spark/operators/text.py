@@ -435,3 +435,77 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score_e6", "rank")
     )
+
+
+def gopher_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, public
+    rubric): per-doc heuristic filters a pretraining pipeline applies
+    before any model-based scoring. Every rule is a pure INTEGER
+    comparison (ratios stated cross-multiplied, e.g. "symbol ratio
+    <= 10%" as 10·n_sym <= n_words), so the output is exact across
+    engines — no float rounding anywhere — and the whole operator is
+    one scan-local projection of JVM regexp/array built-ins.
+
+    Rules (each emitted as its own boolean so a pipeline can tune the
+    conjunction):
+
+    - r_word_count:   50 <= words <= 100000
+    - r_mean_wordlen: 3 <= mean word length <= 10
+    - r_symbol_ratio: hash/ellipsis symbols <= 10% of words
+    - r_bullet:       lines starting with a bullet <= 10%
+    - r_ellipsis:     lines ending with an ellipsis <= 30%
+    - r_alpha_words:  >= 80% of words contain a letter
+    - r_stopwords:    >= 2 distinct English function words present
+
+    ``gopher_pass`` is the conjunction. Counts ride along for
+    downstream threshold tuning."""
+    c = F.col(text_col)
+    words = F.regexp_extract_all(c, F.lit(_WORD_RE), 0)
+    lines = F.split(c, "\n")
+    n_words = F.size(words).cast("bigint")
+    sum_wl = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("bigint")
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0)).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda line: line.rlike(r"^\s*[-*•]"))
+    ).cast("bigint")
+    n_ell = F.size(
+        F.filter(lines, lambda line: line.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+    ).cast("bigint")
+    lt = F.lower(c)
+    n_stop_kinds = sum(
+        F.when(lt.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in LANG_MARKERS["en"]
+    ).cast("bigint")
+
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100000),
+        "r_mean_wordlen": (3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words),
+        "r_symbol_ratio": 10 * n_sym <= n_words,
+        "r_bullet": 10 * n_bullet <= n_lines,
+        "r_ellipsis": 10 * n_ell <= 3 * n_lines,
+        "r_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "r_stopwords": n_stop_kinds >= 2,
+    }
+    gate = F.lit(True)
+    for expr in rules.values():
+        gate = gate & expr
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "sum_word_len": sum_wl,
+            "n_sym": n_sym,
+            "n_lines": n_lines,
+            "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ell,
+            "n_alpha_words": n_alpha,
+            "n_stop_kinds": n_stop_kinds,
+            **rules,
+            "gopher_pass": gate,
+        }
+    )

@@ -2286,6 +2286,68 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+_GOPHER_STOP_SQL = " + ".join(
+    rf"regexp_matches(lower(text), '\b{w}\b')::INT"
+    for w in ["the", "and", "of", "to", "is", "in", "that", "it"]
+)
+
+
+@register(
+    "text_gopher_gate",
+    rf"""WITH b AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '[A-Za-z0-9]+') AS ws,
+                 str_split(text, chr(10)) AS ls,
+                 len(regexp_extract_all(text, '#|\.\.\.|…'))::BIGINT AS n_sym,
+                 ({_GOPHER_STOP_SQL})::BIGINT AS n_stop_kinds
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_sym, n_stop_kinds,
+                 len(ws)::BIGINT AS n_words,
+                 coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::BIGINT
+                     AS sum_word_len,
+                 len(ls)::BIGINT AS n_lines,
+                 len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT
+                     AS n_bullet_lines,
+                 len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::BIGINT
+                     AS n_ellipsis_lines,
+                 len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+                     AS n_alpha_words
+          FROM b),
+        r AS (
+          SELECT *,
+                 (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                 (3*n_words <= sum_word_len AND sum_word_len <= 10*n_words)
+                     AS r_mean_wordlen,
+                 (10*n_sym <= n_words) AS r_symbol_ratio,
+                 (10*n_bullet_lines <= n_lines) AS r_bullet,
+                 (10*n_ellipsis_lines <= 3*n_lines) AS r_ellipsis,
+                 (5*n_alpha_words >= 4*n_words) AS r_alpha_words,
+                 (n_stop_kinds >= 2) AS r_stopwords
+          FROM c)
+       SELECT doc_id, n_words, sum_word_len, n_sym, n_lines,
+              n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_kinds,
+              r_word_count, r_mean_wordlen, r_symbol_ratio, r_bullet,
+              r_ellipsis, r_alpha_words, r_stopwords,
+              (r_word_count AND r_mean_wordlen AND r_symbol_ratio AND r_bullet
+               AND r_ellipsis AND r_alpha_words AND r_stopwords) AS gopher_pass
+       FROM r""",
+    "Gopher-style rule-based quality gate (Rae et al. 2021 public "
+    "rubric): word-count/mean-word-length bounds, symbol/bullet/"
+    "ellipsis ratios, alpha-word share, stop-word presence — every "
+    "ratio stated as a cross-multiplied INTEGER comparison, so the "
+    "gate is exact across engines with no float rounding. One "
+    "scan-local projection, no shuffle.",
+)
+def q_text_gopher_gate(spark, sf_dir):
+    return tx.gopher_gate(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "sum_word_len", "n_sym", "n_lines",
+        "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words", "n_stop_kinds",
+        "r_word_count", "r_mean_wordlen", "r_symbol_ratio", "r_bullet",
+        "r_ellipsis", "r_alpha_words", "r_stopwords", "gopher_pass",
+    )
+
+
 @register(
     "text_fingerprint",
     r"""SELECT doc_id,
