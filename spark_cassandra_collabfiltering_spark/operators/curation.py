@@ -250,14 +250,23 @@ def domain_mix_sample(
        each domain's single BOUNDARY bucket — ~1/256th of one domain —
        shuffles for an exact within-bucket rank to fill the remainder.
 
-    Domains absent from ``quotas`` get quota 0 (dropped). Output is
-    the selected (key, domain) rows."""
+    Domains absent from ``quotas`` get quota 0 (dropped). Rows with a
+    NULL key are dropped up front: the md5 draw is undefined on NULL
+    (it would produce a NULL bucket that inflates the prefix counts
+    while the equi-join silently discards the rows, shorting the
+    domain's quota), and a deterministic sampler needs a non-null
+    identity per row anyway. Output is the selected (key, domain)
+    rows."""
     nb_shift = 60 - range_bits
-    base = df.select(
-        F.col(key_col),
-        F.col(domain_col),
-        md5_draw60(F.col(key_col)).alias("_draw"),
-    ).withColumn("_rb", F.shiftright(F.col("_draw"), nb_shift))
+    base = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(domain_col),
+            md5_draw60(F.col(key_col)).alias("_draw"),
+        )
+        .withColumn("_rb", F.shiftright(F.col("_draw"), nb_shift))
+    )
 
     stats = base.groupBy(domain_col, "_rb").agg(F.count(F.lit(1)).alias("_cnt"))
     w_before = (

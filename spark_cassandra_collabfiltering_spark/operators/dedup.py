@@ -217,11 +217,16 @@ def lsh_candidate_pairs(
       of docs that merely collide on one band splits into genuine
       two-band-agreement groups); sub-buckets still over the cap (a
       truly identical crowd refines to itself) fall back to STAR
-      edges. Recall loss relative to "star" is zero (star arm keeps
-      components connected); relative to uncapped, only cross-sub-
-      bucket pairs inside a hot bucket that agree on band j but not
-      band j+1 lose their direct edge. Costs one extra count window
-      over the refined key — still no quadratic work anywhere.
+      edges. Each sub-bucket additionally emits one BRIDGE edge from
+      its minimum id to the original bucket's minimum id, so every
+      member of a hot bucket stays connected to the bucket min in the
+      candidate graph — the same connectivity star mode gives —
+      while under-cap sub-buckets also keep their full pairwise
+      edges. Relative to uncapped, only cross-sub-bucket pairs inside
+      a hot bucket that agree on band j but not band j+1 lose their
+      DIRECT edge (they remain linked through the bridge path). Costs
+      one extra count window over the refined key — still no
+      quadratic work anywhere.
 
     Default (None) preserves exact uncapped semantics (the primary
     oracle-checked registry query uses the default; the dense-corpus
@@ -259,23 +264,41 @@ def lsh_candidate_pairs(
             # occur in a ":"-joined integer sig, so refined keys never
             # collide with intact small-bucket keys), then the cap is
             # re-applied on the refined key with a STAR fallback.
-            banded = banded.withColumn(
-                "sig",
-                F.when(
-                    F.col("_bc") > max_band_bucket,
-                    F.concat_ws("|", F.col("sig"), F.col("ref")),
-                ).otherwise(F.col("sig")),
-            ).drop("_bc", "ref")
+            # _omn (the ORIGINAL bucket min) is carried through so each
+            # sub-bucket can emit its bridge edge.
+            banded = (
+                banded.withColumn("_omn", F.min(id_col).over(w))
+                .withColumn("_hot", F.col("_bc") > max_band_bucket)
+                .withColumn(
+                    "sig",
+                    F.when(
+                        F.col("_hot"),
+                        F.concat_ws("|", F.col("sig"), F.col("ref")),
+                    ).otherwise(F.col("sig")),
+                )
+                .drop("_bc", "ref")
+            )
             w2 = Window.partitionBy("band", "sig")
             banded = banded.withColumn(
                 "_bc", F.count(F.lit(1)).over(w2)
             ).withColumn("_mn", F.min(id_col).over(w2))
+            # bridge: sub-bucket min -> original bucket min keeps every
+            # hot-bucket member connected to the bucket min (the same
+            # candidate-graph connectivity star mode gives). _omn is a
+            # min over a SUPERSET of the sub-bucket, so _omn < _mn
+            # whenever they differ — id_a < id_b by construction.
+            bridge = (
+                banded.filter(F.col("_hot") & (F.col("_mn") != F.col("_omn")))
+                .select(F.col("_omn").alias("id_a"), F.col("_mn").alias("id_b"))
+            )
             star = (
                 banded.filter(
                     (F.col("_bc") > max_band_bucket) & (F.col(id_col) != F.col("_mn"))
                 )
                 .select(F.col("_mn").alias("id_a"), F.col(id_col).alias("id_b"))
+                .unionByName(bridge)
             )
+            banded = banded.drop("_omn", "_hot")
         banded = banded.filter(F.col("_bc") <= max_band_bucket).drop("_bc", "_mn")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")

@@ -900,38 +900,32 @@ def sq_index(
     - lo/hi/step: per-dim bounds + quantization step as plain lists
       (driver-scale: 3·d doubles), embedded as one-parse literals.
 
-    Training = per-dim min/max. ``train_fraction=None`` computes EXACT
-    bounds in one distributed pass (pyspark.ml Summarizer — no
-    explode, no shuffle beyond the single agg); a fraction collects
-    the deterministic keyed sample and takes NumPy min/max — the
-    100 TB default, with out-of-range values at encode time saturating
-    to code 0/255 by the clamp (the standard SQ trade). Encoding the
-    full corpus is a map-only zip_with/fold over JVM expressions; a
-    degenerate dim (hi == lo) encodes to 0 and dequantizes to lo
-    exactly."""
+    Training = per-dim min/max — which, unlike the PQ/IVF k-means
+    fits, needs NO driver-side data at all: both the exact
+    (``train_fraction=None``) and sampled paths run the same ONE
+    distributed pyspark.ml Summarizer pass (no explode, no shuffle
+    beyond the single agg; only 2·d doubles ever reach the driver).
+    A fraction merely restricts that pass to the deterministic keyed
+    sample — the 100 TB default, with out-of-range values at encode
+    time saturating to code 0/255 by the clamp (the standard SQ
+    trade). Encoding the full corpus is a map-only zip_with/fold over
+    JVM expressions; a degenerate dim (hi == lo) encodes to 0 and
+    dequantizes to lo exactly."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
     if d is None:
         d = _probe_dim(corpus, vec_col)
     train = _training_sample(corpus, id_col, train_fraction)
-    if train is not corpus:
-        import numpy as np
-
-        rows = train.select(vec_col).collect()
-        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        if X.ndim != 2 or X.shape[0] == 0:
-            raise ValueError("SQ training sample is empty — raise train_fraction")
-        lo = [float(x) for x in X.min(axis=0)]
-        hi = [float(x) for x in X.max(axis=0)]
-    else:
-        from pyspark.ml.functions import array_to_vector
-        from pyspark.ml.stat import Summarizer
-
-        s = train.select(
-            Summarizer.metrics("min", "max")
-            .summary(array_to_vector(F.col(vec_col).cast("array<double>")))
-            .alias("s")
-        ).first()
-        lo = [float(x) for x in s["s"]["min"]]
-        hi = [float(x) for x in s["s"]["max"]]
+    s = train.select(
+        Summarizer.metrics("min", "max")
+        .summary(array_to_vector(F.col(vec_col).cast("array<double>")))
+        .alias("s")
+    ).first()
+    if s is None or s["s"] is None or s["s"]["min"] is None:
+        raise ValueError("SQ training sample is empty — raise train_fraction")
+    lo = [float(x) for x in s["s"]["min"]]
+    hi = [float(x) for x in s["s"]["max"]]
     step = [(h - l) / 255.0 for l, h in zip(lo, hi)]
 
     lo_arr, step_arr = _lit_vec(lo), _lit_vec(step)

@@ -97,11 +97,16 @@ def write_jsonl(
     path: str,
     compression: str | None = "gzip",
     max_records_per_file: int | None = None,
-    mode: str = "overwrite",
+    mode: str = "error",
 ) -> None:
     """Shard-layout JSONL write: one line per record, optional codec,
     optional per-file record bound (uniform shards for downstream
-    loaders; files stay independently readable)."""
+    loaders; files stay independently readable).
+
+    ``mode`` defaults to Spark's own ``"error"`` (fail fast if the
+    target path exists): a corpus-scale sink must never silently wipe
+    existing shards on an accidental path reuse — overwriting is an
+    explicit opt-in (``mode="overwrite"``)."""
     w = df.write.mode(mode)
     if compression is not None:
         w = w.option("compression", compression)

@@ -59,9 +59,12 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
     """One JSON object per line (the document-pipeline interchange
-    format). Compression/partitioning compose like any file sink."""
+    format). Compression/partitioning compose like any file sink.
+    Default mode is Spark's fail-fast ``"error"`` — a corpus sink must
+    not silently wipe existing shards on path reuse; overwrite is an
+    explicit opt-in."""
     df.write.mode(mode).json(path)
 
 

@@ -160,6 +160,9 @@ def test_reband_splits_hot_bucket_by_second_level_key(spark):
     # - band 0 bucket (25) rebands by band-1 sig -> sub-buckets 10/10/5
     #   - the 5-sub-bucket is under the cap: FULL pairwise enumeration
     #   - the 10-sub-buckets are still over: star fallback (9 edges)
+    #   - every sub-bucket bridges its min to the ORIGINAL bucket min
+    #     (doc 0), keeping the hot bucket one candidate component:
+    #     edges (0,10) and (0,20)
     # - band 1's own 10-buckets reband by unique band-2 sigs ->
     #   singletons (nothing); its 5-bucket enumerates the same 10 pairs
     sigs = _crafted_signatures(spark, [10, 10, 5])
@@ -168,6 +171,7 @@ def test_reband_splits_hot_bucket_by_second_level_key(spark):
         {(0, i) for i in range(1, 10)}
         | {(10, i) for i in range(11, 20)}
         | {(a, b) for a in range(20, 25) for b in range(a + 1, 25)}
+        | {(0, 10), (0, 20)}
     )
     assert got == want
     # drop mode loses the hot bucket entirely except the small band-1
