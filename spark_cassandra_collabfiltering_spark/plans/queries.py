@@ -69,53 +69,58 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # scripts/check_oracle.py; they just aren't the family's driver-slot
 # representative.
 _DRIVER_ORDER = [
-    # §2.1-2.2 scans / filters / projections
+    # §2.1-2.2 scans / filters / projections, + JSONL ingest (r5:
+    # jsonl_quarantine gives the r4 JSONL source/sink its first
+    # driver-visible oracled row — PERMISSIVE corrupt-line quarantine
+    # over a committed fixture shard).
     "s2_scan_project", "p1_filter_prefix", "p2_parse_cast",
-    # §2.3 joins (+ extension joins: salted, as-of, range).
-    # r4: j5_outer_join demoted to a breadth slot (NULL-extension
-    # semantics are also exercised by f_null_string_suite) to free a
-    # window slot for the correlated-subquery family below.
-    "j1_join_composite", "j2_broadcast_dim", "j3_semi_join", "j4_anti_join",
+    "jsonl_quarantine",
+    # §2.3 joins (+ extension joins: salted, as-of). r5 rotation:
+    # j3_semi_join demoted (semi semantics stay driver-visible via
+    # sub1_exists_semi, which decorrelates to the same left-semi);
+    # j9_range_join_bands demoted (join family keeps 7 residents).
+    "j1_join_composite", "j2_broadcast_dim", "j4_anti_join",
     "j6_multiway_revenue", "j7_salted_skew_join",
-    "j8_asof_click_attribution", "j9_range_join_bands",
+    "j8_asof_click_attribution",
     # correlated subqueries (TPC-H Q4 shape; decorrelated to a semi join)
     "sub1_exists_semi",
-    # §2.4 aggregates (reference A2/A3 + TPC-H shapes)
+    # §2.4 aggregates (reference A2/A3 + TPC-H shapes). r5:
+    # g12_hist_quantiles (mergeable fixed-width-histogram quantiles)
+    # takes q14_promo_share's slot (family keeps 5 other residents).
     "a2_global_mean", "a3_rmse_item_mean", "g1_pricing_summary",
-    "q3_shipping_priority", "q12_priority_classes", "q14_promo_share",
-    # §2.5 windows / §2.6 ordering
-    "w1_topk_per_user", "w4_rank_suite", "o1_sort_composite",
+    "q3_shipping_priority", "q12_priority_classes", "g12_hist_quantiles",
+    # §2.5 windows / §2.6 ordering (r5: w4_rank_suite demoted; the
+    # family keeps w1_topk_per_user's ranking-window evidence)
+    "w1_topk_per_user", "o1_sort_composite",
     # §2.7 set ops / §2.8 scalars
     "set3_except", "f_report_flags", "f_null_string_suite",
     # CDC
     "cdc_upsert",
-    # dedup family (one per mandated technique). r4 late: the dense-
-    # corpus cap+star density-safeguard query takes the slot of the
-    # quadratic ngram-Jaccard baseline (demoted to 51+ — its exact-
-    # Jaccard verification arithmetic is also inside every minhash
-    # query, so the family loses no driver-visible semantics).
+    # dedup family (one per mandated technique; r5: dedup_incremental —
+    # batch-vs-corpus banding, the ingest shape — joins the window)
     "dedup_exact", "dedup_minhash_dense", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_clusters",
-    # similarity / ANN family. r4: ann_pq_topk replaces ann_ivf_topk in
-    # the window (both rows-only; PQ makes the r2/r3 compression family
-    # driver-visible — IVF stays local-checked at position 51+).
+    "dedup_simhash", "dedup_clusters", "dedup_incremental",
+    # similarity / ANN family. r5: ann_recall_matrix makes shortlist
+    # QUALITY (recall@5 vs exact, computed in-query) a hash-matched row
+    # beside the shape rows.
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_pq_topk",
-    "dedup_embedding_cosine",
+    "ann_recall_matrix", "dedup_embedding_cosine",
     # text-analysis family (r4: + text_repetition, previously local-only)
     "text_lang_id", "text_quality", "text_winnowing", "text_repetition",
-    # training-data curation family (r4: + curation_pack for seq packing;
-    # slot freed by demoting g10_approx_distinct — rows-only HLL, the
-    # family's CMS/top-frequent side stays pytest-pinned)
+    # heavy hitters: bounded-memory space-saving sketch (r5)
+    "sketch_space_saving_topterms",
+    # training-data curation family (r5: + curation_domain_mix — the
+    # exact-quota data-recipe sampler)
     "curation_pii_redact", "curation_contamination", "curation_pack",
+    "curation_domain_mix",
     # multimodal family
     "mm_binary_meta", "mm_decode_features",
-    # deterministic sampling family
-    "sample_hash_split", "sample_stratified",
+    # deterministic sampling family (r5: sample_stratified demoted —
+    # the md5-bucket determinism evidence rides on sample_hash_split)
+    "sample_hash_split",
     # event/streaming batch analogs (+ continuous-aggregate rollup).
-    # r4: ev_tumbling_agg (the canonical windowed-agg analog) takes
-    # ev_gap_fill's slot; gap-fill stays local-checked at 51+.
-    "ev_tumbling_agg", "ev_funnel", "ev_sessionize",
-    "ev_rollup_merge",
+    # r5: ev_funnel demoted (family keeps tumbling/sessionize/rollup).
+    "ev_tumbling_agg", "ev_sessionize", "ev_rollup_merge",
     # ML (reference M1-M3; cf_recommend_topk demoted r4 — rows-only,
     # the ALS family's driver evidence rides on cf_als_pipeline)
     "cf_als_pipeline",
@@ -1696,18 +1701,25 @@ def _minhash_oracle_sql(
 
 @register(
     "dedup_minhash_lsh",
-    _minhash_oracle_sql(_DOC_SUBSET_SQL),
+    _minhash_oracle_sql(_DOC_SUBSET_SQL, max_band_bucket=64, oversize="star"),
     "MinHash+LSH near-dup: per-doc hashed-shingle SET built row-locally "
     "(no explode/shuffle) → 16 universal-hash permutations (a*h+b mod "
     "2^31-1, exact integer arithmetic) via array_min → 8 band buckets → "
     "bucket self-join → signature-agreement prefilter (≥4/16 matching "
     "minhashes) → exact set-Jaccard of survivors via array_intersect. "
-    "Every stage replicated arithmetically in the oracle.",
+    "The hot-bucket density safeguard is ON BY DEFAULT here (cap 64 + "
+    "star edges): a band bucket of B docs contributes at most B-1 star "
+    "edges instead of B(B-1)/2 pairwise candidates once B > 64, which "
+    "is what keeps the self-join linear on a boilerplate-dense corpus "
+    "at 100 TB — the sf1 super-linearity the uncapped path showed. "
+    "Every stage, including the cap + star arithmetic, replicated in "
+    "the oracle.",
 )
 def q_dedup_minhash(spark, sf_dir):
     return dd.minhash_dedup_pairs(
         _doc_subset(spark, sf_dir), "doc_id", "text",
         n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+        max_band_bucket=64, oversize="star",
     )
 
 
@@ -3262,3 +3274,179 @@ def q_text_lang_id_eval(spark, sf_dir):
             ).alias("n_correct"),
         )
     )
+
+
+# ===========================================================================
+# JSONL ingest with corrupt-record quarantine (sources/jsonl_source.py)
+# ===========================================================================
+
+from spark_cassandra_collabfiltering_spark.sources import jsonl_source as jl  # noqa: E402
+
+# The quarantine query reads a COMMITTED fixture shard (planted corrupt
+# lines, scripts/gen_jsonl_fixture.py — deterministic, byte-stable) so
+# the Spark scan and the DuckDB oracle read the exact same bytes. The
+# path is resolved at import time relative to the repo root; the oracle
+# SQL embeds the same absolute path via read_text().
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_JSONL_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "jsonl_shard.jsonl")
+
+
+def _md5_48(col):
+    """48-bit md5 prefix as bigint — engine-portable content checksum
+    (DuckDB: ('0x' || substr(md5(x), 1, 12))::BIGINT). 48 bits keeps
+    sums of hundreds of terms far inside bigint range."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast("bigint")
+
+
+@register(
+    "jsonl_quarantine",
+    f"""WITH lines AS (
+            SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS value
+            FROM read_text('{_JSONL_FIXTURE}')
+        ),
+        cls AS (SELECT value, json_valid(value) AS ok FROM lines),
+        clean AS (
+            SELECT json_extract_string(value, '$.lang') AS lang,
+                   json_extract(value, '$.doc_id')::BIGINT AS doc_id,
+                   json_extract_string(value, '$.text') AS text
+            FROM cls WHERE ok
+        )
+        SELECT lang AS grp, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+               sum(('0x' || substr(md5(text), 1, 12))::BIGINT)::BIGINT AS content_sum
+        FROM clean GROUP BY 1
+        UNION ALL
+        SELECT '_quarantined' AS grp, count(*) AS n, NULL::BIGINT AS id_sum,
+               sum(('0x' || substr(md5(value), 1, 12))::BIGINT)::BIGINT AS content_sum
+        FROM cls WHERE NOT ok""",
+    "JSONL ingest contract, driver-visible end to end: schema'd "
+    "splittable text scan + from_json PERMISSIVE parse "
+    "(sources/jsonl_source.py:45) over a committed shard with planted "
+    "corrupt lines (truncated object, non-JSON garbage, empty line, "
+    "invalid value — scripts/gen_jsonl_fixture.py), split into clean "
+    "vs quarantine (split_corrupt), then summarized as per-lang clean "
+    "counts/id-sums/48-bit-md5 content checksums plus one quarantine "
+    "row checksumming the RAW preserved lines. The oracle replays "
+    "PERMISSIVE line classification in DuckDB (read_text + json_valid "
+    "+ json_extract) over the same bytes. At corpus scale the scan is "
+    "newline-splittable across tasks and the parse is scan-local; the "
+    "only shuffle carries (lang, partial-agg) rows. No reference "
+    "counterpart (its only file source is the ratings CSV, "
+    "CollabFilterCassandraDriver.java:95-96); mandated-extension "
+    "ingest surface.",
+)
+def q_jsonl_quarantine(spark, sf_dir):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    clean, bad = jl.split_corrupt(jl.read_jsonl(spark, _JSONL_FIXTURE, schema))
+    per_lang = clean.groupBy(F.col("lang").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(_md5_48(F.col("text"))).alias("content_sum"),
+    )
+    quarantined = (
+        bad.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_md5_48(F.col(jl.CORRUPT_COL))).alias("content_sum"),
+        )
+        .select(
+            F.lit("_quarantined").alias("grp"),
+            F.col("n"),
+            F.lit(None).cast("bigint").alias("id_sum"),
+            F.col("content_sum"),
+        )
+    )
+    return per_lang.unionByName(quarantined)
+
+
+# ===========================================================================
+# ANN quality: recall@k of the approximate shortlists vs exact top-k
+# ===========================================================================
+
+_ANN_EXACT_CTE = f"""ex AS (
+            SELECT query_id, vec_id FROM (
+              SELECT s.query_id, s.vec_id,
+                     row_number() OVER (PARTITION BY s.query_id
+                                        ORDER BY s.cos DESC, s.vec_id) AS rank
+              FROM (SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+                    FROM embeddings e, q WHERE e.vec_id <> q.query_id) s
+            ) WHERE rank <= 5)"""
+
+
+def _ann_approx_cte(name: str, src: str) -> str:
+    return f"""{name} AS (
+            SELECT query_id, vec_id FROM (
+              SELECT s.query_id, s.vec_id,
+                     row_number() OVER (PARTITION BY s.query_id
+                                        ORDER BY s.cos DESC, s.vec_id) AS rank
+              FROM (SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+                    FROM eb e JOIN {src} q
+                      ON e.bucket = q.bucket AND e.vec_id <> q.query_id) s
+            ) WHERE rank <= 5)"""
+
+
+def _ann_recall_arm(method: str, cte: str) -> str:
+    return f"""SELECT ex.query_id, '{method}' AS method,
+               count(a.vec_id) AS n_hits,
+               (count(a.vec_id)::DOUBLE / 5) AS recall
+        FROM ex LEFT JOIN {cte} a
+          ON a.query_id = ex.query_id AND a.vec_id = ex.vec_id
+        GROUP BY ex.query_id"""
+
+
+@register(
+    "ann_recall_matrix",
+    f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+              FROM eb WHERE vec_id IN {_ANN_QUERY_IDS}),
+        p AS (SELECT query_id, qv, unnest({_PROBE_LIST_SQL}) AS bucket FROM q),
+        {_ANN_EXACT_CTE},
+        {_ann_approx_cte("lsh", "q")},
+        {_ann_approx_cte("mp", "p")}
+        {_ann_recall_arm("lsh", "lsh")}
+        UNION ALL
+        {_ann_recall_arm("lsh_multiprobe", "mp")}""",
+    "ANN shortlist QUALITY, driver-visible: per-query recall@5 of the "
+    "sign-LSH and multi-probe shortlists against the exact brute-force "
+    "top-5, computed INSIDE the query (both sides deterministic: "
+    "cosine rounded to 4dp, id tiebreaks). This is the quality readout "
+    "for the approximate family — the compression ladder "
+    "(PQ/IVFPQ/OPQ/SQ) pins its recall in tests/test_pq.py and "
+    "test_ann_quality.py; this query makes the bucketing family's "
+    "recall a hash-matched CORRECTNESS row. The exact arm is the "
+    "broadcast-query linear scan; each approximate arm only rescores "
+    "its bucket shortlist; the recall join touches 25 rows per arm.",
+)
+def q_ann_recall_matrix(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    exact = sim.cosine_topk_bruteforce(emb, qs, k=5).select("query_id", "vec_id")
+    arms = (
+        ("lsh", sim.cosine_topk_lsh(emb, qs, k=5, bits=8)),
+        ("lsh_multiprobe", sim.cosine_topk_lsh(emb, qs, k=5, bits=8, multi_probe=8)),
+    )
+    out = None
+    for method, df in arms:
+        hits = exact.join(
+            df.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        per_q = (
+            hits.groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+            .select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                (F.col("n_hits") / F.lit(5.0)).alias("recall"),
+            )
+        )
+        out = per_q if out is None else out.unionByName(per_q)
+    return out
