@@ -1,0 +1,181 @@
+"""Real stdlib-only media codecs for the multimodal pipeline.
+
+The container has no Pillow/pyav, but PNG and WAV are decodable with
+the standard library alone — so the decode step of the multimodal
+plumbing (operators/multimodal.py) can be REAL, not a stub:
+
+- PNG: chunk parse + CRC verify + zlib inflate + full scanline-filter
+  reconstruction (all five filter types 0-4 per the PNG spec §9:
+  None/Sub/Up/Average/Paeth), 8-bit greyscale payloads.
+- WAV: RIFF parse via the ``wave`` module, PCM16 mono.
+
+Both directions are implemented (the encoder writes a DIFFERENT code
+path than the decoder reverses — e.g. varied per-row filter types —
+so an encode→decode round trip is a genuine decoder test, not an
+identity). Everything is deterministic pure-Python over bytes: these
+run inside Arrow ``mapInPandas`` batches, partition-parallel, exactly
+where a Pillow/pyav call would sit.
+
+No reference counterpart (the reference is ratings-only,
+CollabFilterCassandraDriver.java:95-96); mandated-extension surface.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal-but-valid 8-bit greyscale PNG writer. ``pixels`` is
+    row-major, len == width*height. Scanline filters VARY by row
+    (row % 5 → filter type 0-4) so the decoder's filter
+    reconstruction is genuinely exercised by a round trip."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub: x - left
+            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
+        elif ft == 2:  # Up: x - above
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(width)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[x] - _paeth(row[x - 1] if x else 0, prev[x], prev[x - 1] if x else 0))
+                & 0xFF
+                for x in range(width)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit grey
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec §9.4 Paeth predictor (a=left, b=above, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Real PNG decode for 8-bit greyscale: parse chunks (CRC-checked),
+    inflate the concatenated IDAT stream, reverse the per-scanline
+    filter (types 0-4). Returns (width, height, row-major pixels).
+    Raises ValueError on malformed input or unsupported color modes —
+    the quarantine contract a corpus decode step needs."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated chunk body")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG mode (need 8-bit grey, no interlace)")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (width + 1) * height:
+        raise ValueError("inflated size mismatch")
+    out = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        ft = raw[y * (width + 1)]
+        line = raw[y * (width + 1) + 1 : (y + 1) * (width + 1)]
+        row = bytearray(width)
+        for x in range(width):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            v = line[x]
+            if ft == 0:
+                row[x] = v
+            elif ft == 1:
+                row[x] = (v + left) & 0xFF
+            elif ft == 2:
+                row[x] = (v + up) & 0xFF
+            elif ft == 3:
+                row[x] = (v + ((left + up) >> 1)) & 0xFF
+            elif ft == 4:
+                row[x] = (v + _paeth(left, up, ul)) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {ft}")
+        out += row
+        prev = bytes(row)
+    return width, height, bytes(out)
+
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """PCM16 mono WAV via the stdlib ``wave`` writer."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
+    """RIFF/WAV parse via the stdlib ``wave`` reader; PCM16 mono only.
+    Returns (sample_rate, samples). ValueError on anything else."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("unsupported WAV layout (need PCM16 mono)")
+            n = w.getnframes()
+            frames = w.readframes(n)
+            return w.getframerate(), list(struct.unpack(f"<{n}h", frames))
+    except wave.Error as exc:
+        raise ValueError(f"not a WAV: {exc}") from exc

@@ -2,12 +2,16 @@
 
 Images/audio/video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct. The Spark-side machinery here is real and
-tested — schema, partition-preserving mapInPandas with Arrow batches,
-deterministic byte-level feature extraction via the stdlib — while the
-actual codec step (JPEG decode, resampling, frame sampling) is stubbed:
-the image/audio libraries are not in this container. Swap
-``_decode_stub`` for a Pillow/torchaudio/pyav call and nothing else
-changes — the batch shape, schema, and plan are production form.
+tested — schema, partition-preserving mapInPandas with Arrow batches —
+and since round 5 the DECODE step is real too: stdlib PNG (CRC-checked
+chunk parse + zlib inflate + full scanline-filter reconstruction) and
+WAV (RIFF/PCM16) codecs in operators/codecs.py, exercised encode→
+decode with integer-exact features the DuckDB oracle reproduces in
+closed form. Only formats beyond what the stdlib can express (JPEG,
+video) still need a third-party call — swap the inner decode in
+``decode_media_features`` for Pillow/pyav and nothing else changes;
+the byte-level ``_decode_stub`` path below is retained for
+codec-agnostic features (crc/length/head bytes).
 
 Scale: mapInPandas streams Arrow record batches through Python with no
 shuffle; decode parallelism == input partitions. Repartition upstream
@@ -183,6 +187,132 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_units", T.LongType(), True),
+        T.StructField("unit_sum", T.LongType(), True),
+    ]
+)
+
+
+def _synth_payload(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic REAL media payload for a doc id: even ids become an
+    8-bit greyscale PNG (dimensions and pixel values are pure functions
+    of the id), odd ids a PCM16 mono WAV. Stands in for bytes arriving
+    from the lake; every byte is a real decodable file."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    if doc_id % 2 == 0:
+        w, h = 8 + doc_id % 9, 4 + doc_id % 7
+        px = bytes(
+            (doc_id * 31 + x * 7 + y * 13) % 256 for y in range(h) for x in range(w)
+        )
+        return "png", codecs.encode_png_gray(w, h, px)
+    n = 64 + doc_id % 50
+    samples = [((doc_id * 17 + i * 5) % 2048) - 1024 for i in range(n)]
+    return "wav", codecs.encode_wav_pcm16(8000, samples)
+
+
+def synthesize_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas encode stage: (id) -> (id, payload, media_meta) with
+    REAL PNG/WAV bytes (operators/codecs.py). In production this column
+    comes off the lake; here the encoder doubles as the test harness
+    for the decoder (different code path per direction — varied PNG
+    scanline filters, wave-module WAV framing)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            kinds, payloads = [], []
+            for d in pdf[id_col]:
+                kind, payload = _synth_payload(int(d))
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": payloads,
+                    "modality": kinds,
+                    "mime": ["image/png" if k == "png" else "audio/wav" for k in kinds],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("modality", T.StringType(), True),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+    flat = df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        batches, schema=flat_schema
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct("modality", "mime", "n_bytes").alias("media_meta"),
+    )
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode feature extraction (no stub): mapInPandas over the
+    binary column, sniffing PNG vs WAV by signature and running the
+    stdlib decoders (operators/codecs.py — CRC-checked chunk parse,
+    zlib inflate, full scanline-filter reconstruction for PNG; RIFF
+    parse for WAV). Features are integer-exact:
+
+    - png: (width, height, n_units = pixel count, unit_sum = pixel sum)
+    - wav: (NULL, NULL, n_units = sample count, unit_sum = sum |sample|)
+    - corrupt/undecodable payloads become kind='corrupt' rows (nulls) —
+      quarantine, not job abort, same contract as the JSONL source.
+
+    Arrow-batched and scan-local: decode parallelism == input
+    partitions, no shuffle. This is the exact harness a Pillow/pyav
+    call runs in; only the inner decode call changes."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, px = codecs.decode_png_gray(b)
+                        rows.append((doc_id, "png", w, h, w * h, sum(px)))
+                    elif b[:4] == b"RIFF":
+                        _, samples = codecs.decode_wav_pcm16(b)
+                        rows.append(
+                            (doc_id, "wav", None, None, len(samples),
+                             sum(abs(s) for s in samples))
+                        )
+                    else:
+                        raise ValueError("unknown container signature")
+                except ValueError:
+                    rows.append((doc_id, "corrupt", None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "width", "height", "n_units", "unit_sum"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def media_decode_query(df_documents: DataFrame) -> DataFrame:
+    """documents → real PNG/WAV payloads → real decode → integer-exact
+    features. Both stages are Arrow mapInPandas, chained narrow (no
+    shuffle between encode and decode)."""
+    media = synthesize_media_payloads(df_documents.select("doc_id"))
+    return decode_media_features(media)
 
 
 def media_feature_query(df_documents: DataFrame) -> DataFrame:

@@ -2626,13 +2626,45 @@ def q_mm_binary_meta(spark, sf_dir):
 
 @register(
     "mm_decode_features",
-    None,  # mapInPandas decode stub — not SQL-expressible (rows-only check)
-    "Multimodal decode path: Arrow-batched mapInPandas over the binary "
-    "payload producing byte-level features (crc32, byte_mean). The real "
-    "codec (Pillow/pyav) drops into the same batch harness.",
+    """WITH d AS (SELECT doc_id FROM documents),
+        png AS (SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+                FROM d WHERE doc_id % 2 = 0),
+        pngf AS (SELECT p.doc_id, p.w, p.h,
+                        sum((p.doc_id * 31 + x.i * 7 + y.i * 13) % 256)::BIGINT
+                            AS unit_sum
+                 FROM png p,
+                      LATERAL unnest(range(0, p.w)) x(i),
+                      LATERAL unnest(range(0, p.h)) y(i)
+                 GROUP BY 1, 2, 3),
+        wav AS (SELECT doc_id, 64 + doc_id % 50 AS n
+                FROM d WHERE doc_id % 2 = 1),
+        wavf AS (SELECT v.doc_id, v.n,
+                        sum(abs(((v.doc_id * 17 + s.i * 5) % 2048) - 1024))::BIGINT
+                            AS unit_sum
+                 FROM wav v, LATERAL unnest(range(0, v.n)) s(i)
+                 GROUP BY 1, 2)
+        SELECT doc_id, 'png' AS kind, w::INT AS width, h::INT AS height,
+               (w * h)::BIGINT AS n_units, unit_sum
+        FROM pngf
+        UNION ALL
+        SELECT doc_id, 'wav' AS kind, NULL::INT AS width, NULL::INT AS height,
+               n::BIGINT AS n_units, unit_sum
+        FROM wavf""",
+    "Multimodal decode path with a REAL stdlib codec, exactly oracled: "
+    "per doc a genuine PNG (even ids; 8-bit greyscale, varied per-row "
+    "scanline filters) or WAV (odd ids; PCM16 mono) payload is encoded "
+    "then DECODED — CRC-checked chunk parse, zlib inflate, full "
+    "filter reconstruction (operators/codecs.py) — in two chained "
+    "Arrow mapInPandas stages (operators/multimodal.py), emitting "
+    "integer-exact features (dims, pixel count/sum, sample count/"
+    "abs-sum). Payload content is a pure function of doc_id, so the "
+    "oracle reproduces every feature in closed form WITHOUT decoding "
+    "— the hash match proves the decoder recovered the planted "
+    "content bit-exactly. A Pillow/pyav call drops into the same "
+    "batch harness for formats beyond the stdlib.",
 )
 def q_mm_decode(spark, sf_dir):
-    return mm.media_feature_query(t(spark, sf_dir, "documents"))
+    return mm.media_decode_query(t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -57,3 +57,71 @@ def test_frame_sampling_fanout(spark):
     # frame indices are the sampled ones
     idxs = [r["frame_idx"] for r in frames.filter(F.col("doc_id") == min(per_doc)).collect()]
     assert idxs == sorted(idxs) and all(i % 2 == 0 for i in idxs)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs (round 5): PNG filter reconstruction, WAV framing,
+# corrupt-payload quarantine — no Spark needed for the codec contracts.
+# ---------------------------------------------------------------------------
+
+from spark_cassandra_collabfiltering_spark.operators import codecs  # noqa: E402
+
+
+def test_png_roundtrip_exercises_all_filters():
+    # height 10 -> row filters 0,1,2,3,4,0,1,2,3,4 (every type twice)
+    w, h = 13, 10
+    px = bytes((x * 37 + y * 91 + 5) % 256 for y in range(h) for x in range(w))
+    payload = codecs.encode_png_gray(w, h, px)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    gw, gh, got = codecs.decode_png_gray(payload)
+    assert (gw, gh) == (w, h)
+    assert got == px  # bit-exact through zlib + filter reconstruction
+
+
+def test_png_corrupt_payloads_raise():
+    w, h = 4, 3
+    payload = codecs.encode_png_gray(w, h, bytes(range(12)))
+    import pytest
+
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_png_gray(b"JUNK" + payload[4:])
+    # flip a byte inside IDAT -> CRC mismatch must be caught
+    broken = bytearray(payload)
+    broken[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        codecs.decode_png_gray(bytes(broken))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_png_gray(payload[:-6])
+
+
+def test_wav_roundtrip():
+    samples = [((i * 57) % 2048) - 1024 for i in range(200)]
+    payload = codecs.encode_wav_pcm16(8000, samples)
+    rate, got = codecs.decode_wav_pcm16(payload)
+    assert rate == 8000 and got == samples
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs.decode_wav_pcm16(b"RIFFgarbage-that-is-not-wav")
+
+
+def test_decode_media_features_quarantines_corrupt(spark):
+    import pandas as pd
+    from spark_cassandra_collabfiltering_spark.operators import multimodal as mm
+
+    good_png = codecs.encode_png_gray(3, 2, bytes(range(6)))
+    good_wav = codecs.encode_wav_pcm16(8000, [1, -2, 3])
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [good_png, good_wav, b"\x89PNG\r\n\x1a\nbroken"],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r.asDict() for r in mm.decode_media_features(media).collect()}
+    assert rows[1]["kind"] == "png" and rows[1]["n_units"] == 6
+    assert rows[1]["unit_sum"] == sum(range(6))
+    assert rows[2]["kind"] == "wav" and rows[2]["n_units"] == 3
+    assert rows[2]["unit_sum"] == 1 + 2 + 3
+    assert rows[3]["kind"] == "corrupt" and rows[3]["n_units"] is None
