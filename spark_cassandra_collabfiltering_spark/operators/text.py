@@ -28,6 +28,12 @@ LANG_MARKERS: dict[str, list[str]] = {
 # literal characters work in Java regex (Spark) and RE2 (DuckDB), so
 # the pattern is engine-portable without escape-syntax differences.
 CJK_RANGE = "[一-鿿]"
+# ja: hiragana (U+3041-3096) + katakana (U+30A1-30FA) + the prolonged
+# sound mark — kana is the script that separates Japanese from Chinese
+# text (kanji alone counts as CJK/zh). ko: hangul syllables
+# (U+AC00-D7A3). Same literal-char-class portability as CJK_RANGE.
+KANA_RANGE = "[ぁ-ゖァ-ヺー]"
+HANGUL_RANGE = "[가-힣]"
 
 _WORD_RE = r"[A-Za-z0-9]+"
 # BPE-ish segmentation: word pieces OR single non-space symbols — the
@@ -43,16 +49,23 @@ def _marker_hits(col: Column, words: list[str]) -> Column:
 
 def lang_scores(text_col: str = "text") -> list[Column]:
     """Per-language feature counts: stopword hits for the latin-script
-    languages, CJK-ideograph count for zh (character-level — no
-    whitespace tokenization exists to exploit)."""
+    languages; unicode-block character counts for the scripts with no
+    whitespace tokenization to exploit — CJK ideographs for zh, kana
+    for ja, hangul syllables for ko. Known limitation (ROADMAP.md): a
+    Japanese doc that is nearly all kanji with little kana scores as
+    zh — kana presence is the ja signal."""
     return [
         _marker_hits(F.col(text_col), words).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ] + [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(CJK_RANGE), 0)).alias(
-            "score_zh"
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(rng), 0)).alias(
+            f"score_{lang}"
         )
+        for lang, rng in (("zh", CJK_RANGE), ("ja", KANA_RANGE), ("ko", HANGUL_RANGE))
     ]
+
+
+BLOCK_LANGS = ["zh", "ja", "ko"]
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -61,7 +74,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Ties break by language-code order via the greatest-of struct trick
     (compare (score, neg-ordinal) pairs) — fully deterministic.
     """
-    langs = [*LANG_MARKERS, "zh"]
+    langs = [*LANG_MARKERS, *BLOCK_LANGS]
     scored = df.select("*", *lang_scores(text_col))
     best = F.greatest(
         *[

@@ -2203,12 +2203,16 @@ def _marker_sql(lang: str) -> str:
     return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
 
 
+_BLOCK_RANGES = {"zh": tx.CJK_RANGE, "ja": tx.KANA_RANGE, "ko": tx.HANGUL_RANGE}
 _LANG_SCORES_SQL = ",\n              ".join(
     [f"{_marker_sql(lang)} AS score_{lang}" for lang in tx.LANG_MARKERS]
-    + [f"len(regexp_extract_all(text, '{tx.CJK_RANGE}')) AS score_zh"]
+    + [
+        f"len(regexp_extract_all(text, '{rng}')) AS score_{lang}"
+        for lang, rng in _BLOCK_RANGES.items()
+    ]
 )
 
-_ALL_LANGS = [*tx.LANG_MARKERS, "zh"]
+_ALL_LANGS = [*tx.LANG_MARKERS, *tx.BLOCK_LANGS]
 _SCORE_COLS = ", ".join(f"score_{lang}" for lang in _ALL_LANGS)
 
 
@@ -3279,25 +3283,58 @@ def q_sub3_anti(spark, sf_dir):
     )
 
 
+# Planted CJK eval docs: the testdata corpus carries no ja/ko ground
+# truth, so the confusion matrix gets deterministic literal fixtures
+# (negative ids; identical text in the Spark literals and the oracle
+# VALUES). ja docs are kana-dominant (kana is the ja signal — see
+# text.lang_scores); one kanji-only control doc pins the documented
+# ja/zh limitation as a zh prediction.
+_CJK_EVAL_DOCS = [
+    (-1, "ja", "これはにほんごのテストです。とてもかんたんなぶんしょうです。"),
+    (-2, "ja", "カタカナのテキストサンプルデータベースシステム"),
+    (-3, "ja", "日本語のテスト文書です。ひらがなとカタカナがたくさんあります。"),
+    (-4, "ja", "きょうはいいてんきですね。さんぽにいきましょう。"),
+    (-5, "ko", "이것은 한국어 테스트 문서입니다."),
+    (-6, "ko", "오늘은 날씨가 좋습니다. 산책을 갑시다."),
+    (-7, "ko", "한글 텍스트 샘플 데이터 세트입니다."),
+    (-8, "ko", "서울에서 만나요. 감사합니다."),
+    (-9, "zh", "这是中文测试文档没有假名只有汉字"),
+]
+
+_CJK_EVAL_VALUES_SQL = ",\n                ".join(
+    f"(CAST({i} AS BIGINT), '{lang}', '{txt}')" for i, lang, txt in _CJK_EVAL_DOCS
+)
+
+
 @register(
     "text_lang_id_eval",
-    f"""WITH s AS (SELECT doc_id, lang,
+    f"""WITH d AS (SELECT doc_id, lang, text FROM documents
+                   UNION ALL
+                   SELECT * FROM (VALUES {_CJK_EVAL_VALUES_SQL})
+                       v(doc_id, lang, text)),
+        s AS (SELECT doc_id, lang,
               {_LANG_SCORES_SQL}
-           FROM documents),
+           FROM d),
         p AS (SELECT doc_id, lang, {_argmax_case_sql()} AS pred_lang FROM s)
        SELECT lang, pred_lang, count(*) AS n,
               sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)::BIGINT
                   AS n_correct
        FROM p GROUP BY lang, pred_lang""",
     "Language-ID quality evaluation: confusion matrix of ground-truth "
-    "lang vs predicted lang over the documents corpus — the accuracy "
-    "readout a curation pipeline monitors. Reuses the exact lang_id "
-    "scoring; the only shuffle carries (lang, pred_lang, count) rows.",
+    "lang vs predicted lang over the documents corpus PLUS planted "
+    "ja/ko/zh fixture docs (the corpus has no CJK-script ground truth "
+    "beyond zh): hiragana/katakana and hangul unicode-block scoring "
+    "validated end to end, including the documented kanji-only→zh "
+    "limitation. Reuses the exact lang_id scoring; the only shuffle "
+    "carries (lang, pred_lang, count) rows.",
 )
 def q_text_lang_id_eval(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = docs.sparkSession.createDataFrame(
+        _CJK_EVAL_DOCS, "doc_id long, lang string, text string"
+    )
     return (
-        tx.lang_id(docs)
+        tx.lang_id(docs.unionByName(planted))
         .groupBy("lang", "pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n"),

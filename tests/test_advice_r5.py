@@ -141,3 +141,25 @@ def test_write_jsonl_default_refuses_existing_path(spark, tmp_path):
     with pytest.raises(Exception):
         js.write_jsonl(df, out)  # default must NOT wipe existing data
     js.write_jsonl(df, out, mode="overwrite")  # explicit opt-in works
+
+
+# ---------------------------------------------------------------------------
+# ja/ko unicode-block language ID (round-5 coverage extension)
+# ---------------------------------------------------------------------------
+
+def test_lang_id_ja_ko_blocks(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "これはテストです。ひらがなのぶんしょう。"),   # hiragana
+            (2, "カタカナノテキストサンプル"),                  # katakana
+            (3, "한국어 문서입니다 감사합니다"),                # hangul
+            (4, "这是中文测试文档"),                            # kanji only -> zh
+            (5, "the quick brown fox and the lazy dog"),        # en
+            (6, "12345 !!!"),                                   # nothing -> und
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in tx.lang_id(docs).collect()}
+    assert got == {1: "ja", 2: "ja", 3: "ko", 4: "zh", 5: "en", 6: "und"}
