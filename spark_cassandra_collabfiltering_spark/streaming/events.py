@@ -324,14 +324,28 @@ def _target_exists(spark, path: str) -> bool:
 
 
 def run_foreach_batch_upsert(
-    stream_df: DataFrame, target_path: str, keys: list[str]
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str | None = None,
+    processing_time: str | None = None,
 ):
     """Exactly-once-style sink: every micro-batch MERGEs into a parquet
     target by key (read target → left-anti out updated keys → union →
     overwrite). foreachBatch gives the batch DataFrame + epoch id; a
     transactional format (Delta/Iceberg) would replace the manual
     read-modify-write with MERGE INTO, everything else unchanged.
-    Idempotent per key: replaying a batch converges to the same state.
+    Idempotent per key: replaying a batch converges to the same state —
+    which is exactly what makes a kill/restore mid-epoch safe: an epoch
+    interrupted after the target write but before the checkpoint commit
+    replays on restart and converges.
+
+    Default is the drain-everything batch shape (availableNow trigger,
+    awaited). ``processing_time`` switches to a LIVE continuous query
+    (micro-batch cadence) and returns the running query WITHOUT
+    awaiting — the caller owns stop/restart; pass ``checkpoint`` so a
+    restart resumes source offsets + aggregation state instead of
+    reprocessing from scratch.
     """
     from spark_cassandra_collabfiltering_spark.operators.relational import upsert
 
@@ -351,12 +365,12 @@ def run_foreach_batch_upsert(
         # materialize before overwriting the path we just read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 
-    q = (
-        stream_df.writeStream.foreachBatch(apply_batch)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = stream_df.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    if processing_time is not None:
+        return w.trigger(processingTime=processing_time).start()
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
 

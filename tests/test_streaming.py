@@ -365,3 +365,99 @@ def test_kafka_reader_option_wiring():
     # default: no backpressure cap entry at all (kafka treats the
     # option's mere presence as a cap)
     assert "maxOffsetsPerTrigger" not in ev.kafka_reader_options("b:9092", "t")
+
+
+def test_live_soak_kill_restore_exactly_once(spark, batch_events, tmp_path):
+    """LIVE soak of the stateful upsert pipeline (round-5 stretch):
+    a real continuous readStream (processingTime trigger, not
+    availableNow) over a growing file source, foreachBatch-upserting
+    running per-user totals into parquet, KILLED mid-run while more
+    files land, then RESTORED from the same checkpoint. Exactly-once
+    effect check: final per-user (n_events, total_value) equal the
+    batch ground truth — a replayed epoch (possible across the kill)
+    must converge via the idempotent merge, and restored state must
+    continue from the checkpoint instead of recounting."""
+    import time
+
+    _, batch = batch_events
+    src, target, ckpt = (str(tmp_path / d) for d in ("soaksrc", "tgt", "ck"))
+    os.makedirs(src, exist_ok=True)
+
+    # six deterministic slices land as separate files over the run
+    slices = [batch.filter(F.col("event_id") % 6 == i) for i in range(6)]
+
+    def land(i):
+        slices[i].coalesce(1).write.mode("append").parquet(src)
+
+    def target_users():
+        try:
+            return spark.read.parquet(target).count()
+        except Exception:  # target mid-overwrite or not yet created
+            return -1
+
+    def wait_until(pred, timeout=90.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    def start():
+        stream = ev.read_event_stream(spark, src, max_files_per_trigger=1)
+        return ev.run_foreach_batch_upsert(
+            ev.running_user_totals(stream), target, ["user_id"],
+            checkpoint=ckpt, processing_time="500 milliseconds",
+        )
+
+    land(0)
+    land(1)
+    q = start()
+    try:
+        # live phase 1: two slices flowing, a third lands mid-flight
+        land(2)
+        n_first3 = (
+            batch.filter(F.col("event_id") % 6 < 3)
+            .select("user_id").distinct().count()
+        )
+        assert wait_until(lambda: target_users() >= n_first3), (
+            "live query never caught up with the first three slices"
+        )
+    finally:
+        q.stop()  # the KILL — possibly mid-epoch
+
+    land(3)  # lands while the query is down
+    q2 = start()  # RESTORE from the same checkpoint
+    try:
+        land(4)
+        land(5)
+        want_users = batch.select("user_id").distinct().count()
+        assert wait_until(lambda: target_users() == want_users), (
+            "restored query never caught up with all six slices"
+        )
+
+        def totals_match():
+            try:
+                got = {
+                    r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+                    for r in spark.read.parquet(target).collect()
+                }
+            except Exception:
+                return False
+            want = {
+                r["user_id"]: (r["n"], round(r["tv"], 6))
+                for r in batch.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"),
+                )
+                .collect()
+            }
+            return got == want
+
+        # exactly-once effect: totals converge to batch ground truth
+        # (duplicated replay would inflate n_events; lost state would
+        # undercount)
+        assert wait_until(totals_match), "per-user totals never converged"
+    finally:
+        q2.stop()
