@@ -3502,8 +3502,12 @@ def q_ann_recall_matrix(spark, sf_dir):
     )
     out = None
     for method, df in arms:
+        # both sides are <= k * |query batch| rows; broadcast the
+        # approximate shortlist so the recall join never shuffles
         hits = exact.join(
-            df.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+            F.broadcast(
+                df.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+            ),
             ["query_id", "vec_id"],
             "left",
         )

@@ -52,13 +52,22 @@ PLAN_QUERIES = [
     # ann_sq_topk are excluded: their BUILDERS run the bloom-build /
     # min-max-training jobs; their plan shapes get standalone tests)
     "curation_domain_mix",
+    # r5 additions (plan-only cheap): JSONL quarantine (text scan +
+    # from_json, all JVM), ANN recall matrix (broadcast-join compose of
+    # already-guarded exact + LSH arms), extended lang-id eval
+    "jsonl_quarantine", "ann_recall_matrix", "text_lang_id_eval",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
 # construction (5-vector query batch / quadratic-baseline doc subset /
 # tfidf's ONE-ROW corpus-count join), documented in the operator
 # docstrings. Everything else must be 0.
-BNLJ_ALLOWED = {"ann_bruteforce_topk", "dedup_ngram_jaccard", "text_tfidf_topk"}
+BNLJ_ALLOWED = {
+    "ann_bruteforce_topk", "dedup_ngram_jaccard", "text_tfidf_topk",
+    # recall matrix embeds the brute-force exact arm (same bounded
+    # 5-vector broadcast as ann_bruteforce_topk)
+    "ann_recall_matrix",
+}
 
 
 @pytest.fixture(scope="module")
@@ -329,3 +338,44 @@ def test_sq_encode_is_map_only_and_jvm_side(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Scan parquet" in plan
+
+
+def test_mm_decode_chain_is_shuffle_free(spark):
+    """The real-codec multimodal path (r5): encode mapInPandas feeding
+    decode mapInPandas must chain NARROW — two MapInPandas nodes, no
+    Exchange anywhere (decode parallelism == scan partitions; a
+    shuffle between the stages would re-serialize every payload)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cassandra_collabfiltering_spark.operators import multimodal as mm
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    out = mm.media_decode_query(t(spark, SF_SMOKE, "documents"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert _op_count(plan, "MapInPandas") == 2, plan
+    assert "Exchange" not in plan, plan
+    # column pruning reaches the scan: only doc_id is read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(",") == ["doc_id:bigint"], plan
+
+
+def test_ann_recall_matrix_broadcasts_both_arms(spark):
+    """The recall query's joins must all be broadcast-shaped: the
+    25-row exact/approx shortlists and the bounded query batch ride as
+    broadcasts; the corpus is never shuffled for a join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["ann_recall_matrix"].builder(spark, SF_SMOKE).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
