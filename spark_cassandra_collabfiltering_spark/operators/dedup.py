@@ -751,3 +751,47 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    node_col: str = "node",
+    id_col: str = "doc_id",
+    score_col: str = "quality_e6",
+) -> DataFrame:
+    """Dedup CANONICALIZATION: given near-dup clusters ((node,
+    cluster_id) from :func:`connected_components`) and a per-doc score
+    table, pick the doc to KEEP per cluster — highest score, ties to
+    the smallest id (fully deterministic). This is the step after
+    clustering in a real dedup pipeline: drop everything in the
+    cluster except its best member, rather than blindly keeping the
+    minimum id.
+
+    Scale shape: the score join is id-keyed; the per-cluster argmax is
+    a row_number window partitioned by cluster_id — cluster sizes are
+    small by construction (near-dup crowds), so no skew concern; the
+    member count rides the same window state. Only clustered docs
+    appear (singletons were never candidates to drop).
+
+    Output: (cluster_id, keep_id, keep_score, n_members).
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(
+        scores.select(F.col(id_col).alias(node_col), F.col(score_col)),
+        node_col,
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = j.withColumn(
+        "_rk",
+        F.row_number().over(
+            w.orderBy(F.col(score_col).desc(), F.col(node_col).asc())
+        ),
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("_rk") == 1).select(
+        "cluster_id",
+        F.col(node_col).alias("keep_id"),
+        F.col(score_col).alias("keep_score"),
+        F.col("_n").cast("bigint").alias("n_members"),
+    )

@@ -522,3 +522,52 @@ def gopher_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
             "gopher_pass": gate,
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window document chunking — the sequence-prep step of a
+    pretraining/RAG pipeline: fixed ``size``-char windows every
+    ``stride`` chars (overlap = size - stride), the final window
+    allowed to run short. A doc of L chars yields
+    ``1 + ceil((L - size) / stride)`` chunks (one if L <= size);
+    empty docs yield none.
+
+    Row-local end to end: the chunk-start sequence is built per row
+    (one explode — a narrow fan-out, no shuffle), each chunk is a
+    substr of the row's own text. Output carries (chunk_idx,
+    chunk_start 1-based, chunk_len, chunk_md5) — the md5 stands in for
+    shipping chunk text through a hash-compare; downstream consumers
+    substr the original doc by (start, len). All-integer/hash output →
+    exactly oracle-able. ceil is computed in integer arithmetic
+    ((L - size + stride - 1) div stride) so both engines agree without
+    float rounding.
+
+    No reference counterpart; mandated-extension (training-data
+    pipeline) surface.
+    """
+    if size <= 0 or stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    c = F.col(text_col)
+    L = F.length(c)
+    extra = F.floor((L - size + stride - 1) / F.lit(stride)).cast("bigint")
+    n = F.when(L <= size, F.lit(1).cast("bigint")).otherwise(extra + 1)
+    rows = df.filter(L > 0).select(
+        F.col(id_col),
+        c.alias("_t"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n - 1)).alias("chunk_idx"),
+    )
+    start = F.lit(1) + F.col("chunk_idx") * stride
+    chunk = F.col("_t").substr(start.cast("int"), F.lit(size))
+    return rows.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        start.cast("bigint").alias("chunk_start"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk.cast("binary")).alias("chunk_md5"),
+    )

@@ -3523,3 +3523,73 @@ def q_ann_recall_matrix(spark, sf_dir):
         )
         out = per_q if out is None else out.unionByName(per_q)
     return out
+
+
+# ===========================================================================
+# Document chunking + dedup canonicalization (round 5)
+# ===========================================================================
+
+@register(
+    "text_chunking",
+    """WITH d AS (SELECT doc_id, text, length(text) AS L
+                  FROM documents WHERE length(text) > 0),
+        n AS (SELECT doc_id, text, L,
+                     CASE WHEN L <= 200 THEN 1
+                          ELSE ((L - 200 + 149) // 150) + 1 END AS nch
+              FROM d),
+        c AS (SELECT doc_id, i.i AS chunk_idx,
+                     (1 + i.i * 150)::BIGINT AS chunk_start,
+                     substr(text, (1 + i.i * 150)::INT, 200) AS chunk
+              FROM n, LATERAL unnest(range(0, nch)) i(i))
+        SELECT doc_id, chunk_idx, chunk_start,
+               length(chunk)::BIGINT AS chunk_len, md5(chunk) AS chunk_md5
+        FROM c""",
+    "Sliding-window document chunking (size 200, stride 150, overlap "
+    "50) — the sequence-prep step of a pretraining/RAG pipeline. "
+    "Row-local: the start sequence is built per row (one narrow "
+    "explode), each chunk a substr of the row's own text; no shuffle "
+    "anywhere. Output is (idx, start, len, md5) in exact integer/hash "
+    "arithmetic (ceil computed as integer division in BOTH engines), "
+    "so every chunk boundary and every chunk's content hash is "
+    "oracle-verified.",
+)
+def q_text_chunking(spark, sf_dir):
+    return tx.chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text", size=200, stride=150
+    )
+
+
+@register(
+    "dedup_canonicalize",
+    f"""WITH cl AS (SELECT node, cluster_id
+                    FROM ({QUERIES["dedup_clusters"].oracle}) c0),
+        q AS (SELECT doc_id, quality_e6
+              FROM ({QUERIES["text_quality"].oracle}) q0),
+        j AS (SELECT cl.cluster_id, cl.node, q.quality_e6
+              FROM cl JOIN q ON q.doc_id = cl.node),
+        r AS (SELECT cluster_id, node, quality_e6,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY quality_e6 DESC, node) AS rk,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM j)
+        SELECT cluster_id, node AS keep_id, quality_e6 AS keep_score,
+               n_members::BIGINT AS n_members
+        FROM r WHERE rk = 1""",
+    "Dedup CANONICALIZATION — the step after clustering in a real "
+    "dedup pipeline: per near-dup cluster (minhash pairs → connected "
+    "components, exactly as dedup_clusters) keep the HIGHEST-QUALITY "
+    "member (text_quality's exact quality_e6 rubric; ties to smallest "
+    "id), not blindly the minimum id. Composes two already-oracled "
+    "operators; the oracle recomputes both and takes the same "
+    "windowed argmax. Scale: id-keyed score join + a per-cluster "
+    "row_number window over near-dup-crowd-sized groups.",
+)
+def q_dedup_canonicalize(spark, sf_dir):
+    clusters = QUERIES["dedup_clusters"].builder(spark, sf_dir)
+    quality = QUERIES["text_quality"].builder(spark, sf_dir).select(
+        "doc_id", "quality_e6"
+    )
+    return dd.keep_best_per_cluster(
+        clusters, quality, node_col="node", id_col="doc_id",
+        score_col="quality_e6",
+    )

@@ -163,3 +163,59 @@ def test_lang_id_ja_ko_blocks(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in tx.lang_id(docs).collect()}
     assert got == {1: "ja", 2: "ja", 3: "ko", 4: "zh", 5: "en", 6: "und"}
+
+
+# ---------------------------------------------------------------------------
+# document chunking boundary math + dedup canonicalization (round 5)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_boundaries(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 10),   # short: one chunk, len 10
+            (2, "b" * 200),  # exactly size: one chunk
+            (3, "c" * 201),  # one char over: two chunks (second len 51)
+            (4, "d" * 500),  # 1 + ceil(300/150) = 3 chunks
+            (5, ""),         # empty: no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = tx.chunk_documents(docs, size=200, stride=150)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_len"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (1, 10),
+        (2, 0): (1, 200),
+        (3, 0): (1, 200), (3, 1): (151, 51),
+        (4, 0): (1, 200), (4, 1): (151, 200), (4, 2): (301, 200),
+    }
+    # overlap contract: consecutive chunks overlap by size - stride
+    import hashlib
+
+    md5s = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_md5"] for r in out.collect()
+    }
+    assert md5s[(4, 1)] == hashlib.md5(b"d" * 200).hexdigest()
+
+    with pytest.raises(ValueError):
+        tx.chunk_documents(docs, size=100, stride=101)
+
+
+def test_keep_best_per_cluster_tiebreaks(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], ["node", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: node 2 wins on score; cluster 10: tie -> min id (10)
+        [(1, 50), (2, 90), (3, 90 - 1), (10, 70), (11, 70)],
+        ["doc_id", "quality_e6"],
+    )
+    got = {
+        r["cluster_id"]: (r["keep_id"], r["keep_score"], r["n_members"])
+        for r in dd.keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert got == {1: (2, 90, 3), 10: (10, 70, 2)}

@@ -54,8 +54,12 @@ PLAN_QUERIES = [
     "curation_domain_mix",
     # r5 additions (plan-only cheap): JSONL quarantine (text scan +
     # from_json, all JVM), ANN recall matrix (broadcast-join compose of
-    # already-guarded exact + LSH arms), extended lang-id eval
+    # already-guarded exact + LSH arms), extended lang-id eval,
+    # sliding-window chunking (row-local explode, zero exchanges —
+    # checked below). dedup_canonicalize excluded: its builder runs
+    # the iterative connected-components jobs.
     "jsonl_quarantine", "ann_recall_matrix", "text_lang_id_eval",
+    "text_chunking",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -184,7 +188,7 @@ def _op_count(plan: str, op: str) -> int:
 def test_r2_scan_local_ops_have_zero_exchanges(plans):
     """The row-local text ops and the weighted sample must stay pure
     scan+project/filter — any exchange is a regression."""
-    for name in ("text_repetition", "sample_weighted"):
+    for name in ("text_repetition", "sample_weighted", "text_chunking"):
         assert _op_count(plans[name], "Exchange") == 0, plans[name]
 
 
