@@ -31,6 +31,13 @@ SHOWN = [
     "curation_contamination",
     "curation_pack",
     "text_repetition",
+    # round 5
+    "jsonl_quarantine",
+    "ann_recall_matrix",
+    "mm_decode_features",
+    "text_chunking",
+    "curation_domain_mix",
+    "g12_hist_quantiles",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
