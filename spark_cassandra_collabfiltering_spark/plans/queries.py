@@ -3593,3 +3593,57 @@ def q_dedup_canonicalize(spark, sf_dir):
         clusters, quality, node_col="node", id_col="doc_id",
         score_col="quality_e6",
     )
+
+
+# ===========================================================================
+# Z-order (Morton) clustering key — lakehouse data-skipping layout
+# ===========================================================================
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """DuckDB replica of lake.zorder_key over (l_partkey, l_suppkey):
+    identical integer range-bucketing ((a - a%span)//span, clamped) and
+    bucket-major bit interleave, generated from the same constants."""
+    n = 1 << bits
+    dims = [("l_partkey", 1, 2000), ("l_suppkey", 1, 100)]
+    buckets = []
+    for d, (col, lo, hi) in enumerate(dims):
+        span = hi - lo + 1
+        x = f"(({col} - {lo}) * {n})"
+        buckets.append(
+            f"least({n - 1}, greatest(0, ({x} - {x} % {span}) // {span})) AS b{d}"
+        )
+    terms = " + ".join(
+        f"(((b{d} >> {i}) & 1) << {i * len(dims) + d})"
+        for d in range(len(dims))
+        for i in range(bits)
+    )
+    return f"""WITH b AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                      {", ".join(buckets)}
+               FROM lineitem)
+        SELECT l_orderkey, l_partkey, l_suppkey, ({terms})::BIGINT AS zkey
+        FROM b"""
+
+
+@register(
+    "lake_zorder_key",
+    _zorder_oracle_sql(bits=8),
+    "Z-order (Morton) clustering key over (l_partkey, l_suppkey) — "
+    "the multi-dimension data-skipping layout (Delta/Iceberg OPTIMIZE "
+    "ZORDER BY): range-bucket each dim with exact integer arithmetic, "
+    "interleave the bucket bits. Sorting/compacting by this key "
+    "(lake.write_zordered) makes every output file a small "
+    "hyper-rectangle of the dim space, so parquet min/max footers "
+    "prune files for predicates on ANY keyed dimension. All JVM "
+    "shift/mask built-ins, scan-local, zero shuffle; the oracle "
+    "regenerates the identical key bit-for-bit.",
+)
+def q_lake_zorder_key(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.sources import lake
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    return li.withColumn(
+        "zkey",
+        lake.zorder_key([("l_partkey", 1, 2000), ("l_suppkey", 1, 100)], bits=8),
+    )

@@ -73,3 +73,69 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     pass (no inference scan) and pins types; corrupt lines surface in
     ``_corrupt_record`` under the default PERMISSIVE mode."""
     return spark.read.schema(schema).json(path)
+
+
+def zorder_key(
+    dims: list[tuple["str | F.Column", int, int]], bits: int = 8
+) -> "F.Column":
+    """Z-order (Morton) clustering key over D dimensions — the
+    multi-column data-skipping layout Delta/Iceberg expose as
+    ``OPTIMIZE ... ZORDER BY``: sort-by-zkey places rows so that EVERY
+    dimension's values are locally clustered within a file, so parquet
+    min/max footer stats prune files for filters on ANY of the
+    dimensions (a plain sort clusters only its leading column).
+
+    Each dim is (column, lo, hi): the value is range-bucketed into
+    ``2^bits`` buckets with pure INTEGER arithmetic
+    (clamp((v - lo) * 2^bits / (hi - lo + 1))) and the bucket bits are
+    interleaved bucket-major (bit i of dim d lands at position
+    i*D + d). All shifts/masks are JVM built-ins (whole-stage
+    codegen'd, no shuffle, no UDF) and integer-exact — identical in
+    any engine, so layouts are reproducible and oracle-checkable.
+    Rows outside [lo, hi] clamp to the edge buckets (the standard
+    z-order contract for stragglers).
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    n = 1 << bits
+    d_count = len(dims)
+    key = F.lit(0).cast("bigint")
+    for d, (col, lo, hi) in enumerate(dims):
+        c = F.col(col) if isinstance(col, str) else col
+        span = int(hi) - int(lo) + 1
+        # exact integer division (a - a%b)/b: the final double division
+        # is of an exact multiple, so no float-floor boundary flip even
+        # for spans near 2^31 (plain floor(a/b) can round across an
+        # integer when 1/span is below one ulp of the quotient)
+        scaled = (c.cast("bigint") - F.lit(int(lo))) * F.lit(n)
+        bucket = ((scaled - scaled % F.lit(span)) / F.lit(span)).cast("bigint")
+        bucket = F.least(F.lit(n - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), bucket))
+        for i in range(bits):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1).cast("bigint"))
+            key = key + F.shiftleft(bit, i * d_count + d)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dims: list[tuple[str, int, int]],
+    bits: int = 8,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Sort-by-z-key parquet layout: compute the Morton key, RANGE
+    repartition on it (contiguous key ranges per output file — the
+    compaction step of OPTIMIZE ZORDER), sort within partitions, drop
+    the key, write. Each resulting file covers a small hyper-rectangle
+    of the dim space, so min/max footer stats skip files for
+    single-dim AND multi-dim predicates. One shuffle total (the range
+    exchange), the same cost as any global sort compaction."""
+    keyed = df.withColumn("_zkey", zorder_key(dims, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -145,3 +145,65 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
     b = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
     assert a == b and len(a) > 0
+
+
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    """write_zordered must leave every file covering a SMALL rectangle of
+    (partkey, suppkey) space: both dims clustered, unlike a plain sort
+    which clusters only its leading column and leaves the other at
+    full span per file."""
+    import glob as _glob
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    lo_hi = {
+        c: (r["mn"], r["mx"])
+        for c, r in (
+            (c, li.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).first())
+            for c in ("l_partkey", "l_suppkey")
+        )
+    }
+    dims = [
+        ("l_partkey", lo_hi["l_partkey"][0], lo_hi["l_partkey"][1]),
+        ("l_suppkey", lo_hi["l_suppkey"][0], lo_hi["l_suppkey"][1]),
+    ]
+
+    zpath = str(tmp_path / "zordered")
+    lake.write_zordered(li, zpath, dims, bits=6, n_files=8)
+
+    spath = str(tmp_path / "sorted")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def mean_ranges(path):
+        files = _glob.glob(path + "/part-*.parquet")
+        assert len(files) >= 4, files
+        spans = {"l_partkey": [], "l_suppkey": []}
+        for f in files:
+            row = spark.read.parquet(f).agg(
+                F.min("l_partkey"), F.max("l_partkey"),
+                F.min("l_suppkey"), F.max("l_suppkey"),
+            ).first()
+            spans["l_partkey"].append(row[1] - row[0])
+            spans["l_suppkey"].append(row[3] - row[2])
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    full_pk = lo_hi["l_partkey"][1] - lo_hi["l_partkey"][0]
+    full_sk = lo_hi["l_suppkey"][1] - lo_hi["l_suppkey"][0]
+    z = mean_ranges(zpath)
+    s = mean_ranges(spath)
+    # z-order: BOTH dims clustered well below full span per file
+    assert z["l_partkey"] < 0.6 * full_pk, z
+    assert z["l_suppkey"] < 0.8 * full_sk, z
+    # plain sort: leading dim tightly clustered, non-leading dim ~full
+    assert s["l_suppkey"] > 0.9 * full_sk, s
+    # and z-order's non-leading-dim clustering beats the plain sort's
+    assert z["l_suppkey"] < s["l_suppkey"], (z, s)
+    # row preservation
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
