@@ -753,6 +753,83 @@ def simhash_near_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated n-gram SPAN detection — the
+    distributed approximation of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": their suffix-array ExactSubstr; here re-expressed
+    as the n-gram-anchored Spark plan a cluster can run).
+
+    Pipeline: per doc, every word ``n``-gram with its START POSITION
+    (row-local zip_with windows — no per-gram re-tokenize); grams are
+    md5-reduced BEFORE any shuffle so the wide text never leaves the
+    scan stage. A two-phase hash-agg finds grams present in >=
+    ``min_docs`` distinct docs; positions of those grams join back on
+    the 16-byte hash; finally a per-doc window merges overlapping and
+    ADJACENT gram hits into maximal duplicated spans (classic interval
+    merge: running max of span end, new span when a gap opens).
+
+    Scale shape: the only shuffles carry (gram_md5, doc_id, pos) —
+    fixed-width keys, never text; the duplicated-gram filter is a
+    map-side-combining agg; the interval merge is a window over
+    doc-local hit lists. The corpus is scanned twice (once to build
+    the gram frequency table, once for positions) — at 100 TB you
+    would materialize the gram table to the lake between the passes;
+    semantics are identical.
+
+    Output: one row per maximal duplicated span —
+    (id, span_id, span_start, span_end, span_len, n_dup_grams), all
+    word-position indexed (0-based, inclusive), exact integers.
+    """
+    from pyspark.sql import Window
+
+    from spark_cassandra_collabfiltering_spark.operators.text import _word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(_word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(
+        id_col, "pos", F.md5(F.col("gram").cast("binary")).alias("gram_md5")
+    )
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_md5")
+    )
+    hits = grams.join(dup, "gram_md5").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .withColumn("span_id", F.col("span_id").cast("bigint"))
+    )
+
+
 def keep_best_per_cluster(
     clusters: DataFrame,
     scores: DataFrame,

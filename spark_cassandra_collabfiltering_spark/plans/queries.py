@@ -3647,3 +3647,59 @@ def q_lake_zorder_key(spark, sf_dir):
         "zkey",
         lake.zorder_key([("l_partkey", 1, 2000), ("l_suppkey", 1, 100)], bits=8),
     )
+
+
+# ===========================================================================
+# Duplicated-span detection (exact-substring dedup, Lee et al. 2022 shape)
+# ===========================================================================
+
+def _span_dedup_sql(n: int = 8, min_docs: int = 2) -> str:
+    """DuckDB replica of dedup.duplicate_spans: same lowercase word
+    tokenizer, same md5-hashed n-grams (1-based list slice == 0-based
+    Spark start pos), same >=min_docs distinct-doc filter, same
+    overlap-or-adjacent interval merge via windowed running max."""
+    return f"""WITH toks AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws
+                FROM documents),
+        g AS (SELECT doc_id, u.i - 1 AS pos,
+                     md5(array_to_string(ws[u.i:u.i+{n - 1}], ' ')) AS gram_md5
+              FROM toks,
+                   LATERAL unnest(range(1, greatest(len(ws)-{n}+1, 0)+1)) u(i)),
+        dup AS (SELECT gram_md5 FROM g GROUP BY gram_md5
+                HAVING count(DISTINCT doc_id) >= {min_docs}),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram_md5)),
+        m AS (SELECT doc_id, pos,
+                     max(pos + {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_end
+              FROM h),
+        s AS (SELECT doc_id, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM m)
+        SELECT doc_id, span_id::BIGINT AS span_id,
+               min(pos)::BIGINT AS span_start,
+               (max(pos) + {n - 1})::BIGINT AS span_end,
+               count(*)::BIGINT AS n_dup_grams,
+               (max(pos) + {n - 1} - min(pos) + 1)::BIGINT AS span_len
+        FROM s GROUP BY doc_id, span_id"""
+
+
+@register(
+    "text_span_dedup",
+    _span_dedup_sql(n=8, min_docs=2),
+    "Cross-document duplicated-SPAN detection — the distributed "
+    "approximation of exact-substring dedup (Lee et al. 2022 "
+    "ExactSubstr, re-expressed n-gram-anchored): word 8-grams with "
+    "start positions (row-local zip_with windows), md5-reduced before "
+    "any shuffle; two-phase hash-agg keeps grams in >=2 distinct "
+    "docs; positions join back on the 16-byte hash; a per-doc window "
+    "merges overlapping/adjacent hits into maximal spans. Shuffles "
+    "carry only fixed-width (hash, id, pos) keys — never text. "
+    "Output spans are exact word-position integers, fully oracled.",
+)
+def q_text_span_dedup(spark, sf_dir):
+    return dd.duplicate_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_docs=2
+    )

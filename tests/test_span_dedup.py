@@ -1,0 +1,100 @@
+"""Planted-corpus pins for dedup.duplicate_spans (exact-substring
+dedup, Lee et al. 2022 shape): span boundaries, overlap/adjacent
+merging, gap splitting, and the min_docs cross-doc requirement.
+"""
+
+from __future__ import annotations
+
+from spark_cassandra_collabfiltering_spark.operators import dedup as dd
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _spans(spark, rows, n=4, min_docs=2):
+    out = dd.duplicate_spans(
+        _corpus(spark, rows), "doc_id", "text", n=n, min_docs=min_docs
+    )
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_dup_grams)
+        for r in out.collect()
+    }
+
+
+def test_shared_span_exact_boundaries(spark):
+    # docs 1 and 2 share words 0..5 ("the quick brown fox jumps high");
+    # with n=4 the shared 4-grams anchor at 0,1,2 in doc 1 and the
+    # merged span covers word positions 0..5 in both docs.
+    shared = "the quick brown fox jumps high"
+    rows = [
+        (1, shared + " alpha beta gamma delta"),
+        (2, shared + " zeta eta theta iota"),
+    ]
+    got = _spans(spark, rows)
+    assert got == {(1, 0, 5, 6, 3), (2, 0, 5, 6, 3)}
+
+
+def test_no_span_below_n(spark):
+    # only a 3-word overlap -> no shared 4-gram -> no spans at all
+    rows = [
+        (1, "one two three alpha beta gamma delta"),
+        (2, "one two three zeta eta theta iota"),
+    ]
+    assert _spans(spark, rows) == set()
+
+
+def test_single_doc_repetition_not_cross_doc(spark):
+    # a doc repeating its own 4-gram is NOT a cross-doc duplicate
+    rows = [
+        (1, "a b c d x y z a b c d"),
+        (2, "entirely different words here now"),
+    ]
+    assert _spans(spark, rows) == set()
+
+
+def test_gap_splits_spans(spark):
+    # doc 3 contains the shared prefix AND the shared suffix of doc 4,
+    # separated by unique filler wider than one position -> two
+    # distinct maximal spans in both docs.
+    pre = "aa bb cc dd"
+    suf = "ww xx yy zz"
+    rows = [
+        (3, f"{pre} only three filler words {suf}"),
+        (4, f"{pre} unrelated middle portion q {suf}"),
+    ]
+    got = _spans(spark, rows)
+    # both docs: words 0..3 and 8..11 (4-word unique middles -> split)
+    assert (3, 0, 3, 4, 1) in got
+    assert (3, 8, 11, 4, 1) in got
+    assert (4, 0, 3, 4, 1) in got
+    assert (4, 8, 11, 4, 1) in got
+    assert len(got) == 4
+
+
+def test_adjacent_grams_merge(spark):
+    # three docs pairwise share different but ADJACENT grams with doc
+    # 1: doc 2 shares words 0..3, doc 3 shares words 4..7 of doc 1.
+    # In doc 1 the two duplicated regions touch (3+1 == 4) and merge
+    # into one maximal span 0..7.
+    rows = [
+        (1, "p q r s t u v w"),
+        (2, "p q r s mm nn oo pp"),
+        (3, "kk ll mm nn2 t u v w"),
+    ]
+    got = _spans(spark, rows)
+    assert (1, 0, 7, 8, 2) in got
+
+
+def test_min_docs_threshold(spark):
+    shared = "one common phrase across many docs"
+    rows = [(i, f"{shared} unique tail {i} filler") for i in range(1, 4)]
+    # with min_docs=4 nothing qualifies (only 3 docs share the gram)
+    assert _spans(spark, rows, min_docs=4) == set()
+    # with min_docs=3 every doc reports the shared span: "unique tail"
+    # is also common to all three docs, so shared 4-grams anchor at
+    # positions 0..4 and the maximal span covers words 0..7.
+    got = _spans(spark, rows, min_docs=3)
+    assert {(d, s, e) for (d, s, e, _, _) in got} == {
+        (1, 0, 7), (2, 0, 7), (3, 0, 7)
+    }
