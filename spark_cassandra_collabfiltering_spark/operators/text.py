@@ -571,3 +571,72 @@ def chunk_documents(
         F.length(chunk).cast("bigint").alias("chunk_len"),
         F.md5(chunk.cast("binary")).alias("chunk_md5"),
     )
+
+
+def vocab_build(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Vocabulary construction with CONTIGUOUS dense ids — the
+    token→id table a training pipeline feeds an embedding layer:
+    tokens with corpus frequency >= ``min_count``, id 0 = most
+    frequent, ties broken lexicographically (fully deterministic).
+
+    The interesting part at scale is the dense-id assignment. The
+    naive plan — ``row_number()`` over an UN-partitioned window — is
+    a single-reducer bottleneck (every row through one task: the
+    thing that does not survive 100 TB). Re-expressed as a
+    deterministic two-level rank (the zipWithIndex shape, but with no
+    range sampling, no partition-id dependence, no driver collect):
+
+    1. bucket the count table by (cnt, token-prefix) and aggregate
+       bucket sizes — a GROUP table bounded by
+       #distinct-counts x alphabet^prefix_len, thousands of rows at
+       any corpus size (distinct frequencies grow ~sqrt of tokens);
+    2. prefix-sum the group table in (cnt desc, prefix asc) order —
+       a window over the bounded group table, NOT the data, so its
+       single-partition sort is O(groups);
+    3. broadcast-join the offsets back and add the bucket-local
+       ``row_number`` (window partitioned by bucket, ordered by
+       token).
+
+    vocab_id = bucket offset + local rank == the exact global
+    ``row_number() - 1`` in (cnt desc, token asc) — the oracle's
+    formulation — but every unbounded structure is partitioned.
+    ``prefix_len`` widens the buckets that tail frequencies (cnt ==
+    min_count) would otherwise concentrate into one window task.
+
+    Output: (token, cnt, vocab_id 0-based), exact integers.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("token")
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumn("_pfx", F.substring("token", 1, prefix_len))
+    )
+    groups = counts.groupBy("cnt", "_pfx").agg(F.count(F.lit(1)).alias("_n"))
+    gw = Window.orderBy(F.col("cnt").desc(), F.col("_pfx").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = groups.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(gw), F.lit(0))
+    ).select("cnt", "_pfx", "_off")
+    lw = Window.partitionBy("cnt", "_pfx").orderBy(F.col("token").asc())
+    return (
+        counts.withColumn("_lrk", F.row_number().over(lw) - 1)
+        .join(F.broadcast(offsets), ["cnt", "_pfx"])
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("_off") + F.col("_lrk")).cast("bigint").alias("vocab_id"),
+        )
+    )

@@ -3703,3 +3703,30 @@ def q_text_span_dedup(spark, sf_dir):
     return dd.duplicate_spans(
         t(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_docs=2
     )
+
+
+@register(
+    "text_vocab_build",
+    """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                   '[A-Za-z0-9]+')) AS token
+               FROM documents),
+        c AS (SELECT token, count(*) AS cnt FROM toks
+              GROUP BY token HAVING count(*) >= 2)
+       SELECT token, cnt::BIGINT AS cnt,
+              (row_number() OVER (ORDER BY cnt DESC, token ASC) - 1)::BIGINT
+                  AS vocab_id
+       FROM c""",
+    "Vocabulary construction with CONTIGUOUS dense ids (the token->id "
+    "table an embedding layer needs): corpus frequency >= 2, id 0 = "
+    "most frequent, lexicographic ties. The dense-id assignment is a "
+    "deterministic two-level rank — per-(cnt, token-prefix) bucket "
+    "offsets prefix-summed over a BOUNDED group table + a bucket-local "
+    "row_number — so no row of the vocabulary ever passes through a "
+    "global single-partition window (the zipWithIndex shape, "
+    "sampling-free). The oracle states the same ids as one global "
+    "row_number, which DuckDB can afford at oracle scale.",
+)
+def q_text_vocab_build(spark, sf_dir):
+    return tx.vocab_build(
+        t(spark, sf_dir, "documents"), "text", min_count=2, prefix_len=1
+    )

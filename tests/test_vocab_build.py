@@ -1,0 +1,58 @@
+"""Pins for text.vocab_build: dense contiguous ids, (cnt desc, token)
+ordering, min_count gate, and invariance to the bucketing prefix_len
+(the ids must equal the global row_number regardless of how the
+two-level rank buckets the vocabulary).
+"""
+
+from __future__ import annotations
+
+from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+
+def _vocab(spark, texts, **kw):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return {
+        r.token: (r.cnt, r.vocab_id)
+        for r in tx.vocab_build(df, "text", **kw).collect()
+    }
+
+
+def test_ids_dense_and_frequency_ordered(spark):
+    got = _vocab(
+        spark,
+        ["bb aa bb cc", "bb aa zz", "cc bb"],
+        min_count=1,
+    )
+    # counts: bb=4, aa=2, cc=2, zz=1 -> ids 0,1,2,3 (cc after aa: tie
+    # broken lexicographically)
+    assert got == {"bb": (4, 0), "aa": (2, 1), "cc": (2, 2), "zz": (1, 3)}
+
+
+def test_min_count_gate(spark):
+    got = _vocab(spark, ["x x y"], min_count=2)
+    assert got == {"x": (2, 0)}
+
+
+def test_prefix_len_invariance(spark):
+    # same corpus, different bucketing widths -> identical ids
+    texts = [
+        "alpha beta alpha gamma delta beta epsilon",
+        "beta gamma alpha zeta eta theta gamma",
+        "iota kappa alpha beta mu nu xi omicron pi",
+    ]
+    a = _vocab(spark, texts, min_count=1, prefix_len=1)
+    b = _vocab(spark, texts, min_count=1, prefix_len=2)
+    c = _vocab(spark, texts, min_count=1, prefix_len=3)
+    assert a == b == c
+    # dense 0..V-1
+    assert sorted(vid for _, vid in a.values()) == list(range(len(a)))
+
+
+def test_lowercase_fold(spark):
+    got = _vocab(spark, ["Foo foo FOO bar"], min_count=1)
+    assert got == {"foo": (3, 0), "bar": (1, 1)}
+
+
+def test_empty_corpus(spark):
+    got = _vocab(spark, [""], min_count=1)
+    assert got == {}
