@@ -1,0 +1,81 @@
+"""Graph operators over edge DataFrames (driver-mandated extension
+surface: link analysis for corpus/web-graph curation).
+
+PageRank here is the fixed-iteration, EXACT-INTEGER formulation: every
+quantity is a scaled bigint and every division is integer floor
+division, so parallel summation order cannot perturb a single bit and
+the result is hash-identical across engines (the DuckDB oracle unrolls
+the same iterations in SQL). Floating-point PageRank would converge to
+the same ranking but its partial sums are order-dependent — the same
+portability rule the aggregate operators follow (plans/queries.py
+module docstring).
+
+Scale shape: each iteration is one hash-join of the rank vector with
+the (edge, out-degree) table on src plus one map-side-combining sum by
+dst — the standard Pregel-on-DataFrames step. State per iteration is
+the O(V) rank vector, never materialized on the driver; the node count
+enters the plan as a broadcast 1-row aggregate, not a collected
+literal. Fixed iteration count keeps the lineage shallow (no
+checkpoint needed; contrast the unbounded loop in
+dedup.connected_components, which checkpoints per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE_E12 = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst).
+
+    Requires every node to appear as a src (i.e. out-degree >= 1 —
+    pass the symmetric closure for an undirected graph); with that,
+    every node also receives contributions, so the rank vector keeps
+    exactly one row per node through every iteration.
+
+    rank_0       = SCALE div n                      (uniform)
+    rank_{t+1}(v)= (100-d)*SCALE div (100*n)
+                   + sum over (u,v) edges of (rank_t(u)*d) div (100*outdeg(u))
+
+    All bigint; `div` is floor division in both Spark SQL and DuckDB,
+    and rank*damping_pct stays < 1e14 << 2^63. Integer floor division
+    leaks a few units of rank mass per edge (bounded by the edge
+    count * 1 at e12 scale, i.e. ~1e-7 relative) — identically in
+    both engines, which is the portability point.
+
+    Output: (node, rank_e12) — one row per node, exact bigints.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = edges.join(deg, "src")
+    ndf = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .join(F.broadcast(ndf))
+        .select("node", F.expr(f"{SCALE_E12} div n").alias("rank"))
+    )
+    base = f"({100 - damping_pct} * {SCALE_E12}) div (100 * n)"
+    for _ in range(iters):
+        contrib = e2.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(rank * {damping_pct}) div (100 * outdeg)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .join(F.broadcast(ndf))
+            .select("node", (F.expr(base) + F.col("s")).alias("rank"))
+        )
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank").cast("bigint").alias("rank_e12"),
+    )

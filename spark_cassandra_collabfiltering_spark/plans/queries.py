@@ -3730,3 +3730,68 @@ def q_text_vocab_build(spark, sf_dir):
     return tx.vocab_build(
         t(spark, sf_dir, "documents"), "text", min_count=2, prefix_len=1
     )
+
+
+# ===========================================================================
+# PageRank — fixed-iteration link analysis in exact integer arithmetic
+# ===========================================================================
+
+def _pagerank_oracle_sql(iters: int = 5, damping_pct: int = 85) -> str:
+    """DuckDB replica of graph.pagerank over the part<->supplier
+    bipartite closure: the same iterations unrolled as CTEs, same
+    scaled-bigint floor divisions (`//` == Spark's `div` for positive
+    bigints), so every iteration is bit-identical."""
+    scale = 10**12
+    d = damping_pct
+    base = f"(({100 - d} * {scale}::BIGINT) // (100 * n.n))"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (SELECT e.dst AS node,
+                     ({base} + sum((r.rank * {d}) // (100 * e.outdeg)))::BIGINT
+                         AS rank
+              FROM e JOIN r{i - 1} r ON r.node = e.src, n
+              GROUP BY e.dst, n.n)"""
+        )
+    return f"""WITH raw AS (SELECT DISTINCT l_partkey::BIGINT AS p,
+                       (1000000 + l_suppkey)::BIGINT AS s
+                FROM lineitem),
+        ed AS (SELECT p AS src, s AS dst FROM raw
+               UNION ALL SELECT s, p FROM raw),
+        deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+        e AS (SELECT ed.src, ed.dst, deg.outdeg
+              FROM ed JOIN deg ON deg.src = ed.src),
+        n AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT deg.src AS node,
+                      ({scale}::BIGINT // n.n)::BIGINT AS rank
+               FROM deg, n),
+        {", ".join(steps)}
+        SELECT node, rank AS rank_e12 FROM r{iters}"""
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle_sql(iters=5, damping_pct=85),
+    "Fixed-iteration PageRank (5 rounds, damping 0.85) over the "
+    "part<->supplier bipartite graph (symmetric closure of distinct "
+    "lineitem (l_partkey, l_suppkey) pairs; suppliers offset by 1e6). "
+    "EXACT scaled-bigint arithmetic — every division a floor div, so "
+    "parallel sum order cannot perturb a bit and the oracle (same "
+    "iterations unrolled as CTEs) hash-matches. Each iteration = one "
+    "src-keyed hash join of the O(V) rank vector + one map-side-"
+    "combining sum by dst — the Pregel-on-DataFrames step; node count "
+    "enters as a broadcast 1-row aggregate. Link analysis is the "
+    "web-graph curation primitive (host ranking for crawl "
+    "prioritization/quality weighting).",
+)
+def q_graph_pagerank(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.operators import graph as gr
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("p"),
+        (F.lit(1000000) + F.col("l_suppkey")).cast("bigint").alias("s"),
+    ).distinct()
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    return gr.pagerank(edges, iters=5, damping_pct=85)

@@ -1,0 +1,57 @@
+"""Pins for graph.pagerank: structural properties on hand-built
+graphs (the cross-engine exactness itself is pinned by the
+graph_pagerank oracle row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.operators import graph as gr
+
+
+def _sym_edges(spark, pairs):
+    fwd = [(a, b) for a, b in pairs]
+    rev = [(b, a) for a, b in pairs]
+    return spark.createDataFrame(fwd + rev, "src bigint, dst bigint")
+
+
+def test_star_center_outranks_leaves(spark):
+    edges = _sym_edges(spark, [(0, i) for i in range(1, 6)])
+    got = {r.node: r.rank_e12 for r in gr.pagerank(edges, iters=5).collect()}
+    assert set(got) == set(range(6))
+    leaves = {got[i] for i in range(1, 6)}
+    assert len(leaves) == 1  # symmetric leaves tie exactly
+    assert got[0] > leaves.pop()
+
+
+def test_ring_is_uniform(spark):
+    n = 8
+    edges = _sym_edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    got = {r.node: r.rank_e12 for r in gr.pagerank(edges, iters=4).collect()}
+    # 2-regular graph: PageRank fixed point is uniform, and the exact
+    # integer recursion preserves that symmetry bit-for-bit
+    assert len(set(got.values())) == 1
+    assert len(got) == n
+
+
+def test_mass_conserved_up_to_floor_leakage(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    edges = _sym_edges(spark, pairs)
+    iters = 5
+    out = gr.pagerank(edges, iters=iters)
+    total = out.agg(F.sum("rank_e12")).collect()[0][0]
+    scale, n_edges, n_nodes = gr.SCALE_E12, 2 * len(pairs), 4
+    # each floor division loses < 1 unit: per iteration at most one
+    # per edge (contrib) + one per node (base), plus the initial split
+    leak = iters * (n_edges + n_nodes) + n_nodes
+    assert scale - leak <= total <= scale
+
+
+def test_more_central_ranks_higher(spark):
+    # path graph a-b-c-d-e: middle node c collects from both halves
+    edges = _sym_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = {r.node: r.rank_e12 for r in gr.pagerank(edges, iters=6).collect()}
+    assert got[2] > got[0] and got[2] > got[4]
+    assert got[1] > got[0] and got[3] > got[4]
+    assert got[0] == got[4] and got[1] == got[3]  # mirror symmetry exact
