@@ -344,3 +344,42 @@ def pack_documents(
         F.floor(F.col("tok_start") / budget).cast("bigint").alias("seq_id"),
         (F.col("tok_start") % budget).cast("bigint").alias("seq_offset"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    train_pct: int = 90,
+) -> DataFrame:
+    """Leakage-safe train/validation split: split by NEAR-DUP CLUSTER,
+    not by document, so two near-duplicates can never straddle the
+    boundary (per-doc hash splitting leaks ~duplicate validation
+    examples into training — the contamination mode eval suites warn
+    about; cf. Lee et al. 2022 §6 on split leakage through dups).
+
+    ``clusters`` is (node, cluster_id) from
+    :func:`dedup.connected_components` over near-dup pairs; docs not
+    in any cluster are their own singleton (split key falls back to
+    the doc id). The side assignment is the same engine-portable
+    md5-bucket draw as every sampler here — a pure function of the
+    cluster key, so the whole cluster moves as one unit and the split
+    is stable across runs/engines/retries.
+
+    Scale shape: one id-keyed left join (cluster table is the small
+    side — only clustered docs appear in it; broadcastable at any
+    realistic dup rate) + a scan-local bucket filter. Output keeps
+    cluster_id (NULL for singletons) for auditability.
+    """
+    cl = clusters.select(
+        F.col(node_col).alias(id_col), F.col("cluster_id")
+    )
+    keyed = docs.select(id_col).join(F.broadcast(cl), id_col, "left")
+    split_key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    b = hash_bucket(split_key, 100)
+    return keyed.select(
+        id_col,
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.when(b < train_pct, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )

@@ -3795,3 +3795,31 @@ def q_graph_pagerank(spark, sf_dir):
         li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
     return gr.pagerank(edges, iters=5, damping_pct=85)
+
+
+@register(
+    "curation_cluster_split",
+    f"""WITH cl AS (SELECT node, cluster_id
+                    FROM ({QUERIES["dedup_clusters"].oracle}) c0),
+        k AS (SELECT d.doc_id, cl.cluster_id,
+                     coalesce(cl.cluster_id, d.doc_id) AS sk
+              FROM documents d LEFT JOIN cl ON cl.node = d.doc_id)
+        SELECT doc_id, cluster_id::BIGINT AS cluster_id,
+               CASE WHEN ('0x' || substr(md5(sk::VARCHAR), 1, 15))::BIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM k""",
+    "Leakage-safe train/val split: the split key is the NEAR-DUP "
+    "CLUSTER (minhash pairs -> connected components, exactly as "
+    "dedup_clusters; singletons fall back to their own doc_id), so "
+    "near-duplicates can never straddle the train/val boundary — the "
+    "split-leakage mode per-doc hashing suffers (Lee et al. 2022 §6). "
+    "Same engine-portable md5-bucket draw as every sampler here; one "
+    "broadcast left join + scan-local filter. The oracle recomputes "
+    "the clusters (recursive CTE) and the identical bucket arithmetic.",
+)
+def q_curation_cluster_split(spark, sf_dir):
+    clusters = QUERIES["dedup_clusters"].builder(spark, sf_dir)
+    return cu.cluster_safe_split(
+        t(spark, sf_dir, "documents"), clusters, train_pct=90
+    )

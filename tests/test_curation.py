@@ -224,3 +224,38 @@ def test_bloom_empty_bench_rejects_everything(spark):
         ).count()
         == 0
     )
+
+
+def test_cluster_safe_split_atomicity(spark):
+    """No near-dup cluster may straddle the train/val boundary, the
+    whole corpus is covered exactly once, and singletons split by
+    their own id (same draw as hash_split on doc_id)."""
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES, t
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["curation_cluster_split"].builder(spark, sf).collect()
+    docs = {r.doc_id for r in t(spark, sf, "documents").select("doc_id").collect()}
+    assert {r.doc_id for r in out} == docs and len(out) == len(docs)
+    by_cluster = {}
+    for r in out:
+        if r.cluster_id is not None:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert by_cluster, "testdata should contain near-dup clusters"
+    assert all(len(sides) == 1 for sides in by_cluster.values())
+
+
+def test_cluster_safe_split_planted(spark):
+    from spark_cassandra_collabfiltering_spark.operators import curation as cu
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    clusters = spark.createDataFrame(
+        [(1, 1), (7, 1), (9, 1), (2, 2), (4, 2)], "node bigint, cluster_id bigint"
+    )
+    got = {r.doc_id: (r.cluster_id, r.split)
+           for r in cu.cluster_safe_split(docs, clusters).collect()}
+    assert len(got) == 10
+    # every member of a cluster gets the cluster's draw
+    assert got[1] == got[7] == got[9]
+    assert got[2] == got[4]
+    # singletons carry NULL cluster_id
+    assert got[0][0] is None and got[5][0] is None
