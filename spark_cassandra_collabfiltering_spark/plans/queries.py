@@ -3823,3 +3823,56 @@ def q_curation_cluster_split(spark, sf_dir):
     return cu.cluster_safe_split(
         t(spark, sf_dir, "documents"), clusters, train_pct=90
     )
+
+
+# ===========================================================================
+# Fuzzy string matching — SymSpell deletion-neighborhood record linkage
+# ===========================================================================
+
+_FUZZY_VARIANTS_SQL = """list_transform(range(1, length({nm})+1),
+                     i -> substr({nm}, 1, i-1) || substr({nm}, i+1))
+                 || [{nm}]"""
+
+
+@register(
+    "fuzzy_match_suppliers",
+    f"""WITH dirty AS (SELECT s_suppkey AS d_id,
+                      substr(s_name, 1, s_suppkey % length(s_name))
+                      || substr(s_name, (1 + s_suppkey % length(s_name)) + 1)
+                          AS d_name
+               FROM supplier),
+        dv AS (SELECT d_id, d_name, md5(u.v) AS vk
+               FROM dirty,
+                    LATERAL unnest({_FUZZY_VARIANTS_SQL.format(nm="d_name")}) u(v)),
+        cv AS (SELECT s_suppkey AS c_id, s_name AS c_name, md5(u.v) AS vk
+               FROM supplier,
+                    LATERAL unnest({_FUZZY_VARIANTS_SQL.format(nm="s_name")}) u(v)),
+        cand AS (SELECT DISTINCT d_id, d_name, c_id, c_name
+                 FROM dv JOIN cv USING (vk))
+        SELECT d_id AS dirty_id, d_name AS dirty_name, c_id AS match_id,
+               c_name AS match_name,
+               levenshtein(d_name, c_name)::BIGINT AS dist
+        FROM cand WHERE levenshtein(d_name, c_name) <= 1""",
+    "Typo-tolerant record linkage (SymSpell symmetric-delete shape): "
+    "a deterministically dirtied feed of supplier names (one char "
+    "deleted at position s_suppkey mod len) is matched back to the "
+    "clean master within edit distance 1. Candidate generation is "
+    "ROW-LOCAL 1-deletion neighborhoods md5-reduced to 16-byte join "
+    "keys — complete for dist<=1, no all-pairs levenshtein cross "
+    "product — and the exact levenshtein verify runs on candidates "
+    "only. Both engines generate identical neighborhoods and "
+    "distances, so every matched pair hash-matches.",
+)
+def q_fuzzy_match_suppliers(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.operators import fuzzy as fz
+
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    p = F.lit(1) + F.col("s_suppkey") % F.length("s_name")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("d_key"),
+        F.concat(
+            F.substring(F.col("s_name"), F.lit(1), p - 1),
+            F.substring(F.col("s_name"), p + 1, F.length("s_name")),
+        ).alias("d_nm"),
+    )
+    return fz.fuzzy_match(dirty, sup, "d_key", "d_nm", "s_suppkey", "s_name")
