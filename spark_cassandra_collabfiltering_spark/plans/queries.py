@@ -86,35 +86,50 @@ _DRIVER_ORDER = [
     "sub1_exists_semi",
     # §2.4 aggregates (reference A2/A3 + TPC-H shapes). r5:
     # g12_hist_quantiles (mergeable fixed-width-histogram quantiles)
-    # takes q14_promo_share's slot (family keeps 5 other residents).
+    # takes q14_promo_share's slot; r5-cont: q12_priority_classes to a
+    # local-checked slot (family keeps a2/a3/g1/q3/g12 — grouped-agg,
+    # conditional-agg, and histogram shapes all still resident).
     "a2_global_mean", "a3_rmse_item_mean", "g1_pricing_summary",
-    "q3_shipping_priority", "q12_priority_classes", "g12_hist_quantiles",
+    "q3_shipping_priority", "g12_hist_quantiles",
     # §2.5 windows / §2.6 ordering (r5: w4_rank_suite demoted; the
     # family keeps w1_topk_per_user's ranking-window evidence)
     "w1_topk_per_user", "o1_sort_composite",
-    # §2.7 set ops / §2.8 scalars
-    "set3_except", "f_report_flags", "f_null_string_suite",
+    # §2.7 set ops / §2.8 scalars (r5-cont: f_null_string_suite to a
+    # local-checked slot; scalar-function evidence rides f_report_flags)
+    "set3_except", "f_report_flags",
     # CDC
     "cdc_upsert",
     # dedup family (one per mandated technique; r5: dedup_incremental —
-    # batch-vs-corpus banding, the ingest shape — joins the window)
+    # batch-vs-corpus banding, the ingest shape — joins the window;
+    # r5-cont: text_span_dedup — duplicated-SPAN detection, the
+    # exact-substring dedup shape (Lee et al. 2022) no other resident
+    # covers)
     "dedup_exact", "dedup_minhash_dense", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_clusters", "dedup_incremental",
+    "text_span_dedup",
     # similarity / ANN family. r5: ann_recall_matrix makes shortlist
     # QUALITY (recall@5 vs exact, computed in-query) a hash-matched row
     # beside the shape rows.
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_pq_topk",
     "ann_recall_matrix", "dedup_embedding_cosine",
-    # text-analysis family (r4: + text_repetition, previously local-only)
-    "text_lang_id", "text_quality", "text_winnowing", "text_repetition",
+    # text-analysis family (r5-cont: text_repetition to a local-checked
+    # slot — lang_id/quality/winnowing keep the family's scan-local,
+    # rubric, and fingerprinting shapes; text_vocab_build joins with
+    # the distributed dense-id assignment no resident covers)
+    "text_lang_id", "text_quality", "text_winnowing", "text_vocab_build",
     # heavy hitters: bounded-memory space-saving sketch (r5)
     "sketch_space_saving_topterms",
     # training-data curation family (r5: + curation_domain_mix — the
     # exact-quota data-recipe sampler)
     "curation_pii_redact", "curation_contamination", "curation_pack",
     "curation_domain_mix",
-    # multimodal family
-    "mm_binary_meta", "mm_decode_features",
+    # multimodal family (r5-cont: mm_binary_meta to a local-checked
+    # slot — mm_decode_features is the stronger resident since the r5
+    # real-codec flip made its decode round trip exactly oracled)
+    "mm_decode_features",
+    # graph + fuzzy-linkage families (r5-cont: first driver residents —
+    # exact-integer PageRank and SymSpell edit-distance matching)
+    "graph_pagerank", "fuzzy_match_suppliers",
     # deterministic sampling family (r5: sample_stratified demoted —
     # the md5-bucket determinism evidence rides on sample_hash_split)
     "sample_hash_split",

@@ -60,6 +60,11 @@ PLAN_QUERIES = [
     # the iterative connected-components jobs.
     "jsonl_quarantine", "ann_recall_matrix", "text_lang_id_eval",
     "text_chunking",
+    # r5-continuation additions (plan-only cheap; curation_cluster_split
+    # excluded — its builder runs the iterative connected-components
+    # jobs, same reason as dedup_canonicalize)
+    "text_span_dedup", "text_vocab_build", "fuzzy_match_suppliers",
+    "graph_pagerank",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -71,6 +76,10 @@ BNLJ_ALLOWED = {
     # recall matrix embeds the brute-force exact arm (same bounded
     # 5-vector broadcast as ann_bruteforce_topk)
     "ann_recall_matrix",
+    # pagerank joins the ONE-ROW node-count aggregate into the rank
+    # vector (init + once per iteration) — same bounded-broadcast shape
+    # as tfidf's corpus-count join
+    "graph_pagerank",
 }
 
 
@@ -386,3 +395,54 @@ def test_ann_recall_matrix_broadcasts_both_arms(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_dedup_shuffles_only_hashed_keys(plans):
+    """Duplicated-span detection: every exchange must partition on the
+    16-byte gram hash or the doc id — never on raw gram/token text
+    (the wide-string-shuffle failure mode this operator is designed
+    around)."""
+    plan = plans["text_span_dedup"]
+    specs = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert specs, "expected hash exchanges in the span-dedup plan"
+    for spec in specs:
+        keys = [k.strip().split("#")[0] for k in spec.split(",")[:-1]]
+        assert set(keys) <= {"gram_md5", "doc_id"}, spec
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_build_unpartitioned_window_only_on_group_table(plans):
+    """The dense-id assignment's ONLY unpartitioned window must sit on
+    the bounded (cnt, prefix) GROUP table — the vocabulary itself goes
+    through the bucket-partitioned window. Two Window nodes total."""
+    plan = plans["text_vocab_build"]
+    assert _op_count(plan, "Window") == 2, plan
+    # the data-sized window is partitioned on (cnt, _pfx)
+    assert re.search(r"Window.*partitionBy", plan) or "_pfx" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_joins_on_variant_hash(plans):
+    """SymSpell linkage: the candidate-generation join must be keyed on
+    the md5 variant hash (16 bytes) — at smoke scale it broadcasts, at
+    scale it hash-shuffles, but either way the equi-keys are _vk, with
+    levenshtein only as a post-join condition, never a join key; and no
+    cartesian fallback."""
+    plan = plans["fuzzy_match_suppliers"]
+    assert re.search(r"keys \[\d+\]: \[_vk#", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    # the verify predicate rides as a join/filter condition on
+    # candidates only
+    assert "levenshtein" in plan, plan
+
+
+def test_pagerank_shuffles_only_on_node_keys(plans):
+    """Each PageRank iteration may shuffle on src/dst/node ids only;
+    the 1-row node-count join must ride as a broadcast (allowlisted
+    BNLJ), never trigger a cartesian product."""
+    plan = plans["graph_pagerank"]
+    specs = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    for spec in specs:
+        keys = [k.strip().split("#")[0] for k in spec.split(",")[:-1]]
+        assert set(keys) <= {"src", "dst", "node", "p", "s"}, spec
+    assert "CartesianProduct" not in plan
