@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -173,6 +173,69 @@ def hash_split(
     partitioning and sampler state)."""
     b = hash_bucket(F.col(key_col), buckets)
     return df.filter(b < train_pct), df.filter(b >= train_pct)
+
+
+def negative_sample(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    items_n: DataFrame,
+    k: int = 3,
+    oversample: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (BPR/ALS-implicit style: k unseen items per user). The standard
+    RNG approach (rand() per draw) is neither reproducible across
+    retries nor oracle-checkable; here each draw is a pure function of
+    (user, draw index): item = 1 + md5_draw60(user || ':' || j) mod n.
+
+    Plan shape: distinct users x (oversample*k) candidate draws — a
+    bounded row-local fan-out, no cross join against the item table —
+    anti-joined against the observed pairs, deduped per (user, item)
+    keeping the earliest draw, then the first k surviving draws per
+    user via a window over <= oversample*k rows. Oversampling absorbs
+    collisions with seen items; heavy users can still come up short
+    (documented, standard practice — raise ``oversample`` for them).
+    ``items_n`` is a ONE-ROW (n) aggregate joined as a broadcast (the
+    item-id domain is assumed dense 1..n, as TPC-H part keys are).
+
+    Output: (user, item, draw_idx) — exact integers, fully oracled.
+    """
+    users = interactions.select(user_col).distinct()
+    j = F.col("draw_idx").cast("string")
+    draw = md5_draw60(
+        F.concat(F.col(user_col).cast("string"), F.lit(":"), j)
+    )
+    cand = (
+        users.join(F.broadcast(items_n))
+        .select(
+            user_col,
+            F.explode(
+                F.sequence(F.lit(1), F.lit(oversample * k))
+            ).alias("draw_idx"),
+            "n",
+        )
+        .select(
+            user_col,
+            "draw_idx",
+            (F.lit(1) + draw % F.col("n")).alias(item_col),
+        )
+    )
+    neg = (
+        cand.join(interactions, [user_col, item_col], "left_anti")
+        .groupBy(user_col, item_col)
+        .agg(F.min("draw_idx").alias("draw_idx"))
+    )
+    w = Window.partitionBy(user_col).orderBy("draw_idx")
+    return (
+        neg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            user_col,
+            F.col(item_col).cast("bigint").alias(item_col),
+            F.col("draw_idx").cast("bigint").alias("draw_idx"),
+        )
+    )
 
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:

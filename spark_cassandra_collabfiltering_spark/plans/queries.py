@@ -3891,3 +3891,52 @@ def q_fuzzy_match_suppliers(spark, sf_dir):
         ).alias("d_nm"),
     )
     return fz.fuzzy_match(dirty, sup, "d_key", "d_nm", "s_suppkey", "s_name")
+
+
+@register(
+    "cf_negative_sample",
+    """WITH inter AS (SELECT DISTINCT o.o_custkey AS user_id,
+                             l.l_partkey AS item_id
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey % 19 = 0),
+        n AS (SELECT count(*) AS n FROM part),
+        users AS (SELECT DISTINCT user_id FROM inter),
+        cand AS (SELECT user_id, j.j AS draw_idx,
+                        1 + ('0x' || substr(md5(user_id::VARCHAR || ':'
+                                  || j.j::VARCHAR), 1, 15))::BIGINT % n.n
+                            AS item_id
+                 FROM users, n, LATERAL unnest(range(1, 7)) j(j)),
+        neg AS (SELECT c.user_id, c.item_id, min(c.draw_idx) AS draw_idx
+                FROM cand c LEFT JOIN inter i ON i.user_id = c.user_id
+                                             AND i.item_id = c.item_id
+                WHERE i.user_id IS NULL GROUP BY c.user_id, c.item_id),
+        r AS (SELECT user_id, item_id, draw_idx,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY draw_idx) AS rk
+              FROM neg)
+        SELECT user_id, item_id::BIGINT AS item_id,
+               draw_idx::BIGINT AS draw_idx
+        FROM r WHERE rk <= 3""",
+    "Deterministic negative sampling for implicit-feedback CF "
+    "training (3 unseen items per user, oversample 2x): each draw is "
+    "a pure md5 function of (user, draw index) — reproducible across "
+    "engines/retries, unlike rand() — anti-joined against the "
+    "observed (user, item) pairs. Bounded row-local fan-out (6 draws "
+    "per distinct user), no cross join with the item table; the "
+    "user-id subset (mod 19) keeps the oracle comparison compact. "
+    "Reference tie-in: produces the negatives ALS-implicit (M1) "
+    "would train on.",
+)
+def q_cf_negative_sample(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 19 == 0)
+    li = t(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    n_items = t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n"))
+    return rel.negative_sample(inter, "user_id", "item_id", n_items, k=3)
