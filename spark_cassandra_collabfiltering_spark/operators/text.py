@@ -640,3 +640,55 @@ def vocab_build(
             (F.col("_off") + F.col("_lrk")).cast("bigint").alias("vocab_id"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-group n-gram diversity — the self-repetition metric of a
+    corpus SLICE (distinct n-grams / total n-grams, the corpus-level
+    cousin of Self-BLEU: a slice whose docs all paraphrase each other
+    scores low even when each doc individually looks fine), plus the
+    type-token ratio over unigrams.
+
+    Scale shape: grams are md5-reduced row-locally before the ONE
+    (group, hash) distinct-count aggregate — shuffle carries 16-byte
+    keys, count-distinct goes through Spark's two-phase partial
+    aggregation; totals ride the same pass. Ratios in exact bigint
+    micro-units (x * 1e6 div total), so the output hash-matches.
+
+    Output: (group, total_ngrams, distinct_ngrams, diversity_e6,
+    total_tokens, distinct_tokens, ttr_e6).
+    """
+    grams = df.select(
+        F.col(group_col),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("g"),
+    ).select(group_col, F.md5(F.col("g").cast("binary")).alias("gh"))
+    toks = df.select(
+        F.col(group_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("tok"),
+    )
+    ga = grams.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.count_distinct("gh").alias("distinct_ngrams"),
+    )
+    ta = toks.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct("tok").alias("distinct_tokens"),
+    )
+    return ga.join(ta, group_col).select(
+        group_col,
+        F.col("total_ngrams").cast("bigint").alias("total_ngrams"),
+        F.col("distinct_ngrams").cast("bigint").alias("distinct_ngrams"),
+        F.expr("(distinct_ngrams * 1000000) div total_ngrams").alias(
+            "diversity_e6"
+        ),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("distinct_tokens").cast("bigint").alias("distinct_tokens"),
+        F.expr("(distinct_tokens * 1000000) div total_tokens").alias("ttr_e6"),
+    )

@@ -3940,3 +3940,81 @@ def q_cf_negative_sample(spark, sf_dir):
     )
     n_items = t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n"))
     return rel.negative_sample(inter, "user_id", "item_id", n_items, k=3)
+
+
+@register(
+    "text_diversity",
+    """WITH toks AS (SELECT source,
+                       regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws
+                FROM documents),
+        g AS (SELECT source, array_to_string(ws[u.i:u.i+1], ' ') AS gram
+              FROM toks,
+                   LATERAL unnest(range(1, greatest(len(ws)-1, 0)+1)) u(i)),
+        tk AS (SELECT source, u.t AS tok FROM toks, LATERAL unnest(ws) u(t)),
+        ga AS (SELECT source, count(*) AS total_ngrams,
+                      count(DISTINCT gram) AS distinct_ngrams
+               FROM g GROUP BY source),
+        ta AS (SELECT source, count(*) AS total_tokens,
+                      count(DISTINCT tok) AS distinct_tokens
+               FROM tk GROUP BY source)
+        SELECT ga.source, total_ngrams::BIGINT AS total_ngrams,
+               distinct_ngrams::BIGINT AS distinct_ngrams,
+               (distinct_ngrams * 1000000) // total_ngrams AS diversity_e6,
+               total_tokens::BIGINT AS total_tokens,
+               distinct_tokens::BIGINT AS distinct_tokens,
+               (distinct_tokens * 1000000) // total_tokens AS ttr_e6
+        FROM ga JOIN ta ON ta.source = ga.source""",
+    "Per-source n-gram DIVERSITY — the corpus-slice self-repetition "
+    "metric (corpus-level cousin of Self-BLEU): distinct/total word "
+    "bigrams + unigram type-token ratio, in exact bigint micro-units. "
+    "Grams md5-reduce row-locally before the one (group, hash) "
+    "count-distinct aggregate — 16-byte shuffle keys, two-phase "
+    "partial agg. A slice whose documents paraphrase each other "
+    "scores low even when each doc individually passes per-doc "
+    "repetition filters (text_repetition covers within-doc; this "
+    "covers across-doc).",
+)
+def q_text_diversity(spark, sf_dir):
+    return tx.ngram_diversity(
+        t(spark, sf_dir, "documents"), "source", "text", n=2
+    )
+
+
+@register(
+    "curation_quality_floor",
+    f"""WITH q AS (SELECT doc_id, quality_e6
+                   FROM ({QUERIES["text_quality"].oracle}) q0),
+        d AS (SELECT q.doc_id, s.source, q.quality_e6
+              FROM q JOIN documents s ON s.doc_id = q.doc_id),
+        h AS (SELECT source,
+                     LEAST(GREATEST(floor((quality_e6 - 0.0) * 50
+                                          / 1000000.0), 0), 49)::INT AS bin,
+                     count(*) AS cnt
+              FROM d GROUP BY 1, 2),
+        c AS (SELECT source, bin,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY source) AS n
+              FROM h),
+        th AS (SELECT source, min(0.0 + bin * 20000.0) AS floor_est
+               FROM c WHERE cum >= ceil(0.25 * n) GROUP BY source)
+        SELECT d.doc_id, d.source, d.quality_e6, th.floor_est,
+               d.quality_e6 >= th.floor_est AS keep
+        FROM d JOIN th ON th.source = d.source""",
+    "Per-source adaptive quality floor: drop documents below their OWN "
+    "source's 25th-percentile quality (a fixed global floor tuned for "
+    "one register guts another). The floor is the mergeable fixed-"
+    "width-histogram quantile (bounded per-group state, no raw-score "
+    "shuffle — the same 100 TB quantile path as g12), broadcast back "
+    "onto the scan; output is a per-doc verdict row carrying the "
+    "floor that judged it. Composes two already-oracled operators; "
+    "the oracle recomputes both with identical arithmetic.",
+)
+def q_curation_quality_floor(spark, sf_dir):
+    scored = QUERIES["text_quality"].builder(spark, sf_dir).select(
+        "doc_id", "quality_e6"
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = scored.join(docs, "doc_id")
+    return cu.quality_floor(
+        d, "source", "quality_e6", q=0.25, lo=0.0, hi=1_000_000.0, bins=50
+    )

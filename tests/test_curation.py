@@ -259,3 +259,32 @@ def test_cluster_safe_split_planted(spark):
     assert got[2] == got[4]
     # singletons carry NULL cluster_id
     assert got[0][0] is None and got[5][0] is None
+
+
+def test_quality_floor_is_per_group(spark):
+    """Each group's floor must come from its OWN distribution: group a
+    (scores around 900k) keeps its high scorers, group b (scores
+    around 100k) keeps its own top — a global floor would keep all of
+    a and none of b."""
+    # a: all mass in one bin (900k..907k) -> lower-edge flooring keeps
+    # the whole threshold bin (never mass-drops a concentrated group);
+    # b: mass spread across bins (0..700k) -> a real partial cut
+    rows = [("a", i, 900_000 + i * 1000) for i in range(8)]
+    rows += [("b", 100 + i, i * 100_000) for i in range(8)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, quality_e6 bigint")
+    out = cu.quality_floor(df, "source", "quality_e6", q=0.25).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, []).append(r)
+    assert set(by_group) == {"a", "b"}
+    for g, rs in by_group.items():
+        assert len({r.floor_est for r in rs}) == 1  # one floor per group
+    kept_a = sum(r.keep for r in by_group["a"])
+    kept_b = sum(r.keep for r in by_group["b"])
+    assert kept_a == 8          # concentrated group fully kept
+    assert kept_b == 7          # spread group loses its bottom tail
+    # b's floor sits far below a's
+    assert by_group["b"][0].floor_est < by_group["a"][0].floor_est
+    # verdicts agree with the carried floor
+    for r in out:
+        assert r.keep == (r.quality_e6 >= r.floor_est)

@@ -56,3 +56,24 @@ def test_lowercase_fold(spark):
 def test_empty_corpus(spark):
     got = _vocab(spark, [""], min_count=1)
     assert got == {}
+
+
+def test_ngram_diversity_separates_repetitive_slice(spark):
+    """A slice of copy-paste docs must score far lower diversity than
+    a slice of distinct docs of the same size."""
+    dup = [("dup", "alpha beta gamma delta epsilon zeta")] * 6
+    uniq = [
+        ("uniq", "one two three four five six"),
+        ("uniq", "seven eight nine ten eleven twelve"),
+        ("uniq", "red green blue cyan magenta yellow"),
+        ("uniq", "ant bee cat dog elk fox"),
+        ("uniq", "oak elm fir ash yew pine"),
+        ("uniq", "sun moon star comet nova nebula"),
+    ]
+    df = spark.createDataFrame(dup + uniq, "source string, text string")
+    got = {r.source: r for r in tx.ngram_diversity(df, "source", "text").collect()}
+    assert got["dup"].total_ngrams == got["uniq"].total_ngrams == 30
+    assert got["dup"].distinct_ngrams == 5
+    assert got["uniq"].distinct_ngrams == 30
+    assert got["dup"].diversity_e6 < got["uniq"].diversity_e6 == 1_000_000
+    assert got["dup"].ttr_e6 < got["uniq"].ttr_e6
