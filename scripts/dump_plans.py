@@ -38,6 +38,13 @@ SHOWN = [
     "text_chunking",
     "curation_domain_mix",
     "g12_hist_quantiles",
+    # round 5 continuation
+    "text_span_dedup",
+    "text_vocab_build",
+    "graph_pagerank",
+    "fuzzy_match_suppliers",
+    "cf_negative_sample",
+    "text_diversity",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
