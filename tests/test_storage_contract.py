@@ -120,3 +120,53 @@ def test_cluster_conf_preset_shape():
     assert conf["spark.sql.files.maxPartitionBytes"] == "256m"
     # every value must be a string (spark-submit --conf compatible)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """Source breadth: the engine's tables survive an ORC round trip
+    bit-identically (Spark's built-in ORC source — the other columnar
+    lake format users bring), and filters push into the ORC scan the
+    same way they do for parquet."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    src = t(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    src.write.format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # predicate pushdown reaches the ORC scan
+    q = back.filter(F.col("doc_id") < 100).select("doc_id", "source")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan
+
+
+def test_csv_roundtrip_with_quoting(spark, tmp_path):
+    """CSV round trip for the documents table: multi-word text with
+    commas/newlines survives via quoting + multiLine read — the schema
+    and every row must come back identical."""
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    src = t(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_csv")
+    src.write.format("csv").option("header", True).option("quoteAll", True).save(
+        path
+    )
+    back = (
+        spark.read.format("csv")
+        .option("header", True)
+        .option("multiLine", True)
+        .schema(src.schema)
+        .load(path)
+    )
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
