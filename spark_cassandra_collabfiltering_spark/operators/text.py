@@ -692,3 +692,104 @@ def ngram_diversity(
         F.col("distinct_tokens").cast("bigint").alias("distinct_tokens"),
         F.expr("(distinct_tokens * 1000000) div total_tokens").alias("ttr_e6"),
     )
+
+
+# --- BPE tokenizer training (Sennrich et al. 2016, distributed) -----------
+
+BPE_EOW = "</w>"
+
+
+def bpe_symbols(vocab: DataFrame) -> DataFrame:
+    """(token, cnt) -> (token, cnt, syms): the character-symbol
+    sequence BPE training starts from — one char per symbol plus the
+    end-of-word marker. Row-local."""
+    chars = F.regexp_extract_all(F.col("token"), F.lit("."), 0)
+    return vocab.select(
+        "token",
+        "cnt",
+        F.concat(chars, F.array(F.lit(BPE_EOW))).alias("syms"),
+    )
+
+
+def bpe_pair_counts(symtab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the weighted vocabulary —
+    THE distributed primitive of BPE training (get_stats in Sennrich's
+    reference code): each word contributes cnt for every adjacent
+    symbol pair (overlapping pairs count, as in the reference).
+
+    Row-local zip_with builds the pair list inside the row; the only
+    shuffle is the (pair, sum) hash-aggregate — map-side combining,
+    key cardinality = |symbol alphabet|^2 at round 1 and shrinks as
+    merges coalesce. Output: (sym_a, sym_b, pair_cnt).
+    """
+    n = F.size(F.col("syms"))
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, n - 1),
+        F.slice(F.col("syms"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("sym_a"), b.alias("sym_b")),
+    )
+    return (
+        symtab.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .agg(F.sum("cnt").cast("bigint").alias("pair_cnt"))
+    )
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Replace every left-to-right non-overlapping adjacent (a, b) in
+    the symbol array with the merged symbol a||b — one fold over the
+    row's own array (greedy left-to-right, exactly the reference
+    replacement semantics: 'aaa' + (a,a) -> ['aa','a'])."""
+    merged = F.lit(a + b)
+    empty = F.array().cast("array<string>")
+    return F.aggregate(
+        syms,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    vocab: DataFrame, n_merges: int = 10
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Byte-pair-encoding tokenizer training over a distributed
+    weighted vocabulary: ``n_merges`` rounds of (count adjacent pairs
+    -> pick the most frequent -> merge it everywhere). Ties break by
+    (sym_a, sym_b) lexicographic order — fully deterministic, unlike
+    the reference's dict-order-dependent argmax.
+
+    Scale shape per round: one row-local pair build + one hash-agg +
+    a ONE-ROW driver read (the argmax pair — the only thing the
+    driver ever sees), then a row-local fold applies the merge. The
+    symbol table is localCheckpoint'd per round so the plan stays
+    shallow across rounds (the connected-components discipline).
+    Stops early when no pair repeats.
+
+    Returns (merge list in order, final symbol table).
+    """
+    symtab = bpe_symbols(vocab).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            bpe_pair_counts(symtab)
+            .orderBy(
+                F.col("pair_cnt").desc(),
+                F.col("sym_a").asc(),
+                F.col("sym_b").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_cnt"] < 2:
+            break
+        a, b = best[0]["sym_a"], best[0]["sym_b"]
+        merges.append((a, b))
+        symtab = symtab.withColumn(
+            "syms", _merge_pair_expr(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges, symtab

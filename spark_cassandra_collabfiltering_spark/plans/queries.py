@@ -4018,3 +4018,62 @@ def q_curation_quality_floor(spark, sf_dir):
     return cu.quality_floor(
         d, "source", "quality_e6", q=0.25, lo=0.0, hi=1_000_000.0, bins=50
     )
+
+
+# ===========================================================================
+# BPE tokenizer training (Sennrich et al. 2016) — distributed
+# ===========================================================================
+
+def _bpe_vocab(spark, sf_dir):
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[A-Za-z0-9]+"), 0)
+        ).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "text_bpe_pairs",
+    """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                                   '[A-Za-z0-9]+')) AS token
+               FROM documents),
+        v AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        s AS (SELECT token, cnt,
+                     regexp_extract_all(token, '.') || ['</w>'] AS syms
+              FROM v),
+        p AS (SELECT syms[u.i] AS sym_a, syms[u.i+1] AS sym_b, cnt
+              FROM s, LATERAL unnest(range(1, len(syms))) u(i))
+        SELECT sym_a, sym_b, sum(cnt)::BIGINT AS pair_cnt
+        FROM p GROUP BY sym_a, sym_b""",
+    "BPE tokenizer training's distributed primitive (Sennrich et al. "
+    "2016 get_stats): adjacent character-symbol pair frequencies over "
+    "the weighted corpus vocabulary (chars + </w> marker). Pairs are "
+    "built row-locally by zip_with over shifted slices; the only "
+    "shuffle is the (pair, sum) map-combining hash-agg whose key "
+    "cardinality is the squared symbol alphabet. Exact integer "
+    "counts, fully oracled.",
+)
+def q_text_bpe_pairs(spark, sf_dir):
+    return tx.bpe_pair_counts(tx.bpe_symbols(_bpe_vocab(spark, sf_dir)))
+
+
+@register(
+    "text_bpe_merges",
+    None,  # iterative trainer (driver argmax per round) — rows-only
+    "Full BPE tokenizer training, 10 merge rounds over the corpus "
+    "vocabulary: per round ONE pair-count aggregate + a one-row "
+    "driver argmax + a row-local fold applying the merge everywhere "
+    "(localCheckpoint per round keeps plans shallow — the connected-"
+    "components discipline). Deterministic tie-breaks make the merge "
+    "sequence reproducible; the classic-example merge order is "
+    "pinned in tests/test_bpe.py. Non-SQL-expressible (iterative "
+    "driver-in-the-loop argmax) -> rows-only check.",
+)
+def q_text_bpe_merges(spark, sf_dir):
+    merges, _ = tx.bpe_train(_bpe_vocab(spark, sf_dir), n_merges=10)
+    spark_ = spark
+    return spark_.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, sym_a string, sym_b string, merged string",
+    )
