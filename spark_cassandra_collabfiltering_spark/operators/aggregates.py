@@ -251,3 +251,94 @@ def histogram_quantiles(
         .groupBy(*group_cols, "q")
         .agg(F.min(est).alias("est"))
     )
+
+
+# --- Engine-portable HyperLogLog (Flajolet et al. 2007) -------------------
+
+HLL_M = 64          # registers (alpha_64 = 0.709 per the paper)
+HLL_ALPHA = 0.709
+_HLL_CAP = 55       # cap rho so 2^(CAP - rho) stays a positive bigint
+
+
+def _hll_rho(hex15: Column) -> Column:
+    """Leading-zero rank of the 60-bit value encoded by 15 hex chars:
+    rho = (# leading zero BITS) + 1, computed from the hex STRING so
+    no log/bit-scan builtin is needed — 4 bits per leading '0' char
+    plus the first non-zero char's own leading zeros via a 15-way
+    CASE. Pure string/integer ops, identical in Spark and DuckDB."""
+    z = F.length(F.regexp_extract(hex15, "^0*", 0))
+    first = F.substring(F.regexp_replace(hex15, "^0*", ""), 1, 1)
+    add = (
+        F.when(first == "", F.lit(0))  # all 60 bits zero: rho = 61
+        .when(first == "1", F.lit(3))
+        .when(first.isin("2", "3"), F.lit(2))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return z * 4 + add + 1
+
+
+def hll_registers(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register table — the MERGEABLE, ENGINE-PORTABLE
+    approximate-distinct state. Spark's approx_count_distinct carries
+    a private HLL++ binary sketch no other engine reproduces; this
+    formulation derives bucket and rank from md5 (identical bytes
+    everywhere), so the registers — and therefore the ESTIMATE — are
+    bit-identical across engines and oracle-checkable, while keeping
+    the properties that matter at 100 TB: state is <= 64 rows per
+    group regardless of cardinality, registers merge across any
+    partitioning/time-slicing by max, and the input shuffle carries
+    (group, bucket, rho) ints, never values.
+
+    bucket = md5 hex chars 16-17 (8 bits) mod 64; rho = leading-zero
+    rank of the 60-bit value in chars 1-15 (independent bits).
+    Output: (group..., bucket, rmax).
+    """
+    s = F.md5(F.col(value_col).cast("string").cast("binary"))
+    bucket = (F.conv(F.substring(s, 16, 2), 16, 10).cast("int") % HLL_M).alias(
+        "bucket"
+    )
+    rho = _hll_rho(F.substring(s, 1, 15)).alias("rho")
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rmax"))
+    )
+
+
+def hll_estimate(reg: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Distinct-count estimate from a register table (or any max-merge
+    of register tables). The harmonic mean is computed in EXACT
+    integer arithmetic — sum of 2^(55 - rho) via bigint shifts, absent
+    registers contributing 2^55 — so parallel sum order cannot change
+    a bit; the single final division of two exact numbers is then
+    deterministic too. No small-range linear-counting correction (it
+    needs ln(), whose last-ulp behavior differs across libms — the
+    raw estimator's low-cardinality bias is documented instead;
+    `n_buckets` lets callers see how saturated the sketch is).
+
+    Output: (group..., n_buckets, harmonic_scaled, est_distinct).
+    """
+    # SQL form: the DSL F.shiftleft requires a literal bit count, but
+    # the SQL function accepts an expression for it
+    term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_CAP} - least(rmax, {_HLL_CAP}))")
+    agg = reg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(term).cast("bigint").alias("present_sum"),
+    )
+    harmonic = (
+        F.col("present_sum")
+        + (F.lit(HLL_M) - F.col("n_buckets"))
+        * F.lit(1 << _HLL_CAP).cast("bigint")
+    ).alias("harmonic_scaled")
+    num = F.lit(float(HLL_ALPHA * HLL_M * HLL_M)) * F.lit(float(1 << _HLL_CAP))
+    return agg.select(
+        *group_cols,
+        "n_buckets",
+        harmonic,
+        F.round(num / F.col("harmonic_scaled").cast("double"), 4).alias(
+            "est_distinct"
+        ),
+    )

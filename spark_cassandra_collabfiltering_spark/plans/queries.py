@@ -2954,6 +2954,138 @@ def q_ev_sessionize(spark, sf_dir):
 
 
 @register(
+    "ev_transitions",
+    """WITH o AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER w AS prev_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT prev_type AS from_type, event_type AS to_type,
+              count(*)::BIGINT AS n_transitions
+       FROM o WHERE new_sess = 0
+       GROUP BY 1, 2""",
+    "Session-scoped event-path mining: Markov transition counts "
+    "between event types WITHIN a session (the 30-min-gap semantics of "
+    "ev_sessionize — a transition crossing a session boundary does not "
+    "count). One user-keyed window computes both the predecessor type "
+    "and the boundary flag in the same sort, so no second exchange; "
+    "the transition matrix aggregate has event-type-squared key "
+    "cardinality. The funnel/next-step analytics primitive.",
+)
+def q_ev_transitions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.when(
+            F.lag("ts", 1).over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+                > 1800000000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    return (
+        flagged.filter(F.col("new_sess") == 0)
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "emb_label_centroids",
+    """WITH e AS (SELECT label, u.i - 1 AS dim,
+                         embedding[u.i]::DOUBLE AS v
+                  FROM embeddings,
+                       LATERAL unnest(range(1, len(embedding)+1)) u(i))
+       SELECT label, dim::BIGINT AS dim, count(*)::BIGINT AS n,
+              sum(floor(v * 1000000)::BIGINT)::BIGINT AS sum_e6,
+              (sum(floor(v * 1000000)::BIGINT) // count(*))::BIGINT
+                  AS centroid_e6
+       FROM e GROUP BY label, dim""",
+    "Per-label embedding centroids in EXACT integer arithmetic — the "
+    "k-means/classifier-prototype core step made hash-matchable: each "
+    "float component casts to double (IEEE-identical), scales by 1e6 "
+    "and floors per ROW (deterministic), so the per-(label, dim) sums "
+    "are order-independent bigints and the centroid is an integer "
+    "division. posexplode fans rows by d; the aggregate's key space is "
+    "labels x d (bounded) with map-side combine — the standard "
+    "two-phase shape a real float centroid uses, minus the "
+    "sum-order nondeterminism this registry refuses to ship.",
+)
+def q_emb_label_centroids(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    v_e6 = F.floor(F.col("v").cast("double") * 1000000).cast("bigint")
+    return (
+        emb.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v_e6).cast("bigint").alias("sum_e6"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            "n",
+            "sum_e6",
+            F.expr("sum_e6 div n").alias("centroid_e6"),
+        )
+    )
+
+
+@register(
+    "sketch_hll_distinct",
+    """WITH h AS (SELECT event_type, md5(user_id::VARCHAR) AS s FROM events),
+        b AS (SELECT event_type,
+                     ('0x' || substr(s, 16, 2))::BIGINT % 64 AS bucket,
+                     (4 * length(regexp_extract(substr(s, 1, 15), '^0*')) +
+                      CASE substr(regexp_replace(substr(s, 1, 15), '^0*', ''), 1, 1)
+                           WHEN '' THEN 0
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END + 1) AS rho
+              FROM h),
+        r AS (SELECT event_type, bucket, max(rho) AS rmax FROM b GROUP BY 1, 2),
+        a AS (SELECT event_type, count(*) AS n_buckets,
+                     sum(1::BIGINT << (55 - least(rmax, 55))) AS present_sum
+              FROM r GROUP BY 1)
+        SELECT event_type, n_buckets::BIGINT AS n_buckets,
+               (present_sum + (64 - n_buckets) * (1::BIGINT << 55))::BIGINT
+                   AS harmonic_scaled,
+               round((0.709::DOUBLE * 64 * 64 * (1::BIGINT << 55)::DOUBLE)
+                     / (present_sum
+                        + (64 - n_buckets) * (1::BIGINT << 55))::DOUBLE, 4)
+                   AS est_distinct
+        FROM a""",
+    "Engine-portable HyperLogLog (Flajolet et al. 2007): distinct "
+    "users per event type with <= 64 rows of state per group. Spark's "
+    "approx_count_distinct ships an opaque HLL++ sketch no other "
+    "engine reproduces (g10 is rows-only for exactly that reason); "
+    "here bucket and leading-zero rank derive from md5 via pure "
+    "string/int ops and the harmonic mean is an exact bigint-shift "
+    "sum, so registers AND estimate are bit-identical across engines "
+    "— an approximate sketch with an EXACT hash-matched oracle. "
+    "Registers max-merge across any partitioning or time slicing "
+    "(the rollup property); the input shuffle carries (group, "
+    "bucket, rho) ints only.",
+)
+def q_sketch_hll_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    reg = agg.hll_registers(ev, ["event_type"], "user_id")
+    return agg.hll_estimate(reg, ["event_type"])
+
+
+@register(
     "cf_als_pipeline",
     None,  # iterative ML — not SQL-expressible (rows-only check)
     "M1-M3: the full reference pipeline (SURVEY §3.2) on the ratings "

@@ -103,3 +103,65 @@ def test_streaming_refresh_equals_batch_rollup(spark, tmp_path):
     daily = ru.finalize(ru.merge_rollup(streamed, factor=24))
     direct = ru.finalize(ru.rollup_partials(ev, 86400))
     assert _rows(daily) == _rows(direct)
+
+
+def test_ev_transitions_respect_session_boundaries(spark):
+    """A transition across the 30-min session gap must NOT count; both
+    window quantities (predecessor type, boundary flag) come from the
+    same user-keyed sort."""
+    import datetime as dt
+
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(i, user, minutes, etype):
+        return (i, base + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"),      # view->click (in)
+        ev(3, 1, 50, "view"), ev(4, 1, 52, "buy"),      # gap! then view->buy
+        ev(5, 2, 0, "view"),                            # lone event: nothing
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    import spark_cassandra_collabfiltering_spark.plans.queries as q
+
+    orig = q.t
+    try:
+        q.t = lambda s, sf, name, _df=df: _df  # inject the fixture
+        got = {
+            (r.from_type, r.to_type): r.n_transitions
+            for r in QUERIES["ev_transitions"].builder(spark, "ignored").collect()
+        }
+    finally:
+        q.t = orig
+    assert got == {("view", "click"): 1, ("view", "buy"): 1}
+
+
+def test_emb_label_centroids_exact_arithmetic(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, [1.25, -0.5]), (0, [0.75, 0.5]), (1, [2.0, 2.0])],
+        "label int, embedding array<float>",
+    )
+    emb = df.select("label", F.posexplode("embedding").alias("dim", "v"))
+    v_e6 = F.floor(F.col("v").cast("double") * 1000000).cast("bigint")
+    out = {
+        (r.label, r.dim): (r.n, r.sum_e6, r["centroid_e6"])
+        for r in emb.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v_e6).cast("bigint").alias("sum_e6"),
+        )
+        .select("label", "dim", "n", "sum_e6", F.expr("sum_e6 div n").alias("centroid_e6"))
+        .collect()
+    }
+    assert out[(0, 0)] == (2, 2_000_000, 1_000_000)
+    assert out[(0, 1)] == (2, 0, 0)          # -0.5 + 0.5 floors to -500000 + 500000
+    assert out[(1, 0)] == (1, 2_000_000, 2_000_000)
