@@ -342,3 +342,59 @@ def hll_estimate(reg: DataFrame, group_cols: Sequence[str]) -> DataFrame:
             "est_distinct"
         ),
     )
+
+
+def chi2_contingency(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Chi-square contingency analysis of two categorical columns —
+    the independence test behind corpus-drift checks (is the language
+    mix independent of the source?). One count aggregate builds the
+    contingency cells; row/column totals join back as broadcasts
+    (bounded category cardinality); expected counts and per-cell
+    contributions are deterministic per-row double arithmetic from
+    exact integers.
+
+    The chi-square TOTAL is summed in DECIMAL(38,6) of the per-cell
+    contributions rounded to 6 decimals — decimal addition is exact
+    and order-independent, so the statistic is reproducible across
+    partitionings and engines (a plain double sum would be
+    order-dependent; the module's portability rule). The window
+    runs over the bounded cell table, not the data.
+
+    Output: one row per observed cell — (row, col, obs, expected_r6,
+    contrib_r6, chi2_total, dof).
+    """
+    obs = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rt = obs.groupBy(row_col).agg(F.sum("obs").alias("rt"))
+    ct = obs.groupBy(col_col).agg(F.sum("obs").alias("ct"))
+    n = obs.agg(F.sum("obs").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), row_col)
+        .join(F.broadcast(ct), col_col)
+        .join(F.broadcast(n))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    contrib = F.round((F.col("obs") - e) * (F.col("obs") - e) / e, 6)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy()  # bounded: one row per observed cell
+    out = cells.select(
+        row_col,
+        col_col,
+        "obs",
+        F.round(e, 6).alias("expected_r6"),
+        contrib.alias("contrib_r6"),
+    ).withColumn(
+        "chi2_total",
+        F.sum(F.col("contrib_r6").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double"),
+    )
+    # dof from the same bounded-cell window — no driver-side action
+    dof = (F.size(F.collect_set(row_col).over(w)) - 1) * (
+        F.size(F.collect_set(col_col).over(w)) - 1
+    )
+    return out.withColumn("dof", dof.cast("bigint"))

@@ -3042,6 +3042,99 @@ def q_emb_label_centroids(spark, sf_dir):
 
 
 @register(
+    "curation_quality_percentile",
+    f"""WITH q AS (SELECT doc_id, quality_e6
+                   FROM ({QUERIES["text_quality"].oracle}) q0),
+        d AS (SELECT q.doc_id, s.source, q.quality_e6,
+                     LEAST(GREATEST(floor((q.quality_e6 - 0.0) * 50
+                                          / 1000000.0), 0), 49)::INT AS bin
+              FROM q JOIN documents s ON s.doc_id = q.doc_id),
+        h AS (SELECT source, bin, count(*) AS cnt FROM d GROUP BY 1, 2),
+        c AS (SELECT source, bin,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY bin)
+                         - cnt AS cum_below,
+                     sum(cnt) OVER (PARTITION BY source) AS n
+              FROM h)
+        SELECT d.doc_id, d.source, d.quality_e6,
+               ((c.cum_below * 1000000) // c.n)::BIGINT AS pct_e6
+        FROM d JOIN c ON c.source = d.source AND c.bin = d.bin""",
+    "Quantile TRANSFORM (percentile normalization) of the quality "
+    "score within each source: each doc's score maps to the fraction of "
+    "its source's mass in strictly-lower histogram bins — the "
+    "rank-based feature normalization a mixed-register corpus needs "
+    "before thresholds can be shared across sources. Same mergeable "
+    "fixed-width-histogram state as the floor/quantile operators "
+    "(bounded per-group bins, no raw-score shuffle); the per-doc map "
+    "is a broadcast join on (source, bin). Exact bigint micro-unit "
+    "output. Resolution = one bin (docs sharing a bin share a "
+    "percentile — the documented histogram trade).",
+)
+def q_curation_quality_percentile(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    scored = QUERIES["text_quality"].builder(spark, sf_dir).select(
+        "doc_id", "quality_e6"
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    x = F.col("quality_e6").cast("double")
+    b = F.floor((x - 0.0) * 50 / F.lit(1_000_000.0))
+    d = scored.join(docs, "doc_id").withColumn(
+        "bin", F.least(F.greatest(b, F.lit(0)), F.lit(49)).cast("int")
+    )
+    h = d.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = W.partitionBy("source").orderBy("bin")
+    wn = W.partitionBy("source")
+    c = h.select(
+        "source",
+        "bin",
+        (F.sum("cnt").over(wc) - F.col("cnt")).alias("cum_below"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    return d.join(F.broadcast(c), ["source", "bin"]).select(
+        "doc_id",
+        "source",
+        "quality_e6",
+        F.expr("(cum_below * 1000000) div n").alias("pct_e6"),
+    )
+
+
+@register(
+    "stats_chi2_lang_source",
+    """WITH obs AS (SELECT lang, source, count(*)::BIGINT AS obs
+                FROM documents GROUP BY 1, 2),
+        rt AS (SELECT lang, sum(obs) AS rt FROM obs GROUP BY 1),
+        ct AS (SELECT source, sum(obs) AS ct FROM obs GROUP BY 1),
+        n AS (SELECT sum(obs) AS n FROM obs),
+        cells AS (SELECT o.lang, o.source, o.obs,
+                         (rt.rt * ct.ct)::DOUBLE / n.n::DOUBLE AS e
+                  FROM obs o JOIN rt ON rt.lang = o.lang
+                             JOIN ct ON ct.source = o.source, n),
+        c2 AS (SELECT lang, source, obs,
+                      round(e, 6) AS expected_r6,
+                      round((obs - e) * (obs - e) / e, 6) AS contrib_r6
+               FROM cells)
+        SELECT lang, source, obs, expected_r6, contrib_r6,
+               (sum(contrib_r6::DECIMAL(38,6)) OVER ())::DOUBLE AS chi2_total,
+               ((count(DISTINCT lang) OVER ()) - 1)
+                   * ((count(DISTINCT source) OVER ()) - 1) AS dof
+        FROM c2""",
+    "Chi-square contingency of language x source over the corpus — "
+    "the categorical-drift/independence check of a data-mix audit. "
+    "Cells from ONE count aggregate; row/col totals broadcast back; "
+    "expected counts and per-cell contributions are deterministic "
+    "doubles from exact integers; the chi-square TOTAL sums the "
+    "6-decimal-rounded contributions in DECIMAL — exact and "
+    "order-independent, so even the statistic hash-matches. The "
+    "global window runs over the bounded cell table (|langs| x "
+    "|sources| rows), not the data.",
+)
+def q_stats_chi2(spark, sf_dir):
+    return agg.chi2_contingency(
+        t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@register(
     "sketch_hll_distinct",
     """WITH h AS (SELECT event_type, md5(user_id::VARCHAR) AS s FROM events),
         b AS (SELECT event_type,

@@ -56,3 +56,48 @@ def test_max_merge_equals_whole(spark):
     e1 = agg.hll_estimate(reg_whole, ["g"]).collect()[0].est_distinct
     e2 = agg.hll_estimate(merged, ["g"]).collect()[0].est_distinct
     assert e1 == e2
+
+
+def test_chi2_contingency_known_values(spark):
+    """2x2 table with known chi-square: obs [[10,20],[20,10]] ->
+    expected all 15, chi2 = 4*(25/15) = 6.666668 (6-decimal rounded
+    contributions), dof = 1. Independence case -> chi2 exactly 0."""
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = agg.chi2_contingency(df, "r", "c").collect()
+    assert len(out) == 4
+    assert all(r.dof == 1 for r in out)
+    assert all(r.expected_r6 == 15.0 for r in out)
+    assert all(abs(r.contrib_r6 - 25 / 15) < 1e-5 for r in out)
+    assert abs(out[0].chi2_total - 4 * round(25 / 15, 6)) < 1e-9
+
+    indep = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 6 + [("b", "x")] * 3 + [("b", "y")] * 3,
+        "r string, c string",
+    )
+    out2 = agg.chi2_contingency(indep, "r", "c").collect()
+    assert all(r.contrib_r6 == 0.0 and r.chi2_total == 0.0 for r in out2)
+
+
+def test_quality_percentile_transform_monotone(spark):
+    """Percentile normalization: within a source, pct_e6 is monotone
+    in the score, spans [0, 1e6), and two sources with disjoint score
+    ranges still both cover the low percentiles (rank is per-source)."""
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    out = QUERIES["curation_quality_percentile"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    by_source = {}
+    for r in out:
+        assert 0 <= r.pct_e6 < 1_000_000
+        by_source.setdefault(r.source, []).append((r.quality_e6, r.pct_e6))
+    for src, pairs in by_source.items():
+        pairs.sort()
+        pcts = [p for _, p in pairs]
+        assert pcts == sorted(pcts), src  # monotone in score
+        assert pcts[0] == 0, src          # lowest bin -> percentile 0

@@ -461,3 +461,55 @@ def test_live_soak_kill_restore_exactly_once(spark, batch_events, tmp_path):
         assert wait_until(totals_match), "per-user totals never converged"
     finally:
         q2.stop()
+
+
+def test_streaming_hll_register_merge_matches_batch(spark, event_source, batch_events, tmp_path):
+    """The portable HLL's max-merge property, exercised through
+    Structured Streaming: each micro-batch's register table max-merges
+    into a parquet state via foreachBatch, and the final registers —
+    and therefore the estimate — equal the single-pass batch sketch
+    exactly (the mergeable-summaries contract, streamed)."""
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    _, batch = batch_events
+    target = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev.read_event_stream(spark, event_source).select(
+        "event_type", "user_id"
+    )
+
+    def merge(bdf, epoch_id):
+        reg = agg.hll_registers(bdf, ["event_type"], "user_id")
+        sess = bdf.sparkSession
+        try:
+            prev = sess.read.parquet(target)
+            reg = prev.unionByName(reg)
+        except Exception:
+            pass
+        merged = reg.groupBy("event_type", "bucket").agg(
+            F.max("rmax").alias("rmax")
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(target)
+    want = agg.hll_registers(batch, ["event_type"], "user_id")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    e_stream = {
+        r.event_type: r.est_distinct
+        for r in agg.hll_estimate(streamed, ["event_type"]).collect()
+    }
+    e_batch = {
+        r.event_type: r.est_distinct
+        for r in agg.hll_estimate(want, ["event_type"]).collect()
+    }
+    assert e_stream == e_batch
