@@ -302,7 +302,11 @@ def hll_registers(
     )
     rho = _hll_rho(F.substring(s, 1, 15)).alias("rho")
     return (
-        df.select(*group_cols, bucket, rho)
+        # NULL values hash to NULL and would occupy a phantom NULL
+        # bucket (inflating n_buckets with a zero-contribution row);
+        # a NULL is not a distinct value — drop it at the scan
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket, rho)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rmax"))
     )

@@ -201,7 +201,14 @@ def negative_sample(
 
     Output: (user, item, draw_idx) — exact integers, fully oracled.
     """
-    users = interactions.select(user_col).distinct()
+    # NULL users would propagate NULL draws into NULL sampled items
+    # (md5 of NULL is NULL) — exclude them up front, the domain-mix
+    # NULL-key lesson (ADVICE r4)
+    users = (
+        interactions.select(user_col)
+        .filter(F.col(user_col).isNotNull())
+        .distinct()
+    )
     j = F.col("draw_idx").cast("string")
     draw = md5_draw60(
         F.concat(F.col(user_col).cast("string"), F.lit(":"), j)

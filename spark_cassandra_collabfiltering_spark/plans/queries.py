@@ -103,8 +103,10 @@ _DRIVER_ORDER = [
     # batch-vs-corpus banding, the ingest shape — joins the window;
     # r5-cont: text_span_dedup — duplicated-SPAN detection, the
     # exact-substring dedup shape (Lee et al. 2022) no other resident
-    # covers)
-    "dedup_exact", "dedup_minhash_dense", "dedup_minhash_lsh",
+    # covers. dedup_minhash_dense demoted to a local-checked slot: the
+    # cap+star arithmetic it pinned became dedup_minhash_lsh's DEFAULT
+    # in r5, so its in-window evidence was redundant.
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_clusters", "dedup_incremental",
     "text_span_dedup",
     # similarity / ANN family. r5: ann_recall_matrix makes shortlist
@@ -117,8 +119,10 @@ _DRIVER_ORDER = [
     # rubric, and fingerprinting shapes; text_vocab_build joins with
     # the distributed dense-id assignment no resident covers)
     "text_lang_id", "text_quality", "text_winnowing", "text_vocab_build",
-    # heavy hitters: bounded-memory space-saving sketch (r5)
-    "sketch_space_saving_topterms",
+    # sketches: bounded-memory space-saving heavy hitters (r5) + the
+    # engine-portable HLL (r5-cont: approximate distinct with an EXACT
+    # hash-matched oracle — took dedup_minhash_dense's freed slot)
+    "sketch_space_saving_topterms", "sketch_hll_distinct",
     # training-data curation family (r5: + curation_domain_mix — the
     # exact-quota data-recipe sampler)
     "curation_pii_redact", "curation_contamination", "curation_pack",
