@@ -49,6 +49,12 @@ QUERIES_SHOWN = [
     ("curation_pack", "documents"),
     ("ev_rollup_merge", "events"),
     ("text_repetition", "documents"),
+    # round-5 continuation representatives
+    ("text_span_dedup", "documents"),
+    ("graph_pagerank", "lineitem"),
+    ("fuzzy_match_suppliers", "supplier"),
+    ("sketch_hll_distinct", "events"),
+    ("ev_transitions", "events"),
 ]
 PASSES = 2
 

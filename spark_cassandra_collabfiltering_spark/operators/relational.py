@@ -175,6 +175,30 @@ def hash_split(
     return df.filter(b < train_pct), df.filter(b >= train_pct)
 
 
+def group_sample_topk(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic FIXED-SIZE per-group sample: rank each group's
+    rows by their md5 draw (a pure function of the key, like every
+    sampler here) and keep the first ``k`` — the "give me exactly 10
+    eval docs per source" primitive that fraction-based sampling
+    can't provide and rand()-based ranking can't reproduce. Groups
+    smaller than k return whole.
+
+    Scale shape: one window rank per group (group-sized sort state);
+    for pathologically hot groups the two-phase distributed top-n of
+    curation.domain_mix_sample is the heavyweight alternative — this
+    is the simple shape for bounded group sizes.
+    """
+    draw = md5_draw60(F.col(key_col))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def negative_sample(
     interactions: DataFrame,
     user_col: str,

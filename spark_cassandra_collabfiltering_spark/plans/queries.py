@@ -3103,6 +3103,32 @@ def q_curation_quality_percentile(spark, sf_dir):
 
 
 @register(
+    "sample_group_topk",
+    """WITH r AS (SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),
+                                                    1, 15))::BIGINT,
+                                    doc_id) AS rk
+               FROM documents)
+       SELECT doc_id, source FROM r WHERE rk <= 10""",
+    "Deterministic FIXED-SIZE per-group sample: exactly 10 docs per "
+    "source, ranked by the engine-portable md5 draw of the doc id — "
+    "the 'bounded eval subset per slice' primitive fraction-based "
+    "sampling can't give and rand() ranking can't reproduce. One "
+    "group-partitioned window; the heavyweight two-phase alternative "
+    "for pathologically hot groups is curation_domain_mix.",
+)
+def q_sample_group_topk(spark, sf_dir):
+    return rel.group_sample_topk(
+        t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        "doc_id",
+        k=10,
+    )
+
+
+@register(
     "stats_chi2_lang_source",
     """WITH obs AS (SELECT lang, source, count(*)::BIGINT AS obs
                 FROM documents GROUP BY 1, 2),

@@ -51,3 +51,18 @@ def test_dedup_keeps_earliest_draw(spark):
     out = _run(spark, [(5, 999)], n_items=2, k=4, oversample=3).collect()
     items = [(r.user_id, r.item_id) for r in out]
     assert len(items) == len(set(items))
+
+
+def test_group_sample_topk_fixed_size_and_deterministic(spark):
+    from spark_cassandra_collabfiltering_spark.operators import relational as rel2
+
+    rows = [(g, i) for g in ("a", "b") for i in range(g == "a" and 20 or 3)]
+    df = spark.createDataFrame(rows, "src string, doc_id bigint")
+    out = rel2.group_sample_topk(df, "src", "doc_id", k=5)
+    got = sorted((r.src, r.doc_id) for r in out.collect())
+    # exactly k for big groups, whole group when smaller than k
+    assert sum(1 for s, _ in got if s == "a") == 5
+    assert sum(1 for s, _ in got if s == "b") == 3
+    again = sorted((r.src, r.doc_id)
+                   for r in rel2.group_sample_topk(df, "src", "doc_id", k=5).collect())
+    assert got == again
