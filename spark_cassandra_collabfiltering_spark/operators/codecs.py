@@ -113,9 +113,12 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r}")
         if tag == b"IHDR":
-            width, height, depth, color, comp, filt, ilace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                width, height, depth, color, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            except struct.error as exc:  # short IHDR with a valid CRC
+                raise ValueError(f"malformed IHDR: {exc}") from exc
             if (depth, color, comp, filt, ilace) != (8, 0, 0, 0, 0):
                 raise ValueError("unsupported PNG mode (need 8-bit grey, no interlace)")
         elif tag == b"IDAT":
@@ -125,7 +128,10 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + ln
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # valid CRC but invalid deflate stream
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
     if len(raw) != (width + 1) * height:
         raise ValueError("inflated size mismatch")
     out = bytearray()
@@ -176,6 +182,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
                 raise ValueError("unsupported WAV layout (need PCM16 mono)")
             n = w.getnframes()
             frames = w.readframes(n)
+            # a header that claims more frames than the data chunk holds
+            # (writer died mid-shard) surfaces here as a struct.error —
+            # it must become the quarantine contract's ValueError, not a
+            # task-aborting raw exception
             return w.getframerate(), list(struct.unpack(f"<{n}h", frames))
-    except wave.Error as exc:
-        raise ValueError(f"not a WAV: {exc}") from exc
+    except (wave.Error, struct.error, EOFError) as exc:
+        raise ValueError(f"not a decodable WAV: {exc}") from exc

@@ -851,6 +851,12 @@ def keep_best_per_cluster(
     member count rides the same window state. Only clustered docs
     appear (singletons were never candidates to drop).
 
+    The score join is a LEFT join: a cluster member missing from the
+    score table still counts in n_members and still competes (NULL
+    score sorts last, so it is kept only when the whole cluster is
+    unscored — then ties resolve to the smallest id). An inner join
+    would silently shrink n_members and could drop a whole cluster.
+
     Output: (cluster_id, keep_id, keep_score, n_members).
     """
     from pyspark.sql import Window
@@ -858,12 +864,15 @@ def keep_best_per_cluster(
     j = clusters.join(
         scores.select(F.col(id_col).alias(node_col), F.col(score_col)),
         node_col,
+        "left",
     )
     w = Window.partitionBy("cluster_id")
     ranked = j.withColumn(
         "_rk",
         F.row_number().over(
-            w.orderBy(F.col(score_col).desc(), F.col(node_col).asc())
+            w.orderBy(
+                F.col(score_col).desc_nulls_last(), F.col(node_col).asc()
+            )
         ),
     ).withColumn("_n", F.count(F.lit(1)).over(w))
     return ranked.filter(F.col("_rk") == 1).select(

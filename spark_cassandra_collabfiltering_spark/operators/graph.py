@@ -54,11 +54,11 @@ def pagerank(
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e2 = edges.join(deg, "src")
+    nodes = deg.select(F.col("src").alias("node"))
     ndf = deg.agg(F.count(F.lit(1)).alias("n"))
 
     ranks = (
-        deg.select(F.col("src").alias("node"))
-        .join(F.broadcast(ndf))
+        nodes.join(F.broadcast(ndf))
         .select("node", F.expr(f"{SCALE_E12} div n").alias("rank"))
     )
     base = f"({100 - damping_pct} * {SCALE_E12}) div (100 * n)"
@@ -69,11 +69,19 @@ def pagerank(
             F.col("dst").alias("node"),
             F.expr(f"(rank * {damping_pct}) div (100 * outdeg)").alias("c"),
         )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # LEFT join from the full node list: a node with in-degree 0
+        # (legal under the src-coverage precondition — e.g. edges
+        # {(A,B),(B,A),(C,A)} where C points in but nothing points
+        # back) must keep its teleport-base rank row, not silently
+        # vanish from the vector after round 1
         ranks = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").alias("s"))
+            nodes.join(sums, "node", "left")
             .join(F.broadcast(ndf))
-            .select("node", (F.expr(base) + F.col("s")).alias("rank"))
+            .select(
+                "node",
+                (F.expr(base) + F.coalesce(F.col("s"), F.lit(0))).alias("rank"),
+            )
         )
     return ranks.select(
         F.col("node").cast("bigint").alias("node"),

@@ -189,9 +189,19 @@ def group_sample_topk(
     for pathologically hot groups the two-phase distributed top-n of
     curation.domain_mix_sample is the heavyweight alternative — this
     is the simple shape for bounded group sizes.
+
+    Determinism holds for any input: rows sharing a key (hence a
+    draw) tie-break on the full remaining row content, so which row
+    wins never depends on partition order. (Exact duplicates remain
+    interchangeable — indistinguishable rows, same outcome.)
     """
     draw = md5_draw60(F.col(key_col))
-    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(key_col).asc())
+    rest = [
+        F.col(c).asc() for c in df.columns if c not in (group_col, key_col)
+    ]
+    w = Window.partitionBy(group_col).orderBy(
+        draw.asc(), F.col(key_col).asc(), *rest
+    )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

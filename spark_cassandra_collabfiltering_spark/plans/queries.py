@@ -3166,7 +3166,8 @@ def q_stats_chi2(spark, sf_dir):
 
 @register(
     "sketch_hll_distinct",
-    """WITH h AS (SELECT event_type, md5(user_id::VARCHAR) AS s FROM events),
+    """WITH h AS (SELECT event_type, md5(user_id::VARCHAR) AS s
+                FROM events WHERE user_id IS NOT NULL),
         b AS (SELECT event_type,
                      ('0x' || substr(s, 16, 2))::BIGINT % 64 AS bucket,
                      (4 * length(regexp_extract(substr(s, 1, 15), '^0*')) +
@@ -4016,12 +4017,17 @@ def _pagerank_oracle_sql(iters: int = 5, damping_pct: int = 85) -> str:
     base = f"(({100 - d} * {scale}::BIGINT) // (100 * n.n))"
     steps = []
     for i in range(1, iters + 1):
+        # LEFT join from the full node list (deg), mirroring the Spark
+        # operator: an in-degree-0 node keeps its teleport-base row
         steps.append(
-            f"""r{i} AS (SELECT e.dst AS node,
-                     ({base} + sum((r.rank * {d}) // (100 * e.outdeg)))::BIGINT
-                         AS rank
-              FROM e JOIN r{i - 1} r ON r.node = e.src, n
-              GROUP BY e.dst, n.n)"""
+            f"""r{i} AS (SELECT dg.src AS node,
+                     ({base} + coalesce(s{i}.s, 0))::BIGINT AS rank
+              FROM deg dg
+              LEFT JOIN (SELECT e.dst AS node,
+                                sum((r.rank * {d}) // (100 * e.outdeg)) AS s
+                         FROM e JOIN r{i - 1} r ON r.node = e.src
+                         GROUP BY e.dst) s{i} ON s{i}.node = dg.src
+              CROSS JOIN n)"""
         )
     return f"""WITH raw AS (SELECT DISTINCT l_partkey::BIGINT AS p,
                        (1000000 + l_suppkey)::BIGINT AS s

@@ -55,3 +55,18 @@ def test_more_central_ranks_higher(spark):
     assert got[2] > got[0] and got[2] > got[4]
     assert got[1] > got[0] and got[3] > got[4]
     assert got[0] == got[4] and got[1] == got[3]  # mirror symmetry exact
+
+
+def test_in_degree_zero_node_keeps_base_rank(spark):
+    """A node that only points outward (legal under the src-coverage
+    precondition) must stay in the rank vector with its teleport base,
+    and its contribution must keep flowing to its target."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.rank_e12 for r in gr.pagerank(edges, iters=3).collect()}
+    assert set(got) == {0, 1, 2}          # C (=2) does not vanish
+    n = 3
+    base = (15 * gr.SCALE_E12) // (100 * n)
+    assert got[2] == base                 # in-degree 0 -> base only
+    assert got[0] > got[1] > got[2]       # 0 receives from both others

@@ -125,3 +125,41 @@ def test_decode_media_features_quarantines_corrupt(spark):
     assert rows[2]["kind"] == "wav" and rows[2]["n_units"] == 3
     assert rows[2]["unit_sum"] == 1 + 2 + 3
     assert rows[3]["kind"] == "corrupt" and rows[3]["n_units"] is None
+
+
+def test_truncated_wav_and_bad_deflate_raise_valueerror():
+    """The quarantine contract: header-claims-more-frames-than-data WAV
+    and valid-CRC-but-bad-deflate PNG must raise ValueError (not
+    struct.error / zlib.error, which would abort the Spark task)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs as cx
+
+    good = cx.encode_wav_pcm16(8000, [0, 1000, -1000, 500])
+    truncated = good[:-4]  # chop samples; header still claims them
+    with pytest.raises(ValueError):
+        cx.decode_wav_pcm16(truncated)
+
+    # PNG with a structurally valid chunk stream but garbage deflate
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xff\xff\xff\xff")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        cx.decode_png_gray(bad)

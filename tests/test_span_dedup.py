@@ -98,3 +98,23 @@ def test_min_docs_threshold(spark):
     assert {(d, s, e) for (d, s, e, _, _) in got} == {
         (1, 0, 7), (2, 0, 7), (3, 0, 7)
     }
+
+
+def test_keep_best_counts_unscored_members(spark):
+    """LEFT-join semantics: a cluster member missing from the score
+    table still counts in n_members and loses to any scored member;
+    an entirely unscored cluster keeps its smallest id instead of
+    vanishing."""
+    clusters = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2)],
+        "node bigint, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(10, 100), (11, 300)], "doc_id bigint, quality_e6 bigint"
+    )  # 12 unscored; cluster 2 fully unscored
+    got = {
+        r.cluster_id: (r.keep_id, r.keep_score, r.n_members)
+        for r in dd.keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert got[1] == (11, 300, 3)   # n_members counts the unscored 12
+    assert got[2] == (20, None, 2)  # unscored cluster survives, min id
