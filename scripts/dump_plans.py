@@ -45,6 +45,13 @@ SHOWN = [
     "fuzzy_match_suppliers",
     "cf_negative_sample",
     "text_diversity",
+    "sketch_hll_distinct",
+    "stats_chi2_lang_source",
+    "curation_quality_percentile",
+    "ev_transitions",
+    "emb_label_centroids",
+    "sample_group_topk",
+    "text_bpe_pairs",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
