@@ -830,6 +830,61 @@ def duplicate_spans(
     )
 
 
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply-step of exact-substring dedup: strip every duplicated
+    span (from :func:`duplicate_spans`, word-position intervals) out
+    of its document and re-join the surviving tokens — what Lee et
+    al. 2022 do after detection (drop one occurrence's span text; the
+    policy of WHICH occurrences to strip is the caller's span-table
+    filter, this operator just applies intervals).
+
+    Row-local application: the per-doc span list aggregates to an
+    array (spans per doc are few — they are maximal merged
+    intervals), joins back on the id, and a positional filter over
+    the token array keeps tokens outside every interval. No token
+    ever leaves its row; the only shuffles are the span collect_list
+    and the id join.
+
+    Output: (id, n_tokens, n_tokens_kept, kept_md5) — kept_md5 is the
+    md5 of the space-joined surviving tokens, so byte-identical
+    reconstruction is oracle-checkable.
+    """
+    from spark_cassandra_collabfiltering_spark.operators.text import _WORD_RE
+
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sps")
+    )
+    ws = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(_WORD_RE), 0
+    )
+    joined = docs.select(id_col, ws.alias("_ws")).join(
+        sp, id_col, "left"
+    ).withColumn("_sps", F.coalesce(F.col("_sps"), F.array()))
+    # keep token i (0-based) iff no interval covers it
+    kept = F.filter(
+        F.transform(
+            F.col("_ws"),
+            lambda x, i: F.struct(x.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_sps"),
+            lambda iv: (s["i"] >= iv["span_start"]) & (s["i"] <= iv["span_end"]),
+        ),
+    )
+    kept_toks = F.transform(kept, lambda s: s["t"])
+    return joined.select(
+        id_col,
+        F.size("_ws").cast("bigint").alias("n_tokens"),
+        F.size(kept_toks).cast("bigint").alias("n_tokens_kept"),
+        F.md5(F.concat_ws(" ", kept_toks).cast("binary")).alias("kept_md5"),
+    )
+
+
 def keep_best_per_cluster(
     clusters: DataFrame,
     scores: DataFrame,

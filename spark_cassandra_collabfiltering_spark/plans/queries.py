@@ -3977,6 +3977,41 @@ def q_text_span_dedup(spark, sf_dir):
 
 
 @register(
+    "text_span_removal",
+    f"""WITH toks AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS ws
+                FROM documents),
+        tk AS (SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS tok
+               FROM toks, LATERAL unnest(range(1, len(ws)+1)) u(i)),
+        sp AS (SELECT doc_id, span_start, span_end
+               FROM ({_span_dedup_sql(n=8, min_docs=2)}) s0),
+        keep AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+                 WHERE NOT EXISTS (SELECT 1 FROM sp s
+                                   WHERE s.doc_id = t.doc_id
+                                     AND t.pos BETWEEN s.span_start
+                                                   AND s.span_end)),
+        a AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS cleaned
+              FROM keep GROUP BY doc_id)
+        SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+               coalesce(a.n_kept, 0)::BIGINT AS n_tokens_kept,
+               md5(coalesce(a.cleaned, '')) AS kept_md5
+        FROM toks t LEFT JOIN a USING (doc_id)""",
+    "APPLY-step of exact-substring dedup: strip every duplicated span "
+    "(text_span_dedup's maximal word-position intervals) from its doc "
+    "and re-join the survivors — detection AND removal both "
+    "driver-checkable; kept_md5 proves byte-identical reconstruction "
+    "across engines. Row-local positional filter over the token "
+    "array (no token leaves its row); shuffles = the per-doc span "
+    "collect + one id join.",
+)
+def q_text_span_removal(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    spans = dd.duplicate_spans(docs, "doc_id", "text", n=8, min_docs=2)
+    return dd.remove_spans(docs, spans)
+
+
+@register(
     "text_vocab_build",
     """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
                                    '[A-Za-z0-9]+')) AS token

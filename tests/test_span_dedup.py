@@ -118,3 +118,33 @@ def test_keep_best_counts_unscored_members(spark):
     }
     assert got[1] == (11, 300, 3)   # n_members counts the unscored 12
     assert got[2] == (20, None, 2)  # unscored cluster survives, min id
+
+
+def test_remove_spans_strips_exactly_the_intervals(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")], "doc_id bigint, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 2), (1, 5, 6)], "doc_id bigint, span_start bigint, span_end bigint"
+    )
+    import hashlib
+
+    got = {r.doc_id: r for r in dd.remove_spans(docs, spans).collect()}
+    # doc 1: drop positions 1-2 (b c) and 5-6 (f g) -> "a d e h"
+    assert (got[1].n_tokens, got[1].n_tokens_kept) == (8, 4)
+    assert got[1].kept_md5 == hashlib.md5(b"a d e h").hexdigest()
+    # doc 2: untouched (no spans)
+    assert (got[2].n_tokens, got[2].n_tokens_kept) == (3, 3)
+    assert got[2].kept_md5 == hashlib.md5(b"x y z").hexdigest()
+
+
+def test_remove_spans_whole_doc(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    spans = spark.createDataFrame(
+        [(1, 0, 1)], "doc_id bigint, span_start bigint, span_end bigint"
+    )
+    import hashlib
+
+    r = dd.remove_spans(docs, spans).collect()[0]
+    assert (r.n_tokens, r.n_tokens_kept) == (2, 0)
+    assert r.kept_md5 == hashlib.md5(b"").hexdigest()
