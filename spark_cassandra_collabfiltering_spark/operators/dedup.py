@@ -548,6 +548,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold_e6: int = 500_000,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT similarity — |A∩B|/|A| (and /|B|) over
+    char shingle sets. Jaccard misses the quote/sub-document case: a
+    paragraph fully copied into a 100x longer doc has tiny Jaccard
+    but containment ~1.0 on the short side, which is exactly what
+    quote/excerpt detection needs (Broder's original resemblance vs
+    containment distinction). Keeps pairs where EITHER direction
+    reaches ``threshold_e6`` (micro-units).
+
+    Same candidate shape as the exact-Jaccard baseline (shingle
+    equi-join — bounded subsets; at corpus scale seed candidates from
+    minhash instead) and exact bigint micro-unit output.
+    """
+    shingled = char_shingles(df, id_col, text_col, n=n)
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ga = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    gb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        ga.join(gb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("ix").cast("bigint").alias("ix"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+            F.expr("(ix * 1000000) div sz_a").alias("cont_a_e6"),
+            F.expr("(ix * 1000000) div sz_b").alias("cont_b_e6"),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("cont_a_e6"), F.col("cont_b_e6")) >= threshold_e6
+    )
+
+
 def incremental_minhash_pairs(
     corpus: DataFrame,
     batch: DataFrame,

@@ -32,6 +32,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 5,
     damping_pct: int = 85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
 
@@ -50,18 +51,43 @@ def pagerank(
     count * 1 at e12 scale, i.e. ~1e-7 relative) — identically in
     both engines, which is the portability point.
 
+    ``seeds`` (a one-column (node) DataFrame) switches to
+    PERSONALIZED PageRank: the teleport mass (1-d) concentrates
+    uniformly on the seed set instead of all nodes, and the initial
+    rank does too — the random-walk-with-restart similarity used for
+    graph-based recommendation ("items related to THIS user's
+    items"). The seed flag joins into the node list once (broadcast —
+    seed sets are small by use-case).
+
     Output: (node, rank_e12) — one row per node, exact bigints.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e2 = edges.join(deg, "src")
     nodes = deg.select(F.col("src").alias("node"))
-    ndf = deg.agg(F.count(F.lit(1)).alias("n"))
+    if seeds is not None:
+        nodes = nodes.join(
+            F.broadcast(seeds.select(F.col(seeds.columns[0]).alias("node"))
+                        .distinct()
+                        .withColumn("_seed", F.lit(1))),
+            "node",
+            "left",
+        ).withColumn("_seed", F.coalesce(F.col("_seed"), F.lit(0)))
+        ndf = nodes.agg(F.sum("_seed").alias("n"))  # teleport mass base
+        init = f"case when _seed = 1 then {SCALE_E12} div n else 0 end"
+        base = (
+            f"case when _seed = 1 then ({100 - damping_pct} * {SCALE_E12})"
+            f" div (100 * n) else 0 end"
+        )
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(1))
+        ndf = deg.agg(F.count(F.lit(1)).alias("n"))
+        init = f"{SCALE_E12} div n"
+        base = f"({100 - damping_pct} * {SCALE_E12}) div (100 * n)"
 
     ranks = (
         nodes.join(F.broadcast(ndf))
-        .select("node", F.expr(f"{SCALE_E12} div n").alias("rank"))
+        .select("node", F.expr(init).alias("rank"))
     )
-    base = f"({100 - damping_pct} * {SCALE_E12}) div (100 * n)"
     for _ in range(iters):
         contrib = e2.join(
             ranks.withColumnRenamed("node", "src"), "src"

@@ -1639,6 +1639,45 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_containment",
+    f"""WITH d AS ({_DOC_SUBSET_SQL}),
+        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
+              FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        cand AS (SELECT DISTINCT ga.doc_id AS id_a, gb.doc_id AS id_b
+                 FROM g ga JOIN g gb ON ga.shingle = gb.shingle
+                                    AND ga.doc_id < gb.doc_id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS ix
+                  FROM cand c
+                  JOIN g ga ON ga.doc_id = c.id_a
+                  JOIN g gb ON gb.doc_id = c.id_b
+                           AND gb.shingle = ga.shingle
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, ix::BIGINT AS ix,
+               sa.sz::BIGINT AS sz_a, sb.sz::BIGINT AS sz_b,
+               ((ix * 1000000) // sa.sz)::BIGINT AS cont_a_e6,
+               ((ix * 1000000) // sb.sz)::BIGINT AS cont_b_e6
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                   JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE greatest((ix * 1000000) // sa.sz,
+                       (ix * 1000000) // sb.sz) >= 400000""",
+    "Asymmetric CONTAINMENT pairs (Broder's resemblance-vs-containment "
+    "distinction): |A∩B|/|A| and /|B| over char-4-gram sets, keeping "
+    "pairs where either direction >= 0.40 — the quote/sub-document "
+    "case Jaccard misses (a paragraph copied into a 100x longer doc "
+    "has tiny Jaccard but containment ~1 on the short side). Exact "
+    "bigint micro-unit arithmetic; candidates from the same bounded "
+    "shingle equi-join as the Jaccard baseline (minhash seeds them "
+    "at corpus scale).",
+)
+def q_dedup_containment(spark, sf_dir):
+    return dd.containment_pairs(
+        _doc_subset(spark, sf_dir), "doc_id", "text", n=4,
+        threshold_e6=400_000,
+    )
+
+
 def _minhash_oracle_sql(
     subset_sql: str,
     n: int = 4,
@@ -4106,6 +4145,75 @@ def q_graph_pagerank(spark, sf_dir):
         li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
     return gr.pagerank(edges, iters=5, damping_pct=85)
+
+
+def _ppr_oracle_sql(
+    seed_list: str, iters: int = 5, damping_pct: int = 85
+) -> str:
+    """Personalized-PageRank replica: teleport mass concentrated on
+    the seed set (CASE on the seed flag), otherwise the same unrolled
+    exact-integer iterations as _pagerank_oracle_sql."""
+    scale = 10**12
+    d = damping_pct
+    base = (
+        f"(CASE WHEN dg.seed = 1 THEN ({100 - d} * {scale}::BIGINT)"
+        f" // (100 * n.n) ELSE 0 END)"
+    )
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (SELECT dg.node, dg.seed,
+                     ({base} + coalesce(s{i}.s, 0))::BIGINT AS rank
+              FROM nodes dg
+              LEFT JOIN (SELECT e.dst AS node,
+                                sum((r.rank * {d}) // (100 * e.outdeg)) AS s
+                         FROM e JOIN r{i - 1} r ON r.node = e.src
+                         GROUP BY e.dst) s{i} ON s{i}.node = dg.node
+              CROSS JOIN n)"""
+        )
+    return f"""WITH raw AS (SELECT DISTINCT l_partkey::BIGINT AS p,
+                       (1000000 + l_suppkey)::BIGINT AS s
+                FROM lineitem),
+        ed AS (SELECT p AS src, s AS dst FROM raw
+               UNION ALL SELECT s, p FROM raw),
+        deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+        e AS (SELECT ed.src, ed.dst, deg.outdeg
+              FROM ed JOIN deg ON deg.src = ed.src),
+        nodes AS (SELECT src AS node,
+                         CASE WHEN src IN {seed_list} THEN 1 ELSE 0 END AS seed
+                  FROM deg),
+        n AS (SELECT sum(seed) AS n FROM nodes),
+        r0 AS (SELECT dg.node, dg.seed,
+                      (CASE WHEN dg.seed = 1 THEN {scale}::BIGINT // n.n
+                            ELSE 0 END)::BIGINT AS rank
+               FROM nodes dg, n),
+        {", ".join(steps)}
+        SELECT node, rank AS rank_e12 FROM r{iters}"""
+
+
+@register(
+    "graph_ppr_seeded",
+    _ppr_oracle_sql("(1, 2, 3, 4, 5)", iters=5, damping_pct=85),
+    "PERSONALIZED PageRank (random walk with restart) over the "
+    "part<->supplier graph, teleport mass concentrated on seed parts "
+    "{1..5} — the graph-based 'related items' primitive of a "
+    "recommender (reference tie-in: graph-walk neighbors complement "
+    "the ALS factor space for the same catalog). Identical "
+    "exact-integer machinery as graph_pagerank (hash-exact oracle); "
+    "the seed flag is one broadcast join into the node list.",
+)
+def q_graph_ppr_seeded(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.operators import graph as gr
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("p"),
+        (F.lit(1000000) + F.col("l_suppkey")).cast("bigint").alias("s"),
+    ).distinct()
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(1, 6)], "node bigint")
+    return gr.pagerank(edges, iters=5, damping_pct=85, seeds=seeds)
 
 
 @register(

@@ -70,3 +70,25 @@ def test_in_degree_zero_node_keeps_base_rank(spark):
     base = (15 * gr.SCALE_E12) // (100 * n)
     assert got[2] == base                 # in-degree 0 -> base only
     assert got[0] > got[1] > got[2]       # 0 receives from both others
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    """PPR: teleport mass restricted to the seed; nodes unreachable
+    from the seed get rank 0; near-seed nodes outrank far ones."""
+    # two disconnected 2-cycles: {0,1} and {8,9}; seed = {0}
+    edges = _sym_edges(spark, [(0, 1), (8, 9)])
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r.node: r.rank_e12
+        for r in gr.pagerank(edges, iters=4, seeds=seeds).collect()
+    }
+    assert got[8] == 0 and got[9] == 0     # unreachable component
+    assert got[0] > got[1] > 0             # seed holds the restart mass
+
+
+def test_ppr_unseeded_matches_plain_pagerank(spark):
+    edges = _sym_edges(spark, [(0, 1), (1, 2), (2, 0)])
+    a = sorted(map(tuple, gr.pagerank(edges, iters=3).collect()))
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node bigint")
+    b = sorted(map(tuple, gr.pagerank(edges, iters=3, seeds=seeds).collect()))
+    assert a == b  # seeding with ALL nodes degenerates to plain PR

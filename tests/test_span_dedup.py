@@ -148,3 +148,28 @@ def test_remove_spans_whole_doc(spark):
     r = dd.remove_spans(docs, spans).collect()[0]
     assert (r.n_tokens, r.n_tokens_kept) == (2, 0)
     assert r.kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    of the short side ~1e6 while Jaccard stays below any useful
+    threshold."""
+    quote = "abcdefghijklmnop"          # 13 4-gram shingles
+    # non-repeating numeric filler -> hundreds of DISTINCT shingles
+    filler = "".join(f"{i:03d}" for i in range(100, 250))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + quote + filler)],
+        "doc_id bigint, text string",
+    )
+    out = dd.containment_pairs(
+        docs, "doc_id", "text", n=4, threshold_e6=900_000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_a_e6 == 1_000_000      # quote fully contained
+    assert r.cont_b_e6 < 400_000         # long side barely overlaps
+    jac = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, threshold=0.4
+    ).collect()
+    assert jac == []                     # Jaccard misses the pair
