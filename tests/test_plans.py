@@ -62,9 +62,13 @@ PLAN_QUERIES = [
     "text_chunking",
     # r5-continuation additions (plan-only cheap; curation_cluster_split
     # excluded — its builder runs the iterative connected-components
-    # jobs, same reason as dedup_canonicalize)
+    # jobs, same reason as dedup_canonicalize; text_bpe_merges excluded
+    # — its builder runs the per-round argmax jobs)
     "text_span_dedup", "text_vocab_build", "fuzzy_match_suppliers",
-    "graph_pagerank",
+    "graph_pagerank", "text_span_removal", "dedup_containment",
+    "sketch_hll_distinct", "curation_quality_percentile",
+    "ev_transitions", "emb_label_centroids", "sample_group_topk",
+    "text_bpe_pairs", "text_diversity", "curation_quality_floor",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -78,8 +82,10 @@ BNLJ_ALLOWED = {
     "ann_recall_matrix",
     # pagerank joins the ONE-ROW node-count aggregate into the rank
     # vector (init + once per iteration) — same bounded-broadcast shape
-    # as tfidf's corpus-count join
-    "graph_pagerank",
+    # as tfidf's corpus-count join; ditto the seeded variant, the
+    # chi-square N join, and negative sampling's item-count join
+    "graph_pagerank", "graph_ppr_seeded", "stats_chi2_lang_source",
+    "cf_negative_sample",
 }
 
 
