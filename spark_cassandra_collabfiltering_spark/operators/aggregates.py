@@ -402,3 +402,52 @@ def chi2_contingency(
         F.size(F.collect_set(col_col).over(w)) - 1
     )
     return out.withColumn("dof", dof.cast("bigint"))
+
+
+def join_size_estimate(
+    a: DataFrame, b: DataFrame, key_a: str, key_b: str
+) -> DataFrame:
+    """Pre-flight equi-join cardinality estimate from HLL NDVs — the
+    textbook optimizer formula |A|*|B| / max(ndv_a, ndv_b) (uniform
+    key assumption; what a CBO derives from column statistics before
+    picking a join strategy). Both NDVs come from the engine-portable
+    HLL, so the whole estimate is reproducible cross-engine; the true
+    join count rides along so the estimate is self-evaluating.
+
+    Cost: one O(registers) sketch pass per side + the actual join's
+    count (drop `true_rows` in production — it defeats the point of
+    estimating). Output: one row — (rows_a, rows_b, ndv_a, ndv_b,
+    est_rows, true_rows).
+    """
+    ra = hll_estimate(hll_registers(a, [], key_a), []).select(
+        F.col("est_distinct").alias("ndv_a")
+    )
+    rb = hll_estimate(hll_registers(b, [], key_b), []).select(
+        F.col("est_distinct").alias("ndv_b")
+    )
+    ca = a.agg(F.count(F.lit(1)).cast("bigint").alias("rows_a"))
+    cb = b.agg(F.count(F.lit(1)).cast("bigint").alias("rows_b"))
+    true_rows = (
+        a.select(F.col(key_a).alias("_k"))
+        .join(b.select(F.col(key_b).alias("_k")), "_k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_rows"))
+    )
+    return (
+        ca.join(cb)
+        .join(ra)
+        .join(rb)
+        .join(true_rows)
+        .select(
+            "rows_a",
+            "rows_b",
+            "ndv_a",
+            "ndv_b",
+            F.round(
+                F.col("rows_a").cast("double")
+                * F.col("rows_b").cast("double")
+                / F.greatest(F.col("ndv_a"), F.col("ndv_b")),
+                4,
+            ).alias("est_rows"),
+            "true_rows",
+        )
+    )

@@ -812,6 +812,7 @@ def duplicate_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    max_docs_per_gram: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated n-gram SPAN detection — the
     distributed approximation of exact-substring training-data dedup
@@ -836,6 +837,15 @@ def duplicate_spans(
     would materialize the gram table to the lake between the passes;
     semantics are identical.
 
+    ``max_docs_per_gram`` is the hot-key safeguard (the LSH
+    hot-bucket-cap discipline applied here): a gram present in a huge
+    fraction of the corpus is boilerplate, and its position join-back
+    funnels corpus-sized row counts through one reducer key. Capping
+    excludes grams in MORE than that many distinct docs from span
+    anchoring — boilerplate handling belongs to the dedicated
+    boilerplate/contamination operators, not span dedup. None (the
+    default, used by the oracled registry query) keeps every gram.
+
     Output: one row per maximal duplicated span —
     (id, span_id, span_start, span_end, span_len, n_dup_grams), all
     word-position indexed (0-based, inclusive), exact integers.
@@ -850,10 +860,13 @@ def duplicate_spans(
     ).select(
         id_col, "pos", F.md5(F.col("gram").cast("binary")).alias("gram_md5")
     )
+    nd_ok = F.col("_nd") >= min_docs
+    if max_docs_per_gram is not None:
+        nd_ok = nd_ok & (F.col("_nd") <= max_docs_per_gram)
     dup = (
         grams.groupBy("gram_md5")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
+        .filter(nd_ok)
         .select("gram_md5")
     )
     hits = grams.join(dup, "gram_md5").select(id_col, "pos")

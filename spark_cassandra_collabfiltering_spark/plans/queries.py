@@ -3203,6 +3203,63 @@ def q_stats_chi2(spark, sf_dir):
     )
 
 
+def _hll_ndv_sql(table: str, key: str) -> str:
+    """Ungrouped engine-portable HLL NDV of table.key (same register
+    arithmetic as sketch_hll_distinct)."""
+    return f"""(WITH h AS (SELECT md5({key}::VARCHAR) AS s FROM {table}
+                 WHERE {key} IS NOT NULL),
+        b AS (SELECT ('0x' || substr(s, 16, 2))::BIGINT % 64 AS bucket,
+                     (4 * length(regexp_extract(substr(s, 1, 15), '^0*')) +
+                      CASE substr(regexp_replace(substr(s, 1, 15), '^0*', ''), 1, 1)
+                           WHEN '' THEN 0
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END + 1) AS rho
+              FROM h),
+        r AS (SELECT bucket, max(rho) AS rmax FROM b GROUP BY 1),
+        a AS (SELECT count(*) AS n_buckets,
+                     sum(1::BIGINT << (55 - least(rmax, 55))) AS present_sum
+              FROM r)
+        SELECT round((0.709::DOUBLE * 64 * 64 * (1::BIGINT << 55)::DOUBLE)
+                     / (present_sum
+                        + (64 - n_buckets) * (1::BIGINT << 55))::DOUBLE, 4)
+        FROM a)"""
+
+
+@register(
+    "stats_join_estimate",
+    f"""SELECT (SELECT count(*) FROM orders)::BIGINT AS rows_a,
+               (SELECT count(*) FROM customer)::BIGINT AS rows_b,
+               {_hll_ndv_sql("orders", "o_custkey")} AS ndv_a,
+               {_hll_ndv_sql("customer", "c_custkey")} AS ndv_b,
+               round((SELECT count(*) FROM orders)::DOUBLE
+                     * (SELECT count(*) FROM customer)::DOUBLE
+                     / greatest({_hll_ndv_sql("orders", "o_custkey")},
+                                {_hll_ndv_sql("customer", "c_custkey")}), 4)
+                   AS est_rows,
+               (SELECT count(*) FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey)::BIGINT
+                   AS true_rows""",
+    "Pre-flight equi-join cardinality estimate — the textbook CBO "
+    "formula |A|*|B| / max(ndv_a, ndv_b) with both NDVs from the "
+    "engine-portable HLL, so the whole estimate (and its register "
+    "arithmetic) hash-matches cross-engine; the true join count rides "
+    "along, making the estimator self-evaluating. This is the "
+    "statistic Catalyst's CBO derives from ANALYZE TABLE column "
+    "stats before choosing broadcast vs shuffle joins, stated as an "
+    "operator.",
+)
+def q_stats_join_estimate(spark, sf_dir):
+    return agg.join_size_estimate(
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
 @register(
     "sketch_hll_distinct",
     """WITH h AS (SELECT event_type, md5(user_id::VARCHAR) AS s

@@ -173,3 +173,26 @@ def test_containment_catches_quote_jaccard_misses(spark):
         docs, "doc_id", "text", n=4, threshold=0.4
     ).collect()
     assert jac == []                     # Jaccard misses the pair
+
+
+def test_hot_gram_cap_excludes_boilerplate(spark):
+    """max_docs_per_gram: a gram shared by (almost) every doc is
+    boilerplate and must not anchor spans when the cap is set; a
+    2-doc duplicate still does."""
+    footer = "all rights reserved by the example corp"
+    rows = [(i, f"unique{i} words number {i} here {footer}") for i in range(1, 6)]
+    rows.append((10, "shared pair text one two three four alpha"))
+    rows.append((11, "shared pair text one two three four beta"))
+    uncapped = _spans(spark, rows, n=4, min_docs=2)
+    capped = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_dup_grams)
+        for r in dd.duplicate_spans(
+            _corpus(spark, rows), "doc_id", "text",
+            n=4, min_docs=2, max_docs_per_gram=3,
+        ).collect()
+    }
+    # uncapped sees the 5-doc footer; capped drops it
+    assert any(d in range(1, 6) for d, *_ in uncapped)
+    assert not any(d in range(1, 6) for d, *_ in capped)
+    # the 2-doc genuine duplicate survives the cap
+    assert any(d in (10, 11) for d, *_ in capped)
