@@ -4538,3 +4538,86 @@ def q_text_bpe_merges(spark, sf_dir):
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, sym_a string, sym_b string, merged string",
     )
+
+
+# ===========================================================================
+# End-to-end curation verdict — the composed per-doc keep/drop decision
+# ===========================================================================
+
+@register(
+    "curation_pipeline_verdict",
+    f"""WITH gg AS (SELECT doc_id, gopher_pass
+                    FROM ({QUERIES["text_gopher_gate"].oracle}) g0),
+        ct AS (SELECT doc_id, contaminated
+               FROM ({_CONTAM_SQL}) c0),
+        qf AS (SELECT doc_id, keep AS floor_keep
+               FROM ({QUERIES["curation_quality_floor"].oracle}) f0),
+        cl AS (SELECT node, cluster_id
+               FROM ({QUERIES["dedup_clusters"].oracle}) k0),
+        cn AS (SELECT cluster_id, keep_id
+               FROM ({QUERIES["dedup_canonicalize"].oracle}) n0),
+        dd0 AS (SELECT cl.node AS doc_id,
+                       (cn.keep_id <> cl.node) AS dup_loser
+                FROM cl JOIN cn ON cn.cluster_id = cl.cluster_id)
+        SELECT d.doc_id,
+               gg.gopher_pass,
+               ct.contaminated,
+               qf.floor_keep,
+               coalesce(dd0.dup_loser, FALSE) AS dup_loser,
+               (gg.gopher_pass AND NOT ct.contaminated AND qf.floor_keep
+                AND NOT coalesce(dd0.dup_loser, FALSE)) AS keep
+        FROM documents d
+        JOIN gg ON gg.doc_id = d.doc_id
+        JOIN ct ON ct.doc_id = d.doc_id
+        JOIN qf ON qf.doc_id = d.doc_id
+        LEFT JOIN dd0 ON dd0.doc_id = d.doc_id""",
+    "The COMPOSED per-document curation verdict — what the pipeline "
+    "actually ships: keep iff (Gopher rule gate) AND (not benchmark-"
+    "contaminated) AND (above the per-source quality floor) AND (not "
+    "a near-dup cluster loser — only the cluster's best member "
+    "survives). Every input gate is itself an oracled operator; the "
+    "oracle recomposes all four, so the END-TO-END decision — not "
+    "just each stage — hash-matches. Per-doc reason columns make "
+    "every drop auditable. Scale: four id-keyed joins of per-doc "
+    "verdict tables (each gate's own scale shape documented at its "
+    "operator).",
+)
+def q_curation_pipeline_verdict(spark, sf_dir):
+    gg = QUERIES["text_gopher_gate"].builder(spark, sf_dir).select(
+        "doc_id", "gopher_pass"
+    )
+    ct = QUERIES["curation_contamination"].builder(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    qf = QUERIES["curation_quality_floor"].builder(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("floor_keep")
+    )
+    clusters = QUERIES["dedup_clusters"].builder(spark, sf_dir)
+    canon = QUERIES["dedup_canonicalize"].builder(spark, sf_dir).select(
+        "cluster_id", "keep_id"
+    )
+    losers = clusters.join(canon, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        (F.col("keep_id") != F.col("node")).alias("dup_loser"),
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        d.join(gg, "doc_id")
+        .join(ct, "doc_id")
+        .join(qf, "doc_id")
+        .join(losers, "doc_id", "left")
+        .withColumn("dup_loser", F.coalesce(F.col("dup_loser"), F.lit(False)))
+    )
+    return out.select(
+        "doc_id",
+        "gopher_pass",
+        "contaminated",
+        "floor_keep",
+        "dup_loser",
+        (
+            F.col("gopher_pass")
+            & ~F.col("contaminated")
+            & F.col("floor_keep")
+            & ~F.col("dup_loser")
+        ).alias("keep"),
+    )

@@ -288,3 +288,26 @@ def test_quality_floor_is_per_group(spark):
     # verdicts agree with the carried floor
     for r in out:
         assert r.keep == (r.quality_e6 >= r.floor_est)
+
+
+def test_pipeline_verdict_consistent_and_covering(spark):
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES, t
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["curation_pipeline_verdict"].builder(spark, sf).collect()
+    docs = {r.doc_id for r in t(spark, sf, "documents").select("doc_id").collect()}
+    assert {r.doc_id for r in out} == docs
+    for r in out:
+        assert r.keep == (
+            r.gopher_pass and not r.contaminated and r.floor_keep
+            and not r.dup_loser
+        )
+    # every reason column discriminates on this corpus except the
+    # Gopher gate, which the synthetic vocabulary fails wholesale
+    # (only one stop-word KIND present — corpus truth, verified in
+    # the gate's own oracle row, not a composition defect)
+    assert any(r.contaminated for r in out) and not all(
+        r.contaminated for r in out
+    )
+    assert any(r.floor_keep for r in out) and not all(r.floor_keep for r in out)
+    assert any(r.dup_loser for r in out) and not all(r.dup_loser for r in out)
