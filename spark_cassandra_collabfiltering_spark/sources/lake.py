@@ -139,3 +139,54 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# --- Versioned snapshots (time travel, manifest-based) ---------------------
+
+def write_snapshot(df: DataFrame, root: str) -> int:
+    """Append a new immutable SNAPSHOT of ``df`` under ``root`` and
+    return its version number — the minimal manifest-based time-travel
+    layout (the idea behind Delta/Iceberg snapshots, format-agnostic):
+    data lives in ``root/v=<N>/`` (written once, never mutated) and a
+    tiny JSON manifest at ``root/_manifest.json`` names the latest
+    committed version. Readers resolve the manifest FIRST, so a
+    half-written snapshot directory is invisible until its manifest
+    commit — the atomicity contract object stores give a single small
+    file PUT.
+
+    Not a transaction log (no concurrent writers, no schema history) —
+    those are what the real table formats add; the read-at-version
+    capability and write-isolation shape are what pipelines need for
+    reproducible training snapshots ("train on corpus v12").
+    """
+    import json
+    import os
+
+    manifest = os.path.join(root, "_manifest.json")
+    version = 0
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            version = json.load(fh)["latest"] + 1
+    df.write.mode("error").parquet(os.path.join(root, f"v={version}"))
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"latest": version}, fh)
+    os.replace(tmp, manifest)  # atomic manifest commit
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot: the latest per the manifest, or any
+    pinned historical ``version`` (time travel)."""
+    import json
+    import os
+
+    with open(os.path.join(root, "_manifest.json")) as fh:
+        latest = json.load(fh)["latest"]
+    if version is None:
+        version = latest
+    if not 0 <= version <= latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    return spark.read.parquet(os.path.join(root, f"v={version}"))

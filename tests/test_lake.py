@@ -207,3 +207,51 @@ def test_zorder_layout_clusters_both_dims(spark, tmp_path):
     # row preservation
     back = spark.read.parquet(zpath)
     assert back.count() == li.count()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Manifest-based snapshots: latest resolves through the manifest,
+    any historical version stays readable and immutable, and an
+    uncommitted directory is invisible to readers."""
+    from spark_cassandra_collabfiltering_spark.sources import lake
+
+    root = str(tmp_path / "snaps")
+    v0 = lake.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"), root
+    )
+    v1 = lake.write_snapshot(
+        spark.createDataFrame([(1, "a"), (3, "c")], "id bigint, s string"), root
+    )
+    assert (v0, v1) == (0, 1)
+    latest = {tuple(r) for r in lake.read_snapshot(spark, root).collect()}
+    assert latest == {(1, "a"), (3, "c")}
+    pinned = {tuple(r) for r in lake.read_snapshot(spark, root, version=0).collect()}
+    assert pinned == {(1, "a"), (2, "b")}
+    # a data dir without a manifest commit must be invisible
+    spark.createDataFrame([(9, "x")], "id bigint, s string").write.parquet(
+        f"{root}/v=2"
+    )
+    assert lake.read_snapshot(spark, root).collect() == lake.read_snapshot(
+        spark, root, version=1
+    ).collect()
+    import pytest
+
+    with pytest.raises(ValueError):
+        lake.read_snapshot(spark, root, version=2)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema contract: a corpus written over time with an added
+    column reads back as ONE table — old files NULL-fill the new
+    column; a pinned explicit schema also works for either vintage."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(
+        path + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, s string, score double"
+    ).write.parquet(path + "/batch=1")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    rows = {r.id: (r.s, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(merged.columns) == {"id", "s", "score", "batch"}
