@@ -1661,10 +1661,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
                    JOIN sizes sb ON inter.id_b = sb.doc_id
         WHERE greatest((ix * 1000000) // sa.sz,
-                       (ix * 1000000) // sb.sz) >= 400000""",
+                       (ix * 1000000) // sb.sz) >= 800000""",
     "Asymmetric CONTAINMENT pairs (Broder's resemblance-vs-containment "
     "distinction): |A∩B|/|A| and /|B| over char-4-gram sets, keeping "
-    "pairs where either direction >= 0.40 — the quote/sub-document "
+    "pairs where either direction >= 0.80 — the quote/sub-document "
     "case Jaccard misses (a paragraph copied into a 100x longer doc "
     "has tiny Jaccard but containment ~1 on the short side). Exact "
     "bigint micro-unit arithmetic; candidates from the same bounded "
@@ -1674,7 +1674,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_dedup_containment(spark, sf_dir):
     return dd.containment_pairs(
         _doc_subset(spark, sf_dir), "doc_id", "text", n=4,
-        threshold_e6=400_000,
+        threshold_e6=800_000,
     )
 
 
