@@ -52,6 +52,9 @@ SHOWN = [
     "emb_label_centroids",
     "sample_group_topk",
     "text_bpe_pairs",
+    "text_span_removal",
+    "graph_ppr_seeded",
+    "dedup_containment",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
