@@ -3306,6 +3306,41 @@ def q_sketch_hll_distinct(spark, sf_dir):
 
 
 @register(
+    "ev_retention_cohorts",
+    """WITH a AS (SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 604800000000) AS wk
+                FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+        SELECT c.cohort_wk::BIGINT AS cohort_week,
+               (a.wk - c.cohort_wk)::BIGINT AS week_offset,
+               count(DISTINCT a.user_id)::BIGINT AS n_users
+        FROM a JOIN c ON c.user_id = a.user_id
+        GROUP BY 1, 2""",
+    "Cohort RETENTION matrix — the product-analytics staple: users "
+    "grouped by first-activity week, counted per weeks-since-cohort "
+    "offset. Weeks are exact integer epoch-microsecond divisions "
+    "(604800000000 us), so every cell is engine-exact. Scale: one "
+    "distinct (user, week) projection (map-combining), a per-user min "
+    "for the cohort, an id-keyed join back, and a two-phase distinct "
+    "count over (cohort, offset) — no windows, no skew keys beyond "
+    "calendar weeks.",
+)
+def q_ev_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
+    ).distinct()
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("bigint").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
     "cf_als_pipeline",
     None,  # iterative ML — not SQL-expressible (rows-only check)
     "M1-M3: the full reference pipeline (SURVEY §3.2) on the ratings "

@@ -165,3 +165,43 @@ def test_emb_label_centroids_exact_arithmetic(spark):
     assert out[(0, 0)] == (2, 2_000_000, 1_000_000)
     assert out[(0, 1)] == (2, 0, 0)          # -0.5 + 0.5 floors to -500000 + 500000
     assert out[(1, 0)] == (1, 2_000_000, 2_000_000)
+
+
+def test_retention_cohorts_planted(spark):
+    """Two cohorts with known retention: user A active weeks 0,1,2;
+    user B active week 0 only; user C (cohort week 1) active weeks
+    1 and 3."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 5)  # week boundary irrelevant; offsets exact
+
+    def ev(i, user, weeks):
+        return (i, base + dt.timedelta(weeks=weeks), user, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 2),
+        ev(4, 2, 0),
+        ev(5, 3, 1), ev(6, 3, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    import spark_cassandra_collabfiltering_spark.plans.queries as q
+
+    orig = q.t
+    try:
+        q.t = lambda s, sf, name, _df=df: _df
+        got = {
+            (r.week_offset, r.cohort_week): r.n_users
+            for r in q.QUERIES["ev_retention_cohorts"].builder(spark, "x").collect()
+        }
+    finally:
+        q.t = orig
+    # normalize: two cohort weeks exist; check offset histograms
+    by_offset = {}
+    for (off, _), n in got.items():
+        by_offset[off] = by_offset.get(off, 0) + n
+    assert by_offset == {0: 3, 1: 1, 2: 2}
+    # offsets for user 3's cohort: 0 and 2 (weeks 1 -> 3)
