@@ -113,3 +113,92 @@ def pagerank(
         F.col("node").cast("bigint").alias("node"),
         F.col("rank").cast("bigint").alias("rank_e12"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED edge list (src,
+    dst) — the clustering-structure primitive (community density,
+    spam-farm detection in web-graph curation, feature for link
+    models). Input may contain duplicates, both orientations, and
+    self-loops; it is canonicalized first.
+
+    The naive triangle join (E ⋈ E ⋈ E) explodes on high-degree
+    nodes: a degree-D hub contributes D² wedges. The standard
+    at-scale fix (Cohen's MapReduce orientation / GraphX's
+    triangleCount shape) is DEGREE ORIENTATION: direct every edge
+    from its lower-(degree, id) endpoint to the higher one. The
+    oriented out-degree of ANY node is O(sqrt(m)), so the wedge join
+    produces at most O(m^1.5) rows on any graph — the optimal bound
+    for triangle enumeration — instead of sum(D²). Each triangle
+    {x<y<z} (by the orientation order) is built exactly once: wedge
+    at x (x→y, x→z) closed by the oriented edge y→z, checked with
+    one semi-join back into the oriented edge set. Three shuffles
+    total (degree agg, wedge self-join, closing join), all on node
+    keys.
+
+    Output: (node, n_triangles) for every node of the canonical
+    graph, exact bigints (nodes in no triangle report 0).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient a->b iff (deg_a, a) < (deg_b, b); ids break degree ties,
+    # so orientation is a strict total order and acyclic
+    o = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1 = o.select(F.col("u"), F.col("v").alias("x"))
+    e2 = o.select(F.col("u"), F.col("v").alias("y"))
+    # wedge (x, y) at u, one per unordered pair: x strictly before y
+    # in the SAME orientation order the closing edge uses. deg is
+    # re-joined on the wedge legs to state that order explicitly.
+    dx = deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx")
+    dy = deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy")
+    wedges = (
+        e1.join(e2, "u")
+        .join(dx, "x")
+        .join(dy, "y")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("u", "x", "y")
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+    )

@@ -793,3 +793,49 @@ def bpe_train(
             "syms", _merge_pair_expr(F.col("syms"), a, b)
         ).localCheckpoint(eager=True)
     return merges, symtab
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a trained
+    vocabulary (:func:`vocab_build` output or any (token, ...) table) —
+    the tokenizer-coverage quality signal: a doc whose tokens are
+    mostly absent from the training vocabulary is noise, another
+    language, or heavy OCR damage, and inflates the fertility of any
+    tokenizer trained on the mix.
+
+    Scale shape: tokens are reduced to per-(doc, token) COUNTS first —
+    one map-side-combinable aggregate — so the vocabulary join probes
+    with at most |distinct tokens per doc| rows per document, not one
+    row per token occurrence. The vocab side is unique on token, so
+    the left join has no fan-out and a hot token (probe-side skew
+    against a unique build side) cannot multiply rows; at corpus scale
+    the vocab is millions of rows — a plain shuffled hash join, no
+    broadcast assumption. Ratios in exact bigint micro-units so the
+    output hash-matches across engines.
+
+    Output: (doc_id, n_tokens, n_oov, oov_e6).
+    """
+    toks = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("token"),
+    )
+    dc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    v = vocab.select(F.col("token"), F.lit(1).alias("_in"))
+    return (
+        dc.join(v, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_e6", F.expr("(n_oov * 1000000) div n_tokens"))
+    )

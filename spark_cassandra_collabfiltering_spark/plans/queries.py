@@ -4656,3 +4656,107 @@ def q_curation_pipeline_verdict(spark, sf_dir):
             & ~F.col("dup_loser")
         ).alias("keep"),
     )
+
+
+# ===========================================================================
+# OOV rate — tokenizer/vocabulary coverage quality signal (r5-cont)
+# ===========================================================================
+
+@register(
+    "text_oov_rate",
+    """WITH toks AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+           FROM documents),
+        dc AS (SELECT doc_id, token, count(*) AS cnt
+               FROM toks GROUP BY doc_id, token),
+        v AS (SELECT token FROM toks GROUP BY token HAVING count(*) >= 2)
+       SELECT dc.doc_id,
+              sum(dc.cnt)::BIGINT AS n_tokens,
+              sum(CASE WHEN v.token IS NULL THEN dc.cnt ELSE 0 END)::BIGINT
+                  AS n_oov,
+              ((sum(CASE WHEN v.token IS NULL THEN dc.cnt ELSE 0 END)
+                * 1000000) // sum(dc.cnt))::BIGINT AS oov_e6
+       FROM dc LEFT JOIN v USING (token)
+       GROUP BY dc.doc_id""",
+    "Per-doc out-of-vocabulary rate against the corpus vocabulary "
+    "(vocab_build, min_count=2): the tokenizer-coverage quality signal "
+    "— docs dominated by tokens the vocabulary will not cover are "
+    "noise/OCR damage/wrong-language and inflate tokenizer fertility. "
+    "Scale shape: occurrences reduce to per-(doc, token) counts before "
+    "the vocab join (probe side bounded by distinct tokens per doc, "
+    "vocab side unique on token so no fan-out and hot-token skew "
+    "cannot multiply rows); ratios in exact bigint micro-units.",
+)
+def q_text_oov_rate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    vocab = tx.vocab_build(docs, "text", min_count=2, prefix_len=1)
+    return tx.oov_rate(docs, vocab)
+
+
+# ===========================================================================
+# Triangle counting — degree-oriented wedge join (r5-cont)
+# ===========================================================================
+
+@register(
+    "graph_triangles",
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+        e AS (SELECT DISTINCT a.s AS a, b.s AS b
+              FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+        deg AS (SELECT node, count(*)::BIGINT AS deg
+                FROM (SELECT a AS node FROM e
+                      UNION ALL SELECT b AS node FROM e)
+                GROUP BY node),
+        o2 AS (SELECT CASE WHEN (da.deg < db.deg)
+                             OR (da.deg = db.deg AND e.a < e.b)
+                           THEN e.a ELSE e.b END AS u,
+                      CASE WHEN (da.deg < db.deg)
+                             OR (da.deg = db.deg AND e.a < e.b)
+                           THEN e.b ELSE e.a END AS v
+               FROM e
+               JOIN deg da ON da.node = e.a
+               JOIN deg db ON db.node = e.b),
+        w AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y
+              FROM o2 e1
+              JOIN o2 e2 ON e1.u = e2.u
+              JOIN deg dx ON dx.node = e1.v
+              JOIN deg dy ON dy.node = e2.v
+              WHERE (dx.deg < dy.deg)
+                 OR (dx.deg = dy.deg AND e1.v < e2.v)),
+        tri AS (SELECT w.u, w.x, w.y
+                FROM w JOIN o2 ON o2.u = w.x AND o2.v = w.y),
+        pn AS (SELECT node, count(*)::BIGINT AS t
+               FROM (SELECT u AS node FROM tri
+                     UNION ALL SELECT x AS node FROM tri
+                     UNION ALL SELECT y AS node FROM tri)
+               GROUP BY node)
+       SELECT deg.node::BIGINT AS node,
+              coalesce(pn.t, 0)::BIGINT AS n_triangles
+       FROM deg LEFT JOIN pn ON pn.node = deg.node""",
+    "Per-node triangle counts over the supplier co-occurrence graph "
+    "(suppliers sharing an order; per-order pair fan-out is bounded by "
+    "order size). DEGREE ORIENTATION makes the wedge join safe at "
+    "scale: every edge directed low->high (degree, id), so oriented "
+    "out-degree is O(sqrt(m)) and the join emits O(m^1.5) wedges on "
+    "ANY graph instead of sum(deg^2) on hubs — Cohen's MapReduce "
+    "scheme / GraphX's triangleCount shape. Each triangle is built "
+    "exactly once and closed by one semi-join; exact bigint output.",
+)
+def q_graph_triangles(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.operators import graph as gr
+
+    os_ = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_suppkey").cast("bigint").alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        os_.alias("a")
+        .join(os_.alias("b"), "o")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return gr.triangle_counts(edges)

@@ -92,3 +92,43 @@ def test_ppr_unseeded_matches_plain_pagerank(spark):
     seeds = spark.createDataFrame([(0,), (1,), (2,)], "node bigint")
     b = sorted(map(tuple, gr.pagerank(edges, iters=3, seeds=seeds).collect()))
     assert a == b  # seeding with ALL nodes degenerates to plain PR
+
+
+# --- triangle_counts -------------------------------------------------------
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = {r.node: r.n_triangles for r in gr.triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_has_none(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.n_triangles for r in gr.triangle_counts(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_triangles_canonicalizes_dirty_input(spark):
+    # one triangle {0,1,2}, stated with duplicates, both orientations,
+    # and a self-loop; plus a pendant node 3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2), (2, 3)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.n_triangles for r in gr.triangle_counts(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0}
+
+
+def test_triangles_hub_with_one_closed_pair(spark):
+    # hub 0 joined to 5 leaves; only leaves 1-2 are linked, so exactly
+    # one triangle — the degree orientation must not overcount wedges
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.n_triangles for r in gr.triangle_counts(edges).collect()}
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert all(got[i] == 0 for i in range(3, 6))

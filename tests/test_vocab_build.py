@@ -77,3 +77,25 @@ def test_ngram_diversity_separates_repetitive_slice(spark):
     assert got["uniq"].distinct_ngrams == 30
     assert got["dup"].diversity_e6 < got["uniq"].diversity_e6 == 1_000_000
     assert got["dup"].ttr_e6 < got["uniq"].ttr_e6
+
+
+# --- oov_rate --------------------------------------------------------------
+
+
+def test_oov_rate_counts_hapaxes(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta zzz"),   # zzz is corpus-unique -> OOV
+            (2, "alpha beta beta"),
+            (3, "qqq www"),                # both hapax -> 100% OOV
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = tx.vocab_build(docs, "text", min_count=2)
+    got = {r.doc_id: r for r in tx.oov_rate(docs, vocab).collect()}
+    assert (got[1].n_tokens, got[1].n_oov) == (4, 1)
+    assert got[1].oov_e6 == 250000
+    assert (got[2].n_tokens, got[2].n_oov) == (3, 0)
+    assert (got[3].n_tokens, got[3].n_oov, got[3].oov_e6) == (2, 2, 1000000)
