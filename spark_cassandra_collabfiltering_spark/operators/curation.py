@@ -428,3 +428,56 @@ def quality_floor(
         "floor_est",
         (F.col(score_col) >= F.col("floor_est")).alias("keep"),
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the key for
+    URL-level dedup and crawl-frontier collapsing (the first dedup
+    any web-corpus pipeline runs, before any content hash: the same
+    page is typically fetched under dozens of surface forms).
+
+    Normalizations (RFC 3986 §6 syntax-based, plus the standard
+    tracking-param strip):
+
+    - fragment dropped (never sent to the server);
+    - scheme + host lowercased; leading ``www.`` stripped;
+    - default port stripped (``:80`` for http, ``:443`` for https);
+    - empty path segments collapsed (``//`` -> ``/``), trailing
+      slash stripped;
+    - query: tracking params removed (``utm_*``, ``fbclid``,
+      ``gclid``, ``msclkid``, ``ref``), remaining params sorted
+      byte-wise, empties dropped.
+
+    Pure JVM Column expressions (regexp + higher-order array
+    functions) — scan-local, zero shuffle, codegen-friendly; a
+    non-matching (schemeless) input is returned fragment-stripped
+    but otherwise untouched rather than mangled. Path case is
+    preserved (paths are case-sensitive; only scheme/host fold).
+    """
+    u = F.regexp_replace(url, "#.*", "")
+    head = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, head + r"([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, head + r"[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, "/{2,}", "/"), "/$", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda x: (x != "")
+        & ~x.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)"),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", u).otherwise(out)

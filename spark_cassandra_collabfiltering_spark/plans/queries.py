@@ -4760,3 +4760,124 @@ def q_graph_triangles(spark, sf_dir):
         .distinct()
     )
     return gr.triangle_counts(edges)
+
+
+# ===========================================================================
+# URL canonicalization + URL-level dedup (r5-cont)
+# ===========================================================================
+
+_URL_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'HTTP://WWW.Example.COM:80/docs//'
+                       || (doc_id // 7)::VARCHAR || '/?utm_source=feed&b=2&a=1#frag'
+           WHEN 1 THEN 'http://example.com/docs/'
+                       || (doc_id // 7)::VARCHAR || '?a=1&b=2'
+           WHEN 2 THEN 'http://' || source || '.example.com:80/docs/'
+                       || (doc_id // 7)::VARCHAR || '/'
+           WHEN 3 THEN 'http://Example.com/docs/'
+                       || (doc_id // 7)::VARCHAR || '?b=2&gclid=xyz&a=1'
+           ELSE        'https://cdn.example.com/' || source || '/'
+                       || (doc_id // 7)::VARCHAR || '#top'
+         END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*', '') AS u
+  FROM raw),
+pieces AS (
+  SELECT doc_id, url, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host0,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(u, '\?([^#]*)', 1) AS q
+  FROM parts),
+norm AS (
+  SELECT doc_id,
+         scheme || '://'
+         || (CASE WHEN scheme = 'http'
+                  THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
+                  ELSE regexp_replace(host0, '^www\.', '') END)
+         || regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '/$', '')
+         || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canon_url
+  FROM (SELECT *,
+               -- array_to_string([]) is NULL in DuckDB (Spark's
+               -- array_join gives '') — coalesce restores parity
+               coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&'),
+                 '') AS qs
+        FROM pieces))
+SELECT canon_url,
+       count(*)::BIGINT AS n_raw,
+       min(doc_id)::BIGINT AS keep_doc
+FROM norm
+GROUP BY canon_url
+"""
+
+
+@register(
+    "curation_url_canonical",
+    _URL_ORACLE,
+    "URL canonicalization + URL-level dedup — the FIRST dedup a "
+    "web-corpus pipeline runs (same page under dozens of surface "
+    "forms: case, www, default port, empty path segments, trailing "
+    "slash, tracking params, param order, fragments). Messy variants "
+    "are synthesized deterministically from (doc_id, source) — the "
+    "testdata carries no URL column — and the oracle replays the SAME "
+    "synthesis, so the check pins the canonicalizer itself. "
+    "Normalization is RFC 3986 syntax-based + tracking-param strip, "
+    "all scan-local JVM regexp/higher-order-array expressions (zero "
+    "shuffle before the final keyed agg; at corpus scale the agg "
+    "shuffles one short string per page, and min(doc_id) elects the "
+    "canonical fetch). Output: (canon_url, n_raw, keep_doc).",
+)
+def q_curation_url_canonical(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 7").cast("string")
+    m = F.expr("doc_id % 5")
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM:80/docs//"), page,
+                F.lit("/?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("http://example.com/docs/"), page, F.lit("?a=1&b=2")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".example.com:80/docs/"),
+                page, F.lit("/"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("http://Example.com/docs/"), page,
+                F.lit("?b=2&gclid=xyz&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.example.com/"), F.col("source"), F.lit("/"),
+                page, F.lit("#top"),
+            )
+        )
+    )
+    urls = d.select(F.col("doc_id"), raw.alias("url"))
+    return (
+        urls.select("doc_id", cu.canonicalize_url(F.col("url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+        )
+    )

@@ -311,3 +311,65 @@ def test_pipeline_verdict_consistent_and_covering(spark):
     )
     assert any(r.floor_keep for r in out) and not all(r.floor_keep for r in out)
     assert any(r.dup_loser for r in out) and not all(r.dup_loser for r in out)
+
+
+# --- canonicalize_url ------------------------------------------------------
+
+
+def _canon(spark, urls):
+    from spark_cassandra_collabfiltering_spark.operators.curation import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_url_surface_forms_collapse(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://WWW.Example.COM:80/docs//3/?utm_source=feed&b=2&a=1#frag",
+            "http://example.com/docs/3?a=1&b=2",
+            "http://Example.com/docs/3?b=2&gclid=xyz&a=1&fbclid=abc",
+        ],
+    )
+    assert set(got) == {"http://example.com/docs/3?a=1&b=2"}
+
+
+def test_url_distinctions_preserved(spark):
+    got = _canon(
+        spark,
+        [
+            "https://example.com/docs/3",   # scheme differs
+            "http://example.com/Docs/3",    # path case is significant
+            "http://example.com:8080/docs/3",  # non-default port kept
+            "http://example.com/docs/3?a=2",   # param value differs
+        ],
+    )
+    assert len(set(got)) == 4
+    assert "http://example.com:8080/docs/3" in got
+
+
+def test_url_default_port_is_scheme_aware(spark):
+    a, b, c = _canon(
+        spark,
+        [
+            "https://example.com:443/x",
+            "https://example.com:80/x",  # :80 NOT default for https
+            "http://example.com:443/x",  # :443 NOT default for http
+        ],
+    )
+    assert a == "https://example.com/x"
+    assert b == "https://example.com:80/x"
+    assert c == "http://example.com:443/x"
+
+
+def test_url_query_only_tracking_drops_question_mark(spark):
+    (got,) = _canon(spark, ["http://example.com/a?utm_campaign=x&utm_medium=y"])
+    assert got == "http://example.com/a"
+
+
+def test_url_schemeless_input_passes_through(spark):
+    (got,) = _canon(spark, ["not a url #fragment"])
+    assert got == "not a url "
