@@ -451,3 +451,70 @@ def join_size_estimate(
             "true_rows",
         )
     )
+
+
+def robust_outliers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group robust outlier detection — median/MAD instead of
+    mean/stddev, so a handful of corrupt extreme values cannot mask
+    themselves by inflating the very spread statistic used to flag
+    them (the failure mode of z-scores on heavy-tailed data).
+
+    EXACT integer formulation: ``value_col`` must already be an exact
+    integer (cents/micro-units). To avoid fractional medians, every
+    statistic is carried doubled — ``med2`` = x_(k1) + x_(k2) (the two
+    middle order statistics; = 2·median), per-row deviation
+    d = |2x − med2| (= 2·|x − median|), ``mad4`` = d_(k1) + d_(k2)
+    (= 4·MAD). The classic |x − med| > 3·MAD flag is then the
+    all-integer 2·d > 3·mad4 — order-independent, hash-exact across
+    engines, no float division anywhere.
+
+    Scale shape: two per-group rank selections, each one window sort
+    PARTITIONED BY the group (parallel across groups, never a global
+    sort) + one map-side-combinable agg. Exact medians fundamentally
+    need rank selection; for the unbounded-group regime use the
+    mergeable histogram quantiles (:func:`histogram_quantiles`) —
+    this operator is the exact companion for bounded-cardinality
+    slices (per-priority, per-brand, per-day).
+
+    Output: (group, n, med2, mad4, n_outliers) — med2/mad4 in
+    2x / 4x input units, exact bigints.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(group_col)
+    pick = (
+        "case when _rn = (_n + 1) div 2 then 1 else 0 end"
+        " + case when _rn = (_n + 2) div 2 then 1 else 0 end"
+    )
+    r = (
+        df.select(F.col(group_col), F.col(value_col).cast("bigint").alias("_x"))
+        .withColumn("_rn", F.row_number().over(w_ord.orderBy(F.col("_x").asc())))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    )
+    med = r.groupBy(group_col).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.sum(F.expr(f"_x * ({pick})")).cast("bigint").alias("med2"),
+    )
+    d = r.join(med, group_col).select(
+        group_col, "_x", "n", "med2", F.abs(2 * F.col("_x") - F.col("med2")).alias("_d")
+    )
+    w_ord2 = Window.partitionBy(group_col).orderBy(F.col("_d").asc())
+    dr = d.withColumn("_rn", F.row_number().over(w_ord2)).withColumn(
+        "_n", F.col("n")
+    )
+    mad = dr.groupBy(group_col).agg(
+        F.sum(F.expr(f"_d * ({pick})")).cast("bigint").alias("mad4")
+    )
+    return (
+        d.join(mad, group_col)
+        .groupBy(group_col, "n", "med2", "mad4")
+        .agg(
+            F.sum(F.when(2 * F.col("_d") > 3 * F.col("mad4"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(group_col, "n", "med2", "mad4", "n_outliers")
+    )

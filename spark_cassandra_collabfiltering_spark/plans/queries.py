@@ -4881,3 +4881,55 @@ def q_curation_url_canonical(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("keep_doc"),
         )
     )
+
+
+# ===========================================================================
+# Robust outliers — exact integer median/MAD per group (r5-cont)
+# ===========================================================================
+
+@register(
+    "stats_mad_outliers",
+    """WITH v AS (SELECT o_orderpriority AS grp,
+                         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+                  FROM orders),
+        r AS (SELECT grp, x,
+                     row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM v),
+        m AS (SELECT grp, max(n)::BIGINT AS n,
+                     sum(x * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                            + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)
+                        )::BIGINT AS med2
+              FROM r GROUP BY grp),
+        d AS (SELECT r.grp, abs(2 * r.x - m.med2) AS dv, m.n, m.med2
+              FROM r JOIN m USING (grp)),
+        dr AS (SELECT grp, dv,
+                      row_number() OVER (PARTITION BY grp ORDER BY dv) AS rn,
+                      n
+               FROM d),
+        mad AS (SELECT grp,
+                       sum(dv * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                               + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)
+                          )::BIGINT AS mad4
+                FROM dr GROUP BY grp)
+       SELECT d.grp AS grp, d.n AS n, d.med2 AS med2, mad.mad4 AS mad4,
+              sum(CASE WHEN 2 * d.dv > 3 * mad.mad4 THEN 1 ELSE 0 END
+                 )::BIGINT AS n_outliers
+       FROM d JOIN mad USING (grp)
+       GROUP BY d.grp, d.n, d.med2, mad.mad4""",
+    "Per-priority robust outlier detection on order totals: "
+    "median/MAD (not mean/stddev — extreme corrupt values cannot "
+    "inflate the spread statistic that is supposed to flag them). "
+    "EXACT integer order statistics carried doubled (med2 = sum of "
+    "the two middle ranks, mad4 likewise over |2x - med2|), flag = "
+    "the all-integer 2d > 3*mad4 — no float division, hash-exact. "
+    "Scale: two rank selections, each a window sort PARTITIONED BY "
+    "group (parallel across groups); the histogram-quantile resident "
+    "is the mergeable companion for unbounded groups.",
+)
+def q_stats_mad_outliers(spark, sf_dir):
+    v = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return agg.robust_outliers(v, "grp", "cents")

@@ -91,3 +91,38 @@ def test_clamping_and_validation(spark):
         agg.fixed_width_histogram(df, "x", ["g"], LO, HI, 0)
     with pytest.raises(ValueError, match="lo < hi"):
         agg.fixed_width_histogram(df, "x", ["g"], 10.0, 10.0, 4)
+
+
+# --- robust_outliers (exact median/MAD companion) --------------------------
+
+
+def test_mad_outliers_flags_planted_extremes(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    # group a: tight cluster around 100 plus two wild values
+    vals = [("a", v) for v in [98, 99, 100, 100, 101, 102, 5000, -4000]]
+    # group b: all identical -> MAD 0, nothing beats 0 spread except
+    # any deviation at all
+    vals += [("b", 7)] * 5
+    df = spark.createDataFrame(vals, "grp string, x bigint")
+    got = {r.grp: r for r in agg.robust_outliers(df, "grp", "x").collect()}
+    a = got["a"]
+    # n=8 -> med2 = x_(4)+x_(5) = 100+100 = 200; d = |2x-200|:
+    # [4,2,0,0,2,4,9800,8200] -> sorted [0,0,2,2,4,4,8200,9800],
+    # mad4 = ranks 4+5 = 2+4 = 6 (MAD 1.5); 2d > 18 flags exactly
+    # the two planted extremes
+    assert (a.n, a.med2, a.mad4, a.n_outliers) == (8, 200, 6, 2)
+    b = got["b"]
+    assert (b.n, b.med2, b.mad4, b.n_outliers) == (5, 14, 0, 0)
+
+
+def test_mad_outliers_even_group_median_interpolates(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", 3), ("g", 10)], "grp string, x bigint"
+    )
+    got = agg.robust_outliers(df, "grp", "x").collect()[0]
+    # med2 = 2+3 = 5 (median 2.5); d = |2x-5| = [3,1,1,15];
+    # mad4 = 1+3 = 4 (MAD 1); outlier iff 2d > 12 -> only x=10
+    assert (got.n, got.med2, got.mad4, got.n_outliers) == (4, 5, 4, 1)
