@@ -190,3 +190,35 @@ def read_snapshot(
     if not 0 <= version <= latest:
         raise ValueError(f"version {version} not in [0, {latest}]")
     return spark.read.parquet(os.path.join(root, f"v={version}"))
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_rows_per_file: int,
+    version: int | None = None,
+) -> int:
+    """Rewrite a snapshot's data into right-sized files and commit the
+    result as a NEW snapshot version — the small-file compaction every
+    long-running ingest needs (streaming/incremental writers emit one
+    file per micro-batch per partition; a 100 TB table accumulates
+    millions of kilobyte files, and scan planning starts to cost more
+    than the scan: every file is an open + a footer read + a split).
+
+    Layout-only by construction: the new version holds byte-identical
+    ROWS (no filter, no projection, no re-encoding of values), only
+    regrouped into ``ceil(rows / target_rows_per_file)`` files via a
+    round-robin repartition. Because snapshots are immutable and the
+    manifest commit is atomic, readers pinned to the old version are
+    untouched and concurrent readers of "latest" switch atomically —
+    compaction never blocks reads (the Delta/Iceberg OPTIMIZE
+    contract). In a real deployment rows-per-file is derived from the
+    table's average row width against the 128 MB scan-split sweet
+    spot; the knob here is rows to keep the test deterministic.
+
+    Returns the new version number.
+    """
+    src = read_snapshot(spark, root, version)
+    n = src.count()
+    files = max(1, -(-n // target_rows_per_file))
+    return write_snapshot(src.repartition(files), root)

@@ -255,3 +255,26 @@ def test_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: (r.s, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     assert set(merged.columns) == {"id", "s", "score", "batch"}
+
+
+def test_compact_snapshot_rows_identical_fewer_files(spark, tmp_path):
+    import glob
+    import os
+
+    root = str(tmp_path / "snaps")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    v0 = lake.write_snapshot(df.repartition(64), root)  # small-file mess
+    before = glob.glob(os.path.join(root, f"v={v0}", "*.parquet"))
+    assert len(before) >= 32
+
+    v1 = lake.compact_snapshot(spark, root, target_rows_per_file=500)
+    after = glob.glob(os.path.join(root, f"v={v1}", "*.parquet"))
+    assert len(after) == 2  # ceil(1000/500)
+
+    # layout-only: byte-identical rows, old version untouched (time travel)
+    a = {tuple(r) for r in lake.read_snapshot(spark, root, version=v0).collect()}
+    b = {tuple(r) for r in lake.read_snapshot(spark, root, version=v1).collect()}
+    assert a == b and len(a) == 1000
+    assert lake.read_snapshot(spark, root).count() == 1000  # latest = compacted
