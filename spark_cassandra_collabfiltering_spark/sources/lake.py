@@ -222,3 +222,102 @@ def compact_snapshot(
     n = src.count()
     files = max(1, -(-n // target_rows_per_file))
     return write_snapshot(src.repartition(files), root)
+
+
+# --- File-level min/max statistics + data skipping --------------------------
+
+def write_snapshot_stats(
+    spark: SparkSession, root: str, version: int, stats_cols: list[str]
+) -> dict:
+    """Collect per-FILE min/max for ``stats_cols`` over a committed
+    snapshot and persist them as an immutable sidecar
+    (``root/v=<N>/_stats.json``) — the manifest-level statistics that
+    let a reader prune whole files WITHOUT opening them (Iceberg
+    manifest stats / Delta add-file stats). Parquet footers already
+    hold min/max, but footer pruning still costs one open + footer
+    read PER FILE; at millions of files the listing itself is the
+    bottleneck, which is exactly what manifest-side stats remove.
+
+    One columnar scan of the snapshot (only ``stats_cols`` read),
+    grouped by ``input_file_name`` — a tiny agg whose output is
+    O(files x cols). The sidecar is written once per immutable
+    snapshot version, so stats can never drift from data.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(root, f"v={version}")
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        r["_f"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
+        for r in rows
+    }
+    tmp = os.path.join(path, "_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"cols": stats_cols, "files": stats}, fh)
+    os.replace(tmp, os.path.join(path, "_stats.json"))
+    return stats
+
+
+def prune_files(
+    root: str, version: int, col: str, lo, hi
+) -> "tuple[list[str], int]":
+    """Manifest-level data skipping: the file names of snapshot
+    ``version`` whose [min, max] range for ``col`` overlaps [lo, hi]
+    (inclusive), plus the total file count. Pure manifest arithmetic —
+    no file is opened. A file with NULL min/max (all-null chunk) is
+    kept (NULL-safe: pruning must never drop a file it cannot prove
+    irrelevant)."""
+    import json
+    import os
+
+    with open(os.path.join(root, f"v={version}", "_stats.json")) as fh:
+        st = json.load(fh)
+    if col not in st["cols"]:
+        raise ValueError(f"no stats recorded for column {col!r}")
+    keep = []
+    for fname, cols in st["files"].items():
+        mn, mx = cols[col]
+        if mn is None or mx is None or (mx >= lo and mn <= hi):
+            keep.append(fname)
+    return sorted(keep), len(st["files"])
+
+
+def read_snapshot_pruned(
+    spark: SparkSession, root: str, col: str, lo, hi, version: int | None = None
+) -> "tuple[DataFrame, int, int]":
+    """Range read over a snapshot with manifest-level file skipping:
+    resolve the version, prune files by sidecar min/max, scan ONLY the
+    surviving files, and re-apply the predicate (stats prune at file
+    granularity; the residual filter is still pushed to the parquet
+    reader for row-group pruning inside survivors — the standard
+    two-level skipping stack). Returns (df, files_read, files_total).
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        with open(os.path.join(root, "_manifest.json")) as fh:
+            version = json.load(fh)["latest"]
+    keep, total = prune_files(root, version, col, lo, hi)
+    base = os.path.join(root, f"v={version}")
+    if not keep:  # nothing can match; empty frame with the right schema
+        df = spark.read.parquet(base).filter(F.lit(False))
+        return df, 0, total
+    paths = [os.path.join(base, f) for f in keep]
+    df = spark.read.parquet(*paths).filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+    return df, len(keep), total

@@ -278,3 +278,50 @@ def test_compact_snapshot_rows_identical_fewer_files(spark, tmp_path):
     b = {tuple(r) for r in lake.read_snapshot(spark, root, version=v1).collect()}
     assert a == b and len(a) == 1000
     assert lake.read_snapshot(spark, root).count() == 1000  # latest = compacted
+
+
+def test_manifest_stats_prune_files_and_match_full_scan(spark, tmp_path):
+    root = str(tmp_path / "skip")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 3 % 1000).alias("other")
+    )
+    # range-clustered on id -> disjoint per-file id ranges
+    v = lake.write_snapshot(df.repartitionByRange(10, "id"), root)
+    lake.write_snapshot_stats(spark, root, v, ["id", "other"])
+
+    got, read, total = lake.read_snapshot_pruned(spark, root, "id", 2000, 2999)
+    assert total == 10 and read <= 2  # ~1 file of 10 covers [2000, 3000)
+    expect = {r.id for r in df.filter((F.col("id") >= 2000) & (F.col("id") <= 2999)).collect()}
+    assert {r.id for r in got.collect()} == expect
+
+    # unclustered column: stats exist but every file overlaps -> no skip,
+    # still correct (skipping is an optimization, never a filter)
+    got2, read2, _ = lake.read_snapshot_pruned(spark, root, "other", 10, 20)
+    assert read2 == 10
+    assert got2.count() == df.filter((F.col("other") >= 10) & (F.col("other") <= 20)).count()
+
+
+def test_manifest_stats_empty_prune_returns_empty_with_schema(spark, tmp_path):
+    root = str(tmp_path / "skip2")
+    v = lake.write_snapshot(spark.range(100).repartitionByRange(4, "id"), root)
+    lake.write_snapshot_stats(spark, root, v, ["id"])
+    got, read, total = lake.read_snapshot_pruned(spark, root, "id", 10_000, 20_000)
+    assert (read, total) == (0, 4)
+    assert got.count() == 0 and got.schema.fieldNames() == ["id"]
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    root = str(tmp_path / "zskip")
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"), (F.col("id") * 7 % 139).alias("y")
+    )
+    keyed = df.withColumn("_zkey", lake.zorder_key([("x", 0, 140), ("y", 0, 138)], bits=8))
+    v = lake.write_snapshot(
+        keyed.repartitionByRange(16, "_zkey").sortWithinPartitions("_zkey").drop("_zkey"),
+        root,
+    )
+    lake.write_snapshot_stats(spark, root, v, ["x", "y"])
+    # narrow filters on EITHER dimension skip files under a z-layout
+    _, rx, total = lake.read_snapshot_pruned(spark, root, "x", 0, 8)
+    _, ry, _ = lake.read_snapshot_pruned(spark, root, "y", 0, 8)
+    assert total == 16 and rx < 16 and ry < 16
