@@ -1415,3 +1415,143 @@ def cosine_topk_opq(
         id_col=id_col, vec_col=vec_col, places=places,
         train_fraction=train_fraction, d=d, codebooks=cbs,
     )
+
+
+# --- PCA: trained dimensionality reduction (FAISS PCAMatrix shape) ---------
+
+def pca_train(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+    d: int | None = None,
+):
+    """Train a k-component PCA on a bounded deterministic sample —
+    the dimensionality-reduction rung of the compression ladder
+    (FAISS ``PCAMatrix``): project d-dim embeddings to the k
+    directions of maximal variance before brute-force/IVF scoring, a
+    d/k scan-cost reduction that is usually near-lossless for
+    cosine/L2 ranking because trained-embedding variance concentrates
+    in a low-dim subspace.
+
+    Same 100 TB training contract as PQ/OPQ/IVF: the eigenbasis needs
+    only a representative sample (:func:`_training_sample`, keyed
+    md5-bucket → deterministic), collected unsorted and key-sorted
+    driver-side; the d x d covariance eigendecomposition is driver
+    NumPy. Corpus-side projection is map-only (:func:`pca_project`).
+
+    Determinism: eigenvector SIGN is BLAS-dependent, so each
+    component is flipped to make its largest-|coefficient| entry
+    positive — the output is then a pure function of the sample.
+
+    Returns (mean, components, explained_e6):
+    - mean: length-d list (sample mean, subtracted before projecting);
+    - components: k x d orthonormal rows, leading eigenvectors first;
+    - explained_e6: per-component explained-variance fraction in
+      integer micro-units (diagnostic; monotone non-increasing).
+    """
+    import numpy as np
+
+    if d is None:
+        d = _probe_dim(corpus, vec_col)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    train = _training_sample(corpus, id_col, train_fraction)
+    rows = sorted(train.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if X.ndim != 2 or not len(X):
+        raise ValueError("PCA training sample is empty — raise train_fraction")
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    cov = (Xc.T @ Xc) / max(1, len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    W = evecs[:, order].T  # k x d
+    for i in range(W.shape[0]):  # deterministic sign convention
+        j = int(np.abs(W[i]).argmax())
+        if W[i, j] < 0:
+            W[i] = -W[i]
+    tot = float(evals.sum())
+    explained = [
+        int((float(evals[o]) * 1_000_000) // tot) if tot > 0 else 0 for o in order
+    ]
+    return (
+        [float(x) for x in mu],
+        [[float(x) for x in row] for row in W],
+        explained,
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply a trained PCA row-locally: out = W @ (v - mean).
+
+    The mean and the k x d component matrix ride in the plan as
+    one-parse array literals; centering is a ``zip_with`` and each
+    output coordinate a transform-fold dot product — map-only JVM
+    expressions, no shuffle, no Python in the row path (for d above
+    the literal-plan threshold the same closure fits
+    :func:`rotate_vectors`'s Arrow-GEMM path; embeddings here are
+    d=64). Output column is ``array<double>`` length k."""
+    mu = _lit_vec(mean)
+    W = _lit_matrix(components)
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mu, lambda x, l: x - l
+    )
+    return df.withColumn(out_col or vec_col, F.transform(W, lambda r: dot(r, centered)))
+
+
+def cosine_topk_pca(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_components: int = 16,
+    rerank: int | None = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Approximate top-k via PCA shortlist + exact re-rank: project
+    corpus AND queries into the k-dim eigenbasis, brute-force score
+    there (d/n_components of the scan arithmetic), take ``rerank``
+    candidates per query, then exact-cosine re-rank in full dimension
+    on the broadcast shortlist — the same two-stage contract as
+    :func:`cosine_topk_pq`/``_sq``. Rows-only correctness class
+    (float scores); shortlist recall pinned in tests/test_pca.py."""
+    mean, W, _ = pca_train(
+        corpus, n_components, id_col=id_col, vec_col=vec_col,
+        train_fraction=train_fraction,
+    )
+    red = pca_project(corpus, mean, W, vec_col=vec_col)
+    redq = pca_project(
+        queries.withColumnRenamed("query_vec", vec_col), mean, W, vec_col=vec_col
+    ).withColumnRenamed(vec_col, "query_vec")
+    short = cosine_topk_bruteforce(
+        red, redq, k=rerank or k, id_col=id_col, vec_col=vec_col, places=places + 2
+    ).select("query_id", id_col)
+    from pyspark.sql import Window
+
+    # exact re-rank of each query's OWN shortlist in full dimension
+    scored = (
+        corpus.join(short, id_col)
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("query_vec"), F.col(vec_col)), places).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

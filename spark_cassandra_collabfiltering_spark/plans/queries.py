@@ -4933,3 +4933,29 @@ def q_stats_mad_outliers(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     return agg.robust_outliers(v, "grp", "cents")
+
+
+# ===========================================================================
+# PCA — trained dimensionality reduction (FAISS PCAMatrix rung, r5-cont)
+# ===========================================================================
+
+@register(
+    "ann_pca_topk",
+    None,  # eigendecomposition inside — rows-only (pins in tests/test_pca.py)
+    "PCA shortlist + exact re-rank ANN: project corpus and queries "
+    "into the 32-dim leading eigenbasis (trained on the deterministic "
+    "keyed sample, driver-side d x d eigh, deterministic sign "
+    "convention), brute-force in the reduced space at half the scan "
+    "arithmetic, exact-cosine re-rank of the broadcast shortlist in "
+    "full dimension. Completes the compression ladder's dimensionality "
+    "rung (PCAMatrix) next to SQ8/PQ/OPQ's code rungs. Orthonormality, "
+    "NumPy row-identical projection, axis recovery, and recall "
+    "(>=0.9 on the flat-spectrum testdata; exact on low-rank data) "
+    "pinned in tests/test_pca.py.",
+)
+def q_ann_pca(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.cosine_topk_pca(
+        emb, qs, k=5, n_components=32, rerank=50, train_fraction=0.5
+    ).select("query_id", "vec_id", "cos", "rank")

@@ -1,0 +1,137 @@
+"""PCA tests (trained dimensionality reduction, FAISS PCAMatrix shape).
+
+PCA queries are rows-only for the oracle (eigendecomposition inside),
+so correctness is pinned here: algebraic invariants of the trained
+basis, row-identical projection vs NumPy, axis recovery on planted
+anisotropic data, and shortlist recall on the real embeddings corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_cassandra_collabfiltering_spark.operators import similarity as sim  # noqa: E402
+from spark_cassandra_collabfiltering_spark.plans.queries import t  # noqa: E402
+
+from conftest import SF_SMOKE  # noqa: E402
+
+
+def _emb(spark):
+    return t(spark, SF_SMOKE, "embeddings")
+
+
+def test_components_orthonormal_and_explained_monotone(spark):
+    mean, W, expl = sim.pca_train(_emb(spark), k=8)
+    Wm = np.array(W)
+    assert Wm.shape == (8, 64)
+    assert np.allclose(Wm @ Wm.T, np.eye(8), atol=1e-9)
+    assert all(a >= b for a, b in zip(expl, expl[1:]))
+    assert all(0 <= e <= 1_000_000 for e in expl)
+    # sign convention: largest-|coeff| entry of each component positive
+    for row in Wm:
+        assert row[np.abs(row).argmax()] > 0
+
+
+def test_projection_matches_numpy_row_identical(spark):
+    emb = _emb(spark)
+    mean, W, _ = sim.pca_train(emb, k=6)
+    got = {
+        r.vec_id: list(r.pc)
+        for r in sim.pca_project(emb, mean, W, out_col="pc").select("vec_id", "pc").collect()
+    }
+    rows = {r.vec_id: np.array(list(r.embedding), dtype=np.float64) for r in emb.collect()}
+    Wm, mu = np.array(W), np.array(mean)
+    for vid, v in rows.items():
+        expect = Wm @ (v - mu)
+        assert np.allclose(got[vid], expect, atol=1e-9), vid
+
+
+def test_full_rank_projection_is_lossless(spark):
+    emb = _emb(spark).limit(50)
+    mean, W, _ = sim.pca_train(emb, k=64)
+    proj = {
+        r.vec_id: np.array(list(r.pc))
+        for r in sim.pca_project(emb, mean, W, out_col="pc").select("vec_id", "pc").collect()
+    }
+    orig = {r.vec_id: np.array(list(r.embedding), dtype=np.float64) for r in emb.collect()}
+    Wm, mu = np.array(W), np.array(mean)
+    for vid in orig:
+        recon = Wm.T @ proj[vid] + mu
+        assert np.allclose(recon, orig[vid], atol=1e-8)
+
+
+def test_planted_dominant_axis_recovered(spark):
+    rng = np.random.RandomState(7)
+    axis = np.zeros(16)
+    axis[3] = 1.0
+    X = rng.randn(300, 16) * 0.05 + rng.randn(300, 1) * 5.0 * axis
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    _, W, expl = sim.pca_train(df, k=2)
+    lead = np.array(W[0])
+    assert abs(lead[3]) > 0.99          # dominant direction found
+    assert lead[3] > 0                   # sign convention applied
+    assert expl[0] > 900_000             # >90% variance on component 0
+
+
+def test_pca_shortlist_recall_on_real_embeddings(spark):
+    # the testdata embeddings are near-uniform random — PCA's
+    # adversarial case (flat spectrum, no low-dim structure), the same
+    # caveat test_pq documents. Half the dims + 10x-overfetch rerank
+    # still recovers >=0.9; measured sweep: (16,25)->0.52,
+    # (24,50)->0.88, (32,50)->0.96, (32,100)->1.0.
+    emb = _emb(spark)
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_bruteforce(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_pca(emb, qs, k=5, n_components=32, rerank=50).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_pca_shortlist_exact_on_low_rank_data(spark):
+    # data that actually lives in a low-dim subspace (the regime
+    # trained embeddings approximate): 4 latent dims embedded in 32,
+    # plus tiny noise — an 8-component shortlist is effectively exact
+    rng = np.random.RandomState(11)
+    Z = rng.randn(200, 4)
+    M = rng.randn(4, 32)
+    X = Z @ M + rng.randn(200, 32) * 1e-3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    qs = sim.make_queries(df, [0, 1, 2])
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_bruteforce(df, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk_pca(df, qs, k=5, n_components=8, rerank=10).collect()
+    }
+    assert approx == exact
+
+
+def test_train_fraction_bounds_sample_and_stays_deterministic(spark):
+    emb = _emb(spark)
+    a = sim.pca_train(emb, k=4, train_fraction=0.5)
+    b = sim.pca_train(emb, k=4, train_fraction=0.5)
+    assert a == b
+    full = sim.pca_train(emb, k=4)
+    # sampled basis differs from full-corpus basis but spans similar space
+    assert not np.allclose(np.array(a[1]), np.array(full[1]))
