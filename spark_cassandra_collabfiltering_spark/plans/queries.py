@@ -79,7 +79,12 @@ _DRIVER_ORDER = [
     # j3_semi_join demoted (semi semantics stay driver-visible via
     # sub1_exists_semi, which decorrelates to the same left-semi);
     # j9_range_join_bands demoted (join family keeps 7 residents).
-    "j1_join_composite", "j2_broadcast_dim", "j4_anti_join",
+    # r5-cont second swap: j4_anti_join to a local-checked slot (anti
+    # semantics stay driver-visible via set3_except's EXCEPT and
+    # locally via sub3_not_exists_anti) — freeing the slot for
+    # curation_url_canonical, the web-pipeline URL dedup no resident
+    # covered.
+    "j1_join_composite", "j2_broadcast_dim",
     "j6_multiway_revenue", "j7_salted_skew_join",
     "j8_asof_click_attribution",
     # correlated subqueries (TPC-H Q4 shape; decorrelated to a semi join)
@@ -126,7 +131,7 @@ _DRIVER_ORDER = [
     # training-data curation family (r5: + curation_domain_mix — the
     # exact-quota data-recipe sampler)
     "curation_pii_redact", "curation_contamination", "curation_pack",
-    "curation_domain_mix",
+    "curation_domain_mix", "curation_url_canonical",
     # multimodal family (r5-cont: mm_binary_meta to a local-checked
     # slot — mm_decode_features is the stronger resident since the r5
     # real-codec flip made its decode round trip exactly oracled)

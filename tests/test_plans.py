@@ -69,6 +69,11 @@ PLAN_QUERIES = [
     "sketch_hll_distinct", "curation_quality_percentile",
     "ev_transitions", "emb_label_centroids", "sample_group_topk",
     "text_bpe_pairs", "text_diversity", "curation_quality_floor",
+    # r5-continuation second batch (plan-only cheap; ann_pca_topk
+    # excluded — its builder collects the PCA training sample, same
+    # reason as ann_sq_topk)
+    "text_oov_rate", "graph_triangles", "curation_url_canonical",
+    "stats_mad_outliers",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -208,6 +213,14 @@ def test_r2_scan_local_ops_have_zero_exchanges(plans):
     scan+project/filter — any exchange is a regression."""
     for name in ("text_repetition", "sample_weighted", "text_chunking"):
         assert _op_count(plans[name], "Exchange") == 0, plans[name]
+
+
+def test_url_canonical_is_scan_local_until_final_agg(plans):
+    """URL canonicalization is pure row-local JVM regexp/array work;
+    the ONLY exchange is the final canonical-key aggregate."""
+    assert _op_count(plans["curation_url_canonical"], "Exchange") == 1, plans[
+        "curation_url_canonical"
+    ]  # scan -> project -> partial agg -> ONE shuffle -> final agg
 
 
 def test_rollup_merge_is_two_level_aggregate(plans):
