@@ -839,3 +839,54 @@ def oov_rate(
         )
         .withColumn("oov_e6", F.expr("(n_oov * 1000000) div n_tokens"))
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a TRAINED merge sequence (:func:`bpe_train`) to the
+    corpus and report per-document subtoken counts and FERTILITY
+    (subtokens per word) — the apply half of the tokenizer story, and
+    the metric that decides whether a tokenizer fits a corpus: high
+    fertility means the token budget buys few words (the
+    vocabulary-coverage complement of :func:`oov_rate`).
+
+    Scale shape — encode the VOCABULARY, not the corpus: merges are
+    applied on the distinct-token table (bounded, ~sqrt-of-corpus
+    growth), each merge one row-local fold (:func:`_merge_pair_expr`)
+    in trained order; the corpus side reduces to per-(doc, token)
+    counts and joins the token -> subtoken-count table (unique build
+    side, no fan-out). A doc's subtoken total is then
+    sum(cnt * n_sub) — no document is ever re-segmented row-by-row,
+    and no Python touches the row path.
+
+    Output: (doc_id, n_words, n_subtokens, fertility_e6), exact
+    bigints.
+    """
+    toks = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("token"),
+    )
+    dc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    words = dc.select("token").distinct()
+    chars = F.regexp_extract_all(F.col("token"), F.lit("."), 0)
+    symtab = words.withColumn(
+        "syms", F.concat(chars, F.array(F.lit(BPE_EOW)))
+    )
+    for a, b in merges:
+        symtab = symtab.withColumn("syms", _merge_pair_expr(F.col("syms"), a, b))
+    enc = symtab.select("token", F.size("syms").alias("n_sub"))
+    return (
+        dc.join(enc, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).cast("bigint").alias("n_subtokens"),
+        )
+        .withColumn("fertility_e6", F.expr("(n_subtokens * 1000000) div n_words"))
+    )

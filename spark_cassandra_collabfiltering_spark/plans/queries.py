@@ -4964,3 +4964,27 @@ def q_ann_pca(spark, sf_dir):
     return sim.cosine_topk_pca(
         emb, qs, k=5, n_components=32, rerank=50, train_fraction=0.5
     ).select("query_id", "vec_id", "cos", "rank")
+
+
+# ===========================================================================
+# BPE encode — tokenizer APPLY + per-doc fertility (r5-cont)
+# ===========================================================================
+
+@register(
+    "text_bpe_encode",
+    None,  # trained-merge fold application — rows-only (pins in tests/test_bpe.py)
+    "The APPLY half of the tokenizer story: train 8 BPE merges on the "
+    "corpus vocabulary, then encode every document and report "
+    "per-doc subtoken counts + FERTILITY (subtokens per word — the "
+    "token-budget efficiency metric; the coverage complement of "
+    "text_oov_rate). Scale shape: merges are applied on the bounded "
+    "DISTINCT-TOKEN table (one row-local fold per merge, trained "
+    "order), and documents reduce to per-(doc, token) counts joined "
+    "against that token -> n_sub table — the corpus is never "
+    "re-segmented row-by-row. Exact bigint output; classic-example "
+    "segmentation counts and fertility monotonicity pinned in "
+    "tests/test_bpe.py.",
+)
+def q_text_bpe_encode(spark, sf_dir):
+    merges, _ = tx.bpe_train(_bpe_vocab(spark, sf_dir), n_merges=8)
+    return tx.bpe_encode(t(spark, sf_dir, "documents"), merges)

@@ -59,3 +59,51 @@ def test_early_stop_when_no_pair_repeats(spark):
     vocab = _vocab(spark, {"ab": 1, "cd": 1})
     merges, _ = tx.bpe_train(vocab, n_merges=10)
     assert merges == []  # every pair occurs once -> nothing to merge
+
+
+# --- bpe_encode (apply + fertility) ----------------------------------------
+
+
+def test_encode_classic_example_counts(spark):
+    # same corpus as the training pin, stated as documents
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "widest newest newest low")],
+        "doc_id bigint, text string",
+    )
+    merges = [
+        ("e", "s"), ("es", "t"), ("est", "</w>"),
+        ("l", "o"), ("lo", "w"), ("e", "w"),
+    ]
+    got = {r.doc_id: r for r in tx.bpe_encode(docs, merges).collect()}
+    # segmentations (training pin): low -> [low,</w>]=2, lower ->
+    # [low,e,r,</w>]=4, newest -> [n,ew,est</w>]=3, widest ->
+    # [w,i,d,est</w>]=4
+    assert (got[1].n_words, got[1].n_subtokens) == (3, 2 + 4 + 3)
+    assert (got[2].n_words, got[2].n_subtokens) == (4, 4 + 3 + 3 + 2)
+    assert got[1].fertility_e6 == (9 * 1_000_000) // 3
+    assert got[2].fertility_e6 == 3_000_000
+
+
+def test_encode_zero_merges_is_chars_plus_eow(spark):
+    docs = spark.createDataFrame([(1, "ab abc ab")], "doc_id bigint, text string")
+    got = tx.bpe_encode(docs, []).collect()[0]
+    # ab -> [a,b,</w>]=3 (x2), abc -> [a,b,c,</w>]=4
+    assert (got.n_words, got.n_subtokens) == (3, 3 + 3 + 4)
+
+
+def test_encode_fertility_never_increases_with_more_merges(spark):
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog the end") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[A-Za-z0-9]+"), 0)).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    merges, _ = tx.bpe_train(vocab, n_merges=6)
+    prev = None
+    for m in range(0, len(merges) + 1, 2):
+        tot = tx.bpe_encode(docs, merges[:m]).agg(F.sum("n_subtokens")).collect()[0][0]
+        if prev is not None:
+            assert tot <= prev
+        prev = tot
