@@ -4988,3 +4988,145 @@ def q_ann_pca(spark, sf_dir):
 def q_text_bpe_encode(spark, sf_dir):
     merges, _ = tx.bpe_train(_bpe_vocab(spark, sf_dir), n_merges=8)
     return tx.bpe_encode(t(spark, sf_dir, "documents"), merges)
+
+
+# ===========================================================================
+# Dedup recall matrix — LSH candidate quality vs exact ground truth (r5-cont)
+# ===========================================================================
+
+def _dedup_recall_oracle_sql(
+    subset_sql: str,
+    n: int = 4,
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.40,
+    prefilter: int = 4,
+    max_band_bucket: int = 64,
+) -> str:
+    """DuckDB replica of the dedup quality matrix: the SAME banding /
+    cap+star / prefilter arithmetic as _minhash_oracle_sql, plus the
+    exact raw-shingle Jaccard ground truth of dedup_ngram_jaccard,
+    reduced to one row of candidate-stage recall counts."""
+    p = dd.MINHASH_PRIME
+    r = n_hashes // bands
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dd.minhash_coeffs(n_hashes))
+    )
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + " || ':' || ".join(f"mh{j * r + k}::VARCHAR" for k in range(r))
+        + " AS sig FROM s"
+        for j in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""WITH d AS ({subset_sql}),
+        g AS (SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(substr(text, u.i::INT, {n})), 1, 15))::BIGINT
+                         % {p} AS h
+              FROM d, LATERAL unnest(range(1, length(text) - {n - 2})) u(i)),
+        s AS (SELECT doc_id, {mins}
+              FROM g GROUP BY doc_id),
+        b AS ({band_selects}),
+        bc AS (SELECT band, sig, count(*) AS bn, min(doc_id) AS mn
+               FROM b GROUP BY 1, 2),
+        bb AS (SELECT b.doc_id, b.band, b.sig, bc.bn, bc.mn
+               FROM b JOIN bc ON b.band = bc.band AND b.sig = bc.sig),
+        cand0 AS (SELECT DISTINCT id_a, id_b FROM (
+                    SELECT b1.doc_id AS id_a, b2.doc_id AS id_b
+                    FROM bb b1 JOIN bb b2 ON b1.band = b2.band AND b1.sig = b2.sig
+                    WHERE b1.doc_id < b2.doc_id
+                      AND b1.bn <= {max_band_bucket}
+                    UNION ALL
+                    SELECT mn AS id_a, doc_id AS id_b FROM bb
+                    WHERE bn > {max_band_bucket} AND doc_id <> mn) u),
+        pref AS (SELECT id_a, id_b FROM cand0
+                 JOIN s sa ON sa.doc_id = cand0.id_a
+                 JOIN s sb ON sb.doc_id = cand0.id_b
+                 WHERE {est} >= {prefilter}),
+        rg AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, {n}) AS shingle
+               FROM d, LATERAL unnest(range(1, length(text) - {n - 2})) u(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM rg GROUP BY 1),
+        tc AS (SELECT DISTINCT ra.doc_id AS id_a, rb.doc_id AS id_b
+               FROM rg ra JOIN rg rb
+                 ON ra.shingle = rb.shingle AND ra.doc_id < rb.doc_id),
+        ti AS (SELECT c.id_a, c.id_b, count(*) AS ix
+               FROM tc c
+               JOIN rg ra ON ra.doc_id = c.id_a
+               JOIN rg rb ON rb.doc_id = c.id_b AND rb.shingle = ra.shingle
+               GROUP BY 1, 2),
+        truth AS (SELECT id_a, id_b
+                  FROM ti JOIN sizes sa ON ti.id_a = sa.doc_id
+                          JOIN sizes sb ON ti.id_b = sb.doc_id
+                  WHERE ix / (sa.sz + sb.sz - ix) >= {threshold}),
+        m AS (SELECT
+                (SELECT count(*) FROM truth) AS n_true,
+                (SELECT count(*) FROM cand0) AS n_band_cand,
+                (SELECT count(*) FROM pref) AS n_prefilter_cand,
+                (SELECT count(*) FROM truth t
+                   JOIN cand0 c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                    AS hit_band,
+                (SELECT count(*) FROM truth t
+                   JOIN pref p2 ON t.id_a = p2.id_a AND t.id_b = p2.id_b)
+                    AS hit_prefilter)
+       SELECT n_true::BIGINT AS n_true,
+              n_band_cand::BIGINT AS n_band_cand,
+              n_prefilter_cand::BIGINT AS n_prefilter_cand,
+              hit_band::BIGINT AS hit_band,
+              hit_prefilter::BIGINT AS hit_prefilter,
+              (CASE WHEN n_true = 0 THEN 1000000
+                    ELSE (hit_band * 1000000) // n_true END)::BIGINT
+                  AS recall_band_e6,
+              (CASE WHEN n_true = 0 THEN 1000000
+                    ELSE (hit_prefilter * 1000000) // n_true END)::BIGINT
+                  AS recall_prefilter_e6
+       FROM m"""
+
+
+@register(
+    "dedup_recall_matrix",
+    _dedup_recall_oracle_sql(_DOC_SUBSET_SQL),
+    "Dedup QUALITY made driver-visible (the near-dup family's "
+    "ann_recall_matrix): candidate-stage recall of the production LSH "
+    "pipeline (16 perms / 8 bands / cap 64 + star / prefilter 4 — the "
+    "exact parameters of dedup_minhash_lsh) against the exact "
+    "raw-4-gram Jaccard >= 0.40 ground truth, computed IN-QUERY on "
+    "the bounded doc subset. One row: true pairs, banding candidates, "
+    "prefilter survivors, hits at each stage, recall_e6 at each stage "
+    "— quantifying what the band/cap/prefilter knobs trade. All "
+    "counts exact integers; oracle replays both arms stage-for-stage.",
+)
+def q_dedup_recall_matrix(spark, sf_dir):
+    d = _doc_subset(spark, sf_dir)
+    truth = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.40).select(
+        "id_a", "id_b"
+    )
+    sets = dd.doc_shingle_sets(
+        d.repartition(F.col("doc_id")), "doc_id", "text", n=4
+    )
+    sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=16)
+    cands = dd.lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=16, bands=8, max_band_bucket=64, oversize="star"
+    )
+    prob = dd.signature_prefilter(cands, sigs, "doc_id", n_hashes=16, min_matches=4)
+    one = lambda df2, alias: df2.agg(F.count(F.lit(1)).cast("bigint").alias(alias))  # noqa: E731
+    row = (
+        one(truth, "n_true")
+        .crossJoin(one(cands, "n_band_cand"))
+        .crossJoin(one(prob, "n_prefilter_cand"))
+        .crossJoin(one(truth.join(cands, ["id_a", "id_b"]), "hit_band"))
+        .crossJoin(one(truth.join(prob, ["id_a", "id_b"]), "hit_prefilter"))
+    )
+    return row.select(
+        "n_true", "n_band_cand", "n_prefilter_cand", "hit_band", "hit_prefilter",
+        F.expr(
+            "case when n_true = 0 then 1000000"
+            " else (hit_band * 1000000) div n_true end"
+        ).cast("bigint").alias("recall_band_e6"),
+        F.expr(
+            "case when n_true = 0 then 1000000"
+            " else (hit_prefilter * 1000000) div n_true end"
+        ).cast("bigint").alias("recall_prefilter_e6"),
+    )
