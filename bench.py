@@ -31,7 +31,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # approximate ANN (sign-LSH bucketed top-k) and curation
 # (contamination check via broadcast n-gram join). Totals therefore
 # jump vs r1-r3 BY CONSTRUCTION; BASELINE.md carries the r4 comparable
-# per-query series and the widened band.
+# per-query series and the widened band. r5 adds two more tracked
+# series the same way (totals widen BY CONSTRUCTION again; the
+# legacy-11/13 subtotals stay the round-over-round comparables):
+# URL canonicalization (scan-local web dedup) and degree-oriented
+# triangle counting (graph clustering structure).
 HEADLINE = [
     "g1_pricing_summary",
     "j6_multiway_revenue",
@@ -46,6 +50,8 @@ HEADLINE = [
     "curation_contamination",
     "ev_sessionize",
     "cf_als_pipeline",
+    "curation_url_canonical",
+    "graph_triangles",
 ]
 
 

@@ -94,8 +94,11 @@ _DRIVER_ORDER = [
     # takes q14_promo_share's slot; r5-cont: q12_priority_classes to a
     # local-checked slot (family keeps a2/a3/g1/q3/g12 — grouped-agg,
     # conditional-agg, and histogram shapes all still resident).
+    # r5-cont: q3_shipping_priority to a local-checked slot (family
+    # keeps a2/a3/g1/g12 — grouped, conditional, and histogram agg
+    # shapes all still resident); slot freed for dedup_recall_matrix.
     "a2_global_mean", "a3_rmse_item_mean", "g1_pricing_summary",
-    "q3_shipping_priority", "g12_hist_quantiles",
+    "g12_hist_quantiles",
     # §2.5 windows / §2.6 ordering (r5: w4_rank_suite demoted; the
     # family keeps w1_topk_per_user's ranking-window evidence)
     "w1_topk_per_user", "o1_sort_composite",
@@ -111,9 +114,13 @@ _DRIVER_ORDER = [
     # covers. dedup_minhash_dense demoted to a local-checked slot: the
     # cap+star arithmetic it pinned became dedup_minhash_lsh's DEFAULT
     # in r5, so its in-window evidence was redundant.
+    # r5-cont: dedup_recall_matrix makes candidate-stage QUALITY
+    # (recall vs exact-Jaccard truth, computed in-query) a
+    # hash-matched row beside the shape rows — the near-dup family's
+    # ann_recall_matrix.
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_clusters", "dedup_incremental",
-    "text_span_dedup",
+    "text_span_dedup", "dedup_recall_matrix",
     # similarity / ANN family. r5: ann_recall_matrix makes shortlist
     # QUALITY (recall@5 vs exact, computed in-query) a hash-matched row
     # beside the shape rows.
@@ -4704,9 +4711,10 @@ def q_text_oov_rate(spark, sf_dir):
 
 @register(
     "graph_triangles",
-    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
-        e AS (SELECT DISTINCT a.s AS a, b.s AS b
-              FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+        e AS (SELECT a.s AS a, b.s AS b
+              FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+              GROUP BY 1, 2 HAVING count(*) >= 2),
         deg AS (SELECT node, count(*)::BIGINT AS deg
                 FROM (SELECT a AS node FROM e
                       UNION ALL SELECT b AS node FROM e)
@@ -4737,9 +4745,13 @@ def q_text_oov_rate(spark, sf_dir):
        SELECT deg.node::BIGINT AS node,
               coalesce(pn.t, 0)::BIGINT AS n_triangles
        FROM deg LEFT JOIN pn ON pn.node = deg.node""",
-    "Per-node triangle counts over the supplier co-occurrence graph "
-    "(suppliers sharing an order; per-order pair fan-out is bounded by "
-    "order size). DEGREE ORIENTATION makes the wedge join safe at "
+    "Per-node triangle counts over the part co-occurrence graph "
+    "(parts sharing >= 2 distinct orders; per-order pair fan-out is "
+    "bounded by order size, and the min-support threshold is the "
+    "standard sparsifier — without it co-occurrence graphs over a "
+    "small hot vocabulary densify toward a clique, where triangle "
+    "enumeration is cubic for ANY algorithm). DEGREE ORIENTATION "
+    "then makes the wedge join safe at "
     "scale: every edge directed low->high (degree, id), so oriented "
     "out-degree is O(sqrt(m)) and the join emits O(m^1.5) wedges on "
     "ANY graph instead of sum(deg^2) on hubs — Cohen's MapReduce "
@@ -4753,7 +4765,7 @@ def q_graph_triangles(spark, sf_dir):
         t(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("o"),
-            F.col("l_suppkey").cast("bigint").alias("s"),
+            F.col("l_partkey").cast("bigint").alias("s"),
         )
         .distinct()
     )
@@ -4761,8 +4773,10 @@ def q_graph_triangles(spark, sf_dir):
         os_.alias("a")
         .join(os_.alias("b"), "o")
         .filter(F.col("a.s") < F.col("b.s"))
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .distinct()
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("src", "dst")
     )
     return gr.triangle_counts(edges)
 
