@@ -55,6 +55,12 @@ SHOWN = [
     "text_span_removal",
     "graph_ppr_seeded",
     "dedup_containment",
+    # round 5, second continuation
+    "curation_url_canonical",
+    "text_oov_rate",
+    "graph_triangles",
+    "stats_mad_outliers",
+    "dedup_recall_matrix",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
