@@ -518,3 +518,81 @@ def robust_outliers(
         )
         .select(group_col, "n", "med2", "mad4", "n_outliers")
     )
+
+
+def ks_statistic(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between two slices of a
+    corpus — the standard distribution-drift detector (did this
+    week's ingest shift the value distribution vs last week's? did a
+    source change its length profile?) with NO distributional
+    assumption, sensitive to location AND shape changes.
+
+    EXACT integer formulation: ``value_col`` must be an exact integer
+    (cents/micro-units). D = max over values of |F_a(v) - F_b(v)| is
+    computed as max |cum_a(v)·n_b - cum_b(v)·n_a| over the DISTINCT
+    value domain, an integer — no float ECDFs, so the statistic (and
+    the argmax value, min-value tiebreak) hash-matches across engines.
+
+    Scale shape: rows reduce to one (value, cnt_a, cnt_b) row per
+    DISTINCT value first (map-side combinable; the domain of a
+    fixed-point measurement column is bounded — cents of a bounded
+    price, micro-ratios in [0, 1e6]), so the ordered cumulative
+    window runs over the BOUNDED value table, not the data — the same
+    window-over-groups discipline as vocab_build/histogram_quantiles.
+    The max itself needs only cum at the distinct values (the ECDF
+    difference is constant between them; both ECDFs step AT a
+    value, and |F_a - F_b| evaluated right-continuously at each step
+    point attains the supremum).
+
+    Output: one row (n_a, n_b, d_e6, at_value) — d_e6 = floor(D·1e6),
+    at_value = smallest value attaining the max.
+    """
+    from pyspark.sql import Window
+
+    va = a.select(F.col(value_col).cast("bigint").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    vb = b.select(F.col(value_col).cast("bigint").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    grid = (
+        va.join(vb, "v", "full")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "v",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    scored = (
+        cum.join(F.broadcast(a.agg(F.count(F.lit(1)).alias("n_a"))))
+        .join(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_b"))))
+        .select(
+            "n_a",
+            "n_b",
+            "v",
+            F.abs(F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")).alias(
+                "_num"
+            ),
+        )
+    )
+    d = scored.groupBy("n_a", "n_b").agg(F.max("_num").alias("_d"))
+    return (
+        scored.join(F.broadcast(d), ["n_a", "n_b"])
+        .filter(F.col("_num") == F.col("_d"))
+        .groupBy("n_a", "n_b", "_d")
+        .agg(F.min("v").alias("at_value"))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("(_d * 1000000) div (n_a * n_b)").cast("bigint").alias("d_e6"),
+            F.col("at_value").cast("bigint").alias("at_value"),
+        )
+    )

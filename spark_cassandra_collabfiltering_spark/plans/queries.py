@@ -5144,3 +5144,51 @@ def q_dedup_recall_matrix(spark, sf_dir):
             " else (hit_prefilter * 1000000) div n_true end"
         ).cast("bigint").alias("recall_prefilter_e6"),
     )
+
+
+# ===========================================================================
+# Kolmogorov-Smirnov drift — exact integer two-sample ECDF distance (r5-cont)
+# ===========================================================================
+
+@register(
+    "stats_ks_drift",
+    """WITH a AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+                  FROM events WHERE event_type = 'click'),
+        b AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+              FROM events WHERE event_type = 'view'),
+        va AS (SELECT v, count(*) AS ca FROM a GROUP BY v),
+        vb AS (SELECT v, count(*) AS cb FROM b GROUP BY v),
+        grid AS (SELECT v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                 FROM va FULL JOIN vb USING (v)),
+        cum AS (SELECT v,
+                       sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+                       sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+                FROM grid),
+        n AS (SELECT (SELECT count(*) FROM a) AS na,
+                     (SELECT count(*) FROM b) AS nb),
+        sc AS (SELECT na, nb, v, abs(cuma * nb - cumb * na) AS num
+               FROM cum, n),
+        d AS (SELECT max(num) AS d FROM sc)
+       SELECT sc.na::BIGINT AS n_a, sc.nb::BIGINT AS n_b,
+              ((d.d * 1000000) // (sc.na * sc.nb))::BIGINT AS d_e6,
+              min(sc.v)::BIGINT AS at_value
+       FROM sc, d WHERE sc.num = d.d
+       GROUP BY sc.na, sc.nb, d.d""",
+    "Two-sample Kolmogorov-Smirnov distance between the click and "
+    "view value distributions (cents) — the assumption-free "
+    "distribution-drift detector a corpus pipeline runs between "
+    "ingest slices. EXACT integers end-to-end: D = max "
+    "|cum_a*n_b - cum_b*n_a| over the DISTINCT value grid (no float "
+    "ECDF), argmax value with min tiebreak, d_e6 floor-scaled — "
+    "hash-exact. Scale shape: rows collapse to one row per distinct "
+    "value FIRST (map-side combinable; a fixed-point measurement "
+    "domain is bounded), so the ordered cumulative window runs over "
+    "the bounded value table, not the data — the vocab_build/"
+    "histogram window-over-groups discipline.",
+)
+def q_stats_ks_drift(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    a = ev.filter(F.col("event_type") == "click").select(cents)
+    b = ev.filter(F.col("event_type") == "view").select(cents)
+    return agg.ks_statistic(a, b, "v")

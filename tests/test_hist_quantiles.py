@@ -126,3 +126,44 @@ def test_mad_outliers_even_group_median_interpolates(spark):
     # med2 = 2+3 = 5 (median 2.5); d = |2x-5| = [3,1,1,15];
     # mad4 = 1+3 = 4 (MAD 1); outlier iff 2d > 12 -> only x=10
     assert (got.n, got.med2, got.mad4, got.n_outliers) == (4, 5, 4, 1)
+
+
+# --- ks_statistic ----------------------------------------------------------
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5] * 4], "v bigint")
+    got = agg.ks_statistic(a, a, "v").collect()[0]
+    assert (got.n_a, got.n_b, got.d_e6) == (20, 20, 0)
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3]], "v bigint")
+    b = spark.createDataFrame([(v,) for v in [10, 11]], "v bigint")
+    got = agg.ks_statistic(a, b, "v").collect()[0]
+    assert got.d_e6 == 1_000_000
+    assert got.at_value == 3  # smallest value attaining the sup
+
+
+def test_ks_hand_computed_value(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: D = 1/2 attained first at v=2
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "v bigint")
+    b = spark.createDataFrame([(v,) for v in [3, 4, 5, 6]], "v bigint")
+    got = agg.ks_statistic(a, b, "v").collect()[0]
+    assert (got.d_e6, got.at_value) == (500_000, 2)
+
+
+def test_ks_shape_change_detected_despite_equal_medians(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    # same median (0), very different spread — KS sees it
+    a = spark.createDataFrame([(v,) for v in [-1, 0, 0, 0, 1]], "v bigint")
+    b = spark.createDataFrame([(v,) for v in [-100, -50, 0, 50, 100]], "v bigint")
+    got = agg.ks_statistic(a, b, "v").collect()[0]
+    assert got.d_e6 >= 350_000
