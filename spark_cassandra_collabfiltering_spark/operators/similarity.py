@@ -1555,3 +1555,52 @@ def cosine_topk_pca(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    arms: list[DataFrame],
+    k: int = 60,
+    topk: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    arms — the standard hybrid-search combiner (dense ANN + lexical +
+    filtered arms): each arm contributes 1/(k + rank) for every item
+    it returns, summed per (query, item); items surfaced by several
+    arms rise. Rank-based, so arms with incomparable score scales
+    fuse without calibration — the reason RRF beats score averaging
+    in practice.
+
+    EXACT integer scoring: contribution = 1e6 div (k + rank), so the
+    fused ordering (and the hash) is engine-portable — no float
+    accumulation anywhere. Scale shape: each arm is already a
+    per-query top-k (bounded rows); the fuse is one union + one
+    (query, item) hash-aggregate + a per-query ranking window over at
+    most N·topk rows per query — negligible next to the arms
+    themselves.
+
+    Output: (query_id, vec_id, rrf_e6, n_arms, fused_rank), fused
+    ties broken by id.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(
+        lambda x, y: x.unionByName(y),
+        [a.select(query_col, id_col, rank_col) for a in arms],
+    )
+    f = u.groupBy(query_col, id_col).agg(
+        F.sum(F.expr(f"1000000 div ({k} + {rank_col})"))
+        .cast("bigint")
+        .alias("rrf_e6"),
+        F.count(F.lit(1)).cast("bigint").alias("n_arms"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_e6").desc(), F.col(id_col).asc()
+    )
+    return f.withColumn("fused_rank", F.row_number().over(w)).filter(
+        F.col("fused_rank") <= topk
+    )

@@ -5192,3 +5192,54 @@ def q_stats_ks_drift(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "click").select(cents)
     b = ev.filter(F.col("event_type") == "view").select(cents)
     return agg.ks_statistic(a, b, "v")
+
+
+# ===========================================================================
+# Reciprocal-rank fusion — hybrid retrieval combiner (r5-cont)
+# ===========================================================================
+
+@register(
+    "ann_rrf_fusion",
+    f"""WITH eb AS (SELECT vec_id, embedding, ({_BUCKET_SQL}) AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+              FROM eb WHERE vec_id IN {_ANN_QUERY_IDS}),
+        exr AS (SELECT query_id, vec_id, rank FROM (
+                  SELECT s.query_id, s.vec_id,
+                         row_number() OVER (PARTITION BY s.query_id
+                                            ORDER BY s.cos DESC, s.vec_id) AS rank
+                  FROM (SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+                        FROM embeddings e, q WHERE e.vec_id <> q.query_id) s
+                ) WHERE rank <= 5),
+        lshr AS (SELECT query_id, vec_id, rank FROM (
+                   SELECT s.query_id, s.vec_id,
+                          row_number() OVER (PARTITION BY s.query_id
+                                             ORDER BY s.cos DESC, s.vec_id) AS rank
+                   FROM (SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos
+                         FROM eb e JOIN q ON e.bucket = q.bucket
+                                         AND e.vec_id <> q.query_id) s
+                 ) WHERE rank <= 5),
+        u AS (SELECT * FROM exr UNION ALL SELECT * FROM lshr),
+        f AS (SELECT query_id, vec_id,
+                     sum(1000000 // (60 + rank))::BIGINT AS rrf_e6,
+                     count(*)::BIGINT AS n_arms
+              FROM u GROUP BY query_id, vec_id)
+       SELECT query_id, vec_id, rrf_e6, n_arms, fused_rank FROM (
+         SELECT query_id, vec_id, rrf_e6, n_arms,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e6 DESC, vec_id) AS fused_rank
+         FROM f) WHERE fused_rank <= 5""",
+    "Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval "
+    "arms — exact brute-force and sign-LSH top-5 — the hybrid-search "
+    "combiner: each arm contributes 1e6 div (60 + rank) per item "
+    "(EXACT integers, no score calibration needed since RRF is "
+    "rank-based), summed per (query, item), re-ranked with id "
+    "tiebreaks. Items surfaced by both arms rise (n_arms column "
+    "makes that visible). The fuse itself touches only N*topk "
+    "bounded rows per query; arms keep their own plans/guards.",
+)
+def q_ann_rrf_fusion(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    exact = sim.cosine_topk_bruteforce(emb, qs, k=5)
+    lsh = sim.cosine_topk_lsh(emb, qs, k=5, bits=8)
+    return sim.rrf_fuse([exact, lsh], k=60, topk=5)

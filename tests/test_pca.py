@@ -135,3 +135,34 @@ def test_train_fraction_bounds_sample_and_stays_deterministic(spark):
     full = sim.pca_train(emb, k=4)
     # sampled basis differs from full-corpus basis but spans similar space
     assert not np.allclose(np.array(a[1]), np.array(full[1]))
+
+
+# --- rrf_fuse --------------------------------------------------------------
+
+
+def test_rrf_two_arm_agreement_dominates(spark):
+    # item 10 is rank 1 in both arms; item 20 rank 2 in one arm only;
+    # item 30 rank 2/3 split. Two-arm presence must outrank any
+    # single-arm rank.
+    arm1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 2), (1, 20, 3)], "query_id bigint, vec_id bigint, rank int"
+    )
+    arm2 = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 3), (1, 40, 2)], "query_id bigint, vec_id bigint, rank int"
+    )
+    got = {r.vec_id: r for r in sim.rrf_fuse([arm1, arm2], topk=4).collect()}
+    assert got[10].fused_rank == 1 and got[10].n_arms == 2
+    # 10: 2*(1e6//61) = 32786; 30: 1e6//62 + 1e6//63 = 16129+15873 = 32002
+    assert got[10].rrf_e6 == 2 * (1_000_000 // 61)
+    assert got[30].rrf_e6 == 1_000_000 // 62 + 1_000_000 // 63
+    assert got[30].fused_rank == 2
+    # single-arm items follow, id tiebreak between equal scores
+    assert got[40].n_arms == 1 and got[20].n_arms == 1
+
+
+def test_rrf_id_tiebreak_deterministic(spark):
+    arm = spark.createDataFrame(
+        [(1, 5, 1), (1, 3, 1)], "query_id bigint, vec_id bigint, rank int"
+    )
+    got = [r.vec_id for r in sim.rrf_fuse([arm], topk=2).orderBy("fused_rank").collect()]
+    assert got == [3, 5]  # equal scores -> lower id first
