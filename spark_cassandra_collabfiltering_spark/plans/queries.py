@@ -5243,3 +5243,63 @@ def q_ann_rrf_fusion(spark, sf_dir):
     exact = sim.cosine_topk_bruteforce(emb, qs, k=5)
     lsh = sim.cosine_topk_lsh(emb, qs, k=5, bits=8)
     return sim.rrf_fuse([exact, lsh], k=60, topk=5)
+
+
+# ===========================================================================
+# Corpus health by source — the per-slice rollup of the composed verdict
+# ===========================================================================
+
+@register(
+    "curation_health_by_source",
+    f"""WITH v AS ({QUERIES["curation_pipeline_verdict"].oracle})
+       SELECT d.source,
+              count(*)::BIGINT AS n_docs,
+              sum(CASE WHEN v.gopher_pass THEN 1 ELSE 0 END)::BIGINT
+                  AS n_gopher_pass,
+              sum(CASE WHEN v.contaminated THEN 1 ELSE 0 END)::BIGINT
+                  AS n_contaminated,
+              sum(CASE WHEN v.floor_keep THEN 1 ELSE 0 END)::BIGINT
+                  AS n_floor_keep,
+              sum(CASE WHEN v.dup_loser THEN 1 ELSE 0 END)::BIGINT
+                  AS n_dup_loser,
+              sum(CASE WHEN v.keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+              ((sum(CASE WHEN v.keep THEN 1 ELSE 0 END) * 1000000)
+               // count(*))::BIGINT AS keep_rate_e6
+       FROM v JOIN documents d USING (doc_id)
+       GROUP BY d.source""",
+    "The corpus-health dashboard row: per-SOURCE rollup of the "
+    "composed end-to-end keep/drop verdict (gopher gate, "
+    "contamination, adaptive quality floor, near-dup loser) — the "
+    "table a data-recipe owner actually reads ('which source is "
+    "rotting?'). Reuses curation_pipeline_verdict wholesale (Spark: "
+    "the registered builder; oracle: the verdict SQL nested as a "
+    "CTE), so the per-doc decision stays single-sourced and the "
+    "rollup is one broadcast-scale join + hash-agg on source. Exact "
+    "counts + keep-rate in integer micro-units.",
+)
+def q_curation_health_by_source(spark, sf_dir):
+    v = QUERIES["curation_pipeline_verdict"].builder(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        v.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gopher_pass"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("floor_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_floor_keep"),
+            F.sum(F.when(F.col("dup_loser"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_loser"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+        )
+        .withColumn("keep_rate_e6", F.expr("(n_keep * 1000000) div n_docs"))
+    )
