@@ -73,7 +73,7 @@ PLAN_QUERIES = [
     # excluded — its builder collects the PCA training sample, same
     # reason as ann_sq_topk)
     "text_oov_rate", "graph_triangles", "curation_url_canonical",
-    "stats_mad_outliers",
+    "stats_mad_outliers", "stats_ks_drift", "ann_rrf_fusion",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -82,6 +82,11 @@ PLAN_QUERIES = [
 # docstrings. Everything else must be 0.
 BNLJ_ALLOWED = {
     "ann_bruteforce_topk", "dedup_ngram_jaccard", "text_tfidf_topk",
+    # rrf fuses the brute-force exact arm (same bounded 5-vector
+    # broadcast as ann_bruteforce_topk); the KS one-row n_a/n_b
+    # aggregates join the bounded value grid (tfidf's corpus-count
+    # shape)
+    "ann_rrf_fusion", "stats_ks_drift",
     # recall matrix embeds the brute-force exact arm (same bounded
     # 5-vector broadcast as ann_bruteforce_topk)
     "ann_recall_matrix",
