@@ -890,3 +890,74 @@ def bpe_encode(
         )
         .withColumn("fertility_e6", F.expr("(n_subtokens * 1000000) div n_words"))
     )
+
+
+def lexical_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """Lexical (sparse / inverted-index) retrieval: TF-IDF dot-product
+    top-k of corpus docs for each query doc — the lexical arm a
+    hybrid-search stack fuses with dense ANN (:func:`~.similarity.
+    rrf_fuse`). EXACT integers end-to-end: term weight
+    w_e3 = tf · 1e3 div (df+1) (the reciprocal-df damping of
+    :func:`tfidf_topk`), score = Σ w_q·w_d over shared terms — no
+    floats, so ranking (score desc, id asc) hash-matches.
+
+    Scale shape is the POSTING-LIST join, not doc×doc: corpus docs
+    reduce to (term, doc, w) postings once (two hash-aggs); the
+    bounded query batch broadcasts its own postings; the join fans
+    out exactly |posting list| rows per query term, then one
+    (query, doc) hash-agg and a per-query top-k window.
+    ``max_df_fraction`` is the stop-list knob that keeps that fan-out
+    bounded at corpus scale: terms in more than that fraction of docs
+    are dropped from BOTH sides (their idf ≈ 0 contribution never
+    changes a ranking materially, but their posting lists are O(N) —
+    the WAND/impact-pruning observation). Self-matches are excluded
+    (query docs come from the corpus, as in the ANN arms).
+
+    Output: (query_id, doc_id, score, rank ≤ k).
+    """
+    from pyspark.sql import Window
+
+    def postings(df: DataFrame, out_id: str) -> DataFrame:
+        words = df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+            ).alias("term"),
+        )
+        return words.groupBy(out_id, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    cp = postings(corpus, "doc_id")
+    dfreq = cp.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    if max_df_fraction is not None:
+        ndocs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+        dfreq = dfreq.join(F.broadcast(ndocs)).filter(
+            F.col("df_docs") <= F.col("n_docs") * F.lit(max_df_fraction)
+        ).select("term", "df_docs")
+    wexpr = "(tf * 1000) div (df_docs + 1)"
+    cw = cp.join(F.broadcast(dfreq), "term").select(
+        "term", "doc_id", F.expr(wexpr).alias("wd")
+    )
+    qw = (
+        postings(queries, "query_id")
+        .join(F.broadcast(dfreq), "term")
+        .select("term", "query_id", F.expr(wexpr).alias("wq"))
+    )
+    scored = (
+        cw.join(F.broadcast(qw), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("wd")).cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -5303,3 +5303,47 @@ def q_curation_health_by_source(spark, sf_dir):
         )
         .withColumn("keep_rate_e6", F.expr("(n_keep * 1000000) div n_docs"))
     )
+
+
+# ===========================================================================
+# Lexical retrieval — inverted-posting TF-IDF dot products (r5-cont)
+# ===========================================================================
+
+@register(
+    "lex_tfidf_topk",
+    """WITH words AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+           FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM words GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        w AS (SELECT tf.doc_id, tf.term,
+                     (tf.tf * 1000) // (dfreq.df_docs + 1) AS wt
+              FROM tf JOIN dfreq USING (term)),
+        q AS (SELECT doc_id AS query_id, term, wt AS wq
+              FROM w WHERE doc_id IN (0, 1, 2, 3, 4)),
+        sc AS (SELECT q.query_id, w.doc_id,
+                      sum(q.wq * w.wt)::BIGINT AS score
+               FROM w JOIN q USING (term)
+               WHERE w.doc_id <> q.query_id
+               GROUP BY q.query_id, w.doc_id)
+       SELECT query_id, doc_id, score, rank FROM (
+         SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+         FROM sc) WHERE rank <= 5""",
+    "Lexical (sparse) retrieval arm: TF-IDF dot-product top-5 over "
+    "an inverted POSTING-LIST join (term -> (doc, weight) postings "
+    "built once; the bounded query batch broadcasts its own postings; "
+    "fan-out = posting-list length per query term, then one "
+    "(query, doc) hash-agg + per-query window) — doc x doc never "
+    "materializes. Weights in exact integer e3 (reciprocal-df "
+    "damping, as text_tfidf_topk), score an exact bigint sum — "
+    "hash-exact ranking with id tiebreaks. The max_df_fraction "
+    "stop-list knob (WAND-style posting bound) is pytest-pinned; the "
+    "fused hybrid (dense + lexical via rrf_fuse) likewise.",
+)
+def q_lex_tfidf_topk(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id").isin([0, 1, 2, 3, 4]))
+    return tx.lexical_topk(docs, qs, k=5)

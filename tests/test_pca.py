@@ -166,3 +166,68 @@ def test_rrf_id_tiebreak_deterministic(spark):
     )
     got = [r.vec_id for r in sim.rrf_fuse([arm], topk=2).orderBy("fused_rank").collect()]
     assert got == [3, 5]  # equal scores -> lower id first
+
+
+# --- lexical retrieval + hybrid fusion -------------------------------------
+
+
+def test_lexical_topk_ranks_shared_rare_terms_first(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra quark common"),
+            (1, "zebra quark common"),  # shares both rare terms with 0
+            (2, "zebra common"),        # shares one rare term
+            (3, "common"),              # only the stop-ish term
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = docs.filter(F.col("doc_id") == 0)
+    got = {r.doc_id: r.rank for r in tx.lexical_topk(docs, qs, k=3).collect()}
+    assert got[1] == 1 and got[2] == 2 and got[3] == 3
+
+
+def test_lexical_stop_list_cap_drops_common_terms(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra common"),
+            (1, "zebra common"),
+            (2, "common"),
+            (3, "common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = docs.filter(F.col("doc_id") == 0)
+    # 'common' is in 4/4 docs; cap at 0.5 keeps only 'zebra' postings,
+    # so doc 2/3 (stop-term-only overlap) drop out entirely
+    got = {r.doc_id for r in tx.lexical_topk(docs, qs, k=4, max_df_fraction=0.5).collect()}
+    assert got == {1}
+
+
+def test_hybrid_three_arm_rrf_fusion(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+    from spark_cassandra_collabfiltering_spark.plans.queries import t as t_
+
+    emb = t_(spark, SF_SMOKE, "embeddings")
+    docs = t_(spark, SF_SMOKE, "documents")
+    qids = [0, 1, 2]
+    qs = sim.make_queries(emb, qids)
+    dense = sim.cosine_topk_bruteforce(emb, qs, k=5)
+    lsh = sim.cosine_topk_lsh(emb, qs, k=5, bits=8)
+    lex = (
+        tx.lexical_topk(docs, docs.filter(F.col("doc_id").isin(qids)), k=5)
+        .withColumnRenamed("doc_id", "vec_id")
+    )
+    fused = sim.rrf_fuse([dense, lsh, lex], topk=5)
+    rows = fused.collect()
+    assert {r.query_id for r in rows} == set(qids)
+    for q in qids:
+        ranked = sorted((r for r in rows if r.query_id == q), key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in ranked] == [1, 2, 3, 4, 5]
+        assert all(1 <= r.n_arms <= 3 for r in ranked)
+    # determinism: same plan twice, identical output
+    again = {(r.query_id, r.vec_id, r.fused_rank) for r in sim.rrf_fuse([dense, lsh, lex], topk=5).collect()}
+    assert again == {(r.query_id, r.vec_id, r.fused_rank) for r in rows}

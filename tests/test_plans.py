@@ -74,6 +74,7 @@ PLAN_QUERIES = [
     # reason as ann_sq_topk)
     "text_oov_rate", "graph_triangles", "curation_url_canonical",
     "stats_mad_outliers", "stats_ks_drift", "ann_rrf_fusion",
+    "lex_tfidf_topk",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -87,6 +88,9 @@ BNLJ_ALLOWED = {
     # aggregates join the bounded value grid (tfidf's corpus-count
     # shape)
     "ann_rrf_fusion", "stats_ks_drift",
+    # the lexical arm broadcasts the bounded query-batch postings and
+    # the one-row n_docs (when the stop-list cap is set)
+    "lex_tfidf_topk",
     # recall matrix embeds the brute-force exact arm (same bounded
     # 5-vector broadcast as ann_bruteforce_topk)
     "ann_recall_matrix",
