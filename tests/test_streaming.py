@@ -513,3 +513,61 @@ def test_streaming_hll_register_merge_matches_batch(spark, event_source, batch_e
         for r in agg.hll_estimate(want, ["event_type"]).collect()
     }
     assert e_stream == e_batch
+
+
+def test_streaming_ks_grid_merge_matches_batch(spark, event_source, batch_events, tmp_path):
+    """The KS statistic's input — the per-side distinct-value count
+    grid — is a trivially mergeable summary (counts add). Exercised
+    through Structured Streaming: each micro-batch's (v, ca, cb) grid
+    sum-merges into parquet state via foreachBatch; the KS computed
+    from the final merged grid equals the single-pass batch statistic
+    EXACTLY. Drift monitoring therefore streams with bounded state
+    (one row per distinct value), no re-scan of history."""
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    _, batch = batch_events
+    target = str(tmp_path / "ks_state")
+    ckpt = str(tmp_path / "ks_ckpt")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    stream = ev.read_event_stream(spark, event_source).select(
+        "event_type", cents.alias("v")
+    )
+
+    def merge(bdf, epoch_id):
+        grid = bdf.groupBy("v").agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("cb"),
+        )
+        sess = bdf.sparkSession
+        try:
+            prev = sess.read.parquet(target)
+            grid = prev.unionByName(grid)
+        except Exception:
+            pass
+        merged = grid.groupBy("v").agg(
+            F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # KS from the streamed/merged grid: rebuild per-side value frames
+    g = spark.read.parquet(target)
+    a_rows = g.select("v", "ca").filter(F.col("ca") > 0)
+    b_rows = g.select("v", "cb").filter(F.col("cb") > 0)
+    a = a_rows.select(F.explode(F.array_repeat(F.col("v"), F.col("ca").cast("int"))).alias("v"))
+    b = b_rows.select(F.explode(F.array_repeat(F.col("v"), F.col("cb").cast("int"))).alias("v"))
+    got = agg.ks_statistic(a, b, "v").collect()[0]
+
+    ba = batch.filter(F.col("event_type") == "click").select(cents.alias("v"))
+    bb = batch.filter(F.col("event_type") == "view").select(cents.alias("v"))
+    want = agg.ks_statistic(ba, bb, "v").collect()[0]
+    assert (got.n_a, got.n_b, got.d_e6, got.at_value) == (
+        want.n_a, want.n_b, want.d_e6, want.at_value,
+    )
