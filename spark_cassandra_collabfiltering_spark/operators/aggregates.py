@@ -596,3 +596,48 @@ def ks_statistic(
             F.col("at_value").cast("bigint").alias("at_value"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer measure —
+    the concentration/imbalance readout a corpus owner tracks (is one
+    crawl host contributing half the bytes? are event counts
+    concentrating on a few users?): 0 = perfectly even, -> 1 = one
+    row owns everything.
+
+    EXACT integer formulation via the sorted-rank identity
+    G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x): one per-group rank
+    window (value, then any stable tiebreak — ties don't change the
+    sum since equal values commute) + one map-side-combinable agg;
+    output gini_e6 = floor-scaled, hash-exact. Groups with zero total
+    report 0 (even by convention). Same window-partitioned-by-group
+    scale discipline as robust_outliers.
+
+    Output: (group, n, total, gini_e6).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    r = df.select(
+        F.col(group_col), F.col(value_col).cast("bigint").alias("_x")
+    ).withColumn("_i", F.row_number().over(w.orderBy(F.col("_x").asc())))
+    return (
+        r.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_x").cast("bigint").alias("total"),
+            F.sum(F.col("_i") * F.col("_x")).cast("bigint").alias("_ix"),
+        )
+        .select(
+            group_col,
+            "n",
+            "total",
+            F.expr(
+                "case when total = 0 then cast(0 as bigint)"
+                " else ((2 * _ix - (n + 1) * total) * 1000000)"
+                " div (n * total) end"
+            ).cast("bigint").alias("gini_e6"),
+        )
+    )

@@ -5347,3 +5347,38 @@ def q_lex_tfidf_topk(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     qs = docs.filter(F.col("doc_id").isin([0, 1, 2, 3, 4]))
     return tx.lexical_topk(docs, qs, k=5)
+
+
+# ===========================================================================
+# Gini concentration — corpus balance / heavy-tail readout (r5-cont)
+# ===========================================================================
+
+@register(
+    "stats_gini_sources",
+    """WITH v AS (SELECT source AS grp, n_chars AS x FROM documents),
+        r AS (SELECT grp, x,
+                     row_number() OVER (PARTITION BY grp ORDER BY x) AS i
+              FROM v)
+       SELECT grp AS source, count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS total,
+              (CASE WHEN sum(x) = 0 THEN 0
+                    ELSE ((2 * sum(i * x) - (count(*) + 1) * sum(x))
+                          * 1000000) // (count(*) * sum(x)) END)::BIGINT
+                  AS gini_e6
+       FROM r GROUP BY grp""",
+    "Per-source Gini coefficient of document lengths — the "
+    "concentration/imbalance readout of a data recipe (a source "
+    "whose byte mass concentrates in a few giant docs behaves very "
+    "differently from its doc count). EXACT integers via the "
+    "sorted-rank identity G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / "
+    "(n*sum(x)): one group-partitioned rank window + one hash-agg, "
+    "floor-scaled e6 — hash-exact (ties commute, so the tiebreak "
+    "cannot change the sum).",
+)
+def q_stats_gini_sources(spark, sf_dir):
+    v = t(spark, sf_dir, "documents").select(
+        F.col("source"), F.col("n_chars").alias("x")
+    )
+    return agg.gini_concentration(v, "source", "x").withColumnRenamed(
+        "source", "source"
+    )

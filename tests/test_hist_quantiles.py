@@ -167,3 +167,38 @@ def test_ks_shape_change_detected_despite_equal_medians(spark):
     b = spark.createDataFrame([(v,) for v in [-100, -50, 0, 50, 100]], "v bigint")
     got = agg.ks_statistic(a, b, "v").collect()[0]
     assert got.d_e6 >= 350_000
+
+
+# --- gini_concentration ----------------------------------------------------
+
+
+def test_gini_even_distribution_is_zero(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([("g", 5)] * 8, "grp string, x bigint")
+    got = agg.gini_concentration(df, "grp", "x").collect()[0]
+    assert (got.n, got.total, got.gini_e6) == (8, 40, 0)
+
+
+def test_gini_single_owner_approaches_one(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("g", 0)] * 9 + [("g", 100)], "grp string, x bigint"
+    )
+    got = agg.gini_concentration(df, "grp", "x").collect()[0]
+    # G = (n-1)/n = 0.9 when one of n rows owns everything
+    assert got.gini_e6 == 900_000
+
+
+def test_gini_hand_computed_and_zero_total(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("z", 0), ("z", 0)],
+        "grp string, x bigint",
+    )
+    got = {r.grp: r for r in agg.gini_concentration(df, "grp", "x").collect()}
+    # a: (2*(1+4+9) - 4*6)/(3*6) = 4/18 -> 222222
+    assert got["a"].gini_e6 == 222_222
+    assert got["z"].gini_e6 == 0  # zero-total convention

@@ -74,7 +74,7 @@ PLAN_QUERIES = [
     # reason as ann_sq_topk)
     "text_oov_rate", "graph_triangles", "curation_url_canonical",
     "stats_mad_outliers", "stats_ks_drift", "ann_rrf_fusion",
-    "lex_tfidf_topk",
+    "lex_tfidf_topk", "stats_gini_sources",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
