@@ -290,7 +290,11 @@ def test_manifest_stats_prune_files_and_match_full_scan(spark, tmp_path):
     lake.write_snapshot_stats(spark, root, v, ["id", "other"])
 
     got, read, total = lake.read_snapshot_pruned(spark, root, "id", 2000, 2999)
-    assert total == 10 and read <= 2  # ~1 file of 10 covers [2000, 3000)
+    # repartitionByRange boundaries come from reservoir sampling, so the
+    # 1000-wide probe touches the covering file plus up to one neighbor
+    # per side of boundary jitter — skipping >=7 of 10 files is the
+    # contract, exact boundary placement is not.
+    assert total == 10 and read <= 3
     expect = {r.id for r in df.filter((F.col("id") >= 2000) & (F.col("id") <= 2999)).collect()}
     assert {r.id for r in got.collect()} == expect
 
