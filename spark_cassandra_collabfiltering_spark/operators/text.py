@@ -961,3 +961,130 @@ def lexical_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _log2lin_e3(col: str) -> str:
+    """SQL for a FIXED-POINT base-2 log of a positive bigint column:
+    floor(log2(x)) from the bit length (``length(bin(x)) - 1``) plus a
+    linear interpolation of the fractional part within the octave —
+    the classic frexp/mantissa approximation (max error 0.0861 octaves
+    analytically, plus up to 1e-3 of fixed-point floor). Entirely integer ops on both engines, so the
+    value is bit-deterministic cross-engine (unlike ``ln``/``log2``,
+    whose last-ulp behavior libm does not pin down)."""
+    e = f"(length(bin({col})) - 1)"
+    p = f"shiftleft(1L, {e})"
+    return f"({e} * 1000 + (({col} - {p}) * 1000) div {p})"
+
+
+_LOG2LIN_E6_CONST = 19907  # _log2lin_e3 of the e6 scale factor 1000000
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_e2: int = 120,
+    b_e2: int = 75,
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Walker Okapi ranking) over the
+    same inverted POSTING-LIST join as :func:`lexical_topk`, in EXACT
+    integers end-to-end so the ranking hash-matches across engines:
+
+    - idf_e3 = log2((N - df + 0.5)/(df + 0.5) + 1) in fixed point: the
+      ratio is carried e6-scaled ((2N-2df+1)*1e6 div (2df+1) + 1e6) and
+      the log taken by bit length + in-octave linear interpolation
+      (:func:`_log2lin_e3`), minus the constant log of the scale —
+      deterministic where libm ``ln`` is not.
+    - tf saturation with length normalization: with L_e3 = 1000*dl/avgdl,
+      inner_e3 = (1000 - 10*b_e2) + (b_e2*L_e3) div 100,
+      den_e5 = tf*100000 + k1_e2*inner_e3, and
+      sat_e3 = tf*(k1_e2+100)*1e6 div den_e5
+      == floor(1e3 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))).
+    - score = sum over shared terms of qtf * idf_e3 * sat_e3 (bigint).
+
+    Scale shape is identical to the TF-IDF arm: corpus postings built
+    once with two hash-aggs; per-doc length and the two corpus scalars
+    (N, avgdl_e3) ride broadcasts; the bounded query batch broadcasts
+    its own postings; the term join fans out one row per posting-list
+    entry; one (query, doc) hash-agg and a per-query top-k window.
+    ``max_df_fraction`` is the WAND-style stop-list bound on posting
+    length (BM25's idf -> 0 for such terms anyway). Self-matches are
+    excluded. Output: (query_id, doc_id, score, rank <= k)."""
+    from pyspark.sql import Window
+
+    def postings(df: DataFrame, out_id: str) -> DataFrame:
+        words = df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+            ).alias("term"),
+        )
+        return words.groupBy(out_id, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    cp = postings(corpus, "doc_id")
+    dl = cp.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("(sum(dl) * 1000) div count(1)").alias("avgdl_e3"),
+    )
+    dfreq = cp.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    if max_df_fraction is not None:
+        nd = corpus.agg(F.count(F.lit(1)).alias("nd"))
+        dfreq = (
+            dfreq.join(F.broadcast(nd))
+            .filter(F.col("df_docs") <= F.col("nd") * F.lit(max_df_fraction))
+            .select("term", "df_docs")
+        )
+    idf = (
+        dfreq.join(F.broadcast(stats))
+        .withColumn(
+            "ratio_e6",
+            F.expr(
+                "((2*n_docs - 2*df_docs + 1) * 1000000) div (2*df_docs + 1)"
+                " + 1000000"
+            ),
+        )
+        .withColumn(
+            "idf_e3",
+            F.expr(f"{_log2lin_e3('ratio_e6')} - {_LOG2LIN_E6_CONST}"),
+        )
+        .select("term", "idf_e3", "avgdl_e3")
+    )
+    cw = (
+        cp.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .withColumn("l_e3", F.expr("(dl * 1000000) div avgdl_e3"))
+        .withColumn(
+            "sat_e3",
+            F.expr(
+                f"(tf * {k1_e2 + 100} * 1000000) div "
+                f"(tf * 100000 + {k1_e2} * "
+                f"((1000 - {10 * b_e2}) + ({b_e2} * l_e3) div 100))"
+            ),
+        )
+        .select("term", "doc_id", "idf_e3", "sat_e3")
+    )
+    qw = (
+        postings(queries, "query_id")
+        .join(F.broadcast(idf.select("term")), "term")
+        .select("term", "query_id", F.col("tf").alias("qtf"))
+    )
+    scored = (
+        cw.join(F.broadcast(qw), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("qtf") * F.col("idf_e3") * F.col("sat_e3"))
+            .cast("bigint")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

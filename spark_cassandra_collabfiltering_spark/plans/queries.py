@@ -5382,3 +5382,71 @@ def q_stats_gini_sources(spark, sf_dir):
     return agg.gini_concentration(v, "source", "x").withColumnRenamed(
         "source", "source"
     )
+
+
+# ===========================================================================
+# Lexical retrieval — BM25 in exact fixed-point integers (r5-cont3)
+# ===========================================================================
+
+_L2L = lambda col: (  # noqa: E731 — DuckDB fixed-point log2 (bit length + interp)
+    f"((length(bin({col})) - 1) * 1000"
+    f" + (({col} - (1::BIGINT << (length(bin({col})) - 1))) * 1000)"
+    f" // (1::BIGINT << (length(bin({col})) - 1)))"
+)
+
+
+@register(
+    "lex_bm25_topk",
+    f"""WITH words AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+           FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM words GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+        st AS (SELECT count(*)::BIGINT AS n_docs,
+                      (sum(dl) * 1000) // count(*) AS avgdl_e3 FROM dl),
+        dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        idf AS (SELECT term,
+                       {_L2L('ratio_e6')} - 19907 AS idf_e3,
+                       avgdl_e3
+                FROM (SELECT term,
+                             ((2*st.n_docs - 2*df_docs + 1) * 1000000)
+                               // (2*df_docs + 1) + 1000000 AS ratio_e6,
+                             st.avgdl_e3
+                      FROM dfreq, st)),
+        cw AS (SELECT tf.term, tf.doc_id, idf.idf_e3,
+                      (tf.tf * 220 * 1000000)
+                        // (tf.tf * 100000
+                            + 120 * (250 + (75 * ((dl.dl * 1000000)
+                                                  // idf.avgdl_e3)) // 100))
+                        AS sat_e3
+               FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)),
+        q AS (SELECT tf.doc_id AS query_id, tf.term, tf.tf AS qtf
+              FROM tf JOIN idf USING (term)
+              WHERE tf.doc_id IN (0, 1, 2, 3, 4)),
+        sc AS (SELECT q.query_id, cw.doc_id,
+                      sum(q.qtf * cw.idf_e3 * cw.sat_e3)::BIGINT AS score
+               FROM cw JOIN q USING (term)
+               WHERE cw.doc_id <> q.query_id
+               GROUP BY q.query_id, cw.doc_id)
+       SELECT query_id, doc_id, score, rank FROM (
+         SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+         FROM sc) WHERE rank <= 5""",
+    "BM25 (Okapi, k1=1.2 b=0.75) lexical retrieval over the inverted "
+    "posting-list join — EXACT integers end-to-end, including the idf "
+    "log: log2((N-df+0.5)/(df+0.5)+1) is computed in fixed point from "
+    "the BIT LENGTH of the e6-scaled ratio plus in-octave linear "
+    "interpolation (deterministic where libm ln is not), and the "
+    "tf-saturation/length-normalization chain is scaled-integer "
+    "floor-div throughout — so the full ranking hash-matches. Same "
+    "scale shape as lex_tfidf_topk: postings built once, corpus "
+    "scalars and the bounded query batch ride broadcasts, fan-out = "
+    "posting-list length, one (query, doc) hash-agg + per-query "
+    "window.",
+)
+def q_lex_bm25_topk(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id").isin([0, 1, 2, 3, 4]))
+    return tx.bm25_topk(docs, qs, k=5)
