@@ -481,3 +481,48 @@ def canonicalize_url(url: Column) -> Column:
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
     return F.when(scheme == "", u).otherwise(out)
+
+
+def contamination_semantic(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+) -> DataFrame:
+    """SEMANTIC benchmark-contamination screen: flag corpus documents
+    whose embedding is cosine-close to ANY held-out eval embedding —
+    the paraphrase/translation leak the n-gram overlap check
+    (:func:`contamination_check`) cannot see (an eval question
+    rephrased shares meaning, not 5-grams).
+
+    ``eval_emb`` (eval_id, eval_vec) is the bounded eval suite — it
+    BROADCASTS; the corpus side is a map-only scan scored against the
+    broadcast batch, then one hash-agg back to per-corpus-doc grain
+    (partial aggregation collapses the |eval| fan-out inside each
+    scan task, so the only exchange carries one row per corpus doc).
+    Nothing about the corpus is collected, re-partitioned, or joined
+    doc x doc — the shape that holds at 100 TB with a 100k-question
+    eval battery.
+
+    Cosine is rounded to ``places`` before the max/threshold so the
+    verdict is bit-deterministic cross-engine. Output, one row per
+    corpus doc: (id, n_eval_hits = #eval docs at/above tau,
+    max_cos, contaminated)."""
+    from spark_cassandra_collabfiltering_spark.operators.similarity import cosine
+
+    scored = corpus_emb.join(F.broadcast(eval_emb)).select(
+        F.col(id_col),
+        F.round(cosine(F.col("eval_vec"), F.col(vec_col)), places).alias("cos"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("cos") >= F.lit(tau), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eval_hits"),
+            F.max("cos").alias("max_cos"),
+        )
+        .withColumn("contaminated", F.col("n_eval_hits") > 0)
+    )

@@ -5450,3 +5450,45 @@ def q_lex_bm25_topk(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     qs = docs.filter(F.col("doc_id").isin([0, 1, 2, 3, 4]))
     return tx.bm25_topk(docs, qs, k=5)
+
+
+# ===========================================================================
+# Semantic contamination — embedding-cosine eval-set screen (r5-cont3)
+# ===========================================================================
+
+@register(
+    "curation_contamination_semantic",
+    """WITH q AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ev
+                  FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT e.vec_id,
+                     round(CASE WHEN sqrt(list_dot_product(q.ev, q.ev)) *
+                                     sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                           e.embedding::DOUBLE[])) = 0
+                                THEN 0.0
+                                ELSE list_dot_product(q.ev, e.embedding::DOUBLE[]) /
+                                     (sqrt(list_dot_product(q.ev, q.ev)) *
+                                      sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                            e.embedding::DOUBLE[])))
+                           END, 4) AS cos
+              FROM embeddings e, q WHERE e.vec_id >= 10)
+       SELECT vec_id,
+              sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_eval_hits,
+              max(cos) AS max_cos,
+              sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) > 0 AS contaminated
+       FROM s GROUP BY vec_id""",
+    "SEMANTIC contamination screen: corpus docs cosine-close to any "
+    "held-out eval embedding — the paraphrase leak n-gram overlap "
+    "(curation_contamination) cannot see. Eval battery broadcasts; "
+    "corpus side is a map-only scan + one per-doc hash-agg (partial "
+    "agg collapses the |eval| fan-out scan-locally, so the single "
+    "exchange carries one row per corpus doc). Cosine rounded 4dp "
+    "before max/threshold -> bit-deterministic verdict; zero-vector "
+    "cos defined as 0.",
+)
+def q_curation_contamination_semantic(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return cu.contamination_semantic(corpus, ev, tau=0.35)

@@ -373,3 +373,48 @@ def test_url_query_only_tracking_drops_question_mark(spark):
 def test_url_schemeless_input_passes_through(spark):
     (got,) = _canon(spark, ["not a url #fragment"])
     assert got == "not a url "
+
+
+# --- semantic contamination (embedding-cosine eval screen) ------------------
+
+
+def _sem_fixture(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0]),     # identical to eval 0
+            (101, [0.9, 0.1, 0.0]),     # near eval 0
+            (102, [0.0, 0.0, 1.0]),     # orthogonal to both evals
+            (103, [0.0, 0.0, 0.0]),     # zero vector: cos := 0, never flagged
+            (104, [0.7, 0.7, 0.0]),     # close-ish to BOTH evals
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "eval_id bigint, eval_vec array<double>",
+    )
+    return corpus, ev
+
+
+def test_contamination_semantic_flags_and_counts(spark):
+    corpus, ev = _sem_fixture(spark)
+    got = {r.vec_id: r for r in cu.contamination_semantic(corpus, ev, tau=0.9).collect()}
+    assert len(got) == 5  # one row per corpus doc, flagged or not
+    assert got[100].contaminated and got[100].n_eval_hits == 1
+    assert got[100].max_cos == 1.0
+    assert got[101].contaminated  # cos ~ 0.9939 >= 0.9
+    assert not got[102].contaminated and got[102].n_eval_hits == 0
+    assert not got[103].contaminated and got[103].max_cos == 0.0
+    # 104 is at cos ~ 0.707 to each eval: below 0.9, but both hits at 0.7
+    assert not got[104].contaminated
+    both = {r.vec_id: r for r in cu.contamination_semantic(corpus, ev, tau=0.7).collect()}
+    assert both[104].n_eval_hits == 2 and both[104].contaminated
+
+
+def test_contamination_semantic_tau_boundary_inclusive(spark):
+    corpus, ev = _sem_fixture(spark)
+    # rounded max_cos of doc 104 vs either eval is round(0.70711, 4) = 0.7071
+    got = {r.vec_id: r for r in cu.contamination_semantic(corpus, ev, tau=0.7071).collect()}
+    assert got[104].contaminated and got[104].n_eval_hits == 2
+    above = {r.vec_id: r for r in cu.contamination_semantic(corpus, ev, tau=0.7072).collect()}
+    assert not above[104].contaminated
