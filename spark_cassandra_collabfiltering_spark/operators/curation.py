@@ -257,8 +257,25 @@ def domain_mix_sample(
     domain's quota), and a deterministic sampler needs a non-null
     identity per row anyway. Output is the selected (key, domain)
     rows."""
+    base = _draw_bucketed(df, domain_col, key_col, range_bits)
+    stats = _prefix_counts(base, domain_col)
+    quota: Column = F.lit(0)
+    for d, q in quotas.items():
+        quota = F.when(F.col(domain_col) == d, F.lit(int(q))).otherwise(quota)
+    return _quota_prefix_select(
+        base, stats.withColumn("_quota", quota), domain_col, key_col
+    )
+
+
+def _draw_bucketed(
+    df: DataFrame, domain_col: str, key_col: str, range_bits: int
+) -> DataFrame:
+    """(key, domain, _draw, _rb) rows: the md5 draw plus its top-bits
+    range bucket (bucket order IS draw order). NULL keys dropped — the
+    draw is undefined on NULL and a deterministic sampler needs a
+    non-null row identity."""
     nb_shift = 60 - range_bits
-    base = (
+    return (
         df.filter(F.col(key_col).isNotNull())
         .select(
             F.col(key_col),
@@ -268,23 +285,29 @@ def domain_mix_sample(
         .withColumn("_rb", F.shiftright(F.col("_draw"), nb_shift))
     )
 
+
+def _prefix_counts(base: DataFrame, domain_col: str) -> DataFrame:
+    """Per-(domain, bucket) row counts with the per-domain running
+    prefix (_before) — a broadcast-scale table (domains x 2^bits)."""
     stats = base.groupBy(domain_col, "_rb").agg(F.count(F.lit(1)).alias("_cnt"))
     w_before = (
         Window.partitionBy(domain_col)
         .orderBy("_rb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    stats = stats.withColumn(
+    return stats.withColumn(
         "_before", F.coalesce(F.sum("_cnt").over(w_before), F.lit(0))
     )
 
-    quota: Column = F.lit(0)
-    for d, q in quotas.items():
-        quota = F.when(F.col(domain_col) == d, F.lit(int(q))).otherwise(quota)
 
-    j = base.join(F.broadcast(stats), [domain_col, "_rb"]).withColumn(
-        "_quota", quota
-    )
+def _quota_prefix_select(
+    base: DataFrame, stats_q: DataFrame, domain_col: str, key_col: str
+) -> DataFrame:
+    """Phase 2 of the skew-free exact top-n: ``stats_q`` carries
+    (_cnt, _before, _quota) per (domain, bucket); whole buckets keep
+    or drop scan-locally, only each domain's single boundary bucket
+    shuffles for an exact within-bucket rank."""
+    j = base.join(F.broadcast(stats_q), [domain_col, "_rb"])
     keep_all = j.filter(F.col("_before") + F.col("_cnt") <= F.col("_quota"))
     boundary = j.filter(
         (F.col("_before") < F.col("_quota"))
@@ -296,6 +319,67 @@ def domain_mix_sample(
     ).filter(F.col("_before") + F.col("_rk") <= F.col("_quota"))
     return keep_all.select(key_col, domain_col).unionByName(
         boundary_kept.select(key_col, domain_col)
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    range_bits: int = 8,
+) -> DataFrame:
+    """TEMPERATURE-scaled source mixing (alpha = 0.5): per-domain
+    sampling quotas proportional to sqrt(n_domain) — the standard
+    low-resource upweighting of multilingual / multi-source
+    pretraining recipes (sampling p_s ~ n_s^alpha, alpha < 1, as in
+    the multilingual-BERT / XLM exponential-smoothing recipe), here
+    with alpha = 1/2 because isqrt is EXACT integer arithmetic
+    (IEEE sqrt is correctly rounded, so floor(sqrt(n)) is
+    bit-deterministic cross-engine; a general n^alpha is pow/exp/log
+    territory where libm parity is not guaranteed).
+
+    quota_s = min(n_s, (isqrt(n_s) * budget) div sum_s isqrt(n_s)),
+    then the selection itself is the same deterministic skew-free
+    two-phase exact top-n as :func:`domain_mix_sample` — per-domain
+    weight math rides a broadcast-scale stats table; no domain ever
+    serializes onto one task. Output, one row per domain:
+    (domain, n_before, quota, n_selected, sel_checksum) — counts plus
+    an order-independent overflow-free bigint checksum (XOR of the
+    selected rows' md5 draws), pinning exactly WHICH rows were
+    chosen, not just how many."""
+    base = _draw_bucketed(df, domain_col, key_col, range_bits)
+    stats = _prefix_counts(base, domain_col)
+    totals = stats.groupBy(domain_col).agg(
+        F.sum("_cnt").cast("bigint").alias("_n")
+    )
+    weighted = totals.withColumn(
+        "_w", F.expr("cast(floor(sqrt(cast(_n as double))) as bigint)")
+    )
+    sumw = weighted.agg(F.sum("_w").cast("bigint").alias("_sw"))
+    quota_df = (
+        weighted.join(F.broadcast(sumw))
+        .withColumn(
+            "_quota",
+            F.least(F.col("_n"), F.expr(f"(_w * {int(budget)}) div _sw")),
+        )
+        .select(domain_col, "_n", "_quota")
+    )
+    stats_q = stats.join(F.broadcast(quota_df), domain_col)
+    sel = _quota_prefix_select(base, stats_q, domain_col, key_col)
+    picked = sel.select(
+        F.col(domain_col), md5_draw60(F.col(key_col)).alias("_draw")
+    )
+    agg = picked.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.expr("bit_xor(_draw)").cast("bigint").alias("sel_checksum"),
+    )
+    return quota_df.join(agg, domain_col, "left").select(
+        domain_col,
+        F.col("_n").alias("n_before"),
+        F.col("_quota").alias("quota"),
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("sel_checksum", F.lit(0)).cast("bigint").alias("sel_checksum"),
     )
 
 

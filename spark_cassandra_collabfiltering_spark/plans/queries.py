@@ -5492,3 +5492,51 @@ def q_curation_contamination_semantic(spark, sf_dir):
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
     return cu.contamination_semantic(corpus, ev, tau=0.35)
+
+
+# ===========================================================================
+# Temperature-scaled source mixing — alpha=0.5 low-resource upweighting
+# (r5-cont3)
+# ===========================================================================
+
+@register(
+    "curation_temperature_mix",
+    """WITH d AS (SELECT doc_id, lang,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                             AS draw
+                  FROM documents),
+        n AS (SELECT lang, count(*)::BIGINT AS n_before FROM d GROUP BY lang),
+        w AS (SELECT lang, n_before,
+                     CAST(floor(sqrt(n_before::DOUBLE)) AS BIGINT) AS wt
+              FROM n),
+        q AS (SELECT lang, n_before,
+                     least(n_before,
+                           (wt * 200) // (SELECT sum(wt) FROM w))::BIGINT
+                         AS quota
+              FROM w),
+        r AS (SELECT doc_id, lang, draw,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY draw, doc_id) AS rk
+              FROM d),
+        sel AS (SELECT r.lang, r.draw
+                FROM r JOIN q USING (lang) WHERE r.rk <= q.quota)
+       SELECT q.lang, q.n_before, q.quota,
+              count(sel.draw)::BIGINT AS n_selected,
+              coalesce(bit_xor(sel.draw), 0)::BIGINT AS sel_checksum
+       FROM q LEFT JOIN sel ON q.lang = sel.lang
+       GROUP BY q.lang, q.n_before, q.quota""",
+    "Temperature-scaled (alpha=0.5) language mixing: per-lang quotas "
+    "proportional to isqrt(n) — the multilingual low-resource "
+    "upweighting recipe — then the same deterministic skew-free "
+    "two-phase exact top-n selection as curation_domain_mix. alpha = "
+    "1/2 specifically because IEEE sqrt is correctly rounded, so "
+    "floor(sqrt(n)) is exact integer arithmetic cross-engine (general "
+    "n^alpha is libm pow territory). Output pins the full recipe: "
+    "per-lang (n_before, quota, n_selected) plus an order-independent XOR "
+    "checksum over the chosen rows' md5 draws — WHICH rows, not just "
+    "how many. en share drops 43.6% -> ~31% at sf0.01.",
+)
+def q_curation_temperature_mix(spark, sf_dir):
+    return cu.temperature_mix_sample(
+        t(spark, sf_dir, "documents"), budget=200, domain_col="lang"
+    )

@@ -418,3 +418,53 @@ def test_contamination_semantic_tau_boundary_inclusive(spark):
     assert got[104].contaminated and got[104].n_eval_hits == 2
     above = {r.vec_id: r for r in cu.contamination_semantic(corpus, ev, tau=0.7072).collect()}
     assert not above[104].contaminated
+
+
+# --- temperature-scaled source mixing ---------------------------------------
+
+
+def _draw60_py(x) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+
+def test_temperature_mix_quotas_and_exact_selection(spark):
+    import math
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {r.source: r for r in cu.temperature_mix_sample(df, budget=100).collect()}
+    # isqrt weights: big 20, small 5 -> quotas 80, 20
+    assert got["big"].n_before == 400 and got["small"].n_before == 25
+    assert got["big"].quota == 80 and got["small"].quota == 20
+    assert got["big"].n_selected == 80 and got["small"].n_selected == 20
+    # small's share rose from 25/425 (5.9%) to 20% — the alpha<1 point
+    # checksum pins WHICH rows: replicate the md5-draw ranking in Python
+    for src, ids in (("big", range(400)), ("small", range(1000, 1025))):
+        ranked = sorted(ids, key=lambda i: (_draw60_py(i), i))
+        want = 0
+        for i in ranked[: got[src].quota]:
+            want ^= _draw60_py(i)
+        assert got[src].sel_checksum == want
+    assert math.isqrt(400) == 20 and math.isqrt(25) == 5  # the weights used
+
+
+def test_temperature_mix_budget_exceeds_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(4)] + [(10 + i, "b") for i in range(9)],
+        "doc_id bigint, source string",
+    )
+    got = {r.source: r for r in cu.temperature_mix_sample(df, budget=1000).collect()}
+    # quota capped at availability
+    assert got["a"].quota == 4 and got["a"].n_selected == 4
+    assert got["b"].quota == 9 and got["b"].n_selected == 9
+
+
+def test_temperature_mix_null_keys_dropped(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "a"), (3, "b")],
+        "doc_id bigint, source string",
+    )
+    got = {r.source: r for r in cu.temperature_mix_sample(df, budget=100).collect()}
+    assert got["a"].n_before == 2  # NULL key never counted
