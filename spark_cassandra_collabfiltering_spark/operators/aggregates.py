@@ -641,3 +641,49 @@ def gini_concentration(
             ).cast("bigint").alias("gini_e6"),
         )
     )
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/partition-key SKEW diagnostic — the pre-flight check that
+    decides whether a planned shuffle needs salting
+    (operators/joins_ext.salted_join) or AQE skew splitting before it
+    runs at corpus scale: the heaviest keys, each with its share of
+    all rows and its multiple of the mean key load.
+
+    Plan shape: one map-side-combinable count per key (the only
+    full-data exchange, carrying (key, partial-count) pairs — never
+    payload), then the three corpus scalars (total rows, distinct
+    keys, max load) reduce from the per-key table and BROADCAST onto
+    a top-n TakeOrdered of the same table. Output is bounded at
+    ``top_n`` rows however large the input.
+
+    Columns: rank, key, cnt, share_e6 (cnt/total), hot_e6 (cnt as a
+    multiple of the floored mean key load total div n_keys — 1e6
+    means a perfectly uniform key; the AQE skew-join trigger is ~5e6).
+    Exact integer arithmetic throughout, with every product bounded by
+    total*1e6 so nothing overflows before a 9-trillion-row input —
+    hash-stable cross-engine."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    scalars = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.join(F.broadcast(scalars))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000) div total").alias("share_e6"),
+            F.expr("(cnt * 1000000) div (total div n_keys)").alias("hot_e6"),
+        )
+    )

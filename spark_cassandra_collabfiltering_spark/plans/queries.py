@@ -5540,3 +5540,34 @@ def q_curation_temperature_mix(spark, sf_dir):
     return cu.temperature_mix_sample(
         t(spark, sf_dir, "documents"), budget=200, domain_col="lang"
     )
+
+
+# ===========================================================================
+# Key-skew profile — the salting/AQE pre-flight diagnostic (r5-cont3)
+# ===========================================================================
+
+@register(
+    "stats_skew_profile",
+    """WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS cnt
+                  FROM events GROUP BY user_id),
+        s AS (SELECT sum(cnt)::BIGINT AS total,
+                     count(*)::BIGINT AS n_keys FROM c),
+        top AS (SELECT key, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, key) AS rank
+                FROM c)
+       SELECT rank, key, cnt,
+              (cnt * 1000000) // s.total AS share_e6,
+              (cnt * 1000000) // (s.total // s.n_keys) AS hot_e6
+       FROM top, s WHERE rank <= 10""",
+    "Join-key SKEW profile over events.user_id — the pre-flight "
+    "diagnostic that decides whether a planned shuffle needs salting "
+    "(j7_salted_skew_join) or AQE skew splitting: top-10 heaviest "
+    "keys with share-of-rows and multiple-of-mean-load (hot_e6; 1e6 = "
+    "uniform, ~5e6 = AQE skew trigger). One map-side-combinable "
+    "count per key is the only full-data exchange (key + partial "
+    "count, never payload); the three corpus scalars broadcast onto "
+    "a bounded TakeOrdered top-n. Exact integers, overflow-bounded "
+    "to 9e12-row inputs.",
+)
+def q_stats_skew_profile(spark, sf_dir):
+    return agg.skew_profile(t(spark, sf_dir, "events"), "user_id", top_n=10)

@@ -114,3 +114,41 @@ def test_salted_join_handles_hot_aggregation_shape(spark):
         .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
     )
     assert {(r["key"], r["n"], r["s"]) for r in two_phase.collect()} == direct
+
+
+# --- skew_profile diagnostic ------------------------------------------------
+
+
+def test_skew_profile_flags_hot_key(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    rows = [(i, "hot") for i in range(900)] + [
+        (1000 + i, f"k{i % 10}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "row_id bigint, key string")
+    got = {r.rank: r for r in agg.skew_profile(df, "key", top_n=3).collect()}
+    assert len(got) == 3
+    assert got[1].key == "hot" and got[1].cnt == 900
+    assert got[1].share_e6 == 900000  # 90% of rows
+    # 11 keys, mean load floor(1000/11) = 90 -> hot = 10.0x mean
+    assert got[1].hot_e6 == 10000000
+    assert got[2].cnt == 10  # the uniform tail
+
+
+def test_skew_profile_uniform_keys_near_1e6(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+    df = spark.range(1000).selectExpr("id", "id % 10 as key")
+    got = agg.skew_profile(df, "key", top_n=10).collect()
+    assert len(got) == 10
+    assert all(r.hot_e6 == 1000000 and r.cnt == 100 for r in got)
+    # deterministic tiebreak: equal counts rank by key ascending
+    assert [r.key for r in sorted(got, key=lambda r: r.rank)] == list(range(10))
+
+
+def test_skew_profile_bounded_output(spark):
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    df = spark.range(500).selectExpr("id", "id as key")  # all-distinct keys
+    out = agg.skew_profile(df, "key", top_n=7)
+    rows = out.collect()
+    assert len(rows) == 7 and all(r.cnt == 1 for r in rows)
