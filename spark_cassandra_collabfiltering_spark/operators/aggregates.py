@@ -687,3 +687,53 @@ def skew_profile(
             F.expr("(cnt * 1000000) div (total div n_keys)").alias("hot_e6"),
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Table PROFILE — the data-quality dashboard row per column:
+    null count, exact distinct count, and min/max rendered to a
+    uniform string column. The first thing a pipeline runs against a
+    new 100 TB delivery: nullability drift, cardinality explosions,
+    and out-of-range values all show up here before any query does.
+
+    One aggregation pass over the table computes every column's
+    stats (Spark expands the multi-distinct into grouped branches —
+    at corpus scale swap the exact NDV for the mergeable portable-HLL
+    sketch in this module, same output shape); the single result row
+    then unpivots via ``stack`` into one row per column, so the
+    output is bounded at |columns| rows.
+
+    Cross-engine determinism: min/max are computed on the NATIVE type
+    (so numeric order, not lexicographic) and only the result is
+    rendered; doubles render through DECIMAL(30,6) because Java and
+    C++ shortest-double-to-string disagree in the exponent regime,
+    decimal rendering does not."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols = cols or df.columns
+    exprs: list = []
+    for c in cols:
+        exprs.append(F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"))
+        exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls")
+        )
+        exprs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"))
+        if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+            render_min = F.min(F.col(c)).cast("decimal(30,6)").cast("string")
+            render_max = F.max(F.col(c)).cast("decimal(30,6)").cast("string")
+        else:
+            render_min = F.min(F.col(c)).cast("string")
+            render_max = F.max(F.col(c)).cast("string")
+        exprs.append(render_min.alias(f"{c}__min"))
+        exprs.append(render_max.alias(f"{c}__max"))
+    one = df.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nulls`, `{c}__ndv`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n_rows, n_null, n_distinct, min_val, max_val)"
+    )

@@ -5571,3 +5571,61 @@ def q_curation_temperature_mix(spark, sf_dir):
 )
 def q_stats_skew_profile(spark, sf_dir):
     return agg.skew_profile(t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+# ===========================================================================
+# Table profile — per-column data-quality dashboard (r5-cont3)
+# ===========================================================================
+
+@register(
+    "stats_profile_orders",
+    """SELECT * FROM (
+         SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                min(o_orderkey)::VARCHAR AS min_val,
+                max(o_orderkey)::VARCHAR AS max_val
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*)::BIGINT,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT o_custkey)::BIGINT,
+                min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*)::BIGINT,
+                sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT o_orderstatus)::BIGINT,
+                min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*)::BIGINT,
+                sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT o_totalprice)::BIGINT,
+                (min(o_totalprice)::DECIMAL(30,6))::VARCHAR,
+                (max(o_totalprice)::DECIMAL(30,6))::VARCHAR
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*)::BIGINT,
+                sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT o_orderdate)::BIGINT,
+                min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*)::BIGINT,
+                sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT o_orderpriority)::BIGINT,
+                min(o_orderpriority), max(o_orderpriority)
+         FROM orders)""",
+    "Per-column table PROFILE of orders — the first query a pipeline "
+    "runs against a new data delivery: null counts, exact distinct "
+    "counts, native-type min/max rendered to strings (doubles via "
+    "DECIMAL(30,6): Java and C++ shortest-double rendering disagree "
+    "in the exponent regime, decimal rendering does not). ONE "
+    "aggregation pass computes all columns' stats, then a stack "
+    "unpivot emits exactly |columns| rows. At corpus scale the exact "
+    "NDV swaps for the mergeable portable-HLL (sketch_hll_distinct) "
+    "with the same output shape.",
+)
+def q_stats_profile_orders(spark, sf_dir):
+    return agg.profile_columns(t(spark, sf_dir, "orders"))
