@@ -1088,3 +1088,55 @@ def bm25_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group SHANNON ENTROPY of the token distribution — the
+    information-density readout of a data recipe slice: a source
+    whose token mass concentrates on few types (low H) is boilerplate
+    or templated; a source near log2(n_types) is diverse. Complements
+    :func:`diversity` (distinct ratios) with the full distributional
+    statistic the ratios flatten.
+
+    H = sum_i (c_i/T) * log2(T/c_i), computed ENTIRELY in fixed-point
+    integers via the bit-length log2 (:func:`_log2lin_e3` — the same
+    deterministic-where-libm-isn't machinery as BM25's idf):
+    H_e3 = (sum_i c_i * (L(T) - L(c_i))) div T. Monotone L keeps every
+    term non-negative; products are bounded by T * 60e3 so nothing
+    overflows below ~1e14 tokens per group.
+
+    Plan: one explode + (group, token) hash-agg (the only full-data
+    exchange, carrying counts), per-group totals reduce from that
+    bounded table and broadcast back, one final per-group agg.
+    Output: (group, n_tokens, n_types, entropy_e3)."""
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("term"),
+    )
+    tc = words.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = tc.groupBy("grp").agg(F.sum("c").cast("bigint").alias("t"))
+    j = tc.join(F.broadcast(tot), "grp")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("t").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(
+                F.expr(f"c * ({_log2lin_e3('t')} - {_log2lin_e3('c')})")
+            ).alias("_hsum"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            F.expr("_hsum div n_tokens").alias("entropy_e3"),
+        )
+    )

@@ -5629,3 +5629,37 @@ def q_stats_skew_profile(spark, sf_dir):
 )
 def q_stats_profile_orders(spark, sf_dir):
     return agg.profile_columns(t(spark, sf_dir, "orders"))
+
+
+# ===========================================================================
+# Token entropy — per-source information density (r5-cont3)
+# ===========================================================================
+
+@register(
+    "stats_entropy_sources",
+    f"""WITH words AS (SELECT source AS grp,
+                unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+           FROM documents),
+        tc AS (SELECT grp, term, count(*)::BIGINT AS c
+               FROM words GROUP BY grp, term),
+        tot AS (SELECT grp, sum(c)::BIGINT AS t FROM tc GROUP BY grp)
+       SELECT tc.grp AS source,
+              max(tot.t)::BIGINT AS n_tokens,
+              count(*)::BIGINT AS n_types,
+              (sum(tc.c * ({_L2L('tot.t')} - {_L2L('tc.c')}))
+                 // max(tot.t))::BIGINT AS entropy_e3
+       FROM tc JOIN tot USING (grp)
+       GROUP BY tc.grp""",
+    "Per-source Shannon entropy of the token distribution — the "
+    "information-density readout of a data recipe slice (low H = "
+    "templated/boilerplate mass, H near log2(n_types) = diverse). "
+    "Computed ENTIRELY in fixed-point integers via the bit-length "
+    "log2 with in-octave interpolation (the BM25 idf machinery): "
+    "H_e3 = sum(c*(L(T)-L(c))) div T — deterministic where libm ln "
+    "is not, so the statistic hash-matches. One explode + "
+    "(source, token) hash-agg carries the only full-data exchange; "
+    "per-source totals reduce from that bounded table and broadcast "
+    "back.",
+)
+def q_stats_entropy_sources(spark, sf_dir):
+    return tx.token_entropy(t(spark, sf_dir, "documents"), group_col="source")

@@ -151,3 +151,44 @@ def test_bm25_stop_list_cap(spark):
         for r in tx.bm25_topk(df, qs, k=4, max_df_fraction=0.5).collect()
     }
     assert got == {1}
+
+
+# --- token entropy (shares the fixed-point log2 machinery) ------------------
+
+
+def test_token_entropy_uniform_vs_degenerate(spark):
+    # degenerate: one token type -> H = 0; uniform over 4 types -> ~2 bits
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa aa aa aa aa aa", "flat"),
+            (2, "w x y z w x y z", "uni"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {r.source: r for r in tx.token_entropy(df).collect()}
+    assert got["flat"].entropy_e3 == 0
+    assert got["flat"].n_types == 1 and got["flat"].n_tokens == 8
+    assert got["uni"].n_types == 4 and got["uni"].n_tokens == 8
+    # uniform over 4: exactly 2 bits, and log2lin is exact at powers of 2
+    assert got["uni"].entropy_e3 == 2000
+
+
+def test_token_entropy_matches_fixed_point_replica(spark):
+    texts = {
+        "a": ["the cat sat on the mat", "the dog sat"],
+        "b": ["one two three four five six seven"],
+    }
+    rows = [
+        (i, t, s) for s, ts in texts.items() for i, t in enumerate(ts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.source: r.entropy_e3 for r in tx.token_entropy(df).collect()}
+
+    import re
+    from collections import Counter
+
+    for s, ts in texts.items():
+        c = Counter(w for t in ts for w in re.findall(r"[A-Za-z0-9]+", t.lower()))
+        tt = sum(c.values())
+        want = sum(v * (_log2lin_e3_py(tt) - _log2lin_e3_py(v)) for v in c.values()) // tt
+        assert got[s] == want
