@@ -737,3 +737,112 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) as "
         "(column, n_rows, n_null, n_distinct, min_val, max_val)"
     )
+
+
+# Poisson(1) CDF thresholds in 2^60 fixed point: a 60-bit uniform draw
+# u maps to weight w = #{k : threshold_k <= u} (i.e. the inverse CDF),
+# capped at 9. Exact integers computed once from the e^-1 series at
+# 60-digit precision — both engines compare against the SAME constants,
+# so the sampled weights are bit-identical cross-engine.
+_POISSON1_T60 = [
+    424136118829305329, 848272237658610659, 1060340297073263324,
+    1131029650211480879, 1148701988496035267, 1152236456152946145,
+    1152825534095764625, 1152909688087595836, 1152920207336574738,
+]
+
+
+def _poisson1_weight_sql(draw_expr: str) -> str:
+    """SQL (valid on both engines) for the Poisson(1) inverse CDF of a
+    60-bit draw expression."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {draw_expr} >= {t} THEN 1 ELSE 0 END)"
+        for t in _POISSON1_T60
+    ) + ")"
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_replicates: int = 50,
+) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for a per-group mean — the
+    distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): resampling-with-
+    replacement is impossible to coordinate across a cluster, but each
+    row's multiplicity in replicate b converges to Poisson(1), which
+    needs only the ROW — here a deterministic md5 draw of (key, b)
+    through an exact fixed-point inverse CDF (:data:`_POISSON1_T60`),
+    so every replicate is reproducible across runs, engines, retries,
+    and partitionings (a seeded ``rand()`` is none of those).
+
+    Plan: the replicate index explodes INSIDE the scan (B rows per
+    input row feeding a map-side-combinable agg), so the only
+    exchange carries (group, b) partial sums — G x B rows, however
+    large the input. Replicate means are exact e6 floor-div integers;
+    the CI is the percentile-bootstrap order statistic of the B means
+    (rank ceil(0.025 B) and B+1-that) over the tiny (G x B) table.
+
+    Output per group: (group, n, mean_e6 point estimate,
+    ci_lo_e6, ci_hi_e6, n_replicates)."""
+    from pyspark.sql import Window
+
+    b = int(n_replicates)
+    draw = (
+        "cast(conv(substring(md5(cast(concat(cast(_k as string), ':', "
+        "cast(_b as string)) as binary)), 1, 15), 16, 10) as bigint)"
+    )
+    w_expr = _poisson1_weight_sql(draw)
+    rep = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("_x"),
+            F.col(key_col).alias("_k"),
+        )
+        .filter(F.col("_k").isNotNull())
+        .select("*", F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_b"))
+        .withColumn("_w", F.expr(w_expr))
+    )
+    means = (
+        rep.groupBy("grp", "_b")
+        .agg(
+            F.sum(F.expr("_w * _x")).cast("bigint").alias("_swx"),
+            F.sum("_w").cast("bigint").alias("_sw"),
+        )
+        .withColumn(
+            "_mean_e6",
+            F.expr("CASE WHEN _sw = 0 THEN NULL ELSE (_swx * 1000000) div _sw END"),
+        )
+    )
+    rk = Window.partitionBy("grp").orderBy(F.col("_mean_e6").asc_nulls_first())
+    lo_rank = -(-25 * b // 1000)  # ceil(0.025 * B)
+    ci = (
+        means.withColumn("_rk", F.row_number().over(rk))
+        .groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("_rk") == lo_rank, F.col("_mean_e6"))).alias(
+                "ci_lo_e6"
+            ),
+            F.max(
+                F.when(F.col("_rk") == b + 1 - lo_rank, F.col("_mean_e6"))
+            ).alias("ci_hi_e6"),
+        )
+    )
+    point = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"(sum(cast({value_col} as bigint)) * 1000000) div count(1)").alias(
+            "mean_e6"
+        ),
+    )
+    return (
+        point.join(ci, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "mean_e6",
+            "ci_lo_e6",
+            "ci_hi_e6",
+            F.lit(b).alias("n_replicates"),
+        )
+    )

@@ -5663,3 +5663,58 @@ def q_stats_profile_orders(spark, sf_dir):
 )
 def q_stats_entropy_sources(spark, sf_dir):
     return tx.token_entropy(t(spark, sf_dir, "documents"), group_col="source")
+
+
+# ===========================================================================
+# Poisson bootstrap CI — distributed uncertainty for group means
+# (r5-cont3; Chamandy et al. 2012)
+# ===========================================================================
+
+@register(
+    "stats_bootstrap_ci",
+    """WITH base AS (SELECT source AS grp, n_chars::BIGINT AS x, doc_id AS k
+                  FROM documents WHERE doc_id IS NOT NULL),
+        d AS (SELECT grp, x, k, b,
+                     ('0x' || substr(md5(k::VARCHAR || ':' || b::VARCHAR), 1, 15))::BIGINT
+                         AS draw
+              FROM base, unnest(generate_series(1, 50)) AS t(b)),
+        rep AS (SELECT grp, b,
+                       sum(((CASE WHEN d.draw >= 424136118829305329 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 848272237658610659 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1060340297073263324 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1131029650211480879 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1148701988496035267 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152236456152946145 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152825534095764625 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152909688087595836 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152920207336574738 THEN 1 ELSE 0 END)) * x)::BIGINT AS swx,
+                       sum(((CASE WHEN d.draw >= 424136118829305329 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 848272237658610659 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1060340297073263324 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1131029650211480879 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1148701988496035267 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152236456152946145 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152825534095764625 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152909688087595836 THEN 1 ELSE 0 END) + (CASE WHEN d.draw >= 1152920207336574738 THEN 1 ELSE 0 END)))::BIGINT AS sw
+                FROM d GROUP BY grp, b),
+        m AS (SELECT grp, b,
+                     (CASE WHEN sw = 0 THEN NULL
+                          ELSE (swx * 1000000) // sw END)::BIGINT AS mean_e6
+              FROM rep),
+        r AS (SELECT grp, mean_e6,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY mean_e6 ASC NULLS FIRST) AS rk
+              FROM m),
+        ci AS (SELECT grp,
+                      max(CASE WHEN rk = 2 THEN mean_e6 END)::BIGINT AS ci_lo_e6,
+                      max(CASE WHEN rk = 49 THEN mean_e6 END)::BIGINT AS ci_hi_e6
+               FROM r GROUP BY grp),
+        pt AS (SELECT source AS grp, count(*)::BIGINT AS n,
+                      ((sum(n_chars::BIGINT) * 1000000) // count(*))::BIGINT AS mean_e6
+               FROM documents GROUP BY source)
+       SELECT pt.grp AS source, pt.n, pt.mean_e6,
+              ci.ci_lo_e6, ci.ci_hi_e6, 50::INT AS n_replicates
+       FROM pt JOIN ci USING (grp)""",
+    "POISSON BOOTSTRAP 95%-ish CI for the per-source mean doc length "
+    "— the distributed bootstrap: each row's multiplicity in "
+    "replicate b is Poisson(1), drawn DETERMINISTICALLY by pushing an "
+    "md5(key:b) 60-bit draw through an exact fixed-point inverse CDF "
+    "(the same 2^60-scaled thresholds compiled into both engines), so "
+    "every replicate is reproducible across runs/engines/retries "
+    "where a seeded rand() is not. The replicate index explodes "
+    "INSIDE the scan feeding a map-side-combinable agg — the only "
+    "exchange carries (group, b) partial sums, G x B rows however "
+    "large the input. Replicate means in exact e6 integers; CI = "
+    "percentile-bootstrap order stats (ranks 2 and 49 of B=50) over "
+    "the tiny G x B table.",
+)
+def q_stats_bootstrap_ci(spark, sf_dir):
+    return agg.bootstrap_mean_ci(
+        t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id",
+        n_replicates=50,
+    )
