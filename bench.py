@@ -35,7 +35,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # series the same way (totals widen BY CONSTRUCTION again; the
 # legacy-11/13 subtotals stay the round-over-round comparables):
 # URL canonicalization (scan-local web dedup) and degree-oriented
-# triangle counting (graph clustering structure).
+# triangle counting (graph clustering structure). r5-cont3 adds BM25
+# (the lexical-retrieval arm's posting-list join — the hybrid-search
+# workhorse) the same way.
 HEADLINE = [
     "g1_pricing_summary",
     "j6_multiway_revenue",
@@ -52,6 +54,7 @@ HEADLINE = [
     "cf_als_pipeline",
     "curation_url_canonical",
     "graph_triangles",
+    "lex_bm25_topk",
 ]
 
 

@@ -84,8 +84,12 @@ _DRIVER_ORDER = [
     # locally via sub3_not_exists_anti) — freeing the slot for
     # curation_url_canonical, the web-pipeline URL dedup no resident
     # covered.
-    "j1_join_composite", "j2_broadcast_dim",
-    "j6_multiway_revenue", "j7_salted_skew_join",
+    # r5-cont3: j6_multiway_revenue to a local-checked slot (join
+    # family keeps j1/j2/j7/j8 + sub1 + cdc_upsert — composite,
+    # broadcast, salted, and as-of shapes all still resident); slot
+    # freed for lex_bm25_topk, the lexical-retrieval family's first
+    # driver resident.
+    "j1_join_composite", "j2_broadcast_dim", "j7_salted_skew_join",
     "j8_asof_click_attribution",
     # correlated subqueries (TPC-H Q4 shape; decorrelated to a semi join)
     "sub1_exists_semi",
@@ -118,14 +122,23 @@ _DRIVER_ORDER = [
     # (recall vs exact-Jaccard truth, computed in-query) a
     # hash-matched row beside the shape rows — the near-dup family's
     # ann_recall_matrix.
+    # r5-cont3: dedup_simhash to a local-checked slot (bit-vote band
+    # arithmetic stays locally exact; the family keeps exact, minhash,
+    # clusters, incremental, span, and recall residents) — slot freed
+    # for stats_bootstrap_ci, the stats family's first driver resident
+    # (ks/chi2/mad/gini/skew/profile/entropy stay local-exact).
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_clusters", "dedup_incremental",
+    "dedup_clusters", "dedup_incremental",
     "text_span_dedup", "dedup_recall_matrix",
     # similarity / ANN family. r5: ann_recall_matrix makes shortlist
     # QUALITY (recall@5 vs exact, computed in-query) a hash-matched row
     # beside the shape rows.
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_pq_topk",
     "ann_recall_matrix", "dedup_embedding_cosine",
+    # lexical retrieval + distributed-stats families (r5-cont3: first
+    # driver residents — BM25 with the fixed-point log2 idf, and the
+    # deterministic Poisson-bootstrap CI)
+    "lex_bm25_topk", "stats_bootstrap_ci",
     # text-analysis family (r5-cont: text_repetition to a local-checked
     # slot — lang_id/quality/winnowing keep the family's scan-local,
     # rubric, and fingerprinting shapes; text_vocab_build joins with

@@ -75,6 +75,11 @@ PLAN_QUERIES = [
     "text_oov_rate", "graph_triangles", "curation_url_canonical",
     "stats_mad_outliers", "stats_ks_drift", "ann_rrf_fusion",
     "lex_tfidf_topk", "stats_gini_sources",
+    # r5-continuation third batch
+    "lex_bm25_topk", "curation_contamination_semantic",
+    "curation_temperature_mix", "stats_skew_profile",
+    "stats_profile_orders", "stats_entropy_sources",
+    "stats_bootstrap_ci",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -100,6 +105,13 @@ BNLJ_ALLOWED = {
     # chi-square N join, and negative sampling's item-count join
     "graph_pagerank", "graph_ppr_seeded", "stats_chi2_lang_source",
     "cf_negative_sample",
+    # r5-cont3 bounded-broadcast joins: bm25's one-row corpus stats
+    # (N, avgdl) onto the term table; the semantic-contamination
+    # bounded eval batch onto the corpus scan; temperature mix's
+    # one-row sum-of-weights onto the per-domain table; the skew
+    # profile's one-row scalars onto the top-n
+    "lex_bm25_topk", "curation_contamination_semantic",
+    "curation_temperature_mix", "stats_skew_profile",
 }
 
 
@@ -474,3 +486,33 @@ def test_pagerank_shuffles_only_on_node_keys(plans):
         keys = [k.strip().split("#")[0] for k in spec.split(",")[:-1]]
         assert set(keys) <= {"src", "dst", "node", "p", "s"}, spec
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_posting_join_is_broadcast(plans):
+    """BM25's idf table and query postings ride broadcasts; the only
+    sort-merge-grade joins key on doc_id/term hash joins — the query
+    batch must never shuffle the corpus postings onto itself."""
+    p = plans["lex_bm25_topk"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bootstrap_explodes_inside_scan_before_agg(plans):
+    """The Poisson-bootstrap replicate fan-out (Generate/explode) must
+    sit BELOW the partial aggregate — the exchange carries (group, b)
+    partials, never the B-times-expanded rows."""
+    p = plans["stats_bootstrap_ci"]
+    assert _op_count(p, "Generate") == 1
+    gen = p.index("Generate")
+    # a HashAggregate appears above the Generate in the formatted tree
+    # (formatted output lists operators leaf-last, so partial-agg nodes
+    # that consume the explode print BEFORE it)
+    assert "HashAggregate" in p[:gen]
+
+
+def test_profile_single_pass_stack(plans):
+    """The table profile is ONE aggregation pass (multi-distinct via
+    Expand) + a stack projection — not one scan per column."""
+    p = plans["stats_profile_orders"]
+    assert _op_count(p, "Scan parquet") == 1
+    assert "Expand" in p
