@@ -1140,3 +1140,54 @@ def token_entropy(
             F.expr("_hsum div n_tokens").alias("entropy_e3"),
         )
     )
+
+
+# Classic UTF-8-read-as-Latin-1 damage markers: 'Ã'+continuation and
+# the 'â€¦'-family punctuation wrecks. Literal characters, so the same
+# pattern text parses identically in Java regex (Spark) and RE2
+# (DuckDB oracle).
+_MOJIBAKE_RE = "(Ã.|â€.)"
+_REPLACEMENT_RE = "�"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def encoding_quality(
+    df: DataFrame, text_col: str = "text", bad_ppm: int = 1000
+) -> DataFrame:
+    """Per-document ENCODING-DAMAGE screen — the cheap first gate of a
+    web-scale text pipeline (CCNet/RefinedWeb drop or re-decode these
+    before any model ever scores them): counts of U+FFFD replacement
+    characters (a decoder already gave up), stray C0 control bytes
+    (binary contamination), and classic UTF-8-as-Latin-1 mojibake
+    digraphs ('Ã©', 'â€™', ...). All three are scan-local JVM regexp
+    counts — zero shuffles, whole-stage-codegen'd — and exact
+    integers. ``enc_bad`` flags any replacement/control hit or a
+    mojibake density above ``bad_ppm`` parts per million of chars
+    (legitimate Portuguese 'Ã ' exists; density separates damage from
+    language)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    counts = {
+        "n_replacement": F.size(
+            F.regexp_extract_all(c, F.lit(_REPLACEMENT_RE), 0)
+        ),
+        "n_control": F.size(F.regexp_extract_all(c, F.lit(_CTRL_RE), 0)),
+        "n_mojibake": F.size(F.regexp_extract_all(c, F.lit(_MOJIBAKE_RE), 0)),
+    }
+    out = df.withColumns(counts)
+    # integer floor division (Spark `div` == DuckDB `//` on positives)
+    # — a float divide + cast would truncate on one engine and round
+    # on the other
+    moji_ppm = F.when(
+        n_chars > 0,
+        F.expr(
+            f"(cast(n_mojibake as bigint) * 1000000)"
+            f" div cast(length({text_col}) as bigint)"
+        ),
+    ).otherwise(F.lit(0))
+    return out.withColumn(
+        "enc_bad",
+        (F.col("n_replacement") > 0)
+        | (F.col("n_control") > 0)
+        | (moji_ppm >= bad_ppm),
+    )

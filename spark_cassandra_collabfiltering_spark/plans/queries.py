@@ -5731,3 +5731,51 @@ def q_stats_bootstrap_ci(spark, sf_dir):
         t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id",
         n_replicates=50,
     )
+
+
+# ===========================================================================
+# Encoding-damage screen — replacement/control/mojibake gate (r5-cont3)
+# ===========================================================================
+
+@register(
+    "text_encoding_quality",
+    r"""WITH f AS (SELECT source,
+                length(text) AS n_chars,
+                length(regexp_extract_all(text, '�', 0)) AS n_replacement,
+                length(regexp_extract_all(text,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f]', 0)) AS n_control,
+                length(regexp_extract_all(text, '(Ã.|â€.)', 0)) AS n_mojibake
+           FROM documents)
+       SELECT source,
+              count(*)::BIGINT AS n_docs,
+              sum(n_replacement)::BIGINT AS n_replacement,
+              sum(n_control)::BIGINT AS n_control,
+              sum(n_mojibake)::BIGINT AS n_mojibake,
+              sum(CASE WHEN n_replacement > 0 OR n_control > 0
+                        OR (CASE WHEN n_chars > 0
+                                 THEN (n_mojibake::BIGINT * 1000000)
+                                      // n_chars::BIGINT
+                                 ELSE 0 END) >= 1000
+                       THEN 1 ELSE 0 END)::BIGINT AS n_bad
+       FROM f GROUP BY source""",
+    "Per-source ENCODING-DAMAGE rollup — the cheapest gate of a "
+    "web-scale pipeline, run before anything scores the text: U+FFFD "
+    "replacement chars (a decoder already gave up), stray C0 control "
+    "bytes (binary contamination), and UTF-8-as-Latin-1 mojibake "
+    "digraphs, counted by scan-local JVM regexps (literal-char "
+    "patterns parse identically in Java regex and RE2). Zero "
+    "shuffles until the per-source hash-agg; exact integers. The "
+    "density threshold (>= 1000 ppm) separates damage from "
+    "legitimate accented text.",
+)
+def q_text_encoding_quality(spark, sf_dir):
+    flagged = tx.encoding_quality(t(spark, sf_dir, "documents"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_replacement").cast("bigint").alias("n_replacement"),
+        F.sum("n_control").cast("bigint").alias("n_control"),
+        F.sum("n_mojibake").cast("bigint").alias("n_mojibake"),
+        F.sum(F.when(F.col("enc_bad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad"),
+    )

@@ -43,3 +43,58 @@ def test_profile_columns_subset_and_all_null(spark):
     r = got[0]
     assert r.n_null == 2 and r.n_distinct == 0
     assert r.min_val is None and r.max_val is None
+
+
+# --- encoding-damage screen -------------------------------------------------
+
+
+def test_encoding_quality_flags_each_damage_class(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "perfectly clean ascii text"),
+            (2, "decoder gave up � here"),
+            (3, "binary\x01noise\x1f"),
+            (4, "tabs\tand\nnewlines are fine"),
+            (5, "cafÃ© naÃ¯ve " * 3),     # dense mojibake
+            (6, "voilÃ " + " clean filler" * 200),  # sparse: < 1000 ppm
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in tx.encoding_quality(df).collect()}
+    assert not got[1].enc_bad
+    assert got[2].n_replacement == 1 and got[2].enc_bad
+    assert got[3].n_control == 2 and got[3].enc_bad
+    assert not got[4].enc_bad  # \t \n \r excluded from the control class
+    assert got[5].n_mojibake == 6 and got[5].enc_bad
+    assert got[6].n_mojibake == 1 and not got[6].enc_bad  # density gate
+
+
+def test_encoding_quality_oracle_regex_parity(spark):
+    """The literal-char patterns must count identically in Java regex
+    (operator) and RE2 (DuckDB oracle) over planted damage."""
+    import duckdb
+
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    rows = [
+        (1, "a�b�"),
+        (2, "x\x00y\x07z\x0b"),
+        (3, "Ã©â€™ mix Ã¼"),
+        (4, "clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_replacement, r.n_control, r.n_mojibake)
+        for r in tx.encoding_quality(df).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.execute(
+            r"""SELECT length(regexp_extract_all(?, '�', 0)),
+                       length(regexp_extract_all(?, '[\x00-\x08\x0b\x0c\x0e-\x1f]', 0)),
+                       length(regexp_extract_all(?, '(Ã.|â€.)', 0))""",
+            [text, text, text],
+        ).fetchone()
+        assert got[doc_id] == tuple(want), (doc_id, got[doc_id], want)
