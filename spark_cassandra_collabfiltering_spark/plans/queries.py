@@ -5779,3 +5779,75 @@ def q_text_encoding_quality(spark, sf_dir):
         .cast("bigint")
         .alias("n_bad"),
     )
+
+
+# ===========================================================================
+# Ranking-metric eval — NDCG@10 / recall@10 of the popularity baseline
+# (r5-cont3)
+# ===========================================================================
+
+from spark_cassandra_collabfiltering_spark.ml import ranking as rk  # noqa: E402
+
+_NDCG_W = rk.ndcg_weights_e6(10)
+_NDCG_CUMW = [sum(_NDCG_W[:j]) for j in range(1, 11)]
+_W_VALUES = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+_CW_VALUES = ", ".join(f"({j + 1}, {c})" for j, c in enumerate(_NDCG_CUMW))
+
+
+@register(
+    "cf_ndcg_popularity",
+    f"""WITH ratings AS (
+            SELECT o_custkey AS u, l_partkey AS item
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2),
+        split AS (SELECT u, item,
+                         ('0x' || substr(md5(u::VARCHAR || ':' || item::VARCHAR),
+                                         1, 15))::BIGINT % 100 AS b
+                  FROM ratings),
+        train AS (SELECT u, item FROM split WHERE b < 80),
+        val AS (SELECT u, item FROM split WHERE b >= 80),
+        pop AS (SELECT item, count(DISTINCT u) AS reach
+                FROM train GROUP BY item),
+        topk AS (SELECT item, row_number() OVER (ORDER BY reach DESC, item)
+                             AS rank
+                 FROM pop ORDER BY reach DESC, item LIMIT 10),
+        wt(rank, w) AS (VALUES {_W_VALUES}),
+        cw(j, c) AS (VALUES {_CW_VALUES}),
+        hits AS (SELECT val.u, wt.w
+                 FROM val JOIN topk USING (item) JOIN wt USING (rank)),
+        per_hit AS (SELECT u, sum(w)::BIGINT AS dcg,
+                           count(*)::BIGINT AS n_hits
+                    FROM hits GROUP BY u),
+        per_user AS (SELECT val.u, count(*)::BIGINT AS m,
+                            coalesce(max(per_hit.dcg), 0) AS dcg,
+                            coalesce(max(per_hit.n_hits), 0) AS n_hits
+                     FROM val LEFT JOIN per_hit ON val.u = per_hit.u
+                     GROUP BY val.u),
+        final AS (SELECT u, m, dcg, n_hits,
+                         (SELECT c FROM cw WHERE j = least(m, 10)) AS idcg
+                  FROM per_user)
+       SELECT count(*)::BIGINT AS n_users,
+              sum(m)::BIGINT AS n_val_pairs,
+              sum(n_hits)::BIGINT AS hits,
+              (sum((dcg * 1000000) // idcg) // count(*))::BIGINT
+                  AS mean_ndcg_e6,
+              (sum((n_hits * 1000000) // m) // count(*))::BIGINT
+                  AS mean_recall_e6
+       FROM final""",
+    "Ranking-metric EVAL HARNESS: NDCG@10 and recall@10 of the "
+    "popularity baseline (distinct-user reach, the floor every "
+    "recommender must beat) over a DETERMINISTIC md5 train/val pair "
+    "split — the offline grading loop of the M1-M3 recommender "
+    "family, exactly oracled where ALS itself cannot be. The NDCG "
+    "position discounts 1/log2(i+1) are fixed-point integers from "
+    "the bit-length log2, precomputed once and shared as literals by "
+    "BOTH engines; per-user ndcg/recall are floor-e6 integers, so "
+    "the whole metric hash-matches. Scale shape: the bounded top-k "
+    "list broadcasts onto validation pairs; the only exchanges are "
+    "per-user hash-aggs.",
+)
+def q_cf_ndcg_popularity(spark, sf_dir):
+    ratings = ratings_df(spark, sf_dir).select("user", "product")
+    train, val = rk.hash_split_pairs(ratings)
+    topk = rk.popularity_topk(train, k=10)
+    return rk.ranking_eval(topk, val, k=10)

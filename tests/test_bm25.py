@@ -192,3 +192,37 @@ def test_token_entropy_matches_fixed_point_replica(spark):
         tt = sum(c.values())
         want = sum(v * (_log2lin_e3_py(tt) - _log2lin_e3_py(v)) for v in c.values()) // tt
         assert got[s] == want
+
+
+def test_hybrid_fusion_with_bm25_arm(spark):
+    """rrf_fuse accepts the BM25 arm exactly like the TF-IDF arm —
+    the 3-arm hybrid (dense + LSH + BM25) stays deterministic."""
+    from pyspark.sql import functions as F
+
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+    from spark_cassandra_collabfiltering_spark.plans.queries import t as t_
+
+    sf = "/root/testdata/sf0.001"
+    emb = t_(spark, sf, "embeddings")
+    docs = t_(spark, sf, "documents")
+    qids = [0, 1, 2]
+    qs = sim.make_queries(emb, qids)
+    dense = sim.cosine_topk_bruteforce(emb, qs, k=5)
+    lsh = sim.cosine_topk_lsh(emb, qs, k=5, bits=8)
+    lex = tx.bm25_topk(
+        docs, docs.filter(F.col("doc_id").isin(qids)), k=5
+    ).withColumnRenamed("doc_id", "vec_id")
+    fused = sim.rrf_fuse([dense, lsh, lex], topk=5)
+    rows = fused.collect()
+    assert {r.query_id for r in rows} == set(qids)
+    for q in qids:
+        ranked = sorted(
+            (r for r in rows if r.query_id == q), key=lambda r: r.fused_rank
+        )
+        assert [r.fused_rank for r in ranked] == [1, 2, 3, 4, 5]
+        assert all(1 <= r.n_arms <= 3 for r in ranked)
+    again = {
+        (r.query_id, r.vec_id, r.fused_rank)
+        for r in sim.rrf_fuse([dense, lsh, lex], topk=5).collect()
+    }
+    assert again == {(r.query_id, r.vec_id, r.fused_rank) for r in rows}
