@@ -94,6 +94,53 @@ def popularity_topk(
     )
 
 
+
+def _metrics_from_hits(vj: DataFrame, hits: DataFrame, k: int) -> DataFrame:
+    """Shared metric core: ``vj`` = (u, item) validation pairs, ``hits``
+    = (u, _w) one row per recommended-and-relevant item carrying its
+    position weight. Produces the one-row exact-integer summary."""
+    w = ndcg_weights_e6(k)
+    cumw = [0]
+    for x in w:
+        cumw.append(cumw[-1] + x)
+    idcg = F.element_at(
+        F.array(*[F.lit(x) for x in cumw[1:]]),
+        F.least(F.col("m"), F.lit(k)).cast("int"),
+    )
+    per_hit = hits.groupBy("u").agg(
+        F.sum("_w").cast("bigint").alias("dcg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+    )
+    per_user = (
+        vj.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .join(per_hit, "u", "left")
+        .select(
+            "m",
+            F.coalesce("dcg", F.lit(0)).alias("dcg"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            idcg.alias("idcg"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("m").cast("bigint").alias("n_val_pairs"),
+        F.sum("n_hits").cast("bigint").alias("hits"),
+        F.expr("sum((dcg * 1000000) div idcg) div count(1)")
+        .cast("bigint")
+        .alias("mean_ndcg_e6"),
+        F.expr("sum((n_hits * 1000000) div m) div count(1)")
+        .cast("bigint")
+        .alias("mean_recall_e6"),
+    )
+
+
+def _wt(k: int):
+    return F.element_at(
+        F.array(*[F.lit(x) for x in ndcg_weights_e6(k)]), F.col("rank")
+    )
+
+
 def ranking_eval(
     topk: DataFrame,
     val: DataFrame,
@@ -116,44 +163,27 @@ def ranking_eval(
     where the means are floor-e6 macro averages over validation users.
     The top-k side broadcasts; the only exchange is the per-user
     hash-agg."""
-    w = ndcg_weights_e6(k)
-    wt = F.element_at(F.array(*[F.lit(x) for x in w]), F.col("rank"))
-    cumw = [0]
-    for x in w:
-        cumw.append(cumw[-1] + x)
-    idcg = F.element_at(
-        F.array(*[F.lit(x) for x in cumw[1:]]),
-        F.least(F.col("m"), F.lit(k)).cast("int"),
-    )
-
     vj = val.select(F.col(user_col).alias("u"), F.col(item_col).alias("item"))
-    hits = vj.join(F.broadcast(topk), "item").select(
-        "u", wt.alias("_w")
-    )
-    per_hit = hits.groupBy("u").agg(
-        F.sum("_w").cast("bigint").alias("dcg"),
-        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-    )
-    per_user = (
-        vj.groupBy("u")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-        .join(per_hit, "u", "left")
-        .select(
-            "u",
-            "m",
-            F.coalesce("dcg", F.lit(0)).alias("dcg"),
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            idcg.alias("idcg"),
-        )
-    )
-    return per_user.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("m").cast("bigint").alias("n_val_pairs"),
-        F.sum("n_hits").cast("bigint").alias("hits"),
-        F.expr("sum((dcg * 1000000) div idcg) div count(1)")
-        .cast("bigint")
-        .alias("mean_ndcg_e6"),
-        F.expr("sum((n_hits * 1000000) div m) div count(1)")
-        .cast("bigint")
-        .alias("mean_recall_e6"),
-    )
+    hits = vj.join(F.broadcast(topk), "item").select("u", _wt(k).alias("_w"))
+    return _metrics_from_hits(vj, hits, k)
+
+
+def ranking_eval_per_user(
+    recs: DataFrame,
+    val: DataFrame,
+    k: int = 10,
+    user_col: str = "user",
+    item_col: str = "product",
+) -> DataFrame:
+    """Same metrics as :func:`ranking_eval`, for PER-USER
+    recommendation lists (user, item, rank) — the shape
+    ``ALSModel.recommendForAllUsers`` produces. The join keys on
+    (user, item), so the recs side shuffles once on user like any
+    fact-fact join; everything else is identical (exact integer
+    weights, floor-e6 macro means)."""
+    vj = val.select(F.col(user_col).alias("u"), F.col(item_col).alias("item"))
+    rj = recs.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("item"), "rank"
+    ).filter(F.col("rank") <= k)
+    hits = vj.join(rj, ["u", "item"]).select("u", _wt(k).alias("_w"))
+    return _metrics_from_hits(vj, hits, k)

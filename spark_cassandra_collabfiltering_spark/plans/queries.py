@@ -5851,3 +5851,51 @@ def q_cf_ndcg_popularity(spark, sf_dir):
     train, val = rk.hash_split_pairs(ratings)
     topk = rk.popularity_topk(train, k=10)
     return rk.ranking_eval(topk, val, k=10)
+
+
+@register(
+    "cf_ndcg_als",
+    None,  # iterative ALS inside — not SQL-expressible (rows-only check)
+    "The M1-M3 recommender graded by the SAME exact-integer harness "
+    "as cf_ndcg_popularity: seeded ALS trained on the deterministic "
+    "md5 train split, recommendForAllUsers(10) per-user lists, "
+    "NDCG@10 / recall@10 via ranking_eval_per_user — fixed-point "
+    "log2 discounts, floor-e6 macro means. The model itself is the "
+    "only non-oracle-able piece (iterative solver), so this is "
+    "rows-only by design; the harness arithmetic is exactly oracled "
+    "through the popularity query, and tests/test_ranking.py pins "
+    "per-user-vs-global harness agreement.",
+)
+def q_cf_ndcg_als(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from spark_cassandra_collabfiltering_spark.ml import collabfilter as cf
+
+    ratings = (
+        ratings_df(spark, sf_dir)
+        .select(
+            (F.col("user") % 500).cast("int").alias("user"),
+            (F.col("product") % 200).cast("int").alias("product"),
+            F.col("rating"),
+        )
+        .groupBy("user", "product")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    train, val = rk.hash_split_pairs(ratings)
+    model = cf.train(train, max_iter=10)
+    recs = (
+        model.recommendForAllUsers(10)
+        .select("user", F.explode("recommendations").alias("r"))
+        .select(
+            "user",
+            F.col("r.product").alias("product"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user").orderBy(
+                    F.col("r.rating").desc(), F.col("r.product").asc()
+                )
+            )
+            .alias("rank"),
+        )
+    )
+    return rk.ranking_eval_per_user(recs, val, k=10)

@@ -80,3 +80,34 @@ def test_hash_split_is_deterministic_partition(spark):
     assert a == b
     n = ratings.count()
     assert t1.count() + v1.count() == n and v1.count() > 0
+
+
+def test_per_user_eval_agrees_with_global_when_lists_identical(spark):
+    """A global list replicated per-user must score identically
+    through both harness entry points."""
+    topk = spark.createDataFrame(
+        [(100, 1), (200, 2), (300, 3)], "item bigint, rank int"
+    )
+    val = spark.createDataFrame(
+        [(1, 100), (1, 300), (2, 200), (3, 900), (3, 901)],
+        "user bigint, product bigint",
+    )
+    users = val.select("user").distinct()
+    recs = users.crossJoin(topk).select(
+        "user", topk.item.alias("product"), "rank"
+    )
+    a = rk.ranking_eval(topk, val, k=3).collect()[0]
+    b = rk.ranking_eval_per_user(recs, val, k=3).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_cf_ndcg_als_runs_and_is_deterministic(spark):
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["cf_ndcg_als"].builder(spark, sf).collect()[0]
+    b = QUERIES["cf_ndcg_als"].builder(spark, sf).collect()[0]
+    assert a.asDict() == b.asDict()  # seeded ALS + md5 split
+    assert a.n_users > 0
+    assert 0 <= a.mean_ndcg_e6 <= 1_000_000
+    assert 0 <= a.mean_recall_e6 <= 1_000_000
