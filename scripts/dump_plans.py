@@ -61,6 +61,16 @@ SHOWN = [
     "graph_triangles",
     "stats_mad_outliers",
     "dedup_recall_matrix",
+    # round 5, third continuation
+    "lex_bm25_topk",
+    "curation_contamination_semantic",
+    "curation_temperature_mix",
+    "stats_skew_profile",
+    "stats_profile_orders",
+    "stats_entropy_sources",
+    "stats_bootstrap_ci",
+    "text_encoding_quality",
+    "cf_ndcg_popularity",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
