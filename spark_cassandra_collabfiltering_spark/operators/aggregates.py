@@ -118,6 +118,95 @@ def count_min_estimates(
     return [(item, sketch.estimateCount(item)) for item in items]
 
 
+def space_saving_summaries(
+    df: DataFrame, col: str, capacity: int = 256
+) -> DataFrame:
+    """Partition-local Misra-Gries SUMMARIES — the mergeable unit under
+    :func:`space_saving_topk` and the streaming merge
+    (:func:`space_saving_merge`): each partition emits <= ``capacity``
+    (value, est, 0) counter rows plus ONE (NULL, 0, err) sentinel
+    carrying its pruning total, so the global error bound is a plain
+    SUM downstream."""
+    import pandas as pd
+
+    out_schema = "value string, est bigint, err bigint"
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            vc = pdf[col].astype(str).value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                err += cut
+                counters = {
+                    v: c - cut for v, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "est": list(counters.values()) + [0],
+                "err": [0] * len(counters) + [err],
+            }
+        )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg, out_schema
+    )
+
+
+def space_saving_merge(summaries: DataFrame, capacity: int = 256) -> DataFrame:
+    """MERGE a union of Misra-Gries summary tables back into ONE
+    canonical summary of <= ``capacity`` counter rows + one error
+    sentinel — the Agarwal et al. mergeable-summaries merge, which is
+    what lets the sketch STREAM: each micro-batch's summaries union
+    into the persisted state and re-prune, keeping state bounded
+    forever while preserving the bound true ∈ [est, est + err].
+
+    Merge = sum per-value ests, then subtract the (capacity+1)-largest
+    merged est (count-desc/value-asc deterministic order) from every
+    counter, dropping non-positive ones and adding the cut to the
+    error total. The input is already a bounded summary table (a few
+    x capacity rows), so the rank window over it is driver-scale by
+    construction."""
+    from pyspark.sql import Window
+
+    vals = (
+        summaries.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("est").cast("bigint").alias("est"))
+    )
+    err = summaries.agg(F.sum("err").cast("bigint").alias("_err"))
+    w = Window.orderBy(F.col("est").desc(), F.col("value").asc())
+    ranked = vals.withColumn("_rk", F.row_number().over(w))
+    cut = ranked.filter(F.col("_rk") == capacity + 1).select(
+        F.col("est").alias("_cut")
+    )
+    kept = (
+        ranked.join(F.broadcast(cut), how="left")
+        .withColumn("_c", F.coalesce(F.col("_cut"), F.lit(0)))
+        .filter(F.col("est") > F.col("_c"))
+        .select(
+            "value",
+            (F.col("est") - F.col("_c")).cast("bigint").alias("est"),
+            F.lit(0).cast("bigint").alias("err"),
+        )
+    )
+    sentinel = (
+        err.join(F.broadcast(cut), how="left")
+        .select(
+            F.lit(None).cast("string").alias("value"),
+            F.lit(0).cast("bigint").alias("est"),
+            (F.col("_err") + F.coalesce(F.col("_cut"), F.lit(0)))
+            .cast("bigint")
+            .alias("err"),
+        )
+    )
+    return kept.unionByName(sentinel)
+
+
 def space_saving_topk(
     df: DataFrame, col: str, k: int = 20, capacity: int = 256
 ) -> DataFrame:
@@ -140,36 +229,7 @@ def space_saving_topk(
     Summaries). capacity >= distinct values ==> est exact, max_err 0.
     Deterministic: counting + pruning are order-free arithmetic.
     """
-    import pandas as pd
-
-    out_schema = "value string, est bigint, err bigint"
-
-    def mg(batches):
-        counters: dict[str, int] = {}
-        err = 0
-        for pdf in batches:
-            vc = pdf[col].astype(str).value_counts()
-            for v, c in vc.items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > capacity:
-                cut = sorted(counters.values(), reverse=True)[capacity]
-                err += cut
-                counters = {
-                    v: c - cut for v, c in counters.items() if c > cut
-                }
-        yield pd.DataFrame(
-            {
-                "value": list(counters) + [None],
-                "est": list(counters.values()) + [0],
-                # ride the partition error on a sentinel row so the
-                # global bound is a plain SUM downstream
-                "err": [0] * len(counters) + [err],
-            }
-        )
-
-    summaries = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        mg, out_schema
-    )
+    summaries = space_saving_summaries(df, col, capacity)
     total_err = summaries.agg(F.sum("err").alias("max_err"))
     return (
         summaries.filter(F.col("value").isNotNull())

@@ -571,3 +571,67 @@ def test_streaming_ks_grid_merge_matches_batch(spark, event_source, batch_events
     assert (got.n_a, got.n_b, got.d_e6, got.at_value) == (
         want.n_a, want.n_b, want.d_e6, want.at_value,
     )
+
+
+def test_streaming_space_saving_merge_bounds_and_exactness(
+    spark, event_source, batch_events, tmp_path
+):
+    """The Misra-Gries summary's merge (space_saving_merge) streamed
+    through foreachBatch: each micro-batch's partition summaries union
+    into the persisted state and re-prune, so state stays bounded at
+    ~capacity rows forever. With capacity >= distinct values the
+    streamed counters equal the exact batch counts with zero error;
+    with a tight capacity the mergeable-summaries bound
+    true ∈ [est, est + err] must hold for every surviving counter."""
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    _, batch = batch_events
+    true_counts = {
+        r.event_type: r.c
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+
+    for capacity, tag in ((64, "roomy"), (2, "tight")):
+        target = str(tmp_path / f"ss_state_{tag}")
+        ckpt = str(tmp_path / f"ss_ckpt_{tag}")
+        stream = ev.read_event_stream(spark, event_source).select("event_type")
+
+        def merge(bdf, epoch_id, target=target, capacity=capacity):
+            summ = agg.space_saving_summaries(bdf, "event_type", capacity)
+            sess = bdf.sparkSession
+            try:
+                prev = sess.read.parquet(target)
+                summ = prev.unionByName(summ)
+            except Exception:
+                pass
+            merged = agg.space_saving_merge(summ, capacity)
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                target
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        state = spark.read.parquet(target)
+        est = {
+            r.value: r.est
+            for r in state.filter(F.col("value").isNotNull()).collect()
+        }
+        err = state.agg(F.sum("err")).collect()[0][0]
+        assert len(est) <= capacity
+        if tag == "roomy":
+            assert est == {k: v for k, v in true_counts.items()}
+            assert err == 0
+        else:
+            assert err > 0
+            for v, e in est.items():
+                assert e <= true_counts[v] <= e + err, (v, e, err)
+            # any value with true count > err must have survived
+            for v, c in true_counts.items():
+                if c > err:
+                    assert v in est, (v, c, err)
