@@ -1002,3 +1002,42 @@ def keep_best_per_cluster(
         F.col(score_col).alias("keep_score"),
         F.col("_n").cast("bigint").alias("n_members"),
     )
+
+
+def pair_source_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source DUPLICATION MATRIX: roll verified near-dup pairs
+    up to (source, source) grain — the provenance readout that tells a
+    data recipe WHICH sources mirror which (syndication, scraping the
+    same upstream, internal copies) so deduplication budgets and
+    source weights can react. Canonical unordered source pairing via
+    least/greatest; diagonal rows are within-source duplication.
+
+    Scale shape: two joins of the (already small) verified-pair table
+    against the doc->source projection — each keyed on a doc id, so
+    the pair table shuffles, never the corpus — then one hash-agg on
+    the bounded source-pair grain. Output: (source_a, source_b,
+    n_pairs, max_jaccard)."""
+    sa = docs.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa")
+    )
+    sb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    return (
+        joined.select(
+            F.least(F.col("_sa"), F.col("_sb")).alias("source_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -5899,3 +5899,38 @@ def q_cf_ndcg_als(spark, sf_dir):
         )
     )
     return rk.ranking_eval_per_user(recs, val, k=10)
+
+
+# ===========================================================================
+# Cross-source duplication matrix — provenance of near-dups (r5-cont3)
+# ===========================================================================
+
+@register(
+    "dedup_source_matrix",
+    f"""WITH pairs AS ({_minhash_oracle_sql(_DOC_SUBSET_SQL, max_band_bucket=64, oversize="star")}),
+        lab AS (SELECT p.id_a, p.id_b, p.jaccard, da.source AS sa, db.source AS sb
+                FROM pairs p
+                JOIN documents da ON da.doc_id = p.id_a
+                JOIN documents db ON db.doc_id = p.id_b)
+       SELECT least(sa, sb) AS source_a,
+              greatest(sa, sb) AS source_b,
+              count(*)::BIGINT AS n_pairs,
+              max(jaccard) AS max_jaccard
+       FROM lab GROUP BY 1, 2""",
+    "Cross-source DUPLICATION MATRIX: the verified minhash near-dup "
+    "pairs (same pipeline + density safeguard as dedup_minhash_lsh, "
+    "oracle nested stage-for-stage) rolled up to (source, source) "
+    "grain with least/greatest canonical ordering — the provenance "
+    "readout of WHICH sources mirror which, feeding dedup budgets "
+    "and source weights. The tiny verified-pair table shuffles "
+    "through two id-keyed joins against the doc->source projection; "
+    "the corpus never re-shuffles.",
+)
+def q_dedup_source_matrix(spark, sf_dir):
+    pairs = dd.minhash_dedup_pairs(
+        _doc_subset(spark, sf_dir), "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+        max_band_bucket=64, oversize="star",
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return dd.pair_source_matrix(pairs, docs)

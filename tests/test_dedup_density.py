@@ -202,3 +202,34 @@ def test_reband_end_to_end_keeps_components(spark):
     }
     assert all(clusters[i] == 0 for i in range(CROWD))
     assert clusters[101] == 100 and clusters[201] == 200
+
+
+# --- cross-source duplication matrix ----------------------------------------
+
+
+def test_pair_source_matrix_canonical_and_counts(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from spark_cassandra_collabfiltering_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9),   # web <-> web (diagonal)
+            (1, 3, 0.8),   # web <-> wiki
+            (3, 1, 0.7),   # wiki <-> web — same unordered source pair
+            (4, 5, 0.5),   # code <-> wiki
+        ],
+        "id_a bigint, id_b bigint, jaccard double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "wiki"), (4, "code"), (5, "wiki")],
+        "doc_id bigint, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_pairs, r.max_jaccard)
+        for r in dd.pair_source_matrix(pairs, docs).collect()
+    }
+    assert got[("web", "web")] == (1, 0.9)
+    assert got[("web", "wiki")] == (2, 0.8)  # both orientations folded
+    assert got[("code", "wiki")] == (1, 0.5)
+    assert len(got) == 3
