@@ -906,3 +906,81 @@ def bootstrap_mean_ci(
             F.lit(b).alias("n_replicates"),
         )
     )
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """POPULATION STABILITY INDEX between two slices of a value
+    distribution — the binned drift score ML monitoring pairs with the
+    KS distance (:func:`ks_statistic`): KS is assumption-free on the
+    raw grid; PSI summarizes per-bin mass shifts and is the industry
+    alerting convention (<0.1 stable / 0.1-0.25 moderate / >0.25
+    shifted — thresholds here in log2 units, factor 1/ln2 ≈ 1.44x the
+    classic ln-based ones).
+
+    PSI_log2 = sum_bins (p_i - q_i) * log2(p_i / q_i), computed
+    ENTIRELY in fixed-point integers: per-bin probabilities are
+    Laplace-smoothed e6 integers p_e6 = ((c + 1) * 1e6) div (n + bins)
+    (smoothing defines empty bins, the classic PSI pitfall), and the
+    log ratio is the difference of bit-length+interpolation log2s
+    (the BM25/entropy machinery) — every term (p-q)*(L(p)-L(q)) >= 0
+    by monotonicity, summed exactly in bigint. Output one row:
+    (n_a, n_b, psi_e9, top_bin, top_contrib_e9) where psi_e9 is in
+    1e-9 log2 units and top_bin is the largest-contribution bin
+    (min-bin tiebreak) — where the drift lives.
+
+    Scale shape: the histogram side of :func:`fixed_width_histogram`
+    twice (map-side-combinable counts, bins rows of state), then all
+    arithmetic on the bounded 2 x bins table."""
+    ha = fixed_width_histogram(a, value_col, [], lo, hi, bins).withColumnRenamed(
+        "cnt", "ca"
+    )
+    hb = fixed_width_histogram(b, value_col, [], lo, hi, bins).withColumnRenamed(
+        "cnt", "cb"
+    )
+    grid = (
+        ha.join(hb, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    l2 = "((length(bin({x})) - 1) * 1000 + (({x} - shiftleft(1L, length(bin({x})) - 1)) * 1000) div shiftleft(1L, length(bin({x})) - 1))"
+    terms = (
+        grid.join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .withColumn("p_e6", F.expr(f"((ca + 1) * 1000000) div (na + {bins})"))
+        .withColumn("q_e6", F.expr(f"((cb + 1) * 1000000) div (nb + {bins})"))
+        .withColumn(
+            "contrib_e9",
+            F.expr(
+                "(p_e6 - q_e6) * ("
+                + l2.format(x="p_e6")
+                + " - "
+                + l2.format(x="q_e6")
+                + ")"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("contrib_e9").desc(), F.col("bin").asc())
+    ranked = terms.withColumn("_rk", F.row_number().over(w))
+    return ranked.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum("contrib_e9").cast("bigint").alias("psi_e9"),
+        F.max(F.when(F.col("_rk") == 1, F.col("bin"))).alias("top_bin"),
+        F.max(F.when(F.col("_rk") == 1, F.col("contrib_e9")))
+        .cast("bigint")
+        .alias("top_contrib_e9"),
+    )

@@ -5934,3 +5934,65 @@ def q_dedup_source_matrix(spark, sf_dir):
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     return dd.pair_source_matrix(pairs, docs)
+
+
+# ===========================================================================
+# PSI drift — binned population-stability index in fixed-point log2
+# (r5-cont3)
+# ===========================================================================
+
+_PSI_L2 = lambda x: (  # noqa: E731 — DuckDB fixed-point log2 (handles the p_e6=0 edge identically to Spark: L(0) = -1000)
+    f"((length(bin({x})) - 1) * 1000"
+    f" + (({x} - (1::BIGINT << (length(bin({x})) - 1))) * 1000)"
+    f" // (1::BIGINT << (length(bin({x})) - 1)))"
+)
+
+
+@register(
+    "stats_psi_drift",
+    f"""WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+        b AS (SELECT value FROM events WHERE event_type = 'view'),
+        ha AS (SELECT least(greatest(floor((value - 0.0) * 20 / 500.0), 0), 19)::INT
+                          AS bin, count(*)::BIGINT AS ca
+               FROM a GROUP BY 1),
+        hb AS (SELECT least(greatest(floor((value - 0.0) * 20 / 500.0), 0), 19)::INT
+                          AS bin, count(*)::BIGINT AS cb
+               FROM b GROUP BY 1),
+        grid AS (SELECT bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                 FROM ha FULL JOIN hb USING (bin)),
+        n AS (SELECT (SELECT count(*) FROM a)::BIGINT AS na,
+                     (SELECT count(*) FROM b)::BIGINT AS nb),
+        terms AS (SELECT bin, na, nb,
+                         ((ca + 1) * 1000000) // (na + 20) AS p_e6,
+                         ((cb + 1) * 1000000) // (nb + 20) AS q_e6
+                  FROM grid, n),
+        c AS (SELECT bin, na, nb,
+                     (p_e6 - q_e6) * ({_PSI_L2('p_e6')} - {_PSI_L2('q_e6')})
+                         AS contrib_e9
+              FROM terms),
+        r AS (SELECT *, row_number() OVER (ORDER BY contrib_e9 DESC, bin)
+                            AS rk
+              FROM c)
+       SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+              sum(contrib_e9)::BIGINT AS psi_e9,
+              max(CASE WHEN rk = 1 THEN bin END)::INT AS top_bin,
+              max(CASE WHEN rk = 1 THEN contrib_e9 END)::BIGINT
+                  AS top_contrib_e9
+       FROM r""",
+    "Population Stability Index between the click and view value "
+    "distributions over a 20-bin fixed-width histogram [0, 500) — the "
+    "binned drift score monitoring pairs with the KS distance "
+    "(stats_ks_drift): KS is assumption-free on the raw grid, PSI is "
+    "the per-bin mass-shift alerting convention. ENTIRELY fixed-point "
+    "integers: Laplace-smoothed e6 bin probabilities (smoothing "
+    "defines empty bins, the classic PSI pitfall) and bit-length+"
+    "interpolation log2 ratios, every term (p-q)(L(p)-L(q)) >= 0 by "
+    "monotonicity — hash-exact, including the L(0) = -1000 edge, "
+    "pinned identical on both engines. State is the mergeable "
+    "histogram: bins rows per side, map-side combinable.",
+)
+def q_stats_psi_drift(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("value")
+    b = ev.filter(F.col("event_type") == "view").select("value")
+    return agg.psi_drift(a, b, "value", lo=0.0, hi=500.0, bins=20)

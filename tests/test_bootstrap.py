@@ -77,3 +77,52 @@ def test_poisson_weights_average_near_one():
     n = 20_000
     tot = sum(_w(k, 1) for k in range(n))
     assert abs(tot / n - 1.0) < 0.03  # Poisson(1) mean, deterministic draws
+
+
+# --- PSI drift --------------------------------------------------------------
+
+
+def _psi_replica(ca, cb, na, nb, bins):
+    def L(x):
+        if x == 0:
+            return -1000
+        e = x.bit_length() - 1
+        return e * 1000 + ((x - (1 << e)) * 1000) // (1 << e)
+
+    s = 0
+    contribs = {}
+    for b in set(ca) | set(cb):
+        p = ((ca.get(b, 0) + 1) * 1000000) // (na + bins)
+        q = ((cb.get(b, 0) + 1) * 1000000) // (nb + bins)
+        c = (p - q) * (L(p) - L(q))
+        contribs[b] = c
+        s += c
+    return s, contribs
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    a = spark.range(1000).selectExpr("cast(id % 100 as double) as v")
+    got = agg.psi_drift(a, a, "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    assert got.psi_e9 == 0
+    assert got.n_a == got.n_b == 1000
+
+
+def test_psi_detects_shift_and_matches_replica(spark):
+    # a: uniform over [0, 50); b: uniform over [50, 100) -> strong shift
+    a = spark.range(500).selectExpr("cast(id % 50 as double) as v")
+    b = spark.range(400).selectExpr("cast(50 + id % 50 as double) as v")
+    got = agg.psi_drift(a, b, "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    assert got.psi_e9 > 0
+
+    ca = {i: 100 for i in range(5)}   # 500 rows in bins 0-4
+    cb = {i: 80 for i in range(5, 10)}
+    want, contribs = _psi_replica(ca, cb, 500, 400, 10)
+    assert got.psi_e9 == want
+    best = min(
+        (b for b in contribs if contribs[b] == max(contribs.values()))
+    )
+    assert got.top_bin == best and got.top_contrib_e9 == max(contribs.values())
+    # a mild shift scores far lower than the disjoint shift
+    c = spark.range(500).selectExpr("cast((id % 50) + 5 as double) as v")
+    mild = agg.psi_drift(a, c, "v", lo=0.0, hi=100.0, bins=10).collect()[0]
+    assert 0 < mild.psi_e9 < got.psi_e9
