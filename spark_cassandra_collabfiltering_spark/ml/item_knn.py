@@ -1,0 +1,139 @@
+"""Item-item k-NN collaborative filtering from co-occurrence — the
+classic "users who interacted with this also interacted with..."
+recommender (Sarwar et al. 2001, item-based CF; Amazon's item-to-item
+shape), built so that EVERY stage is deterministic integer arithmetic:
+unlike the ALS solver (M1-M3, rows-only by nature), this recommender
+is exactly DuckDB-oracle-able end to end, which makes its NDCG a
+hash-matched driver row.
+
+Similarity: binary-vector cosine sim(a,b) = |U_a ∩ U_b| /
+sqrt(|U_a|·|U_b|), carried as sim_e6 = (c_ab * 1e6) div
+isqrt(n_a·n_b) — IEEE sqrt is correctly rounded, so floor(sqrt(·)) on
+a bigint product is bit-deterministic cross-engine (the
+temperature-mix isqrt argument).
+
+Scale shape, stage by stage:
+
+- the per-user item list is CAPPED at ``max_user_items`` by a
+  deterministic md5 draw (rank-and-filter) BEFORE the wedge join —
+  the hot-user safeguard: one crawler account with 1M interactions
+  would otherwise contribute 5·10^11 wedges (the LSH hot-bucket cap
+  argument applied to co-occurrence);
+- the wedge join keys on user and aggregates immediately to
+  (item_a, item_b) counts — partial aggregation collapses wedges
+  map-side;
+- neighbor lists are a per-item top-k window (bounded fan-out per
+  item from there on);
+- recommendation scoring joins the user's capped items to the
+  bounded neighbor lists, one (user, candidate) hash-agg, an
+  anti-join removes already-seen items, and a per-user top-k window
+  ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.operators.relational import md5_draw60
+
+
+def cap_user_items(
+    pairs: DataFrame,
+    max_user_items: int = 100,
+    user_col: str = "user",
+    item_col: str = "product",
+) -> DataFrame:
+    """Deterministically keep at most ``max_user_items`` interactions
+    per user (md5-draw rank, item tiebreak) — the hot-user cap that
+    bounds the wedge join. Output: distinct (user, item)."""
+    t = pairs.select(F.col(user_col).alias("u"), F.col(item_col).alias("i")).distinct()
+    w = Window.partitionBy("u").orderBy(
+        md5_draw60(
+            F.concat(F.col("u").cast("string"), F.lit(":"), F.col("i").cast("string"))
+        ).asc(),
+        F.col("i").asc(),
+    )
+    return (
+        t.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_user_items)
+        .select("u", "i")
+    )
+
+
+def item_similarity(capped: DataFrame) -> DataFrame:
+    """Co-occurrence cosine over the capped (u, i) pairs. Output one
+    row per unordered item pair with c_ab >= 1:
+    (item_a < item_b, c, sim_e6)."""
+    a = capped.select("u", F.col("i").alias("ia"))
+    b = capped.select("u", F.col("i").alias("ib"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = capped.groupBy(F.col("i")).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        co.join(n.select(F.col("i").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(n.select(F.col("i").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            "c",
+            F.expr(
+                "(c * 1000000) div cast(floor(sqrt(cast(na * nb as double))) as bigint)"
+            ).alias("sim_e6"),
+        )
+    )
+
+
+def item_neighbors(sim: DataFrame, k: int = 10) -> DataFrame:
+    """Symmetrize the unordered pairs and keep each item's top-k
+    neighbors (sim desc, neighbor asc tiebreak). Output:
+    (item, neighbor, sim_e6, nrank <= k)."""
+    sym = sim.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "sim_e6"
+    ).unionByName(
+        sim.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "sim_e6"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor").asc()
+    )
+    return sym.withColumn("nrank", F.row_number().over(w)).filter(
+        F.col("nrank") <= k
+    )
+
+
+def recommend(
+    capped: DataFrame,
+    neighbors: DataFrame,
+    k: int = 10,
+    user_col: str = "user",
+    item_col: str = "product",
+) -> DataFrame:
+    """Score candidates for every user: sum of sim_e6 from each of the
+    user's items to the candidate, already-seen items removed
+    (anti-join), per-user top-k by (score desc, item asc). Output:
+    (user, product, rank <= k) — the ranking_eval_per_user shape."""
+    cand = (
+        capped.join(neighbors, capped.i == neighbors.item)
+        .select("u", F.col("neighbor").alias("cand"), "sim_e6")
+        .groupBy("u", "cand")
+        .agg(F.sum("sim_e6").cast("bigint").alias("score"))
+    )
+    fresh = cand.join(
+        capped.select("u", F.col("i").alias("cand")), ["u", "cand"], "left_anti"
+    )
+    w = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("cand").asc())
+    return (
+        fresh.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("u").alias(user_col),
+            F.col("cand").alias(item_col),
+            "rank",
+        )
+    )

@@ -5996,3 +5996,100 @@ def q_stats_psi_drift(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "click").select("value")
     b = ev.filter(F.col("event_type") == "view").select("value")
     return agg.psi_drift(a, b, "value", lo=0.0, hi=500.0, bins=20)
+
+
+# ===========================================================================
+# Item-item kNN recommender, exactly oracled through the NDCG harness
+# (r5-cont3)
+# ===========================================================================
+
+_KNN_DRAW = "('0x' || substr(md5(u::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT"
+
+
+@register(
+    "cf_ndcg_itemknn",
+    f"""WITH ratings AS (
+            SELECT o_custkey AS u, l_partkey AS i
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2),
+        split AS (SELECT u, i, {_KNN_DRAW} % 100 AS b FROM ratings),
+        train AS (SELECT u, i FROM split WHERE b < 80),
+        val AS (SELECT u, i FROM split WHERE b >= 80),
+        capped AS (SELECT u, i FROM (
+            SELECT u, i, row_number() OVER (
+                PARTITION BY u ORDER BY {_KNN_DRAW}, i) AS rk
+            FROM train) WHERE rk <= 100),
+        co AS (SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS c
+               FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+               GROUP BY 1, 2),
+        cnts AS (SELECT i, count(*)::BIGINT AS n FROM capped GROUP BY i),
+        sim AS (SELECT ia, ib,
+                       (c * 1000000) // CAST(floor(sqrt((na * nb)::DOUBLE))
+                                            AS BIGINT) AS sim_e6
+                FROM (SELECT co.ia, co.ib, co.c, ca.n AS na, cb.n AS nb
+                      FROM co JOIN cnts ca ON ca.i = co.ia
+                              JOIN cnts cb ON cb.i = co.ib)),
+        sym AS (SELECT ia AS item, ib AS neighbor, sim_e6 FROM sim
+                UNION ALL
+                SELECT ib, ia, sim_e6 FROM sim),
+        nbr AS (SELECT item, neighbor, sim_e6 FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY item
+                      ORDER BY sim_e6 DESC, neighbor) AS rk
+                  FROM sym) WHERE rk <= 10),
+        cand AS (SELECT capped.u, nbr.neighbor AS cand,
+                        sum(nbr.sim_e6)::BIGINT AS score
+                 FROM capped JOIN nbr ON capped.i = nbr.item
+                 GROUP BY 1, 2),
+        fresh AS (SELECT c.u, c.cand, c.score FROM cand c
+                  ANTI JOIN capped ON c.u = capped.u AND c.cand = capped.i),
+        recs AS (SELECT u, cand AS item, rank FROM (
+                   SELECT u, cand, row_number() OVER (
+                       PARTITION BY u ORDER BY score DESC, cand) AS rank
+                   FROM fresh) WHERE rank <= 10),
+        wt(rank, w) AS (VALUES {_W_VALUES}),
+        cw(j, c) AS (VALUES {_CW_VALUES}),
+        hits AS (SELECT val.u, wt.w
+                 FROM val JOIN recs ON val.u = recs.u AND val.i = recs.item
+                 JOIN wt USING (rank)),
+        per_hit AS (SELECT u, sum(w)::BIGINT AS dcg,
+                           count(*)::BIGINT AS n_hits
+                    FROM hits GROUP BY u),
+        per_user AS (SELECT val.u, count(*)::BIGINT AS m,
+                            coalesce(max(per_hit.dcg), 0) AS dcg,
+                            coalesce(max(per_hit.n_hits), 0) AS n_hits
+                     FROM val LEFT JOIN per_hit ON val.u = per_hit.u
+                     GROUP BY val.u),
+        final AS (SELECT u, m, dcg, n_hits,
+                         (SELECT c FROM cw WHERE j = least(m, 10)) AS idcg
+                  FROM per_user)
+       SELECT count(*)::BIGINT AS n_users,
+              sum(m)::BIGINT AS n_val_pairs,
+              sum(n_hits)::BIGINT AS hits,
+              (sum((dcg * 1000000) // idcg) // count(*))::BIGINT
+                  AS mean_ndcg_e6,
+              (sum((n_hits * 1000000) // m) // count(*))::BIGINT
+                  AS mean_recall_e6
+       FROM final""",
+    "A REAL recommender graded end-to-end with a hash-matched oracle: "
+    "item-item kNN from co-occurrence cosine (Sarwar et al. 2001 / "
+    "Amazon item-to-item) — every stage deterministic integer "
+    "arithmetic (isqrt cosine, md5 hot-user cap at 100 items BEFORE "
+    "the wedge join, top-10 neighbor lists, summed-similarity "
+    "scoring, anti-join of seen items), then the same exact-integer "
+    "NDCG@10/recall@10 harness as cf_ndcg_popularity. The ALS family "
+    "is rows-only by nature; this query makes recommendation QUALITY "
+    "itself a driver-checkable exact row. Scale: the cap bounds "
+    "wedges per user at C^2; wedge counts collapse map-side; "
+    "everything downstream keys on item or user.",
+)
+def q_cf_ndcg_itemknn(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.ml import item_knn as ik
+
+    ratings = ratings_df(spark, sf_dir).select("user", "product")
+    train, val = rk.hash_split_pairs(ratings)
+    capped = ik.cap_user_items(train, max_user_items=100)
+    sim = ik.item_similarity(capped)
+    nbr = ik.item_neighbors(sim, k=10)
+    recs = ik.recommend(capped, nbr, k=10)
+    return rk.ranking_eval_per_user(recs, val, k=10)
