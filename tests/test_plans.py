@@ -79,7 +79,8 @@ PLAN_QUERIES = [
     "lex_bm25_topk", "curation_contamination_semantic",
     "curation_temperature_mix", "stats_skew_profile",
     "stats_profile_orders", "stats_entropy_sources",
-    "stats_bootstrap_ci",
+    "stats_bootstrap_ci", "text_encoding_quality", "stats_psi_drift",
+    "dedup_source_matrix", "cf_ndcg_popularity", "cf_ndcg_itemknn",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -112,6 +113,8 @@ BNLJ_ALLOWED = {
     # profile's one-row scalars onto the top-n
     "lex_bm25_topk", "curation_contamination_semantic",
     "curation_temperature_mix", "stats_skew_profile",
+    # PSI joins the two one-row side totals onto the bounded bin grid
+    "stats_psi_drift",
 }
 
 
