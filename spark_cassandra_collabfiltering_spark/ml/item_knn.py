@@ -61,10 +61,26 @@ def cap_user_items(
     )
 
 
-def item_similarity(capped: DataFrame) -> DataFrame:
+def item_similarity(
+    capped: DataFrame, max_item_reach: int | None = None
+) -> DataFrame:
     """Co-occurrence cosine over the capped (u, i) pairs. Output one
     row per unordered item pair with c_ab >= 1:
-    (item_a < item_b, c, sim_e6)."""
+    (item_a < item_b, c, sim_e6).
+
+    ``max_item_reach`` is the popular-item stop list — the BM25
+    stop-list observation applied to co-occurrence: an item touched
+    by more than this many users contributes reach^2-grade wedges
+    while its normalized cosine to everything is near-noise, so
+    dropping it bounds the wedge join's hottest keys (the user cap
+    bounds the per-user side; this bounds the per-item side)."""
+    if max_item_reach is not None:
+        reach = capped.groupBy("i").agg(F.count(F.lit(1)).alias("_r"))
+        capped = (
+            capped.join(F.broadcast(reach), "i")
+            .filter(F.col("_r") <= max_item_reach)
+            .select("u", "i")
+        )
     a = capped.select("u", F.col("i").alias("ia"))
     b = capped.select("u", F.col("i").alias("ib"))
     co = (

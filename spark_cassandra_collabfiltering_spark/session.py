@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Single-JVM local mode: driver memory IS the executor heap for
+        # all N task threads. Spark's 1g default starves wide hash
+        # aggregates (the item-kNN wedge agg OOMed at sf1 under it);
+        # match bench.py's default, overridable via the same env var.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # -Xss16m: deep Java deserialization chains (Scala collection
         # proxies inside ALS task closures) intermittently overflow the
         # default thread stack — seen as whole-suite Py4J failures with

@@ -78,3 +78,19 @@ def test_itemknn_beats_popularity_on_clustered_tastes(spark):
     ).collect()[0]
     assert knn.mean_ndcg_e6 > pop.mean_ndcg_e6
     assert knn.mean_recall_e6 > pop.mean_recall_e6
+
+
+def test_item_similarity_reach_stop_list(spark):
+    # item 999 touched by every user floods the wedge join; the reach
+    # cap drops it from similarity entirely while sparse pairs survive
+    rows = [(u, 999) for u in range(20)] + [(1, 10), (1, 20), (2, 10), (2, 20)]
+    pairs = spark.createDataFrame(rows, "user bigint, product bigint")
+    capped = ik.cap_user_items(pairs)
+    sim = {
+        (r.ia, r.ib)
+        for r in ik.item_similarity(capped, max_item_reach=10).collect()
+    }
+    assert (10, 20) in sim
+    assert not any(999 in p for p in sim)
+    full = {(r.ia, r.ib) for r in ik.item_similarity(capped).collect()}
+    assert any(999 in p for p in full)  # default keeps it
