@@ -97,8 +97,10 @@ def popularity_topk(
 
 def _metrics_from_hits(vj: DataFrame, hits: DataFrame, k: int) -> DataFrame:
     """Shared metric core: ``vj`` = (u, item) validation pairs, ``hits``
-    = (u, _w) one row per recommended-and-relevant item carrying its
-    position weight. Produces the one-row exact-integer summary."""
+    = (u, rank, _w) one row per recommended-and-relevant item carrying
+    its position and weight. Produces the one-row exact-integer
+    summary (NDCG@k, recall@k, and MRR@k — reciprocal of the FIRST
+    hit's rank, 1e6 div min_rank, 0 for users with no hit)."""
     w = ndcg_weights_e6(k)
     cumw = [0]
     for x in w:
@@ -110,6 +112,7 @@ def _metrics_from_hits(vj: DataFrame, hits: DataFrame, k: int) -> DataFrame:
     per_hit = hits.groupBy("u").agg(
         F.sum("_w").cast("bigint").alias("dcg"),
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("rank").cast("bigint").alias("first_rank"),
     )
     per_user = (
         vj.groupBy("u")
@@ -119,6 +122,9 @@ def _metrics_from_hits(vj: DataFrame, hits: DataFrame, k: int) -> DataFrame:
             "m",
             F.coalesce("dcg", F.lit(0)).alias("dcg"),
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce(
+                F.expr("1000000 div first_rank"), F.lit(0)
+            ).alias("rr_e6"),
             idcg.alias("idcg"),
         )
     )
@@ -132,6 +138,7 @@ def _metrics_from_hits(vj: DataFrame, hits: DataFrame, k: int) -> DataFrame:
         F.expr("sum((n_hits * 1000000) div m) div count(1)")
         .cast("bigint")
         .alias("mean_recall_e6"),
+        F.expr("sum(rr_e6) div count(1)").cast("bigint").alias("mean_mrr_e6"),
     )
 
 
@@ -164,7 +171,9 @@ def ranking_eval(
     The top-k side broadcasts; the only exchange is the per-user
     hash-agg."""
     vj = val.select(F.col(user_col).alias("u"), F.col(item_col).alias("item"))
-    hits = vj.join(F.broadcast(topk), "item").select("u", _wt(k).alias("_w"))
+    hits = vj.join(F.broadcast(topk), "item").select(
+        "u", "rank", _wt(k).alias("_w")
+    )
     return _metrics_from_hits(vj, hits, k)
 
 
@@ -185,5 +194,5 @@ def ranking_eval_per_user(
     rj = recs.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("item"), "rank"
     ).filter(F.col("rank") <= k)
-    hits = vj.join(rj, ["u", "item"]).select("u", _wt(k).alias("_w"))
+    hits = vj.join(rj, ["u", "item"]).select("u", "rank", _wt(k).alias("_w"))
     return _metrics_from_hits(vj, hits, k)

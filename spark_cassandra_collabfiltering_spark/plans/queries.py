@@ -162,12 +162,18 @@ _DRIVER_ORDER = [
     # deterministic sampling family (r5: sample_stratified demoted —
     # the md5-bucket determinism evidence rides on sample_hash_split)
     "sample_hash_split",
-    # event/streaming batch analogs (+ continuous-aggregate rollup).
-    # r5: ev_funnel demoted (family keeps tumbling/sessionize/rollup).
-    "ev_tumbling_agg", "ev_sessionize", "ev_rollup_merge",
+    # event/streaming batch analogs. r5: ev_funnel demoted (family
+    # keeps tumbling/sessionize); r5-cont3: ev_rollup_merge to a
+    # local-checked slot (the mergeable-partial discipline it pinned
+    # is also exercised by g12_hist_quantiles and sketch_hll_distinct
+    # in-window) — slot freed for cf_ndcg_itemknn, the first
+    # EXACT-oracled recommender-quality row (item-item co-occurrence
+    # kNN graded by the fixed-point NDCG/recall/MRR harness; the ALS
+    # rows stay rows-only by nature).
+    "ev_tumbling_agg", "ev_sessionize",
     # ML (reference M1-M3; cf_recommend_topk demoted r4 — rows-only,
     # the ALS family's driver evidence rides on cf_als_pipeline)
-    "cf_als_pipeline",
+    "cf_als_pipeline", "cf_ndcg_itemknn",
 ]
 
 
@@ -5813,17 +5819,20 @@ _CW_VALUES = ", ".join(f"({j + 1}, {c})" for j, c in enumerate(_NDCG_CUMW))
                  FROM pop ORDER BY reach DESC, item LIMIT 10),
         wt(rank, w) AS (VALUES {_W_VALUES}),
         cw(j, c) AS (VALUES {_CW_VALUES}),
-        hits AS (SELECT val.u, wt.w
+        hits AS (SELECT val.u, wt.rank, wt.w
                  FROM val JOIN topk USING (item) JOIN wt USING (rank)),
         per_hit AS (SELECT u, sum(w)::BIGINT AS dcg,
-                           count(*)::BIGINT AS n_hits
+                           count(*)::BIGINT AS n_hits,
+                           min(rank)::BIGINT AS first_rank
                     FROM hits GROUP BY u),
         per_user AS (SELECT val.u, count(*)::BIGINT AS m,
                             coalesce(max(per_hit.dcg), 0) AS dcg,
-                            coalesce(max(per_hit.n_hits), 0) AS n_hits
+                            coalesce(max(per_hit.n_hits), 0) AS n_hits,
+                            coalesce(max(1000000 // per_hit.first_rank), 0)
+                                AS rr_e6
                      FROM val LEFT JOIN per_hit ON val.u = per_hit.u
                      GROUP BY val.u),
-        final AS (SELECT u, m, dcg, n_hits,
+        final AS (SELECT u, m, dcg, n_hits, rr_e6,
                          (SELECT c FROM cw WHERE j = least(m, 10)) AS idcg
                   FROM per_user)
        SELECT count(*)::BIGINT AS n_users,
@@ -5832,7 +5841,8 @@ _CW_VALUES = ", ".join(f"({j + 1}, {c})" for j, c in enumerate(_NDCG_CUMW))
               (sum((dcg * 1000000) // idcg) // count(*))::BIGINT
                   AS mean_ndcg_e6,
               (sum((n_hits * 1000000) // m) // count(*))::BIGINT
-                  AS mean_recall_e6
+                  AS mean_recall_e6,
+              (sum(rr_e6) // count(*))::BIGINT AS mean_mrr_e6
        FROM final""",
     "Ranking-metric EVAL HARNESS: NDCG@10 and recall@10 of the "
     "popularity baseline (distinct-user reach, the floor every "
@@ -6049,18 +6059,21 @@ _KNN_DRAW = "('0x' || substr(md5(u::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGI
                    FROM fresh) WHERE rank <= 10),
         wt(rank, w) AS (VALUES {_W_VALUES}),
         cw(j, c) AS (VALUES {_CW_VALUES}),
-        hits AS (SELECT val.u, wt.w
+        hits AS (SELECT val.u, wt.rank, wt.w
                  FROM val JOIN recs ON val.u = recs.u AND val.i = recs.item
                  JOIN wt USING (rank)),
         per_hit AS (SELECT u, sum(w)::BIGINT AS dcg,
-                           count(*)::BIGINT AS n_hits
+                           count(*)::BIGINT AS n_hits,
+                           min(rank)::BIGINT AS first_rank
                     FROM hits GROUP BY u),
         per_user AS (SELECT val.u, count(*)::BIGINT AS m,
                             coalesce(max(per_hit.dcg), 0) AS dcg,
-                            coalesce(max(per_hit.n_hits), 0) AS n_hits
+                            coalesce(max(per_hit.n_hits), 0) AS n_hits,
+                            coalesce(max(1000000 // per_hit.first_rank), 0)
+                                AS rr_e6
                      FROM val LEFT JOIN per_hit ON val.u = per_hit.u
                      GROUP BY val.u),
-        final AS (SELECT u, m, dcg, n_hits,
+        final AS (SELECT u, m, dcg, n_hits, rr_e6,
                          (SELECT c FROM cw WHERE j = least(m, 10)) AS idcg
                   FROM per_user)
        SELECT count(*)::BIGINT AS n_users,
@@ -6069,7 +6082,8 @@ _KNN_DRAW = "('0x' || substr(md5(u::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGI
               (sum((dcg * 1000000) // idcg) // count(*))::BIGINT
                   AS mean_ndcg_e6,
               (sum((n_hits * 1000000) // m) // count(*))::BIGINT
-                  AS mean_recall_e6
+                  AS mean_recall_e6,
+              (sum(rr_e6) // count(*))::BIGINT AS mean_mrr_e6
        FROM final""",
     "A REAL recommender graded end-to-end with a hash-matched oracle: "
     "item-item kNN from co-occurrence cosine (Sarwar et al. 2001 / "

@@ -41,6 +41,8 @@ def test_ranking_eval_hand_computed(spark):
     assert got.n_users == 3 and got.n_val_pairs == 5 and got.hits == 3
     assert got.mean_ndcg_e6 == want_ndcg
     assert got.mean_recall_e6 == want_recall
+    # MRR: u1 first hit at rank 1, u2 at rank 2, u3 none
+    assert got.mean_mrr_e6 == (1000000 + 1000000 // 2 + 0) // 3
 
 
 def test_ranking_eval_perfect_user(spark):
@@ -52,6 +54,7 @@ def test_ranking_eval_perfect_user(spark):
     got = rk.ranking_eval(topk, val, k=3).collect()[0]
     assert got.mean_ndcg_e6 == 1_000_000
     assert got.mean_recall_e6 == 1_000_000
+    assert got.mean_mrr_e6 == 1_000_000
 
 
 def test_popularity_topk_reach_and_tiebreak(spark):
