@@ -6107,3 +6107,36 @@ def q_cf_ndcg_itemknn(spark, sf_dir):
     nbr = ik.item_neighbors(sim, k=10)
     recs = ik.recommend(capped, nbr, k=10)
     return rk.ranking_eval_per_user(recs, val, k=10)
+
+
+# ===========================================================================
+# Growth accounting — DAU / new-vs-returning / cumulative (r5-cont3)
+# ===========================================================================
+
+@register(
+    "ev_growth_accounting",
+    """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id AS u FROM events),
+        f AS (SELECT u, min(day) AS first_day FROM du GROUP BY u),
+        pd AS (SELECT day,
+                      count(*)::BIGINT AS n_active,
+                      sum(CASE WHEN f.first_day = du.day THEN 1 ELSE 0 END)::BIGINT
+                          AS n_new
+               FROM du JOIN f USING (u) GROUP BY day)
+       SELECT day::VARCHAR AS day, n_active, n_new,
+              (n_active - n_new)::BIGINT AS n_returning,
+              (sum(n_new) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING))::BIGINT
+                  AS cum_users
+       FROM pd""",
+    "Growth accounting per day — the product-analytics readout every "
+    "event pipeline reports first: daily active users split into NEW "
+    "(first-ever-seen) vs RETURNING, plus the cumulative registered "
+    "curve. One distinct (day, user) hash-agg is the only full-data "
+    "exchange; first-seen days reduce from that table; the ordered "
+    "cumulative window runs over the BOUNDED day table "
+    "(window-over-groups discipline). Exact integers throughout.",
+)
+def q_ev_growth_accounting(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+    return ev.growth_accounting(t(spark, sf_dir, "events"))

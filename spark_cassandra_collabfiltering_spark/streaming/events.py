@@ -427,3 +427,44 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "app
     )
     q.awaitTermination()
     return q
+
+
+def growth_accounting(events: DataFrame, ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """GROWTH ACCOUNTING per day — the product-analytics staple every
+    event pipeline reports first: daily active users, split into NEW
+    (first ever seen that day) vs RETURNING, plus the cumulative
+    registered-user curve. Exact integers, engine-portable.
+
+    Plan: distinct (day, user) pairs (one hash-agg — the only
+    full-data exchange), each user's first day reduces from that
+    table, then per-day counts and ONE ordered cumulative window over
+    the bounded day table (window-over-groups discipline: days are
+    bounded however large the corpus). Output:
+    (day, n_active, n_new, n_returning, cum_users)."""
+    from pyspark.sql import Window
+
+    du = events.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("u")
+    ).distinct()
+    first = du.groupBy("u").agg(F.min("day").alias("first_day"))
+    per_day = (
+        du.join(first, "u")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .withColumn("n_returning", F.expr("n_active - n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+        # ISO string day: pandas renders Spark DATE as object vs
+        # DuckDB DATE as datetime64 — strings compare identically
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_active", "n_new", "n_returning", "cum_users",
+        )
+    )

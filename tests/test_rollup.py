@@ -205,3 +205,26 @@ def test_retention_cohorts_planted(spark):
         by_offset[off] = by_offset.get(off, 0) + n
     assert by_offset == {0: 3, 1: 1, 2: 2}
     # offsets for user 3's cohort: 0 and 2 (weeks 1 -> 3)
+
+
+# --- growth accounting ------------------------------------------------------
+
+
+def test_growth_accounting_new_vs_returning(spark):
+    from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+        ("2024-01-01 12:00:00", 1),                     # dup same day
+        ("2024-01-02 09:00:00", 1), ("2024-01-02 10:00:00", 3),
+        ("2024-01-04 08:00:00", 2), ("2024-01-04 09:00:00", 4),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id bigint").selectExpr(
+        "cast(ts as timestamp) as ts", "user_id"
+    )
+    got = {r.day: r for r in ev.growth_accounting(df).collect()}
+    d1, d2, d4 = got["2024-01-01"], got["2024-01-02"], got["2024-01-04"]
+    assert (d1.n_active, d1.n_new, d1.n_returning, d1.cum_users) == (2, 2, 0, 2)
+    assert (d2.n_active, d2.n_new, d2.n_returning, d2.cum_users) == (2, 1, 1, 3)
+    assert (d4.n_active, d4.n_new, d4.n_returning, d4.cum_users) == (2, 1, 1, 4)
+    assert "2024-01-03" not in got  # no activity, no row
