@@ -775,7 +775,11 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in cols:
         exprs.append(F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"))
         exprs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            # coalesce: SUM over an EMPTY table is NULL, and an empty
+            # delivery should profile as 0 nulls, not unknown
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"{c}__nulls")
         )

@@ -98,3 +98,17 @@ def test_encoding_quality_oracle_regex_parity(spark):
             [text, text, text],
         ).fetchone()
         assert got[doc_id] == tuple(want), (doc_id, got[doc_id], want)
+
+
+def test_profile_empty_table_emits_zero_rows_per_column(spark):
+    df = spark.createDataFrame([], "a bigint, b string")
+    got = {r.column: r for r in agg.profile_columns(df).collect()}
+    assert set(got) == {"a", "b"}
+    for r in got.values():
+        assert (r.n_rows, r.n_null, r.n_distinct) == (0, 0, 0)
+        assert r.min_val is None and r.max_val is None
+
+
+def test_skew_profile_empty_input_is_empty(spark):
+    df = spark.createDataFrame([], "key bigint")
+    assert agg.skew_profile(df, "key").collect() == []
