@@ -933,7 +933,7 @@ def lexical_topk(
         )
         return words.groupBy(out_id, "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    cp = postings(corpus, "doc_id")
+    cp = postings(corpus, "doc_id").cache()  # 3 consumers; see bm25_topk
     dfreq = cp.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     if max_df_fraction is not None:
         ndocs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1024,7 +1024,12 @@ def bm25_topk(
         )
         return words.groupBy(out_id, "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    cp = postings(corpus, "doc_id")
+    # materialize the corpus postings ONCE: four consumers (lengths,
+    # stats, dfreq, weights) would otherwise each re-scan and
+    # re-tokenize the corpus (the formatted plan showed 14 parquet
+    # scans without this). At corpus scale the same move is persisting
+    # the inverted index to the lake rather than executor memory.
+    cp = postings(corpus, "doc_id").cache()
     dl = cp.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
