@@ -6140,3 +6140,125 @@ def q_ev_growth_accounting(spark, sf_dir):
     from spark_cassandra_collabfiltering_spark.streaming import events as ev
 
     return ev.growth_accounting(t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Count-based text models — NB classifier gate + bigram-LM perplexity
+# (r5-cont4; Manning & Schütze ch.6, Wenzek et al. 2020 CCNet)
+# ===========================================================================
+
+from spark_cassandra_collabfiltering_spark.ml import textmodels as tmod  # noqa: E402
+
+_NB_L = _L2L  # fixed-point log2 (bit length + in-octave interpolation)
+
+
+@register(
+    "ml_nb_confusion",
+    f"""WITH split AS (SELECT doc_id, lang, lower(text) AS lt,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2 AS b
+           FROM documents WHERE lang IS NOT NULL),
+        tr AS (SELECT * FROM split WHERE b = 0),
+        te AS (SELECT * FROM split WHERE b <> 0),
+        ttok AS (SELECT lang, unnest(regexp_extract_all(lt, '[A-Za-z0-9]+')) AS term
+                 FROM tr),
+        counts AS (SELECT lang, term, count(*)::BIGINT AS c
+                   FROM ttok GROUP BY 1, 2),
+        scal AS (SELECT (SELECT count(*) FROM tr)::BIGINT AS n_docs,
+                        (SELECT count(DISTINCT term) FROM counts)::BIGINT AS v),
+        cls AS (SELECT t0.lang,
+                       coalesce(t1.t_y, 0) AS t_y,
+                       {_NB_L('t0.n_docs_y')} - {_NB_L('s.n_docs')} AS prior_e3,
+                       -{_NB_L('(coalesce(t1.t_y, 0) + s.v)')} AS default_e3,
+                       s.v AS v
+                FROM (SELECT lang, count(*)::BIGINT AS n_docs_y
+                      FROM tr GROUP BY 1) t0
+                LEFT JOIN (SELECT lang, sum(c)::BIGINT AS t_y
+                           FROM counts GROUP BY 1) t1 USING (lang),
+                     scal s),
+        weights AS (SELECT g.term, g.lang,
+                           {_NB_L('(coalesce(c.c, 0) + 1)')}
+                             - {_NB_L('(g.t_y + g.v)')} AS w_e3
+                    FROM (SELECT v.term, cls.lang, cls.t_y, cls.v
+                          FROM (SELECT DISTINCT term FROM counts) v, cls) g
+                    LEFT JOIN counts c
+                      ON c.lang = g.lang AND c.term = g.term),
+        stok AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                 FROM (SELECT doc_id,
+                              unnest(regexp_extract_all(lt, '[A-Za-z0-9]+')) AS term
+                       FROM te) GROUP BY 1, 2),
+        matched AS (SELECT s.doc_id, w.lang,
+                           sum(s.tf * w.w_e3)::BIGINT AS mw,
+                           sum(s.tf)::BIGINT AS m_d
+                    FROM stok s JOIN weights w USING (term)
+                    GROUP BY 1, 2),
+        base AS (SELECT te.doc_id, te.lang AS actual,
+                        len(regexp_extract_all(te.lt, '[A-Za-z0-9]+')) AS s_d,
+                        cls.lang AS pred, cls.prior_e3, cls.default_e3
+                 FROM te, cls),
+        scored AS (SELECT b.doc_id, b.actual, b.pred,
+                          b.prior_e3 + coalesce(m.mw, 0)
+                            + (b.s_d - coalesce(m.m_d, 0)) * b.default_e3
+                              AS score_e3
+                   FROM base b
+                   LEFT JOIN matched m
+                     ON m.doc_id = b.doc_id AND m.lang = b.pred),
+        pred AS (SELECT doc_id, actual, pred,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score_e3 DESC, pred ASC) AS rk
+                 FROM scored)
+       SELECT actual, pred AS predicted, count(*)::BIGINT AS n_docs
+       FROM pred WHERE rk = 1 GROUP BY 1, 2""",
+    "Multinomial Naive Bayes lang classifier trained IN the engine "
+    "and graded on the held-out md5 split — the fasttext-style "
+    "model-based filter gate (CCNet / GPT-3 WebText classifier shape) "
+    "with training-as-aggregation: the fit is ONE (label, term) "
+    "hash-agg (bounded by vocab x classes, partial-agg collapses "
+    "occurrences map-side), inference is a posting-list hash join, "
+    "and EVERYTHING — Laplace-smoothed log-probs, priors, argmax — is "
+    "fixed-point bit-length log2, so the trained model's confusion "
+    "matrix hash-matches the oracle. OOV tokens pay the smoothing "
+    "floor -L(T_y + V); argmax ties break on ascending label. No "
+    "driver round trips: scalars ride one-row broadcasts.",
+)
+def q_ml_nb_confusion(spark, sf_dir):
+    return tmod.nb_confusion(t(spark, sf_dir, "documents"), label_col="lang")
+
+
+@register(
+    "text_lm_perplexity",
+    f"""WITH d AS (SELECT doc_id, lang,
+                regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS arr
+           FROM documents),
+        bg AS (SELECT doc_id, lang,
+                      CASE WHEN i = 1 THEN '<s>' ELSE arr[i - 1] END AS prev,
+                      arr[i] AS cur
+               FROM d, unnest(generate_series(1, len(arr))) AS t(i)
+               WHERE len(arr) > 0),
+        tb AS (SELECT prev, cur FROM bg WHERE lang = 'en'),
+        c_uv AS (SELECT prev, cur, count(*)::BIGINT AS c_uv
+                 FROM tb GROUP BY 1, 2),
+        c_u AS (SELECT prev, sum(c_uv)::BIGINT AS c_u FROM c_uv GROUP BY 1),
+        scal AS (SELECT (count(DISTINCT cur) + 1)::BIGINT AS v FROM tb),
+        nlp AS (SELECT bg.doc_id,
+                       {_NB_L('(coalesce(u.c_u, 0) + s.v)')}
+                         - {_NB_L('(coalesce(x.c_uv, 0) + 1)')} AS nlp_e3
+                FROM bg
+                LEFT JOIN c_uv x ON x.prev = bg.prev AND x.cur = bg.cur
+                LEFT JOIN c_u u ON u.prev = bg.prev, scal s)
+       SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+              (sum(nlp_e3) // count(*))::BIGINT AS xent_e3
+       FROM nlp GROUP BY 1""",
+    "Per-document cross-entropy under an add-one-smoothed bigram LM "
+    "trained on the corpus's en slice — the CCNet/KenLM PERPLEXITY "
+    "FILTER: docs far from the reference distribution are gibberish "
+    "or boilerplate. The model IS its count tables (bounded by the "
+    "observed-bigram vocabulary, not corpus rows); bigrams build "
+    "ROW-LOCALLY inside the token array (transform over indices — no "
+    "window, no self-join, no per-token shuffle); scoring is two hash "
+    "joins on bounded keys. Fixed-point bit-length log2 makes the "
+    "cross-entropy itself hash-match: nlp_e3 = L(c_u + V) - "
+    "L(c_uv + 1), xent = sum div n.",
+)
+def q_text_lm_perplexity(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tmod.bigram_lm_xent(docs, F.col("lang") == F.lit("en"))

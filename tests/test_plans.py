@@ -81,6 +81,8 @@ PLAN_QUERIES = [
     "stats_profile_orders", "stats_entropy_sources",
     "stats_bootstrap_ci", "text_encoding_quality", "stats_psi_drift",
     "dedup_source_matrix", "cf_ndcg_popularity", "cf_ndcg_itemknn",
+    # r5-continuation fourth batch
+    "ml_nb_confusion", "text_lm_perplexity", "ev_growth_accounting",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -115,6 +117,11 @@ BNLJ_ALLOWED = {
     "curation_temperature_mix", "stats_skew_profile",
     # PSI joins the two one-row side totals onto the bounded bin grid
     "stats_psi_drift",
+    # NB broadcasts the one-row (n_docs, V) scalars and the C-row
+    # class table onto the vocab grid / test docs; the bigram LM
+    # broadcasts its one-row vocab-size aggregate onto the scoring
+    # join — all bounded by construction (ml/textmodels.py)
+    "ml_nb_confusion", "text_lm_perplexity",
 }
 
 
