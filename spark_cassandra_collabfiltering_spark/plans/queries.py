@@ -6262,3 +6262,108 @@ def q_ml_nb_confusion(spark, sf_dir):
 def q_text_lm_perplexity(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return tmod.bigram_lm_xent(docs, F.col("lang") == F.lit("en"))
+
+
+# ===========================================================================
+# WARC ingest — the Common Crawl source format (r5-cont4; ISO 28500)
+# ===========================================================================
+
+from spark_cassandra_collabfiltering_spark.sources import warc_source as wrc  # noqa: E402
+
+_WARC_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "sample.warc")
+
+
+@register(
+    "warc_ingest",
+    rf"""WITH RECURSIVE src AS (SELECT content AS t
+                                FROM read_text('{_WARC_FIXTURE}')),
+        walk(p) AS (
+          SELECT 1::BIGINT
+          UNION ALL
+          SELECT CASE WHEN cl IS NOT NULL THEN he + 4 + cl + 4
+                      WHEN nxt > 0 THEN he + 4 + nxt - 1
+                      ELSE len(t) + 1 END
+          FROM (SELECT p, t, he, nxt,
+                       try_cast(regexp_extract(substr(t, p, he - p),
+                                'Content-Length: ([0-9]+)', 1) AS BIGINT) AS cl
+                FROM (SELECT p, t,
+                             p + strpos(substr(t, p),
+                                        chr(13)||chr(10)||chr(13)||chr(10)) - 1
+                                 AS he,
+                             strpos(substr(t, p + strpos(substr(t, p),
+                                        chr(13)||chr(10)||chr(13)||chr(10)) + 3),
+                                    'WARC/1.0') AS nxt
+                      FROM walk, src WHERE p <= len(t)))
+        ),
+        rec AS (
+          SELECT substr(t, p, he - p) AS header,
+                 try_cast(regexp_extract(substr(t, p, he - p),
+                          'Content-Length: ([0-9]+)', 1) AS BIGINT) AS cl,
+                 substr(t, he + 4,
+                        coalesce(try_cast(regexp_extract(substr(t, p, he - p),
+                                 'Content-Length: ([0-9]+)', 1) AS BIGINT), 0))
+                     AS payload
+          FROM (SELECT p, t,
+                       p + strpos(substr(t, p),
+                                  chr(13)||chr(10)||chr(13)||chr(10)) - 1 AS he
+                FROM walk, src WHERE p <= len(t))
+        ),
+        typed AS (
+          SELECT regexp_extract(header, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+                 try_cast(regexp_extract(payload,
+                          '^HTTP/1\.[01] ([0-9]{{3}})', 1) AS INT) AS http_status,
+                 strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) AS hbe,
+                 payload, header, cl
+          FROM rec
+        ),
+        clean AS (
+          SELECT warc_type, http_status,
+                 CASE WHEN warc_type = 'response' AND hbe > 0
+                      THEN substr(payload, hbe + 4) ELSE payload END AS body
+          FROM typed WHERE cl IS NOT NULL
+        )
+       SELECT warc_type AS grp, count(*)::BIGINT AS n,
+              sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_http_ok,
+              sum(('0x' || substr(md5(body), 1, 12))::BIGINT)::BIGINT
+                  AS content_sum
+       FROM clean GROUP BY 1
+       UNION ALL
+       SELECT '_quarantined', count(*)::BIGINT, 0::BIGINT,
+              sum(('0x' || substr(md5(header), 1, 12))::BIGINT)::BIGINT
+       FROM typed WHERE cl IS NULL""",
+    "WARC ingest contract over a committed ISO 28500 fixture "
+    "(scripts/gen_warc_fixture.py: warcinfo/request/response records, "
+    "a response whose BODY embeds the WARC magic — the boundary trap "
+    "that shreds magic-splitting parsers — a corrupt Content-Length "
+    "that must quarantine + resync, and an empty-body response). The "
+    "Spark side is the honest Common Crawl shape: binaryFile scan "
+    "distributes whole files across tasks (Common Crawl's 100k-file "
+    "crawls make file-level parallelism THE production parallelism), "
+    "Arrow mapInPandas walks Content-Length per record "
+    "(sources/warc_source.py). The oracle INDEPENDENTLY re-implements "
+    "the identical walk as a DuckDB recursive CTE over the same bytes "
+    "— per-type counts, HTTP-200 counts, and 48-bit md5 body "
+    "checksums hash-match end to end (ASCII fixture keeps VARCHAR "
+    "offsets byte-true). No reference counterpart (ratings CSV is its "
+    "only file source); mandated-extension ingest surface.",
+)
+def q_warc_ingest(spark, sf_dir):
+    clean, bad = wrc.split_corrupt(wrc.read_warc(spark, _WARC_FIXTURE))
+    per_type = clean.groupBy(F.col("warc_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("http_status") == 200, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_http_ok"),
+        F.sum(_md5_48(F.col("body"))).cast("bigint").alias("content_sum"),
+    )
+    quarantined = bad.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(_md5_48(F.col("body"))).cast("bigint").alias("content_sum"),
+    ).select(
+        F.lit("_quarantined").alias("grp"),
+        F.col("n"),
+        F.lit(0).cast("bigint").alias("n_http_ok"),
+        F.col("content_sum"),
+    )
+    return per_type.unionByName(quarantined)

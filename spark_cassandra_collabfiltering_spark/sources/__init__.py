@@ -11,12 +11,14 @@ from spark_cassandra_collabfiltering_spark.sources.tables import (
     read_testdata,
     register_testdata_views,
 )
+from spark_cassandra_collabfiltering_spark.sources.warc_source import read_warc
 
 __all__ = [
     "read_ratings_csv",
     "read_jsonl",
     "split_corrupt",
     "write_jsonl",
+    "read_warc",
     "Storage",
     "ParquetStorage",
     "CassandraStorage",
