@@ -1205,3 +1205,70 @@ def encoding_quality(
         | (F.col("n_control") > 0)
         | (moji_ppm >= bad_ppm),
     )
+
+
+def html_to_text(
+    df: DataFrame,
+    html_col: str = "html",
+    prefix: str = "",
+) -> DataFrame:
+    """Heuristic HTML -> text extraction — the step between WARC
+    ingest (``sources/warc_source.py`` response bodies) and every
+    downstream text gate. Adds four columns: ``{prefix}title``,
+    ``{prefix}text``, ``{prefix}n_links``, ``{prefix}n_tags``.
+
+    Engine-portable by construction: every pattern is valid in BOTH
+    Java regex (Spark) and RE2 (DuckDB) — (?is) flags, lazy
+    quantifiers, no backreferences (RE2 has none, so script/style
+    blocks strip in two literal-closing-tag passes, not one
+    backreferenced pass) — and entity decoding is literal
+    ``replace`` chains with ``&amp;`` decoded LAST so ``&amp;lt;``
+    cannot double-decode. The chain:
+
+    1. drop ``<script>``/``<style>``/``<title>`` blocks (lazy, dotall
+       — markup INSIDE script text must not leak; the title is its
+       own output column, not body text),
+    2. drop ``<!-- comments -->``,
+    3. replace every remaining tag with a space,
+    4. decode the five named entities + nbsp,
+    5. collapse whitespace runs and trim.
+
+    Known limits shared by every regex extractor (trafilatura-class
+    DOM extractors are the third-party upgrade): an attribute value
+    containing ``>`` ends the tag early; CDATA is not special-cased.
+
+    Scale: pure scan-local JVM string expressions — zero shuffles,
+    whole-stage-codegen eligible, nothing leaves the row.
+    """
+    h = F.col(html_col)
+    for tag in ("script", "style", "title"):
+        h = F.regexp_replace(h, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    title = F.trim(
+        F.regexp_extract(F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    )
+    n_links = F.size(
+        F.regexp_extract_all(F.col(html_col), F.lit(r"(?i)<a[\s>]"), 0)
+    ).cast("bigint")
+    n_tags = F.size(
+        F.regexp_extract_all(F.col(html_col), F.lit(r"<[^>]*>"), 0)
+    ).cast("bigint")
+    txt = F.regexp_replace(h, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return df.withColumns(
+        {
+            f"{prefix}title": title,
+            f"{prefix}text": txt,
+            f"{prefix}n_links": n_links,
+            f"{prefix}n_tags": n_tags,
+        }
+    )

@@ -6367,3 +6367,83 @@ def q_warc_ingest(spark, sf_dir):
         F.col("content_sum"),
     )
     return per_type.unionByName(quarantined)
+
+
+# ===========================================================================
+# HTML -> text extraction — the WARC-to-text gate (r5-cont4)
+# ===========================================================================
+
+@register(
+    "text_html_extract",
+    """WITH h AS (SELECT doc_id,
+                '<html><head><title>Doc ' || doc_id ||
+                ' &amp; co</title><style>p { color: red; }</style></head><body><h1>'
+                || source || '</h1><p>' || text ||
+                '</p><script type="text/javascript">var x = "<b>trap</b>"; if (1 &lt; 2) { x = "&amp;"; }</script><p>A &amp; B &lt;tag&gt;&nbsp;end</p><a href="/a">one</a> <A HREF="/b">two</A></body></html>'
+                    AS html
+           FROM documents),
+        s AS (SELECT doc_id, html,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?is)<title[^>]*>.*?</title>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g') AS h2
+              FROM h),
+        d AS (SELECT doc_id, html,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(h2, '<[^>]*>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS txt
+              FROM s)
+       SELECT doc_id,
+              trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1))
+                  AS title,
+              len(regexp_extract_all(html, '(?i)<a[\\s>]'))::BIGINT AS n_links,
+              len(regexp_extract_all(html, '<[^>]*>'))::BIGINT AS n_tags,
+              ('0x' || substr(md5(txt), 1, 12))::BIGINT AS text_sum,
+              length(txt)::BIGINT AS n_chars_clean
+       FROM d""",
+    "HTML -> text extraction (operators/text.py html_to_text) over a "
+    "deterministic per-doc HTML wrapper synthesized IN the query — "
+    "planting exactly the traps that break naive strippers: a script "
+    "block whose JS source CONTAINS markup (must strip before "
+    "tag-removal), a style block, named entities with &amp; decoded "
+    "LAST so &amp;lt; cannot double-decode, and case-mixed <a>/<A> "
+    "links. Every pattern is Java-regex AND RE2 valid (no "
+    "backreferences — script/style strip in two literal-closing-tag "
+    "passes), so the extracted title, link/tag counts, cleaned-text "
+    "checksum, and length hash-match across engines. Scale: pure "
+    "scan-local JVM string expressions, zero shuffles — the gate "
+    "between warc_ingest response bodies and every downstream text "
+    "operator.",
+)
+def q_text_html_extract(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " &amp; co</title><style>p { color: red; }</style></head>"
+            "<body><h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><script type="text/javascript">var x = "<b>trap</b>"; '
+            'if (1 &lt; 2) { x = "&amp;"; }</script>'
+            "<p>A &amp; B &lt;tag&gt;&nbsp;end</p>"
+            '<a href="/a">one</a> <A HREF="/b">two</A></body></html>'
+        ),
+    )
+    out = tx.html_to_text(docs.withColumn("html", html), "html", prefix="x_")
+    return out.select(
+        "doc_id",
+        F.col("x_title").alias("title"),
+        F.col("x_n_links").alias("n_links"),
+        F.col("x_n_tags").alias("n_tags"),
+        _md5_48(F.col("x_text")).alias("text_sum"),
+        F.length("x_text").cast("bigint").alias("n_chars_clean"),
+    )

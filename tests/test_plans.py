@@ -83,6 +83,7 @@ PLAN_QUERIES = [
     "dedup_source_matrix", "cf_ndcg_popularity", "cf_ndcg_itemknn",
     # r5-continuation fourth batch
     "ml_nb_confusion", "text_lm_perplexity", "ev_growth_accounting",
+    "text_html_extract",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -242,7 +243,12 @@ def _op_count(plan: str, op: str) -> int:
 def test_r2_scan_local_ops_have_zero_exchanges(plans):
     """The row-local text ops and the weighted sample must stay pure
     scan+project/filter — any exchange is a regression."""
-    for name in ("text_repetition", "sample_weighted", "text_chunking"):
+    for name in (
+        "text_repetition",
+        "sample_weighted",
+        "text_chunking",
+        "text_html_extract",
+    ):
         assert _op_count(plans[name], "Exchange") == 0, plans[name]
 
 
