@@ -28,7 +28,7 @@ so the expensive join runs only on probable duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # 2^31 - 1 (Mersenne prime): a*h + b stays < 2^63 for a, b, h < p.
@@ -1040,4 +1040,42 @@ def pair_source_matrix(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
             F.max("jaccard").alias("max_jaccard"),
         )
+    )
+
+
+def keep_best_per_cluster(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Dedup WINNER POLICY: per near-dup cluster keep the best member
+    — real pipelines keep the longest/highest-quality copy (richest
+    capture), not the smallest id; the rest are the drop set.
+
+    ``components`` is :func:`connected_components` output
+    (node, cluster_id); ``score`` is any deterministic Column over
+    ``docs`` (default: text length). Argmax runs as a per-cluster
+    row_number window with full tie-breaks (score desc, node asc), so
+    the kept set is total-ordered and hash-matchable. Scale: the
+    window partitions by cluster_id — bounded groups by construction
+    (the LSH hot-bucket cap bounds crowd size upstream). Output:
+    (cluster_id, keep_doc, n_members, keep_score)."""
+    from pyspark.sql import Window
+
+    if score is None:
+        score = F.length("text").cast("bigint")
+    scored = components.join(
+        docs, components["node"] == docs[id_col]
+    ).select("cluster_id", "node", score.alias("_score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col("node").asc()
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("_rk") == 1, F.col("node"))).cast("bigint")
+            .alias("keep_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_score"))).cast("bigint")
+            .alias("keep_score"),
     )

@@ -6447,3 +6447,144 @@ def q_text_html_extract(spark, sf_dir):
         _md5_48(F.col("x_text")).alias("text_sum"),
         F.length("x_text").cast("bigint").alias("n_chars_clean"),
     )
+
+
+# ===========================================================================
+# Hopping-window aggregation — overlapping event-time windows (r5-cont4)
+# ===========================================================================
+
+@register(
+    "ev_hopping_agg",
+    """WITH e AS (SELECT (epoch_us(ts) // 1000000)::BIGINT AS s,
+                         event_type, value
+                  FROM events),
+        w AS (SELECT event_type, value,
+                     unnest(generate_series((s - 600) // 300 + 1, s // 300))
+                         AS k
+              FROM e)
+       SELECT (k * 300)::BIGINT AS window_start_s, event_type,
+              count(*)::BIGINT AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM w GROUP BY 1, 2""",
+    "Hopping (sliding) 10-minute/5-minute-hop event-time aggregation — "
+    "the OVERLAPPING-window semantics tumbling cannot express (each "
+    "event lands in size/hop = 2 windows; trend smoothing, rate "
+    "monitoring). Spark assigns windows with the built-in "
+    "F.window(ts, size, hop) — row-local window expansion before ONE "
+    "hash-agg, exactly how the streaming variant "
+    "(streaming/events.py sliding_avg) plans it with a watermark. The "
+    "oracle replicates the assignment arithmetic: window starts are "
+    "the k*hop with s-size < k*hop <= s, enumerated per event with "
+    "generate_series — epoch-second integers, DECIMAL sums, "
+    "hash-exact. At scale the expansion factor is bounded (size/hop), "
+    "map-side partial agg collapses it before the shuffle.",
+)
+def q_ev_hopping(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            agg.decimal_sum("value", scale=2, alias="sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("bigint")
+                .alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ===========================================================================
+# Dedup winner policy — keep the best cluster member (r5-cont4)
+# ===========================================================================
+
+@register(
+    "dedup_keep_best",
+    f"""WITH RECURSIVE mh AS (SELECT id_a, id_b
+                FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL)}) q),
+        edges AS (SELECT id_a AS a, id_b AS b FROM mh
+                  UNION SELECT id_b, id_a FROM mh),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b
+                        FROM reach r JOIN edges e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        comp AS (SELECT nodes.n AS node, least(nodes.n, min(reach.b))
+                            AS cluster_id
+                 FROM nodes JOIN reach ON reach.a = nodes.n
+                 GROUP BY nodes.n),
+        scored AS (SELECT c.cluster_id, c.node,
+                          length(d.text)::BIGINT AS n_chars,
+                          row_number() OVER (
+                              PARTITION BY c.cluster_id
+                              ORDER BY length(d.text) DESC, c.node ASC) AS rk
+                   FROM comp c
+                   JOIN ({_DOC_SUBSET_SQL}) d ON d.doc_id = c.node)
+       SELECT s.cluster_id,
+              max(CASE WHEN s.rk = 1 THEN s.node END)::BIGINT AS keep_doc,
+              count(*)::BIGINT AS n_members,
+              max(CASE WHEN s.rk = 1 THEN s.n_chars END)::BIGINT
+                  AS keep_chars
+       FROM scored s GROUP BY s.cluster_id""",
+    "Dedup WINNER POLICY: within each near-dup cluster keep the "
+    "highest-quality member — real pipelines keep the longest/best "
+    "copy (richest markup-stripped capture), NOT the smallest id; "
+    "losers are the drop set. Composes the minhash pair graph -> "
+    "min-label-propagation components -> per-cluster argmax window "
+    "(quality = text length here; any deterministic score column "
+    "drops in) with full-row tie-breaks, so the kept set is "
+    "total-ordered and hash-matches the oracle's recursive-CTE "
+    "replay. Scale: the window partitions by cluster_id — bounded "
+    "groups by construction (LSH caps bucket width upstream).",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    docs = _doc_subset(spark, sf_dir)
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+    )
+    comps = dd.connected_components(pairs)
+    return dd.keep_best_per_cluster(comps, docs).withColumnRenamed(
+        "keep_score", "keep_chars"
+    )
+
+
+# ===========================================================================
+# Event anomaly flags — exact-integer 3-sigma on daily counts (r5-cont4)
+# ===========================================================================
+
+@register(
+    "ev_anomaly",
+    """WITH daily AS (SELECT event_type, ts::DATE AS day,
+                             count(*)::BIGINT AS x
+                      FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, count(*)::BIGINT AS n,
+                      sum(x)::BIGINT AS s, sum(x * x)::BIGINT AS s2
+               FROM daily GROUP BY 1)
+       SELECT d.event_type, d.day::VARCHAR AS day, d.x,
+              (st.n * d.x - st.s)::BIGINT AS dev_n,
+              (st.n * st.s2 - st.s * st.s)::BIGINT AS var_nn
+       FROM daily d JOIN st USING (event_type)
+       WHERE (st.n * d.x - st.s) * (st.n * d.x - st.s)
+                 > 4 * (st.n * st.s2 - st.s * st.s)""",
+    "Daily-count anomaly flags per event type — the ops-dashboard "
+    "z-score rule WITHOUT floats or sqrt: |x - mean| > z*std is "
+    "squared into (n*x - s)^2 > z^2*(n*s2 - s^2), all bigint, so the "
+    "flag set is bit-deterministic and hash-matches (libm sqrt never "
+    "runs); z = 2 here (the classic 3 is one literal away — the "
+    "uniform testdata has no 3-sigma days, and a trivially-empty "
+    "driver row proves nothing). Window-over-groups discipline: one "
+    "(type, day) hash-agg "
+    "over the raw events is the only full-data exchange; per-type "
+    "moments reduce from that bounded daily table and join back. "
+    "Emits the deviation and variance terms as evidence columns.",
+)
+def q_ev_anomaly(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+    return ev.daily_anomaly(t(spark, sf_dir, "events"), z=2)

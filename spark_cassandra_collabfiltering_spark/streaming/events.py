@@ -468,3 +468,44 @@ def growth_accounting(events: DataFrame, ts_col: str = "ts", user_col: str = "us
             "n_active", "n_new", "n_returning", "cum_users",
         )
     )
+
+
+def daily_anomaly(
+    events: DataFrame,
+    z: int = 2,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Daily-count anomaly flags per event type — the ops-dashboard
+    z-score rule WITHOUT floats or sqrt: |x - mean| > z*std squared
+    into (n*x - s)^2 > z^2*(n*s2 - s^2), all bigint, so the flag set
+    is bit-deterministic cross-engine (libm sqrt never runs).
+
+    Window-over-groups discipline: one (type, day) hash-agg over the
+    raw events is the only full-data exchange; per-type moments (n,
+    sum, sum-of-squares) reduce from that bounded daily table and
+    join back. Emits the deviation and variance terms as evidence:
+    (event_type, day, x, dev_n = n*x - s, var_nn = n*s2 - s^2)."""
+    daily = events.groupBy(
+        type_col, F.col(ts_col).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    st = daily.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    dev_n = F.col("n") * F.col("x") - F.col("s")
+    var_nn = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        daily.join(st, type_col)
+        .withColumn("dev_n", dev_n.cast("bigint"))
+        .withColumn("var_nn", var_nn.cast("bigint"))
+        .filter(F.col("dev_n") * F.col("dev_n") > (z * z) * F.col("var_nn"))
+        .select(
+            type_col,
+            F.col("day").cast("string").alias("day"),
+            "x",
+            "dev_n",
+            "var_nn",
+        )
+    )

@@ -81,9 +81,11 @@ PLAN_QUERIES = [
     "stats_profile_orders", "stats_entropy_sources",
     "stats_bootstrap_ci", "text_encoding_quality", "stats_psi_drift",
     "dedup_source_matrix", "cf_ndcg_popularity", "cf_ndcg_itemknn",
-    # r5-continuation fourth batch
+    # r5-continuation fourth batch (dedup_keep_best excluded — its
+    # builder runs the iterative connected-components jobs, same
+    # reason as dedup_clusters)
     "ml_nb_confusion", "text_lm_perplexity", "ev_growth_accounting",
-    "text_html_extract",
+    "text_html_extract", "ev_hopping_agg", "ev_anomaly",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
