@@ -55,6 +55,12 @@ QUERIES_SHOWN = [
     ("fuzzy_match_suppliers", "supplier"),
     ("sketch_hll_distinct", "events"),
     ("ev_transitions", "events"),
+    # round-5 fourth-continuation representatives
+    ("ml_nb_confusion", "documents"),
+    ("text_lm_perplexity", "documents"),
+    ("text_html_extract", "documents"),
+    ("ev_hopping_agg", "events"),
+    ("dedup_keep_best", "documents"),
 ]
 PASSES = 2
 

@@ -73,8 +73,11 @@ _DRIVER_ORDER = [
     # jsonl_quarantine gives the r4 JSONL source/sink its first
     # driver-visible oracled row — PERMISSIVE corrupt-line quarantine
     # over a committed fixture shard).
+    # r5-cont4: warc_ingest joins the ingest rows — the Common Crawl
+    # format, mapInPandas Content-Length walk vs a recursive-CTE
+    # oracle replay over the same committed bytes.
     "s2_scan_project", "p1_filter_prefix", "p2_parse_cast",
-    "jsonl_quarantine",
+    "jsonl_quarantine", "warc_ingest",
     # §2.3 joins (+ extension joins: salted, as-of). r5 rotation:
     # j3_semi_join demoted (semi semantics stay driver-visible via
     # sub1_exists_semi, which decorrelates to the same left-semi);
@@ -89,8 +92,14 @@ _DRIVER_ORDER = [
     # broadcast, salted, and as-of shapes all still resident); slot
     # freed for lex_bm25_topk, the lexical-retrieval family's first
     # driver resident.
-    "j1_join_composite", "j2_broadcast_dim", "j7_salted_skew_join",
-    "j8_asof_click_attribution",
+    # r5-cont4: j7_salted_skew_join to a local-checked slot (salting
+    # correctness + partition-spread stay pinned in tests/test_skew.py
+    # and the skew pre-flight is locally exact via stats_skew_profile;
+    # the family keeps composite/broadcast/as-of residents) — slot
+    # freed for ml_nb_confusion, the first IN-ENGINE-TRAINED model
+    # whose confusion matrix hash-matches the oracle.
+    "j1_join_composite", "j2_broadcast_dim",
+    "j8_asof_click_attribution", "ml_nb_confusion",
     # correlated subqueries (TPC-H Q4 shape; decorrelated to a semi join)
     "sub1_exists_semi",
     # §2.4 aggregates (reference A2/A3 + TPC-H shapes). r5:
@@ -143,14 +152,22 @@ _DRIVER_ORDER = [
     # slot — lang_id/quality/winnowing keep the family's scan-local,
     # rubric, and fingerprinting shapes; text_vocab_build joins with
     # the distributed dense-id assignment no resident covers)
+    # r5-cont4: + text_lm_perplexity, the CCNet/KenLM perplexity
+    # filter — a TRAINED bigram LM whose per-doc cross-entropy
+    # hash-matches (fixed-point log2).
     "text_lang_id", "text_quality", "text_winnowing", "text_vocab_build",
-    # sketches: bounded-memory space-saving heavy hitters (r5) + the
-    # engine-portable HLL (r5-cont: approximate distinct with an EXACT
-    # hash-matched oracle — took dedup_minhash_dense's freed slot)
-    "sketch_space_saving_topterms", "sketch_hll_distinct",
+    "text_lm_perplexity",
+    # sketches (r5-cont4: sketch_space_saving_topterms to a
+    # local-checked slot — MG error bounds stay pinned in
+    # tests/test_heavy_hitters.py and the counters-not-rows plan guard
+    # holds; the family keeps the engine-portable HLL resident) — slot
+    # freed for text_lm_perplexity above.
+    "sketch_hll_distinct",
     # training-data curation family (r5: + curation_domain_mix — the
-    # exact-quota data-recipe sampler)
-    "curation_pii_redact", "curation_contamination", "curation_pack",
+    # exact-quota data-recipe sampler; r5-cont4: curation_pii_redact
+    # to a local-checked slot — the regexp-chain shape stays locally
+    # exact; slot freed for warc_ingest above).
+    "curation_contamination", "curation_pack",
     "curation_domain_mix", "curation_url_canonical",
     # multimodal family (r5-cont: mm_binary_meta to a local-checked
     # slot — mm_decode_features is the stronger resident since the r5
