@@ -37,7 +37,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # URL canonicalization (scan-local web dedup) and degree-oriented
 # triangle counting (graph clustering structure). r5-cont3 adds BM25
 # (the lexical-retrieval arm's posting-list join — the hybrid-search
-# workhorse) the same way.
+# workhorse) the same way. r5-cont4 adds the two in-engine TRAINED
+# model paths: the Naive Bayes classifier gate (train + score both in
+# the measured plan) and the bigram-LM perplexity filter — the
+# legacy-11/13/16 subtotals stay the round-over-round comparables.
 HEADLINE = [
     "g1_pricing_summary",
     "j6_multiway_revenue",
@@ -55,6 +58,8 @@ HEADLINE = [
     "curation_url_canonical",
     "graph_triangles",
     "lex_bm25_topk",
+    "ml_nb_confusion",
+    "text_lm_perplexity",
 ]
 
 

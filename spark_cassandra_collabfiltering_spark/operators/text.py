@@ -1272,3 +1272,57 @@ def html_to_text(
             f"{prefix}n_tags": n_tags,
         }
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    gibberish/boilerplate signal (used alongside the Gopher rubric in
+    public pipelines: highly repetitive text compresses far below
+    natural prose; random bytes barely compress at all).
+
+    Python is unavoidable here (no JVM-side zlib expression), so this
+    is an Arrow ``mapInPandas`` over the pruned (id, text) projection
+    — batch-vectorized, partition-parallel, no shuffle; the same slow-
+    path discipline as the multimodal codecs. Output is integer-exact
+    GIVEN the zlib build (fixed level/strategy): (id, n_bytes,
+    n_compressed, ratio_e6 = n_compressed * 1e6 div max(n_bytes, 1))
+    — registry evidence is rows-only since no SQL engine replays
+    zlib. Low ratio_e6 = templated/repetitive; near/above 1e6 =
+    incompressible (random or already-compressed payloads).
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("n_bytes", LongType(), True),
+            StructField("n_compressed", LongType(), True),
+            StructField("ratio_e6", LongType(), True),
+        ]
+    )
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = ("" if txt is None else str(txt)).encode("utf-8")
+                comp = len(zlib.compress(raw, level))
+                out.append(
+                    (int(i), len(raw), comp,
+                     comp * 1_000_000 // max(len(raw), 1))
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_bytes", "n_compressed", "ratio_e6"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(score, schema)

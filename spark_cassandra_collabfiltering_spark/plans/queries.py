@@ -6605,3 +6605,95 @@ def q_ev_anomaly(spark, sf_dir):
     from spark_cassandra_collabfiltering_spark.streaming import events as ev
 
     return ev.daily_anomaly(t(spark, sf_dir, "events"), z=2)
+
+
+# ===========================================================================
+# Daily trend — exact-integer OLS slope per event type (r5-cont4)
+# ===========================================================================
+
+@register(
+    "stats_daily_trend",
+    """WITH daily AS (SELECT event_type,
+                             (epoch_us(ts) // 86400000000)::BIGINT AS d,
+                             count(*)::BIGINT AS y
+                      FROM events GROUP BY 1, 2),
+        base AS (SELECT event_type, min(d) AS d0 FROM daily GROUP BY 1),
+        xy AS (SELECT daily.event_type, (d - d0)::BIGINT AS x, y
+               FROM daily JOIN base USING (event_type)),
+        st AS (SELECT event_type, count(*)::BIGINT AS n,
+                      sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                      sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+               FROM xy GROUP BY 1)
+       SELECT event_type, n,
+              (n * sxy - sx * sy)::BIGINT AS slope_num,
+              (n * sxx - sx * sx)::BIGINT AS slope_den,
+              (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+               * ((abs(n * sxy - sx * sy) * 1000000)
+                  // (n * sxx - sx * sx)))::BIGINT AS slope_e6
+       FROM st WHERE n * sxx - sx * sx > 0""",
+    "Per-event-type DAILY TREND: ordinary-least-squares slope of daily "
+    "counts over the day index, in EXACT integers — slope = "
+    "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) carried as numerator/denominator "
+    "evidence columns plus a fixed-point e6 quotient with the sign "
+    "EXTRACTED before division: Spark's div truncates toward zero "
+    "while DuckDB's // floors, so signed integer division is NOT "
+    "engine-portable — sign * (abs(num) div den) is. "
+    "Window-over-groups: one (type, day) hash-agg is the only "
+    "full-data exchange; the regression reduces from the bounded "
+    "daily table. Degenerate single-day groups are excluded "
+    "(denominator 0).",
+)
+def q_stats_daily_trend(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts").cast("bigint") / F.lit(86400))
+            .cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    base = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
+    xy = daily.join(base, "event_type").select(
+        "event_type", (F.col("d") - F.col("d0")).cast("bigint").alias("x"), "y"
+    )
+    st = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        st.withColumn("slope_num", num.cast("bigint"))
+        .withColumn("slope_den", den.cast("bigint"))
+        .filter(F.col("slope_den") > 0)
+        .withColumn(
+            "slope_e6",
+            (
+                F.when(F.col("slope_num") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr("(abs(slope_num) * 1000000) div slope_den")
+            ).cast("bigint"),
+        )
+        .select("event_type", "n", "slope_num", "slope_den", "slope_e6")
+    )
+
+
+# ===========================================================================
+# Compression-ratio quality signal — zlib via Arrow (r5-cont4; rows-only)
+# ===========================================================================
+
+@register(
+    "text_compression_ratio",
+    None,  # rows-only: no SQL engine replays zlib; pins in pytest
+    "Per-doc zlib compression ratio (operators/text.py "
+    "compression_ratio) — the cheap gibberish/repetition signal "
+    "public pipelines run beside the Gopher rubric. Arrow mapInPandas "
+    "over the pruned (id, text) projection: batch-vectorized, "
+    "partition-parallel, zero shuffles — the documented slow-path "
+    "discipline (Python only where the JVM has no equivalent "
+    "expression, like the multimodal codecs). Rows-only by design; "
+    "repetitive-vs-random ordering and determinism are pinned in "
+    "tests/test_textmodels.py.",
+)
+def q_text_compression_ratio(spark, sf_dir):
+    return tx.compression_ratio(t(spark, sf_dir, "documents"))

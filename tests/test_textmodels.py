@@ -195,3 +195,37 @@ def test_lm_empty_and_null_docs_dropped(spark):
     rows = [(1, "a", "aa bb"), (2, "a", ""), (3, "a", "??!!")]
     x = tm.bigram_lm_xent(_docs(spark, rows), F.col("lang") == "a").collect()
     assert {r.doc_id for r in x} == {1}
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    # doc 3 must be genuinely non-repeating (a repeated "random" block
+    # compresses BETTER than prose — zlib finds the period): derive an
+    # incompressible-ish stream from chained md5 hex.
+    noise = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )
+    rows = [
+        (1, "x", "ab " * 500),                      # highly repetitive
+        (2, "x", "the quick brown fox jumps over the lazy dog. " * 30),
+        (3, "x", noise),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r.doc_id: r for r in tx.compression_ratio(df).collect()}
+    assert got[1].ratio_e6 < got[2].ratio_e6 < got[3].ratio_e6
+    assert got[1].n_bytes == 1500
+    # deterministic across runs
+    again = {r.doc_id: r.ratio_e6 for r in tx.compression_ratio(df).collect()}
+    assert again == {k: v.ratio_e6 for k, v in got.items()}
+
+
+def test_compression_ratio_empty_and_null(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "x", ""), (2, "x", None)], ["doc_id", "lang", "text"]
+    )
+    got = {r.doc_id: r for r in tx.compression_ratio(df).collect()}
+    assert got[1].n_bytes == 0 and got[1].ratio_e6 >= 0
+    assert got[2].n_bytes == 0
