@@ -6524,7 +6524,9 @@ def q_ev_hopping(spark, sf_dir):
 @register(
     "dedup_keep_best",
     f"""WITH RECURSIVE mh AS (SELECT id_a, id_b
-                FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL)}) q),
+                FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL,
+                                           max_band_bucket=64,
+                                           oversize="star")}) q),
         edges AS (SELECT id_a AS a, id_b AS b FROM mh
                   UNION SELECT id_b, id_a FROM mh),
         reach(a, b) AS (SELECT a, b FROM edges
@@ -6556,14 +6558,19 @@ def q_ev_hopping(spark, sf_dir):
     "(quality = text length here; any deterministic score column "
     "drops in) with full-row tie-breaks, so the kept set is "
     "total-ordered and hash-matches the oracle's recursive-CTE "
-    "replay. Scale: the window partitions by cluster_id — bounded "
-    "groups by construction (LSH caps bucket width upstream).",
+    "replay. Scale: the pair graph runs the hot-bucket cap (64) + "
+    "star-linking density safeguard — the sf1 corpus is dense with "
+    "templated dups (uncapped: 925k verified pairs from 10k docs, "
+    "11.9x on the 10x step; star edges keep a crowd one component at "
+    "linear edge count) — and the argmax window partitions by "
+    "cluster_id, crowd width bounded by the same cap.",
 )
 def q_dedup_keep_best(spark, sf_dir):
     docs = _doc_subset(spark, sf_dir)
     pairs = dd.minhash_dedup_pairs(
         docs, "doc_id", "text",
         n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+        max_band_bucket=64, oversize="star",
     )
     comps = dd.connected_components(pairs)
     return dd.keep_best_per_cluster(comps, docs).withColumnRenamed(
