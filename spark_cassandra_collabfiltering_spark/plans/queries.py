@@ -2041,7 +2041,10 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 @register(
     "dedup_clusters",
-    f"""WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL)}) q),
+    f"""WITH RECURSIVE mh AS (SELECT id_a, id_b
+                FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL,
+                                           max_band_bucket=64,
+                                           oversize="star")}) q),
         edges AS (SELECT id_a AS a, id_b AS b FROM mh
                   UNION SELECT id_b, id_a FROM mh),
         reach(a, b) AS (SELECT a, b FROM edges
@@ -2054,13 +2057,20 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     "components via iterative min-label propagation (join+agg per "
     "round, rounds = graph diameter, driver reads one scalar per "
     "round). cluster_id = the component's minimum doc id — the "
-    "canonical representative a dedup pipeline keeps. Oracle: the "
-    "same components via a recursive-CTE transitive closure.",
+    "canonical representative a dedup pipeline keeps. The pair graph "
+    "runs the hot-bucket cap (64) + star linking, matching the "
+    "benched LSH default — star edges keep a dup crowd one component "
+    "at linear edge count (uncapped, the dense sf1 corpus emits 925k "
+    "pairs from 10k docs). Oracle: the same components via a "
+    "recursive-CTE transitive closure over the cap+star pair replay. "
+    "curation_cluster_split single-sources this query on both sides, "
+    "so the leakage-safe split inherits the cap.",
 )
 def q_dedup_clusters(spark, sf_dir):
     pairs = dd.minhash_dedup_pairs(
         _doc_subset(spark, sf_dir), "doc_id", "text",
         n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+        max_band_bucket=64, oversize="star",
     )
     return dd.connected_components(pairs)
 
