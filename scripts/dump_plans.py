@@ -71,6 +71,13 @@ SHOWN = [
     "stats_bootstrap_ci",
     "text_encoding_quality",
     "cf_ndcg_popularity",
+    # round 5, fourth continuation
+    "ml_nb_confusion",
+    "text_lm_perplexity",
+    "text_html_extract",
+    "ev_hopping_agg",
+    "ev_anomaly",
+    "stats_daily_trend",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
