@@ -951,7 +951,7 @@ def remove_spans(
     )
 
 
-def keep_best_per_cluster(
+def keep_best_scored(
     clusters: DataFrame,
     scores: DataFrame,
     node_col: str = "node",

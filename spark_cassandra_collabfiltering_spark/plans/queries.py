@@ -4049,7 +4049,7 @@ def q_dedup_canonicalize(spark, sf_dir):
     quality = QUERIES["text_quality"].builder(spark, sf_dir).select(
         "doc_id", "quality_e6"
     )
-    return dd.keep_best_per_cluster(
+    return dd.keep_best_scored(
         clusters, quality, node_col="node", id_col="doc_id",
         score_col="quality_e6",
     )

@@ -216,6 +216,6 @@ def test_keep_best_per_cluster_tiebreaks(spark):
     )
     got = {
         r["cluster_id"]: (r["keep_id"], r["keep_score"], r["n_members"])
-        for r in dd.keep_best_per_cluster(clusters, scores).collect()
+        for r in dd.keep_best_scored(clusters, scores).collect()
     }
     assert got == {1: (2, 90, 3), 10: (10, 70, 2)}

@@ -114,7 +114,7 @@ def test_keep_best_counts_unscored_members(spark):
     )  # 12 unscored; cluster 2 fully unscored
     got = {
         r.cluster_id: (r.keep_id, r.keep_score, r.n_members)
-        for r in dd.keep_best_per_cluster(clusters, scores).collect()
+        for r in dd.keep_best_scored(clusters, scores).collect()
     }
     assert got[1] == (11, 300, 3)   # n_members counts the unscored 12
     assert got[2] == (20, None, 2)  # unscored cluster survives, min id
