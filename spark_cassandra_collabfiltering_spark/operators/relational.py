@@ -364,3 +364,52 @@ def except_all_rows(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
     """SQL EXCEPT ALL (multiset difference): each row of A survives
     max(count_A - count_B, 0) times."""
     return df_a.exceptAll(df_b)
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2D SKYLINE (Pareto frontier, minimize both axes): rows no other
+    row dominates, where s dominates r iff s.x <= r.x AND s.y <= r.y
+    with at least one strict. The classic OLAP operator for
+    price-vs-size / cost-vs-latency frontiers (Borzsony, Kossmann,
+    Stocker, ICDE 2001).
+
+    Plan shape — NO self-join (the naive NOT-EXISTS formulation is
+    O(n^2)): reduce to the distinct (x, y) POINT grid first (carrying
+    member count and min id as evidence), then one sorted sweep:
+
+    - ``m_strict`` = min(y) over points with strictly smaller x (a
+      RANGE frame ending at -1 — x must be integral for the strict
+      bound, e.g. price in cents). A point is dominated from the left
+      iff m_strict <= y (equal y still loses: x is strictly smaller).
+    - within an x group, only the min-y point survives (any same-x
+      point with smaller y dominates).
+
+    The ordered sweep runs on the REDUCED point grid, whose
+    cardinality is bounded by the value-grain product (|distinct x| x
+    |distinct y|), not the row count — the same bounded-grid contract
+    as the KS drift grid (stats_ks_drift). The full table is touched only by
+    the one hash-agg that builds the grid.
+
+    Output: (x, y, n_members, min_id) — one row per skyline point."""
+    pts = df.groupBy(x_col, y_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(id_col).alias("min_id"),
+    )
+    w_strict = Window.orderBy(F.col(x_col).cast("long")).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same_x = Window.partitionBy(x_col)
+    flagged = pts.select(
+        "*",
+        F.min(y_col).over(w_strict).alias("_m_strict"),
+        F.min(y_col).over(w_same_x).alias("_m_same"),
+    )
+    return flagged.filter(
+        (F.col("_m_strict").isNull() | (F.col("_m_strict") > F.col(y_col)))
+        & (F.col("_m_same") == F.col(y_col))
+    ).select(x_col, y_col, "n_members", "min_id")

@@ -108,3 +108,53 @@ def finalize(
             F.col("sum_value_dec").cast("double") / F.col("n_events"), places
         ).alias("avg_value"),
     )
+
+
+def signed_delta_partials(
+    inserts: DataFrame,
+    deletes: DataFrame,
+    group_cols: list[str],
+    cents_col: Column,
+) -> DataFrame:
+    """Signed partial state for INCREMENTAL VIEW MAINTENANCE: fold an
+    insert batch (+1 multiplicity) and a delete/retraction batch (-1)
+    into one per-group delta of (count, sum-of-cents). Only the delta
+    batches are scanned — never the base table the view was built
+    over. Money rides as exact bigint cents, so the partials commute
+    and merge bit-exactly (the same contract as PARTIAL_COLS)."""
+    signed = inserts.select(
+        *group_cols, cents_col.alias("_c"), F.lit(1).alias("_sgn")
+    ).unionByName(
+        deletes.select(
+            *group_cols, cents_col.alias("_c"), F.lit(-1).alias("_sgn")
+        )
+    )
+    return signed.groupBy(*group_cols).agg(
+        F.sum("_sgn").cast("bigint").alias("n_rows"),
+        F.sum(F.col("_sgn") * F.col("_c")).cast("bigint").alias("sum_cents"),
+    )
+
+
+def apply_agg_delta(
+    view: DataFrame, delta: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Refresh a count/sum aggregate VIEW by merging a signed delta —
+    the Materialize/Flink retract-stream shape expressed as plain
+    DataFrames. The view and delta are both (group_cols, n_rows,
+    sum_cents) partial tables; the merge is a union + one hash-agg on
+    the (bounded) group grain, then groups whose refreshed count hits
+    zero vanish (a fully-retracted group leaves the view, it does not
+    linger as a zero row). The base table is never rescanned: refresh
+    cost scales with |delta| + |view grain|, not |base| — the whole
+    point of IVM at 100 TB."""
+    merged = view.select(*group_cols, "n_rows", "sum_cents").unionByName(
+        delta.select(*group_cols, "n_rows", "sum_cents")
+    )
+    return (
+        merged.groupBy(*group_cols)
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") != 0)
+    )

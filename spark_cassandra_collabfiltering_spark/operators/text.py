@@ -1326,3 +1326,82 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(score, schema)
+
+
+def trigram_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-TRIGRAM inverted index (the pg_trgm / code-search
+    shape): one (gram, id) posting row per DISTINCT trigram of each
+    document. Substring search then never scans text — a pattern's
+    candidate set is the intersection of its trigrams' posting lists.
+
+    Scale shape: trigram extraction is row-local (one transform over a
+    position sequence, array_distinct before the explode caps fan-out
+    at the distinct-trigram count, <= text length). In production this
+    table is MATERIALIZED once (partitioned by gram prefix) and
+    queries touch only the searched grams' postings; composing it
+    in-query (trigram_search) still keeps the shuffle to candidate
+    postings only. Docs shorter than 3 chars emit no postings (they
+    can never match a >= 3-char pattern anyway)."""
+    grams = F.when(
+        F.length(text_col) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - 2),
+                lambda i: F.substring(F.col(text_col), i, 3),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def trigram_search(
+    df: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search `%pattern%` via the trigram index: candidate
+    generation (docs whose posting lists contain EVERY distinct
+    trigram of the pattern — a superset of true matches, since
+    trigram containment is necessary but not sufficient) followed by
+    exact verification with an occurrence count, computed on
+    CANDIDATES ONLY.
+
+    This is the LIKE-acceleration discipline: the full-corpus work is
+    the (materializable) index build; the per-query work is Q posting
+    lists (Q = distinct pattern trigrams), one bounded-key hash-agg
+    counting gram hits per doc, and a verify join that touches only
+    candidate rows. A raw LIKE scan reads every byte of every doc per
+    query. Occurrence count is exact integer arithmetic:
+    (len - len(remove(pattern))) div len(pattern) — portable to any
+    SQL engine.
+
+    Output: (id, n_occurrences) for true matches only."""
+    if len(pattern) < 3:
+        raise ValueError("trigram_search needs a pattern of >= 3 chars")
+    pats = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    postings = trigram_postings(df, id_col=id_col, text_col=text_col)
+    cand = (
+        postings.filter(F.col("gram").isin(pats))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .filter(F.col("_ng") == len(pats))
+        .select(id_col)
+    )
+    lit_pat = F.lit(pattern)
+    return (
+        cand.join(df.select(id_col, text_col), id_col)
+        .filter(F.col(text_col).contains(pattern))
+        .select(
+            F.col(id_col),
+            (
+                (
+                    F.length(text_col)
+                    - F.length(F.replace(F.col(text_col), lit_pat, F.lit("")))
+                ).cast("bigint")
+                / F.lit(len(pattern))
+            ).cast("bigint").alias("n_occurrences"),
+        )
+    )

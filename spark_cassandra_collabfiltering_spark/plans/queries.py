@@ -6714,3 +6714,180 @@ def q_stats_daily_trend(spark, sf_dir):
 )
 def q_text_compression_ratio(spark, sf_dir):
     return tx.compression_ratio(t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Trigram-index substring search — LIKE acceleration (r5-cont5)
+# ===========================================================================
+
+_TRGM_PAT = "merge batch"
+
+@register(
+    "lex_trigram_search",
+    f"""SELECT doc_id,
+               CAST((length(text) - length(replace(text, '{_TRGM_PAT}', '')))
+                    // {len(_TRGM_PAT)} AS BIGINT) AS n_occurrences
+        FROM documents
+        WHERE text LIKE '%{_TRGM_PAT}%'""",
+    "Substring search '%merge batch%' answered through a character-"
+    "trigram inverted index (operators/text.py trigram_search — the "
+    "pg_trgm / code-search LIKE-acceleration shape): candidates = "
+    "docs whose posting lists contain every distinct pattern trigram "
+    "(a provable superset), then exact verify + occurrence count on "
+    "candidates only. The oracle is the raw LIKE scan the index "
+    "replaces — identical rows prove the index loses nothing. Scale: "
+    "the index is the materializable full-corpus artifact; per-query "
+    "work is Q posting lists + a bounded hash-agg + a candidate-only "
+    "verify join, vs the oracle's every-byte scan per query. "
+    "Candidate-not-match trap (all trigrams present, pattern absent) "
+    "is pinned in tests/test_trigram_search.py.",
+)
+def q_lex_trigram_search(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.trigram_search(docs, _TRGM_PAT)
+
+
+# ===========================================================================
+# 2D skyline (Pareto frontier) — sorted sweep, no self-join (r5-cont5)
+# ===========================================================================
+
+@register(
+    "skyline_parts",
+    """WITH p AS (SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                             AS price_cents,
+                         CAST(p_size AS BIGINT) AS size, p_partkey
+                  FROM part),
+        g AS (SELECT price_cents, size, count(*)::BIGINT AS n_parts,
+                     min(p_partkey) AS min_partkey
+              FROM p GROUP BY 1, 2)
+       SELECT price_cents, size, n_parts, min_partkey
+       FROM g a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM g b
+         WHERE b.price_cents <= a.price_cents AND b.size <= a.size
+           AND (b.price_cents < a.price_cents OR b.size < a.size))""",
+    "2D skyline of parts minimizing (price, size) — the Pareto-"
+    "frontier OLAP operator (Borzsony/Kossmann/Stocker 2001). Engine "
+    "plan is the O(n log n) sorted sweep (operators/relational.py "
+    "skyline_2d): reduce to the distinct point grid by hash-agg, then "
+    "one RANGE-framed prefix-min ordered by price strictly-less — no "
+    "self-join anywhere; the oracle is the O(n^2) NOT-EXISTS "
+    "dominance definition, so an exact match proves the sweep "
+    "IS the definition. Money in exact cents (the established "
+    "round*100 recipe); dominance ties (equal price or equal size "
+    "with the other strict) exercised by the grid's duplicates.",
+)
+def q_skyline_parts(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select(
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+        "p_partkey",
+    )
+    return (
+        rel.skyline_2d(p, "price_cents", "size", "p_partkey")
+        .withColumnRenamed("n_members", "n_parts")
+        .withColumnRenamed("min_id", "min_partkey")
+    )
+
+
+# ===========================================================================
+# Interval concurrency sweep — peak concurrent sessions (r5-cont5)
+# ===========================================================================
+
+@register(
+    "ev_concurrency",
+    """WITH o AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sids AS (
+         SELECT user_id, us,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o),
+       sess AS (SELECT user_id, sid, min(us) AS s, max(us) AS e
+                FROM sids GROUP BY 1, 2),
+       seg AS (
+         SELECT strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+                greatest(s, d * 86400000000) AS seg_s,
+                least(e, (d + 1) * 86400000000 - 1) AS seg_e
+         FROM sess, unnest(generate_series(s // 86400000000,
+                                           e // 86400000000)) AS t(d)),
+       deltas AS (
+         SELECT day, seg_s AS at_us, 1 AS d FROM seg
+         UNION ALL SELECT day, seg_e + 1, -1 FROM seg),
+       grid AS (SELECT day, at_us, sum(d) AS net FROM deltas GROUP BY 1, 2),
+       run AS (SELECT day, sum(net) OVER (PARTITION BY day ORDER BY at_us
+                                          ROWS UNBOUNDED PRECEDING) AS level
+               FROM grid),
+       peaks AS (SELECT day, max(level)::BIGINT AS peak_concurrent
+                 FROM run GROUP BY day),
+       ns AS (SELECT day, count(*)::BIGINT AS n_segments FROM seg GROUP BY day)
+       SELECT p.day, p.peak_concurrent, n.n_segments
+       FROM peaks p JOIN ns n USING (day)""",
+    "Peak concurrent 30-min-gap sessions per day (streaming/events.py "
+    "session_concurrency) — the capacity-planning interval-overlap "
+    "question answered as a BOUNDARY SWEEP (+1 at start, -1 past end, "
+    "cumulative sum), never an interval self-join: O(n log n) vs the "
+    "O(n^2) pairwise-overlap formulation. Midnight-crossing sessions "
+    "day-split row-locally; simultaneous boundaries pre-aggregate per "
+    "instant so the running sum has no tie-order ambiguity (that "
+    "grouping is what makes the max hash-exact). Closed intervals: "
+    "touching sessions count as concurrent; the -1 lands one "
+    "microsecond past the last event.",
+)
+def q_ev_concurrency(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+    return ev.session_concurrency(t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Incremental view maintenance — retract-stream agg refresh (r5-cont5)
+# ===========================================================================
+
+@register(
+    "agg_incremental_view",
+    """WITH ref AS (
+         SELECT o_orderstatus, o_orderpriority,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+         FROM orders WHERE o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_orderstatus, o_orderpriority,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         FROM orders WHERE o_orderkey % 13 = 1)
+       SELECT o_orderstatus, o_orderpriority,
+              count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_cents
+       FROM ref GROUP BY 1, 2""",
+    "Incremental view maintenance (operators/rollup.py "
+    "signed_delta_partials + apply_agg_delta — the Materialize/Flink "
+    "retract-stream shape): a (status, priority) count/sum-cents view "
+    "is REFRESHED by merging a signed delta batch — deletes are the "
+    "o_orderkey%7==0 feed at -1 multiplicity, inserts the %13==1 feed "
+    "at +1 — never rescanning the base table; refresh cost is "
+    "|delta| + |view grain|. Fully-retracted groups leave the view. "
+    "The oracle recomputes the view FROM SCRATCH over the equivalent "
+    "multiset (base minus deletes plus inserts), so the exact match "
+    "proves merge == recompute — the IVM correctness contract. Money "
+    "as exact bigint cents keeps the partials order-independent.",
+)
+def q_agg_incremental_view(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.operators import rollup as ru
+
+    orders = t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base_view = orders.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )
+    delta = ru.signed_delta_partials(
+        inserts=orders.filter(F.col("o_orderkey") % 13 == 1),
+        deletes=orders.filter(F.col("o_orderkey") % 7 == 0),
+        group_cols=keys,
+        cents_col=cents,
+    )
+    return ru.apply_agg_delta(base_view, delta, keys)

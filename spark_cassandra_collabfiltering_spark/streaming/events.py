@@ -509,3 +509,110 @@ def daily_anomaly(
             "var_nn",
         )
     )
+
+
+def session_concurrency(
+    events: DataFrame,
+    gap_s: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Peak CONCURRENT sessions per day — the capacity-planning
+    readout (how many users were active AT ONCE), computed as an
+    interval sweep, never an interval self-join.
+
+    Stages, each with the scale story stated:
+
+    1. Sessionize (same 30-min-gap semantics as ev_sessionize): one
+       user-keyed window yields boundary flags; a running sum of the
+       flags numbers sessions; a (user, session) hash-agg produces
+       closed intervals [min ts, max ts].
+    2. Day-split: a session crossing midnight contributes one clipped
+       segment per covered day (row-local sequence over covered days
+       — bounded by session length, and gap-bounded sessions span at
+       most a handful of days).
+    3. Sweep: each segment emits (+1 at start) and (-1 at end + 1 us)
+       boundary deltas; deltas are PRE-AGGREGATED per (day, instant)
+       so simultaneous starts/ends collapse before the ordered scan
+       (no tie-order ambiguity in the running sum), then one
+       per-day-partitioned cumulative sum gives the concurrency level
+       at every boundary; its max is the day's peak. The ordered scan
+       runs over the grouped boundary grid (<= 2 segments rows,
+       usually far fewer), partitioned by day — to tighten further at
+       extreme scale, clip to hours with the same recipe.
+
+    Closed-interval semantics: a session whose last event is at t is
+    still present AT t (the -1 lands at t + 1 us); a session ending
+    at t and another starting at t overlap. Single-event sessions are
+    zero-length segments and still count where they sit.
+
+    Output: (day string, peak_concurrent, n_segments)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    flagged = events.select(
+        user_col,
+        "event_id",
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.when(
+            F.lag(ts_col, 1).over(w).isNull()
+            | (
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col, 1).over(w))
+                > gap_s * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("_new"),
+    )
+    sess = (
+        flagged.withColumn(
+            "_sid",
+            F.sum("_new").over(
+                Window.partitionBy(user_col)
+                .orderBy(F.col("_us").asc(), F.col("event_id").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(user_col, "_sid")
+        .agg(F.min("_us").alias("_s"), F.max("_us").alias("_e"))
+    )
+    # day-split: one segment per covered day, clipped to day bounds
+    day_us = 86_400_000_000
+    seg = sess.select(
+        F.explode(
+            F.sequence(
+                F.expr("_s div 86400000000"), F.expr("_e div 86400000000")
+            )
+        ).alias("_day_idx"),
+        "_s",
+        "_e",
+    ).select(
+        F.date_format(
+            F.timestamp_micros(F.col("_day_idx") * day_us), "yyyy-MM-dd"
+        ).alias("day"),
+        F.greatest(F.col("_s"), F.col("_day_idx") * day_us).alias("seg_s"),
+        F.least(F.col("_e"), (F.col("_day_idx") + 1) * day_us - 1).alias("seg_e"),
+    )
+    deltas = seg.select(
+        "day", F.col("seg_s").alias("at_us"), F.lit(1).alias("d")
+    ).unionByName(
+        seg.select("day", (F.col("seg_e") + 1).alias("at_us"), F.lit(-1).alias("d"))
+    )
+    grid = deltas.groupBy("day", "at_us").agg(F.sum("d").alias("net"))
+    run = grid.withColumn(
+        "level",
+        F.sum("net").over(
+            Window.partitionBy("day")
+            .orderBy("at_us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    starts = seg.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments")
+    )
+    return (
+        run.groupBy("day")
+        .agg(F.max("level").cast("bigint").alias("peak_concurrent"))
+        .join(starts, "day")
+        .select("day", "peak_concurrent", "n_segments")
+    )

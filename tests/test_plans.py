@@ -86,6 +86,9 @@ PLAN_QUERIES = [
     # reason as dedup_clusters)
     "ml_nb_confusion", "text_lm_perplexity", "ev_growth_accounting",
     "text_html_extract", "ev_hopping_agg", "ev_anomaly",
+    # r5-continuation fifth batch (plan-only cheap)
+    "lex_trigram_search", "skyline_parts", "ev_concurrency",
+    "agg_incremental_view",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -197,6 +200,30 @@ def test_minhash_lsh_no_shingle_shuffle(plans):
     # size count and the star-edge union branches (~8 more exchanges,
     # all on 16-byte band/bucket keys — still never on shingles).
     assert len(re.findall(r"\bExchange\b", plans["dedup_minhash_lsh"])) <= 28
+
+
+def test_skyline_has_no_join(plans):
+    """skyline_2d is a hash-agg + two windows over the reduced point
+    grid — the O(n^2) dominance SELF-JOIN must never appear (that is
+    the whole point vs the NOT-EXISTS oracle)."""
+    assert "Join" not in plans["skyline_parts"]
+
+
+def test_trigram_search_no_gram_shuffle(plans):
+    """Candidate generation aggregates per doc_id; no exchange may
+    partition on the gram column (posting rows shuffle by doc after
+    the pattern-gram filter, never by gram — a by-gram shuffle would
+    mean the whole posting table moved for one query)."""
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)",
+                           plans["lex_trigram_search"]):
+        assert "gram" not in args, args
+
+
+def test_ivm_refresh_has_no_base_rejoin(plans):
+    """apply_agg_delta merges partials by union + hash-agg; the
+    refresh plan must contain no join at all (a join would mean the
+    base table was consulted again)."""
+    assert "Join" not in plans["agg_incremental_view"]
 
 
 def test_dense_and_incremental_lsh_no_shingle_shuffle(plans):

@@ -1,0 +1,199 @@
+"""Pins for the r5-cont5 operator batch: trigram substring search,
+2D skyline sweep, interval concurrency, incremental view maintenance.
+
+Each pin targets the semantics the sf-testdata oracle can't isolate:
+the trigram candidate-not-match trap, skyline dominance tie rules,
+midnight-splitting / touching-interval concurrency, and full
+retraction in the IVM merge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.operators import (
+    relational as rel,
+    rollup as ru,
+    text as tx,
+)
+from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+
+# ---------------------------------------------------------------- trigram
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_trigram_search_counts_occurrences(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "xx merge batch yy merge batch zz"),  # 2 hits
+            (2, "no hits here"),
+            (3, "merge batch"),  # exact-length doc, 1 hit
+        ],
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in tx.trigram_search(docs, "merge batch").collect()
+    }
+    assert got == {1: 2, 3: 1}
+
+
+def test_trigram_candidate_superset_trap_rejected(spark):
+    # Doc 9 contains EVERY trigram of "abcdef" (abc, bcd, cde, def)
+    # but never the contiguous pattern: it is a candidate the verify
+    # step must reject — the necessary-not-sufficient trap.
+    docs = _docs(spark, [(9, "abcd cdef bcde"), (10, "zabcdefz")])
+    pats = {"abcdef"[i : i + 3] for i in range(4)}
+    grams = {
+        r.gram
+        for r in tx.trigram_postings(docs).filter(F.col("doc_id") == 9).collect()
+    }
+    assert pats <= grams  # doc 9 IS a candidate...
+    got = tx.trigram_search(docs, "abcdef").collect()
+    assert [(r.doc_id, r.n_occurrences) for r in got] == [(10, 1)]  # ...but no match
+
+
+def test_trigram_short_docs_and_patterns(spark):
+    docs = _docs(spark, [(1, "ab"), (2, None), (3, "abc")])
+    # <3-char docs and NULL text emit no postings
+    assert tx.trigram_postings(docs).filter(
+        F.col("doc_id").isin(1, 2)
+    ).count() == 0
+    assert [r.doc_id for r in tx.trigram_search(docs, "abc").collect()] == [3]
+    with pytest.raises(ValueError):
+        tx.trigram_search(docs, "ab")
+
+
+# ---------------------------------------------------------------- skyline
+
+def test_skyline_dominance_tie_rules(spark):
+    # (1,9) and (9,1): frontier corners. (5,5): not dominated. (5,6):
+    # dominated by (5,5) (equal x, strictly larger y). (2,9):
+    # dominated by (1,9) (equal y, strictly larger x). Duplicate
+    # points (5,5) don't dominate each other -> n_members = 2.
+    rows = [
+        (1, 1, 9), (2, 9, 1), (3, 5, 5), (4, 5, 5), (5, 5, 6), (6, 2, 9),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+    got = {
+        (r.x, r.y): (r.n_members, r.min_id)
+        for r in rel.skyline_2d(df, "x", "y", "id").collect()
+    }
+    assert got == {(1, 9): (1, 1), (9, 1): (1, 2), (5, 5): (2, 3)}
+
+
+def test_skyline_matches_naive_dominance(spark):
+    import itertools
+    import random
+
+    rnd = random.Random(42)
+    rows = [(i, rnd.randint(0, 6), rnd.randint(0, 6)) for i in range(60)]
+    pts = {(x, y) for _, x, y in rows}
+    expect = {
+        (x, y)
+        for x, y in pts
+        if not any(
+            (a <= x and b <= y and (a < x or b < y)) for a, b in pts
+        )
+    }
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+    got = {(r.x, r.y) for r in rel.skyline_2d(df, "x", "y", "id").collect()}
+    assert got == expect
+
+
+# ------------------------------------------------------------ concurrency
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    )
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_concurrency_overlap_and_touching(spark):
+    rows = [
+        # user 1: session 10:00-10:10; user 2: 10:05-10:15 (overlap=2)
+        (1, _ts("2024-03-01 10:00:00"), 1),
+        (2, _ts("2024-03-01 10:10:00"), 1),
+        (3, _ts("2024-03-01 10:05:00"), 2),
+        (4, _ts("2024-03-01 10:15:00"), 2),
+        # user 3 starts exactly when user 2 ends: closed intervals touch
+        (5, _ts("2024-03-01 10:15:00"), 3),
+    ]
+    got = ev.session_concurrency(_events(spark, rows)).collect()
+    assert [(r.day, r.peak_concurrent, r.n_segments) for r in got] == [
+        ("2024-03-01", 2, 3)
+    ]
+
+
+def test_concurrency_midnight_split(spark):
+    rows = [
+        # one session 23:50 -> 00:20 next day (events 10 min apart, gap<30m)
+        (1, _ts("2024-03-01 23:50:00"), 1),
+        (2, _ts("2024-03-02 00:00:30"), 1),
+        (3, _ts("2024-03-02 00:20:00"), 1),
+        # a second user only on day 2
+        (4, _ts("2024-03-02 00:10:00"), 2),
+    ]
+    got = {
+        r.day: (r.peak_concurrent, r.n_segments)
+        for r in ev.session_concurrency(_events(spark, rows)).collect()
+    }
+    assert got == {"2024-03-01": (1, 1), "2024-03-02": (2, 2)}
+
+
+def test_concurrency_gap_splits_sessions(spark):
+    rows = [
+        (1, _ts("2024-03-01 08:00:00"), 1),
+        (2, _ts("2024-03-01 09:00:00"), 1),  # >30 min gap -> new session
+    ]
+    got = ev.session_concurrency(_events(spark, rows)).collect()
+    # two zero-length sessions, never simultaneous
+    assert [(r.day, r.peak_concurrent, r.n_segments) for r in got] == [
+        ("2024-03-01", 1, 2)
+    ]
+
+
+# -------------------------------------------------------------------- IVM
+
+def test_ivm_merge_equals_recompute_and_retracts(spark):
+    base = spark.createDataFrame(
+        [("A", 100), ("A", 200), ("B", 500)], "k string, cents bigint"
+    )
+    view = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    inserts = spark.createDataFrame([("A", 50)], "k string, cents bigint")
+    deletes = spark.createDataFrame(
+        [("A", 100), ("B", 500)], "k string, cents bigint"
+    )
+    delta = ru.signed_delta_partials(inserts, deletes, ["k"], F.col("cents"))
+    got = {
+        r.k: (r.n_rows, r.sum_cents)
+        for r in ru.apply_agg_delta(view, delta, ["k"]).collect()
+    }
+    # B fully retracted -> gone, not a zero row; A merged exactly
+    assert got == {"A": (2, 250)}
+
+
+def test_ivm_insert_only_new_group(spark):
+    view = spark.createDataFrame(
+        [("A", 1, 10)], "k string, n_rows bigint, sum_cents bigint"
+    )
+    inserts = spark.createDataFrame([("C", 7)], "k string, cents bigint")
+    deletes = inserts.limit(0)
+    delta = ru.signed_delta_partials(inserts, deletes, ["k"], F.col("cents"))
+    got = {
+        r.k: (r.n_rows, r.sum_cents)
+        for r in ru.apply_agg_delta(view, delta, ["k"]).collect()
+    }
+    assert got == {"A": (1, 10), "C": (1, 7)}
