@@ -140,3 +140,48 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
     )
     return b.join(s, on=[*on, "_salt"]).drop("_salt")
+
+
+def windowed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts_us: str,
+    right_ts_us: str,
+    window_us: int,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """TIME-WINDOWED join: every right row whose timestamp falls in
+    [left_ts - window, left_ts] joins its left row — the multi-touch
+    attribution / feature-lookback primitive (as-of gives ONE
+    predecessor; this gives ALL of them inside a bounded window).
+
+    Scale shape — the same bucketization discipline as
+    :func:`range_join_bucketed`, applied to the time axis: the left
+    side explodes to every time bucket its window covers (a BOUNDED
+    window_us/bucket_us + 1 rows), the right side keys by its own
+    bucket, and the join becomes a plain shuffled equi-join on
+    (on..., bucket) with the window predicate left as a residual
+    filter. Fan-out is fixed by the knob ratio, never by data skew;
+    an unbounded per-key sort-and-scan (or a pure key equi-join with
+    a time filter) would instead fan out by the hottest key's row
+    count. Timestamps are integer microseconds (exact arithmetic).
+    """
+    if window_us <= 0 or bucket_us <= 0:
+        raise ValueError("window_us and bucket_us must be positive")
+    lb = F.explode(
+        F.sequence(
+            F.expr(f"({left_ts_us} - {window_us}) div {bucket_us}"),
+            F.expr(f"{left_ts_us} div {bucket_us}"),
+        )
+    ).alias("_tb")
+    l_k = left.select("*", lb)
+    r_k = right.withColumn("_tb", F.expr(f"{right_ts_us} div {bucket_us}"))
+    return (
+        l_k.join(r_k, on=on + ["_tb"])
+        .filter(
+            (F.col(right_ts_us) <= F.col(left_ts_us))
+            & (F.col(right_ts_us) >= F.col(left_ts_us) - window_us)
+        )
+        .drop("_tb")
+    )

@@ -6891,3 +6891,101 @@ def q_agg_incremental_view(spark, sf_dir):
         cents_col=cents,
     )
     return ru.apply_agg_delta(base_view, delta, keys)
+
+
+# ===========================================================================
+# Cohort retention matrix — product analytics (r5-cont5)
+# ===========================================================================
+
+@register(
+    "ev_retention_cohorts",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+                   FROM events),
+        f AS (SELECT u, min(day) AS cohort FROM du GROUP BY u)
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+              CAST(datediff('day', cohort, day) AS BIGINT) AS offset_days,
+              count(*)::BIGINT AS n_users
+       FROM du JOIN f USING (u)
+       GROUP BY 1, 2""",
+    "Cohort retention triangle (streaming/events.py retention_cohorts "
+    "— growth_accounting's companion): users keyed by first-seen day, "
+    "counted at every day offset they return. One distinct (day, "
+    "user) hash-agg touches the full data; everything after reduces "
+    "on the id key or the bounded (cohort x offset) grid (day-count "
+    "squared at most). Exact integers, ISO-string days.",
+)
+def q_ev_retention_cohorts(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+    return ev.retention_cohorts(t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Multi-touch attribution — windowed join + exact integer shares (r5-cont5)
+# ===========================================================================
+
+@register(
+    "j10_multitouch_attribution",
+    """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cts
+              FROM events WHERE event_type = 'click'),
+        tch AS (SELECT pid, cid, cents,
+                       row_number() OVER (PARTITION BY pid
+                                          ORDER BY cts, cid) AS rk,
+                       count(*) OVER (PARTITION BY pid) AS n
+                FROM p JOIN c USING (user_id)
+                WHERE cts <= pts AND cts >= pts - 86400000000)
+       SELECT cid AS click_id,
+              sum(cents // n
+                  + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
+                 )::BIGINT AS attributed_cents,
+              count(*)::BIGINT AS n_purchases
+       FROM tch GROUP BY cid""",
+    "LINEAR multi-touch attribution: every click in the 24 h before a "
+    "purchase shares its value equally — the many-predecessors "
+    "complement of j8's last-touch as-of join. Engine plan: "
+    "operators/joins_ext.py windowed_join — the time axis is "
+    "BUCKETIZED (1 h buckets; each purchase explodes to the bounded "
+    "25 buckets its window covers, clicks key by their own bucket) so "
+    "the join is a plain equi-join on (user, bucket) with the window "
+    "predicate as a residual — per-row fan-out is fixed by the "
+    "window/bucket ratio, never by the hottest user. Value splits in "
+    "EXACT integer cents: cents div n each, the cents mod n "
+    "remainder to the earliest clicks (rank by click ts, id) — "
+    "attribution conserves revenue to the cent, bit-deterministically "
+    "(conservation pinned in tests/test_trigram_search.py).",
+)
+def q_multitouch_attribution(spark, sf_dir):
+    ev_t = t(spark, sf_dir, "events")
+    p = ev_t.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    c = ev_t.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.unix_micros("ts").alias("cts"),
+    )
+    touched = jx.windowed_join(
+        p, c, on=["user_id"], left_ts_us="pts", right_ts_us="cts",
+        window_us=86_400_000_000, bucket_us=3_600_000_000,
+    )
+    w = Window.partitionBy("pid")
+    ranked = touched.select(
+        "pid", "cid", "cents",
+        F.row_number().over(
+            w.orderBy(F.col("cts").asc(), F.col("cid").asc())
+        ).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    share = F.expr("cents div n") + F.when(
+        F.col("rk") <= F.expr("cents % n"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.groupBy(F.col("cid").alias("click_id")).agg(
+        F.sum(share).cast("bigint").alias("attributed_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+    )

@@ -616,3 +616,34 @@ def session_concurrency(
         .join(starts, "day")
         .select("day", "peak_concurrent", "n_segments")
     )
+
+
+def retention_cohorts(
+    events: DataFrame, ts_col: str = "ts", user_col: str = "user_id"
+) -> DataFrame:
+    """COHORT RETENTION matrix — the companion readout to
+    :func:`growth_accounting`: users grouped by their first-seen day
+    (the cohort), counted on every later day they return, keyed by
+    day offset. Row (cohort, 0) is the cohort's size; (cohort, k) is
+    how many of them were active k days later — the classic
+    triangle-shaped retention table.
+
+    Plan: distinct (day, user) pairs (the one full-data hash-agg),
+    per-user first day reduces from it, one id-keyed join back, then
+    a hash-agg on the bounded (cohort, offset) grid — day-count
+    squared at most, independent of corpus size. Exact integers; day
+    as ISO string for engine portability.
+
+    Output: (cohort, offset_days, n_users)."""
+    du = events.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("u")
+    ).distinct()
+    first = du.groupBy("u").agg(F.min("day").alias("cohort"))
+    return (
+        du.join(first, "u")
+        .groupBy(
+            F.col("cohort").cast("string").alias("cohort"),
+            F.datediff("day", "cohort").cast("bigint").alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -197,3 +197,89 @@ def test_ivm_insert_only_new_group(spark):
         for r in ru.apply_agg_delta(view, delta, ["k"]).collect()
     }
     assert got == {"A": (1, 10), "C": (1, 7)}
+
+
+# -------------------------------------------------- windowed join / cohorts
+
+def test_windowed_join_bounds_and_buckets(spark):
+    from spark_cassandra_collabfiltering_spark.operators import joins_ext as jx
+
+    left = spark.createDataFrame(
+        [(1, 1, 10_000), (2, 1, 50_000)], "lid bigint, k bigint, lts bigint"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 10_000),  # exactly at left 1 (inclusive upper)
+            (11, 1, 5_000),   # window [5000,10000] lower edge inclusive
+            (12, 1, 4_999),   # just outside
+            (13, 1, 49_000),  # inside left 2's window
+            (14, 2, 10_000),  # wrong key
+        ],
+        "rid bigint, k bigint, rts bigint",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in jx.windowed_join(
+            left, right, on=["k"], left_ts_us="lts", right_ts_us="rts",
+            window_us=5_000, bucket_us=1_000,
+        ).collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 13)}
+
+    with pytest.raises(ValueError):
+        jx.windowed_join(left, right, ["k"], "lts", "rts", 0)
+
+
+def test_multitouch_conserves_revenue(spark):
+    # total attributed cents must equal total purchase cents for every
+    # purchase that has >=1 click in window — to the cent, including
+    # non-divisible remainders (997 split 3 ways).
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        # user 1: 3 clicks then a 9.97 purchase
+        (1, base, 1, "click", 0.0),
+        (2, base + dt.timedelta(minutes=1), 1, "click", 0.0),
+        (3, base + dt.timedelta(minutes=2), 1, "click", 0.0),
+        (4, base + dt.timedelta(minutes=3), 1, "purchase", 9.97),
+        # user 2: purchase with no clicks -> unattributed (absent)
+        (5, base, 2, "purchase", 5.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r.click_id: (r.attributed_cents, r.n_purchases)
+            for r in QUERIES["j10_multitouch_attribution"]
+            .builder(spark, d)
+            .collect()
+        }
+    # 997 = 333 + 332 + 332, remainder cent to the EARLIEST click
+    assert out == {1: (333, 1), 2: (332, 1), 3: (332, 1)}
+
+
+def test_retention_cohorts_triangle(spark):
+    rows = [
+        # user 1 first on day 0, returns day 2; user 2 first day 0;
+        # user 3 first on day 2 (its own cohort)
+        (1, _ts("2024-03-01 10:00:00"), 1),
+        (2, _ts("2024-03-03 10:00:00"), 1),
+        (3, _ts("2024-03-01 11:00:00"), 2),
+        (4, _ts("2024-03-03 09:00:00"), 3),
+        (5, _ts("2024-03-03 23:00:00"), 3),  # same day, counted once
+    ]
+    got = {
+        (r.cohort, r.offset_days): r.n_users
+        for r in ev.retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-03-01", 0): 2,
+        ("2024-03-01", 2): 1,
+        ("2024-03-03", 0): 1,
+    }
