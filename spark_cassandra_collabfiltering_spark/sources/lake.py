@@ -321,3 +321,154 @@ def read_snapshot_pruned(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
     return df, len(keep), total
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level Bloom filters — point-lookup file skipping
+# ---------------------------------------------------------------------------
+# Min/max sidecar stats (write_snapshot_stats) skip files for RANGE
+# predicates; a point lookup on a high-cardinality key (doc_id, user
+# id) gains nothing from them when every file's [min, max] spans the
+# id space. The Bloom sidecar closes that gap: one small bitmap per
+# file answers "might this file contain key k?" at plan time, no file
+# opened — the Iceberg/Delta bloom-filter-index shape. Hashing is
+# md5-derived on BOTH sides (Spark builds the bitmap with F.md5; the
+# planner tests membership with hashlib.md5), so the sidecar is
+# engine-portable and the driver-side test needs no JVM.
+
+_BLOOM_BITS_LOG2 = 14  # m = 16384 bits = 256 longs/file (~1% FP @ n<=2k keys)
+_BLOOM_HASHES = 5
+
+
+def _bloom_pos_py(value: str, i: int, m: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m
+
+
+def write_snapshot_bloom(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    key_col: str,
+    bits_log2: int = _BLOOM_BITS_LOG2,
+    n_hashes: int = _BLOOM_HASHES,
+) -> dict:
+    """Build a per-FILE Bloom filter over ``key_col`` for a committed
+    snapshot and persist it as an immutable sidecar
+    (``root/v=<N>/_bloom.json``). The build is one columnar scan of
+    (file, key): each key explodes to its n_hashes bit positions, a
+    (file, word) bit_or aggregate folds them into 64-bit words, and
+    the driver collects the SPARSE word map — O(files x m/64) longs,
+    never row-scaled. Written once per immutable version (same
+    no-drift contract as _stats.json). Hash = md5 of "i:<key as
+    string>" truncated to 60 bits — reproducible in any engine or in
+    plain Python, which is what lets prune_files_bloom test
+    membership driver-side at plan time."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    m = 1 << bits_log2
+    path = os.path.join(root, f"v={version}")
+    k = F.col(key_col).cast("string")
+    positions = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), k)), 1, 15), 16, 10
+            ).cast("bigint")
+            % m
+            for i in range(n_hashes)
+        ]
+    )
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col(key_col).isNotNull())
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"),
+            F.explode(positions).alias("_pos"),
+        )
+        .select(
+            "_f",
+            F.shiftright(F.col("_pos"), 6).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("_f", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    files: dict[str, dict[str, int]] = {}
+    for r in rows:
+        files.setdefault(r["_f"], {})[str(int(r["word"]))] = int(r["bits"])
+    sidecar = {
+        "col": key_col,
+        "bits_log2": bits_log2,
+        "n_hashes": n_hashes,
+        "files": files,
+    }
+    tmp = os.path.join(path, "_bloom.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(sidecar, fh)
+    os.replace(tmp, os.path.join(path, "_bloom.json"))
+    return sidecar
+
+
+def prune_files_bloom(
+    root: str, version: int, value
+) -> "tuple[list[str], int]":
+    """Point-lookup data skipping: file names of snapshot ``version``
+    whose Bloom filter MIGHT contain ``value``, plus the total file
+    count. Pure sidecar arithmetic, no file opened, no JVM. Bloom
+    semantics: no false negatives (a kept list always covers every
+    true match); false positives only cost a wasted file read. A file
+    absent from the sidecar is kept (skip only on proof)."""
+    import json
+    import os
+
+    with open(os.path.join(root, f"v={version}", "_bloom.json")) as fh:
+        st = json.load(fh)
+    m = 1 << st["bits_log2"]
+    pos = [_bloom_pos_py(str(value), i, m) for i in range(st["n_hashes"])]
+    keep = []
+    for fname, words in st["files"].items():
+        ok = True
+        for p in pos:
+            w = words.get(str(p >> 6), 0)
+            if not (w >> (p % 64)) & 1:
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+    return sorted(keep), len(st["files"])
+
+
+def read_snapshot_point(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    value,
+    version: int | None = None,
+) -> "tuple[DataFrame, int, int]":
+    """Point lookup over a snapshot with Bloom file skipping: resolve
+    the version, keep only files whose Bloom might contain the key,
+    scan the survivors, re-apply the equality predicate (pushed to the
+    parquet reader for row-group pruning inside survivors — the same
+    two-level stack as read_snapshot_pruned). Returns
+    (df, files_read, files_total)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        with open(os.path.join(root, "_manifest.json")) as fh:
+            version = json.load(fh)["latest"]
+    keep, total = prune_files_bloom(root, version, value)
+    base = os.path.join(root, f"v={version}")
+    if not keep:
+        df = spark.read.parquet(base).filter(F.lit(False))
+        return df, 0, total
+    paths = [os.path.join(base, f) for f in keep]
+    df = spark.read.parquet(*paths).filter(F.col(key_col) == F.lit(value))
+    return df, len(keep), total

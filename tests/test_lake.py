@@ -329,3 +329,49 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
     _, rx, total = lake.read_snapshot_pruned(spark, root, "x", 0, 8)
     _, ry, _ = lake.read_snapshot_pruned(spark, root, "y", 0, 8)
     assert total == 16 and rx < 16 and ry < 16
+
+
+def test_bloom_sidecar_point_lookup_skips_files(spark, tmp_path):
+    """Bloom file skipping: hash-partitioned files hold disjoint key
+    sets, so a point lookup must read strictly fewer files than the
+    snapshot has — and still return exactly the matching rows (no
+    false negatives, the Bloom contract)."""
+    root = str(tmp_path / "snap")
+    df = spark.range(0, 2000).selectExpr("id", "id * 7 AS payload")
+    v = lake.write_snapshot(df.repartition(8, "id"), root)
+    side = lake.write_snapshot_bloom(spark, root, v, "id")
+    assert side["col"] == "id" and len(side["files"]) == 8
+
+    got, files_read, files_total = lake.read_snapshot_point(
+        spark, root, "id", 1234
+    )
+    rows = got.collect()
+    assert [(r.id, r.payload) for r in rows] == [(1234, 1234 * 7)]
+    assert files_total == 8
+    assert 1 <= files_read < files_total  # skipped most files, kept truth
+
+    # absent key: overwhelmingly likely to prune everything at this FP
+    # rate; correctness holds either way — zero rows back
+    got2, files_read2, _ = lake.read_snapshot_point(
+        spark, root, "id", 99_999_999
+    )
+    assert got2.collect() == []
+    assert files_read2 <= 1  # 5 hashes @ ~1% FP: >1 surviving file ~ never
+
+
+def test_bloom_membership_hash_matches_spark(spark):
+    """The driver-side hashlib membership test must agree bit-for-bit
+    with the Spark-side build hash, else pruning would drop true
+    matches. Rebuild the position set both ways for a key sample."""
+    from pyspark.sql import functions as F
+
+    m = 1 << 14
+    ks = spark.createDataFrame([(k,) for k in [0, 1, 17, 123456789]], "k bigint")
+    for i in range(5):
+        expr = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("k").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % m
+        got = {r.k: r.p for r in ks.select("k", expr.alias("p")).collect()}
+        for k, p in got.items():
+            assert p == lake._bloom_pos_py(str(k), i, m), (k, i)
