@@ -53,6 +53,8 @@ QUERIES: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        if name in QUERIES:  # a silent overwrite would orphan the loser
+            raise ValueError(f"duplicate registry query name: {name}")
         QUERIES[name] = Query(name, fn, oracle, doc)
         return fn
 
@@ -155,7 +157,17 @@ _DRIVER_ORDER = [
     # r5-cont4: + text_lm_perplexity, the CCNet/KenLM perplexity
     # filter — a TRAINED bigram LM whose per-doc cross-entropy
     # hash-matches (fixed-point log2).
-    "text_lang_id", "text_quality", "text_winnowing", "text_vocab_build",
+    # r5-cont5: text_winnowing and text_vocab_build to local-checked
+    # slots (the family keeps lang_id's classification, quality's
+    # rubric, and lm_perplexity's trained-model shapes; winnowing
+    # fingerprints stay locally exact and span-dedup's positional
+    # n-grams remain a window resident) — slots freed for
+    # skyline_parts (the Pareto-frontier OLAP family's first driver
+    # resident; sweep-vs-NOT-EXISTS-oracle equivalence) and
+    # lex_trigram_search (substring-search-via-inverted-index — the
+    # lexical family's second capability beside BM25's ranked
+    # retrieval; index candidates vs raw-LIKE-oracle equivalence).
+    "text_lang_id", "text_quality", "skyline_parts", "lex_trigram_search",
     "text_lm_perplexity",
     # sketches (r5-cont4: sketch_space_saving_topterms to a
     # local-checked slot — MG error bounds stay pinned in
@@ -167,8 +179,13 @@ _DRIVER_ORDER = [
     # exact-quota data-recipe sampler; r5-cont4: curation_pii_redact
     # to a local-checked slot — the regexp-chain shape stays locally
     # exact; slot freed for warc_ingest above).
+    # r5-cont5: curation_url_canonical to a local-checked slot (the
+    # scan-local canonicalization stays locally exact; family keeps
+    # contamination/pack/domain_mix) — slot freed for
+    # agg_incremental_view, the incremental-view-maintenance family's
+    # first driver resident (merge == recompute, the IVM contract).
     "curation_contamination", "curation_pack",
-    "curation_domain_mix", "curation_url_canonical",
+    "curation_domain_mix", "agg_incremental_view",
     # multimodal family (r5-cont: mm_binary_meta to a local-checked
     # slot — mm_decode_features is the stronger resident since the r5
     # real-codec flip made its decode round trip exactly oracled)
@@ -187,7 +204,12 @@ _DRIVER_ORDER = [
     # EXACT-oracled recommender-quality row (item-item co-occurrence
     # kNN graded by the fixed-point NDCG/recall/MRR harness; the ALS
     # rows stay rows-only by nature).
-    "ev_tumbling_agg", "ev_sessionize",
+    # r5-cont5: ev_sessionize to a local-checked slot — ev_concurrency
+    # embeds the identical sessionization arithmetic in its oracle AND
+    # adds the interval boundary-sweep no resident covered (peak
+    # concurrency without an interval self-join), so it is strictly
+    # stronger driver evidence for the slot.
+    "ev_tumbling_agg", "ev_concurrency",
     # ML (reference M1-M3; cf_recommend_topk demoted r4 — rows-only,
     # the ALS family's driver evidence rides on cf_als_pipeline)
     "cf_als_pipeline", "cf_ndcg_itemknn",
@@ -6898,7 +6920,7 @@ def q_agg_incremental_view(spark, sf_dir):
 # ===========================================================================
 
 @register(
-    "ev_retention_cohorts",
+    "ev_retention_daily",
     """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
                    FROM events),
         f AS (SELECT u, min(day) AS cohort FROM du GROUP BY u)
@@ -6907,14 +6929,15 @@ def q_agg_incremental_view(spark, sf_dir):
               count(*)::BIGINT AS n_users
        FROM du JOIN f USING (u)
        GROUP BY 1, 2""",
-    "Cohort retention triangle (streaming/events.py retention_cohorts "
-    "— growth_accounting's companion): users keyed by first-seen day, "
+    "Cohort retention triangle at DAY grain (streaming/events.py "
+    "retention_cohorts — the weekly ev_retention_cohorts resident's "
+    "fine-grain companion): users keyed by first-seen day, "
     "counted at every day offset they return. One distinct (day, "
     "user) hash-agg touches the full data; everything after reduces "
     "on the id key or the bounded (cohort x offset) grid (day-count "
     "squared at most). Exact integers, ISO-string days.",
 )
-def q_ev_retention_cohorts(spark, sf_dir):
+def q_ev_retention_daily(spark, sf_dir):
     from spark_cassandra_collabfiltering_spark.streaming import events as ev
 
     return ev.retention_cohorts(t(spark, sf_dir, "events"))

@@ -88,7 +88,7 @@ PLAN_QUERIES = [
     "text_html_extract", "ev_hopping_agg", "ev_anomaly",
     # r5-continuation fifth batch (plan-only cheap)
     "lex_trigram_search", "skyline_parts", "ev_concurrency",
-    "agg_incremental_view", "ev_retention_cohorts",
+    "agg_incremental_view", "ev_retention_daily",
     "j10_multitouch_attribution",
 ]
 
