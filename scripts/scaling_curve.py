@@ -61,6 +61,12 @@ QUERIES_SHOWN = [
     ("text_html_extract", "documents"),
     ("ev_hopping_agg", "events"),
     ("dedup_keep_best", "documents"),
+    # round-5 fifth-continuation representatives
+    ("lex_trigram_search", "documents"),
+    ("skyline_parts", "part"),
+    ("ev_concurrency", "events"),
+    ("agg_incremental_view", "orders"),
+    ("j10_multitouch_attribution", "events"),
 ]
 PASSES = 2
 
