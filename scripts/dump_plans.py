@@ -78,6 +78,13 @@ SHOWN = [
     "ev_hopping_agg",
     "ev_anomaly",
     "stats_daily_trend",
+    # round 5, fifth continuation
+    "lex_trigram_search",
+    "skyline_parts",
+    "ev_concurrency",
+    "agg_incremental_view",
+    "j10_multitouch_attribution",
+    "ev_retention_daily",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
