@@ -413,3 +413,47 @@ def skyline_2d(
         (F.col("_m_strict").isNull() | (F.col("_m_strict") > F.col(y_col)))
         & (F.col("_m_same") == F.col(y_col))
     ).select(x_col, y_col, "n_members", "min_id")
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "epoch0"
+) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: assign every row a global position
+    in a seeded pseudorandom permutation — the reproducible
+    training-data ordering step (each epoch = a new seed; rerunning an
+    epoch bit-reproduces it, unlike ``orderBy(rand())``). The draw is
+    md5(seed:id), a pure function of the row — the repo's standard
+    derandomization (sample_hash_split et al.).
+
+    Dense-position assignment reuses the two-level-rank discipline of
+    vocab_build (operators/text.py): a naive
+    ``row_number() OVER (ORDER BY draw)`` is a single-reducer
+    bottleneck. Instead the first two hex chars of the draw bucket the
+    rows (256 buckets; since bucket == draw prefix, bucket order IS
+    draw order), bucket sizes prefix-sum on the 256-row group table,
+    and a bucket-partitioned row_number adds the local rank. position
+    = offset + local rank == the global row_number - 1 exactly, with
+    every unbounded structure partitioned.
+
+    Output: (id, position) — a bijection onto 0..n-1."""
+    draw = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    rows = df.select(F.col(id_col), draw.alias("_d")).withColumn(
+        "_b", F.substring("_d", 1, 2)
+    )
+    groups = rows.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    gw = Window.orderBy(F.col("_b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = groups.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(gw), F.lit(0))
+    ).select("_b", "_off")
+    lw = Window.partitionBy("_b").orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    return (
+        rows.withColumn("_lrk", F.row_number().over(lw) - 1)
+        .join(F.broadcast(offsets), "_b")
+        .select(
+            id_col, (F.col("_off") + F.col("_lrk")).cast("bigint").alias("position")
+        )
+    )

@@ -7012,3 +7012,28 @@ def q_multitouch_attribution(spark, sf_dir):
         F.sum(share).cast("bigint").alias("attributed_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
     )
+
+
+# ===========================================================================
+# Deterministic epoch shuffle — reproducible training order (r5-cont5)
+# ===========================================================================
+
+@register(
+    "sample_epoch_shuffle",
+    """SELECT doc_id,
+              (row_number() OVER (
+                 ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id)
+               - 1)::BIGINT AS position
+       FROM documents""",
+    "Seeded epoch shuffle (operators/relational.py epoch_shuffle): a "
+    "bit-reproducible global permutation of the corpus — the "
+    "training-order step orderBy(rand()) cannot replay. The oracle IS "
+    "the naive global row_number over the md5 draw; the engine plan "
+    "computes the identical positions via the two-level rank "
+    "(draw-prefix buckets -> 256-row prefix-sum -> bucket-local "
+    "row_number), so no unbounded single-reducer sort exists anywhere "
+    "— the vocab_build discipline applied to data ordering.",
+)
+def q_sample_epoch_shuffle(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return rel.epoch_shuffle(docs, "doc_id", seed="epoch7")

@@ -89,7 +89,7 @@ PLAN_QUERIES = [
     # r5-continuation fifth batch (plan-only cheap)
     "lex_trigram_search", "skyline_parts", "ev_concurrency",
     "agg_incremental_view", "ev_retention_daily",
-    "j10_multitouch_attribution",
+    "j10_multitouch_attribution", "sample_epoch_shuffle",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by

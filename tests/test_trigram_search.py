@@ -283,3 +283,18 @@ def test_retention_cohorts_triangle(spark):
         ("2024-03-01", 2): 1,
         ("2024-03-03", 0): 1,
     }
+
+
+# ----------------------------------------------------------- epoch shuffle
+
+def test_epoch_shuffle_is_seeded_bijection(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.position for r in rel.epoch_shuffle(df, "doc_id", "e1").collect()}
+    # bijection onto 0..n-1
+    assert sorted(a.values()) == list(range(300))
+    # bit-reproducible under re-run
+    b = {r.doc_id: r.position for r in rel.epoch_shuffle(df, "doc_id", "e1").collect()}
+    assert a == b
+    # a different seed is a different permutation (overwhelmingly)
+    c = {r.doc_id: r.position for r in rel.epoch_shuffle(df, "doc_id", "e2").collect()}
+    assert c != a and sorted(c.values()) == list(range(300))
