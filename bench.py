@@ -41,6 +41,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # model paths: the Naive Bayes classifier gate (train + score both in
 # the measured plan) and the bigram-LM perplexity filter — the
 # legacy-11/13/16 subtotals stay the round-over-round comparables.
+# r5-cont5 adds trigram-index substring search (candidate-intersection
+# + verify vs the raw LIKE scan it replaces) and multi-touch
+# attribution (the bucketized windowed join + exact cent shares).
 HEADLINE = [
     "g1_pricing_summary",
     "j6_multiway_revenue",
@@ -60,6 +63,8 @@ HEADLINE = [
     "lex_bm25_topk",
     "ml_nb_confusion",
     "text_lm_perplexity",
+    "lex_trigram_search",
+    "j10_multitouch_attribution",
 ]
 
 
