@@ -67,6 +67,7 @@ QUERIES_SHOWN = [
     ("ev_concurrency", "events"),
     ("agg_incremental_view", "orders"),
     ("j10_multitouch_attribution", "events"),
+    ("sample_epoch_shuffle", "documents"),
 ]
 PASSES = 2
 

@@ -988,3 +988,74 @@ def psi_drift(
         .cast("bigint")
         .alias("top_contrib_e9"),
     )
+
+
+def covariance_pairs(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """EXACT pairwise covariance matrix over integer-scaled columns —
+    the feature-engineering/BI staple, hash-matchable because nothing
+    ever touches float summation: one single-pass hash-agg collects
+    every raw moment (n, per-column sums, pairwise product sums) as
+    BIGINTs with map-side combine, then each unordered pair derives
+
+        cov_e6 = sign · (|n·Σxy − Σx·Σy| · 1e6) div n²
+
+    with the n·Σxy product carried in DECIMAL(38,0) (it can overflow
+    a bigint at corpus scale even when every input moment fits) and
+    the sign extracted BEFORE the division — Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so negative
+    quotients would differ by one (the stats_daily_trend rule).
+
+    Inputs must already be integer-scaled (cents, basis points,
+    counts): callers pick units small enough that Σxy fits a bigint
+    at their scale — the docstring contract, same as robust_outliers.
+    One full-data exchange total (the single agg); the pair expansion
+    runs on the ONE-ROW moment table. Output: (x_name, y_name, n,
+    sum_x, sum_y, sum_xy, cov_e6) for each of the C(k,2)+k ordered
+    pairs x <= y (diagonal = variance)."""
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in list(cols)[i:]
+    ]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"s_{c}"))
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"p_{a}_{b}")
+        )
+    moments = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("x_name"),
+                F.lit(b).alias("y_name"),
+                F.col(f"s_{a}").alias("sum_x"),
+                F.col(f"s_{b}").alias("sum_y"),
+                F.col(f"p_{a}_{b}").alias("sum_xy"),
+            )
+            for a, b in pairs
+        ]
+    )
+    exploded = moments.select("n", F.explode(rows).alias("r")).select(
+        "n", "r.*"
+    )
+    num = (
+        F.col("n").cast("decimal(19,0)") * F.col("sum_xy").cast("decimal(19,0)")
+        - F.col("sum_x").cast("decimal(19,0)") * F.col("sum_y").cast("decimal(19,0)")
+    )
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (
+        exploded.withColumn("_num", num)
+        .withColumn(
+            "cov_e6",
+            (
+                sign
+                * F.expr(
+                    "CAST(abs(_num) * 1000000 AS DECIMAL(38,0)) div "
+                    "(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))"
+                )
+            ).cast("bigint"),
+        )
+        .select("x_name", "y_name", "n", "sum_x", "sum_y", "sum_xy", "cov_e6")
+    )

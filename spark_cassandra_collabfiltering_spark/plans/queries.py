@@ -7037,3 +7037,84 @@ def q_multitouch_attribution(spark, sf_dir):
 def q_sample_epoch_shuffle(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return rel.epoch_shuffle(docs, "doc_id", seed="epoch7")
+
+
+# ===========================================================================
+# Exact covariance matrix + rolling daily aggregates (r5-cont5)
+# ===========================================================================
+
+@register(
+    "stats_cov_matrix",
+    """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                         CAST(round(l_extendedprice, 0) AS BIGINT) AS p,
+                         CAST(round(l_discount * 10000, 0) AS BIGINT) AS d
+                  FROM lineitem),
+        m AS (SELECT count(*)::BIGINT AS n,
+                     sum(q)::BIGINT AS s_q, sum(p)::BIGINT AS s_p,
+                     sum(d)::BIGINT AS s_d,
+                     sum(q*q)::BIGINT AS p_qq, sum(q*p)::BIGINT AS p_qp,
+                     sum(q*d)::BIGINT AS p_qd, sum(p*p)::BIGINT AS p_pp,
+                     sum(p*d)::BIGINT AS p_pd, sum(d*d)::BIGINT AS p_dd
+              FROM v),
+        pairs AS (
+          SELECT 'q' AS x_name, 'q' AS y_name, n, s_q AS sum_x, s_q AS sum_y, p_qq AS sum_xy FROM m
+          UNION ALL SELECT 'q', 'p', n, s_q, s_p, p_qp FROM m
+          UNION ALL SELECT 'q', 'd', n, s_q, s_d, p_qd FROM m
+          UNION ALL SELECT 'p', 'p', n, s_p, s_p, p_pp FROM m
+          UNION ALL SELECT 'p', 'd', n, s_p, s_d, p_pd FROM m
+          UNION ALL SELECT 'd', 'd', n, s_d, s_d, p_dd FROM m)
+       , nums AS (SELECT *,
+              n::HUGEINT * sum_xy - sum_x::HUGEINT * sum_y AS num
+          FROM pairs)
+       SELECT x_name, y_name, n, sum_x, sum_y, sum_xy,
+              (CASE WHEN num < 0 THEN -1 ELSE 1 END
+               * (abs(num) * 1000000 // (n::HUGEINT * n)))::BIGINT AS cov_e6
+       FROM nums""",
+    "Exact pairwise covariance matrix over lineitem's (quantity, "
+    "price-in-dollars, discount-basis-points) — operators/"
+    "aggregates.py covariance_pairs: ONE single-pass hash-agg "
+    "collects every raw moment as bigints (map-side combine; the only "
+    "full-data exchange), the pair table derives from the one-row "
+    "moment state, and cov_e6 = sign*(|n*Sxy - Sx*Sy|*1e6 div n^2) "
+    "with the cross term in DECIMAL(38,0) (HUGEINT oracle-side) and "
+    "the sign pulled out before the division (Spark div truncates, "
+    "DuckDB // floors — the stats_daily_trend rule). No float ever "
+    "sums, so even the covariance VALUES hash-match.",
+)
+def q_stats_cov_matrix(spark, sf_dir):
+    v = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("d"),
+    )
+    return agg.covariance_pairs(v, ["q", "p", "d"])
+
+
+@register(
+    "ev_rolling_7d",
+    """WITH daily AS (
+         SELECT event_type,
+                epoch_us(ts) // 86400000000 AS dnum,
+                count(*)::BIGINT AS n,
+                sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+         FROM events GROUP BY 1, 2)
+       SELECT event_type,
+              strftime(make_timestamp(dnum * 86400000000), '%Y-%m-%d') AS day,
+              n, cents,
+              sum(n) OVER w::BIGINT AS roll_n,
+              sum(cents) OVER w::BIGINT AS roll_cents
+       FROM daily
+       WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "Rolling 7-day counts and revenue per event type (streaming/"
+    "events.py rolling_daily) — the dashboard smoothing staple. One "
+    "(type, day) hash-agg touches the full data; the rolling RANGE "
+    "frame runs over integer day numbers on the bounded daily grid "
+    "partitioned by type, so calendar gaps need no gap-fill join "
+    "(the frame is value-ranged, not row-counted). Money as exact "
+    "bigint cents end to end.",
+)
+def q_ev_rolling_7d(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.streaming import events as ev
+
+    return ev.rolling_daily(t(spark, sf_dir, "events"))

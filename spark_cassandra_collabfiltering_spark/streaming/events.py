@@ -647,3 +647,47 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+def rolling_daily(
+    events: DataFrame,
+    days: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """ROLLING k-day aggregates per event type — the dashboard
+    smoothing staple (7-day actives/revenue), computed on the BOUNDED
+    daily grid, never the raw stream: one (type, day) hash-agg is the
+    only full-data exchange; the rolling window is a RANGE frame over
+    integer day numbers partitioned by type, so a day with no
+    neighbors inside k days simply contributes itself (calendar gaps
+    are handled by the range frame — no gap-fill join needed). Value
+    rides as exact bigint cents. Output: (event_type, day, n,
+    cents, roll_n, roll_cents)."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        type_col,
+        F.expr(f"unix_micros({ts_col}) div 86400000000").alias("_dnum"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col(value_col) * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("_dnum")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        type_col,
+        F.date_format(
+            F.timestamp_micros(F.col("_dnum") * 86_400_000_000), "yyyy-MM-dd"
+        ).alias("day"),
+        "n",
+        "cents",
+        F.sum("n").over(w).cast("bigint").alias("roll_n"),
+        F.sum("cents").over(w).cast("bigint").alias("roll_cents"),
+    )

@@ -298,3 +298,59 @@ def test_epoch_shuffle_is_seeded_bijection(spark):
     # a different seed is a different permutation (overwhelmingly)
     c = {r.doc_id: r.position for r in rel.epoch_shuffle(df, "doc_id", "e2").collect()}
     assert c != a and sorted(c.values()) == list(range(300))
+
+
+# --------------------------------------------------- covariance / rolling
+
+def test_covariance_pairs_matches_numpy_and_signs(spark):
+    import numpy as np
+
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    rnd = np.random.RandomState(7)
+    x = rnd.randint(0, 1000, 200)
+    y = (-3 * x + rnd.randint(0, 500, 200))  # strongly negative cov
+    z = rnd.randint(0, 50, 200)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+        "x bigint, y bigint, z bigint",
+    )
+    got = {
+        (r.x_name, r.y_name): r
+        for r in agg.covariance_pairs(df, ["x", "y", "z"]).collect()
+    }
+    assert set(got) == {("x", "x"), ("x", "y"), ("x", "z"),
+                        ("y", "y"), ("y", "z"), ("z", "z")}
+    n = 200
+    for (a_name, b_name), r in got.items():
+        a = {"x": x, "y": y, "z": z}[a_name].astype(object)
+        b = {"x": x, "y": y, "z": z}[b_name].astype(object)
+        num = n * int(sum(a * b)) - int(sum(a)) * int(sum(b))
+        sign = -1 if num < 0 else 1
+        expect = sign * (abs(num) * 1_000_000 // (n * n))
+        assert r.cov_e6 == expect, (a_name, b_name)
+    assert got[("x", "y")].cov_e6 < 0  # the engineered negative pair
+
+
+def test_rolling_daily_range_frame_handles_gaps(spark):
+    rows = [
+        # type a: days 0, 1, then a GAP, then day 10 — the day-10 roll
+        # must NOT include days 0/1 (range frame, not row frame)
+        (1, _ts("2024-03-01 01:00:00"), 1, "a", 1.00),
+        (2, _ts("2024-03-02 01:00:00"), 1, "a", 2.00),
+        (3, _ts("2024-03-11 01:00:00"), 1, "a", 4.00),
+        (4, _ts("2024-03-02 02:00:00"), 1, "a", 0.50),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double"
+    )
+    got = {
+        r.day: (r.n, r.cents, r.roll_n, r.roll_cents)
+        for r in ev.rolling_daily(df).collect()
+    }
+    assert got == {
+        "2024-03-01": (1, 100, 1, 100),
+        "2024-03-02": (2, 250, 3, 350),   # includes day 1 (within 7)
+        "2024-03-11": (1, 400, 1, 400),   # gap: window holds only itself
+    }
