@@ -1079,3 +1079,111 @@ def keep_best_per_cluster(
         F.max(F.when(F.col("_rk") == 1, F.col("_score"))).cast("bigint")
             .alias("keep_score"),
     )
+
+
+def connected_components_bigstar(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    edge rewrites (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    published alternative to min-label propagation
+    (:func:`connected_components`) whose round count is
+    O(log^2 n) in expectation REGARDLESS of graph diameter: a long
+    path collapses in logarithmic rounds where label propagation
+    needs diameter rounds. The right tool when near-dup chains are
+    long (star/bridge-linked crowds from the capped LSH path).
+
+    Each round rewrites the edge set with two per-node-keyed
+    join+agg passes (no label table):
+
+    - large-star(u): m = min(N(u) ∪ {u}); every STRICTLY LARGER
+      neighbor re-hangs on m — emit (v, m) for v ∈ N(u), v > u;
+    - small-star(u): same m; every neighbor v ≤ u (plus u itself)
+      re-hangs on m.
+
+    Both rewrites preserve connectivity (every emitted edge stays
+    inside u's component; every dropped edge's endpoints remain
+    linked through m) and never increase the edge count. At fixpoint
+    the graph is a union of stars centered on component minima, so
+    the final label is just min(N(v) ∪ {v}) — one aggregate, no
+    propagation. Convergence check = symmetric edge-set difference
+    count (one exceptAll per round, on the shrinking edge set).
+    Output: (node, cluster_id), identical to connected_components
+    (equality on random graphs is property-tested; the registry row
+    hash-matches the same recursive-CTE oracle)."""
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    und = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_nodes = und.select(F.col("u").alias("node")).distinct()
+    edges = ckpt(und)
+
+    def star_min(e: DataFrame) -> DataFrame:
+        # m(u) = min over N(u) ∪ {u}
+        return e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        m = star_min(edges)
+        large = (
+            edges.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        keep_small = (
+            edges.join(m, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        rewritten = (
+            large.unionByName(keep_small)
+            .unionByName(self_edge)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        new_edges = ckpt(
+            rewritten.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(
+                rewritten.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .distinct()
+        )
+        changed = (
+            new_edges.exceptAll(edges).count()
+            + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_bigstar did not converge within "
+            f"max_iter={max_iter} rounds"
+        )
+    labels = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster_id")
+    )
+    return (
+        all_nodes.join(
+            labels.withColumnRenamed("u", "node"), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )

@@ -7118,3 +7118,33 @@ def q_ev_rolling_7d(spark, sf_dir):
     from spark_cassandra_collabfiltering_spark.streaming import events as ev
 
     return ev.rolling_daily(t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Big-star/small-star connected components — the O(log^2 n)-round CC
+# ===========================================================================
+
+@register(
+    "dedup_clusters_bigstar",
+    QUERIES["dedup_clusters"].oracle,
+    "The SAME near-dup components as dedup_clusters, computed by the "
+    "published alternative algorithm: alternating large-star/"
+    "small-star edge rewrites (Kiveris et al., SoCC 2014 — "
+    "operators/dedup.py connected_components_bigstar). Label "
+    "propagation needs diameter rounds; the star rewrites collapse "
+    "any component in O(log^2 n) expected rounds — the right tool "
+    "when near-dup chains are long (exactly what the capped LSH "
+    "path's star/bridge links produce). Identical oracle as "
+    "dedup_clusters, so the driver row proves both implementations "
+    "agree with the recursive-CTE transitive closure — "
+    "algorithm-equivalence made hash-visible. Long-path and "
+    "random-graph equality with connected_components is pinned in "
+    "tests/test_bigstar.py.",
+)
+def q_dedup_clusters_bigstar(spark, sf_dir):
+    pairs = dd.minhash_dedup_pairs(
+        _doc_subset(spark, sf_dir), "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+        max_band_bucket=64, oversize="star",
+    )
+    return dd.connected_components_bigstar(pairs)
