@@ -7148,3 +7148,74 @@ def q_dedup_clusters_bigstar(spark, sf_dir):
         max_band_bucket=64, oversize="star",
     )
     return dd.connected_components_bigstar(pairs)
+
+
+# ===========================================================================
+# Nation-pair shipping volume (TPC-H Q7 shape) — r5-cont5 breadth
+# ===========================================================================
+
+@register(
+    "j11_nation_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+              count(*)::BIGINT AS n_items,
+              sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * (10000 - CAST(round(l.l_discount * 10000, 0) AS BIGINT))
+                 )::BIGINT AS revenue_e6
+       FROM lineitem l
+       JOIN orders o   ON o.o_orderkey = l.l_orderkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+       JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+       WHERE n1.n_name <> n2.n_name
+       GROUP BY 1, 2, 3""",
+    "Cross-nation shipping volume (TPC-H Q7 shape): fact-to-fact "
+    "lineitem-orders join plus four broadcast dims, discounted "
+    "revenue in EXACT integer micro-dollars (cents x (1e4 - "
+    "discount-bp) — no float ever sums, so the revenue column "
+    "hash-matches; j6's DECIMAL recipe is the alternative when the "
+    "scale factors don't fit integers). Catalyst broadcasts every "
+    "dim and reorders; only the two fact tables exchange, on their "
+    "join keys.",
+)
+def q_j11_nation_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (F.lit(10000) - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+        ).alias("_rev"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+            s["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("_nk2"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            c["c_nationkey"] == F.col("_nk2"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_rev").cast("bigint").alias("revenue_e6"),
+    )

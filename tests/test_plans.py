@@ -90,7 +90,7 @@ PLAN_QUERIES = [
     "lex_trigram_search", "skyline_parts", "ev_concurrency",
     "agg_incremental_view", "ev_retention_daily",
     "j10_multitouch_attribution", "sample_epoch_shuffle",
-    "stats_cov_matrix", "ev_rolling_7d",
+    "stats_cov_matrix", "ev_rolling_7d", "j11_nation_volume",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
