@@ -326,3 +326,61 @@ def media_feature_query(df_documents: DataFrame) -> DataFrame:
         F.col("media_meta.n_bytes").alias("meta_bytes"),
     )
     return feats.join(meta, "doc_id")
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 32) -> DataFrame:
+    """Audio DSP over the REAL WAV codec: decode PCM16 payloads and
+    emit per-FRAME energy (sum of squared samples over ``frame``-sized
+    windows; the trailing partial frame keeps its true sample count) —
+    the framing + energy step every audio-filtering pipeline runs
+    (silence/clipping detection, VAD prefilters) with integer-exact
+    output, no floats, no FFT dependency.
+
+    Same harness discipline as decode_media_features: Arrow
+    mapInPandas, scan-local (decode parallelism == input partitions,
+    zero shuffles — frames of one doc stay inside its row batch).
+    Non-WAV and corrupt payloads are skipped (the quarantine counts
+    live in the decode-features query; this one is the DSP arm)."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                if b[:4] != b"RIFF":
+                    continue
+                try:
+                    _, samples = codecs.decode_wav_pcm16(b)
+                except ValueError:
+                    continue
+                for f0 in range(0, len(samples), frame):
+                    chunk = samples[f0 : f0 + frame]
+                    rows.append(
+                        (doc_id, f0 // frame, len(chunk),
+                         sum(s * s for s in chunk))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_samples", "energy"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FRAME_SCHEMA
+    )
+
+
+def audio_energy_query(df_documents: DataFrame) -> DataFrame:
+    """Synthesize real WAV payloads (odd doc ids) then run the framing
+    + energy DSP over the genuine decoder — the registry's audio arm."""
+    media = synthesize_media_payloads(df_documents.select("doc_id"))
+    return audio_frame_energy(media)

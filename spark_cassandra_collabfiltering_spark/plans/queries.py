@@ -7219,3 +7219,33 @@ def q_j11_nation_volume(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum("_rev").cast("bigint").alias("revenue_e6"),
     )
+
+
+# ===========================================================================
+# Audio frame energy over the real WAV codec (r5-cont5)
+# ===========================================================================
+
+@register(
+    "mm_audio_energy",
+    """WITH d AS (SELECT doc_id, 64 + doc_id % 50 AS n
+                  FROM documents WHERE doc_id % 2 = 1),
+        s AS (SELECT d.doc_id, x.i,
+                     ((d.doc_id * 17 + x.i * 5) % 2048) - 1024 AS v
+              FROM d, LATERAL unnest(range(0, d.n)) x(i))
+       SELECT doc_id, (i // 32)::BIGINT AS frame_idx,
+              count(*)::BIGINT AS n_samples,
+              sum(v * v)::BIGINT AS energy
+       FROM s GROUP BY 1, 2""",
+    "Per-frame audio ENERGY (32-sample windows, sum of squared PCM16 "
+    "samples — the silence/clipping/VAD prefilter signal) computed by "
+    "DECODING real WAV payloads with the stdlib codec inside the "
+    "Arrow mapInPandas harness (operators/multimodal.py "
+    "audio_frame_energy). The planted PCM is a pure function of "
+    "doc_id, so the oracle reproduces every frame in closed form "
+    "WITHOUT decoding — the hash match proves the decoder + framing "
+    "recovered the samples bit-exactly, including the trailing "
+    "partial frame's true count. Integer-exact end to end; "
+    "scan-local, zero shuffles.",
+)
+def q_mm_audio_energy(spark, sf_dir):
+    return mm.audio_energy_query(t(spark, sf_dir, "documents"))

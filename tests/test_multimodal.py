@@ -163,3 +163,28 @@ def test_truncated_wav_and_bad_deflate_raise_valueerror():
     )
     with pytest.raises(ValueError):
         cx.decode_png_gray(bad)
+
+
+def test_audio_frame_energy_partial_frame_and_values(spark):
+    """Frame 0 energy is the exact sum of squares of the first 32
+    samples; the last frame keeps its true (partial) length; energies
+    match a direct recompute from the planted PCM formula."""
+    from spark_cassandra_collabfiltering_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1,), (3,)], "doc_id bigint")
+    got = {
+        (r.doc_id, r.frame_idx): (r.n_samples, r.energy)
+        for r in mm.audio_energy_query(df).collect()
+    }
+    for d in (1, 3):
+        n = 64 + d % 50
+        samples = [((d * 17 + i * 5) % 2048) - 1024 for i in range(n)]
+        frames = [samples[i : i + 32] for i in range(0, n, 32)]
+        for fi, ch in enumerate(frames):
+            assert got[(d, fi)] == (len(ch), sum(s * s for s in ch)), (d, fi)
+        assert len(frames[-1]) == n - 32 * (len(frames) - 1)
+    # only wav (odd-id) docs produce frames
+    evens = mm.audio_energy_query(
+        spark.createDataFrame([(2,)], "doc_id bigint")
+    ).count()
+    assert evens == 0
