@@ -1059,3 +1059,43 @@ def covariance_pairs(
         )
         .select("x_name", "y_name", "n", "sum_x", "sum_y", "sum_xy", "cov_e6")
     )
+
+
+def hll_rolling_estimate(
+    reg: DataFrame, time_col: str, window: int = 7
+) -> DataFrame:
+    """ROLLING distinct-count estimates from per-period HLL registers —
+    the composition exact counting cannot do: distinct doesn't sum
+    across days (a user active twice in a week is one weekly active),
+    but HLL registers MAX-MERGE, so a windowed register max over the
+    last ``window`` periods yields each period's trailing-window
+    estimate from per-period state alone. This is THE argument for
+    mergeable sketch state at 100 TB: the raw stream is touched once
+    (building per-period registers); every window length after that is
+    register arithmetic on the bounded grid.
+
+    Mechanics: densify to the (period x 64-bucket) grid first (a
+    bucket silent TODAY but seen yesterday must still contribute to
+    today's window — the left join keeps its slot; grid size is
+    periods x 64, never data-scaled), one RANGE-framed max per bucket
+    over integer periods (calendar gaps excluded by value, the
+    rolling_daily rule), then the standard exact-shift harmonic mean
+    (:func:`hll_estimate`) per period. Output: (time_col, n_buckets,
+    harmonic_scaled, est_distinct)."""
+    from pyspark.sql import Window
+
+    times = reg.select(time_col).distinct()
+    grid = times.select(
+        time_col,
+        F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket"),
+    )
+    g = grid.join(reg, [time_col, "bucket"], "left")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(time_col).cast("long"))
+        .rangeBetween(-(window - 1), 0)
+    )
+    rolled = g.select(
+        time_col, "bucket", F.max("rmax").over(w).alias("rmax")
+    ).filter(F.col("rmax").isNotNull())
+    return hll_estimate(rolled, [time_col])

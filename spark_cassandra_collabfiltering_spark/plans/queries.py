@@ -7249,3 +7249,72 @@ def q_j11_nation_volume(spark, sf_dir):
 )
 def q_mm_audio_energy(spark, sf_dir):
     return mm.audio_energy_query(t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Rolling 7-day distinct users via windowed HLL register merge (r5-cont5)
+# ===========================================================================
+
+@register(
+    "ev_rolling_distinct",
+    """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS dnum,
+                         md5(user_id::VARCHAR) AS s
+                  FROM events WHERE user_id IS NOT NULL),
+        b AS (SELECT dnum,
+                     ('0x' || substr(s, 16, 2))::BIGINT % 64 AS bucket,
+                     (4 * length(regexp_extract(substr(s, 1, 15), '^0*')) +
+                      CASE substr(regexp_replace(substr(s, 1, 15), '^0*', ''), 1, 1)
+                           WHEN '' THEN 0
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END + 1) AS rho
+              FROM h),
+        r AS (SELECT dnum, bucket, max(rho) AS rmax FROM b GROUP BY 1, 2),
+        days AS (SELECT DISTINCT dnum FROM r),
+        grid AS (SELECT d.dnum, x.i AS bucket
+                 FROM days d, LATERAL unnest(range(0, 64)) x(i)),
+        g AS (SELECT grid.dnum, grid.bucket, r.rmax
+              FROM grid LEFT JOIN r
+                ON r.dnum = grid.dnum AND r.bucket = grid.bucket),
+        roll AS (SELECT dnum, bucket,
+                        max(rmax) OVER (PARTITION BY bucket ORDER BY dnum
+                                        RANGE BETWEEN 6 PRECEDING
+                                              AND CURRENT ROW) AS rmax
+                 FROM g),
+        p AS (SELECT dnum, bucket, rmax FROM roll WHERE rmax IS NOT NULL),
+        a AS (SELECT dnum, count(*) AS n_buckets,
+                     sum(1::BIGINT << (55 - least(rmax, 55))) AS present_sum
+              FROM p GROUP BY 1)
+       SELECT strftime(make_timestamp(dnum * 86400000000), '%Y-%m-%d') AS day,
+              n_buckets::BIGINT AS n_buckets,
+              (present_sum + (64 - n_buckets) * (1::BIGINT << 55))::BIGINT
+                  AS harmonic_scaled,
+              round((0.709::DOUBLE * 64 * 64 * (1::BIGINT << 55)::DOUBLE)
+                    / (present_sum
+                       + (64 - n_buckets) * (1::BIGINT << 55))::DOUBLE, 4)
+                  AS est_distinct
+       FROM a""",
+    "Trailing-7-day distinct users per day from per-DAY HLL registers "
+    "(operators/aggregates.py hll_rolling_estimate) — the composition "
+    "exact counting cannot do: distincts don't sum across days, but "
+    "registers MAX-MERGE, so one windowed register max on the bounded "
+    "(day x 64) grid yields every day's trailing estimate without "
+    "re-touching the stream. Grid densification (left join) keeps a "
+    "bucket seen yesterday alive in today's window; the RANGE frame "
+    "excludes calendar gaps by value. Same exact-shift harmonic mean "
+    "as sketch_hll_distinct, so the estimate itself hash-matches.",
+)
+def q_ev_rolling_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("dnum"), "user_id"
+    )
+    reg = agg.hll_registers(ev, ["dnum"], "user_id")
+    out = agg.hll_rolling_estimate(reg, "dnum", window=7)
+    return out.select(
+        F.date_format(
+            F.timestamp_micros(F.col("dnum") * 86_400_000_000), "yyyy-MM-dd"
+        ).alias("day"),
+        "n_buckets", "harmonic_scaled", "est_distinct",
+    )

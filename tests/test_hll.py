@@ -101,3 +101,43 @@ def test_quality_percentile_transform_monotone(spark):
         pcts = [p for _, p in pairs]
         assert pcts == sorted(pcts), src  # monotone in score
         assert pcts[0] == 0, src          # lowest bin -> percentile 0
+
+
+def test_hll_rolling_estimate_merges_windows(spark):
+    """A user active on days 1 AND 5 counts once in any window holding
+    both days (register max-merge), and the rolling estimate for a
+    day equals the plain estimate over the union of its window's
+    users — merge == recompute, the mergeability contract."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    # day 0: users 0..19; day 4: users 10..29 (overlap 10..19)
+    for u in range(20):
+        rows.append((0, u))
+    for u in range(10, 30):
+        rows.append((4, u))
+    df = spark.createDataFrame(rows, "dnum bigint, user_id bigint")
+    reg = agg.hll_registers(df, ["dnum"], "user_id")
+    rolled = {
+        r.dnum: (r.n_buckets, r.harmonic_scaled, r.est_distinct)
+        for r in agg.hll_rolling_estimate(reg, "dnum", window=7).collect()
+    }
+    # day-4 window covers both days -> same state as estimating the
+    # union directly
+    union = df.select(F.col("user_id")).withColumn("g", F.lit(1))
+    direct = agg.hll_estimate(
+        agg.hll_registers(union, ["g"], "user_id"), ["g"]
+    ).collect()[0]
+    assert rolled[4] == (
+        direct.n_buckets, direct.harmonic_scaled, direct.est_distinct
+    )
+    # day-0 window is day 0 alone
+    solo = agg.hll_estimate(
+        agg.hll_registers(
+            df.filter(F.col("dnum") == 0), ["dnum"], "user_id"
+        ),
+        ["dnum"],
+    ).collect()[0]
+    assert rolled[0] == (
+        solo.n_buckets, solo.harmonic_scaled, solo.est_distinct
+    )
