@@ -7318,3 +7318,82 @@ def q_ev_rolling_distinct(spark, sf_dir):
         ).alias("day"),
         "n_buckets", "harmonic_scaled", "est_distinct",
     )
+
+
+# ===========================================================================
+# Fixed-width ingest — the mainframe/legacy-extract format (r5-cont5)
+# ===========================================================================
+
+_FW_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "fixedwidth_shard.txt")
+
+
+@register(
+    "fw_ingest",
+    f"""WITH lines AS (
+            SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS value
+            FROM read_text('{_FW_FIXTURE}')
+        ),
+        cls AS (SELECT value,
+                       length(value) = 28
+                       AND regexp_matches(trim(substr(value, 1, 6)), '^[0-9]+$')
+                       AND regexp_matches(trim(substr(value, 9, 4)), '^[0-9]+$')
+                           AS ok
+                FROM lines),
+        clean AS (
+            SELECT trim(substr(value, 1, 6))::BIGINT AS doc_id,
+                   trim(substr(value, 7, 2)) AS lang,
+                   trim(substr(value, 9, 4))::BIGINT AS score,
+                   trim(substr(value, 13, 16)) AS name
+            FROM cls WHERE ok
+        )
+        SELECT lang AS grp, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+               sum(score)::BIGINT AS score_sum,
+               sum(('0x' || substr(md5(name), 1, 12))::BIGINT)::BIGINT
+                   AS content_sum
+        FROM clean GROUP BY 1
+        UNION ALL
+        SELECT '_quarantined' AS grp, count(*) AS n,
+               NULL::BIGINT AS id_sum, NULL::BIGINT AS score_sum,
+               sum(('0x' || substr(md5(value), 1, 12))::BIGINT)::BIGINT
+                   AS content_sum
+        FROM cls WHERE NOT ok""",
+    "Fixed-width ingest contract (sources/fixedwidth_source.py — the "
+    "COBOL-copybook/mainframe-extract format: no delimiters, every "
+    "field a byte range): newline-splittable text scan, scan-local "
+    "substring/trim/cast extraction, PERMISSIVE quarantine over a "
+    "committed fixture with the three real malformations (truncated "
+    "line, LETTERS IN A NUMERIC FIELD at the correct width — the "
+    "trap a width check alone misses — and an overlong shifted "
+    "record). Summarized as per-lang clean counts/id/score sums/"
+    "48-bit-md5 name checksums plus one quarantine row checksumming "
+    "the raw preserved lines; the oracle replays the identical "
+    "classification in DuckDB over the same bytes. Completes the "
+    "ingest-format trio beside JSONL and WARC.",
+)
+def q_fw_ingest(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.sources import fixedwidth_source as fw
+
+    fields = [
+        fw.FWField("doc_id", 1, 6, "bigint"),
+        fw.FWField("lang", 7, 2),
+        fw.FWField("score", 9, 4, "bigint"),
+        fw.FWField("name", 13, 16),
+    ]
+    clean, bad = fw.read_fixed_width(spark, _FW_FIXTURE, fields)
+    per_lang = clean.groupBy(F.col("lang").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("score").alias("score_sum"),
+        F.sum(_md5_48(F.col("name"))).alias("content_sum"),
+    )
+    quarantined = bad.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_md5_48(F.col(fw.CORRUPT_COL))).alias("content_sum"),
+    ).select(
+        F.lit("_quarantined").alias("grp"),
+        "n",
+        F.lit(None).cast("bigint").alias("id_sum"),
+        F.lit(None).cast("bigint").alias("score_sum"),
+        "content_sum",
+    )
+    return per_lang.unionByName(quarantined)
