@@ -1361,39 +1361,56 @@ def trigram_search(
     pattern: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    via: str = "rowlocal",
 ) -> DataFrame:
-    """Substring search `%pattern%` via the trigram index: candidate
-    generation (docs whose posting lists contain EVERY distinct
-    trigram of the pattern — a superset of true matches, since
-    trigram containment is necessary but not sufficient) followed by
-    exact verification with an occurrence count, computed on
-    CANDIDATES ONLY.
+    """Substring search `%pattern%` via trigram candidates: a doc is a
+    CANDIDATE iff it contains EVERY distinct trigram of the pattern (a
+    provable superset of true matches — trigram containment is
+    necessary but not sufficient), then exact verification with an
+    occurrence count runs on candidates only.
 
-    This is the LIKE-acceleration discipline: the full-corpus work is
-    the (materializable) index build; the per-query work is Q posting
-    lists (Q = distinct pattern trigrams), one bounded-key hash-agg
-    counting gram hits per doc, and a verify join that touches only
-    candidate rows. A raw LIKE scan reads every byte of every doc per
-    query. Occurrence count is exact integer arithmetic:
+    Two candidate paths, identical results (parity pinned in
+    tests/test_trigram_search.py):
+
+    - ``via='rowlocal'`` (default): a CONJUNCTION of Q contains()
+      predicates, evaluated inside the row — zero exchanges end to
+      end, no per-row trigram materialization, and each StringContains
+      is PUSHABLE into the parquet scan (PushedFilters), so row groups
+      whose dictionaries/statistics exclude a gram never decode; the
+      one-shot query shape.
+    - ``via='postings'``: filter the (materializable) posting table
+      (:func:`trigram_postings`) to the Q pattern grams, hash-agg per
+      doc, verify-join candidates. The shape a MATERIALIZED index
+      serves: per query it touches Q posting lists instead of any doc
+      text, which is the whole point at corpus scale — pattern-gram
+      filters push into the (gram-prefix-partitioned) index scan.
+
+    Occurrence count is exact integer arithmetic:
     (len - len(remove(pattern))) div len(pattern) — portable to any
-    SQL engine.
-
-    Output: (id, n_occurrences) for true matches only."""
+    SQL engine. Output: (id, n_occurrences) for true matches only."""
     if len(pattern) < 3:
         raise ValueError("trigram_search needs a pattern of >= 3 chars")
     pats = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
-    postings = trigram_postings(df, id_col=id_col, text_col=text_col)
-    cand = (
-        postings.filter(F.col("gram").isin(pats))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_ng"))
-        .filter(F.col("_ng") == len(pats))
-        .select(id_col)
-    )
+    if via == "rowlocal":
+        cond = F.lit(True)
+        for p in pats:
+            cond = cond & F.col(text_col).contains(p)
+        verify_src = df.select(id_col, text_col).filter(cond)
+    elif via == "postings":
+        postings = trigram_postings(df, id_col=id_col, text_col=text_col)
+        cand_ids = (
+            postings.filter(F.col("gram").isin(pats))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_ng"))
+            .filter(F.col("_ng") == len(pats))
+            .select(id_col)
+        )
+        verify_src = cand_ids.join(df.select(id_col, text_col), id_col)
+    else:
+        raise ValueError(f"unknown via={via!r}")
     lit_pat = F.lit(pattern)
     return (
-        cand.join(df.select(id_col, text_col), id_col)
-        .filter(F.col(text_col).contains(pattern))
+        verify_src.filter(F.col(text_col).contains(pattern))
         .select(
             F.col(id_col),
             (

@@ -354,3 +354,27 @@ def test_rolling_daily_range_frame_handles_gaps(spark):
         "2024-03-02": (2, 250, 3, 350),   # includes day 1 (within 7)
         "2024-03-11": (1, 400, 1, 400),   # gap: window holds only itself
     }
+
+
+def test_trigram_search_paths_agree(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "xx merge batch yy merge batch zz"),
+            (2, "no hits"),
+            (9, "abcd cdef bcde"),   # candidate-not-match for 'abcdef'
+            (10, "zabcdefz"),
+        ],
+    )
+    for pat in ("merge batch", "abcdef"):
+        a = sorted(
+            map(tuple, tx.trigram_search(docs, pat, via="rowlocal").collect())
+        )
+        b = sorted(
+            map(tuple, tx.trigram_search(docs, pat, via="postings").collect())
+        )
+        assert a == b, pat
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.trigram_search(docs, "abc", via="nope")
