@@ -472,3 +472,24 @@ def read_snapshot_point(
     paths = [os.path.join(base, f) for f in keep]
     df = spark.read.parquet(*paths).filter(F.col(key_col) == F.lit(value))
     return df, len(keep), total
+
+
+def snapshot_diff(
+    spark: SparkSession, root: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Row-level DIFF between two committed snapshot versions — the
+    "what changed between yesterday's and today's table" audit query a
+    versioned lake owes its users. Multiset semantics via exceptAll
+    both ways (a row present twice in old and once in new yields one
+    'removed'), tagged 'added' / 'removed'; unchanged rows never
+    appear. Cost is two hash-aggregate-shaped anti-diffs over the two
+    snapshots — no driver-side materialization; at scale both sides
+    shuffle once on the full row hash. Returns the union with a
+    leading ``_op`` column."""
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, root, version=v_old)
+    new = read_snapshot(spark, root, version=v_new)
+    added = new.exceptAll(old).select(F.lit("added").alias("_op"), "*")
+    removed = old.exceptAll(new).select(F.lit("removed").alias("_op"), "*")
+    return added.unionByName(removed)

@@ -375,3 +375,28 @@ def test_bloom_membership_hash_matches_spark(spark):
         got = {r.k: r.p for r in ks.select("k", expr.alias("p")).collect()}
         for k, p in got.items():
             assert p == lake._bloom_pos_py(str(k), i, m), (k, i)
+
+
+def test_snapshot_diff_multiset_semantics(spark, tmp_path):
+    root = str(tmp_path / "snapdiff")
+    v0 = lake.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (2, "b"), (3, "c")], "id bigint, s string"
+        ),
+        root,
+    )
+    v1 = lake.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (4, "d")], "id bigint, s string"
+        ),
+        root,
+    )
+    got = sorted(
+        (r._op, r.id, r.s) for r in lake.snapshot_diff(spark, root, v0, v1).collect()
+    )
+    # one of the two (2,b) copies removed; (3,c) removed; (4,d) added
+    assert got == [
+        ("added", 4, "d"),
+        ("removed", 2, "b"),
+        ("removed", 3, "c"),
+    ]
