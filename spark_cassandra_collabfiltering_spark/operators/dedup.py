@@ -1187,3 +1187,32 @@ def connected_components_bigstar(
             F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
         )
     )
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """INCREMENTAL component maintenance — the ingest step after
+    :func:`incremental_minhash_pairs`: fold a batch of new near-dup
+    pairs into ALREADY-CONVERGED cluster labels without re-touching
+    the corpus pair graph. The converged labeling is re-expressed as
+    its star edges (every node -> its cluster min: depth-1 by
+    construction), unioned with the new pairs, and re-converged —
+    label propagation over a graph whose old regions are stars
+    finishes in a couple of rounds regardless of how many rounds the
+    original convergence took, and the edge volume is
+    |old nodes| + |new pairs|, not the full historical pair graph.
+
+    Correctness: star(CC(E1)) preserves exactly E1's connectivity, so
+    CC(star ∪ E2) == CC(E1 ∪ E2) — incremental == full recompute
+    (the registry row's oracle IS the full recompute). Output:
+    (node, cluster_id) over every node of the merged graph."""
+    star = labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_a), F.col("cluster_id").alias(id_b)
+    )
+    merged = star.unionByName(new_pairs.select(id_a, id_b))
+    return connected_components(merged, id_a=id_a, id_b=id_b, max_iter=max_iter)

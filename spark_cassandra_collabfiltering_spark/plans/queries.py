@@ -7397,3 +7397,61 @@ def q_fw_ingest(spark, sf_dir):
         "content_sum",
     )
     return per_lang.unionByName(quarantined)
+
+
+# ===========================================================================
+# Incremental cluster maintenance — ingest-time component update
+# ===========================================================================
+
+@register(
+    "dedup_clusters_incremental",
+    f"""WITH RECURSIVE
+        p1 AS (SELECT id_a, id_b
+               FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL,
+                                          max_band_bucket=64,
+                                          oversize="star")}) q1),
+        p2 AS (SELECT batch_id AS id_a, corpus_id AS id_b
+               FROM ({_minhash_incremental_oracle_sql(
+                         _DOC_SUBSET_SQL, _DOC_BATCH_SQL, threshold=0.30)}) q2),
+        p3 AS (SELECT id_a, id_b
+               FROM ({_minhash_oracle_sql(_DOC_BATCH_SQL, threshold=0.30,
+                                          max_band_bucket=64,
+                                          oversize="star")}) q3),
+        mh AS (SELECT id_a, id_b FROM p1
+               UNION SELECT id_a, id_b FROM p2
+               UNION SELECT id_a, id_b FROM p3),
+        edges AS (SELECT id_a AS a, id_b AS b FROM mh
+                  UNION SELECT id_b, id_a FROM mh),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a AS n FROM edges)
+        SELECT nodes.n AS node, least(nodes.n, min(reach.b)) AS cluster_id
+        FROM nodes JOIN reach ON reach.a = nodes.n
+        GROUP BY nodes.n""",
+    "Ingest-time CLUSTER MAINTENANCE (operators/dedup.py "
+    "connected_components_incremental): the corpus's converged "
+    "near-dup labels are re-expressed as depth-1 star edges and "
+    "merged with the arriving batch's pairs (cross-side incremental "
+    "banding + the batch's own self-pairs) — label propagation over "
+    "stars re-converges in a couple of rounds and never re-touches "
+    "the historical pair graph; edge volume is |old nodes| + |new "
+    "pairs|. The oracle recomputes components FROM SCRATCH over the "
+    "full pair-set union, so the exact match proves incremental == "
+    "full recompute — the same contract shape as agg_incremental_view "
+    "for the clustering family.",
+)
+def q_dedup_clusters_incremental(spark, sf_dir):
+    labels = QUERIES["dedup_clusters"].builder(spark, sf_dir)
+    cross = dd.incremental_minhash_pairs(
+        _doc_subset(spark, sf_dir), _doc_batch(spark, sf_dir),
+        "doc_id", "text", n=4, n_hashes=16, bands=8,
+        threshold=0.30, prefilter_matches=4,
+    ).select(F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    batch_self = dd.minhash_dedup_pairs(
+        _doc_batch(spark, sf_dir), "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.30, prefilter_matches=4,
+        max_band_bucket=64, oversize="star",
+    ).select("id_a", "id_b")
+    return dd.connected_components_incremental(
+        labels, cross.unionByName(batch_self)
+    )

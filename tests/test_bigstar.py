@@ -74,3 +74,32 @@ def test_bigstar_self_loops_and_duplicates_ignored(spark):
     }
     # pure self-loop node 1 has no non-self edge -> not a cluster member
     assert got == {2: 2, 3: 2}
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Star(old labels) ∪ new pairs reconverges to exactly the CC of
+    the union pair graph — including a new bridge edge MERGING two old
+    clusters, and a batch-only cluster appearing fresh."""
+    old_pairs = [(1, 2), (2, 3), (10, 11)]
+    new_pairs = [(3, 10), (20, 21)]  # bridge 1-cluster with 10-cluster
+    labels = dd.connected_components(
+        spark.createDataFrame(old_pairs, "id_a bigint, id_b bigint")
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dd.connected_components_incremental(
+            labels,
+            spark.createDataFrame(new_pairs, "id_a bigint, id_b bigint"),
+        ).collect()
+    }
+    full = {
+        r.node: r.cluster_id
+        for r in dd.connected_components(
+            spark.createDataFrame(
+                old_pairs + new_pairs, "id_a bigint, id_b bigint"
+            )
+        ).collect()
+    }
+    assert got == full
+    assert got[11] == 1  # merged across the bridge
+    assert got[21] == 20  # fresh batch-only cluster
