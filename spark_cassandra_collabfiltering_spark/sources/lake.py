@@ -493,3 +493,25 @@ def snapshot_diff(
     added = new.exceptAll(old).select(F.lit("added").alias("_op"), "*")
     removed = old.exceptAll(new).select(F.lit("removed").alias("_op"), "*")
     return added.unionByName(removed)
+
+
+def write_sorted(
+    df: DataFrame, path: str, col: str, n_files: int = 8, mode: str = "error"
+) -> None:
+    """Globally SORTED layout: range-repartition on ``col`` (sampled
+    boundaries — Spark's distributed sort, no single reducer) then
+    sort within each partition before writing. Files end up covering
+    DISJOINT, ordered ranges of ``col``, so parquet min/max footers —
+    and the manifest stats sidecar — become maximally selective: a
+    range predicate touches the minimal file set, and downstream
+    merge-style consumers read pre-sorted runs. This is the
+    single-dimension complement of the z-order layout (use zorder for
+    multi-dim predicates, sorted for one hot dimension)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )

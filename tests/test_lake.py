@@ -400,3 +400,27 @@ def test_snapshot_diff_multiset_semantics(spark, tmp_path):
         ("removed", 2, "b"),
         ("removed", 3, "c"),
     ]
+
+
+def test_write_sorted_files_cover_disjoint_ordered_ranges(spark, tmp_path):
+    import glob
+    import os
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 4000).selectExpr(
+        "cast(id * 2654435761 % 4096 as bigint) AS k", "id AS payload"
+    )
+    lake.write_sorted(df, path, "k", n_files=8)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) >= 6  # range partitioner may merge near-empty edges
+    ranges = []
+    for f in files:
+        vals = [r.k for r in spark.read.parquet(f).select("k").collect()]
+        assert vals == sorted(vals)  # sorted inside each file
+        if vals:
+            ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered coverage across files
+    # round trip: nothing lost
+    assert spark.read.parquet(path).count() == 4000
