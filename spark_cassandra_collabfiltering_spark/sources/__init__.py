@@ -11,6 +11,10 @@ from spark_cassandra_collabfiltering_spark.sources.tables import (
     read_testdata,
     register_testdata_views,
 )
+from spark_cassandra_collabfiltering_spark.sources.fixedwidth_source import (
+    FWField,
+    read_fixed_width,
+)
 from spark_cassandra_collabfiltering_spark.sources.warc_source import read_warc
 
 __all__ = [
@@ -19,6 +23,8 @@ __all__ = [
     "split_corrupt",
     "write_jsonl",
     "read_warc",
+    "FWField",
+    "read_fixed_width",
     "Storage",
     "ParquetStorage",
     "CassandraStorage",

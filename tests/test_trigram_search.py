@@ -378,3 +378,29 @@ def test_trigram_search_paths_agree(spark):
 
     with _pytest.raises(ValueError):
         tx.trigram_search(docs, "abc", via="nope")
+
+
+# ----------------------------------------------------- empty-input hardening
+
+def test_fifth_batch_ops_handle_empty_inputs(spark):
+    empty_pts = spark.createDataFrame([], "id bigint, x bigint, y bigint")
+    assert rel.skyline_2d(empty_pts, "x", "y", "id").count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint"
+    )
+    assert ev.session_concurrency(empty_ev).count() == 0
+    assert ev.retention_cohorts(empty_ev).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert tx.trigram_search(empty_docs, "abc").count() == 0
+    assert rel.epoch_shuffle(empty_docs, "doc_id").count() == 0
+
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    empty_xy = spark.createDataFrame([], "x bigint, y bigint")
+    # one moment row with n=0 -> division guarded? cov on an empty
+    # frame must return pair rows with NULL cov, never crash
+    out = agg.covariance_pairs(empty_xy, ["x", "y"]).collect()
+    assert {(r.x_name, r.y_name) for r in out} == {("x", "x"), ("x", "y"), ("y", "y")}
+    assert all(r.n == 0 and r.cov_e6 is None for r in out)
