@@ -4846,7 +4846,16 @@ def q_graph_triangles(spark, sf_dir):
         .filter(F.col("_c") >= 2)
         .select("src", "dst")
     )
-    return gr.triangle_counts(edges)
+    # The triangle machinery references the edge list SIX times (deg
+    # twice, both wedge arms, the closing semi-join, the final left
+    # join); as a plain plan subtree Spark recomputes the expensive
+    # co-occurrence self-join for each reference (12 parquet scans,
+    # zero reused exchanges — measured 4.8 s at sf0.1). A LAZY local
+    # checkpoint turns it into ONE shared RDD computed once at first
+    # action (1.9 s) — lazy, so plan-building stays job-free for the
+    # plan guards; on a real cluster use reliable checkpoint/persist
+    # per the connected_components note.
+    return gr.triangle_counts(edges.localCheckpoint(eager=False))
 
 
 # ===========================================================================
