@@ -5191,17 +5191,26 @@ def _dedup_recall_oracle_sql(
 )
 def q_dedup_recall_matrix(spark, sf_dir):
     d = _doc_subset(spark, sf_dir)
+    # each arm is referenced 2-3 times below (its own count + the
+    # hit-join counts); lazy local checkpoints make each a single
+    # shared computation instead of re-running the quadratic truth
+    # join / signature pipeline per reference (the graph_triangles
+    # diamond-reuse rule), while keeping plan construction job-free
     truth = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.40).select(
         "id_a", "id_b"
-    )
+    ).localCheckpoint(eager=False)
     sets = dd.doc_shingle_sets(
         d.repartition(F.col("doc_id")), "doc_id", "text", n=4
     )
-    sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=16)
+    sigs = dd.minhash_signature_table(sets, "doc_id", n_hashes=16).localCheckpoint(
+        eager=False
+    )
     cands = dd.lsh_candidate_pairs(
         sigs, "doc_id", n_hashes=16, bands=8, max_band_bucket=64, oversize="star"
-    )
-    prob = dd.signature_prefilter(cands, sigs, "doc_id", n_hashes=16, min_matches=4)
+    ).localCheckpoint(eager=False)
+    prob = dd.signature_prefilter(
+        cands, sigs, "doc_id", n_hashes=16, min_matches=4
+    ).localCheckpoint(eager=False)
     one = lambda df2, alias: df2.agg(F.count(F.lit(1)).cast("bigint").alias(alias))  # noqa: E731
     row = (
         one(truth, "n_true")
