@@ -257,7 +257,13 @@ def domain_mix_sample(
     domain's quota), and a deterministic sampler needs a non-null
     identity per row anyway. Output is the selected (key, domain)
     rows."""
-    base = _draw_bucketed(df, domain_col, key_col, range_bits)
+    # the drawn corpus is referenced by the stats agg AND both phase-2
+    # arms (keep-all + boundary); a lazy local checkpoint computes the
+    # scan+draw once instead of three times (the graph_triangles
+    # diamond-reuse rule; lazy keeps plan construction job-free)
+    base = _draw_bucketed(df, domain_col, key_col, range_bits).localCheckpoint(
+        eager=False
+    )
     stats = _prefix_counts(base, domain_col)
     quota: Column = F.lit(0)
     for d, q in quotas.items():
@@ -348,7 +354,10 @@ def temperature_mix_sample(
     an order-independent overflow-free bigint checksum (XOR of the
     selected rows' md5 draws), pinning exactly WHICH rows were
     chosen, not just how many."""
-    base = _draw_bucketed(df, domain_col, key_col, range_bits)
+    # shared-scan discipline: see domain_mix_sample
+    base = _draw_bucketed(df, domain_col, key_col, range_bits).localCheckpoint(
+        eager=False
+    )
     stats = _prefix_counts(base, domain_col)
     totals = stats.groupBy(domain_col).agg(
         F.sum("_cnt").cast("bigint").alias("_n")
