@@ -373,7 +373,13 @@ def minhash_dedup_pairs(
     sets = doc_shingle_sets(
         df.repartition(F.col(id_col)), id_col, text_col, n=n
     ).cache()
-    sigs = minhash_signature_table(sets, id_col, n_hashes=n_hashes)
+    # the signature table is referenced four times (both sides of the
+    # band self-join, both prefilter probes); the k permutation
+    # transforms re-run per reference even over the cached sets — a
+    # lazy local checkpoint computes them once (diamond-reuse rule)
+    sigs = minhash_signature_table(sets, id_col, n_hashes=n_hashes).localCheckpoint(
+        eager=False
+    )
     cands = lsh_candidate_pairs(
         sigs, id_col, n_hashes=n_hashes, bands=bands,
         max_band_bucket=max_band_bucket, oversize=oversize,
