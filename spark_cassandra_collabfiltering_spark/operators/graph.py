@@ -213,3 +213,95 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
         )
     )
+
+
+def partition_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """MODULARITY of a node partition over an undirected edge list —
+    the Newman-Girvan Q statistic, here used as ATTRIBUTE
+    ASSORTATIVITY: how much more often do same-label nodes link than
+    a degree-preserving random graph would predict? (Positive Q for
+    a brand partition over a part co-occurrence graph means same-
+    brand parts really do co-occur.) Exact fixed-point arithmetic:
+
+        Q = sum_c e_c/m  -  sum_c (d_c / 2m)^2
+          = [ 4m * sum_c e_c  -  sum_c d_c^2 ]  /  (4 m^2)
+
+    with m = |edges|, e_c = within-label edge count, d_c = total
+    degree of label c — every term an exact bigint; the single final
+    division is a floor div in DECIMAL space (sign handled before the
+    div, the stats_daily_trend rule), so Q_e6 hash-matches any
+    engine. Scale shape: degrees from one edge hash-agg, two id-keyed
+    joins tag each edge's endpoint labels, per-label aggregates
+    reduce to a |labels|-row table, and the Q window runs over that
+    bounded table. Output: one row per label
+    (label, n_nodes, e_within, degree_sum, q_e6 — the partition-wide
+    Q repeated per row for the dashboard join).
+    """
+    # node -> label map (one row per node required)
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    )
+    e = edges.select(
+        F.col(edges.columns[0]).alias("_a"), F.col(edges.columns[1]).alias("_b")
+    )
+    # the tagged edge list feeds m, the within-count, and both degree
+    # arms — share it (diamond-reuse rule; lazy keeps plans job-free)
+    tagged = (
+        e.join(lab.withColumnRenamed("_n", "_a").withColumnRenamed("_l", "_la"), "_a")
+        .join(lab.withColumnRenamed("_n", "_b").withColumnRenamed("_l", "_lb"), "_b")
+    ).localCheckpoint(eager=False)
+    m_df = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    # per-label within-edges and degree sums (each undirected edge
+    # contributes 1 degree to each endpoint's label)
+    within = (
+        tagged.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias(label_col))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_within"))
+    )
+    degs = (
+        tagged.select(F.col("_la").alias(label_col))
+        .unionByName(tagged.select(F.col("_lb").alias(label_col)))
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree_sum"))
+    )
+    nodes = lab.groupBy(F.col("_l").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    per = (
+        nodes.join(within, label_col, "left")
+        .na.fill({"e_within": 0})
+        .join(degs, label_col, "left")
+        .na.fill({"degree_sum": 0})
+        .crossJoin(F.broadcast(m_df))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    num = (
+        F.lit(4) * F.col("_m") * F.sum("e_within").over(w)
+        - F.sum(
+            F.col("degree_sum").cast("decimal(19,0)")
+            * F.col("degree_sum").cast("decimal(19,0)")
+        ).over(w)
+    )
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    q_e6 = (
+        sign
+        * F.expr(
+            "CAST(abs(_qnum) * 1000000 AS DECIMAL(38,0)) div "
+            "(CAST(4 AS DECIMAL(19,0)) * CAST(_m AS DECIMAL(19,0)) "
+            "* CAST(_m AS DECIMAL(19,0)))"
+        )
+    ).cast("bigint")
+    return (
+        per.withColumn("_qnum", num.cast("decimal(38,0)"))
+        .select(
+            label_col, "n_nodes", "e_within", "degree_sum",
+            q_e6.alias("q_e6"),
+        )
+    )

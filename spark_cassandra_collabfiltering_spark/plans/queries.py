@@ -7473,3 +7473,77 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     return dd.connected_components_incremental(
         labels, cross.unionByName(batch_self)
     )
+
+
+# ===========================================================================
+# Partition modularity — attribute assortativity over the graph (r5-cont5)
+# ===========================================================================
+
+@register(
+    "graph_modularity_brand",
+    """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+        e0 AS (SELECT a.s AS src, b.s AS dst
+               FROM os a JOIN os b ON a.o = b.o AND a.s < b.s),
+        e AS (SELECT src, dst FROM e0 GROUP BY src, dst HAVING count(*) >= 2),
+        lab AS (SELECT p_partkey AS n, p_brand AS l FROM part),
+        tagged AS (SELECT e.src, e.dst, la.l AS la, lb.l AS lb
+                   FROM e JOIN lab la ON la.n = e.src
+                          JOIN lab lb ON lb.n = e.dst),
+        m AS (SELECT count(*)::BIGINT AS m FROM tagged),
+        win AS (SELECT la AS label, count(*)::BIGINT AS e_within
+                FROM tagged WHERE la = lb GROUP BY 1),
+        degs AS (SELECT l AS label, count(*)::BIGINT AS degree_sum
+                 FROM (SELECT la AS l FROM tagged
+                       UNION ALL SELECT lb FROM tagged) GROUP BY 1),
+        nodes AS (SELECT l AS label, count(*)::BIGINT AS n_nodes
+                  FROM lab GROUP BY 1),
+        per AS (SELECT nodes.label, nodes.n_nodes,
+                       coalesce(win.e_within, 0) AS e_within,
+                       coalesce(degs.degree_sum, 0) AS degree_sum,
+                       (SELECT m FROM m) AS m
+                FROM nodes LEFT JOIN win ON win.label = nodes.label
+                           LEFT JOIN degs ON degs.label = nodes.label),
+        qq AS (SELECT label, n_nodes, e_within, degree_sum, m,
+                      4::HUGEINT * m * sum(e_within) OVER ()
+                      - sum(degree_sum::HUGEINT * degree_sum) OVER () AS qnum
+               FROM per)
+       SELECT label, n_nodes, e_within, degree_sum,
+              (CASE WHEN qnum < 0 THEN -1 ELSE 1 END
+               * (abs(qnum) * 1000000 // (4::HUGEINT * m * m)))::BIGINT
+                  AS q_e6
+       FROM qq""",
+    "Newman-Girvan MODULARITY of the brand partition over the part "
+    "co-occurrence graph (operators/graph.py partition_modularity) — "
+    "attribute assortativity: do same-brand parts co-occur more than "
+    "a degree-preserving random graph predicts? Q = [4m*sum e_c - "
+    "sum d_c^2] / 4m^2, every term an exact bigint (cross terms in "
+    "DECIMAL/HUGEINT), sign extracted before the single floor "
+    "division, so the statistic itself hash-matches. Scale: degrees "
+    "and within-counts reduce from ONE shared tagged edge list to a "
+    "|brands|-row table; the Q window runs over that bounded table.",
+)
+def q_graph_modularity_brand(spark, sf_dir):
+    from spark_cassandra_collabfiltering_spark.operators import graph as gr
+
+    os_ = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").cast("bigint").alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        os_.alias("a")
+        .join(os_.alias("b"), "o")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("src", "dst")
+    )
+    labels = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("node"),
+        F.col("p_brand").alias("label"),
+    )
+    return gr.partition_modularity(edges, labels)

@@ -132,3 +132,48 @@ def test_triangles_hub_with_one_closed_pair(spark):
     got = {r.node: r.n_triangles for r in gr.triangle_counts(edges).collect()}
     assert got[0] == 1 and got[1] == 1 and got[2] == 1
     assert all(got[i] == 0 for i in range(3, 6))
+
+
+def test_partition_modularity_hand_computed(spark):
+    """Two triangles joined by one bridge, labeled by triangle:
+    m = 7 edges, e_within = 3 + 3, degrees 7 + 7.
+    Q = (4*7*6 - (49 + 49)) / (4*49) = 70/196 -> 357142 in e6."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    labels = spark.createDataFrame(
+        [(n, "A" if n <= 3 else "B") for n in range(1, 7)],
+        "node bigint, label string",
+    )
+    got = {
+        r.label: (r.n_nodes, r.e_within, r.degree_sum, r.q_e6)
+        for r in gr.partition_modularity(edges, labels).collect()
+    }
+    assert got == {"A": (3, 3, 7, 357142), "B": (3, 3, 7, 357142)}
+
+
+def test_partition_modularity_single_label_is_zero(spark):
+    """Everything in one community: e_within = m and d = 2m, so
+    Q = (4m*m - 4m^2)/4m^2 = 0 exactly."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint"
+    )
+    labels = spark.createDataFrame(
+        [(n, "X") for n in (1, 2, 3)], "node bigint, label string"
+    )
+    got = gr.partition_modularity(edges, labels).collect()
+    assert [(r.label, r.q_e6) for r in got] == [("X", 0)]
+
+
+def test_partition_modularity_anti_assortative_negative(spark):
+    """A perfect bipartite alternation (no within-label edge at all)
+    must yield negative Q."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src bigint, dst bigint"
+    )
+    labels = spark.createDataFrame(
+        [(1, "A"), (3, "A"), (2, "B"), (4, "B")], "node bigint, label string"
+    )
+    got = gr.partition_modularity(edges, labels).collect()
+    assert all(r.q_e6 < 0 for r in got)

@@ -91,7 +91,7 @@ PLAN_QUERIES = [
     "agg_incremental_view", "ev_retention_daily",
     "j10_multitouch_attribution", "sample_epoch_shuffle",
     "stats_cov_matrix", "ev_rolling_7d", "j11_nation_volume",
-    "ev_rolling_distinct", "fw_ingest",
+    "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
