@@ -131,6 +131,9 @@ BNLJ_ALLOWED = {
     # broadcasts its one-row vocab-size aggregate onto the scoring
     # join — all bounded by construction (ml/textmodels.py)
     "ml_nb_confusion", "text_lm_perplexity",
+    # modularity joins the ONE-ROW edge-count aggregate onto the
+    # bounded per-label table — tfidf's corpus-count shape
+    "graph_modularity_brand",
 }
 
 
