@@ -1604,3 +1604,67 @@ def rrf_fuse(
     return f.withColumn("fused_rank", F.row_number().over(w)).filter(
         F.col("fused_rank") <= topk
     )
+
+
+def late_interaction_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    places: int = 4,
+) -> DataFrame:
+    """LATE-INTERACTION retrieval (the ColBERT MaxSim shape, Khattab &
+    Zaharia 2020): treat each vector as ``n_sub`` contiguous
+    sub-vectors (a stand-in for per-token embeddings) and score
+
+        maxsim(q, d) = sum_i  max_j  <q_i, d_j>
+
+    — each query part matches its BEST counterpart in the document
+    instead of one global dot product, which is what lets a multi-
+    aspect query reward documents that cover each aspect anywhere.
+
+    Plan shape is the brute-force scorer's (the 100 TB contract):
+    bounded query batch broadcast, corpus scan -> row-local score ->
+    per-query top-k window; the n_sub^2 sub-dot products are fixed
+    unrolled expressions inside one row (fold order fixed, so the
+    double arithmetic is engine-reproducible; rounded to ``places``
+    before ranking with id tiebreaks). ``dim`` must be divisible by
+    ``n_sub``."""
+    from pyspark.sql import Window
+
+    if dim % n_sub:
+        raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
+    sd = dim // n_sub
+    dv = F.col(vec_col).cast("array<double>")
+    qv = F.col("query_vec").cast("array<double>")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    parts = []
+    for i in range(n_sub):
+        qi = F.slice(qv, i * sd + 1, sd)
+        best = F.greatest(
+            *[dot(qi, F.slice(dv, j * sd + 1, sd)) for j in range(n_sub)]
+        )
+        parts.append(best)
+    maxsim = F.round(sum(parts[1:], parts[0]), places)
+
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id", id_col, maxsim.alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -7547,3 +7547,47 @@ def q_graph_modularity_brand(spark, sf_dir):
         F.col("p_brand").alias("label"),
     )
     return gr.partition_modularity(edges, labels)
+
+
+# ===========================================================================
+# Late-interaction (MaxSim) retrieval — ColBERT shape (r5-cont5)
+# ===========================================================================
+
+def _maxsim_arm(i: int) -> str:
+    """greatest over the 4 doc sub-vectors of the dot with query part i."""
+    qs = f"list_slice(q.qv, {i * 16 + 1}, {(i + 1) * 16})"
+    return "greatest(" + ", ".join(
+        f"list_dot_product({qs}, list_slice(e.dv, {j * 16 + 1}, {(j + 1) * 16}))"
+        for j in range(4)
+    ) + ")"
+
+
+@register(
+    "ann_maxsim_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN {_ANN_QUERY_IDS}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        s AS (SELECT q.query_id, e.vec_id,
+                     round({_maxsim_arm(0)} + {_maxsim_arm(1)}
+                           + {_maxsim_arm(2)} + {_maxsim_arm(3)}, 4) AS maxsim
+              FROM e, q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, maxsim, rank FROM (
+          SELECT query_id, vec_id, maxsim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY maxsim DESC, vec_id) AS rank
+          FROM s) WHERE rank <= 5""",
+    "Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia "
+    "2020 — operators/similarity.py late_interaction_topk): each "
+    "64-dim vector treated as 4 contiguous 16-dim sub-vectors (the "
+    "per-token-embedding stand-in); score = sum over query parts of "
+    "the BEST-matching document part's dot product — the multi-aspect "
+    "scoring a single global dot cannot express. Same scale contract "
+    "as ann_bruteforce_topk: bounded query batch broadcast, map-only "
+    "corpus scan, per-query top-k window; the 16 sub-dots are fixed "
+    "unrolled row-local folds, rounded before ranking so both engines "
+    "rank identical rows.",
+)
+def q_ann_maxsim(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    return sim.late_interaction_topk(emb, qs, dim=64, n_sub=4, k=5)

@@ -94,3 +94,38 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     # neighbors rarely agree on 7 of 8 signs): the bound just pins
     # "probing adds real candidates" (measured 0.12 vs 0.08 single)
     assert multi >= 0.1, multi
+
+
+def test_maxsim_rewards_per_part_matches(spark):
+    """MaxSim must rank a doc matching each query part SOMEWHERE above
+    a doc matching only globally-diluted: query = [a | b] (two parts),
+    doc1 = [b | a] (parts swapped — global dot low, maxsim high),
+    doc2 = 0.5*[a | b] (global dot moderate, maxsim moderate)."""
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+
+    a = [1.0, 0.0]
+    b = [0.0, 1.0]
+    rows = [
+        (0, a + b),                       # the query itself
+        (1, b + a),                       # parts swapped
+        (2, [0.5 * x for x in a + b]),    # diluted aligned
+        (3, [0.0, 0.0, 0.0, 0.0]),        # nothing
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = sim.make_queries(emb, [0])
+    got = {
+        r.vec_id: (r.maxsim, r.rank)
+        for r in sim.late_interaction_topk(
+            emb, qs, dim=4, n_sub=2, k=3
+        ).collect()
+    }
+    # swapped-parts doc scores 2.0 (each part finds its counterpart);
+    # plain cosine/dot would give it 0.0
+    assert got[1] == (2.0, 1)
+    assert got[2][0] == 1.0 and got[2][1] == 2
+    assert got[3][0] == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sim.late_interaction_topk(emb, qs, dim=5, n_sub=2)

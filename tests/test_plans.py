@@ -92,6 +92,7 @@ PLAN_QUERIES = [
     "j10_multitouch_attribution", "sample_epoch_shuffle",
     "stats_cov_matrix", "ev_rolling_7d", "j11_nation_volume",
     "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
+    "ann_maxsim_topk",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -134,6 +135,9 @@ BNLJ_ALLOWED = {
     # modularity joins the ONE-ROW edge-count aggregate onto the
     # bounded per-label table — tfidf's corpus-count shape
     "graph_modularity_brand",
+    # maxsim broadcasts the same bounded 5-vector query batch as
+    # ann_bruteforce_topk
+    "ann_maxsim_topk",
 }
 
 
