@@ -83,6 +83,7 @@ def nb_classify(
     train_buckets: int = 2,
     train_bucket: int = 0,
     materialize: bool = False,
+    top_k: int = 1,
 ) -> DataFrame:
     """Train a multinomial Naive Bayes classifier on the md5-bucket
     train split and score the held-out docs; returns one row per test
@@ -190,14 +191,18 @@ def nb_classify(
     w = Window.partitionBy(id_col).orderBy(
         F.col("score_e3").desc(), F.col("_y").asc()
     )
+    # top_k > 1 keeps the runner-up rows too (rank column included) —
+    # what the margin/reliability readout needs; the default stays the
+    # plain argmax contract
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
         .select(
             F.col(id_col),
             F.col("_actual").alias("actual"),
             F.col("_y").alias("predicted"),
             F.col("score_e3"),
+            F.col("rk"),
         )
     )
 
@@ -295,4 +300,56 @@ def bigram_lm_xent(
             "n_bigrams",
             F.expr("_s div n_bigrams").cast("bigint").alias("xent_e3"),
         )
+    )
+
+
+# margin-bucket edges in e3 log2 units (fixed, engine-identical)
+NB_MARGIN_BINS = (1000, 5000, 20000)
+
+
+def nb_reliability(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_buckets: int = 2,
+    train_bucket: int = 0,
+) -> DataFrame:
+    """RELIABILITY readout for the NB classifier: bucket held-out docs
+    by the winner's MARGIN over the runner-up (the model's own
+    confidence signal, in exact e3 log2 units) and report accuracy per
+    bucket — the observability table that tells a filtering pipeline
+    which confidence threshold to gate on (a well-behaved classifier
+    is monotonically more accurate at higher margins; a flat table
+    means the scores carry no confidence signal).
+
+    Margins are differences of exact fixed-point scores, bucketed at
+    fixed edges — no floats, no data-dependent quantiles — so the
+    whole table hash-matches. Output: (margin_bin, n_docs,
+    n_correct)."""
+    top2 = nb_classify(
+        docs, label_col, id_col, text_col, train_buckets, train_bucket,
+        top_k=2,
+    )
+    a = top2.filter(F.col("rk") == 1).select(
+        id_col, "actual", "predicted", F.col("score_e3").alias("_s1")
+    )
+    b = top2.filter(F.col("rk") == 2).select(
+        id_col, F.col("score_e3").alias("_s2")
+    )
+    lo, mid, hi = NB_MARGIN_BINS
+    m = a.join(b, id_col).withColumn("_m", F.col("_s1") - F.col("_s2"))
+    binned = m.select(
+        F.when(F.col("_m") < lo, F.lit(0))
+        .when(F.col("_m") < mid, F.lit(1))
+        .when(F.col("_m") < hi, F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("margin_bin"),
+        F.when(F.col("predicted") == F.col("actual"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_ok"),
+    )
+    return binned.groupBy("margin_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ok").cast("bigint").alias("n_correct"),
     )

@@ -7591,3 +7591,53 @@ def q_ann_maxsim(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
     return sim.late_interaction_topk(emb, qs, dim=64, n_sub=4, k=5)
+
+
+# ===========================================================================
+# NB reliability — margin-bucket accuracy of the trained gate (r5-cont5)
+# ===========================================================================
+
+def _nb_reliability_oracle() -> str:
+    """The confusion oracle's shared scoring body with a margin tail:
+    keep ranks 1-2 per doc, margin = winner - runner-up, fixed-edge
+    buckets, accuracy per bucket."""
+    body = QUERIES["ml_nb_confusion"].oracle
+    tail_old = """        pred AS (SELECT doc_id, actual, pred,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score_e3 DESC, pred ASC) AS rk
+                 FROM scored)
+       SELECT actual, pred AS predicted, count(*)::BIGINT AS n_docs
+       FROM pred WHERE rk = 1 GROUP BY 1, 2"""
+    tail_new = """        pred AS (SELECT doc_id, actual, pred, score_e3,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score_e3 DESC, pred ASC) AS rk
+                 FROM scored),
+        marg AS (SELECT a.doc_id,
+                        CASE WHEN a.pred = a.actual THEN 1 ELSE 0 END AS ok,
+                        a.score_e3 - b.score_e3 AS m
+                 FROM pred a JOIN pred b
+                   ON b.doc_id = a.doc_id AND b.rk = 2
+                 WHERE a.rk = 1)
+       SELECT (CASE WHEN m < 1000 THEN 0 WHEN m < 5000 THEN 1
+                    WHEN m < 20000 THEN 2 ELSE 3 END) AS margin_bin,
+              count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_correct
+       FROM marg GROUP BY 1"""
+    assert tail_old in body, "nb confusion oracle tail drifted"
+    return body.replace(tail_old, tail_new)
+
+
+@register(
+    "ml_nb_reliability",
+    _nb_reliability_oracle(),
+    "Margin-bucket RELIABILITY of the in-engine NB classifier "
+    "(ml/textmodels.py nb_reliability): held-out docs bucketed by the "
+    "winner's margin over the runner-up (exact e3 log2 units, fixed "
+    "edges 1000/5000/20000) with per-bucket accuracy — the gate-"
+    "threshold observability table a classifier-filter pipeline "
+    "tunes against. Single-sourced: the oracle IS ml_nb_confusion's "
+    "scoring body with a margin tail (shared string surgery guarded "
+    "by an assert), so the two rows can never drift apart. Exact "
+    "integers end to end.",
+)
+def q_ml_nb_reliability(spark, sf_dir):
+    return tmod.nb_reliability(t(spark, sf_dir, "documents"), label_col="lang")

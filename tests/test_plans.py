@@ -92,7 +92,7 @@ PLAN_QUERIES = [
     "j10_multitouch_attribution", "sample_epoch_shuffle",
     "stats_cov_matrix", "ev_rolling_7d", "j11_nation_volume",
     "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
-    "ann_maxsim_topk",
+    "ann_maxsim_topk", "ml_nb_reliability",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -138,6 +138,8 @@ BNLJ_ALLOWED = {
     # maxsim broadcasts the same bounded 5-vector query batch as
     # ann_bruteforce_topk
     "ann_maxsim_topk",
+    # reliability shares NB's bounded one-row/C-row broadcasts
+    "ml_nb_reliability",
 }
 
 
