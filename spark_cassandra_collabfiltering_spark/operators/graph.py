@@ -282,8 +282,12 @@ def partition_modularity(
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.lit(1))
+    # DECIMAL before multiplying: 4*m*sum(e_c) in raw bigint would
+    # overflow long before the final cast on a corpus-scale edge count
     num = (
-        F.lit(4) * F.col("_m") * F.sum("e_within").over(w)
+        F.lit(4).cast("decimal(19,0)")
+        * F.col("_m").cast("decimal(19,0)")
+        * F.sum("e_within").over(w).cast("decimal(19,0)")
         - F.sum(
             F.col("degree_sum").cast("decimal(19,0)")
             * F.col("degree_sum").cast("decimal(19,0)")
