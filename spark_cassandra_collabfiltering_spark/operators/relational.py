@@ -437,8 +437,13 @@ def epoch_shuffle(
 
     Output: (id, position) — a bijection onto 0..n-1."""
     draw = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    rows = df.select(F.col(id_col), draw.alias("_d")).withColumn(
-        "_b", F.substring("_d", 1, 2)
+    # NULL ids dropped up front (the sampler-family contract: the md5
+    # draw is undefined on NULL, and a NULL bucket would silently
+    # shift every offset after it)
+    rows = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), draw.alias("_d"))
+        .withColumn("_b", F.substring("_d", 1, 2))
     )
     groups = rows.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
     gw = Window.orderBy(F.col("_b").asc()).rowsBetween(
