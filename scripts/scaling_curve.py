@@ -107,9 +107,10 @@ its single warm-up pass didn't fully absorb — i.e. at these sizes the
 fixed overhead exceeds all data-dependent work. The load-bearing
 numbers are steps B and C (fully warm; step C is the first where most
 queries' shuffle/data work dominates). Measured step-C verdict: every
-ratio is SUB-linear (max 6.9× for dedup_minhash_lsh on a 10× document
-step — band-join pair work growing with corpus density but still
-bounded by LSH bucketing; no query shows the >10× super-linear
+ratio is SUB-linear (max 5.7× for text_repetition on a 10× document
+step — row-local n-gram arithmetic that parallelizes at cluster
+scale; dedup_minhash_lsh's step C dropped to 1.4× after the r5
+signature-sharing fix; no query shows the >10× super-linear
 signature of quadratic blowup or spill).
 """
 
