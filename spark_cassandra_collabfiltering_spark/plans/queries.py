@@ -7641,3 +7641,56 @@ def _nb_reliability_oracle() -> str:
 )
 def q_ml_nb_reliability(spark, sf_dir):
     return tmod.nb_reliability(t(spark, sf_dir, "documents"), label_col="lang")
+
+
+# ===========================================================================
+# Gaps-and-islands — longest activity streak per user (r5-cont5)
+# ===========================================================================
+
+@register(
+    "ev_streaks",
+    """WITH du AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 86400000000 AS dnum
+                   FROM events),
+        grp AS (SELECT user_id, dnum,
+                       dnum - row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY dnum) AS g
+                FROM du),
+        runs AS (SELECT user_id, count(*)::BIGINT AS run_len,
+                        min(dnum)::BIGINT AS run_start
+                 FROM grp GROUP BY user_id, g)
+       SELECT user_id,
+              max(run_len)::BIGINT AS longest_streak,
+              count(*)::BIGINT AS n_streaks,
+              sum(run_len)::BIGINT AS n_active_days,
+              min(run_start)::BIGINT AS first_day_num
+       FROM runs GROUP BY user_id""",
+    "Longest consecutive-day activity STREAK per user — the classic "
+    "gaps-and-islands pattern (consecutive days share dnum - "
+    "row_number(), so one user-keyed window turns runs into group "
+    "keys with no self-join and no recursion), the engagement metric "
+    "behind habit/retention dashboards. One distinct (user, day) "
+    "hash-agg touches the raw events; everything after is user-keyed "
+    "windows and aggregates over the bounded (user, day) table. "
+    "Exact integers throughout.",
+)
+def q_ev_streaks(spark, sf_dir):
+    du = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("dnum")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dnum")
+    grp = du.withColumn("g", F.col("dnum") - F.row_number().over(w))
+    runs = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        F.min("dnum").cast("bigint").alias("run_start"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("run_len").cast("bigint").alias("n_active_days"),
+        F.min("run_start").cast("bigint").alias("first_day_num"),
+    )

@@ -92,7 +92,7 @@ PLAN_QUERIES = [
     "j10_multitouch_attribution", "sample_epoch_shuffle",
     "stats_cov_matrix", "ev_rolling_7d", "j11_nation_volume",
     "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
-    "ann_maxsim_topk", "ml_nb_reliability",
+    "ann_maxsim_topk", "ml_nb_reliability", "ev_streaks",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by

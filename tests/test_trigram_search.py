@@ -404,3 +404,31 @@ def test_fifth_batch_ops_handle_empty_inputs(spark):
     out = agg.covariance_pairs(empty_xy, ["x", "y"]).collect()
     assert {(r.x_name, r.y_name) for r in out} == {("x", "x"), ("x", "y"), ("y", "y")}
     assert all(r.n == 0 and r.cov_e6 is None for r in out)
+
+
+def test_streaks_gaps_and_islands(spark):
+    from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
+    import spark_cassandra_collabfiltering_spark.plans.queries as q
+
+    rows = [
+        # user 1: days 0,1,2 then 5,6 -> longest 3, 2 streaks, 5 active
+        (1, _ts("2024-03-01 10:00:00"), 1),
+        (2, _ts("2024-03-02 10:00:00"), 1),
+        (3, _ts("2024-03-02 23:00:00"), 1),  # same day, counted once
+        (4, _ts("2024-03-03 10:00:00"), 1),
+        (5, _ts("2024-03-06 10:00:00"), 1),
+        (6, _ts("2024-03-07 10:00:00"), 1),
+        # user 2: one day
+        (7, _ts("2024-03-01 00:00:00"), 2),
+    ]
+    df = _events(spark, rows)
+    orig = q.t
+    try:
+        q.t = lambda s, sf, name, _df=df: _df
+        got = {
+            r.user_id: (r.longest_streak, r.n_streaks, r.n_active_days)
+            for r in QUERIES["ev_streaks"].builder(spark, "x").collect()
+        }
+    finally:
+        q.t = orig
+    assert got == {1: (3, 2, 5), 2: (1, 1, 1)}
