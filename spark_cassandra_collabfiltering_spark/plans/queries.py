@@ -144,8 +144,13 @@ _DRIVER_ORDER = [
     # similarity / ANN family. r5: ann_recall_matrix makes shortlist
     # QUALITY (recall@5 vs exact, computed in-query) a hash-matched row
     # beside the shape rows.
+    # r5-cont5: dedup_embedding_cosine to a local-checked slot (the
+    # cosine near-dup shape stays locally exact and the dedup family
+    # keeps six residents) — slot freed for ann_maxsim_topk, the
+    # late-interaction (ColBERT MaxSim) scoring capability no
+    # resident's single global dot product covers.
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_pq_topk",
-    "ann_recall_matrix", "dedup_embedding_cosine",
+    "ann_recall_matrix", "ann_maxsim_topk",
     # lexical retrieval + distributed-stats families (r5-cont3: first
     # driver residents — BM25 with the fixed-point log2 idf, and the
     # deterministic Poisson-bootstrap CI)
