@@ -619,3 +619,31 @@ def contamination_semantic(
         )
         .withColumn("contaminated", F.col("n_eval_hits") > 0)
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """K-ANONYMITY audit over a set of quasi-identifier columns — the
+    privacy check a dataset release runs before shipping: a row whose
+    quasi-identifier combination is shared by fewer than ``k`` rows is
+    re-identifiable (Sweeney 2002). One hash-agg on the
+    quasi-identifier grain (map-side combining; the grain is the
+    ONLY thing shuffled), then a bounded summary: equivalence-class
+    histogram by risk band plus the risky-row total — the go/no-go
+    numbers, not a row dump of the at-risk individuals themselves.
+
+    Output: (risk_band, n_classes, n_rows) where risk_band is
+    'unique' (class size 1), 'risky' (2..k-1), 'anonymous' (>= k)."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    band = (
+        F.when(F.col("_sz") == 1, F.lit("unique"))
+        .when(F.col("_sz") < k, F.lit("risky"))
+        .otherwise(F.lit("anonymous"))
+    )
+    return classes.groupBy(band.alias("risk_band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("_sz").cast("bigint").alias("n_rows"),
+    )

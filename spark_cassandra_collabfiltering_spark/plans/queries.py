@@ -7699,3 +7699,32 @@ def q_ev_streaks(spark, sf_dir):
         F.sum("run_len").cast("bigint").alias("n_active_days"),
         F.min("run_start").cast("bigint").alias("first_day_num"),
     )
+
+
+# ===========================================================================
+# K-anonymity audit — release-time privacy check (r5-cont5)
+# ===========================================================================
+
+@register(
+    "curation_k_anonymity",
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                          count(*)::BIGINT AS sz
+                    FROM customer GROUP BY 1, 2)
+       SELECT CASE WHEN sz = 1 THEN 'unique'
+                   WHEN sz < 5 THEN 'risky'
+                   ELSE 'anonymous' END AS risk_band,
+              count(*)::BIGINT AS n_classes,
+              sum(sz)::BIGINT AS n_rows
+       FROM cls GROUP BY 1""",
+    "K-anonymity audit (k=5, Sweeney 2002) over the customer "
+    "quasi-identifiers (nation, market segment) — the release-time "
+    "privacy go/no-go beside the PII redaction gate "
+    "(operators/curation.py k_anonymity_audit): equivalence classes "
+    "from ONE hash-agg on the quasi-identifier grain, summarized "
+    "into unique / risky / anonymous bands with class and row "
+    "counts. Exact integers; only the bounded grain ever shuffles.",
+)
+def q_curation_k_anonymity(spark, sf_dir):
+    return cu.k_anonymity_audit(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )

@@ -515,3 +515,36 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """RETENTION: delete committed snapshot versions older than the
+    newest ``keep_last`` — the storage-lifecycle half of the
+    immutable-snapshot design (write_snapshot never deletes; without
+    retention the lake grows forever). The manifest tracks only
+    ``latest``, so the on-disk ``v=<N>`` directories ARE the version
+    list; vacuum removes whole old version dirs (data + stats/bloom
+    sidecars go atomically by construction — they live inside the
+    dir) and never touches the newest ``keep_last``, in particular
+    never the manifest's latest. Time travel to a vacuumed version
+    then fails at the missing directory — Delta's VACUUM contract.
+    Returns the deleted version numbers."""
+    import json
+    import os
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    with open(os.path.join(root, "_manifest.json")) as fh:
+        latest = json.load(fh)["latest"]
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v=(\d+)", d)) and os.path.isdir(os.path.join(root, d))
+    )
+    committed = [v for v in versions if v <= latest]  # uncommitted dirs stay
+    drop = committed[:-keep_last]
+    for v in drop:
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+    return drop

@@ -424,3 +424,25 @@ def test_write_sorted_files_cover_disjoint_ordered_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint, ordered coverage across files
     # round trip: nothing lost
     assert spark.read.parquet(path).count() == 4000
+
+
+def test_vacuum_snapshots_retains_newest_and_latest(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "vac")
+    for i in range(4):
+        lake.write_snapshot(
+            spark.createDataFrame([(i,)], "id bigint"), root
+        )
+    dropped = lake.vacuum_snapshots(root, keep_last=2)
+    assert dropped == [0, 1]
+    assert not os.path.isdir(f"{root}/v=0") and not os.path.isdir(f"{root}/v=1")
+    # latest + previous still readable; vacuumed time travel fails
+    assert [r.id for r in lake.read_snapshot(spark, root).collect()] == [3]
+    assert [r.id for r in lake.read_snapshot(spark, root, version=2).collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        lake.read_snapshot(spark, root, version=0).collect()
+    with _pytest.raises(ValueError):
+        lake.vacuum_snapshots(root, keep_last=0)

@@ -93,6 +93,7 @@ PLAN_QUERIES = [
     "stats_cov_matrix", "ev_rolling_7d", "j11_nation_volume",
     "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
     "ann_maxsim_topk", "ml_nb_reliability", "ev_streaks",
+    "curation_k_anonymity",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
