@@ -468,3 +468,19 @@ def test_temperature_mix_null_keys_dropped(spark):
     )
     got = {r.source: r for r in cu.temperature_mix_sample(df, budget=100).collect()}
     assert got["a"].n_before == 2  # NULL key never counted
+
+
+def test_k_anonymity_bands_hand_planted(spark):
+    rows = (
+        [("us", "a")] * 7      # anonymous at k=5
+        + [("de", "b")] * 3    # risky
+        + [("fr", "c")]        # unique
+    )
+    df = spark.createDataFrame(rows, "nat string, seg string")
+    got = {
+        r.risk_band: (r.n_classes, r.n_rows)
+        for r in cu.k_anonymity_audit(df, ["nat", "seg"], k=5).collect()
+    }
+    assert got == {
+        "anonymous": (1, 7), "risky": (1, 3), "unique": (1, 1)
+    }
