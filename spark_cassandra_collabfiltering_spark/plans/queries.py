@@ -7728,3 +7728,39 @@ def q_curation_k_anonymity(spark, sf_dir):
     return cu.k_anonymity_audit(
         t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
     )
+
+
+# ===========================================================================
+# Filtered vector search — metadata predicate + top-k (r5-cont5)
+# ===========================================================================
+
+@register(
+    "ann_filtered_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN {_ANN_QUERY_IDS}),
+        s AS (SELECT q.query_id, e.vec_id, e.label, {_COS_SQL} AS cos
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id AND e.label % 2 = 0)
+        SELECT query_id, vec_id, label, cos, rank FROM (
+          SELECT query_id, vec_id, label, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM s) WHERE rank <= 5""",
+    "FILTERED vector search: exact top-k cosine restricted to rows "
+    "passing a metadata predicate (even labels) — the hybrid "
+    "filter+similarity query every vector store fields (and where "
+    "post-filtering an unfiltered shortlist silently under-fills k). "
+    "The engine PRE-filters: the predicate pushes into the parquet "
+    "scan ahead of any scoring (PushedFilters), so filtered-out "
+    "vectors are never even read — then the standard broadcast-"
+    "query/map-only-score/top-k-window contract. k is always filled "
+    "when enough rows qualify, by construction.",
+)
+def q_ann_filtered(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = sim.make_queries(emb, [0, 1, 2, 3, 4])
+    filtered = emb.filter(F.col("label") % 2 == 0)
+    out = sim.cosine_topk_bruteforce(filtered, qs, k=5)
+    return out.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select("query_id", "vec_id", "label", "cos", "rank")

@@ -93,7 +93,7 @@ PLAN_QUERIES = [
     "stats_cov_matrix", "ev_rolling_7d", "j11_nation_volume",
     "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
     "ann_maxsim_topk", "ml_nb_reliability", "ev_streaks",
-    "curation_k_anonymity",
+    "curation_k_anonymity", "ann_filtered_topk",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -141,6 +141,9 @@ BNLJ_ALLOWED = {
     "ann_maxsim_topk",
     # reliability shares NB's bounded one-row/C-row broadcasts
     "ml_nb_reliability",
+    # filtered search embeds the same bounded 5-vector broadcast as
+    # ann_bruteforce_topk
+    "ann_filtered_topk",
 }
 
 
