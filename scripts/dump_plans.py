@@ -85,6 +85,18 @@ SHOWN = [
     "agg_incremental_view",
     "j10_multitouch_attribution",
     "ev_retention_daily",
+    "stats_cov_matrix",
+    "ev_rolling_7d",
+    "ev_rolling_distinct",
+    "j11_nation_volume",
+    "fw_ingest",
+    "graph_modularity_brand",
+    "ann_maxsim_topk",
+    "ml_nb_reliability",
+    "ev_streaks",
+    "curation_k_anonymity",
+    "ann_filtered_topk",
+    "sample_epoch_shuffle",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
