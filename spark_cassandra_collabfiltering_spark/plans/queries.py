@@ -7764,3 +7764,218 @@ def q_ann_filtered(spark, sf_dir):
     return out.join(
         emb.select("vec_id", "label"), "vec_id"
     ).select("query_id", "vec_id", "label", "cos", "rank")
+
+
+# ===========================================================================
+# Remaining TPC-H join/agg shapes (r5-cont6): Q2 correlated min, Q11
+# group-HAVING over a global scalar, Q15 view max, Q22 scalar-avg + anti.
+# The testdata ships no partsupp table, so lineitem's (partkey, suppkey,
+# extendedprice) grain stands in as the supply-cost relation; all money
+# is exact integer cents / micro-dollars so every row hash-matches.
+# ===========================================================================
+
+@register(
+    "j12_min_cost_supplier",
+    """WITH costs AS (
+         SELECT l.l_partkey, l.l_suppkey,
+                min(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                  AS cost_cents
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+         GROUP BY 1, 2)
+       SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+              n.n_name AS supp_nation, c.cost_cents
+       FROM costs c
+       JOIN part p     ON p.p_partkey = c.l_partkey
+       JOIN supplier s ON s.s_suppkey = c.l_suppkey
+       JOIN nation n   ON n.n_nationkey = s.s_nationkey
+       WHERE c.cost_cents = (SELECT min(c2.cost_cents) FROM costs c2
+                             WHERE c2.l_partkey = c.l_partkey)""",
+    "Min-cost supplier per part (TPC-H Q2 shape): the correlated "
+    "scalar-min subquery `WHERE cost = (SELECT min(cost) ... same "
+    "part)` decorrelated into a per-part window min over the "
+    "aggregated (part, supplier) cost grain — one exchange on "
+    "l_partkey serves BOTH the agg and the window, and the part-size "
+    "predicate broadcast-semi-joins into the fact scan ahead of any "
+    "agg (a part filter commutes with the per-part min, so "
+    "prefiltering is exact). Supplier/nation dims broadcast. Oracle "
+    "keeps the textbook correlated form to prove the decorrelation "
+    "equivalent. Cost in exact integer cents.",
+)
+def q_j12_min_cost_supplier(spark, sf_dir):
+    pdim = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("_cents"),
+        )
+        .join(F.broadcast(pdim.filter(F.col("p_size") == 15)), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    costs = li.groupBy("p_partkey", "p_brand", "l_suppkey").agg(
+        F.min("_cents").alias("cost_cents")
+    )
+    w = Window.partitionBy("p_partkey")
+    best = costs.withColumn("_best", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("_best")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("supp_nation"))
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "supp_nation", "cost_cents")
+    )
+
+
+@register(
+    "g13_important_parts",
+    """WITH v AS (
+         SELECT l_partkey,
+                sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT))::BIGINT AS value_cents
+         FROM lineitem GROUP BY 1)
+       SELECT l_partkey AS partkey, value_cents
+       FROM v
+       WHERE value_cents * (SELECT count(*) FROM v) * 4
+             > (SELECT sum(value_cents) FROM v) * 5""",
+    "Important parts by value share (TPC-H Q11 shape): per-part "
+    "inventory value with a HAVING against a fraction of the GLOBAL "
+    "total — the grouped agg feeds both the row stream and the "
+    "one-row global (sum, count), shared via a lazy localCheckpoint "
+    "so the fact scan runs once; the one-row scalar broadcast-joins "
+    "back (BNLJ on a 1-row side, the tfidf corpus-count shape). "
+    "Q11's literal fraction is SF-scaled in the spec (0.0001/SF) "
+    "because part count grows with SF; the scale-free equivalent "
+    "keeps parts above 1.25x the AVERAGE part value, compared as an "
+    "integer cross-multiply (value*n*4 > total*5 — no float "
+    "division), so the filter is exact and selects ~14% of parts at "
+    "every SF.",
+)
+def q_g13_important_parts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * F.col("l_quantity").cast("long")
+        ).alias("_vc"),
+    )
+    v = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("_vc").cast("long").alias("value_cents"))
+        .localCheckpoint(eager=False)
+    )
+    total = v.agg(
+        F.sum("value_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("_n") * 4 > F.col("_total") * 5)
+        .select("partkey", "value_cents")
+    )
+
+
+@register(
+    "j13_top_revenue_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))
+                   )::BIGINT AS total_e6
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT s.s_suppkey, s.s_name, r.total_e6
+       FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_e6 = (SELECT max(total_e6) FROM rev)""",
+    "Top revenue supplier over a quarter (TPC-H Q15 shape): the "
+    "revenue VIEW aggregated once (shipdate range pushed to the "
+    "parquet scan), its one-row global max broadcast back as an "
+    "equality filter — max-over-view without a global sort or a "
+    "single-partition window, and ties surface as multiple rows "
+    "exactly as Q15 requires. Revenue in exact integer "
+    "micro-dollars (cents x (1e4 - discount-bp)); supplier dim "
+    "broadcast.",
+)
+def q_j13_top_revenue_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (F.lit(10000) - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+            ).alias("_rev"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rev").cast("long").alias("total_e6"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_e6").alias("_mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_e6") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_e6")
+    )
+
+
+@register(
+    "sub4_dormant_customers",
+    """WITH pos AS (
+         SELECT c_custkey, c_nationkey,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+         FROM customer WHERE c_acctbal > 0.0),
+       g AS (SELECT sum(bal_cents) AS total_cents, count(*) AS n FROM pos)
+       SELECT p.c_nationkey AS nationkey,
+              count(*)::BIGINT AS n_custs,
+              sum(p.bal_cents)::BIGINT AS total_bal_cents
+       FROM pos p, g
+       WHERE p.bal_cents * g.n > g.total_cents
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = p.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+       GROUP BY 1""",
+    "Dormant high-balance customers (TPC-H Q22 shape): customers "
+    "above the GLOBAL positive-balance average with no orders in "
+    "the final year, rolled up per nation. The scalar avg is the "
+    "one-row (sum, count) aggregate broadcast back with an integer "
+    "cross-multiply (bal*n > total — no float division), the "
+    "no-recent-orders predicate is a LEFT ANTI join against the "
+    "date-pruned orders scan (the decorrelated NOT EXISTS), and "
+    "the final rollup is one hash-agg on the bounded nation grain. "
+    "Balances in exact integer cents.",
+)
+def q_sub4_dormant_customers(spark, sf_dir):
+    pos = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select(
+            "c_custkey", "c_nationkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = pos.agg(
+        F.sum("bal_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = pos.crossJoin(F.broadcast(g)).filter(
+        F.col("bal_cents") * F.col("_n") > F.col("_total")
+    )
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+    )

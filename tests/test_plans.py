@@ -94,6 +94,7 @@ PLAN_QUERIES = [
     "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
     "ann_maxsim_topk", "ml_nb_reliability", "ev_streaks",
     "curation_k_anonymity", "ann_filtered_topk",
+    "j12_min_cost_supplier",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -144,6 +145,12 @@ BNLJ_ALLOWED = {
     # filtered search embeds the same bounded 5-vector broadcast as
     # ann_bruteforce_topk
     "ann_filtered_topk",
+    # r5-cont6 TPC-H shapes: Q11's one-row global (sum, count), Q15's
+    # one-row view max, and Q22's one-row (sum, count) scalar-avg each
+    # broadcast back onto the grouped stream — tfidf's corpus-count
+    # shape, bounded by construction
+    "g13_important_parts", "j13_top_revenue_supplier",
+    "sub4_dormant_customers",
 }
 
 
