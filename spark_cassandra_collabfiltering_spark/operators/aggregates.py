@@ -1099,3 +1099,102 @@ def hll_rolling_estimate(
         time_col, "bucket", F.max("rmax").over(w).alias("rmax")
     ).filter(F.col("rmax").isNotNull())
     return hll_estimate(rolled, [time_col])
+
+
+# --- Mergeable rank-based quantile sketch (r5-cont6) ----------------------
+#
+# The KLL/t-digest slot, solved deterministically: those sketches'
+# randomized compactions (and t-digest's order-dependent centroids)
+# can't hash-match a SQL oracle, but a BOTTOM-K-BY-HASH uniform sample
+# has the same mergeable-summary contract (Agarwal et al., Mergeable
+# Summaries: bottom-k of a union == bottom-k of the merged bottom-ks)
+# with a pure-function-of-the-row draw, so the whole sketch — state
+# AND estimates — is bit-reproducible across runs, engines, and
+# partitionings, and the quantile error keeps the classic
+# sample-quantile DKW bound sup|F_emp − F| <= sqrt(ln(2/d)/2k).
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k-by-md5 sample: the k rows whose 60-bit md5
+    draw of ``key_col`` is smallest. (group..., value, draw), <= k rows
+    per group — the sketch STATE. Mergeable by construction: re-apply
+    to the union of two states (same k) and the result equals the
+    sketch of the concatenated inputs, because membership depends only
+    on a row's own draw vs the group's k-th smallest. One exchange on
+    the group key; rows never carry more than (value, draw).
+    """
+    from pyspark.sql import Window
+
+    from spark_cassandra_collabfiltering_spark.operators.relational import md5_draw60
+
+    w = Window.partitionBy(*group_cols).orderBy("_draw", "value")
+    return (
+        df.select(
+            *group_cols,
+            F.col(value_col).alias("value"),
+            md5_draw60(F.col(key_col)).alias("_draw"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "value", F.col("_draw").alias("draw"))
+    )
+
+
+def bottomk_quantiles(
+    sample: DataFrame,
+    group_cols: Sequence[str],
+    q_pcts: Sequence[int] = (25, 50, 75, 90),
+) -> DataFrame:
+    """Quantile estimates from a :func:`bottomk_sample` state (or any
+    merge of such states, re-capped): for quantile q, the sample value
+    at rank ceil(q·m) of the m sampled values — integer ceiling
+    division ((q_pct·m + 99) div 100), never a float, so the rank and
+    hence the estimate hash-match any engine. Output (group..., q_pct,
+    est, m). One window over <= k rows per group + a constant explode.
+    """
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy(*group_cols).orderBy("value", "draw")
+    wn = Window.partitionBy(*group_cols)
+    r = sample.select(
+        *group_cols,
+        "value",
+        F.row_number().over(wv).alias("_vr"),
+        F.count(F.lit(1)).over(wn).alias("m"),
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(int(p)).cast("bigint") for p in q_pcts])
+    ).alias("q_pct")
+    return (
+        r.select(*group_cols, "value", "_vr", "m", qlit)
+        .filter(F.col("_vr") >= F.expr("(q_pct * m + 99) div 100"))
+        .groupBy(*group_cols, "q_pct")
+        .agg(F.min("value").alias("est"), F.min("m").alias("m"))
+    )
+
+
+def bottomk_merge(
+    states: DataFrame, group_cols: Sequence[str], k: int = 64
+) -> DataFrame:
+    """MERGE a union of :func:`bottomk_sample` states back into one
+    canonical state: keep each group's k smallest draws (draw, value
+    deterministic order). Because membership depends only on a row's
+    own draw, merge(union of states) == sketch of the concatenated
+    raw inputs, exactly — the mergeable-summaries contract that lets
+    the sketch stream (union each micro-batch's state, re-cap) and
+    roll up across partitions/days/sources without touching raw data.
+    Input is already bounded (<= k rows per group per state)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("draw", "value")
+    return (
+        states.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "value", "draw")
+    )

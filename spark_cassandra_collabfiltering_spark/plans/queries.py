@@ -7979,3 +7979,51 @@ def q_sub4_dormant_customers(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_custs"),
         F.sum("bal_cents").cast("long").alias("total_bal_cents"),
     )
+
+
+# ===========================================================================
+# Mergeable rank-based quantile sketch (r5-cont6) — the KLL/t-digest
+# slot beside g12's fixed-width histogram, solved deterministically.
+# ===========================================================================
+
+@register(
+    "sketch_bottomk_quantiles",
+    """WITH s AS (
+         SELECT source, n_chars AS value,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS draw
+         FROM documents),
+       k AS (
+         SELECT source, value, draw,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY draw, value) AS rn
+         FROM s),
+       smp AS (SELECT source, value, draw FROM k WHERE rn <= 64),
+       r AS (
+         SELECT source, value,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY value, draw) AS vr,
+                count(*) OVER (PARTITION BY source) AS m
+         FROM smp)
+       SELECT source, q_pct, min(value)::BIGINT AS est, min(m)::BIGINT AS m
+       FROM r, (VALUES (25::BIGINT), (50), (75), (90)) qs(q_pct)
+       WHERE vr >= (q_pct * m + 99) // 100
+       GROUP BY 1, 2""",
+    "Mergeable rank-based quantile sketch (the KLL/t-digest rung "
+    "beside g12's fixed-width histogram, which needs a known value "
+    "range; this one doesn't): per-source doc-length quantiles from "
+    "a BOTTOM-K-BY-MD5 uniform sample — membership is a pure "
+    "function of the row's own 60-bit draw vs the group's k-th "
+    "smallest, so states merge exactly (bottom-k of a union == "
+    "bottom-k of merged bottom-ks, Agarwal et al. Mergeable "
+    "Summaries; merge==batch pinned in tests/test_bottomk.py) and "
+    "the whole sketch hash-matches the oracle where randomized KLL "
+    "compaction never could. DKW sample-quantile error bound "
+    "sqrt(ln(2/d)/2k) ~= 0.20 at k=64, d=0.01 — pinned vs exact "
+    "CDFs. State <= 64 (value, draw) pairs/group; one exchange on "
+    "source; rank = integer ceil-div, no float anywhere "
+    "(operators/aggregates.py bottomk_sample/bottomk_quantiles).",
+)
+def q_sketch_bottomk_quantiles(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    smp = agg.bottomk_sample(docs, ["source"], "n_chars", "doc_id", k=64)
+    return agg.bottomk_quantiles(smp, ["source"], (25, 50, 75, 90))
