@@ -635,3 +635,109 @@ def test_streaming_space_saving_merge_bounds_and_exactness(
             for v, c in true_counts.items():
                 if c > err:
                     assert v in est, (v, c, err)
+
+
+def test_streaming_incremental_clusters_match_batch(spark, tmp_path):
+    """Near-dup CLUSTER MAINTENANCE as a stream: documents arrive in
+    micro-batches (file source, one file per trigger); foreachBatch
+    matches each batch against the already-indexed corpus (cross-side
+    banding) plus itself (self pairs), folds the new pairs into the
+    converged labels via connected_components_incremental, and appends
+    the batch to the corpus state. The final label table must equal a
+    FROM-SCRATCH batch clustering of the full corpus — the incremental
+    == full-recompute contract (dedup_clusters_incremental's oracle),
+    streamed. Pair discovery is identical on both paths by
+    construction (same md5 minhash machinery), so the assert is exact.
+    """
+    from spark_cassandra_collabfiltering_spark.operators import dedup as dd
+
+    # Planted corpus: two near-dup families spanning slices + singletons.
+    base_a = "the quick brown fox jumps over the lazy dog again and again in the yard "
+    base_b = "distributed systems fail in correlated ways when the network partitions "
+    docs = [
+        (0, base_a * 4 + "alpha"),
+        (1, base_a * 4 + "bravo"),
+        (6, base_b * 4 + "echo"),
+        (2, "completely unrelated text about cooking pasta with garlic and olive oil"),
+        (3, base_a * 4 + "charlie"),
+        (7, base_b * 4 + "foxtrot"),
+        (4, "another unique document discussing quarterly financial projections"),
+        (5, base_a * 4 + "delta"),
+        (8, "a third singleton on the topic of alpine hiking trails and weather"),
+        (9, "fourth singleton text mentioning telescopes and the night sky only"),
+    ]
+    slices = [docs[0:3], docs[3:6], docs[6:10]]
+    params = dict(n=4, n_hashes=16, bands=8, threshold=0.30, prefilter_matches=4)
+
+    src = str(tmp_path / "docs_src")
+    corpus_path = str(tmp_path / "corpus")
+    labels_path = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for i, sl in enumerate(slices):
+        spark.createDataFrame(sl, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def fold(bdf, epoch_id):
+        sess = bdf.sparkSession
+        if bdf.isEmpty():
+            return
+        batch = bdf.localCheckpoint(eager=True)
+        pairs = dd.minhash_dedup_pairs(
+            batch, "doc_id", "text", max_band_bucket=64, oversize="star", **params
+        ).select("id_a", "id_b")
+        try:
+            corpus = sess.read.parquet(corpus_path)
+        except Exception:
+            corpus = None
+        if corpus is not None:
+            cross = dd.incremental_minhash_pairs(
+                corpus, batch, "doc_id", "text", **params
+            ).select(
+                F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+            )
+            pairs = pairs.unionByName(cross)
+        try:
+            labels = sess.read.parquet(labels_path)
+        except Exception:
+            labels = None
+        if labels is None:
+            new_labels = dd.connected_components(pairs)
+        else:
+            new_labels = dd.connected_components_incremental(labels, pairs)
+        new_labels.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            labels_path
+        )
+        batch.write.mode("append").parquet(corpus_path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = sorted(
+        (r.node, r.cluster_id) for r in spark.read.parquet(labels_path).collect()
+    )
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want_pairs = dd.minhash_dedup_pairs(
+        full, "doc_id", "text", max_band_bucket=64, oversize="star", **params
+    ).select("id_a", "id_b")
+    want = sorted(
+        (r.node, r.cluster_id) for r in dd.connected_components(want_pairs).collect()
+    )
+    assert streamed == want
+    # the planted families actually clustered (non-vacuous)
+    by_cluster: dict[int, set[int]] = {}
+    for node, cid in streamed:
+        by_cluster.setdefault(cid, set()).add(node)
+    assert {0, 1, 3, 5} in by_cluster.values()
+    assert {6, 7} in by_cluster.values()
