@@ -1198,3 +1198,129 @@ def bottomk_merge(
         .filter(F.col("_rn") <= k)
         .select(*group_cols, "value", "draw")
     )
+
+
+# --- KMV distinct sketch with set-operation estimates (r5-cont6) ----------
+#
+# K-minimum-values (Bar-Yossef et al. 2002; Beyer et al. 2007 "On
+# Synopses for Distinct-Value Estimation Under Multiset Operations"):
+# hash every value to a 60-bit md5 draw and keep the k SMALLEST
+# distinct hashes per group. Distinct-count estimate (k-1)·SPACE/h_k;
+# exact below k. What HLL fundamentally can't give you and KMV can:
+# the k smallest of a UNION's hashes are computable from two states,
+# and membership flags inside that union sketch estimate INTERSECTION
+# and Jaccard (cross-source / cross-type audience overlap) with the
+# same bound. Deterministic (pure md5, no rng) → exact-oracle-able.
+
+KMV_SPACE = 1 << 60  # md5_draw60 range
+
+
+def kmv_state(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, k: int = 128
+) -> DataFrame:
+    """Per-group KMV state: the k smallest DISTINCT 60-bit md5 draws
+    of ``value_col``. <= k rows per group, mergeable exactly like
+    bottom-k (union two states, re-take k smallest distinct). The
+    distinct-first agg map-side combines, so raw duplicate values
+    never shuffle — the state is (group..., h) only."""
+    from pyspark.sql import Window
+
+    from spark_cassandra_collabfiltering_spark.operators.relational import md5_draw60
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.select(*group_cols, md5_draw60(F.col(value_col)).alias("h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_distinct(
+    state: DataFrame, group_cols: Sequence[str], k: int = 128
+) -> DataFrame:
+    """Distinct-count estimate from a KMV state: exact count when the
+    group holds fewer than k hashes (the sketch IS the distinct set),
+    else floor((k-1)·SPACE / h_k) with h_k the largest retained hash.
+    The multiply runs in DECIMAL(38,0) (2^60·k overflows bigint) and
+    the division is integral (`div` == DuckDB `//`), so the estimate
+    hash-matches the oracle bit-for-bit."""
+    g = state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_m"), F.max("h").alias("_hk")
+    )
+    est = F.when(F.col("_m") < k, F.col("_m")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * {KMV_SPACE} div _hk AS BIGINT)"
+        )
+    )
+    return g.select(*group_cols, est.cast("bigint").alias("est_distinct"))
+
+
+def kmv_overlap_pairs(
+    state: DataFrame, group_col: str, k: int = 128
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups (a < b)
+    from ONE KMV state table: per pair, the union sketch is the k
+    smallest distinct hashes of the two states merged; within it,
+    hashes present in BOTH sides estimate Jaccard = n_common/k_u, and
+    intersection = Jaccard · |union| (Beyer et al. 2007). Output
+    (group_a, group_b, k_u, n_common, union_est, inter_est,
+    jaccard_e6) — all integer arithmetic (e6 fixed-point Jaccard,
+    integral div), so every row hash-matches. Exact when the union
+    fits under k. State tables are <= k·G rows, so the pair fan-out
+    is G²k — bounded by construction, never corpus-scale."""
+    from pyspark.sql import Window
+
+    sa = state.select(F.col(group_col).alias("ga"), "h")
+    sb = state.select(F.col(group_col).alias("gb"), "h")
+    # every (a < b) group pair — from the bounded group dim, so even
+    # fully-disjoint pairs get a (jaccard 0) row; G x G broadcast
+    # cross is bounded by construction (G = #groups, not #rows)
+    pairs = (
+        state.select(F.col(group_col).alias("ga"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(state.select(F.col(group_col).alias("gb")).distinct())
+        )
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    both = (
+        sa.join(sb, "h")
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb", "h", F.lit(1).alias("_ina"), F.lit(1).alias("_inb"))
+    )
+    only_a = (
+        pairs.join(sa, "ga")
+        .join(both.select("ga", "gb", "h"), ["ga", "gb", "h"], "left_anti")
+        .select("ga", "gb", "h", F.lit(1).alias("_ina"), F.lit(0).alias("_inb"))
+    )
+    only_b = (
+        pairs.join(sb, "gb")
+        .join(both.select("ga", "gb", "h"), ["ga", "gb", "h"], "left_anti")
+        .select("ga", "gb", "h", F.lit(0).alias("_ina"), F.lit(1).alias("_inb"))
+    )
+    u = both.unionByName(only_a).unionByName(only_b)
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    kept = u.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    g = kept.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("k_u"),
+        F.sum(F.col("_ina") * F.col("_inb")).cast("bigint").alias("n_common"),
+        F.max("h").alias("_hk"),
+    )
+    union_est = F.when(F.col("k_u") < k, F.col("k_u")).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * {KMV_SPACE} div _hk AS BIGINT)"
+        )
+    )
+    return g.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("k_u").cast("bigint").alias("k_u"),
+        "n_common",
+        union_est.cast("bigint").alias("union_est"),
+        F.expr("n_common * 1000000 div k_u").cast("bigint").alias("jaccard_e6"),
+    ).withColumn(
+        "inter_est",
+        F.expr("n_common * union_est div k_u").cast("bigint"),
+    )

@@ -8027,3 +8027,67 @@ def q_sketch_bottomk_quantiles(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     smp = agg.bottomk_sample(docs, ["source"], "n_chars", "doc_id", k=64)
     return agg.bottomk_quantiles(smp, ["source"], (25, 50, 75, 90))
+
+
+# ===========================================================================
+# KMV distinct sketch with set-operation estimates (r5-cont6): the
+# audience-overlap capability HLL fundamentally lacks.
+# ===========================================================================
+
+@register(
+    "sketch_kmv_overlap",
+    """WITH st0 AS (
+         SELECT DISTINCT event_type AS g,
+                ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM events),
+       st AS (
+         SELECT g, h FROM (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           FROM st0) WHERE rn <= 128),
+       pairs AS (
+         SELECT a.g AS ga, b.g AS gb
+         FROM (SELECT DISTINCT g FROM st) a, (SELECT DISTINCT g FROM st) b
+         WHERE a.g < b.g),
+       u0 AS (
+         SELECT p.ga, p.gb, s.h,
+                max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS ina,
+                max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS inb
+         FROM pairs p JOIN st s ON s.g IN (p.ga, p.gb)
+         GROUP BY 1, 2, 3),
+       kept AS (
+         SELECT * FROM (
+           SELECT ga, gb, h, ina, inb,
+                  row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+           FROM u0) WHERE rn <= 128),
+       agg AS (
+         SELECT ga, gb, count(*)::BIGINT AS k_u,
+                sum(ina * inb)::BIGINT AS n_common,
+                max(h) AS hk
+         FROM kept GROUP BY 1, 2)
+       SELECT ga AS group_a, gb AS group_b, k_u, n_common,
+              (CASE WHEN k_u < 128 THEN k_u
+                    ELSE (127::HUGEINT * 1152921504606846976 // hk)::BIGINT
+               END)::BIGINT AS union_est,
+              (n_common * 1000000 // k_u)::BIGINT AS jaccard_e6,
+              (n_common * (CASE WHEN k_u < 128 THEN k_u
+                                ELSE (127::HUGEINT * 1152921504606846976
+                                      // hk)::BIGINT END) // k_u)::BIGINT
+                AS inter_est
+       FROM agg""",
+    "KMV distinct sketch (Bar-Yossef et al. 2002) with SET-OPERATION "
+    "estimates (Beyer et al. 2007): per event type keep the 128 "
+    "smallest distinct 60-bit md5 draws of user_id; for every type "
+    "pair, the k smallest of the two states MERGED is a valid sketch "
+    "of the union, and its members present in both sides estimate "
+    "Jaccard and intersection — the cross-audience overlap question "
+    "HLL cannot answer (no intersection under max-merge). Exact when "
+    "the union fits under k. Deterministic md5 + integral div (the "
+    "(k-1)*2^60/h_k multiply runs in DECIMAL(38,0)) -> every row "
+    "hash-matches; distinct-first agg means raw duplicate user_ids "
+    "never shuffle, state is <= 128 rows/group "
+    "(operators/aggregates.py kmv_state/kmv_overlap_pairs).",
+)
+def q_sketch_kmv_overlap(spark, sf_dir):
+    evd = t(spark, sf_dir, "events")
+    st = agg.kmv_state(evd, ["event_type"], "user_id", k=128)
+    return agg.kmv_overlap_pairs(st, "event_type", k=128)
