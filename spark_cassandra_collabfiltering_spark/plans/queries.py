@@ -138,9 +138,16 @@ _DRIVER_ORDER = [
     # clusters, incremental, span, and recall residents) — slot freed
     # for stats_bootstrap_ci, the stats family's first driver resident
     # (ks/chi2/mad/gini/skew/profile/entropy stay local-exact).
+    # r5-cont6: dedup_incremental and text_span_dedup to local-checked
+    # slots — the incremental==full-recompute contract stays driver-
+    # visible via agg_incremental_view (same contract shape) and is
+    # additionally streamed end-to-end in tests/test_streaming.py; the
+    # family keeps exact, minhash, clusters, and recall residents.
+    # Slots freed for the Q2 correlated-min and Q13 outer-join-
+    # distribution TPC-H shapes below.
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_incremental",
-    "text_span_dedup", "dedup_recall_matrix",
+    "dedup_clusters", "dedup_recall_matrix",
+    "j12_min_cost_supplier", "g14_custdist",
     # similarity / ANN family. r5: ann_recall_matrix makes shortlist
     # QUALITY (recall@5 vs exact, computed in-query) a hash-matched row
     # beside the shape rows.
@@ -149,8 +156,14 @@ _DRIVER_ORDER = [
     # keeps six residents) — slot freed for ann_maxsim_topk, the
     # late-interaction (ColBERT MaxSim) scoring capability no
     # resident's single global dot product covers.
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_pq_topk",
+    # r5-cont6: ann_pq_topk to a local-checked slot — it was the
+    # window's one rows-only-by-design ANN row (k-means codebooks);
+    # shortlist QUALITY stays driver-visible via the exact-matched
+    # ann_recall_matrix, and the PQ/OPQ/SQ properties stay pinned in
+    # tests/test_pq.py. Slot freed for sketch_bottomk_quantiles.
+    "ann_bruteforce_topk", "ann_lsh_topk",
     "ann_recall_matrix", "ann_maxsim_topk",
+    "sketch_bottomk_quantiles",
     # lexical retrieval + distributed-stats families (r5-cont3: first
     # driver residents — BM25 with the fixed-point log2 idf, and the
     # deterministic Poisson-bootstrap CI)
@@ -189,8 +202,12 @@ _DRIVER_ORDER = [
     # contamination/pack/domain_mix) — slot freed for
     # agg_incremental_view, the incremental-view-maintenance family's
     # first driver resident (merge == recompute, the IVM contract).
+    # r5-cont6: curation_domain_mix to a local-checked slot (family
+    # keeps contamination + pack; deterministic-sampler evidence also
+    # rides sample_hash_split) — slot freed for sketch_kmv_overlap,
+    # the set-operation estimate capability HLL cannot express.
     "curation_contamination", "curation_pack",
-    "curation_domain_mix", "agg_incremental_view",
+    "sketch_kmv_overlap", "agg_incremental_view",
     # multimodal family (r5-cont: mm_binary_meta to a local-checked
     # slot — mm_decode_features is the stronger resident since the r5
     # real-codec flip made its decode round trip exactly oracled)
@@ -8091,3 +8108,43 @@ def q_sketch_kmv_overlap(spark, sf_dir):
     evd = t(spark, sf_dir, "events")
     st = agg.kmv_state(evd, ["event_type"], "user_id", k=128)
     return agg.kmv_overlap_pairs(st, "event_type", k=128)
+
+
+@register(
+    "g14_custdist",
+    """SELECT c_count, count(*)::BIGINT AS custdist
+       FROM (
+         SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+         FROM customer c
+         LEFT OUTER JOIN orders o
+           ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey)
+       GROUP BY c_count""",
+    "Customer order-count distribution (TPC-H Q13 shape, the classic "
+    "skew benchmark): LEFT OUTER join so zero-order customers keep a "
+    "c_count of 0 (count(o_orderkey) counts non-null only — the "
+    "outer-join-then-count idiom), with the order-class predicate in "
+    "the JOIN condition, not a WHERE (a WHERE would silently turn "
+    "the outer join inner). Then the count-of-counts rollup: second "
+    "hash-agg on the bounded c_count grain. At 100 TB the first agg "
+    "is the skew risk (power-law customers); partial aggregation "
+    "(map-side combine on c_custkey) absorbs it before the exchange, "
+    "and AQE skew-join handles the join side — the same mitigations "
+    "evidenced in tests/test_skew.py.",
+)
+def q_g14_custdist(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )

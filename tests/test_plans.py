@@ -94,7 +94,7 @@ PLAN_QUERIES = [
     "ev_rolling_distinct", "fw_ingest", "graph_modularity_brand",
     "ann_maxsim_topk", "ml_nb_reliability", "ev_streaks",
     "curation_k_anonymity", "ann_filtered_topk",
-    "j12_min_cost_supplier",
+    "j12_min_cost_supplier", "g14_custdist",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
