@@ -8148,3 +8148,43 @@ def q_g14_custdist(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
     )
+
+
+@register(
+    "g15_supplier_cnt",
+    """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand <> 'Brand#1'
+         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0.0)
+       GROUP BY 1, 2""",
+    "Supplier-count-per-part-class (TPC-H Q16 shape): the NOT IN "
+    "subquery exclusion — SQL's three-valued NOT IN (a NULL in the "
+    "subquery must empty the result), which Catalyst decorrelates "
+    "with null-aware anti-join semantics and, having folded the "
+    "null case, executes as a broadcast LeftAnti here (verified in "
+    "the formatted plan) — then a count-DISTINCT rollup on the "
+    "bounded (brand, size) grain. The exclusion list is a dim-table "
+    "subquery (broadcast); the brand predicate pushes into the part "
+    "scan. Expressed via spark.sql over temp views (NOT IN "
+    "subqueries have no DataFrame-API surface).",
+)
+def q_g15_supplier_cnt(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).createOrReplaceTempView("lineitem_q16")
+    t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    ).createOrReplaceTempView("part_q16")
+    t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    ).createOrReplaceTempView("supplier_q16")
+    return spark.sql(
+        """SELECT p.p_brand, p.p_size,
+                  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+           FROM lineitem_q16 l JOIN part_q16 p ON p.p_partkey = l.l_partkey
+           WHERE p.p_brand <> 'Brand#1'
+             AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+                                     WHERE s_acctbal < 0.0)
+           GROUP BY 1, 2"""
+    )

@@ -741,3 +741,92 @@ def test_streaming_incremental_clusters_match_batch(spark, tmp_path):
         by_cluster.setdefault(cid, set()).add(node)
     assert {0, 1, 3, 5} in by_cluster.values()
     assert {6, 7} in by_cluster.values()
+
+
+def test_streaming_bottomk_sketch_merge_matches_batch(spark, event_source, batch_events, tmp_path):
+    """The bottom-k rank-quantile sketch streamed: each micro-batch's
+    state unions into parquet and re-caps via bottomk_merge; the final
+    state — and the quantile estimates off it — equal the single-pass
+    batch sketch exactly (mergeable-summaries contract, streamed)."""
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    _, batch = batch_events
+    target = str(tmp_path / "bk_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev.read_event_stream(spark, event_source).select(
+        "event_type", "event_id", "value"
+    )
+
+    def merge(bdf, epoch_id):
+        st = agg.bottomk_sample(bdf, ["event_type"], "value", "event_id", k=64)
+        sess = bdf.sparkSession
+        try:
+            st = sess.read.parquet(target).unionByName(st)
+        except Exception:
+            pass
+        merged = agg.bottomk_merge(st, ["event_type"], k=64)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(target)
+    want = agg.bottomk_sample(batch, ["event_type"], "value", "event_id", k=64)
+    assert sorted(map(tuple, streamed.select("event_type", "value", "draw").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    qs = agg.bottomk_quantiles(streamed, ["event_type"], (50, 90))
+    qb = agg.bottomk_quantiles(want, ["event_type"], (50, 90))
+    assert sorted(map(tuple, qs.collect())) == sorted(map(tuple, qb.collect()))
+
+
+def test_streaming_kmv_sketch_merge_matches_batch(spark, event_source, batch_events, tmp_path):
+    """The KMV distinct sketch streamed the same way (union states,
+    keep k smallest distinct hashes per group); final state and the
+    distinct estimates equal the batch sketch."""
+    from pyspark.sql import Window
+
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+
+    _, batch = batch_events
+    k = 64
+    target = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev.read_event_stream(spark, event_source).select(
+        "event_type", "user_id"
+    )
+
+    def merge(bdf, epoch_id):
+        st = agg.kmv_state(bdf, ["event_type"], "user_id", k=k)
+        sess = bdf.sparkSession
+        try:
+            st = sess.read.parquet(target).unionByName(st).distinct()
+        except Exception:
+            pass
+        w = Window.partitionBy("event_type").orderBy("h")
+        merged = (
+            st.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("event_type", "h")
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(target)
+    want = agg.kmv_state(batch, ["event_type"], "user_id", k=k)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, want.collect()))
+    es = agg.kmv_distinct(streamed, ["event_type"], k=k)
+    eb = agg.kmv_distinct(want, ["event_type"], k=k)
+    assert sorted(map(tuple, es.collect())) == sorted(map(tuple, eb.collect()))
