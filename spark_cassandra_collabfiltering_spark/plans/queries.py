@@ -8188,3 +8188,77 @@ def q_g15_supplier_cnt(spark, sf_dir):
                                      WHERE s_acctbal < 0.0)
            GROUP BY 1, 2"""
     )
+
+
+# ===========================================================================
+# NB detector AUC — exact-integer Mann-Whitney over the trained model
+# (r5-cont6), single-sourced from the confusion oracle like reliability.
+# ===========================================================================
+
+def _nb_auc_oracle(pos: str = "en") -> str:
+    """The confusion oracle's shared scoring body with a Mann-Whitney
+    tail: one-vs-rest MARGIN scores for ``pos`` (pos log-joint minus
+    best other — length-invariant, see nb_binary_auc), grouped by
+    distinct score,
+    U2 = Σ 2·c_pos·neg_below + c_pos·c_neg via a plain global cumsum
+    (the engine computes the same integer two-level — see
+    ml/textmodels.py nb_binary_auc)."""
+    body = QUERIES["ml_nb_confusion"].oracle
+    tail_old = """        pred AS (SELECT doc_id, actual, pred,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score_e3 DESC, pred ASC) AS rk
+                 FROM scored)
+       SELECT actual, pred AS predicted, count(*)::BIGINT AS n_docs
+       FROM pred WHERE rk = 1 GROUP BY 1, 2"""
+    tail_new = f"""        sc AS (SELECT a.score_e3 - b.so AS s,
+                      CASE WHEN a.actual = '{pos}' THEN 1 ELSE 0 END AS p
+               FROM scored a
+               JOIN (SELECT doc_id, max(score_e3) AS so FROM scored
+                     WHERE pred <> '{pos}' GROUP BY doc_id) b
+                 ON b.doc_id = a.doc_id
+               WHERE a.pred = '{pos}'),
+        g AS (SELECT s, sum(p)::BIGINT AS c_pos,
+                     sum(1 - p)::BIGINT AS c_neg
+              FROM sc GROUP BY s),
+        cum AS (SELECT c_pos, c_neg,
+                       (sum(c_neg) OVER (ORDER BY s) - c_neg)::BIGINT
+                         AS neg_below
+                FROM g),
+        u AS (SELECT sum(2 * c_pos * neg_below + c_pos * c_neg)::BIGINT AS u2
+              FROM cum),
+        tot AS (SELECT sum(c_pos)::BIGINT AS n_pos,
+                       sum(c_neg)::BIGINT AS n_neg FROM g)
+       SELECT tot.n_pos, tot.n_neg,
+              (u.u2 * 1000000 // (2 * tot.n_pos * tot.n_neg))::BIGINT AS auc_e6
+       FROM tot, u"""
+    assert tail_old in body, "nb confusion oracle tail drifted"
+    return body.replace(tail_old, tail_new)
+
+
+@register(
+    "ml_nb_auc",
+    _nb_auc_oracle("en"),
+    "ROC-AUC of the in-engine-trained NB model as a one-vs-rest "
+    "'is-English' detector, in EXACT integers (Mann-Whitney U over "
+    "the held-out fixed-point MARGINS — pos log-joint minus best "
+    "other, the length-invariant detector score; ties count half; "
+    "auc_e6 = U2*1e6 div 2*n_pos*n_neg) — the threshold-free "
+    "classifier-gate quality scalar beside ml_nb_confusion's argmax "
+    "matrix and ml_nb_reliability's margin buckets. Single-sourced: "
+    "the oracle IS the confusion oracle's scoring body with a "
+    "Mann-Whitney tail (string surgery guarded by an assert). The "
+    "engine never globally sorts raw per-doc scores: the "
+    "negatives-below cumsum splits two-level (min-shifted bucket "
+    "grid prefix + bucket-local window — ml/textmodels.py "
+    "nb_binary_auc), producing the same U2 integer the oracle's "
+    "one-window form yields, so the row hash-matches. Note the "
+    "testdata's lang label is drawn independently of its synthetic "
+    "text (same vocabulary under every label — ml_nb_confusion shows "
+    "majority-class collapse), so ~0.5 IS the correct answer here; "
+    "the metric's discrimination is proven on separable planted "
+    "corpora (AUC exactly 1.0) and all-ties corpora (exactly 0.5) in "
+    "tests/test_textmodels.py, plus brute-force pair-enumeration "
+    "parity including the integral-div rounding.",
+)
+def q_ml_nb_auc(spark, sf_dir):
+    return tmod.nb_binary_auc(t(spark, sf_dir, "documents"), pos_label="en")

@@ -229,3 +229,76 @@ def test_compression_ratio_empty_and_null(spark):
     got = {r.doc_id: r for r in tx.compression_ratio(df).collect()}
     assert got[1].n_bytes == 0 and got[1].ratio_e6 >= 0
     assert got[2].n_bytes == 0
+
+
+def _nb_scores_py(rows, pos, train_buckets=2, train_bucket=0):
+    """Held-out one-vs-rest MARGIN scores for class ``pos`` (same
+    integer arithmetic as _nb_py; margin = pos minus best other)."""
+    train = [r for r in rows if _bucket(r[0], train_buckets) == train_bucket]
+    test = [r for r in rows if _bucket(r[0], train_buckets) != train_bucket]
+    counts: dict[tuple[str, str], int] = {}
+    t_y: dict[str, int] = {}
+    n_docs_y: dict[str, int] = {}
+    for _, lab, txt in train:
+        n_docs_y[lab] = n_docs_y.get(lab, 0) + 1
+        for w in _toks(txt):
+            counts[(lab, w)] = counts.get((lab, w), 0) + 1
+            t_y[lab] = t_y.get(lab, 0) + 1
+    vocab = {w for (_, w) in counts}
+    v, n = len(vocab), len(train)
+    labels = sorted(n_docs_y)
+    out = []
+    for did, lab, txt in test:
+        sc = {}
+        for y in labels:
+            prior = _l2l(n_docs_y[y]) - _l2l(n)
+            default = -_l2l(t_y.get(y, 0) + v)
+            s = prior
+            for w in _toks(txt):
+                if w in vocab:
+                    s += _l2l(counts.get((y, w), 0) + 1) - _l2l(t_y.get(y, 0) + v)
+                else:
+                    s += default
+            sc[y] = s
+        margin = sc[pos] - max(s for y, s in sc.items() if y != pos)
+        out.append((1 if lab == pos else 0, margin))
+    return out
+
+
+def _auc_e6_bruteforce(scored):
+    """AUC by enumerating every (pos, neg) pair; ties count half.
+    Returns (n_pos, n_neg, auc_e6) with the same integral rounding."""
+    pos = [s for p, s in scored if p]
+    neg = [s for p, s in scored if not p]
+    u2 = sum(2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg)
+    return len(pos), len(neg), u2 * 1000000 // (2 * len(pos) * len(neg))
+
+
+def test_nb_auc_matches_bruteforce_pairs(spark):
+    """Engine AUC row == brute-force pair enumeration over the
+    pure-Python replica's scores (exact, including the integral-div
+    rounding) — proves the grouped two-level U2 equals the O(n²)
+    definition."""
+    got = tm.nb_binary_auc(_docs(spark, CORPUS), pos_label="a").collect()
+    assert len(got) == 1
+    r = got[0]
+    want = _auc_e6_bruteforce(_nb_scores_py(CORPUS, "a"))
+    assert (r.n_pos, r.n_neg, r.auc_e6) == want
+
+
+def test_nb_auc_separable_corpus_is_one(spark):
+    r = tm.nb_binary_auc(_docs(spark, CORPUS), pos_label="a").first()
+    assert r.auc_e6 == 1000000
+
+
+def test_nb_auc_ties_count_half(spark):
+    """Identical texts under both labels force score ties; a corpus
+    that is ONLY ties must score exactly 0.5."""
+    rows = []
+    for i in range(8):
+        rows.append((2 * i + 1, "a", "the same words every time"))
+        rows.append((2 * i + 2, "b", "the same words every time"))
+    r = tm.nb_binary_auc(_docs(spark, rows), pos_label="a").first()
+    want = _auc_e6_bruteforce(_nb_scores_py(rows, "a"))
+    assert (r.n_pos, r.n_neg, r.auc_e6) == want
+    assert r.auc_e6 == 500000
