@@ -8262,3 +8262,273 @@ def _nb_auc_oracle(pos: str = "en") -> str:
 )
 def q_ml_nb_auc(spark, sf_dir):
     return tmod.nb_binary_auc(t(spark, sf_dir, "documents"), pos_label="en")
+
+
+# ===========================================================================
+# TPC-H sweep completion (r5-cont6b): Q5 region volume, Q9 profit-by-
+# nation-year, Q10 returned-item customers, Q17 small-quantity
+# correlated avg, Q18 large-volume orders, Q19 disjunctive pushdown.
+# Same exact-integer money discipline as j11/j12/g13.
+# ===========================================================================
+
+_REV_E6_SQL = ("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+               " * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))")
+
+
+def _rev_e6_col():
+    return (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(10000) - F.round(F.col("l_discount") * 10000, 0).cast("long"))
+    ).alias("_rev")
+
+
+@register(
+    "j14_local_supplier_volume",
+    f"""SELECT n.n_name, sum({_REV_E6_SQL})::BIGINT AS revenue_e6
+       FROM customer c
+       JOIN orders o   ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                      AND s.s_nationkey = c.c_nationkey
+       JOIN nation n   ON n.n_nationkey = s.s_nationkey
+       JOIN region r   ON r.r_regionkey = n.n_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+       GROUP BY 1""",
+    "Local supplier volume (TPC-H Q5 shape): revenue where the "
+    "supplier and the ordering customer share a nation, rolled up "
+    "per nation of an orderdate-pruned year within one region — the "
+    "join graph's distinguishing edge is s_nationkey = c_nationkey, "
+    "a condition BETWEEN two dimension forks of the fact join (not a "
+    "key lookup), which Catalyst evaluates as a post-join filter on "
+    "the broadcast dims. Region/nation broadcast; the date range "
+    "pushes into the orders scan. Exact micro-dollar revenue.",
+)
+def q_j14_local_supplier_volume(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", _rev_e6_col())
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(F.sum("_rev").cast("long").alias("revenue_e6"))
+
+
+@register(
+    "g16_profit_by_nation_year",
+    f"""SELECT n.n_name AS nation,
+              CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+              sum({_REV_E6_SQL})::BIGINT AS profit_e6
+       FROM lineitem l
+       JOIN part p     ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN orders o   ON o.o_orderkey = l.l_orderkey
+       JOIN nation n   ON n.n_nationkey = s.s_nationkey
+       WHERE p.p_name LIKE '%red%'
+       GROUP BY 1, 2""",
+    "Product-line profit by supplier nation and order year (TPC-H Q9 "
+    "shape; the testdata has no ps_supplycost, so profit reduces to "
+    "discounted revenue — the join/agg structure is the point): the "
+    "p_name LIKE '%red%' predicate semi-filters the fact scan "
+    "through the broadcast part dim, the two fact tables exchange "
+    "once on their join keys, and the (nation, year) rollup is "
+    "bounded. Exact micro-dollars.",
+)
+def q_g16_profit_by_nation_year(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev_e6_col()
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(F.sum("_rev").cast("long").alias("profit_e6"))
+
+
+@register(
+    "o3_returned_item_customers",
+    f"""SELECT c.c_custkey, c.c_name, n.n_name,
+              sum({_REV_E6_SQL})::BIGINT AS revenue_e6
+       FROM customer c
+       JOIN orders o   ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n   ON n.n_nationkey = c.c_nationkey
+       WHERE l.l_returnflag = 'R'
+         AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue_e6 DESC, c_custkey ASC
+       LIMIT 20""",
+    "Top customers by returned-item revenue in a quarter (TPC-H Q10 "
+    "shape): returnflag pushes into the lineitem scan and the date "
+    "range into orders, facts exchange once, nation broadcasts, and "
+    "the final TOP-20 is a TakeOrdered over the aggregated customer "
+    "grain (revenue desc, custkey tiebreak — deterministic because "
+    "revenue is an exact integer), never a global sort of raw rows.",
+)
+def q_o3_returned_item_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev_e6_col()
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("_rev").cast("long").alias("revenue_e6"))
+        .orderBy(F.col("revenue_e6").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "g17_small_quantity_revenue",
+    """WITH pl AS (
+         SELECT l.l_partkey, l.l_quantity,
+                CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'),
+       stats AS (
+         SELECT l_partkey, count(*)::BIGINT AS n,
+                sum(CAST(l_quantity AS BIGINT))::BIGINT AS sq
+         FROM pl GROUP BY 1)
+       SELECT count(*)::BIGINT AS n_items,
+              coalesce(sum(pl.cents), 0)::BIGINT AS revenue_cents
+       FROM pl JOIN stats USING (l_partkey)
+       WHERE CAST(pl.l_quantity AS BIGINT) * 5 * stats.n < stats.sq""",
+    "Small-quantity order revenue (TPC-H Q17 shape): line items of "
+    "one brand whose quantity is below 20% of that PART's average "
+    "quantity — the correlated scalar-AVG subquery, decorrelated "
+    "into per-part (count, sum) aggregates joined back, with the "
+    "0.2·avg compare as the integer cross-multiply qty·5·n < sum "
+    "(quantities are integral-valued doubles; no float division "
+    "anywhere). Brand predicate broadcast-semi-filters the fact "
+    "scan before the agg — exact because the per-part average is "
+    "over the same brand-filtered rows on both sides. One-row "
+    "output in exact cents.",
+)
+def q_g17_small_quantity_revenue(spark, sf_dir):
+    pdim = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    pl = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("_qty"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("_cents"),
+        )
+        .join(F.broadcast(pdim), F.col("l_partkey") == F.col("p_partkey"))
+        .localCheckpoint(eager=False)
+    )
+    stats = pl.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_qty").cast("long").alias("_sq"),
+    )
+    small = pl.join(stats, "l_partkey").filter(
+        F.col("_qty") * 5 * F.col("_n") < F.col("_sq")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("_cents"), F.lit(0)).cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
+    "j15_large_volume_orders",
+    """WITH big AS (
+         SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+         FROM lineitem GROUP BY 1
+         HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+       SELECT c.c_custkey, c.c_name, o.o_orderkey,
+              CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+              b.total_qty
+       FROM big b
+       JOIN orders o   ON o.o_orderkey = b.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey""",
+    "Large-volume orders (TPC-H Q18 shape): the HAVING-on-grouped-"
+    "fact pattern — orders whose total line quantity exceeds the "
+    "threshold survive as a small derived set that then joins back "
+    "to orders and customers (Catalyst broadcasts it once the agg "
+    "collapses the volume). Quantities sum as exact bigints; order "
+    "totals in exact cents.",
+)
+def q_j15_large_volume_orders(spark, sf_dir):
+    big = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("totalprice_cents"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "totalprice_cents", "total_qty")
+    )
+
+
+@register(
+    "g18_disjunctive_revenue",
+    f"""SELECT count(*)::BIGINT AS n_items,
+              coalesce(sum({_REV_E6_SQL}), 0)::BIGINT AS revenue_e6
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+          OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+              AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+          OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+              AND l.l_quantity >= 20 AND l.l_quantity <= 60)""",
+    "Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of three "
+    "brand/size/quantity conjunctions straddling the join — the "
+    "optimizer-surface query: Catalyst must derive the pushable "
+    "per-side residuals (quantity range union into the lineitem "
+    "scan, brand/size union into the part scan) from the cross-side "
+    "disjunction instead of scanning everything and filtering late. "
+    "Part dim broadcasts; one-row exact micro-dollar output.",
+)
+def q_g18_disjunctive_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev_e6_col()
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (q >= 10) & (q <= 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (q >= 20) & (q <= 60))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("_rev"), F.lit(0)).cast("long").alias("revenue_e6"),
+    )

@@ -95,6 +95,7 @@ PLAN_QUERIES = [
     "ann_maxsim_topk", "ml_nb_reliability", "ev_streaks",
     "curation_k_anonymity", "ann_filtered_topk",
     "j12_min_cost_supplier", "g14_custdist",
+    "j14_local_supplier_volume", "g18_disjunctive_revenue",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
