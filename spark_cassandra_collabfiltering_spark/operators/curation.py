@@ -647,3 +647,48 @@ def k_anonymity_audit(
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         F.sum("_sz").cast("bigint").alias("n_rows"),
     )
+
+
+def expectations_check(
+    df: DataFrame, rules: "list[tuple[str, str]]", unique_cols: "list[str] | None" = None
+) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS (the Deequ/Great-
+    Expectations shape) evaluated in ONE aggregation pass: ``rules``
+    is [(rule_name, boolean SQL expr)] where the expr is TRUE when the
+    row PASSES; output is one row per rule — (rule, n_checked,
+    n_violations) — plus one row per ``unique_cols`` entry asserting
+    column uniqueness (violations = n_rows − n_distinct, the duplicate
+    count; NULLs count as violations of uniqueness per the usual
+    quality-gate reading: n_distinct counts non-null distinct).
+
+    Per-row rules cost a single conditional-aggregate scan (every
+    rule is a SUM(CASE) branch in the same hash-agg — no per-rule
+    passes); each uniqueness rule adds one count-distinct branch.
+    The one wide row then unpivots via ``stack`` into the bounded
+    per-rule table. This is the delivery gate you run before letting
+    a 100 TB drop into the lake: the scan is the unavoidable cost,
+    everything else is map-side arithmetic.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, (_, expr) in enumerate(rules):
+        aggs.append(
+            F.sum(F.when(F.expr(expr), 0).otherwise(1)).cast("bigint").alias(f"_v{i}")
+        )
+    for j, col in enumerate(unique_cols or []):
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(F.col(col)))
+            .cast("bigint")
+            .alias(f"_u{j}")
+        )
+    wide = df.agg(*aggs)
+    parts = []
+    for i, (name, _) in enumerate(rules):
+        parts.append(f"'{name}', _n, _v{i}")
+    for j, col in enumerate(unique_cols or []):
+        parts.append(f"'unique:{col}', _n, _u{j}")
+    n = len(parts)
+    return wide.select(
+        F.expr(
+            f"stack({n}, " + ", ".join(parts) + ") AS (rule, n_checked, n_violations)"
+        )
+    )

@@ -8532,3 +8532,54 @@ def q_g18_disjunctive_revenue(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.coalesce(F.sum("_rev"), F.lit(0)).cast("long").alias("revenue_e6"),
     )
+
+
+# ===========================================================================
+# Declarative data-quality expectations — the delivery gate (r5-cont6b)
+# ===========================================================================
+
+@register(
+    "stats_expectations",
+    """WITH w AS (
+         SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v0,
+                sum(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END)::BIGINT AS v1,
+                sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)::BIGINT AS v2,
+                sum(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                          AND o_orderdate < TIMESTAMP '2010-01-01'
+                         THEN 0 ELSE 1 END)::BIGINT AS v3,
+                sum(CASE WHEN o_orderpriority LIKE '_-%' THEN 0 ELSE 1 END)::BIGINT AS v4,
+                (count(*) - count(DISTINCT o_orderkey))::BIGINT AS u0
+         FROM orders)
+       SELECT 'custkey_not_null' AS rule, n AS n_checked, v0 AS n_violations FROM w
+       UNION ALL SELECT 'totalprice_positive', n, v1 FROM w
+       UNION ALL SELECT 'status_in_set', n, v2 FROM w
+       UNION ALL SELECT 'orderdate_in_range', n, v3 FROM w
+       UNION ALL SELECT 'priority_format', n, v4 FROM w
+       UNION ALL SELECT 'unique:o_orderkey', n, u0 FROM w""",
+    "Declarative data-quality EXPECTATIONS (the Deequ / Great "
+    "Expectations delivery gate — operators/curation.py "
+    "expectations_check): not-null, range, set-membership, "
+    "format-regex, and key-uniqueness rules over orders, ALL "
+    "evaluated in one conditional-aggregate scan (each rule a "
+    "SUM(CASE) branch of the same hash-agg; uniqueness adds a "
+    "count-distinct branch), then the one wide row unpivots via "
+    "stack into the bounded (rule, n_checked, n_violations) table. "
+    "The pre-ingest gate for a 100 TB delivery: one scan, map-side "
+    "arithmetic, bounded output.",
+)
+def q_stats_expectations(spark, sf_dir):
+    return cu.expectations_check(
+        t(spark, sf_dir, "orders"),
+        rules=[
+            ("custkey_not_null", "o_custkey IS NOT NULL"),
+            ("totalprice_positive", "o_totalprice > 0.0D"),
+            ("status_in_set", "o_orderstatus IN ('O', 'F', 'P')"),
+            (
+                "orderdate_in_range",
+                "o_orderdate >= TIMESTAMP '1990-01-01' AND o_orderdate < TIMESTAMP '2010-01-01'",
+            ),
+            ("priority_format", "o_orderpriority LIKE '_-%'"),
+        ],
+        unique_cols=["o_orderkey"],
+    )

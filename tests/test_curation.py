@@ -484,3 +484,39 @@ def test_k_anonymity_bands_hand_planted(spark):
     assert got == {
         "anonymous": (1, 7), "risky": (1, 3), "unique": (1, 1)
     }
+
+
+def test_expectations_check_counts_planted_violations(spark):
+    """Each rule type catches exactly its planted violations; a clean
+    column reports zero; uniqueness counts duplicates AND nulls."""
+    from spark_cassandra_collabfiltering_spark.operators.curation import (
+        expectations_check,
+    )
+
+    rows = [
+        (1, 10.0, "O"),
+        (2, -5.0, "O"),     # totalprice violation
+        (3, 10.0, "X"),     # status violation
+        (None, 10.0, "F"),  # null key: not-null AND uniqueness violation
+        (5, 10.0, "F"),
+        (5, 0.0, "O"),      # duplicate key + zero price violation
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, status string")
+    out = {
+        r.rule: (r.n_checked, r.n_violations)
+        for r in expectations_check(
+            df,
+            rules=[
+                ("k_not_null", "k IS NOT NULL"),
+                ("price_positive", "price > 0.0D"),
+                ("status_in_set", "status IN ('O', 'F')"),
+            ],
+            unique_cols=["k"],
+        ).collect()
+    }
+    assert out["k_not_null"] == (6, 1)
+    assert out["price_positive"] == (6, 2)
+    assert out["status_in_set"] == (6, 1)
+    # 6 rows, distinct non-null keys {1,2,3,5} = 4 -> 2 violations
+    # (the dup 5 and the NULL)
+    assert out["unique:k"] == (6, 2)
