@@ -97,6 +97,23 @@ SHOWN = [
     "curation_k_anonymity",
     "ann_filtered_topk",
     "sample_epoch_shuffle",
+    # round 5, sixth continuation
+    "j12_min_cost_supplier",
+    "g13_important_parts",
+    "j13_top_revenue_supplier",
+    "sub4_dormant_customers",
+    "g14_custdist",
+    "g15_supplier_cnt",
+    "j14_local_supplier_volume",
+    "g16_profit_by_nation_year",
+    "o3_returned_item_customers",
+    "g17_small_quantity_revenue",
+    "j15_large_volume_orders",
+    "g18_disjunctive_revenue",
+    "sketch_bottomk_quantiles",
+    "sketch_kmv_overlap",
+    "ml_nb_auc",
+    "stats_expectations",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)

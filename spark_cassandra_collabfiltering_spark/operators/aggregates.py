@@ -1272,6 +1272,11 @@ def kmv_overlap_pairs(
     is G²k — bounded by construction, never corpus-scale."""
     from pyspark.sql import Window
 
+    # the state feeds six plan references (two sides, the pair dim
+    # twice, two anti-joins) — share one computation instead of
+    # re-deriving the distinct+window per reference (the diamond-reuse
+    # discipline; state is <= k rows/group, so the checkpoint is tiny)
+    state = state.localCheckpoint(eager=False)
     sa = state.select(F.col(group_col).alias("ga"), "h")
     sb = state.select(F.col(group_col).alias("gb"), "h")
     # every (a < b) group pair — from the bounded group dim, so even

@@ -7829,9 +7829,13 @@ def q_j12_min_cost_supplier(spark, sf_dir):
         )
         .join(F.broadcast(pdim.filter(F.col("p_size") == 15)), F.col("l_partkey") == F.col("p_partkey"))
     )
-    costs = li.groupBy("p_partkey", "p_brand", "l_suppkey").agg(
-        F.min("_cents").alias("cost_cents")
-    )
+    # repartition on p_partkey ALONE: a subset of the group keys
+    # satisfies the agg's clustering requirement (equal (part, brand,
+    # supplier) tuples share a part key), and the same partitioning
+    # then satisfies the window below — ONE exchange for both.
+    costs = li.repartition("p_partkey").groupBy(
+        "p_partkey", "p_brand", "l_suppkey"
+    ).agg(F.min("_cents").alias("cost_cents"))
     w = Window.partitionBy("p_partkey")
     best = costs.withColumn("_best", F.min("cost_cents").over(w)).filter(
         F.col("cost_cents") == F.col("_best")
@@ -8450,7 +8454,9 @@ def q_g17_small_quantity_revenue(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_qty").cast("long").alias("_sq"),
     )
-    small = pl.join(stats, "l_partkey").filter(
+    # stats is per-part of ONE brand (bounded dim-scale rows) —
+    # broadcast it so the brand-filtered fact side never re-exchanges
+    small = pl.join(F.broadcast(stats), "l_partkey").filter(
         F.col("_qty") * 5 * F.col("_n") < F.col("_sq")
     )
     return small.agg(
