@@ -446,3 +446,40 @@ def test_vacuum_snapshots_retains_newest_and_latest(spark, tmp_path):
         lake.read_snapshot(spark, root, version=0).collect()
     with _pytest.raises(ValueError):
         lake.vacuum_snapshots(root, keep_last=0)
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """DYNAMIC partition pruning: a fact table partitioned on the join
+    key, joined to a dim filtered at runtime — Catalyst must inject a
+    dynamicpruning subquery into the fact scan's PartitionFilters so
+    only the dim-selected partitions are read (the static pruning test
+    above covers literal predicates; THIS is what kills 100 TB scans
+    when the filter is only known through a join). Verified both ways:
+    the plan carries the dynamicpruning expression, and results match
+    the unpartitioned join."""
+    path = str(tmp_path / "orders_by_cust_bucket")
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "cust_bucket", (F.col("o_custkey") % 20).cast("int")
+    )
+    lake.write_partitioned(orders, path, ["cust_bucket"])
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", (F.col("c_custkey") % 20).cast("int").alias("cust_bucket"))
+        .limit(5)
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    # broadcast threshold is already default-on; DPP needs the dim side
+    # reused as the pruning subquery
+    joined = fact.join(dim, ["cust_bucket"]).filter(
+        F.col("o_custkey") == F.col("c_custkey")
+    )
+    plan = _plan_str(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = (
+        orders.join(dim, ["cust_bucket"])
+        .filter(F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    assert joined.count() == want
