@@ -8589,3 +8589,103 @@ def q_stats_expectations(spark, sf_dir):
         ],
         unique_cols=["o_orderkey"],
     )
+
+
+@register(
+    "g19_forecast_revenue_delta",
+    """SELECT count(*)::BIGINT AS n_items,
+              coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(round(l_discount * 10000, 0) AS BIGINT)), 0)::BIGINT
+                AS delta_e6
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1997-01-01'
+         AND round(l_discount * 10000, 0) BETWEEN 500 AND 700
+         AND l_quantity < 24.0""",
+    "Forecast revenue delta (TPC-H Q6, the predicate-pushdown "
+    "microbench): single-table filter+sum — what revenue would have "
+    "been earned without the 5-7% discounts on small lots in one "
+    "shipping year. Every predicate is scan-pushable (date range, "
+    "quantity bound; the discount band folds to a double range), the "
+    "agg is one partial-combine pass, and the delta sums in exact "
+    "cents x basis-points. The query's entire cost IS the pruned "
+    "scan — the shape that measures whether pushdown works.",
+)
+def q_g19_forecast_revenue_delta(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.round(F.col("l_discount") * 10000, 0).between(500, 700))
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * F.round(F.col("l_discount") * 10000, 0).cast("long")
+            ),
+            F.lit(0),
+        ).cast("long").alias("delta_e6"),
+    )
+
+
+@register(
+    "g20_market_share",
+    f"""WITH base AS (
+         SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                CASE WHEN n2.n_name = 'NATION_3' THEN {_REV_E6_SQL} ELSE 0 END AS nat_e6,
+                {_REV_E6_SQL} AS all_e6
+         FROM lineitem l
+         JOIN orders o   ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+         JOIN region r   ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'AMERICA'
+         JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n2  ON n2.n_nationkey = s.s_nationkey)
+       SELECT o_year,
+              sum(nat_e6)::BIGINT AS nation_e6,
+              sum(all_e6)::BIGINT AS total_e6,
+              (sum(nat_e6) * 1000000 // sum(all_e6))::BIGINT AS share_e6
+       FROM base GROUP BY 1""",
+    "National market share (TPC-H Q8 shape): one supplier nation's "
+    "share of ECONOMY-part revenue sold into one region, per order "
+    "year — the conditional-numerator-over-total pattern: numerator "
+    "and denominator accumulate in the SAME exact-integer pass "
+    "(CASE-gated micro-dollars), and the share ships as the e6 "
+    "integral quotient PLUS both evidence columns (the "
+    "stats_daily_trend division discipline). Two fact exchanges; "
+    "all five dims broadcast.",
+)
+def q_g20_market_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", _rev_e6_col())
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = n.select(F.col("n_nationkey").alias("_nk1"), F.col("n_regionkey").alias("_rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("_supp_nation"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("_nk1"))
+        .join(F.broadcast(r), F.col("_rk1") == r["r_regionkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("_nk2"))
+    )
+    agg_df = j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("_supp_nation") == "NATION_3", F.col("_rev")).otherwise(0)
+        ).cast("long").alias("nation_e6"),
+        F.sum("_rev").cast("long").alias("total_e6"),
+    )
+    return agg_df.withColumn(
+        "share_e6",
+        F.expr("nation_e6 * 1000000 div total_e6").cast("long"),
+    )
