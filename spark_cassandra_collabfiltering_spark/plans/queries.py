@@ -8689,3 +8689,95 @@ def q_g20_market_share(spark, sf_dir):
         "share_e6",
         F.expr("nation_e6 * 1000000 div total_e6").cast("long"),
     )
+
+
+def _nb_f1_oracle() -> str:
+    """The confusion oracle extended per class: tp/fp/fn from the
+    argmax grid, F1 as the single-division integer form
+    2·tp·1e6 // (2·tp + fp + fn) (algebraically 2PR/(P+R) without
+    nesting two rounded divisions)."""
+    body = QUERIES["ml_nb_confusion"].oracle
+    tail_old = """       SELECT actual, pred AS predicted, count(*)::BIGINT AS n_docs
+       FROM pred WHERE rk = 1 GROUP BY 1, 2"""
+    tail_new = """        , conf AS (SELECT actual, pred, count(*)::BIGINT AS n
+                 FROM pred WHERE rk = 1 GROUP BY 1, 2),
+        labs AS (SELECT actual AS label FROM conf
+                 UNION SELECT pred FROM conf),
+        m AS (SELECT c.label,
+                     coalesce((SELECT sum(n) FROM conf
+                               WHERE actual = c.label AND pred = c.label), 0) AS tp,
+                     coalesce((SELECT sum(n) FROM conf
+                               WHERE pred = c.label AND actual <> c.label), 0) AS fp,
+                     coalesce((SELECT sum(n) FROM conf
+                               WHERE actual = c.label AND pred <> c.label), 0) AS fn
+              FROM labs c)
+       SELECT label, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+              (CASE WHEN tp + fp > 0
+                    THEN tp * 1000000 // (tp + fp) ELSE 0 END)::BIGINT AS precision_e6,
+              (CASE WHEN tp + fn > 0
+                    THEN tp * 1000000 // (tp + fn) ELSE 0 END)::BIGINT AS recall_e6,
+              (CASE WHEN 2 * tp + fp + fn > 0
+                    THEN 2 * tp * 1000000 // (2 * tp + fp + fn) ELSE 0 END)::BIGINT AS f1_e6
+       FROM m"""
+    assert tail_old in body, "nb confusion oracle tail drifted"
+    return body.replace(tail_old, tail_new)
+
+
+@register(
+    "ml_nb_f1",
+    _nb_f1_oracle(),
+    "Per-class precision/recall/F1 of the in-engine-trained NB "
+    "classifier, in EXACT integers: tp/fp/fn fold from the argmax "
+    "grid (one agg on the bounded C x C confusion grain), and F1 "
+    "ships as the SINGLE integral division 2*tp*1e6 div "
+    "(2*tp + fp + fn) — algebraically 2PR/(P+R) without nesting two "
+    "rounded divisions, so it hash-matches where a naive "
+    "precision-then-recall-then-harmonic chain would drift. "
+    "Precision/recall ride along the same way. Completes the "
+    "classifier-quality set beside the confusion matrix, margin "
+    "reliability, and Mann-Whitney AUC. Single-sourced from the "
+    "confusion oracle (guarded string surgery).",
+)
+def q_ml_nb_f1(spark, sf_dir):
+    conf = tmod.nb_confusion(t(spark, sf_dir, "documents"), label_col="lang")
+    conf = conf.localCheckpoint(eager=False)  # C x C grain, three references
+    cls = (
+        conf.select(F.col("actual").alias("label"))
+        .unionByName(conf.select(F.col("predicted").alias("label")))
+        .distinct()
+    )
+    tp = conf.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("label"), F.col("n_docs").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("predicted").alias("label"))
+        .agg(F.sum("n_docs").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("actual").alias("label"))
+        .agg(F.sum("n_docs").alias("fn"))
+    )
+    m = (
+        cls.join(tp, "label", "left")
+        .join(fp, "label", "left")
+        .join(fn, "label", "left")
+        .na.fill({"tp": 0, "fp": 0, "fn": 0})
+    )
+    z = F.lit(0).cast("bigint")
+    return m.select(
+        "label",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.expr("tp * 1000000 div (tp + fp)")).otherwise(z)
+        .cast("bigint").alias("precision_e6"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr("tp * 1000000 div (tp + fn)")).otherwise(z)
+        .cast("bigint").alias("recall_e6"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               F.expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).otherwise(z)
+        .cast("bigint").alias("f1_e6"),
+    )

@@ -96,6 +96,7 @@ PLAN_QUERIES = [
     "curation_k_anonymity", "ann_filtered_topk",
     "j12_min_cost_supplier", "g14_custdist",
     "j14_local_supplier_volume", "g18_disjunctive_revenue",
+    "g17_small_quantity_revenue", "g19_forecast_revenue_delta",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -585,3 +586,23 @@ def test_profile_single_pass_stack(plans):
     p = plans["stats_profile_orders"]
     assert _op_count(p, "Scan parquet") == 1
     assert "Expand" in p
+
+
+def test_q2_single_shuffle_serves_agg_and_window(plans):
+    """j12's repartition on p_partkey (a SUBSET of the group keys —
+    equal tuples co-locate, so the agg's clustering requirement is
+    satisfied) must be the plan's ONLY shuffle: the same partitioning
+    then feeds the per-part window min. Broadcast exchanges are fine;
+    a second hashpartitioning exchange means the sharing regressed."""
+    p = plans["j12_min_cost_supplier"]
+    # _op_count("Exchange") matches only shuffle nodes ("(n) Exchange");
+    # BroadcastExchange is a different token
+    assert _op_count(p, "Exchange") == 1, p[:2000]
+
+
+def test_q17_stats_join_broadcasts(plans):
+    """g17's per-part (count, sum) stats table is dim-scale (one
+    brand's parts) — must broadcast-join back, never sort-merge."""
+    p = plans["g17_small_quantity_revenue"]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
