@@ -1222,3 +1222,86 @@ def connected_components_incremental(
     )
     merged = star.unionByName(new_pairs.select(id_a, id_b))
     return connected_components(merged, id_a=id_a, id_b=id_b, max_iter=max_iter)
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """EXACT similarity join via prefix filtering (the PPJoin family,
+    Xiao et al. 2008 — lite: prefix + size filters, no positional
+    bound): all pairs with char-n-gram Jaccard >= threshold, with NO
+    recall loss — the exact complement to minhash-LSH (which trades
+    recall for candidate sparsity) and the scalable replacement for
+    the quadratic all-pairs baseline.
+
+    Why it scales: order every doc's shingles by GLOBAL rarity
+    (df asc, shingle asc — one bounded-vocab aggregate); a pair with
+    J >= t MUST share a shingle inside each side's first
+    |S| - ceil(t·|S|) + 1 shingles under any shared total order, so
+    only those PREFIX shingles join — and because prefixes hold each
+    doc's rarest shingles, the hottest posting lists never enter the
+    candidate join. A size filter (min >= t·max, integer
+    cross-multiply) prunes further before the exact intersect-verify
+    on the full sets. Everything is JVM expressions; exchanges are on
+    (shingle) for the candidate join and (doc) for the verify joins.
+
+    Output (id_a < id_b, jaccard) — same columns/semantics as
+    :func:`ngram_jaccard_pairs`, equality pinned in tests.
+    """
+    from pyspark.sql import Window
+
+    t_pct = int(round(threshold * 100))
+    c = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+    g = (
+        df.filter(F.length(c) >= n)
+        .select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+    ).localCheckpoint(eager=False)  # feeds df-agg, prefix, and both verify sides
+    sizes = g.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    dfreq = g.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    w = Window.partitionBy("doc").orderBy("_df", "shingle")
+    ranked = (
+        g.join(dfreq, "shingle")
+        .withColumn("_r", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    # prefix length = sz - ceil(t*sz) + 1, ceil via integer arithmetic
+    prefix = ranked.filter(
+        F.col("_r") <= F.col("sz") - F.expr(f"({t_pct} * sz + 99) div 100") + 1
+    ).select("doc", "shingle", "sz")
+    pa = prefix.select(
+        F.col("doc").alias("id_a"), "shingle", F.col("sz").alias("_sa")
+    )
+    pb = prefix.select(
+        F.col("doc").alias("id_b"), "shingle", F.col("sz").alias("_sb")
+    )
+    cands = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(  # size filter: min >= t * max (integer cross-multiply)
+            F.least("_sa", "_sb") * 100 >= t_pct * F.greatest("_sa", "_sb")
+        )
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    ga = g.select(F.col("doc").alias("id_a"), "shingle")
+    gb = g.select(F.col("doc").alias("id_b"), "shingle")
+    inter = (
+        cands.join(ga, "id_a")
+        .join(gb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "_sa", "_sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ix"))
+    )
+    jac = F.col("_ix") / (F.col("_sa") + F.col("_sb") - F.col("_ix"))
+    return inter.filter(jac >= threshold).select(
+        "id_a", "id_b", jac.alias("jaccard")
+    )

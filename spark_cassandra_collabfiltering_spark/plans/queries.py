@@ -8781,3 +8781,41 @@ def q_ml_nb_f1(spark, sf_dir):
                F.expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).otherwise(z)
         .cast("bigint").alias("f1_e6"),
     )
+
+
+# ===========================================================================
+# PPJoin exact similarity join — prefix filtering (r5-cont6b): the
+# no-recall-loss complement to minhash-LSH.
+# ===========================================================================
+
+@register(
+    "dedup_ppjoin",
+    f"""WITH d AS ({_DOC_SUBSET_SQL}),
+        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
+              FROM d, LATERAL unnest(range(1, length(text) - 2)) u(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        cand AS (SELECT DISTINCT ga.doc_id AS id_a, gb.doc_id AS id_b
+                 FROM g ga JOIN g gb ON ga.shingle = gb.shingle AND ga.doc_id < gb.doc_id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS ix
+                  FROM cand c
+                  JOIN g ga ON ga.doc_id = c.id_a
+                  JOIN g gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, ix / (sa.sz + sb.sz - ix) AS jaccard
+        FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                   JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE ix / (sa.sz + sb.sz - ix) >= 0.40""",
+    "EXACT similarity join via prefix filtering (PPJoin family, Xiao "
+    "et al. 2008 — operators/dedup.py ppjoin_pairs): every char-4-gram "
+    "Jaccard >= 0.40 pair with NO recall loss, without the quadratic "
+    "all-pairs join. Shingles order by global rarity; a qualifying "
+    "pair must collide inside each side's (sz - ceil(t*sz) + 1)-shingle "
+    "prefix, so only the rarest prefix shingles join (hot posting "
+    "lists never generate candidates), then a min>=t*max size filter "
+    "and an exact intersect-verify. The ORACLE is the quadratic "
+    "all-shingle baseline (dedup_ngram_jaccard's shape at t=0.40): "
+    "the exact hash-match IS the no-recall-loss proof, the claim the "
+    "minhash family can only approach.",
+)
+def q_dedup_ppjoin(spark, sf_dir):
+    return dd.ppjoin_pairs(_doc_subset(spark, sf_dir), "doc_id", "text", n=4, threshold=0.40)
