@@ -3598,7 +3598,12 @@ def q_curation_contamination(spark, sf_dir):
     "false negatives and survivors are exactly re-verified, so the "
     "result hash-matches the exact path — the runtime-filter trade "
     "Spark's own bloom-filter join optimization makes, stated as an "
-    "operator.",
+    "operator. Measured calibration (r5-cont6): at sf0.1 the exact "
+    "path wins (1.7 vs 2.3 s warm — the bitmap build dominates when "
+    "the bench-gram broadcast is already tiny), so the benched "
+    "default stays exact; the prefilter pays where the clean gram "
+    "stream dwarfs the build — the 100 TB regime its docstring "
+    "describes.",
 )
 def q_curation_contamination_bloom(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
