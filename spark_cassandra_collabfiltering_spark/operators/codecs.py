@@ -189,3 +189,186 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
             return w.getframerate(), list(struct.unpack(f"<{n}h", frames))
     except (wave.Error, struct.error, EOFError) as exc:
         raise ValueError(f"not a decodable WAV: {exc}") from exc
+
+
+# --- GIF (r5-cont6): multi-frame animation — the FRAME-SAMPLING shape -----
+#
+# GIF89a with a global color table and one image descriptor per frame.
+# The decoder implements real LZW (growing code table, width bumps at
+# table-full, CLEAR resets, 12-bit cap) plus extension-block skipping,
+# so it reads conformant third-party GIFs of this profile (8-bit
+# global palette, no interlace); the encoder deliberately emits the
+# DEGENERATE stream (CLEAR before every literal — the classic
+# "uncompressed GIF" trick) so the round trip exercises the decoder's
+# reset path while staying trivially spec-correct.
+
+_GIF_SIG = b"GIF89a"
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    frames: "list[bytes]",
+    palette: "list[tuple[int, int, int]]",
+) -> bytes:
+    """Multi-frame GIF89a. ``frames`` are palette-index byte strings of
+    length width*height; ``palette`` length must be a power of two in
+    [2, 256]."""
+    import math
+
+    n = len(palette)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette size must be a power of two >= 2")
+    pal_bits = max(1, int(math.log2(n)))
+    out = bytearray()
+    out += _GIF_SIG
+    out += struct.pack("<HHBBB", width, height, 0x80 | (pal_bits - 1), 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    cs = max(2, pal_bits)  # LZW minimum code size
+    clear, end = 1 << cs, (1 << cs) + 1
+    for px in frames:
+        if len(px) != width * height:
+            raise ValueError("frame size mismatch")
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)  # descriptor
+        out.append(cs)
+        bw = _BitWriter()
+        w = cs + 1
+        for p in px:
+            bw.write(clear, w)
+            bw.write(p, w)
+        bw.write(end, w)
+        data = bw.done()
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated LZW stream")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return v
+
+
+def _lzw_decode(cs: int, data: bytes, n_px: int) -> bytes:
+    """Real GIF LZW: growing dictionary, width bump when the NEXT code
+    would not fit, CLEAR reset, 12-bit cap (no growth at 4096)."""
+    clear, end = 1 << cs, (1 << cs) + 1
+    br = _BitReader(data)
+    out = bytearray()
+
+    def reset() -> "tuple[dict[int, bytes], int, int]":
+        return {i: bytes((i,)) for i in range(1 << cs)}, end + 1, cs + 1
+
+    table, next_code, w = reset()
+    prev: bytes | None = None
+    while len(out) < n_px:
+        code = br.read(w)
+        if code == clear:
+            table, next_code, w = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << w) and w < 12:
+                w += 1
+        prev = entry
+    return bytes(out[:n_px])
+
+
+def decode_gif(payload: bytes) -> "tuple[int, int, list[tuple[int, int, int]], list[bytes]]":
+    """Returns (width, height, palette, frames) — frames as
+    palette-index byte strings. Handles GIF87a/89a, global color
+    table, extension blocks (skipped), multiple image descriptors;
+    rejects interlace and local color tables (out of profile)."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    width, height, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        for i in range(n):
+            r, g, b = payload[pos + 3 * i : pos + 3 * i + 3]
+            palette.append((r, g, b))
+        pos += 3 * n
+    frames: list[bytes] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected block 0x{b0:02x}")
+        fx, fy, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF out of profile")
+        if iflags & 0x80:
+            raise ValueError("local color table out of profile")
+        cs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        frames.append(_lzw_decode(cs, bytes(data), fw * fh))
+    return width, height, palette, frames

@@ -384,3 +384,96 @@ def audio_energy_query(df_documents: DataFrame) -> DataFrame:
     + energy DSP over the genuine decoder — the registry's audio arm."""
     media = synthesize_media_payloads(df_documents.select("doc_id"))
     return audio_frame_energy(media)
+
+
+def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc multi-frame GIF payloads through the REAL encoder
+    (operators/codecs.py encode_gif): doc d gets n_frames = 2 + d%3
+    frames of (8 + d%5) x (6 + d%4) pixels over the 16-gray palette,
+    pixel(x, y, f) = (d*7 + f*13 + x*3 + y) % 16 — a closed form the
+    oracle recomputes without touching bytes."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    pal = [(i * 17, i * 17, i * 17) for i in range(16)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 4
+                frames = [
+                    bytes(
+                        (d * 7 + f * 13 + x * 3 + y) % 16
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for f in range(2 + d % 3)
+                ]
+                payloads.append(codecs.encode_gif(w, h, frames, pal))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def frame_sample_features(media: DataFrame, every: int = 2) -> DataFrame:
+    """FRAME SAMPLING over real animation decode — the video-pipeline
+    shape (sample every k-th frame, extract per-frame features)
+    running on genuine GIF bytes: Arrow mapInPandas decodes each
+    payload with the real LZW decoder, keeps frames where
+    frame_idx % every == 0, and emits integer-exact per-frame stats
+    (n_px, sum of palette-mapped gray values). Scan-local: one doc's
+    frames never leave its batch; decode parallelism == input
+    partitions; zero shuffles."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                if b[:3] != b"GIF":
+                    continue
+                try:
+                    w, h, pal, frames = codecs.decode_gif(b)
+                except ValueError:
+                    continue
+                for fi, px in enumerate(frames):
+                    if fi % every:
+                        continue
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            len(px),
+                            sum(pal[i][0] for i in px),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_px", "gray_sum"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("gray_sum", T.LongType(), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+def frame_sample_query(df_documents: DataFrame, every: int = 2) -> DataFrame:
+    """Synthesize real multi-frame GIFs, then sample + featurize via
+    the genuine decoder — the registry's video-shape arm."""
+    media = synthesize_gif_payloads(df_documents.select("doc_id"))
+    return frame_sample_features(media, every=every)

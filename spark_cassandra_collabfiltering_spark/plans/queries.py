@@ -8824,3 +8824,43 @@ def q_ml_nb_f1(spark, sf_dir):
 )
 def q_dedup_ppjoin(spark, sf_dir):
     return dd.ppjoin_pairs(_doc_subset(spark, sf_dir), "doc_id", "text", n=4, threshold=0.40)
+
+
+# ===========================================================================
+# Frame sampling over real GIF decode — the video shape (r5-cont6b)
+# ===========================================================================
+
+@register(
+    "mm_frame_sample",
+    """WITH d AS (SELECT doc_id,
+                        8 + doc_id % 5 AS w,
+                        6 + doc_id % 4 AS h,
+                        2 + doc_id % 3 AS nf
+                  FROM documents),
+        fr AS (SELECT d.doc_id, d.w, d.h, f.i AS frame_idx
+               FROM d, LATERAL unnest(range(0, d.nf)) f(i)
+               WHERE f.i % 2 = 0),
+        px AS (SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+                      ((fr.doc_id * 7 + fr.frame_idx * 13
+                        + (p.i % fr.w) * 3 + (p.i // fr.w)) % 16) * 17 AS gray
+               FROM fr, LATERAL unnest(range(0, fr.w * fr.h)) p(i))
+       SELECT doc_id, frame_idx::INT AS frame_idx,
+              count(*)::BIGINT AS n_px,
+              sum(gray)::BIGINT AS gray_sum
+       FROM px GROUP BY 1, 2""",
+    "FRAME SAMPLING over real animation decode — the video-pipeline "
+    "shape (sample every 2nd frame, per-frame features), run on "
+    "genuine multi-frame GIF89a bytes: payloads are encoded with the "
+    "real GIF writer and decoded with the real LZW decoder (growing "
+    "code table, width bumps, CLEAR resets — operators/codecs.py "
+    "encode_gif/decode_gif; round trip + handwritten real-LZW streams "
+    "pinned in tests/test_multimodal.py), inside the standard Arrow "
+    "mapInPandas harness: scan-local, decode parallelism == input "
+    "partitions, zero shuffles before the (doc, frame) stats. The "
+    "oracle recomputes the planted closed-form pixels "
+    "((d*7+f*13+x*3+y)%16 -> gray=idx*17) without touching bytes, so "
+    "the decode round trip is exactly hash-checked. pyav/Pillow drop "
+    "into the same harness for formats beyond the stdlib.",
+)
+def q_mm_frame_sample(spark, sf_dir):
+    return mm.frame_sample_query(t(spark, sf_dir, "documents"), every=2)

@@ -188,3 +188,99 @@ def test_audio_frame_energy_partial_frame_and_values(spark):
         spark.createDataFrame([(2,)], "doc_id bigint")
     ).count()
     assert evens == 0
+
+
+# --- GIF codec + frame sampling (r5-cont6) ---------------------------------
+
+def _lzw_encode_real(cs, pixels):
+    """A REAL GIF LZW compressor (greedy longest-match, growing table,
+    width bumps, 12-bit cap with CLEAR) — deliberately a different
+    algorithm than the degenerate encoder in codecs.encode_gif, so
+    decoding its output is an independent check of the decoder's
+    table-growth/KwKwK/reset paths."""
+    from spark_cassandra_collabfiltering_spark.operators.codecs import _BitWriter
+
+    clear, end = 1 << cs, (1 << cs) + 1
+    bw = _BitWriter()
+    table = {bytes((i,)): i for i in range(1 << cs)}
+    next_code, w = end + 1, cs + 1
+    bw.write(clear, w)
+    s = b""
+    for p in pixels:
+        sp = s + bytes((p,))
+        if sp in table:
+            s = sp
+            continue
+        bw.write(table[s], w)
+        if next_code < 4096:
+            table[sp] = next_code
+            next_code += 1
+            # the DECODER's table lags one entry (no add on the first
+            # code after clear), so bump on ITS schedule: decoder
+            # next_code == next_code - 1 here
+            if next_code - 1 == (1 << w) and w < 12:
+                w += 1
+        s = bytes((p,))
+    bw.write(table[s], w)
+    bw.write(end, w)
+    return bw.done()
+
+
+def test_gif_roundtrip_multiframe():
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    pal = [(i * 17, i * 17, i * 17) for i in range(16)]
+    frames = [
+        bytes((3 * f + x) % 16 for x in range(8 * 6)) for f in range(4)
+    ]
+    gif = C.encode_gif(8, 6, frames, pal)
+    w, h, p, fr = C.decode_gif(gif)
+    assert (w, h, p, fr) == (8, 6, pal, frames)
+
+
+def test_gif_lzw_decoder_handles_real_compression():
+    """Feed the decoder a genuinely-compressed stream (greedy LZW with
+    table growth) including the repetitive pattern that triggers the
+    KwKwK corner case; decode must invert it exactly."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    cases = [
+        bytes([1, 1, 1, 1, 1, 1, 1, 1]),            # KwKwK immediately
+        bytes([0, 1, 2, 3] * 40),                   # growing repeats
+        bytes((i * 7 + 3) % 16 for i in range(3000)),  # long mixed stream
+    ]
+    for px in cases:
+        data = _lzw_encode_real(4, px)
+        got = C._lzw_decode(4, data, len(px))
+        assert got == px
+
+
+def test_gif_extension_blocks_are_skipped():
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    gif = bytearray(C.encode_gif(3, 2, [bytes([0, 1, 0, 1, 0, 1])], pal))
+    # splice a graphic-control extension right before the descriptor
+    idx = gif.index(0x2C)
+    ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x0A, 0x00, 0x00, 0x00])
+    gif[idx:idx] = ext
+    w, h, p, fr = C.decode_gif(bytes(gif))
+    assert (w, h) == (3, 2) and fr == [bytes([0, 1, 0, 1, 0, 1])]
+
+
+def test_frame_sampling_takes_every_kth(spark):
+    from spark_cassandra_collabfiltering_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = mm.frame_sample_query(docs, every=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for d, idxs in by_doc.items():
+        n_frames = 2 + d % 3
+        assert sorted(idxs) == [i for i in range(n_frames) if i % 2 == 0]
+    # closed-form spot check: doc 0, frame 0 — pixels (x*3 + y) % 16
+    r0 = next(r for r in out if r.doc_id == 0 and r.frame_idx == 0)
+    w, h = 8, 6
+    want = sum(((x * 3 + y) % 16) * 17 for y in range(h) for x in range(w))
+    assert (r0.n_px, r0.gray_sum) == (w * h, want)
