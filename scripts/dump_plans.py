@@ -114,6 +114,9 @@ SHOWN = [
     "sketch_kmv_overlap",
     "ml_nb_auc",
     "stats_expectations",
+    "mm_frame_sample",
+    "dedup_ppjoin",
+    "ml_nb_f1",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
