@@ -830,3 +830,92 @@ def test_streaming_kmv_sketch_merge_matches_batch(spark, event_source, batch_eve
     es = agg.kmv_distinct(streamed, ["event_type"], k=k)
     eb = agg.kmv_distinct(want, ["event_type"], k=k)
     assert sorted(map(tuple, es.collect())) == sorted(map(tuple, eb.collect()))
+
+
+def test_streaming_ivf_index_maintenance_matches_batch(spark, tmp_path):
+    """ANN index maintenance as a stream: the coarse quantizer trains
+    ONCE (on the initial corpus sample — the FAISS shape), then each
+    arriving micro-batch of vectors is assigned to its nearest
+    centroid map-only (fixed literal codebook) and appended to the
+    cluster-partitioned index state. The streamed index must equal a
+    batch-built index over the full corpus with the same codebook —
+    ingest-time vector indexing with zero drift, and a probe query
+    over the streamed state returns the batch answer."""
+    from spark_cassandra_collabfiltering_spark.operators import similarity as sim
+    from spark_cassandra_collabfiltering_spark.plans.queries import t as load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    # fixed codebook from the full table (deterministic sampled trainer)
+    _, centroids = sim.ivf_index(emb, n_clusters=8, seed=42, train_fraction=0.5)
+    centers = [
+        list(r.centroid) for r in centroids.orderBy("cluster").collect()
+    ]
+
+    src = str(tmp_path / "vec_src")
+    state = str(tmp_path / "ivf_state")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def assign(bdf, epoch_id):
+        out = bdf.select(
+            "vec_id",
+            "embedding",
+            sim._nearest_code(
+                F.col("embedding").cast("array<double>"), centers
+            ).alias("cluster"),
+        )
+        out.write.mode("append").partitionBy("cluster").parquet(state)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(assign)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(state).select("vec_id", "cluster")
+    batch = emb.select(
+        "vec_id",
+        sim._nearest_code(F.col("embedding").cast("array<double>"), centers).alias(
+            "cluster"
+        ),
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # probe equality end-to-end: nearest centroid's members, exact
+    # cosine rerank, top-3 — streamed state vs batch state
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    import math
+
+    def top3(assigned):
+        best_c = min(
+            range(len(centers)),
+            key=lambda c: -sum(a * b for a, b in zip(centers[c], qvec)),
+        )
+        rows = assigned.filter(F.col("cluster") == best_c).join(
+            emb, "vec_id"
+        ).collect()
+        def cos(v):
+            num = sum(a * b for a, b in zip(v, qvec))
+            den = math.sqrt(sum(a * a for a in v)) * math.sqrt(
+                sum(b * b for b in qvec)
+            )
+            return num / den
+        return sorted(
+            ((round(cos(r.embedding), 9), r.vec_id) for r in rows),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+
+    assert top3(streamed) == top3(batch)
