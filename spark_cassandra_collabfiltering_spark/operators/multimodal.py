@@ -477,3 +477,77 @@ def frame_sample_query(df_documents: DataFrame, every: int = 2) -> DataFrame:
     the genuine decoder — the registry's video-shape arm."""
     media = synthesize_gif_payloads(df_documents.select("doc_id"))
     return frame_sample_features(media, every=every)
+
+
+def audio_resample_features(
+    media: DataFrame, num: int = 2, den: int = 3
+) -> DataFrame:
+    """Rational PCM RESAMPLING (out_rate = in_rate * num/den) through
+    the real WAV decoder, in exact integer arithmetic: output sample j
+    sits at input position j*den/num — k = (j*den) div num,
+    frac = (j*den) mod num, out = s[k] + (s[k+1]-s[k])*frac div num —
+    with the division numerator shifted positive first, because //
+    floors in Python but truncates toward zero in DuckDB on negatives
+    (measured; the repo-wide integer-division discipline). n_out =
+    ((n_in-1)*num) div den so the interpolant never reads past the
+    last sample.
+    Emits per-doc (n_in, n_out, sum_out, energy_out) — integer-exact,
+    so the oracle replays the same interpolation over the closed-form
+    synthesized samples without touching bytes. Same scan-local Arrow
+    harness as the energy DSP."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                if b[:4] != b"RIFF":
+                    continue
+                try:
+                    _, s = codecs.decode_wav_pcm16(b)
+                except ValueError:
+                    continue
+                n = len(s)
+                if n < 2:
+                    continue
+                n_out = ((n - 1) * num) // den
+                out = []
+                # interpolation divides a possibly-NEGATIVE delta; //
+                # floors in Python but truncates toward zero in DuckDB
+                # (measured), so shift the numerator positive first —
+                # floor == trunc for non-negatives in every engine
+                off = 65536 * num
+                for j in range(n_out):
+                    k, frac = divmod(j * den, num)
+                    nxt = s[k + 1] if k + 1 < n else s[k]
+                    out.append(
+                        s[k] + ((nxt - s[k]) * frac + off) // num - off // num
+                    )
+                rows.append(
+                    (
+                        int(doc_id), n, n_out,
+                        sum(out), sum(v * v for v in out),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_in", "n_out", "sum_out", "energy_out"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_in", T.LongType(), False),
+            T.StructField("n_out", T.LongType(), False),
+            T.StructField("sum_out", T.LongType(), False),
+            T.StructField("energy_out", T.LongType(), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+def audio_resample_query(df_documents: DataFrame, num: int = 2, den: int = 3) -> DataFrame:
+    """Synthesize real WAVs, then resample through the genuine decoder."""
+    media = synthesize_media_payloads(df_documents.select("doc_id"))
+    return audio_resample_features(media, num=num, den=den)

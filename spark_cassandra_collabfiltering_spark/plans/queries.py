@@ -8864,3 +8864,43 @@ def q_dedup_ppjoin(spark, sf_dir):
 )
 def q_mm_frame_sample(spark, sf_dir):
     return mm.frame_sample_query(t(spark, sf_dir, "documents"), every=2)
+
+
+@register(
+    "mm_audio_resample",
+    """WITH d AS (SELECT doc_id, 64 + doc_id % 50 AS n
+                  FROM documents WHERE doc_id % 2 = 1),
+        o AS (SELECT doc_id, n, ((n - 1) * 2) // 3 AS n_out FROM d),
+        j AS (SELECT o.doc_id, o.n, o.n_out,
+                     (x.j * 3) // 2 AS k, (x.j * 3) % 2 AS frac
+              FROM o, LATERAL unnest(range(0, o.n_out)) x(j)),
+        s AS (SELECT doc_id, n, n_out, frac, k,
+                     ((doc_id * 17 + k * 5) % 2048) - 1024 AS sk,
+                     CASE WHEN k + 1 < n
+                          THEN ((doc_id * 17 + (k + 1) * 5) % 2048) - 1024
+                          ELSE ((doc_id * 17 + k * 5) % 2048) - 1024
+                     END AS snext
+              FROM j),
+        v AS (SELECT doc_id, n, n_out,
+                     sk + ((snext - sk) * frac + 131072) // 2 - 65536 AS val
+              FROM s)
+       SELECT doc_id, min(n)::BIGINT AS n_in, min(n_out)::BIGINT AS n_out,
+              sum(val)::BIGINT AS sum_out,
+              sum(val * val)::BIGINT AS energy_out
+       FROM v GROUP BY 1""",
+    "Rational PCM RESAMPLING (2/3 downsample) through the real WAV "
+    "codec — the sample-rate-normalization step an audio-training "
+    "pipeline runs before featurization — in exact integer linear "
+    "interpolation: out[j] = s[k] + (s[k+1]-s[k])*frac div num at "
+    "input position j*den/num — numerator shifted positive before the "
+    "div on BOTH sides, because Python // floors while DuckDB // "
+    "truncates toward zero on negatives (measured, one row off by 1 "
+    "without the shift; operators/multimodal.py "
+    "audio_resample_features). The oracle replays the interpolation "
+    "over the closed-form synthesized samples without touching "
+    "bytes, so the decode -> resample chain is exactly hash-checked. "
+    "Arrow mapInPandas, scan-local, zero shuffles before the per-doc "
+    "stats.",
+)
+def q_mm_audio_resample(spark, sf_dir):
+    return mm.audio_resample_query(t(spark, sf_dir, "documents"), num=2, den=3)

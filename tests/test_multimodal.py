@@ -284,3 +284,40 @@ def test_frame_sampling_takes_every_kth(spark):
     w, h = 8, 6
     want = sum(((x * 3 + y) % 16) * 17 for y in range(h) for x in range(w))
     assert (r0.n_px, r0.gray_sum) == (w * h, want)
+
+
+def test_audio_resample_identity_and_interp(spark):
+    """num==den (identity positions, frac always 0) reproduces the
+    input samples' prefix stats; 2/3 downsample matches a
+    hand-computed interpolation on a known doc."""
+    from spark_cassandra_collabfiltering_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    ident = {
+        r.doc_id: r for r in mm.audio_resample_query(docs, num=1, den=1).collect()
+    }
+    for d in (1, 3):
+        n = 64 + d % 50
+        s = [((d * 17 + i * 5) % 2048) - 1024 for i in range(n)]
+        r = ident[d]
+        assert r.n_out == n - 1  # ((n-1)*1)//1
+        assert r.sum_out == sum(s[: n - 1])
+        assert r.energy_out == sum(v * v for v in s[: n - 1])
+
+    down = {
+        r.doc_id: r for r in mm.audio_resample_query(docs, num=2, den=3).collect()
+    }
+    d = 1
+    n = 64 + d % 50
+    s = [((d * 17 + i * 5) % 2048) - 1024 for i in range(n)]
+    n_out = ((n - 1) * 2) // 3
+    off = 65536 * 2
+    vals = []
+    for j in range(n_out):
+        k, frac = divmod(j * 3, 2)
+        nxt = s[k + 1] if k + 1 < n else s[k]
+        vals.append(s[k] + ((nxt - s[k]) * frac + off) // 2 - off // 2)
+    r = down[d]
+    assert (r.n_in, r.n_out, r.sum_out, r.energy_out) == (
+        n, n_out, sum(vals), sum(v * v for v in vals)
+    )
