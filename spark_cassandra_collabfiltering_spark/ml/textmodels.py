@@ -380,8 +380,8 @@ def nb_binary_auc(
     single-partition sort): the cum-negatives-below term is split
     two-level like text_vocab_build — distinct scores bucket by
     ((s − min) >> bucket_bits) (min-shift keeps div = floor in both
-    engines; Spark `div` truncates toward zero on negatives where
-    DuckDB `//` floors, the stats_daily_trend trap), cross-bucket
+    engines; signed integer division differs across engines and
+    Python replicas — the stats_daily_trend trap), cross-bucket
     prefix sums run on the BOUNDED bucket grid, within-bucket ranks
     partition by bucket — both windows bounded or parallel. The same
     U2 integer as a global cumsum, so the simple global-window oracle

@@ -1003,9 +1003,11 @@ def covariance_pairs(
 
     with the n·Σxy product carried in DECIMAL(38,0) (it can overflow
     a bigint at corpus scale even when every input moment fits) and
-    the sign extracted BEFORE the division — Spark's ``div``
-    truncates toward zero while DuckDB's ``//`` floors, so negative
-    quotients would differ by one (the stats_daily_trend rule).
+    the sign extracted BEFORE the division — signed integer division
+    is not portable (measured r5-cont6: Spark ``div`` and DuckDB
+    ``//`` both truncate, but Python ``//`` floors, so any pure-
+    Python replica diverges on negatives; the stats_daily_trend
+    rule).
 
     Inputs must already be integer-scaled (cents, basis points,
     counts): callers pick units small enough that Σxy fits a bigint

@@ -6719,9 +6719,11 @@ def q_ev_anomaly(spark, sf_dir):
     "counts over the day index, in EXACT integers — slope = "
     "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) carried as numerator/denominator "
     "evidence columns plus a fixed-point e6 quotient with the sign "
-    "EXTRACTED before division: Spark's div truncates toward zero "
-    "while DuckDB's // floors, so signed integer division is NOT "
-    "engine-portable — sign * (abs(num) div den) is. "
+    "EXTRACTED before division: engines disagree on signed integer "
+    "division semantics (measured r5-cont6: Spark div and DuckDB // "
+    "both truncate toward zero, but PYTHON // floors — any Python-"
+    "side replica or mapInPandas arm diverges on negatives), so "
+    "sign * (abs(num) div den) is the portable form everywhere. "
     "Window-over-groups: one (type, day) hash-agg is the only "
     "full-data exchange; the regression reduces from the bounded "
     "daily table. Degenerate single-day groups are excluded "
@@ -7122,8 +7124,9 @@ def q_sample_epoch_shuffle(spark, sf_dir):
     "full-data exchange), the pair table derives from the one-row "
     "moment state, and cov_e6 = sign*(|n*Sxy - Sx*Sy|*1e6 div n^2) "
     "with the cross term in DECIMAL(38,0) (HUGEINT oracle-side) and "
-    "the sign pulled out before the division (Spark div truncates, "
-    "DuckDB // floors — the stats_daily_trend rule). No float ever "
+    "the sign pulled out before the division (the stats_daily_trend "
+    "rule: signed integer division is not portable across engines "
+    "and Python replicas). No float ever "
     "sums, so even the covariance VALUES hash-match.",
 )
 def q_stats_cov_matrix(spark, sf_dir):
