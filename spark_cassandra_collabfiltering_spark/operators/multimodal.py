@@ -551,3 +551,37 @@ def audio_resample_query(df_documents: DataFrame, num: int = 2, den: int = 3) ->
     """Synthesize real WAVs, then resample through the genuine decoder."""
     media = synthesize_media_payloads(df_documents.select("doc_id"))
     return audio_resample_features(media, num=num, den=den)
+
+
+def audio_vad_summary(
+    media: DataFrame, frame: int = 32, thr_msq: int = 350000
+) -> DataFrame:
+    """Energy-threshold VAD (voice/silence activity detection — the
+    silence-filtering gate an audio pipeline runs before transcription
+    or training): a frame is VOICED when its mean-square energy
+    exceeds the threshold, compared as the integer cross-multiply
+    energy > thr·n_samples (never a division). Per doc:
+    (n_frames, n_voiced, voiced_e6 ratio). Composes the real-codec
+    frame-energy DSP (:func:`audio_frame_energy`) — one extra bounded
+    hash-agg on the (doc, frame) grain."""
+    fe = audio_frame_energy(media, frame=frame)
+    voiced = F.when(
+        F.col("energy") > F.lit(thr_msq) * F.col("n_samples"), 1
+    ).otherwise(0)
+    return (
+        fe.select("doc_id", voiced.alias("_v"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("_v").cast("long").alias("n_voiced"),
+        )
+        .withColumn(
+            "voiced_e6",
+            F.expr("n_voiced * 1000000 div n_frames").cast("long"),
+        )
+    )
+
+
+def audio_vad_query(df_documents: DataFrame) -> DataFrame:
+    media = synthesize_media_payloads(df_documents.select("doc_id"))
+    return audio_vad_summary(media)

@@ -8907,3 +8907,34 @@ def q_mm_frame_sample(spark, sf_dir):
 )
 def q_mm_audio_resample(spark, sf_dir):
     return mm.audio_resample_query(t(spark, sf_dir, "documents"), num=2, den=3)
+
+
+@register(
+    "mm_audio_vad",
+    """WITH d AS (SELECT doc_id, 64 + doc_id % 50 AS n
+                  FROM documents WHERE doc_id % 2 = 1),
+        s AS (SELECT d.doc_id, x.i,
+                     ((d.doc_id * 17 + x.i * 5) % 2048) - 1024 AS v
+              FROM d, LATERAL unnest(range(0, d.n)) x(i)),
+        fr AS (SELECT doc_id, i // 32 AS frame_idx,
+                      count(*) AS n_samples, sum(v * v) AS energy
+               FROM s GROUP BY 1, 2),
+        fl AS (SELECT doc_id,
+                      CASE WHEN energy > 350000 * n_samples THEN 1 ELSE 0 END AS voiced
+               FROM fr)
+       SELECT doc_id, count(*)::BIGINT AS n_frames,
+              sum(voiced)::BIGINT AS n_voiced,
+              (sum(voiced) * 1000000 // count(*))::BIGINT AS voiced_e6
+       FROM fl GROUP BY 1""",
+    "Energy-threshold VAD (voice-activity / silence gate) over the "
+    "real WAV decode path: a frame is voiced when mean-square energy "
+    "exceeds the threshold — compared as the integer cross-multiply "
+    "energy > thr*n_samples, never a division — then a per-doc "
+    "(n_frames, n_voiced, e6 ratio) rollup. Composes the oracled "
+    "frame-energy DSP (operators/multimodal.py audio_vad_summary); "
+    "one extra bounded hash-agg. The silence-filtering step an audio "
+    "training pipeline runs before featurization, exactly "
+    "hash-checked end to end through the codec.",
+)
+def q_mm_audio_vad(spark, sf_dir):
+    return mm.audio_vad_query(t(spark, sf_dir, "documents"))
