@@ -65,6 +65,13 @@ HEADLINE = [
     "text_lm_perplexity",
     "lex_trigram_search",
     "j10_multitouch_attribution",
+    # r5-cont6 adds the Q13 outer-join count-distribution (the classic
+    # skew-benchmark agg) and the bottom-k rank-quantile sketch (the
+    # deterministic KLL slot) as tracked series — totals widen BY
+    # CONSTRUCTION; the legacy-11/13/16/18/20 subtotals stay the
+    # round-over-round comparables.
+    "g14_custdist",
+    "sketch_bottomk_quantiles",
 ]
 
 
