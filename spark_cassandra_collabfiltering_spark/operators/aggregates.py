@@ -1331,3 +1331,61 @@ def kmv_overlap_pairs(
         "inter_est",
         F.expr("n_common * union_est div k_u").cast("bigint"),
     )
+
+
+# --- CBO-style table size estimate / broadcast advisor (r5-cont6) ---------
+
+_FIXED_WIDTH = {
+    "bigint": 8, "long": 8, "double": 8, "int": 4, "integer": 4,
+    "timestamp": 8, "timestamp_ntz": 8, "date": 4, "boolean": 1,
+    "float": 4, "smallint": 2,
+}
+
+
+def table_size_estimate(df: DataFrame, table_name: str) -> DataFrame:
+    """One-row CBO-style size estimate: n_rows and est_bytes under the
+    classic fixed-width column model (numeric/temporal types at their
+    in-memory widths, strings at their byte length) — the
+    sizeInBytes-shaped number a cost-based optimizer compares against
+    ``spark.sql.autoBroadcastJoinThreshold``, deterministic and
+    engine-portable (unlike sampling the physical encoding). One
+    column-pruned scan: fixed-width columns contribute n_rows x const
+    without being read; only string columns' lengths aggregate."""
+    fixed = 0
+    str_cols = []
+    for name, dtype in df.dtypes:
+        if dtype in _FIXED_WIDTH:
+            fixed += _FIXED_WIDTH[dtype]
+        elif dtype == "string":
+            str_cols.append(name)
+        else:  # arrays/structs/binary: estimate via string length too
+            str_cols.append(name)
+    str_bytes = sum(
+        (F.sum(F.octet_length(F.col(c).cast("string"))) for c in str_cols),
+        F.lit(0),
+    )
+    return df.agg(
+        F.lit(table_name).alias("table"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) * fixed + F.coalesce(str_bytes, F.lit(0)))
+        .cast("bigint")
+        .alias("est_bytes"),
+    )
+
+
+def broadcast_advice(
+    tables: "list[tuple[str, DataFrame]]", threshold_bytes: int = 10 * 1024 * 1024
+) -> DataFrame:
+    """Self-observability for join planning: per table, the CBO-model
+    size estimate and whether it fits under the broadcast threshold —
+    the pre-flight a pipeline author runs before hinting
+    ``broadcast()`` on a new dim (the join-strategy complement of
+    stats_skew_profile's salting pre-flight and
+    stats_join_estimate's cardinality check)."""
+    out = None
+    for name, df in tables:
+        one = table_size_estimate(df, name).withColumn(
+            "broadcastable", (F.col("est_bytes") < threshold_bytes)
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

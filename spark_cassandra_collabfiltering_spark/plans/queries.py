@@ -8938,3 +8938,60 @@ def q_mm_audio_resample(spark, sf_dir):
 )
 def q_mm_audio_vad(spark, sf_dir):
     return mm.audio_vad_query(t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# CBO broadcast advisor — join-strategy self-observability (r5-cont6b)
+# ===========================================================================
+
+@register(
+    "stats_broadcast_advice",
+    """SELECT 'region' AS "table", count(*)::BIGINT AS n_rows,
+              (count(*) * 4 + coalesce(sum(strlen(r_name)), 0))::BIGINT AS est_bytes,
+              (count(*) * 4 + coalesce(sum(strlen(r_name)), 0)) < 10485760 AS broadcastable
+       FROM region
+       UNION ALL
+       SELECT 'nation', count(*)::BIGINT,
+              (count(*) * 8 + coalesce(sum(strlen(n_name)), 0))::BIGINT,
+              (count(*) * 8 + coalesce(sum(strlen(n_name)), 0)) < 10485760
+       FROM nation
+       UNION ALL
+       SELECT 'customer', count(*)::BIGINT,
+              (count(*) * 20 + coalesce(sum(strlen(c_name) + strlen(c_mktsegment)), 0))::BIGINT,
+              (count(*) * 20 + coalesce(sum(strlen(c_name) + strlen(c_mktsegment)), 0)) < 10485760
+       FROM customer
+       UNION ALL
+       SELECT 'supplier', count(*)::BIGINT,
+              (count(*) * 20 + coalesce(sum(strlen(s_name)), 0))::BIGINT,
+              (count(*) * 20 + coalesce(sum(strlen(s_name)), 0)) < 10485760
+       FROM supplier
+       UNION ALL
+       SELECT 'part', count(*)::BIGINT,
+              (count(*) * 20 + coalesce(sum(strlen(p_name) + strlen(p_brand) + strlen(p_type)), 0))::BIGINT,
+              (count(*) * 20 + coalesce(sum(strlen(p_name) + strlen(p_brand) + strlen(p_type)), 0)) < 10485760
+       FROM part
+       UNION ALL
+       SELECT 'orders', count(*)::BIGINT,
+              (count(*) * 32 + coalesce(sum(strlen(o_orderstatus) + strlen(o_orderpriority)), 0))::BIGINT,
+              (count(*) * 32 + coalesce(sum(strlen(o_orderstatus) + strlen(o_orderpriority)), 0)) < 10485760
+       FROM orders
+       UNION ALL
+       SELECT 'lineitem', count(*)::BIGINT,
+              (count(*) * 68 + coalesce(sum(strlen(l_returnflag) + strlen(l_linestatus)), 0))::BIGINT,
+              (count(*) * 68 + coalesce(sum(strlen(l_returnflag) + strlen(l_linestatus)), 0)) < 10485760
+       FROM lineitem""",
+    "CBO-style BROADCAST ADVISOR (operators/aggregates.py "
+    "table_size_estimate/broadcast_advice): per table, n_rows and the "
+    "fixed-width-column-model size estimate (numerics/temporals at "
+    "in-memory widths, strings at byte length — the sizeInBytes-"
+    "shaped number a cost-based optimizer compares against "
+    "autoBroadcastJoinThreshold), plus the broadcastable verdict at "
+    "the 10 MiB default. The join-strategy pre-flight beside "
+    "stats_skew_profile (salting) and stats_join_estimate "
+    "(cardinality): which sides of tomorrow's join may be hinted "
+    "broadcast. One column-pruned scan per table — fixed-width "
+    "columns contribute n_rows x const without being read.",
+)
+def q_stats_broadcast_advice(spark, sf_dir):
+    names = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+    return agg.broadcast_advice([(n, t(spark, sf_dir, n)) for n in names])
