@@ -112,3 +112,23 @@ def test_profile_empty_table_emits_zero_rows_per_column(spark):
 def test_skew_profile_empty_input_is_empty(spark):
     df = spark.createDataFrame([], "key bigint")
     assert agg.skew_profile(df, "key").collect() == []
+
+
+def test_broadcast_advice_discriminates_at_scale(spark):
+    """At sf0.1 the fact table's CBO-model estimate exceeds the 10 MiB
+    broadcast threshold while the dims stay broadcastable — the
+    advisor must say so (at tiny SFs everything fits; the point of
+    the estimate is that the verdict flips with scale)."""
+    from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
+    from spark_cassandra_collabfiltering_spark.plans.queries import t
+
+    sf = "/root/testdata/sf0.1"
+    out = {
+        r.table: (r.est_bytes, r.broadcastable)
+        for r in agg.broadcast_advice(
+            [(n, t(spark, sf, n)) for n in ("region", "nation", "lineitem")]
+        ).collect()
+    }
+    assert out["region"][1] and out["nation"][1]
+    assert not out["lineitem"][1]
+    assert out["lineitem"][0] > 10 * 1024 * 1024
