@@ -117,6 +117,15 @@ SHOWN = [
     "mm_frame_sample",
     "dedup_ppjoin",
     "ml_nb_f1",
+    "mm_audio_resample",
+    "mm_audio_vad",
+    "stats_broadcast_advice",
+    "sketch_kmv_overlap",
+    "sketch_bottomk_quantiles",
+    "ml_nb_auc",
+    "g15_supplier_cnt",
+    "g20_market_share",
+    "stats_expectations",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
