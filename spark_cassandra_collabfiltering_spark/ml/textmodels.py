@@ -330,7 +330,9 @@ def nb_reliability(
     top2 = nb_classify(
         docs, label_col, id_col, text_col, train_buckets, train_bucket,
         top_k=2,
-    )
+    ).localCheckpoint(
+        eager=False
+    )  # rank-1 and rank-2 arms share one scoring run
     a = top2.filter(F.col("rk") == 1).select(
         id_col, "actual", "predicted", F.col("score_e3").alias("_s1")
     )
@@ -390,7 +392,10 @@ def nb_binary_auc(
     pred = nb_classify(
         docs, label_col, id_col, text_col, train_buckets, train_bucket,
         top_k=1_000_000_000,
-    )
+    ).localCheckpoint(eager=False)  # pos + best-other both read it —
+    # share one scoring run instead of doubling the whole NB lineage
+    # (diamond-reuse discipline; plan audit measured 120 parquet-scan
+    # references without this)
     # The detector score is the MARGIN score(pos) - max_others, not the
     # raw class log-joint: the joint scales with doc LENGTH (every
     # token adds negative log-prob), so ranking raw joints across docs
