@@ -333,6 +333,8 @@ def decode_gif(payload: bytes) -> "tuple[int, int, list[tuple[int, int, int]], l
     rejects interlace and local color tables (out of profile)."""
     if payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF")
+    if len(payload) < 14:
+        raise ValueError("truncated GIF header")
     width, height, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     palette: list[tuple[int, int, int]] = []
@@ -342,6 +344,14 @@ def decode_gif(payload: bytes) -> "tuple[int, int, list[tuple[int, int, int]], l
             r, g, b = payload[pos + 3 * i : pos + 3 * i + 3]
             palette.append((r, g, b))
         pos += 3 * n
+    frames: list[bytes] = []
+    try:
+        return _walk_gif_blocks(payload, pos, width, height, palette)
+    except IndexError as exc:  # truncated mid-block
+        raise ValueError("truncated GIF body") from exc
+
+
+def _walk_gif_blocks(payload, pos, width, height, palette):
     frames: list[bytes] = []
     while pos < len(payload):
         b0 = payload[pos]
@@ -356,6 +366,8 @@ def decode_gif(payload: bytes) -> "tuple[int, int, list[tuple[int, int, int]], l
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected block 0x{b0:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF descriptor")
         fx, fy, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
         if iflags & 0x40:
@@ -372,3 +384,61 @@ def decode_gif(payload: bytes) -> "tuple[int, int, list[tuple[int, int, int]], l
         pos += 1
         frames.append(_lzw_decode(cs, bytes(data), fw * fh))
     return width, height, palette, frames
+
+
+# --- BMP (r5-cont6): the third image container — uncompressed 24-bit ------
+
+def encode_bmp_rgb(width: int, height: int, pixels: "list[tuple[int, int, int]]") -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER): bottom-up
+    rows, BGR byte order, rows padded to 4-byte boundaries — the
+    format's three classic traps, all exercised by the decoder."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count mismatch")
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            body += bytes((b, g, r))  # BGR
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(body), 2835, 2835, 0, 0)
+    return bytes(hdr) + info + bytes(body)
+
+
+def decode_bmp_rgb(payload: bytes) -> "tuple[int, int, list[tuple[int, int, int]]]":
+    """Returns (width, height, pixels row-major top-down RGB). Handles
+    the bottom-up/BGR/padding profile above plus top-down files
+    (negative height); rejects compressed or non-24-bit BMPs."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hsize = struct.unpack("<I", payload[14:18])[0]
+    if hsize < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP profile")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    stride = row_bytes + pad
+    if len(payload) < data_off + stride * height:
+        raise ValueError("truncated BMP")
+    px: list[tuple[int, int, int]] = []
+    for row in range(height):
+        src_row = row if top_down else height - 1 - row
+        base = data_off + src_row * stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            px.append((r, g, b))
+    return width, height, px

@@ -264,13 +264,14 @@ def synthesize_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
 
 def decode_media_features(media: DataFrame) -> DataFrame:
     """REAL decode feature extraction (no stub): mapInPandas over the
-    binary column, sniffing PNG vs WAV by signature and running the
+    binary column, sniffing PNG vs WAV vs BMP by signature and running the
     stdlib decoders (operators/codecs.py — CRC-checked chunk parse,
     zlib inflate, full scanline-filter reconstruction for PNG; RIFF
     parse for WAV). Features are integer-exact:
 
     - png: (width, height, n_units = pixel count, unit_sum = pixel sum)
     - wav: (NULL, NULL, n_units = sample count, unit_sum = sum |sample|)
+    - bmp: (width, height, n_units = pixel count, unit_sum = channel sum)
     - corrupt/undecodable payloads become kind='corrupt' rows (nulls) —
       quarantine, not job abort, same contract as the JSONL source.
 
@@ -293,6 +294,12 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                         rows.append(
                             (doc_id, "wav", None, None, len(samples),
                              sum(abs(s) for s in samples))
+                        )
+                    elif b[:2] == b"BM":
+                        w, h, px = codecs.decode_bmp_rgb(b)
+                        rows.append(
+                            (doc_id, "bmp", w, h, w * h,
+                             sum(r + g + bl for r, g, bl in px))
                         )
                     else:
                         raise ValueError("unknown container signature")

@@ -321,3 +321,39 @@ def test_audio_resample_identity_and_interp(spark):
     assert (r.n_in, r.n_out, r.sum_out, r.energy_out) == (
         n, n_out, sum(vals), sum(v * v for v in vals)
     )
+
+
+def test_bmp_roundtrip_and_decode_harness(spark):
+    """BMP (third image container): encode→decode round trip covering
+    bottom-up BGR padded rows AND a hand-built top-down (negative
+    height) file; BMP payloads flow through the real-decode harness
+    with exact channel-sum features."""
+    import struct
+
+    from spark_cassandra_collabfiltering_spark.operators import (
+        codecs as C,
+        multimodal as mm,
+    )
+
+    px = [((x * 7 + y) % 256, (y * 5) % 256, (x * 3) % 256)
+          for y in range(4) for x in range(5)]
+    bmp = C.encode_bmp_rgb(5, 4, px)
+    assert C.decode_bmp_rgb(bmp) == (5, 4, px)
+
+    # top-down variant: flip height sign and re-order rows
+    top = bytearray(bmp)
+    struct.pack_into("<i", top, 22, -4)
+    stride = 5 * 3 + (4 - (5 * 3) % 4) % 4
+    body = bmp[54:]
+    rows = [body[i * stride:(i + 1) * stride] for i in range(4)]
+    top[54:] = b"".join(reversed(rows))
+    assert C.decode_bmp_rgb(bytes(top)) == (5, 4, px)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"BMgarbage"))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in mm.decode_media_features(media).collect()}
+    assert got[1].kind == "bmp" and (got[1].width, got[1].height) == (5, 4)
+    assert got[1].unit_sum == sum(r + g + b for r, g, b in px)
+    assert got[2].kind == "corrupt"

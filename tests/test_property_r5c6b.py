@@ -90,3 +90,31 @@ def test_resample_invariants(n, seed, num, den):
         assert lo <= v <= hi
         if num == den:
             assert frac == 0 and v == s[k]
+
+
+@SETTINGS
+@given(cut=st.integers(1, 200), seed=st.integers(0, 1000))
+def test_truncated_gif_raises_valueerror_only(cut, seed):
+    """Any prefix of a valid GIF must raise ValueError (the quarantine
+    contract) — never IndexError/struct.error, which would kill the
+    Arrow task instead of quarantining the row."""
+    pal = [(i * 17, i * 17, i * 17) for i in range(16)]
+    frames = [bytes((seed + i) % 16 for i in range(24))]
+    gif = C.encode_gif(6, 4, frames, pal)
+    prefix = gif[: min(cut, len(gif) - 1)]
+    try:
+        C.decode_gif(prefix)
+    except ValueError:
+        pass  # the only acceptable failure mode
+
+
+@SETTINGS
+@given(cut=st.integers(2, 100))
+def test_truncated_bmp_raises_valueerror_only(cut):
+    px = [((x + y) % 256, x % 256, y % 256) for y in range(4) for x in range(4)]
+    bmp = C.encode_bmp_rgb(4, 4, px)
+    prefix = bmp[: min(cut, len(bmp) - 1)]
+    try:
+        C.decode_bmp_rgb(prefix)
+    except ValueError:
+        pass
