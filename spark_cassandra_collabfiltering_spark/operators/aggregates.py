@@ -1389,3 +1389,52 @@ def broadcast_advice(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def filtered_build_advice(
+    df: DataFrame,
+    table_name: str,
+    filter_col: str,
+    filter_values: "list[str]",
+    threshold_bytes: int = 10 * 1024 * 1024,
+) -> DataFrame:
+    """Post-filter BUILD-SIZE estimate for a join side — the question
+    the base-table advisor can't answer: a dim too big to broadcast
+    raw often shrinks under its predicate, and a CBO decides from
+    column statistics, not by running the filter. est = base size x
+    |values| / NDV(filter_col) (uniform-frequency assumption), NDV
+    from the engine-portable HLL so the whole row hash-matches; the
+    TRUE filtered rows/bytes ride along (drop them in production —
+    they defeat the point of estimating). One row:
+    (table, n_rows, est_bytes_total, ndv, est_rows, est_bytes,
+    broadcastable_est, true_rows, true_bytes)."""
+    base = table_size_estimate(df, table_name)
+    ndv = hll_estimate(hll_registers(df, [], filter_col), []).select(
+        F.col("est_distinct").alias("ndv")
+    )
+    filtered = df.filter(F.col(filter_col).isin(filter_values))
+    true_side = table_size_estimate(filtered, "_f").select(
+        F.col("n_rows").alias("true_rows"),
+        F.col("est_bytes").alias("true_bytes"),
+    )
+    k = len(filter_values)
+    return (
+        base.withColumnRenamed("est_bytes", "est_bytes_total")
+        .join(F.broadcast(ndv))
+        .join(F.broadcast(true_side))
+        .select(
+            "table",
+            "n_rows",
+            "est_bytes_total",
+            "ndv",
+            F.round(F.col("n_rows") * k / F.col("ndv"), 4).alias("est_rows"),
+            F.round(F.col("est_bytes_total") * k / F.col("ndv"), 4).alias(
+                "est_bytes"
+            ),
+            (
+                F.col("est_bytes_total") * k / F.col("ndv") < threshold_bytes
+            ).alias("broadcastable_est"),
+            "true_rows",
+            "true_bytes",
+        )
+    )

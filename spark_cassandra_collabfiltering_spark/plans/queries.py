@@ -8995,3 +8995,63 @@ def q_mm_audio_vad(spark, sf_dir):
 def q_stats_broadcast_advice(spark, sf_dir):
     names = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
     return agg.broadcast_advice([(n, t(spark, sf_dir, n)) for n in names])
+
+
+@register(
+    "stats_build_advice",
+    """WITH h AS (SELECT md5(p_brand) AS s FROM part WHERE p_brand IS NOT NULL),
+        b AS (SELECT ('0x' || substr(s, 16, 2))::BIGINT % 64 AS bucket,
+                     (4 * length(regexp_extract(substr(s, 1, 15), '^0*')) +
+                      CASE substr(regexp_replace(substr(s, 1, 15), '^0*', ''), 1, 1)
+                           WHEN '' THEN 0
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END + 1) AS rho
+              FROM h),
+        r AS (SELECT bucket, max(rho) AS rmax FROM b GROUP BY 1),
+        a AS (SELECT count(*) AS n_buckets,
+                     sum(1::BIGINT << (55 - least(rmax, 55))) AS present_sum
+              FROM r),
+        nd AS (SELECT round((0.709::DOUBLE * 64 * 64 * (1::BIGINT << 55)::DOUBLE)
+                            / (present_sum
+                               + (64 - n_buckets) * (1::BIGINT << 55))::DOUBLE, 4)
+                       AS ndv
+               FROM a),
+        base AS (SELECT count(*)::BIGINT AS n_rows,
+                        (count(*) * 20
+                         + coalesce(sum(strlen(p_name) + strlen(p_brand)
+                                        + strlen(p_type)), 0))::BIGINT
+                            AS est_bytes_total
+                 FROM part),
+        tr AS (SELECT count(*)::BIGINT AS true_rows,
+                      (count(*) * 20
+                       + coalesce(sum(strlen(p_name) + strlen(p_brand)
+                                      + strlen(p_type)), 0))::BIGINT AS true_bytes
+               FROM part
+               WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+       SELECT 'part' AS "table", base.n_rows, base.est_bytes_total, nd.ndv,
+              round(base.n_rows * 3 / nd.ndv, 4) AS est_rows,
+              round(base.est_bytes_total * 3 / nd.ndv, 4) AS est_bytes,
+              (base.est_bytes_total * 3 / nd.ndv) < 10485760 AS broadcastable_est,
+              tr.true_rows, tr.true_bytes
+       FROM base, nd, tr""",
+    "Post-filter BUILD-SIZE advisor (operators/aggregates.py "
+    "filtered_build_advice): estimates the part dim's size AFTER a "
+    "3-brand predicate from column statistics alone — base size x "
+    "|values| / NDV(p_brand), NDV from the engine-portable HLL, the "
+    "CBO's filtered-build-side reasoning before picking broadcast vs "
+    "shuffle — with the true filtered rows/bytes riding along "
+    "(self-evaluating, like stats_join_estimate). Completes the "
+    "advisor trio: base-table sizes (stats_broadcast_advice), join "
+    "cardinality (stats_join_estimate), and post-filter build sides "
+    "(this row). Every column hash-matches: exact-integer sizes, "
+    "HLL NDV bit-identical, estimates as deterministic rounded "
+    "per-row doubles.",
+)
+def q_stats_build_advice(spark, sf_dir):
+    return agg.filtered_build_advice(
+        t(spark, sf_dir, "part"), "part", "p_brand",
+        ["Brand#1", "Brand#2", "Brand#3"],
+    )
