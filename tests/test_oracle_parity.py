@@ -34,3 +34,19 @@ def test_entry_contract(spark):
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_driver_window_posture():
+    """The 50-slot driver window must stay fully registered and keep
+    at most ONE rows-only member (cf_als_pipeline — iterative ALS is
+    rows-only by nature; everything else in the window carries an
+    exact DuckDB oracle). A rotation that sneaks a second
+    oracle-less query into the window degrades the correctness gate
+    and fails here instead of in the next round's verdict."""
+    from spark_cassandra_collabfiltering_spark.plans import queries as q
+
+    names = q._ordered_names()[:50]
+    assert len(names) == 50
+    assert all(n in q.QUERIES for n in names)
+    rows_only = [n for n in names if q.QUERIES[n].oracle is None]
+    assert rows_only == ["cf_als_pipeline"], rows_only
