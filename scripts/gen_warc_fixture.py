@@ -23,6 +23,9 @@ Planted shapes (the cases a Common Crawl-scale ingest actually hits):
   next real record boundary
 - a valid response AFTER the corrupt one (resync must recover it)
 - a response with an EMPTY body (Content-Length covers headers only)
+- a TRUNCATED final record: Content-Length promises more bytes than
+  remain in the file (a dying writer mid-payload) — must quarantine
+  as 'truncated_payload', never yield a silently-short clean row
 """
 
 from __future__ import annotations
@@ -114,6 +117,18 @@ def build() -> str:
          ("WARC-Date", "2024-01-01T00:00:06Z")],
         _http("204 No Content", "text/plain", ""),
     ))
+    # truncated tail: the header promises 4096 payload bytes but the
+    # file ends after a short fragment — the dying-writer case
+    recs.append(
+        "WARC/1.0" + CRLF
+        + "WARC-Type: response" + CRLF
+        + "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000tail>"
+        + CRLF
+        + "WARC-Target-URI: http://example.com/truncated" + CRLF
+        + "WARC-Date: 2024-01-01T00:00:07Z" + CRLF
+        + "Content-Length: 4096" + CRLF + CRLF
+        + _http("200 OK", "text/html", "<html>cut off mid-")
+    )
     return "".join(recs)
 
 

@@ -8,9 +8,16 @@ hash-matched driver row.
 
 Similarity: binary-vector cosine sim(a,b) = |U_a ∩ U_b| /
 sqrt(|U_a|·|U_b|), carried as sim_e6 = (c_ab * 1e6) div
-isqrt(n_a·n_b) — IEEE sqrt is correctly rounded, so floor(sqrt(·)) on
-a bigint product is bit-deterministic cross-engine (the
-temperature-mix isqrt argument).
+floor(sqrt(n_a·n_b)). Determinism caveat: floor(double-sqrt) equals
+true integer isqrt only while n_a·n_b is exactly representable in a
+double and away from k²-1 rounding boundaries — i.e. products well
+below 2^53. Cross-engine parity with the DuckDB oracle still holds at
+ANY size (both engines evaluate the identical IEEE expression), but a
+math.isqrt-based replica would diverge above that range. The
+``max_user_items`` cap (default 100) and ``max_item_reach`` stop
+list are the guardrails: with reach capped at R, n_a·n_b ≤ R² stays
+far below 2^53 and floor(sqrt(·)) IS exact integer sqrt — pass
+``max_item_reach`` whenever item reach can exceed ~10^6.
 
 Scale shape, stage by stage:
 

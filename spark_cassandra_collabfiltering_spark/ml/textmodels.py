@@ -351,10 +351,25 @@ def nb_reliability(
         .otherwise(F.lit(0))
         .alias("_ok"),
     )
-    return binned.groupBy("margin_bin").agg(
+    res = binned.groupBy("margin_bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("_ok").cast("bigint").alias("n_correct"),
     )
+    # Degenerate guard: a single training class has no rank-2 arm, so
+    # the margin join empties and the table would be silently EMPTY.
+    # Emit the defined sentinel row (margin_bin=-1, 0, 0) in that case
+    # — on any real corpus the filter yields zero rows and the plan is
+    # unchanged.
+    sentinel = (
+        binned.agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 0)
+        .select(
+            F.lit(-1).alias("margin_bin"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_correct"),
+        )
+    )
+    return res.unionByName(sentinel)
 
 
 def nb_binary_auc(
@@ -451,15 +466,26 @@ def nb_binary_auc(
         .alias("_u2")
     )
     tot = g.agg(
-        F.sum("c_pos").cast("bigint").alias("n_pos"),
-        F.sum("c_neg").cast("bigint").alias("n_neg"),
+        F.coalesce(F.sum("c_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.sum("c_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
     )
+    # Degenerate guards: a single training class empties the best-other
+    # join (no scores at all), and n_pos or n_neg = 0 makes the U
+    # denominator zero. Both yield the DEFINED sentinel auc_e6 = -1
+    # (impossible for a real AUC, range [0, 1e6]) with honest counts —
+    # never a silent empty/NULL result.
     return (
         u2.crossJoin(F.broadcast(tot))
         .select(
             "n_pos",
             "n_neg",
-            F.expr("_u2 * 1000000 div (2 * n_pos * n_neg)")
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.expr(
+                    "coalesce(_u2, 0) * 1000000 div (2 * n_pos * n_neg)"
+                ),
+            )
+            .otherwise(F.lit(-1))
             .cast("bigint")
             .alias("auc_e6"),
         )

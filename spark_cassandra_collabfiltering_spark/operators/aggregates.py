@@ -930,14 +930,19 @@ def psi_drift(
 
     PSI_log2 = sum_bins (p_i - q_i) * log2(p_i / q_i), computed
     ENTIRELY in fixed-point integers: per-bin probabilities are
-    Laplace-smoothed e6 integers p_e6 = ((c + 1) * 1e6) div (n + bins)
-    (smoothing defines empty bins, the classic PSI pitfall), and the
-    log ratio is the difference of bit-length+interpolation log2s
-    (the BM25/entropy machinery) — every term (p-q)*(L(p)-L(q)) >= 0
-    by monotonicity, summed exactly in bigint. Output one row:
-    (n_a, n_b, psi_e9, top_bin, top_contrib_e9) where psi_e9 is in
-    1e-9 log2 units and top_bin is the largest-contribution bin
-    (min-bin tiebreak) — where the drift lives.
+    Laplace-smoothed e12 integers p_e12 = ((c + 1) * 1e12) div
+    (n + bins) (smoothing defines empty bins, the classic PSI pitfall;
+    the e12 scale — DECIMAL(38,0) product, r6 — keeps a smoothed bin
+    from flooring to 0 until a slice exceeds ~1e12 rows, where the
+    old e6 scale saturated the log term at ~1e6·bins rows and
+    understated PSI), and the log ratio is the difference of
+    bit-length+interpolation log2s (the BM25/entropy machinery) —
+    every term (p-q)*(L(p)-L(q)) >= 0 by monotonicity, summed exactly
+    in bigint (per-bin bound ~4e16; safe for bins <= ~100). Output one
+    row: (n_a, n_b, psi_e9, top_bin, top_contrib_e9) where psi_e9 is
+    in 1e-9 log2 units (e15 terms div 1e6) and top_bin is the
+    largest-contribution bin (min-bin tiebreak) — where the drift
+    lives.
 
     Scale shape: the histogram side of :func:`fixed_width_histogram`
     twice (map-side-combinable counts, bins rows of state), then all
@@ -962,29 +967,41 @@ def psi_drift(
     terms = (
         grid.join(F.broadcast(na))
         .join(F.broadcast(nb))
-        .withColumn("p_e6", F.expr(f"((ca + 1) * 1000000) div (na + {bins})"))
-        .withColumn("q_e6", F.expr(f"((cb + 1) * 1000000) div (nb + {bins})"))
         .withColumn(
-            "contrib_e9",
+            "p_e12",
             F.expr(
-                "(p_e6 - q_e6) * ("
-                + l2.format(x="p_e6")
+                "cast(cast(ca + 1 as decimal(38,0)) * 1000000000000"
+                f" div (na + {bins}) as bigint)"
+            ),
+        )
+        .withColumn(
+            "q_e12",
+            F.expr(
+                "cast(cast(cb + 1 as decimal(38,0)) * 1000000000000"
+                f" div (nb + {bins}) as bigint)"
+            ),
+        )
+        .withColumn(
+            "contrib_e15",
+            F.expr(
+                "(p_e12 - q_e12) * ("
+                + l2.format(x="p_e12")
                 + " - "
-                + l2.format(x="q_e6")
+                + l2.format(x="q_e12")
                 + ")"
             ),
         )
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("contrib_e9").desc(), F.col("bin").asc())
+    w = Window.orderBy(F.col("contrib_e15").desc(), F.col("bin").asc())
     ranked = terms.withColumn("_rk", F.row_number().over(w))
     return ranked.agg(
         F.max("na").alias("n_a"),
         F.max("nb").alias("n_b"),
-        F.sum("contrib_e9").cast("bigint").alias("psi_e9"),
+        F.expr("sum(contrib_e15) div 1000000").cast("bigint").alias("psi_e9"),
         F.max(F.when(F.col("_rk") == 1, F.col("bin"))).alias("top_bin"),
-        F.max(F.when(F.col("_rk") == 1, F.col("contrib_e9")))
+        F.expr("max(CASE WHEN _rk = 1 THEN contrib_e15 END) div 1000000")
         .cast("bigint")
         .alias("top_contrib_e9"),
     )

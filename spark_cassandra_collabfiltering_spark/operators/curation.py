@@ -340,10 +340,13 @@ def temperature_mix_sample(
     low-resource upweighting of multilingual / multi-source
     pretraining recipes (sampling p_s ~ n_s^alpha, alpha < 1, as in
     the multilingual-BERT / XLM exponential-smoothing recipe), here
-    with alpha = 1/2 because isqrt is EXACT integer arithmetic
-    (IEEE sqrt is correctly rounded, so floor(sqrt(n)) is
-    bit-deterministic cross-engine; a general n^alpha is pow/exp/log
-    territory where libm parity is not guaranteed).
+    with alpha = 1/2 because floor(sqrt(n)) is bit-deterministic
+    cross-engine (both engines evaluate the identical correctly-
+    rounded IEEE expression; a general n^alpha is pow/exp/log
+    territory where libm parity is not guaranteed). Caveat: it equals
+    TRUE integer isqrt only for n ≲ 2^53 away from k²-1 boundaries —
+    per-domain row counts sit far below that, but a math.isqrt-based
+    replica of the weight would diverge beyond it.
 
     quota_s = min(n_s, (isqrt(n_s) * budget) div sum_s isqrt(n_s)),
     then the selection itself is the same deterministic skew-free

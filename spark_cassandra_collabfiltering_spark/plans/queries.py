@@ -6067,20 +6067,23 @@ _PSI_L2 = lambda x: (  # noqa: E731 — DuckDB fixed-point log2 (handles the p_e
         n AS (SELECT (SELECT count(*) FROM a)::BIGINT AS na,
                      (SELECT count(*) FROM b)::BIGINT AS nb),
         terms AS (SELECT bin, na, nb,
-                         ((ca + 1) * 1000000) // (na + 20) AS p_e6,
-                         ((cb + 1) * 1000000) // (nb + 20) AS q_e6
+                         (((ca + 1)::HUGEINT * 1000000000000)
+                              // (na + 20))::BIGINT AS p_e12,
+                         (((cb + 1)::HUGEINT * 1000000000000)
+                              // (nb + 20))::BIGINT AS q_e12
                   FROM grid, n),
         c AS (SELECT bin, na, nb,
-                     (p_e6 - q_e6) * ({_PSI_L2('p_e6')} - {_PSI_L2('q_e6')})
-                         AS contrib_e9
+                     (p_e12 - q_e12)
+                         * ({_PSI_L2('p_e12')} - {_PSI_L2('q_e12')})
+                         AS contrib_e15
               FROM terms),
-        r AS (SELECT *, row_number() OVER (ORDER BY contrib_e9 DESC, bin)
+        r AS (SELECT *, row_number() OVER (ORDER BY contrib_e15 DESC, bin)
                             AS rk
               FROM c)
        SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
-              sum(contrib_e9)::BIGINT AS psi_e9,
+              (sum(contrib_e15) // 1000000)::BIGINT AS psi_e9,
               max(CASE WHEN rk = 1 THEN bin END)::INT AS top_bin,
-              max(CASE WHEN rk = 1 THEN contrib_e9 END)::BIGINT
+              (max(CASE WHEN rk = 1 THEN contrib_e15 END) // 1000000)::BIGINT
                   AS top_contrib_e9
        FROM r""",
     "Population Stability Index between the click and view value "
@@ -6088,8 +6091,11 @@ _PSI_L2 = lambda x: (  # noqa: E731 — DuckDB fixed-point log2 (handles the p_e
     "binned drift score monitoring pairs with the KS distance "
     "(stats_ks_drift): KS is assumption-free on the raw grid, PSI is "
     "the per-bin mass-shift alerting convention. ENTIRELY fixed-point "
-    "integers: Laplace-smoothed e6 bin probabilities (smoothing "
-    "defines empty bins, the classic PSI pitfall) and bit-length+"
+    "integers: Laplace-smoothed e12 bin probabilities (smoothing "
+    "defines empty bins, the classic PSI pitfall; e12 via a "
+    "DECIMAL/HUGEINT product so a smoothed bin cannot floor to zero "
+    "until a slice exceeds ~1e12 rows — the r6 ADVICE fix) and "
+    "bit-length+"
     "interpolation log2 ratios, every term (p-q)(L(p)-L(q)) >= 0 by "
     "monotonicity — hash-exact, including the L(0) = -1000 edge, "
     "pinned identical on both engines. State is the mergeable "
@@ -6396,7 +6402,8 @@ _WARC_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "sample.warc")
                  substr(t, he + 4,
                         coalesce(try_cast(regexp_extract(substr(t, p, he - p),
                                  'Content-Length: ([0-9]+)', 1) AS BIGINT), 0))
-                     AS payload
+                     AS payload,
+                 he, len(t) AS tlen
           FROM (SELECT p, t,
                        p + strpos(substr(t, p),
                                   chr(13)||chr(10)||chr(13)||chr(10)) - 1 AS he
@@ -6407,14 +6414,15 @@ _WARC_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "sample.warc")
                  try_cast(regexp_extract(payload,
                           '^HTTP/1\.[01] ([0-9]{{3}})', 1) AS INT) AS http_status,
                  strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) AS hbe,
-                 payload, header, cl
+                 payload, header, cl,
+                 (cl IS NOT NULL AND he + 3 + cl <= tlen) AS fits
           FROM rec
         ),
         clean AS (
           SELECT warc_type, http_status,
                  CASE WHEN warc_type = 'response' AND hbe > 0
                       THEN substr(payload, hbe + 4) ELSE payload END AS body
-          FROM typed WHERE cl IS NOT NULL
+          FROM typed WHERE fits
         )
        SELECT warc_type AS grp, count(*)::BIGINT AS n,
               sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)::BIGINT
@@ -6425,12 +6433,15 @@ _WARC_FIXTURE = os.path.join(_REPO_ROOT, "fixtures", "sample.warc")
        UNION ALL
        SELECT '_quarantined', count(*)::BIGINT, 0::BIGINT,
               sum(('0x' || substr(md5(header), 1, 12))::BIGINT)::BIGINT
-       FROM typed WHERE cl IS NULL""",
+       FROM typed WHERE NOT fits""",
     "WARC ingest contract over a committed ISO 28500 fixture "
     "(scripts/gen_warc_fixture.py: warcinfo/request/response records, "
     "a response whose BODY embeds the WARC magic — the boundary trap "
     "that shreds magic-splitting parsers — a corrupt Content-Length "
-    "that must quarantine + resync, and an empty-body response). The "
+    "that must quarantine + resync, an empty-body response, and a "
+    "truncated final record whose Content-Length exceeds the bytes "
+    "remaining — the dying-writer tail that must quarantine as "
+    "truncated_payload, never pass as a silently-short clean row). The "
     "Spark side is the honest Common Crawl shape: binaryFile scan "
     "distributes whole files across tasks (Common Crawl's 100k-file "
     "crawls make file-level parallelism THE production parallelism), "

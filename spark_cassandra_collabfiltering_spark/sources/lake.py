@@ -426,12 +426,24 @@ def prune_files_bloom(
     import json
     import os
 
-    with open(os.path.join(root, f"v={version}", "_bloom.json")) as fh:
+    base = os.path.join(root, f"v={version}")
+    with open(os.path.join(base, "_bloom.json")) as fh:
         st = json.load(fh)
     m = 1 << st["bits_log2"]
     pos = [_bloom_pos_py(str(value), i, m) for i in range(st["n_hashes"])]
+    # Enumerate the ON-DISK data files, not the sidecar map: a file the
+    # sidecar build skipped (e.g. all-NULL keys) has no proof of
+    # absence and must be kept, and files_total must count it.
+    on_disk = sorted(
+        f for f in os.listdir(base)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
     keep = []
-    for fname, words in st["files"].items():
+    for fname in on_disk:
+        words = st["files"].get(fname)
+        if words is None:
+            keep.append(fname)  # no sidecar entry → skip only on proof
+            continue
         ok = True
         for p in pos:
             w = words.get(str(p >> 6), 0)
@@ -440,7 +452,7 @@ def prune_files_bloom(
                 break
         if ok:
             keep.append(fname)
-    return sorted(keep), len(st["files"])
+    return keep, len(on_disk)
 
 
 def read_snapshot_point(

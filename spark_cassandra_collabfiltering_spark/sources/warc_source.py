@@ -83,7 +83,10 @@ def parse_warc_bytes(data: bytes, file: str = "") -> Iterator[dict]:
     two-CRLF record separator. A missing/non-numeric length yields a
     quarantine row carrying the header block, then a RESYNC scan to
     the next magic. Leading garbage (a resync landing short) also
-    quarantines up to the next magic.
+    quarantines up to the next magic. A record whose declared length
+    exceeds the remaining bytes (truncated file tail) quarantines with
+    ``corrupt_reason='truncated_payload'`` and the byte count actually
+    present — never a silently-short clean row.
     """
     p, n = 0, len(data)
     while p < n:
@@ -125,6 +128,21 @@ def parse_warc_bytes(data: bytes, file: str = "") -> Iterator[dict]:
             p = q if q != -1 else n
             continue
         cl = int(m.group(1))
+        if n - (he + 4) < cl:
+            # Truncated file tail: the header promises cl payload bytes
+            # but fewer remain (a dying writer). Yielding the short
+            # slice as a clean row would silently violate the
+            # quarantine contract — preserve the header block for
+            # replay and report the bytes actually present.
+            yield {
+                "file": file, "warc_type": None, "record_id": None,
+                "target_uri": None, "warc_date": None, "http_status": None,
+                "content_type": None,
+                "body": header.decode("utf-8", "replace"),
+                "n_payload_bytes": n - (he + 4),
+                "corrupt_reason": "truncated_payload",
+            }
+            return
         payload = data[he + 4 : he + 4 + cl]
         wtype = _grp(_TYPE_RE, header)
         status, ctype, body = None, None, payload

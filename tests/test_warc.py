@@ -46,7 +46,9 @@ def test_record_type_census():
     assert types.count("response") == 5
     assert types.count("request") == 1
     assert types.count("warcinfo") == 1
-    assert sum(1 for r in recs if r["corrupt_reason"]) == 1
+    # two quarantines: the non-numeric Content-Length plant and the
+    # r6 truncated-tail plant
+    assert sum(1 for r in recs if r["corrupt_reason"]) == 2
 
 
 def test_body_embedding_magic_is_not_split():
