@@ -51,9 +51,12 @@ def lang_scores(text_col: str = "text") -> list[Column]:
     """Per-language feature counts: stopword hits for the latin-script
     languages; unicode-block character counts for the scripts with no
     whitespace tokenization to exploit — CJK ideographs for zh, kana
-    for ja, hangul syllables for ko. Known limitation (ROADMAP.md): a
-    Japanese doc that is nearly all kanji with little kana scores as
-    zh — kana presence is the ja signal."""
+    for ja, hangul syllables for ko. These are the RAW counts; the
+    argmax in :func:`lang_id` applies the han-share vs kana-presence
+    prior (r6): written Japanese always carries kana (grammatical
+    particles are kana even in kanji-heavy prose) while written
+    Chinese never does, so when ANY kana appears the doc's han
+    characters count toward ja, not zh."""
     return [
         _marker_hits(F.col(text_col), words).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
@@ -73,13 +76,26 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Ties break by language-code order via the greatest-of struct trick
     (compare (score, neg-ordinal) pairs) — fully deterministic.
+
+    ja/zh disambiguation (r6, closes the ROADMAP kanji-heavy-ja
+    limitation): the argmax runs over ADJUSTED CJK scores — if any
+    kana is present, the han (CJK-ideograph) count is credited to ja
+    and zh is zeroed; with no kana, scores are the raw counts. Output
+    score columns stay the raw counts (the adjustment is a prediction
+    prior, not a feature rewrite).
     """
     langs = [*LANG_MARKERS, *BLOCK_LANGS]
     scored = df.select("*", *lang_scores(text_col))
+    kana = F.col("score_ja") > 0
+    adj = {lang: F.col(f"score_{lang}") for lang in langs}
+    adj["ja"] = F.when(kana, F.col("score_ja") + F.col("score_zh")).otherwise(
+        F.lit(0)
+    )
+    adj["zh"] = F.when(kana, F.lit(0)).otherwise(F.col("score_zh"))
     best = F.greatest(
         *[
             F.struct(
-                F.col(f"score_{lang}").alias("s"),
+                adj[lang].alias("s"),
                 F.lit(-i).alias("ord"),
                 F.lit(lang).alias("lang"),
             )

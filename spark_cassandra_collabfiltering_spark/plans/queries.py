@@ -2376,17 +2376,29 @@ _ALL_LANGS = [*tx.LANG_MARKERS, *tx.BLOCK_LANGS]
 _SCORE_COLS = ", ".join(f"score_{lang}" for lang in _ALL_LANGS)
 
 
+def _adj_score_sql(lang: str) -> str:
+    # the kana-presence prior (operators/text.py lang_id, r6): any kana
+    # credits the han count to ja and zeroes zh; no kana -> raw scores
+    if lang == "ja":
+        return "(CASE WHEN score_ja > 0 THEN score_ja + score_zh ELSE 0 END)"
+    if lang == "zh":
+        return "(CASE WHEN score_ja > 0 THEN 0 ELSE score_zh END)"
+    return f"score_{lang}"
+
+
 def _argmax_case_sql() -> str:
     # first-wins cascade in _ALL_LANGS order — mirrors the Spark side's
-    # greatest((score, -ordinal)) tiebreak exactly
+    # greatest((adjusted score, -ordinal)) tiebreak exactly
     branches = []
     for i, lang in enumerate(_ALL_LANGS[:-1]):
         rest = " AND ".join(
-            f"score_{lang} >= score_{other}" for other in _ALL_LANGS[i + 1 :]
+            f"{_adj_score_sql(lang)} >= {_adj_score_sql(other)}"
+            for other in _ALL_LANGS[i + 1 :]
         )
         branches.append(f"WHEN {rest} THEN '{lang}'")
+    adj_cols = ", ".join(_adj_score_sql(lang) for lang in _ALL_LANGS)
     return (
-        f"CASE WHEN greatest({_SCORE_COLS}) = 0 THEN 'und' "
+        f"CASE WHEN greatest({adj_cols}) = 0 THEN 'und' "
         + " ".join(branches)
         + f" ELSE '{_ALL_LANGS[-1]}' END"
     )
@@ -3795,9 +3807,11 @@ def q_sub3_anti(spark, sf_dir):
 # Planted CJK eval docs: the testdata corpus carries no ja/ko ground
 # truth, so the confusion matrix gets deterministic literal fixtures
 # (negative ids; identical text in the Spark literals and the oracle
-# VALUES). ja docs are kana-dominant (kana is the ja signal — see
-# text.lang_scores); one kanji-only control doc pins the documented
-# ja/zh limitation as a zh prediction.
+# VALUES). ja coverage: kana-dominant docs AND kanji-heavy docs with
+# only particle-level kana (-10/-11, r6) — the han-share vs
+# kana-presence prior must classify BOTH as ja; the kanji-only control
+# (-9) is genuine Chinese and must stay zh (no kana anywhere is the
+# zh signal).
 _CJK_EVAL_DOCS = [
     (-1, "ja", "これはにほんごのテストです。とてもかんたんなぶんしょうです。"),
     (-2, "ja", "カタカナのテキストサンプルデータベースシステム"),
@@ -3808,6 +3822,10 @@ _CJK_EVAL_DOCS = [
     (-7, "ko", "한글 텍스트 샘플 데이터 세트입니다."),
     (-8, "ko", "서울에서 만나요. 감사합니다."),
     (-9, "zh", "这是中文测试文档没有假名只有汉字"),
+    # kanji-heavy ja: han dominates, kana is particles only — the r5
+    # scorer called these zh; the r6 kana-presence prior flips them
+    (-10, "ja", "東京都市計画道路建設工事の完了報告書です"),
+    (-11, "ja", "新幹線高速鉄道網整備計画が国会審議を通過した"),
 ]
 
 _CJK_EVAL_VALUES_SQL = ",\n                ".join(
@@ -3833,9 +3851,11 @@ _CJK_EVAL_VALUES_SQL = ",\n                ".join(
     "lang vs predicted lang over the documents corpus PLUS planted "
     "ja/ko/zh fixture docs (the corpus has no CJK-script ground truth "
     "beyond zh): hiragana/katakana and hangul unicode-block scoring "
-    "validated end to end, including the documented kanji-only→zh "
-    "limitation. Reuses the exact lang_id scoring; the only shuffle "
-    "carries (lang, pred_lang, count) rows.",
+    "validated end to end, including the r6 kana-presence prior — "
+    "kanji-heavy ja docs with particle-level kana classify as ja, "
+    "while the kana-free kanji-only control stays zh. Reuses the "
+    "exact lang_id scoring; the only shuffle carries "
+    "(lang, pred_lang, count) rows.",
 )
 def q_text_lang_id_eval(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")

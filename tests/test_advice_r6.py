@@ -218,3 +218,41 @@ def test_psi_identical_slices_zero(spark):
     b = spark.range(0, 1000).selectExpr("cast(id % 10 as double) as v")
     out = ag.psi_drift(a, b, "v", lo=0.0, hi=10.0, bins=10).collect()[0]
     assert out["psi_e9"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ja/zh kana-presence prior (round-6: closes the kanji-heavy-ja gap)
+# ---------------------------------------------------------------------------
+
+def test_lang_id_kanji_heavy_ja_with_kana_particles(spark):
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            # han dominates, kana is particles only -> must be ja now
+            (1, "東京都市計画道路建設工事の完了報告書です"),
+            (2, "新幹線高速鉄道網整備計画が国会審議を通過した"),
+            # genuine Chinese: zero kana anywhere -> stays zh
+            (3, "这是中文测试文档没有假名只有汉字"),
+            # kana-dominant ja unaffected
+            (4, "これはにほんごのテストです。"),
+            # mixed latin+kana: kana wins only if it is the max score
+            (5, "the quick brown fox and the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in tx.lang_id(docs).collect()}
+    assert got == {1: "ja", 2: "ja", 3: "zh", 4: "ja", 5: "en"}
+
+
+def test_lang_id_raw_scores_unchanged_by_prior(spark):
+    # the prior adjusts the ARGMAX only; emitted score columns stay raw
+    from spark_cassandra_collabfiltering_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "東京都市計画の報告です")], ["doc_id", "text"]
+    )
+    row = tx.lang_id(docs).collect()[0]
+    assert row["score_zh"] > 0  # raw han count still reported
+    assert row["score_ja"] > 0
+    assert row["pred_lang"] == "ja"
