@@ -6687,6 +6687,129 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 # ===========================================================================
+# End-to-end corpus assembly: dedup winners -> quality floor -> pack (r6)
+# ===========================================================================
+
+@register(
+    "pipeline_corpus_assembly",
+    f"""WITH RECURSIVE mh AS (SELECT id_a, id_b
+                FROM ({_minhash_oracle_sql(_DOC_SUBSET_SQL,
+                                           max_band_bucket=64,
+                                           oversize="star")}) q),
+        edges AS (SELECT id_a AS a, id_b AS b FROM mh
+                  UNION SELECT id_b, id_a FROM mh),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b
+                        FROM reach r JOIN edges e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a AS n FROM edges),
+        comp AS (SELECT nodes.n AS node, least(nodes.n, min(reach.b))
+                            AS cluster_id
+                 FROM nodes JOIN reach ON reach.a = nodes.n
+                 GROUP BY nodes.n),
+        ranked AS (SELECT c.cluster_id, c.node,
+                          row_number() OVER (
+                              PARTITION BY c.cluster_id
+                              ORDER BY length(d.text) DESC, c.node ASC) AS rk
+                   FROM comp c
+                   JOIN ({_DOC_SUBSET_SQL}) d ON d.doc_id = c.node),
+        losers AS (SELECT node FROM ranked WHERE rk > 1),
+        surv AS (SELECT d.doc_id, d.text FROM ({_DOC_SUBSET_SQL}) d
+                 WHERE d.doc_id NOT IN (SELECT node FROM losers)),
+        q AS (SELECT doc_id, quality_e6
+              FROM ({QUERIES["text_quality"].oracle}) q0),
+        sd AS (SELECT s.doc_id, s.text, docs.source, q.quality_e6
+               FROM surv s
+               JOIN documents docs ON docs.doc_id = s.doc_id
+               JOIN q ON q.doc_id = s.doc_id),
+        h AS (SELECT source,
+                     LEAST(GREATEST(floor((quality_e6 - 0.0) * 50
+                                          / 1000000.0), 0), 49)::INT AS bin,
+                     count(*) AS cnt
+              FROM sd GROUP BY 1, 2),
+        c2 AS (SELECT source, bin,
+                      sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                      sum(cnt) OVER (PARTITION BY source) AS n
+               FROM h),
+        th AS (SELECT source, min(0.0 + bin * 20000.0) AS floor_est
+               FROM c2 WHERE cum >= ceil(0.25 * n) GROUP BY source),
+        kept AS (SELECT sd.doc_id, sd.text, sd.source, sd.quality_e6
+                 FROM sd JOIN th ON th.source = sd.source
+                 WHERE sd.quality_e6 >= th.floor_est),
+        g AS (SELECT doc_id, source, quality_e6,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8
+                         AS pack_group,
+                     len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+              FROM kept),
+        cum AS (SELECT doc_id, source, quality_e6, pack_group, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY pack_group
+                                           ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens
+                           AS tok_start
+                FROM g)
+       SELECT doc_id, source, quality_e6, pack_group, n_tokens,
+              floor(tok_start / 128)::BIGINT AS seq_id,
+              (tok_start % 128)::BIGINT AS seq_offset
+       FROM cum""",
+    "END-TO-END pretraining-corpus ASSEMBLY — the actual pipeline a "
+    "corpus owner runs, wired from three already-oracled stages in "
+    "production order: (1) near-dup clusters via banded MinHash-LSH "
+    "(hot-bucket cap 64 + star edges) -> connected components -> "
+    "keep-BEST winner per cluster (longest text, full tie-breaks; "
+    "losers dropped, singletons pass untouched); (2) per-source "
+    "adaptive quality floor over the SURVIVORS (25th-percentile "
+    "mergeable-histogram quantile — dedup first, then floor, so "
+    "boilerplate crowds can't drag their source's floor down); "
+    "(3) token-budget packing (md5 pack groups, per-group cumsum, "
+    "budget 128) of the kept docs into training sequences. Output: "
+    "one row per ASSEMBLED doc with its quality score and its packed "
+    "(seq_id, seq_offset) placement. Every stage is the registered "
+    "operator's exact arithmetic, so the full composition "
+    "hash-matches the oracle's recursive-CTE replay end to end. "
+    "Scale: LSH banding (no all-pairs), bigstar-bounded components, "
+    "bounded histogram state per source, n_groups-parallel pack "
+    "windows — no stage collects or globally sorts.",
+)
+def q_pipeline_corpus_assembly(spark, sf_dir):
+    docs = _doc_subset(spark, sf_dir)
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        n=4, n_hashes=16, bands=8, threshold=0.40, prefilter_matches=4,
+        max_band_bucket=64, oversize="star",
+    )
+    comps = dd.connected_components(pairs)
+    winners = dd.keep_best_per_cluster(comps, docs)
+    losers = comps.select("node").join(
+        winners.select(F.col("keep_doc").alias("node")), "node", "left_anti"
+    )
+    survivors = docs.join(
+        losers.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    quality = QUERIES["text_quality"].builder(spark, sf_dir).select(
+        "doc_id", "quality_e6"
+    )
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    sd = survivors.select("doc_id").join(quality, "doc_id").join(src, "doc_id")
+    verdict = cu.quality_floor(
+        sd, "source", "quality_e6", q=0.25, lo=0.0, hi=1_000_000.0, bins=50
+    )
+    kept = verdict.filter(F.col("keep")).select(
+        "doc_id", "source", "quality_e6"
+    )
+    packed = cu.pack_documents(
+        kept.join(docs, "doc_id"), budget=128, n_groups=8
+    )
+    return kept.join(packed, "doc_id").select(
+        "doc_id",
+        "source",
+        "quality_e6",
+        "pack_group",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+    )
+
+
+# ===========================================================================
 # Event anomaly flags — exact-integer 3-sigma on daily counts (r5-cont4)
 # ===========================================================================
 
