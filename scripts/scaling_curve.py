@@ -114,6 +114,36 @@ signature-sharing fix; no query shows the >10× super-linear
 signature of quadratic blowup or spill).
 """
 
+# Static epilogue: the measured AQE skew proof (scripts/skew_proof.py,
+# r6). Kept in the generator so regeneration preserves it; re-run the
+# proof script to refresh the numbers.
+SKEW_PROOF = """## AQE skew-join proof (Q13 slot, measured r6)
+
+`python scripts/skew_proof.py` — a Zipf-skewed orders corpus at sf1
+volume (15M rows, hottest custkey owns 30% — far past the ≥1% bar)
+through the Q13-grade customer⋈orders join on local[32], skew-join
+rewrite off vs on (best-of-3 interleaved):
+
+| skewJoin | wall time | plan evidence |
+|---|---|---|
+| off | 3.01 s | one straggler task owns the hot partition |
+| on | 1.63 s (**1.85×**) | `SortMergeJoin(skew=true)`, `AQEShuffleRead coalesced and skewed` |
+
+Arming required `forceOptimizeSkewedJoin=true`: Q13 pipelines the join
+into a per-custkey aggregate that reuses the join partitioning, so
+splitting the hot partition inserts an exchange Spark vetoes by
+default — worth it at real skew. Thresholds were lowered to CI bytes
+(the 256 MB production default only changes WHEN the rewrite arms).
+Two detection traps documented in the script: AQE measures skew in
+post-compression BYTES (a constant hot join key lz4-compresses a 15×
+row skew down to 1.3× in bytes), and Catalyst column-prunes payloads
+no output consumes — both can silently disarm the rewrite on
+synthetic corpora. The deterministic plan assertions live in
+tests/test_skew_aqe.py; g14_custdist's LEFT OUTER shape — whose orders
+side AQE cannot split without breaking no-match detection — relies on
+partial aggregation absorbing the hot key map-side, also pinned there.
+"""
+
 
 def main() -> None:
     from bench import make_spark, run_one
@@ -155,6 +185,8 @@ def main() -> None:
         "per-query min over "
         f"{PASSES} interleaved timed passes after one warm-up pass per sf."
     )
+    lines.append("")
+    lines.append(SKEW_PROOF)
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.md"), "w") as f:
