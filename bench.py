@@ -72,6 +72,13 @@ HEADLINE = [
     # round-over-round comparables.
     "g14_custdist",
     "sketch_bottomk_quantiles",
+    # r6 adds the EXACT-similarity join arm (VERDICT r5 #5): PPJoin
+    # was the most expensive registered query with no tracked series —
+    # the prefix-filter calibration now gets a perf line beside
+    # dedup_minhash_lsh's lossy arm. Totals widen BY CONSTRUCTION
+    # (this is the suite's priciest member); the legacy subtotals stay
+    # the comparables.
+    "dedup_ppjoin",
 ]
 
 

@@ -184,6 +184,15 @@ def contamination_check(
     hashed against the full broadcast set, the same trade Spark's own
     runtime bloom-filter join makes.
     """
+    # NOTE on gram representation (r6 A/B, kept as a negative result):
+    # the hashed-gram rewrite that bought duplicate_spans 3.9x was
+    # tried here and REJECTED — interleaved best-of-3 at sf1 measured
+    # string grams 12.7 s vs dual-xxhash64 chains 39.6 s. The hashing
+    # win in span dedup comes from eliminating a per-gram md5 and
+    # shrinking SHUFFLED keys; contamination has no md5 and its grams
+    # feed a broadcast join scan-locally, so the extra interpreted
+    # higher-order passes (9 array traversals vs 4) dominate. Strings
+    # stay.
     bench_grams = (
         benchmark.select(
             F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
