@@ -106,12 +106,18 @@ is timed first, while the JVM still carries residual JIT/codegen cost
 its single warm-up pass didn't fully absorb — i.e. at these sizes the
 fixed overhead exceeds all data-dependent work. The load-bearing
 numbers are steps B and C (fully warm; step C is the first where most
-queries' shuffle/data work dominates). Measured step-C verdict: every
-ratio is SUB-linear (max 5.7× for text_repetition on a 10× document
-step — row-local n-gram arithmetic that parallelizes at cluster
-scale; dedup_minhash_lsh's step C dropped to 1.4× after the r5
-signature-sharing fix; no query shows the >10× super-linear
-signature of quadratic blowup or spill).
+queries' shuffle/data work dominates). Measured step-C verdict (r6
+regeneration): every ratio is SUB-linear — max 4.3× (ann_bruteforce's
+10× embedding step); the two r5 step-C leaders both dropped after the
+r6 hashed-gram rewrites (text_span_dedup 6.4× → 4.2× with sf1 down
+37.4 → 10.2 s; text_repetition 7.8× → 4.1× with sf1 down 22.2 →
+4.3 s); dedup_minhash_lsh's step C is now 0.8× (flat — the hot-bucket
+cap bounds per-bucket work). No query shows the >10× super-linear
+signature of quadratic blowup or spill. This table was recorded in a
+window with visible CPU steal on the sf0.1 pass (several step-B
+ratios ~2× above their bench-run counterparts — compare BASELINE.md's
+same-day 23-query run); the cross-sf RATIOS, not the absolute
+seconds, are the load-bearing numbers.
 """
 
 # Static epilogue: the measured AQE skew proof (scripts/skew_proof.py,
