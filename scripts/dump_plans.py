@@ -126,6 +126,8 @@ SHOWN = [
     "g15_supplier_cnt",
     "g20_market_share",
     "stats_expectations",
+    # r6: the end-to-end corpus assembly composition
+    "pipeline_corpus_assembly",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
