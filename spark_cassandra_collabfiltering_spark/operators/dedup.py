@@ -1279,11 +1279,11 @@ def ppjoin_pairs(
     threshold: float = 0.40,
 ) -> DataFrame:
     """EXACT similarity join via prefix filtering (the PPJoin family,
-    Xiao et al. 2008 — lite: prefix + size filters, no positional
-    bound): all pairs with char-n-gram Jaccard >= threshold, with NO
-    recall loss — the exact complement to minhash-LSH (which trades
-    recall for candidate sparsity) and the scalable replacement for
-    the quadratic all-pairs baseline.
+    Xiao et al. 2008 — prefix + size + positional filters as of r6):
+    all pairs with char-n-gram Jaccard >= threshold, with NO recall
+    loss — the exact complement to minhash-LSH (which trades recall
+    for candidate sparsity) and the scalable replacement for the
+    quadratic all-pairs baseline.
 
     Why it scales: order every doc's shingles by GLOBAL rarity
     (df asc, shingle asc — one bounded-vocab aggregate); a pair with
@@ -1294,20 +1294,25 @@ def ppjoin_pairs(
     candidate join. A size filter (min >= t·max, integer
     cross-multiply) prunes further before the exact intersect-verify
     on the full sets. Everything is JVM expressions; exchanges are on
-    (shingle) for the candidate join and (doc) for the verify joins.
+    the fixed-width dual-xxhash64 shingle key (r6 — shingle strings
+    never leave the scan) for the candidate join and (doc) for the
+    verify joins.
 
     Output (id_a < id_b, jaccard) — same columns/semantics as
     :func:`ngram_jaccard_pairs`, equality pinned in tests.
 
-    Calibration honesty (r5-cont6, sf0.1 doc subset = 1000 docs):
-    the driver's synthetic docs draw from ONE tiny shared vocabulary,
-    the adversarial case for prefix filtering — every gram is common,
-    so the prefix trims candidates only ~20% over the collision-
-    driven quadratic baseline (25.9 vs 31.6 s, identical 2738 pairs).
-    On Zipfian real-corpus vocabularies the rare-prefix pruning is
-    the standard exact-join win; for common-vocab corpora at scale,
-    minhash-LSH (recall < 1) remains the default and PPJoin is the
-    exactness option.
+    Calibration (re-measured r6, sf0.1 doc subset = 1000 docs): the
+    driver's synthetic docs draw from ONE tiny shared vocabulary, the
+    adversarial case for rarity-prefix filtering — every gram is
+    common. The r5 prefix+size version trimmed only ~20% over the
+    quadratic baseline there (25.9 vs 31.6 s); the r6 positional
+    filter prunes on ORDER POSITION rather than rarity, which the
+    shared vocabulary cannot defeat, and the dual-xxhash64 shingle
+    keys take strings out of every exchange: 9.7 s vs the quadratic
+    24.3 s (2.5x), identical 2738 pairs, count-drained interleaved
+    min-of-2. On Zipfian real-corpus vocabularies the rare-prefix
+    pruning adds its standard win on top; minhash-LSH (recall < 1)
+    remains the cheap default and PPJoin the exactness option.
     """
     from pyspark.sql import Window
 
@@ -1319,47 +1324,88 @@ def ppjoin_pairs(
             lambda i: c.substr(i, F.lit(n)),
         )
     )
+    # Shingle strings never leave the scan (r6): every downstream
+    # exchange/join/sort keys the dual-xxhash64 pair (sha, shb) —
+    # fixed 16 bytes, the 128-bit-class posture this repo treats as
+    # exact everywhere md5 is used (a false shingle identity needs
+    # BOTH chains to collide). The global prefix order becomes
+    # (_df, sha, shb) — still a total order shared by all docs, so
+    # the prefix-filter theorem holds unchanged; dfreq pooling under
+    # a (double) collision would only perturb the ORDERING heuristic,
+    # and the intersect-verify counts on the pair too, so the emitted
+    # Jaccard stays exact. The string-shingle oracle differentially
+    # verifies all of this on every run.
     g = (
         df.filter(F.length(c) >= n)
-        .select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+        .select(F.col(id_col).alias("doc"), F.explode(grams).alias("_s"))
+        .select(
+            "doc",
+            F.xxhash64("_s").alias("sha"),
+            F.xxhash64(F.lit(0x9E3779B9), "_s").alias("shb"),
+        )
     ).localCheckpoint(eager=False)  # feeds df-agg, prefix, and both verify sides
     sizes = g.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    dfreq = g.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("_df"))
-    w = Window.partitionBy("doc").orderBy("_df", "shingle")
+    dfreq = g.groupBy("sha", "shb").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    w = Window.partitionBy("doc").orderBy("_df", "sha", "shb")
     ranked = (
-        g.join(dfreq, "shingle")
+        g.join(dfreq, ["sha", "shb"])
         .withColumn("_r", F.row_number().over(w))
         .join(sizes, "doc")
     )
     # prefix length = sz - ceil(t*sz) + 1, ceil via integer arithmetic
     prefix = ranked.filter(
         F.col("_r") <= F.col("sz") - F.expr(f"({t_pct} * sz + 99) div 100") + 1
-    ).select("doc", "shingle", "sz")
+    ).select("doc", "sha", "shb", "sz", "_r")
     pa = prefix.select(
-        F.col("doc").alias("id_a"), "shingle", F.col("sz").alias("_sa")
+        F.col("doc").alias("id_a"), "sha", "shb",
+        F.col("sz").alias("_sa"), F.col("_r").alias("_ra"),
     )
     pb = prefix.select(
-        F.col("doc").alias("id_b"), "shingle", F.col("sz").alias("_sb")
+        F.col("doc").alias("id_b"), "sha", "shb",
+        F.col("sz").alias("_sb"), F.col("_r").alias("_rb"),
+    )
+    # POSITIONAL filter (the "PP" in PPJoin, r6 — was prefix+size only):
+    # J >= t  <=>  overlap o >= alpha := ceil(t/(1+t) * (sa+sb)). Every
+    # matched prefix token at ordered positions (ra, rb) yields a valid
+    # upper bound o <= min(ra, rb) + min(sa-ra, sb-rb) (shared tokens
+    # before the match <= min(ra,rb)-1; after it <= min of the
+    # remainders; +1 for the match itself), so the pair survives only
+    # if the MIN of those bounds reaches alpha. On the shared-vocab
+    # adversarial corpus this prunes what the rarity prefix cannot —
+    # candidates whose matches all sit too late in one side's order.
+    alpha = F.expr(
+        f"({t_pct} * (_sa + _sb) + {100 + t_pct} - 1) div {100 + t_pct}"
     )
     cands = (
-        pa.join(pb, "shingle")
+        pa.join(pb, ["sha", "shb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(  # size filter: min >= t * max (integer cross-multiply)
             F.least("_sa", "_sb") * 100 >= t_pct * F.greatest("_sa", "_sb")
         )
+        .groupBy("id_a", "id_b", "_sa", "_sb")
+        .agg(
+            F.min(
+                F.least("_ra", "_rb")
+                + F.least(
+                    F.col("_sa") - F.col("_ra"), F.col("_sb") - F.col("_rb")
+                )
+            ).alias("_ub")
+        )
+        .filter(F.col("_ub") >= alpha)
         .select("id_a", "id_b", "_sa", "_sb")
-        .distinct()
     )
     # verify on the POSTING form: the exploded equi-join ships only the
-    # intersecting (pair, shingle) rows into the count — measured
+    # intersecting (pair, shingle-key) rows into the count — measured
     # FASTER than joining full shingle arrays per candidate (26 vs
     # 41 s at sf0.1; candidate rows dragging two ~500-element arrays
     # cost more than the intersection-only explode)
-    ga = g.select(F.col("doc").alias("id_a"), "shingle")
-    gb = g.select(F.col("doc").alias("id_b"), "shingle")
+    ga = g.select(F.col("doc").alias("id_a"), "sha", "shb")
+    gb = g.select(F.col("doc").alias("id_b"), "sha", "shb")
     inter = (
         cands.join(ga, "id_a")
-        .join(gb, ["id_b", "shingle"])
+        .join(gb, ["id_b", "sha", "shb"])
         .groupBy("id_a", "id_b", "_sa", "_sb")
         .agg(F.count(F.lit(1)).cast("long").alias("_ix"))
     )

@@ -83,6 +83,9 @@ def test_poisson_weights_average_near_one():
 
 
 def _psi_replica(ca, cb, na, nb, bins):
+    # mirrors the r6 e12 fixed-point scale (operators/aggregates.py
+    # psi_drift): probabilities at e12, per-bin terms at e15, outputs
+    # floored back to e9
     def L(x):
         if x == 0:
             return -1000
@@ -92,12 +95,12 @@ def _psi_replica(ca, cb, na, nb, bins):
     s = 0
     contribs = {}
     for b in set(ca) | set(cb):
-        p = ((ca.get(b, 0) + 1) * 1000000) // (na + bins)
-        q = ((cb.get(b, 0) + 1) * 1000000) // (nb + bins)
+        p = ((ca.get(b, 0) + 1) * 10**12) // (na + bins)
+        q = ((cb.get(b, 0) + 1) * 10**12) // (nb + bins)
         c = (p - q) * (L(p) - L(q))
         contribs[b] = c
         s += c
-    return s, contribs
+    return s // 10**6, {b: c // 10**6 for b, c in contribs.items()}
 
 
 def test_psi_zero_for_identical_distributions(spark):
