@@ -9106,3 +9106,112 @@ def q_stats_build_advice(spark, sf_dir):
         t(spark, sf_dir, "part"), "part", "p_brand",
         ["Brand#1", "Brand#2", "Brand#3"],
     )
+
+
+# ===========================================================================
+# LSH parameter advisor — the (bands, rows) tuning every dedup user asks (r6)
+# ===========================================================================
+
+def _fp_pow_sql(x: str, k: int, divop: str) -> str:
+    """Fixed-point e6 power with per-step flooring: x^k where x is an
+    e6-scaled probability in [0, 1e6]. Chained (v * x) div 1e6 keeps
+    every intermediate <= 1e12 (bigint-safe) and makes the rounding
+    IDENTICAL on both engines — the same text is emitted with Spark's
+    `div` or DuckDB's `//`."""
+    v = x
+    for _ in range(k - 1):
+        v = f"(({v}) * ({x}) {divop} 1000000)"
+    return v
+
+
+def _lsh_curve_sql(divop: str) -> str:
+    """Per (bands, rows, s) grid row: p_cand = 1 - (1 - s^r)^b in e6
+    fixed-point, plus the operating-point summaries at t=0.40."""
+    rows = []
+    for b, r in ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)):
+        pband = _fp_pow_sql("s_e6", r, divop)
+        pmiss = _fp_pow_sql(f"(1000000 - ({pband}))", b, divop)
+        rows.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, s_e6,\n"
+            f"       (1000000 - {pmiss}) AS p_cand_e6\n"
+            f"  FROM grid"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+_LSH_T_E6 = 400_000  # the registered minhash config's threshold (0.40)
+
+
+@register(
+    "dedup_lsh_advisor",
+    f"""WITH grid AS (SELECT (u.i * 50000)::BIGINT AS s_e6
+                      FROM (SELECT unnest(range(1, 20)) AS i) u),
+        curve AS ({_lsh_curve_sql('//')}),
+        op AS (SELECT bands, rows_per_band,
+                      max(CASE WHEN s_e6 = {_LSH_T_E6} THEN p_cand_e6 END)
+                          AS recall_at_t_e6,
+                      max(CASE WHEN s_e6 = {_LSH_T_E6 // 2} THEN p_cand_e6 END)
+                          AS fp_at_half_t_e6
+               FROM curve GROUP BY 1, 2),
+        pick AS (SELECT bands, rows_per_band,
+                        row_number() OVER (
+                            ORDER BY (recall_at_t_e6 >= 900000) DESC,
+                                     fp_at_half_t_e6 ASC,
+                                     bands ASC) AS rk
+                 FROM op)
+       SELECT c.bands, c.rows_per_band, c.s_e6, c.p_cand_e6,
+              o.recall_at_t_e6, o.fp_at_half_t_e6,
+              (p.rk = 1) AS chosen
+       FROM curve c
+       JOIN op o USING (bands, rows_per_band)
+       JOIN pick p USING (bands, rows_per_band)""",
+    "LSH PARAMETER ADVISOR — answers the question every minhash-dedup "
+    "owner asks before a 100 TB run: for n_hashes=16, which "
+    "(bands, rows-per-band) split? Computes the S-curve "
+    "P(candidate | J=s) = 1-(1-s^r)^b over a 19-point similarity grid "
+    "ENTIRELY in e6 fixed-point (chained floor-multiply powers — "
+    "bigint-safe, bit-identical cross-engine; no pow/exp libm), then "
+    "summarizes each split at the registered operating threshold "
+    "t=0.40: recall_at_t (the S-curve's value at t) and fp_at_half_t "
+    "(candidate mass wasted on J=t/2 pairs — the false-positive "
+    "proxy). The pick: splits reaching >=0.9 recall at t, minimum "
+    "false-candidate mass, fewest bands as the tiebreak. The honest "
+    "finding the curve exposes: at t=0.40 with 16 hashes, ONLY "
+    "(16, 1) clears a 0.9 recall floor AT THE THRESHOLD BOUNDARY "
+    "(0.9997, but 97% of J=t/2 pairs become candidates), while the "
+    "shipped dedup_minhash_lsh config (8, 2) models 0.752 boundary "
+    "recall for 3.5x fewer false candidates — quantifying exactly "
+    "the trade the default makes: boundary pairs sit on the S-curve's "
+    "steep flank, and real near-dup mass concentrates at higher J "
+    "where (8, 2)'s recall climbs fast (0.94 by s=0.55; "
+    "dedup_recall_matrix carries the MEASURED recall beside this "
+    "model). Model-based by design (the standard "
+    "Leskovec/Rajaraman/Ullman banding analysis). No corpus scan at "
+    "all — the grid is range-generated; at any scale this is a "
+    "constant-time planning query.",
+)
+def q_dedup_lsh_advisor(spark, sf_dir):
+    grid = spark.range(1, 20).select((F.col("id") * 50000).alias("s_e6"))
+    grid.createOrReplaceTempView("grid")
+    curve = spark.sql(_lsh_curve_sql("div"))
+    curve.createOrReplaceTempView("lsh_curve")
+    return spark.sql(
+        f"""WITH op AS (SELECT bands, rows_per_band,
+                      max(CASE WHEN s_e6 = {_LSH_T_E6} THEN p_cand_e6 END)
+                          AS recall_at_t_e6,
+                      max(CASE WHEN s_e6 = {_LSH_T_E6 // 2} THEN p_cand_e6 END)
+                          AS fp_at_half_t_e6
+               FROM lsh_curve GROUP BY 1, 2),
+        pick AS (SELECT bands, rows_per_band,
+                        row_number() OVER (
+                            ORDER BY (recall_at_t_e6 >= 900000) DESC,
+                                     fp_at_half_t_e6 ASC,
+                                     bands ASC) AS rk
+                 FROM op)
+       SELECT c.bands, c.rows_per_band, c.s_e6, c.p_cand_e6,
+              o.recall_at_t_e6, o.fp_at_half_t_e6,
+              (p.rk = 1) AS chosen
+       FROM lsh_curve c
+       JOIN op o USING (bands, rows_per_band)
+       JOIN pick p USING (bands, rows_per_band)"""
+    )
