@@ -256,3 +256,38 @@ def test_lang_id_raw_scores_unchanged_by_prior(spark):
     assert row["score_zh"] > 0  # raw han count still reported
     assert row["score_ja"] > 0
     assert row["pred_lang"] == "ja"
+
+
+# ---------------------------------------------------------------------------
+# LSH advisor: fixed-point S-curve matches the float model (round 6)
+# ---------------------------------------------------------------------------
+
+def test_lsh_advisor_curve_matches_float_model(spark):
+    import spark_cassandra_collabfiltering_spark.plans.queries as Q
+
+    rows = Q.QUERIES["dedup_lsh_advisor"].builder(spark, "x").collect()
+    assert len(rows) == 5 * 19  # five splits x 19 grid points
+    for r in rows:
+        s = r["s_e6"] / 1e6
+        want = 1.0 - (1.0 - s ** r["rows_per_band"]) ** r["bands"]
+        got = r["p_cand_e6"] / 1e6
+        # chained floor-multiplies drift by < (b + r) ULPs of 1e-6 in
+        # either direction (flooring s^r pushes p_cand down; flooring
+        # the (1-s^r)^b chain pushes it up)
+        assert abs(got - want) <= 5e-4, (r, want)
+    chosen = {(r["bands"], r["rows_per_band"]) for r in rows if r["chosen"]}
+    assert chosen == {(16, 1)}  # only split clearing 0.9 recall at t=0.40
+
+
+def test_lsh_advisor_monotone_in_similarity(spark):
+    import spark_cassandra_collabfiltering_spark.plans.queries as Q
+
+    rows = Q.QUERIES["dedup_lsh_advisor"].builder(spark, "x").collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault((r["bands"], r["rows_per_band"]), []).append(
+            (r["s_e6"], r["p_cand_e6"])
+        )
+    for pts in by_split.values():
+        ys = [y for _, y in sorted(pts)]
+        assert ys == sorted(ys)  # S-curve is monotone non-decreasing

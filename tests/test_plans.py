@@ -97,6 +97,10 @@ PLAN_QUERIES = [
     "j12_min_cost_supplier", "g14_custdist",
     "j14_local_supplier_volume", "g18_disjunctive_revenue",
     "g17_small_quantity_revenue", "g19_forecast_revenue_delta",
+    # r6 additions (plan-only cheap; pipeline_corpus_assembly excluded
+    # — its builder runs the iterative connected-components jobs, same
+    # reason as dedup_keep_best)
+    "dedup_ppjoin", "dedup_lsh_advisor",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
@@ -520,6 +524,31 @@ def test_span_dedup_shuffles_only_hashed_keys(plans):
         keys = [k.strip().split("#")[0] for k in spec.split(",")[:-1]]
         assert set(keys) <= {"_ga", "_gb", "doc_id"}, spec
     assert "CartesianProduct" not in plan
+
+
+def test_ppjoin_shuffles_only_hashed_keys(plans):
+    """PPJoin (r6): shingle STRINGS must never cross an exchange —
+    every hash exchange keys the dual-xxhash64 pair, a doc id, or the
+    candidate-pair grouping columns."""
+    plan = plans["dedup_ppjoin"]
+    specs = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert specs, "expected hash exchanges in the ppjoin plan"
+    allowed = {"sha", "shb", "doc", "id_a", "id_b", "_sa", "_sb", "_ra", "_rb"}
+    for spec in specs:
+        keys = [k.strip().split("#")[0] for k in spec.split(",")[:-1]]
+        assert set(keys) <= allowed, spec
+    assert "shingle" not in " ".join(
+        re.findall(r"hashpartitioning\([^)]*\)", plan)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_advisor_scans_no_tables(plans):
+    """The advisor is a constant-time planning query: a range-generated
+    grid, no parquet scan, no exchange wider than the bounded grid."""
+    plan = plans["dedup_lsh_advisor"]
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "Range (1, 20" in plan, plan[:2000]
 
 
 def test_vocab_build_unpartitioned_window_only_on_group_table(plans):
