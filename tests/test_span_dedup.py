@@ -234,3 +234,70 @@ def test_ppjoin_equals_quadratic_baseline_and_prunes(spark):
     all_pairs = n_docs * (n_docs - 1) // 2
     got_pairs = len(got)
     assert got_pairs < all_pairs
+
+
+# ---------------------------------------------------------------------------
+# r6: the hashed-gram rewrite == a pure-Python string-gram replica, on
+# RANDOM corpora (hypothesis) — pins the dual-xxhash64 key change
+# ---------------------------------------------------------------------------
+
+def _py_duplicate_spans(docs, n=3, min_docs=2):
+    """Reference implementation over STRING grams (the pre-r6
+    semantics): maximal merged spans of word n-grams shared by >=
+    min_docs distinct docs."""
+    import re as _re
+
+    grams = {}
+    tok = {d: _re.findall(r"[A-Za-z0-9]+", t.lower()) for d, t in docs}
+    for d, ws in tok.items():
+        for i in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[i : i + n]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    out = []
+    for d, ws in tok.items():
+        hits = sorted(
+            i for i in range(len(ws) - n + 1) if tuple(ws[i : i + n]) in dup
+        )
+        span = None
+        for i in hits:
+            if span and i <= span[1] + 1:
+                span = (span[0], max(span[1], i + n - 1), span[2] + 1)
+            else:
+                if span:
+                    out.append((d, *span))
+                span = (i, i + n - 1, 1)
+        if span:
+            out.append((d, *span))
+    return {(d, s, e, c) for d, s, e, c in out}
+
+
+def test_hashed_grams_equal_string_replica_random(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    doc_strat = st.lists(
+        st.sampled_from(vocab), min_size=0, max_size=12
+    ).map(" ".join)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(st.lists(doc_strat, min_size=2, max_size=6))
+    def check(texts):
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+            for r in dd.duplicate_spans(
+                df, "doc_id", "text", n=3, min_docs=2
+            ).collect()
+        }
+        assert got == _py_duplicate_spans(docs, n=3, min_docs=2)
+
+    check()
