@@ -303,6 +303,69 @@ def bigram_lm_xent(
     )
 
 
+def bigram_lm_xent_grouped(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GROUPED in-plan model training (r6): one add-one-smoothed
+    bigram LM per ``group_col`` value, every model trained in the SAME
+    hash-aggregate plan, each doc scored against ITS OWN group's model
+    — the CCNet per-language setup (one KenLM per language bucket)
+    generalized to any grouping column. Where :func:`bigram_lm_xent`
+    asks "how far is this doc from the reference slice", this asks
+    "how typical is this doc OF ITS OWN SOURCE" — the within-source
+    outlier signal a per-domain cleaning pass gates on (a low-xent doc
+    in a spam-heavy source is typical spam; a high-xent doc in an
+    encyclopedic source is the anomaly worth auditing).
+
+    Identical exact-integer arithmetic to the global LM (fixed-point
+    bit-length log2; nlp_e3 = L(c_u + V) - L(c_uv + 1); xent = sum div
+    n), with the group key carried through every count table:
+    c(g, u, v), c(g, u), V(g). Scale shape: training N models costs
+    ONE map-combining aggregate whose key space is the union of the
+    per-group observed-bigram vocabularies — no per-group plan, no
+    driver loop over groups; scoring is the same two hash joins plus
+    a broadcast of the |groups|-row vocab table. Output one row per
+    doc with >=1 token: (id, group, n_bigrams, xent_e3).
+    """
+    tb = _bigrams(docs, [group_col], text_col)
+    c_uv = tb.groupBy(group_col, "prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_uv")
+    )
+    c_u = c_uv.groupBy(group_col, "prev").agg(
+        F.sum("c_uv").cast("bigint").alias("c_u")
+    )
+    vocab_n = (
+        tb.select(group_col, "cur")
+        .distinct()
+        .groupBy(group_col)
+        .agg((F.count(F.lit(1)) + 1).cast("bigint").alias("v"))
+    )
+    sb = _bigrams(docs, [id_col, group_col], text_col)
+    scored = (
+        sb.join(c_uv, [group_col, "prev", "cur"], "left")
+        .join(c_u, [group_col, "prev"], "left")
+        .na.fill({"c_uv": 0, "c_u": 0})
+        .join(F.broadcast(vocab_n), group_col)
+        .withColumn("nlp_e3", _l2l("(c_u + v)") - _l2l("(c_uv + 1)"))
+    )
+    return (
+        scored.groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nlp_e3").cast("bigint").alias("_s"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_bigrams",
+            F.expr("_s div n_bigrams").cast("bigint").alias("xent_e3"),
+        )
+    )
+
+
 # margin-bucket edges in e3 log2 units (fixed, engine-identical)
 NB_MARGIN_BINS = (1000, 5000, 20000)
 

@@ -6285,6 +6285,49 @@ def q_text_lm_perplexity(spark, sf_dir):
     return tmod.bigram_lm_xent(docs, F.col("lang") == F.lit("en"))
 
 
+@register(
+    "text_lm_perplexity_by_source",
+    f"""WITH d AS (SELECT doc_id, source,
+                regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS arr
+           FROM documents),
+        bg AS (SELECT doc_id, source,
+                      CASE WHEN i = 1 THEN '<s>' ELSE arr[i - 1] END AS prev,
+                      arr[i] AS cur
+               FROM d, unnest(generate_series(1, len(arr))) AS t(i)
+               WHERE len(arr) > 0),
+        c_uv AS (SELECT source, prev, cur, count(*)::BIGINT AS c_uv
+                 FROM bg GROUP BY 1, 2, 3),
+        c_u AS (SELECT source, prev, sum(c_uv)::BIGINT AS c_u
+                FROM c_uv GROUP BY 1, 2),
+        scal AS (SELECT source, (count(DISTINCT cur) + 1)::BIGINT AS v
+                 FROM bg GROUP BY 1),
+        nlp AS (SELECT bg.doc_id, bg.source,
+                       {_NB_L('(coalesce(u.c_u, 0) + s.v)')}
+                         - {_NB_L('(coalesce(x.c_uv, 0) + 1)')} AS nlp_e3
+                FROM bg
+                LEFT JOIN c_uv x ON x.source = bg.source
+                                AND x.prev = bg.prev AND x.cur = bg.cur
+                LEFT JOIN c_u u ON u.source = bg.source AND u.prev = bg.prev
+                JOIN scal s ON s.source = bg.source)
+       SELECT doc_id, source, count(*)::BIGINT AS n_bigrams,
+              (sum(nlp_e3) // count(*))::BIGINT AS xent_e3
+       FROM nlp GROUP BY 1, 2""",
+    "GROUPED in-plan model training (r6): one add-one bigram LM PER "
+    "SOURCE — every model trained inside the same map-combining "
+    "aggregate (key space = union of per-source observed-bigram "
+    "vocabularies; no per-group plan, no driver loop) — and each doc "
+    "scored against ITS OWN source's model. The CCNet per-language "
+    "setup generalized: where text_lm_perplexity measures distance "
+    "from one reference slice, this measures how typical a doc is OF "
+    "ITS OWN SOURCE — the within-source outlier gate of a per-domain "
+    "cleaning pass. Same exact fixed-point log2 arithmetic; "
+    "hash-matches end to end.",
+)
+def q_text_lm_perplexity_by_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tmod.bigram_lm_xent_grouped(docs, group_col="source")
+
+
 # ===========================================================================
 # WARC ingest — the Common Crawl source format (r5-cont4; ISO 28500)
 # ===========================================================================
