@@ -100,7 +100,7 @@ PLAN_QUERIES = [
     # r6 additions (plan-only cheap; pipeline_corpus_assembly excluded
     # — its builder runs the iterative connected-components jobs, same
     # reason as dedup_keep_best)
-    "dedup_ppjoin", "dedup_lsh_advisor",
+    "dedup_ppjoin", "dedup_lsh_advisor", "text_lm_perplexity_by_source",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by

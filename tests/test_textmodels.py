@@ -302,3 +302,46 @@ def test_nb_auc_ties_count_half(spark):
     want = _auc_e6_bruteforce(_nb_scores_py(rows, "a"))
     assert (r.n_pos, r.n_neg, r.auc_e6) == want
     assert r.auc_e6 == 500000
+
+
+# ---------------------------------------------------------------------------
+# r6: grouped in-plan LM training (one model per source)
+# ---------------------------------------------------------------------------
+
+def test_grouped_lm_flags_within_source_outlier(spark):
+    from spark_cassandra_collabfiltering_spark.ml import textmodels as tm
+
+    # source A: templated English; source B: templated German. The
+    # planted outlier is a GERMAN doc filed under source A — its
+    # bigrams are unseen by A's model, so its xent must top source A.
+    rows = [(f"a{i}", "A", "the quick brown fox jumps over the lazy dog")
+            for i in range(10)]
+    rows += [(f"b{i}", "B", "der schnelle braune fuchs springt hoch")
+             for i in range(10)]
+    rows.append(("odd", "A", "der schnelle braune fuchs springt hoch"))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in tm.bigram_lm_xent_grouped(docs).collect()}
+    a_scores = {d: r["xent_e3"] for d, r in out.items() if r["source"] == "A"}
+    assert max(a_scores, key=a_scores.get) == "odd"
+    # the same text is TYPICAL of source B — scored there it is cheap
+    assert out["odd"]["xent_e3"] > out["b0"]["xent_e3"]
+
+
+def test_grouped_lm_matches_global_lm_on_single_group(spark):
+    # with one group, the grouped trainer must equal the global LM
+    # trained on the full frame (train_filter = everything)
+    from pyspark.sql import functions as F
+    from spark_cassandra_collabfiltering_spark.ml import textmodels as tm
+
+    rows = [(f"d{i}", "only", f"alpha beta gamma delta {'epsilon ' * (i % 3)}")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    grouped = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_e3"])
+        for r in tm.bigram_lm_xent_grouped(docs).collect()
+    }
+    glob = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_e3"])
+        for r in tm.bigram_lm_xent(docs, F.lit(True)).collect()
+    }
+    assert grouped == glob
