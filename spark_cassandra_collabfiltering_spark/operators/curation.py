@@ -227,6 +227,48 @@ def contamination_check(
     )
 
 
+def contamination_check_multi(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_col: str = "benchmark",
+) -> DataFrame:
+    """Decontamination against MANY eval sets in ONE corpus scan (r6).
+
+    Real pretraining pipelines hold out a SUITE of benchmarks, not
+    one; running :func:`contamination_check` per benchmark rescans the
+    100 TB corpus once per eval set. This grouped form broadcasts the
+    union gram table keyed by benchmark — (benchmark, gram), distinct
+    within each benchmark — joins the corpus gram stream ONCE, and
+    reports per (doc, benchmark) hit counts. The corpus is scanned
+    exactly once regardless of how many benchmarks ride along; the
+    broadcast grows only with the eval suite (bounded by construction
+    — eval sets are small, that is what makes them eval sets).
+
+    Output: one row per corpus doc per benchmark it overlaps —
+    (id, benchmark, n_hits) — plus the ``contaminated_any`` summary is
+    a trivial downstream groupBy the caller composes; zero-hit
+    (doc, benchmark) pairs are NOT materialized (at N benchmarks x
+    corpus rows that dense frame is the scale hazard; absence = clean).
+    """
+    bench_grams = (
+        benchmarks.select(
+            F.col(bench_col),
+            F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+        ).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col, bench_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
 def domain_mix_sample(
     df: DataFrame,
     quotas: dict[str, int],

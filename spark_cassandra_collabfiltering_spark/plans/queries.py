@@ -3501,6 +3501,45 @@ def q_curation_contamination(spark, sf_dir):
 
 
 @register(
+    "curation_contamination_multi",
+    """WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws
+                      FROM documents),
+        grams AS (SELECT doc_id, array_to_string(ws[u.i:u.i+4], ' ') AS gram
+                  FROM words,
+                       LATERAL unnest(range(1, greatest(len(ws)-4, 0)+1)) u(i)),
+        bench AS (SELECT 'bench_a' AS benchmark, gram
+                  FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+                  UNION ALL
+                  SELECT 'bench_b', gram
+                  FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 89 = 0))
+       SELECT g.doc_id, b.benchmark, count(*)::BIGINT AS n_hits
+       FROM grams g JOIN bench b USING (gram)
+       GROUP BY 1, 2""",
+    "Multi-benchmark decontamination in ONE corpus scan (r6): real "
+    "pipelines hold out a SUITE of eval sets, and per-benchmark "
+    "contamination passes rescan the 100 TB corpus once per set. "
+    "Here the union gram table keys (benchmark, gram) — distinct "
+    "within each benchmark — broadcasts once, the corpus gram stream "
+    "joins once, and the output is per (doc, benchmark) hit counts; "
+    "zero-hit pairs are never materialized (the dense doc x benchmark "
+    "frame is the scale hazard; absence = clean). Broadcast grows "
+    "only with the eval suite, bounded by construction. Two synthetic "
+    "eval slices here (doc_id %% 97 / %% 89 — overlapping, so a doc "
+    "CAN be contaminated against both).",
+)
+def q_curation_contamination_multi(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    benches = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.lit("bench_a").alias("benchmark"), "doc_id", "text"
+    ).unionByName(
+        d.filter(F.col("doc_id") % 89 == 0).select(
+            F.lit("bench_b").alias("benchmark"), "doc_id", "text"
+        )
+    )
+    return cu.contamination_check_multi(d, benches, n=5)
+
+
+@register(
     "curation_contamination_bloom",
     _CONTAM_SQL,
     "Same contamination semantics and the SAME oracle as "

@@ -520,3 +520,44 @@ def test_expectations_check_counts_planted_violations(spark):
     # 6 rows, distinct non-null keys {1,2,3,5} = 4 -> 2 violations
     # (the dup 5 and the NULL)
     assert out["unique:k"] == (6, 2)
+
+
+# ---------------------------------------------------------------------------
+# r6: multi-benchmark decontamination in one scan
+# ---------------------------------------------------------------------------
+
+def test_contamination_multi_matches_per_benchmark_runs(spark):
+    """One-scan grouped result == N independent contamination_check
+    runs (the rescans it replaces), on planted data."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon different tail"),
+            (4, "totally unrelated words nothing shared here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    b1 = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(200, "one two three four five six")], ["doc_id", "text"]
+    )
+    multi_in = b1.select(
+        F.lit("b1").alias("benchmark"), "doc_id", "text"
+    ).unionByName(b2.select(F.lit("b2").alias("benchmark"), "doc_id", "text"))
+    got = {
+        (r["doc_id"], r["benchmark"]): r["n_hits"]
+        for r in cu.contamination_check_multi(docs, multi_in, n=5).collect()
+    }
+    want = {}
+    for name, b in (("b1", b1), ("b2", b2)):
+        for r in cu.contamination_check(docs, b, n=5).collect():
+            if r["n_hits"] > 0:
+                want[(r["doc_id"], name)] = r["n_hits"]
+    assert got == want
+    assert (1, "b1") in got and (2, "b2") in got
+    assert not any(d == 4 for d, _ in got)  # clean doc never materializes

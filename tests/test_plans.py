@@ -101,6 +101,7 @@ PLAN_QUERIES = [
     # — its builder runs the iterative connected-components jobs, same
     # reason as dedup_keep_best)
     "dedup_ppjoin", "dedup_lsh_advisor", "text_lm_perplexity_by_source",
+    "curation_contamination_multi",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
