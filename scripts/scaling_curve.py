@@ -164,7 +164,24 @@ heavies. Noop-sink min over interleaved warm passes, local[32]; the
 | curation_contamination | 12.7 | 24.2 | 1.9× (broadcast bench-gram set grows with the %97 sample; probe stream linear) |
 
 Every step-D ratio is sub-linear — no quadratic tail appears at 3×
-the largest prior scale. Negative result recorded the same session:
+the largest prior scale. Step E (sf10, measured later the same round —
+lineitem 60M, documents 500k, embeddings 200k, 1.9 GB) extends the
+curve a full decade past sf1:
+
+| query | sf1 s | sf3 s | sf10 s | ×10 (sf1→sf10) |
+|---|---|---|---|---|
+| dedup_minhash_lsh | 6.2 | 6.0 | 13.6 | 2.2× |
+| ann_lsh_topk | 0.9 | 1.0 | 1.9 | 2.1× |
+| curation_contamination | 12.7 | 24.2 | 104.6 | 8.2× |
+
+All three stay sub-linear across the full decade. Contamination's
+sf3→sf10 step alone reads 4.3× for 3.3× data — that uptick is the
+SYNTHETIC corpus's finite 32-word vocabulary saturating: the %97
+bench sample's gram set covers an ever-larger fraction of the
+bounded 5-gram space as the corpus grows, so the per-doc HIT rate
+rises with scale; on a real corpus the eval-set gram space is fixed
+and the hit stream stays sparse. The full-decade 8.2× (vs 10× data)
+is the honest headline. Negative result recorded the same session:
 rewriting contamination's grams to the dual-xxhash64 chains that
 bought duplicate_spans its 3.9× was A/B-tested at sf1 and REJECTED
 (strings 12.7 s vs hashed 39.6 s interleaved best-of-3) — the hashing
