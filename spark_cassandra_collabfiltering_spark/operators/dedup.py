@@ -840,8 +840,10 @@ def duplicate_spans(
     noop-sink min-of-2, 3.9× — dual-hash chains 2.2×, gram-table
     diamond reuse the rest): the doc tokenizes ONCE into TWO
     independently-salted
-    xxhash64 token-hash arrays; each n-gram key is the pair of rolling
-    xxhash64 combinations over n shifted slices of those arrays. No
+    xxhash64 token-hash arrays (each chain hashes the token STRING —
+    the second salted — so the chains are independent at token level,
+    not a rehash of one 64-bit value); each n-gram key is the pair of
+    rolling xxhash64 combinations over n shifted slices. No
     n-word gram STRING is ever materialized and no md5 runs — the
     per-token work is fixed-width long mixing. The (h_a, h_b) pair is
     a 128-bit-class key (two independent 64-bit chains), the same
@@ -877,14 +879,16 @@ def duplicate_spans(
     from spark_cassandra_collabfiltering_spark.operators.text import _WORD_RE
 
     ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
-    staged = df.select(
+    # both chains hash the token STRING (second with a salt prefix, the
+    # ppjoin_pairs pattern): a 64-bit token collision in one chain does
+    # not collapse the other, so token-identity resistance is the full
+    # 128-bit-class pair, not 64 bits
+    staged = df.select(F.col(id_col), ws.alias("_ws")).select(
         F.col(id_col),
-        F.transform(ws, lambda w: F.xxhash64(w)).alias("_ha"),
-    ).withColumn(
-        # second chain re-salts the TOKEN hash (constant prefix feeds
-        # xxhash64's mixing), so the two gram chains are independent
-        "_hb",
-        F.transform(F.col("_ha"), lambda h: F.xxhash64(F.lit(0x9E3779B9), h)),
+        F.transform(F.col("_ws"), lambda w: F.xxhash64(w)).alias("_ha"),
+        F.transform(
+            F.col("_ws"), lambda w: F.xxhash64(F.lit(0x9E3779B9), w)
+        ).alias("_hb"),
     )
 
     def _chain(col_name: str) -> Column:

@@ -52,11 +52,14 @@ def lang_scores(text_col: str = "text") -> list[Column]:
     languages; unicode-block character counts for the scripts with no
     whitespace tokenization to exploit — CJK ideographs for zh, kana
     for ja, hangul syllables for ko. These are the RAW counts; the
-    argmax in :func:`lang_id` applies the han-share vs kana-presence
-    prior (r6): written Japanese always carries kana (grammatical
-    particles are kana even in kanji-heavy prose) while written
-    Chinese never does, so when ANY kana appears the doc's han
-    characters count toward ja, not zh."""
+    argmax in :func:`lang_id` applies the kana-SHARE prior (r6,
+    share-gated r7): written Japanese always carries kana at a
+    material rate (grammatical particles are kana even in the most
+    kanji-heavy prose) while written Chinese carries essentially none,
+    so when kana reaches a small share of the han count the doc's han
+    characters count toward ja, not zh. A bare-presence gate would let
+    ONE stray kana (a quoted Japanese word, OCR noise) flip a long
+    Chinese document — the share gate does not."""
     return [
         _marker_hits(F.col(text_col), words).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
@@ -70,6 +73,13 @@ def lang_scores(text_col: str = "text") -> list[Column]:
 
 BLOCK_LANGS = ["zh", "ja", "ko"]
 
+# ja/zh prior threshold: kana must exceed 1/K of the han count for the
+# han characters to be credited to ja. Japanese particle-level kana
+# share is >=15% of characters even in the most kanji-dense prose;
+# Chinese with a stray quoted kana or OCR noise sits well under 5%.
+# K=20 (5%) separates the two with margin on both sides.
+JA_KANA_PRIOR_K = 20
+
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID: argmax of per-language scores, 'und' when all zero.
@@ -78,15 +88,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     (compare (score, neg-ordinal) pairs) — fully deterministic.
 
     ja/zh disambiguation (r6, closes the ROADMAP kanji-heavy-ja
-    limitation): the argmax runs over ADJUSTED CJK scores — if any
-    kana is present, the han (CJK-ideograph) count is credited to ja
-    and zh is zeroed; with no kana, scores are the raw counts. Output
-    score columns stay the raw counts (the adjustment is a prediction
+    limitation; r7 share-gates it per the round-6 advice): the argmax
+    runs over ADJUSTED CJK scores — if kana exceeds 1/``JA_KANA_PRIOR_K``
+    of the han count, the han (CJK-ideograph) count is credited to ja
+    and zh is zeroed; below that share, scores are the raw counts, so
+    a long Chinese doc with one stray kana stays zh. Output score
+    columns stay the raw counts (the adjustment is a prediction
     prior, not a feature rewrite).
     """
     langs = [*LANG_MARKERS, *BLOCK_LANGS]
     scored = df.select("*", *lang_scores(text_col))
-    kana = F.col("score_ja") > 0
+    kana = F.col("score_ja") * JA_KANA_PRIOR_K > F.col("score_zh")
     adj = {lang: F.col(f"score_{lang}") for lang in langs}
     adj["ja"] = F.when(kana, F.col("score_ja") + F.col("score_zh")).otherwise(
         F.lit(0)

@@ -2278,12 +2278,18 @@ _SCORE_COLS = ", ".join(f"score_{lang}" for lang in _ALL_LANGS)
 
 
 def _adj_score_sql(lang: str) -> str:
-    # the kana-presence prior (operators/text.py lang_id, r6): any kana
-    # credits the han count to ja and zeroes zh; no kana -> raw scores
+    # the kana-SHARE prior (operators/text.py lang_id, r6; share-gated
+    # r7): kana above 1/K of the han count credits han to ja and zeroes
+    # zh; below that share (incl. a stray quoted kana in a long Chinese
+    # doc) -> raw scores
+    k = tx.JA_KANA_PRIOR_K
     if lang == "ja":
-        return "(CASE WHEN score_ja > 0 THEN score_ja + score_zh ELSE 0 END)"
+        return (
+            f"(CASE WHEN score_ja * {k} > score_zh"
+            " THEN score_ja + score_zh ELSE 0 END)"
+        )
     if lang == "zh":
-        return "(CASE WHEN score_ja > 0 THEN 0 ELSE score_zh END)"
+        return f"(CASE WHEN score_ja * {k} > score_zh THEN 0 ELSE score_zh END)"
     return f"score_{lang}"
 
 
@@ -3766,6 +3772,10 @@ _CJK_EVAL_DOCS = [
     # scorer called these zh; the r6 kana-presence prior flips them
     (-10, "ja", "東京都市計画道路建設工事の完了報告書です"),
     (-11, "ja", "新幹線高速鉄道網整備計画が国会審議を通過した"),
+    # long zh doc with ONE stray kana (a quoted Japanese word) — the
+    # r7 share gate must keep this zh; the r6 bare-presence prior
+    # would have flipped it to ja
+    (-12, "zh", "中国国家统计局发布年度经济报告显示工业生产总值持续增长科学技术创新能力不断提高引用日文词の一例城市基础设施建设全面推进"),
 ]
 
 _CJK_EVAL_VALUES_SQL = ",\n                ".join(
@@ -3791,9 +3801,10 @@ _CJK_EVAL_VALUES_SQL = ",\n                ".join(
     "lang vs predicted lang over the documents corpus PLUS planted "
     "ja/ko/zh fixture docs (the corpus has no CJK-script ground truth "
     "beyond zh): hiragana/katakana and hangul unicode-block scoring "
-    "validated end to end, including the r6 kana-presence prior — "
+    "validated end to end, including the r7 kana-share prior — "
     "kanji-heavy ja docs with particle-level kana classify as ja, "
-    "while the kana-free kanji-only control stays zh. Reuses the "
+    "the kana-free kanji-only control stays zh, and a long zh doc "
+    "with one stray quoted kana stays zh. Reuses the "
     "exact lang_id scoring; the only shuffle carries "
     "(lang, pred_lang, count) rows.",
 )

@@ -152,7 +152,8 @@ def test_g14_partial_agg_absorbs_hot_custkey(spark):
         r"partial_count.*?\n(?:.*\n)*?.*Exchange hashpartitioning\(c_custkey",
         plan,
     )
-    # formatted-plan order: partial agg appears under/with the custkey
-    # exchange; assert both pieces exist and outer join is preserved
-    assert "partial_count" in plan, plan[:3000]
+    # formatted-plan order: the partial agg must appear ABOVE (i.e.
+    # execute below) the custkey exchange — the map-side collapse that
+    # absorbs the hot key before any shuffle
+    assert m, plan[:3000]
     assert "LeftOuter" in plan or "left_outer" in plan, plan[:3000]
