@@ -1281,6 +1281,8 @@ def ppjoin_pairs(
     text_col: str,
     n: int = 4,
     threshold: float = 0.40,
+    hot_min_df: int = 64,
+    hot_vocab_cap: int = 1024,
 ) -> DataFrame:
     """EXACT similarity join via prefix filtering (the PPJoin family,
     Xiao et al. 2008 — prefix + size + positional filters as of r6):
@@ -1305,16 +1307,51 @@ def ppjoin_pairs(
     Output (id_a < id_b, jaccard) — same columns/semantics as
     :func:`ngram_jaccard_pairs`, equality pinned in tests.
 
+    Verify (r7, the tiered rewrite): the r6 verify exploded every
+    candidate against its full gram list (~|C|*sz join rows — 74M at
+    the sf0.1 calibration subset, the dominant stage at 22 s of the
+    series). r7 stratifies shared-gram counting by document
+    frequency, the same hot-key discipline as the LSH bucket cap:
+
+    - HOT tier (df > ``hot_min_df``, capped to the global top
+      ``hot_vocab_cap`` by df): each hot gram gets a dense index;
+      each doc carries a FIXED-WIDTH bitmap (``hot_vocab_cap``/64
+      longs = 128 B at the default). Per candidate the hot overlap is
+      sum(bit_count(mask_a & mask_b)) — map-only, ~16 word ops.
+      Bitmap membership is positional, not hashed: exact.
+    - COLD tier (df <= ``hot_min_df``): a posting-list self-join
+      whose row count is bounded by hot_min_df * |gram rows| — the df
+      cap makes the hot-gram quadratic blowup structurally
+      impossible.
+    - MID tier (df above the cutoff but beyond the top-K cap — empty
+      unless the hot vocabulary overflows ``hot_vocab_cap``): the r6
+      explode path restricted to just those grams, so a real Zipfian
+      corpus degrades gracefully instead of breaking the cap.
+
+    Every shared gram has exactly ONE global df, so the tiers
+    partition the intersection: o = o_hot + o_cold + o_mid, exact.
+
+    Why tiers instead of the roadmapped PPJoin+ suffix filter:
+    measured r7 on the calibration corpus, 419,089 of 419,178
+    positional-filter survivors are near-threshold same-size pairs,
+    so ANY order/position/distribution bound is vacuous — proving
+    o < alpha requires ~(sz - alpha) per-gram content witnesses,
+    i.e. a content filter costs about as much as the verify itself.
+    Three verify alternatives were also A/B-rejected the same
+    session: string-key array_intersect (35-44 s), dual long-array
+    intersect with min() collision armor (27 s), broadcast-gb explode
+    (no clear win) — vs the 16-21 s explode they tried to beat. The
+    tiered counter replaces the 74M-row explode with a ~1M-row
+    df-capped join plus map-only popcounts.
+
     Calibration (re-measured r6, sf0.1 doc subset = 1000 docs): the
     driver's synthetic docs draw from ONE tiny shared vocabulary, the
     adversarial case for rarity-prefix filtering — every gram is
-    common. The r5 prefix+size version trimmed only ~20% over the
-    quadratic baseline there (25.9 vs 31.6 s); the r6 positional
-    filter prunes on ORDER POSITION rather than rarity, which the
-    shared vocabulary cannot defeat, and the dual-xxhash64 shingle
-    keys take strings out of every exchange: 9.7 s vs the quadratic
-    24.3 s (2.5x), identical 2738 pairs, count-drained interleaved
-    min-of-2. On Zipfian real-corpus vocabularies the rare-prefix
+    common (985 distinct 4-grams across 1000 docs, max df 790). The r5
+    prefix+size version trimmed only ~20% over the quadratic baseline
+    there; the r6 positional filter (which prunes on ORDER POSITION
+    rather than rarity) + dual-xxhash64 keys reached 9.7 s vs the
+    quadratic 24.3 s, identical 2738 pairs. On Zipfian real-corpus vocabularies the rare-prefix
     pruning adds its standard win on top; minhash-LSH (recall < 1)
     remains the cheap default and PPJoin the exactness option.
     """
@@ -1400,18 +1437,107 @@ def ppjoin_pairs(
         .filter(F.col("_ub") >= alpha)
         .select("id_a", "id_b", "_sa", "_sb")
     )
-    # verify on the POSTING form: the exploded equi-join ships only the
-    # intersecting (pair, shingle-key) rows into the count — measured
-    # FASTER than joining full shingle arrays per candidate (26 vs
-    # 41 s at sf0.1; candidate rows dragging two ~500-element arrays
-    # cost more than the intersection-only explode)
-    ga = g.select(F.col("doc").alias("id_a"), "sha", "shb")
-    gb = g.select(F.col("doc").alias("id_b"), "sha", "shb")
+    cands = cands.localCheckpoint(eager=False)  # feeds all three tiers
+    nwords = (hot_vocab_cap + 63) // 64
+    zero_mask = F.expr(f"array_repeat(0L, {nwords})")
+
+    # HOT tier: dense index the top-K most frequent grams (bounded-
+    # cardinality window: input is the post-limit top-K table)
+    hot_order = [F.col("_df").desc(), "sha", "shb"]
+    hot = (
+        dfreq.filter(F.col("_df") > hot_min_df)
+        .orderBy(*hot_order)
+        .limit(hot_vocab_cap)
+        .withColumn(
+            "_hidx", F.row_number().over(Window.orderBy(*hot_order)) - 1
+        )
+        .select("sha", "shb", "_hidx")
+    ).localCheckpoint(eager=False)  # <= hot_vocab_cap rows; reused 2x
+    # per-doc fixed-width bitmap: two-level agg (map-side combine on
+    # (doc, word)), then the word list becomes a dense array
+    words = (
+        g.join(hot, ["sha", "shb"])
+        .groupBy("doc", (F.col("_hidx") / 64).cast("int").alias("_w"))
+        .agg(F.expr("bit_or(shiftleft(1L, int(_hidx % 64)))").alias("_bits"))
+    )
+    masks = words.groupBy("doc").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_w"), F.col("_bits")))
+        ).alias("_wm")
+    ).select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_wm"), i), F.lit(0).cast("long")),
+        ).alias("_mask"),
+    )
+    with_masks = (
+        cands.join(
+            masks.select(F.col("doc").alias("id_a"), F.col("_mask").alias("_ma")),
+            "id_a", "left",
+        )
+        .join(
+            masks.select(F.col("doc").alias("id_b"), F.col("_mask").alias("_mb")),
+            "id_b", "left",
+        )
+        .select(
+            "id_a", "id_b", "_sa", "_sb",
+            F.aggregate(
+                F.zip_with(
+                    F.coalesce("_ma", zero_mask),
+                    F.coalesce("_mb", zero_mask),
+                    lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("_oh"),
+        )
+    )
+
+    # COLD tier: df-capped posting self-join — sum(df^2) bounded by
+    # hot_min_df * |gram rows|, so the hot-gram quadratic blowup is
+    # structurally impossible
+    gc = g.join(
+        dfreq.filter(F.col("_df") <= hot_min_df).select("sha", "shb"),
+        ["sha", "shb"],
+    )
+    cold = (
+        gc.select(F.col("doc").alias("id_a"), "sha", "shb")
+        .join(gc.select(F.col("doc").alias("id_b"), "sha", "shb"), ["sha", "shb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_oc"))
+    )
+
+    # MID tier: grams above the df cutoff that overflowed the top-K
+    # cap (empty unless the hot vocabulary exceeds hot_vocab_cap) —
+    # the r6 explode path restricted to just those grams
+    gm = g.join(
+        dfreq.filter(F.col("_df") > hot_min_df)
+        .join(hot, ["sha", "shb"], "left_anti")
+        .select("sha", "shb"),
+        ["sha", "shb"],
+    )
+    mid = (
+        cands.select("id_a", "id_b")
+        .join(gm.select(F.col("doc").alias("id_a"), "sha", "shb"), "id_a")
+        .join(gm.select(F.col("doc").alias("id_b"), "sha", "shb"),
+              ["id_b", "sha", "shb"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_om"))
+    )
+
     inter = (
-        cands.join(ga, "id_a")
-        .join(gb, ["id_b", "sha", "shb"])
-        .groupBy("id_a", "id_b", "_sa", "_sb")
-        .agg(F.count(F.lit(1)).cast("long").alias("_ix"))
+        with_masks.join(cold, ["id_a", "id_b"], "left")
+        .join(mid, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", "_sa", "_sb",
+            (
+                F.col("_oh")
+                + F.coalesce("_oc", F.lit(0))
+                + F.coalesce("_om", F.lit(0))
+            ).alias("_ix"),
+        )
     )
     jac = F.col("_ix") / (F.col("_sa") + F.col("_sb") - F.col("_ix"))
     return inter.filter(jac >= threshold).select(

@@ -534,7 +534,10 @@ def test_ppjoin_shuffles_only_hashed_keys(plans):
     plan = plans["dedup_ppjoin"]
     specs = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert specs, "expected hash exchanges in the ppjoin plan"
-    allowed = {"sha", "shb", "doc", "id_a", "id_b", "_sa", "_sb", "_ra", "_rb"}
+    # _groupingexpression / _w / _hidx: the r7 hot-tier bitmap agg
+    # partitions on (doc, _hidx div 64) — a fixed-width int word index
+    allowed = {"sha", "shb", "doc", "id_a", "id_b", "_sa", "_sb", "_ra",
+               "_rb", "_groupingexpression", "_w", "_hidx"}
     for spec in specs:
         keys = [k.strip().split("#")[0] for k in spec.split(",")[:-1]]
         assert set(keys) <= allowed, spec
@@ -637,3 +640,85 @@ def test_q17_stats_join_broadcasts(plans):
     p = plans["g17_small_quantity_revenue"]
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+# ---------------------------------------------------------------------------
+# r7 (VERDICT r6 #3): unpartitioned-window audit. A WindowExec with no
+# partition spec moves ALL its input through one partition — fatal on a
+# corpus-scale input, fine on a bounded one. Every unpartitioned window
+# in the registry must sit on an input whose cardinality is bounded by
+# construction, and the whitelist below records WHY for each.
+# ---------------------------------------------------------------------------
+
+# query -> documented bounded input for its unpartitioned window(s)
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "text_vocab_build": "two-level rank's (cnt, prefix) GROUP table",
+    "stats_ks_drift": "bounded distinct-value drift grid",
+    "stats_skew_profile": "post-limit top-n hot-key table",
+    "stats_psi_drift": "fixed bin table",
+    "cf_ndcg_popularity": "post-limit top-k popularity table",
+    "ev_growth_accounting": "day-grain grid",
+    "skyline_parts": "value-grain (x,y) point grid (skyline_2d contract)",
+    "sample_epoch_shuffle": "two-level rank's bucket GROUP table",
+    "dedup_lsh_advisor": "95-row (bands, rows) parameter curve",
+}
+
+
+def _window_arg_groups(args: str) -> list[str]:
+    out, depth, cur = [], 0, ""
+    for ch in args:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+            else:
+                cur += ch
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(cur)
+            else:
+                cur += ch
+        elif depth >= 1:
+            cur += ch
+    return out
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes with no partition spec. Formatted-plan shapes:
+    3 arg groups = [funcs], [partition], [order]; 2 groups is EITHER
+    [funcs], [order] (unpartitioned — order specs carry ASC/DESC) or
+    [funcs], [partition] (partition-only, no order). WindowGroupLimit
+    nodes are excluded — their first group IS the partition spec.
+    Known blind spot: localCheckpoint(eager=False) truncates lineage,
+    so windows behind a checkpoint boundary are audited where the
+    checkpointed builder itself is in PLAN_QUERIES."""
+    hits = []
+    for m in re.finditer(r"\(\d+\) Window\n(?:.+\n)+?Arguments: (.*)", plan):
+        gs = _window_arg_groups(m.group(1))
+        if len(gs) == 2 and (" ASC" in gs[1] or " DESC" in gs[1]):
+            hits.append(gs[1][:80])
+    return hits
+
+
+def test_unpartitioned_windows_only_on_bounded_inputs(plans):
+    offenders = {
+        name: hits
+        for name, plan in plans.items()
+        if (hits := _unpartitioned_windows(plan))
+        and name not in UNPARTITIONED_WINDOW_ALLOWED
+    }
+    assert offenders == {}, (
+        "unpartitioned Window on a query not in the bounded-input "
+        f"whitelist — verify the input is bounded, then whitelist: {offenders}"
+    )
+
+
+def test_unpartitioned_window_whitelist_is_live(plans):
+    # every whitelisted name still HAS an unpartitioned window (stale
+    # entries would silently widen the allowance)
+    stale = [
+        n for n in UNPARTITIONED_WINDOW_ALLOWED
+        if n in plans and not _unpartitioned_windows(plans[n])
+    ]
+    assert stale == []

@@ -236,6 +236,40 @@ def test_ppjoin_equals_quadratic_baseline_and_prunes(spark):
     assert got_pairs < all_pairs
 
 
+def test_ppjoin_tiered_verify_mid_tier_and_cold_only(spark):
+    """r7 tiered verify: results are identical across tier layouts.
+    hot_min_df=0 + tiny cap forces grams into the MID (cap-overflow
+    explode) tier; a huge hot_min_df forces everything COLD; the
+    default layout puts the planted corpus's common grams HOT. All
+    three must equal the quadratic baseline exactly."""
+    from spark_cassandra_collabfiltering_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today "
+    alt = "completely different content about compilers and register allocation "
+    rows = [
+        (1, base + "alpha"), (2, base + "bravo"), (3, alt + "one"),
+        (4, alt + "two"), (5, "third topic entirely about ocean currents"),
+        (6, base + "charlie"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=4, threshold=0.4).collect()
+    )
+    for kw in (
+        {"hot_min_df": 0, "hot_vocab_cap": 4},      # mid tier active
+        {"hot_min_df": 10**6},                       # all cold
+        {"hot_min_df": 1, "hot_vocab_cap": 4096},    # nearly all hot
+    ):
+        got = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dd.ppjoin_pairs(
+                df, "doc_id", "text", n=4, threshold=0.4, **kw
+            ).collect()
+        )
+        assert got == want, kw
+
+
 # ---------------------------------------------------------------------------
 # r6: the hashed-gram rewrite == a pure-Python string-gram replica, on
 # RANDOM corpora (hypothesis) — pins the dual-xxhash64 key change
