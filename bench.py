@@ -79,6 +79,13 @@ HEADLINE = [
     # (this is the suite's priciest member); the legacy subtotals stay
     # the comparables.
     "dedup_ppjoin",
+    # r7 adds the itemknn recommender's bounded-subset twin (VERDICT
+    # r6 #4: the full cf_ndcg_itemknn was the heaviest registered
+    # query with no tracked series — 23-39 s at sf0.1). The _sub
+    # series runs the IDENTICAL wedge-join pipeline on a
+    # deterministic 25% user draw, exact-oracled. Totals widen BY
+    # CONSTRUCTION; the legacy subtotals stay the comparables.
+    "cf_ndcg_itemknn_sub",
 ]
 
 
