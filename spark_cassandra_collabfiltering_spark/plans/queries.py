@@ -8212,6 +8212,188 @@ def q_sub4_dormant_customers(spark, sf_dir):
 
 
 # ===========================================================================
+# TPC-H Q20/Q21 (r7, closing the expressible-TPC-H sweep): the driver
+# testdata ships neither a partsupp table nor commit/receipt dates, so
+# both shapes run over columns DERIVED deterministically from the
+# tables it does ship — the identical md5-draw derivation in both
+# engines (the same portability contract as every md5_draw60 use), so
+# the rows are fully exact-oracled, not local-only as once roadmapped.
+# ===========================================================================
+
+# Q20's partsupp: the distinct (partkey, suppkey) supply pairs observed
+# in lineitem, with availqty a deterministic 1..1000 md5 draw.
+_PS_DERIVED_SQL = """ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               ('0x' || substr(md5(l_partkey::VARCHAR || ':' ||
+                                   l_suppkey::VARCHAR), 1, 15))::BIGINT
+                   % 1000 + 1 AS ps_availqty
+        FROM lineitem GROUP BY 1, 2)"""
+
+# Q21's commit/receipt: per-line deterministic 0..29 day offsets from
+# shipdate. Only their ORDER matters to the query (late = receipt >
+# commit), so the offsets are compared directly.
+_LX_DERIVED_SQL = """lx AS (
+        SELECT l_orderkey, l_suppkey,
+               ('0x' || substr(md5('c:' || l_orderkey::VARCHAR || ':' ||
+                                   l_linenumber::VARCHAR), 1, 15))::BIGINT
+                   % 30 AS commit_off,
+               ('0x' || substr(md5('r:' || l_orderkey::VARCHAR || ':' ||
+                                   l_linenumber::VARCHAR), 1, 15))::BIGINT
+                   % 30 AS receipt_off
+        FROM lineitem)"""
+
+
+@register(
+    "sub5_promotion_suppliers",
+    f"""WITH {_PS_DERIVED_SQL}
+       SELECT s_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_3'
+         AND s_suppkey IN (
+           SELECT ps_suppkey FROM ps
+           WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+             AND 2 * ps_availqty > (
+               SELECT sum(l_quantity::BIGINT) FROM lineitem
+               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01'))""",
+    "TPC-H Q20 shape (potential part promotion): suppliers in one "
+    "nation holding excess stock (availqty > half the year's shipped "
+    "quantity) of promoted parts. The oracle keeps the textbook "
+    "correlated scalar-sum + nested-IN form; the Spark plan "
+    "decorrelates it — the year's shipments aggregate once per "
+    "(part, supplier), join back inner (the textbook's NULL-sum "
+    "exclusion semantics), integer cross-multiply (2*avail > sum — "
+    "no 0.5 float), part and nation filters broadcast-semi. partsupp "
+    "is derived (see _PS_DERIVED_SQL); quantities exact bigint.",
+)
+def q_sub5_promotion_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.lit(1).alias("_one"))
+        .select(
+            "ps_partkey", "ps_suppkey",
+            (
+                rel.md5_draw60(
+                    F.concat_ws(":", F.col("ps_partkey"), F.col("ps_suppkey"))
+                ) % 1000 + 1
+            ).alias("ps_availqty"),
+        )
+    )
+    promoted = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select(F.col("p_partkey").alias("ps_partkey"))
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_sq"))
+    )
+    excess = (
+        rel.semi_join(ps, F.broadcast(promoted), ["ps_partkey"])
+        .join(shipped, ["ps_partkey", "ps_suppkey"])
+        .filter(2 * F.col("ps_availqty") > F.col("_sq"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return rel.semi_join(supp, excess, ["s_suppkey"]).select("s_name")
+
+
+@register(
+    "j16_waiting_suppliers",
+    f"""WITH {_LX_DERIVED_SQL}
+       SELECT s_name, count(*)::BIGINT AS numwait
+       FROM supplier, lx l1, orders, nation
+       WHERE s_suppkey = l1.l_suppkey
+         AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.receipt_off > l1.commit_off
+         AND EXISTS (SELECT 1 FROM lx l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lx l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.receipt_off > l3.commit_off)
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 100""",
+    "TPC-H Q21 shape (suppliers who kept orders waiting): late lines "
+    "of one nation's suppliers on multi-supplier 'F' orders where no "
+    "OTHER supplier was late. The oracle keeps the textbook "
+    "EXISTS / NOT EXISTS pair; the Spark plan decorrelates both into "
+    "ONE pass of per-order distinct-supplier counts — EXISTS other "
+    "supplier == n_suppliers >= 2, NOT EXISTS other LATE supplier == "
+    "n_late_suppliers == 1 (the probe line is itself late) — then "
+    "semi-joins the qualifying orders, broadcast-joins the one "
+    "nation's suppliers, and TakeOrdered's the top-100 with a full "
+    "tiebreak. Dates are derived per-line offsets "
+    "(see _LX_DERIVED_SQL); late = receipt_off > commit_off.",
+)
+def q_j16_waiting_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    lx = li.select(
+        "l_orderkey", "l_suppkey",
+        (rel.md5_draw60(F.concat(F.lit("c:"), ok, F.lit(":"), ln)) % 30)
+            .alias("commit_off"),
+        (rel.md5_draw60(F.concat(F.lit("r:"), ok, F.lit(":"), ln)) % 30)
+            .alias("receipt_off"),
+    ).localCheckpoint(eager=False)  # feeds the probe side + both order aggs
+    late = lx.filter(F.col("receipt_off") > F.col("commit_off"))
+    ord_flags = (
+        lx.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("_ns"))
+        .join(
+            late.groupBy("l_orderkey").agg(
+                F.count_distinct("l_suppkey").alias("_nl")
+            ),
+            "l_orderkey",
+        )
+        .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
+        .select("l_orderkey")
+    )
+    f_orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    l1 = (
+        rel.semi_join(late, ord_flags, ["l_orderkey"])
+        .join(rel.semi_join(f_orders, ord_flags, ["l_orderkey"]), "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), "l_suppkey")
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+# ===========================================================================
 # Mergeable rank-based quantile sketch (r5-cont6) — the KLL/t-digest
 # slot beside g12's fixed-width histogram, solved deterministically.
 # ===========================================================================

@@ -102,6 +102,10 @@ PLAN_QUERIES = [
     # reason as dedup_keep_best)
     "dedup_ppjoin", "dedup_lsh_advisor", "text_lm_perplexity_by_source",
     "curation_contamination_multi",
+    # r7 additions (plan-only cheap): the derived-column TPC-H Q20/Q21
+    # shapes and the itemknn bounded-subset series twin
+    "sub5_promotion_suppliers", "j16_waiting_suppliers",
+    "cf_ndcg_itemknn_sub",
 ]
 
 # Deliberate BroadcastNestedLoopJoin: a BOUNDED broadcast side by
