@@ -252,11 +252,48 @@ def encode_gif(
             raise ValueError("frame size mismatch")
         out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)  # descriptor
         out.append(cs)
+        # REAL LZW compression (r7 — was a clear-before-every-pixel
+        # degenerate stream, which is valid LZW but forces the decoder
+        # to rebuild its dictionary per pixel: profiled as 912k dict
+        # rebuilds over a 12k-frame corpus, the mm_frame_sample
+        # pixel-linear constant). Greedy longest match, growing table,
+        # width bumps on the DECODER's schedule — the decoder adds no
+        # entry after its first post-clear code, so its next_code lags
+        # this encoder's by exactly one; bump when (enc next_code - 1)
+        # reaches 1 << w. After EVERY emit the same lag rule decides
+        # the width of the next write, including the END code (a last
+        # data code that triggers a bump means the decoder reads END
+        # at the wider width). Table full -> emit CLEAR and reset
+        # (always decoder-safe: CLEAR resets both sides).
         bw = _BitWriter()
-        w = cs + 1
+        table = {bytes((i,)): i for i in range(1 << cs)}
+        next_code, w = end + 1, cs + 1
+        bw.write(clear, w)
+        s = b""
         for p in px:
-            bw.write(clear, w)
-            bw.write(p, w)
+            sp = s + bytes((p,))
+            if sp in table:
+                s = sp
+                continue
+            bw.write(table[s], w)
+            if next_code < 4096:
+                table[sp] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << w) and w < 12:
+                    w += 1
+            else:
+                bw.write(clear, w)
+                table = {bytes((i,)): i for i in range(1 << cs)}
+                next_code, w = end + 1, cs + 1
+            s = bytes((p,))
+        if s:
+            bw.write(table[s], w)
+            if next_code < 4096:
+                # the decoder adds an entry after this final code too —
+                # mirror the possible width bump before writing END
+                next_code += 1
+                if next_code - 1 == (1 << w) and w < 12:
+                    w += 1
         bw.write(end, w)
         data = bw.done()
         for i in range(0, len(data), 255):
@@ -295,8 +332,10 @@ def _lzw_decode(cs: int, data: bytes, n_px: int) -> bytes:
     br = _BitReader(data)
     out = bytearray()
 
+    base = {i: bytes((i,)) for i in range(1 << cs)}
+
     def reset() -> "tuple[dict[int, bytes], int, int]":
-        return {i: bytes((i,)) for i in range(1 << cs)}, end + 1, cs + 1
+        return dict(base), end + 1, cs + 1
 
     table, next_code, w = reset()
     prev: bytes | None = None

@@ -404,17 +404,20 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     pal = [(i * 17, i * 17, i * 17) for i in range(16)]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             payloads = []
             for d in pdf[id_col]:
                 d = int(d)
                 w, h = 8 + d % 5, 6 + d % 4
+                # closed-form pixel grid vectorized (r7): the per-pixel
+                # Python generator was part of the operator's measured
+                # pixel-linear constant
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = (d * 7 + xx * 3 + yy) % 16
                 frames = [
-                    bytes(
-                        (d * 7 + f * 13 + x * 3 + y) % 16
-                        for y in range(h)
-                        for x in range(w)
-                    )
+                    ((base + f * 13) % 16).astype(np.uint8).tobytes()
                     for f in range(2 + d % 3)
                 ]
                 payloads.append(codecs.encode_gif(w, h, frames, pal))
@@ -443,6 +446,8 @@ def frame_sample_features(media: DataFrame, every: int = 2) -> DataFrame:
     from spark_cassandra_collabfiltering_spark.operators import codecs
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
@@ -453,15 +458,20 @@ def frame_sample_features(media: DataFrame, every: int = 2) -> DataFrame:
                     w, h, pal, frames = codecs.decode_gif(b)
                 except ValueError:
                     continue
+                # palette-mapped gray sum vectorized (r7): index the
+                # palette's red channel with the frame bytes in numpy
+                # instead of a per-pixel Python generator
+                pal0 = np.asarray([r for r, _, _ in pal], dtype=np.int64)
                 for fi, px in enumerate(frames):
                     if fi % every:
                         continue
+                    arr = np.frombuffer(px, dtype=np.uint8)
                     rows.append(
                         (
                             int(doc_id),
                             fi,
                             len(px),
-                            sum(pal[i][0] for i in px),
+                            int(pal0[arr].sum()),
                         )
                     )
             yield pd.DataFrame(
