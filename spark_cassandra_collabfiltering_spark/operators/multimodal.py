@@ -252,9 +252,11 @@ def synthesize_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
             T.StructField("n_bytes", T.LongType(), True),
         ]
     )
-    flat = df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        batches, schema=flat_schema
-    )
+    ids = df.select(F.col(id_col).cast("bigint").alias(id_col))
+    # same id-stream repartition as synthesize_gif_payloads (r7): the
+    # encode stage must not inherit the scan's file-count parallelism
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    flat = ids.mapInPandas(batches, schema=flat_schema)
     return flat.select(
         "doc_id",
         "payload",
@@ -429,9 +431,15 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        batches, schema=schema
-    )
+    # repartition the 8-byte id stream before the Arrow stage (r7):
+    # documents.parquet arrives in file-count partitions (2 at sf1), so
+    # without this the per-doc Python encode runs on 2 of 32 cores —
+    # the cheapest possible exchange buys full decode parallelism (the
+    # docstring's "decode parallelism == input partitions" contract,
+    # now made true for the synthesized arm too)
+    ids = df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    return ids.mapInPandas(batches, schema=schema)
 
 
 def frame_sample_features(media: DataFrame, every: int = 2) -> DataFrame:
