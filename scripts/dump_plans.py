@@ -116,6 +116,10 @@ SHOWN = [
     "stats_expectations",
     "mm_frame_sample",
     "dedup_ppjoin",
+    # round 7
+    "sub5_promotion_suppliers",
+    "j16_waiting_suppliers",
+    "cf_ndcg_itemknn_sub",
     "ml_nb_f1",
     "mm_audio_resample",
     "mm_audio_vad",
