@@ -357,3 +357,59 @@ def test_bmp_roundtrip_and_decode_harness(spark):
     assert got[1].kind == "bmp" and (got[1].width, got[1].height) == (5, 4)
     assert got[1].unit_sum == sum(r + g + b for r, g, b in px)
     assert got[2].kind == "corrupt"
+
+
+# ---------------------------------------------------------------------------
+# r7: the GIF encoder grew REAL LZW compression (was clear-per-pixel).
+# Its width schedule mirrors the decoder's lag-one addition model —
+# subtle enough to deserve a standing property pin: any frame content
+# must round-trip bit-exactly, including width bumps landing on the
+# final data code and the 12-bit-cap CLEAR reset.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    nbits=st.sampled_from([1, 2, 4, 8]),
+    w=st.integers(1, 24),
+    h=st.integers(1, 10),
+    seed=st.integers(0, 2**31),
+    mode=st.sampled_from(["random", "periodic", "constant"]),
+)
+def test_gif_lzw_encoder_roundtrip_property(nbits, w, h, seed, mode):
+    import random
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    rng = random.Random(seed)
+    npal = 1 << nbits
+    pal = [(i % 256, (i * 3) % 256, (i * 7) % 256) for i in range(npal)]
+    n = w * h
+    if mode == "random":
+        px = bytes(rng.randrange(npal) for _ in range(n))
+    elif mode == "periodic":
+        px = (bytes([rng.randrange(npal), rng.randrange(npal)]) * n)[:n]
+    else:
+        px = bytes([seed % npal]) * n
+    frames = [px, px[::-1]]
+    got = C.decode_gif(C.encode_gif(w, h, frames, pal))
+    assert got[:2] == (w, h)
+    assert got[3] == frames
+
+
+def test_gif_lzw_encoder_cap_reset_roundtrip():
+    # 120k px of slowly-varying content overflows the 12-bit table →
+    # exercises the encoder's CLEAR reset arm; also proves REAL
+    # compression happens (payload well under 1 byte/px)
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    pal = [(i, i, i) for i in range(256)]
+    big = bytes((i * 7 + (i >> 3)) % 256 for i in range(120_000))
+    gif = C.encode_gif(400, 300, [big], pal)
+    W, H, P, FR = C.decode_gif(gif)
+    assert (W, H) == (400, 300) and FR == [big]
+    assert len(gif) < len(big) // 2
