@@ -588,18 +588,36 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
 #   4. on EEXIST somebody else won R+1: reload the log, apply the
 #      CONFLICT RULES, and either retry at the new tip or raise
 #
-# Conflict rules (the Delta semantics):
+# Conflict rules (the Delta semantics, at FILE granularity):
 #   - append  vs committed append     -> rebase, retry (disjoint files)
-#   - append  vs committed overwrite  -> raise (the table you extended
-#                                        is gone)
+#   - append  vs committed compact    -> rebase, retry (the compact
+#                                        rewrote files the append never
+#                                        touched)
+#   - compact vs committed append     -> rebase, retry (same reason)
+#   - compact vs committed compact    -> rebase iff the two rewrote
+#                                        DISJOINT file sets, else raise
+#   - anything vs committed overwrite -> raise (the state you read is
+#                                        gone)
 #   - overwrite vs committed anything -> raise (you replaced a state
 #                                        that no longer exists)
 #
 # Idempotent transactions: a commit may carry (txn_app, txn_run); a
 # writer replaying the same (app, run) becomes a no-op — the
 # exactly-once contract a streaming foreachBatch sink needs across
-# restarts (batch id = run id).
+# restarts (batch id = run id). See txn_stream_sink.
+#
+# Checkpoints (the O(N)-replay fix, Delta's _last_checkpoint shape):
+# every CHECKPOINT_EVERY commits the committing writer also writes
+# _log/_checkpoint.<version>.json holding the fully-replayed state at
+# that version (file list + seen txns). It is a DERIVABLE CACHE, not
+# state: written to a temp name then os.replace'd (atomic), and any
+# reader that misses it just replays more commits. State load is then
+# O(CHECKPOINT_EVERY), not O(versions) — at one commit a minute a
+# year-old table has ~500k commits, and a cold read must not scan
+# them all.
 # ---------------------------------------------------------------------------
+
+CHECKPOINT_EVERY = 10
 
 
 class ConcurrentWriteConflict(RuntimeError):
@@ -616,7 +634,9 @@ def _committed_versions(root: str) -> list[int]:
     if not os.path.isdir(d):
         return []
     vs = sorted(
-        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        int(f[:-5])
+        for f in os.listdir(d)
+        if f.endswith(".json") and not f.startswith("_")
     )
     # the log must be contiguous from 0 — O_EXCL at R+1 guarantees it
     assert vs == list(range(len(vs))), f"gapped log: {vs}"
@@ -635,24 +655,169 @@ def txn_latest_version(root: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _txn_state(root: str, version: int) -> list[str]:
-    """Replay the log up to ``version``: the committed file set."""
+def _apply_commit(files: list[str], c: dict) -> list[str]:
+    if c["op"] == "overwrite":
+        return list(c["files"])
+    if c["op"] == "compact":
+        rm = set(c["removes"])
+        return [f for f in files if f not in rm] + list(c["files"])
+    return files + list(c["files"])
+
+
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"_checkpoint.{version:020d}.json")
+
+
+def _latest_checkpoint(root: str, at_or_below: int) -> "dict | None":
+    """Newest checkpoint with version <= at_or_below, or None. A missing
+    or torn checkpoint is never an error — replay covers for it."""
+    import json
+
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        if f.startswith("_checkpoint.") and f.endswith(".json"):
+            v = int(f[len("_checkpoint."):-5])
+            if v <= at_or_below and (best is None or v > best):
+                best = v
+    if best is None:
+        return None
+    try:
+        with open(_checkpoint_path(root, best)) as fh:
+            cp = json.load(fh)
+    except (OSError, ValueError):  # torn/garbage cache: ignore it
+        return None
+    return cp if cp.get("version") == best else None
+
+
+def _replay(root: str, version: int) -> "tuple[list[str], set[tuple]]":
+    """State at ``version``: (file list, seen (app, run) txns). Starts
+    from the newest checkpoint at or below ``version``."""
     files: list[str] = []
-    for v in range(version + 1):
+    txns: set[tuple] = set()
+    start = 0
+    cp = _latest_checkpoint(root, version)
+    if cp is not None:
+        files = list(cp["files"])
+        txns = {tuple(t) for t in cp["txns"]}
+        start = cp["version"] + 1
+    for v in range(start, version + 1):
         c = _read_commit(root, v)
-        if c["op"] == "overwrite":
-            files = list(c["files"])
-        else:
-            files.extend(c["files"])
-    return files
+        files = _apply_commit(files, c)
+        if "txn_app" in c:
+            txns.add((c["txn_app"], c["txn_run"]))
+    return files, txns
+
+
+def _txn_state(root: str, version: int) -> list[str]:
+    return _replay(root, version)[0]
 
 
 def _txn_seen(root: str, latest: int, app: str, run: int) -> bool:
-    for v in range(latest + 1):
-        c = _read_commit(root, v)
-        if c.get("txn_app") == app and c.get("txn_run") == run:
-            return True
-    return False
+    return (app, run) in _replay(root, latest)[1]
+
+
+def _maybe_checkpoint(root: str, version: int) -> None:
+    """Best-effort checkpoint after a commit at a multiple of
+    CHECKPOINT_EVERY. Atomic via temp + rename; failure is harmless
+    (readers replay)."""
+    import json
+    import uuid
+
+    if version == 0 or version % CHECKPOINT_EVERY != 0:
+        return
+    files, txns = _replay(root, version)
+    tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": version, "files": files,
+             "txns": sorted(list(t) for t in txns)},
+            fh,
+        )
+    os.replace(tmp, _checkpoint_path(root, version))
+
+
+def _write_data_files(df: DataFrame, root: str) -> list[str]:
+    """Write ``df`` under a fresh _data/<uuid>/ — data files first, so
+    that without a log entry they are invisible garbage, never a torn
+    table state."""
+    import uuid
+
+    data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(data_dir)
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def _txn_commit(
+    root: str,
+    op: str,
+    files: list[str],
+    removes: list[str],
+    read_v: "int | None",
+    txn: "tuple[str, int] | None",
+    max_retries: int,
+) -> "int | None":
+    """The optimistic commit loop shared by write and compact: try to
+    win version R+1 with O_EXCL; on loss, apply the file-granularity
+    conflict rules against the gap commits and rebase or raise."""
+    import json
+
+    attempt_v = (read_v if read_v is not None else -1) + 1
+    for _ in range(max_retries):
+        commit = {
+            "version": attempt_v,
+            "op": op,
+            "files": files,
+            "read_version": read_v,
+        }
+        if op == "compact":
+            commit["removes"] = removes
+        if txn is not None:
+            commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
+        path = os.path.join(_log_dir(root), f"{attempt_v:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # lost the race: reload, check conflict rules, rebase
+            new_latest = txn_latest_version(root)
+            assert new_latest is not None and new_latest >= attempt_v
+            if txn is not None and _txn_seen(root, new_latest, *txn):
+                return None  # our own replay won via another writer
+            if op == "overwrite":
+                raise ConcurrentWriteConflict(
+                    f"overwrite lost the race at v{attempt_v}: the state "
+                    "it replaces no longer exists"
+                )
+            for v in range(attempt_v, new_latest + 1):
+                won = _read_commit(root, v)
+                if won["op"] == "overwrite":
+                    raise ConcurrentWriteConflict(
+                        f"{op} rebased across an overwrite at v{v}"
+                    )
+                if (
+                    op == "compact"
+                    and won["op"] == "compact"
+                    and set(won["removes"]) & set(removes)
+                ):
+                    raise ConcurrentWriteConflict(
+                        f"concurrent compact at v{v} rewrote an "
+                        "overlapping file set"
+                    )
+            attempt_v = new_latest + 1
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(commit, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        _maybe_checkpoint(root, attempt_v)
+        return attempt_v
+    raise ConcurrentWriteConflict(f"gave up after {max_retries} retries")
 
 
 def txn_write(
@@ -667,9 +832,6 @@ def txn_write(
     ``txn`` (app_id, run_id) was already committed (idempotent replay).
     Raises :class:`ConcurrentWriteConflict` when the commit cannot be
     rebased under the conflict rules above."""
-    import json
-    import uuid
-
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_dir(root), exist_ok=True)
@@ -678,54 +840,78 @@ def txn_write(
         root, read_v, txn[0], txn[1]
     ):
         return None
+    files = _write_data_files(df, root)
+    return _txn_commit(root, mode, files, [], read_v, txn, max_retries)
 
-    # data files first — a fresh uuid dir cannot collide, and without a
-    # log entry they are invisible garbage, never a torn table state
-    data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
-    df.write.mode("error").parquet(data_dir)
-    files = sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
+
+def txn_compact(
+    spark: SparkSession,
+    root: str,
+    max_file_bytes: "int | None" = None,
+    max_retries: int = 20,
+) -> "int | None":
+    """Rewrite the current version's small files into one coalesced set
+    and commit it as op="compact" (Delta OPTIMIZE semantics). The commit
+    carries the exact ``removes`` set, so it conflicts ONLY with a
+    concurrent compact/overwrite touching the same files — concurrent
+    appends rebase straight past it (file-granularity conflicts, the
+    property that lets maintenance run continuously under live ingest
+    at cluster scale). Returns the committed version, or None when
+    there is nothing to compact (0 or 1 qualifying file)."""
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        return None
+    state = _txn_state(root, read_v)
+    if max_file_bytes is None:
+        victims = list(state)
+    else:
+        victims = [f for f in state if os.path.getsize(f) < max_file_bytes]
+    if len(victims) < 2:
+        return None
+    files = _write_data_files(
+        spark.read.parquet(*victims).coalesce(1), root
+    )
+    return _txn_commit(
+        root, "compact", files, sorted(victims), read_v, None, max_retries
     )
 
-    attempt_v = (read_v if read_v is not None else -1) + 1
-    for _ in range(max_retries):
-        commit = {
-            "version": attempt_v,
-            "op": mode,
-            "files": files,
-            "read_version": read_v,
-        }
-        if txn is not None:
-            commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
-        path = os.path.join(_log_dir(root), f"{attempt_v:020d}.json")
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # lost the race: reload, check conflict rules, rebase
-            new_latest = txn_latest_version(root)
-            assert new_latest is not None and new_latest >= attempt_v
-            if txn is not None and _txn_seen(root, new_latest, *txn):
-                return None  # our own replay won via another writer
-            if mode == "overwrite":
-                raise ConcurrentWriteConflict(
-                    f"overwrite lost the race at v{attempt_v}: the state "
-                    "it replaces no longer exists"
-                )
-            for v in range(attempt_v, new_latest + 1):
-                if _read_commit(root, v)["op"] == "overwrite":
-                    raise ConcurrentWriteConflict(
-                        f"append rebased across an overwrite at v{v}"
-                    )
-            attempt_v = new_latest + 1
-            continue
-        with os.fdopen(fd, "w") as fh:
-            json.dump(commit, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        return attempt_v
-    raise ConcurrentWriteConflict(f"gave up after {max_retries} retries")
+
+def txn_history(root: str) -> list[dict]:
+    """Commit metadata, newest first (the DESCRIBE HISTORY shape)."""
+    latest = txn_latest_version(root)
+    if latest is None:
+        return []
+    out = []
+    for v in range(latest, -1, -1):
+        c = _read_commit(root, v)
+        out.append(
+            {
+                "version": v,
+                "op": c["op"],
+                "n_files": len(c["files"]),
+                "n_removes": len(c.get("removes", [])),
+                "read_version": c["read_version"],
+                "txn": (
+                    (c["txn_app"], c["txn_run"]) if "txn_app" in c else None
+                ),
+            }
+        )
+    return out
+
+
+def txn_stream_sink(root: str, app: str):
+    """An exactly-once foreachBatch sink over the transaction log:
+    ``df.writeStream.foreachBatch(txn_stream_sink(root, "my-query"))``.
+    Spark replays a batch whose commit outcome was lost (sink failure,
+    driver restart from checkpoint); keying the idempotent transaction
+    on (app, epoch_id) makes the replay a no-op instead of a duplicate
+    append — the missing half of end-to-end exactly-once that the
+    engine's checkpointing alone cannot give a non-transactional sink."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        txn_write(batch_df, root, txn=(app, int(epoch_id)))
+
+    return _sink
 
 
 def txn_read(

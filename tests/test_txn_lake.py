@@ -158,3 +158,177 @@ def test_concurrent_threads_commit_contiguously(spark, tmp_path):
         c = json.load(open(os.path.join(root, "_log", f"{v:020d}.json")))
         assert c["version"] == v
         assert c["op"] == "append"
+
+
+# --------------------------------------------------------------------
+# r7 continuation: checkpoints, compaction, exactly-once stream sink
+# --------------------------------------------------------------------
+
+
+def test_checkpoint_written_and_state_matches_full_replay(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 4)
+    root = str(tmp_path / "t")
+    for i in range(9):  # versions 0..8 -> checkpoints at 4 and 8
+        lake.txn_write(_rows(spark, i * 10, i * 10 + 2), root)
+    assert os.path.exists(lake._checkpoint_path(root, 4))
+    assert os.path.exists(lake._checkpoint_path(root, 8))
+    # state computed through the checkpoint == brute-force replay
+    want = []
+    for v in range(9):
+        want = lake._apply_commit(want, lake._read_commit(root, v))
+    assert lake._txn_state(root, 8) == want
+    # pinned reads below the checkpoint still replay correctly
+    assert _ids(lake.txn_read(spark, root, version=2)) == sorted(
+        x for i in range(3) for x in (i * 10, i * 10 + 1)
+    )
+
+
+def test_torn_checkpoint_is_ignored(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 2)
+    root = str(tmp_path / "t")
+    for i in range(5):
+        lake.txn_write(_rows(spark, i * 10, i * 10 + 2), root)
+    # corrupt the newest checkpoint: readers must fall back cleanly
+    with open(lake._checkpoint_path(root, 4), "w") as fh:
+        fh.write("{ torn json")
+    assert len(_ids(lake.txn_read(spark, root))) == 10
+    # idempotency scan also survives the torn cache
+    assert lake.txn_write(_rows(spark, 50, 52), root, txn=("a", 1)) == 5
+    assert lake.txn_write(_rows(spark, 50, 52), root, txn=("a", 1)) is None
+
+
+def test_checkpoint_carries_txns_for_idempotency(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 2)
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 2), root, txn=("app", 1))
+    lake.txn_write(_rows(spark, 2, 4), root, txn=("app", 2))
+    lake.txn_write(_rows(spark, 4, 6), root, txn=("app", 3))
+    cp = json.load(open(lake._checkpoint_path(root, 2)))
+    assert ["app", 1] in cp["txns"] and ["app", 3] in cp["txns"]
+    # replay of a pre-checkpoint txn is still a no-op
+    assert lake.txn_write(_rows(spark, 0, 2), root, txn=("app", 1)) is None
+
+
+def test_compact_coalesces_files_data_and_history_intact(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        lake.txn_write(_rows(spark, i * 10, i * 10 + 3), root)
+    n_before = len(lake._txn_state(root, 3))
+    v = lake.txn_compact(spark, root)
+    assert v == 4
+    after = lake._txn_state(root, 4)
+    assert len(after) < n_before
+    want = sorted(x for i in range(4) for x in range(i * 10, i * 10 + 3))
+    assert _ids(lake.txn_read(spark, root)) == want
+    # time travel to the pre-compact layout still reads the old files
+    assert _ids(lake.txn_read(spark, root, version=3)) == want
+    # nothing left to compact -> no-op
+    assert lake.txn_compact(spark, root) is None
+    # vacuum keeps everything (old files live via time travel)
+    assert lake.txn_vacuum(root) == []
+
+
+def test_append_rebases_past_concurrent_compact(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    lake.txn_write(_rows(spark, 10, 13), root)
+
+    real_open = os.open
+    stolen = {"done": False}
+
+    def stealing_open(path, flags, *a, **k):
+        if "_log" in path and path.endswith("2.json") and not stolen["done"]:
+            stolen["done"] = True
+            assert lake.txn_compact(spark, root) == 2  # maintenance wins v2
+        return real_open(path, flags, *a, **k)
+
+    os.open = stealing_open
+    try:
+        v = lake.txn_write(_rows(spark, 20, 23), root)
+    finally:
+        os.open = real_open
+    assert v == 3  # rebased past the compact, no conflict
+    assert _ids(lake.txn_read(spark, root)) == [0, 1, 2, 10, 11, 12, 20, 21, 22]
+
+
+def test_concurrent_overlapping_compacts_conflict(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    lake.txn_write(_rows(spark, 10, 13), root)
+
+    real_open = os.open
+    stolen = {"done": False}
+
+    def stealing_open(path, flags, *a, **k):
+        if "_log" in path and path.endswith("2.json") and not stolen["done"]:
+            stolen["done"] = True
+            lake.txn_compact(spark, root)  # rewrites the same victims
+        return real_open(path, flags, *a, **k)
+
+    os.open = stealing_open
+    try:
+        with pytest.raises(lake.ConcurrentWriteConflict):
+            lake.txn_compact(spark, root)
+    finally:
+        os.open = real_open
+    # the table is still consistent at the winner's layout
+    assert _ids(lake.txn_read(spark, root)) == [0, 1, 2, 10, 11, 12]
+
+
+def test_txn_history_shape(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    lake.txn_write(_rows(spark, 3, 6), root, txn=("ingest", 42))
+    lake.txn_compact(spark, root)
+    h = lake.txn_history(root)
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert [e["op"] for e in h] == ["compact", "append", "append"]
+    assert h[0]["n_removes"] == h[1]["n_files"] + h[2]["n_files"]
+    assert h[1]["txn"] == ("ingest", 42)
+
+
+def test_stream_sink_exactly_once_replayed_epoch_is_noop(spark, tmp_path):
+    # the foreachBatch contract: Spark may call the sink again with the
+    # SAME epoch_id after a failure; the txn key must absorb the replay
+    root = str(tmp_path / "t")
+    sink = lake.txn_stream_sink(root, "q1")
+    sink(_rows(spark, 0, 5), 0)
+    sink(_rows(spark, 5, 8), 1)
+    sink(_rows(spark, 5, 8), 1)  # replay after a lost commit outcome
+    sink(_rows(spark, 8, 10), 2)
+    assert _ids(lake.txn_read(spark, root)) == list(range(10))
+    assert lake.txn_latest_version(root) == 2
+
+
+def test_stream_sink_end_to_end_restart_continues_epochs(spark, tmp_path):
+    """Real writeStream drains: run availableNow over a file source,
+    land more files, restart from the SAME engine checkpoint with the
+    same txn app — the second drain appends only the new slice, and a
+    third drain with nothing new commits nothing."""
+    from pyspark.sql import functions as F
+
+    src, ckpt, root = (str(tmp_path / d) for d in ("src", "ck", "t"))
+    os.makedirs(src, exist_ok=True)
+    _rows(spark, 0, 6).coalesce(1).write.mode("append").parquet(src)
+
+    schema = "id BIGINT, v BIGINT"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(lake.txn_stream_sink(root, "soak"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert _ids(lake.txn_read(spark, root)) == list(range(6))
+    _rows(spark, 6, 9).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert _ids(lake.txn_read(spark, root)) == list(range(9))
+    v_after_two = lake.txn_latest_version(root)
+    drain()  # no new input: no new commit
+    assert lake.txn_latest_version(root) == v_after_two
+    assert _ids(lake.txn_read(spark, root)) == list(range(9))
