@@ -692,23 +692,28 @@ def _latest_checkpoint(root: str, at_or_below: int) -> "dict | None":
     return cp if cp.get("version") == best else None
 
 
-def _replay(root: str, version: int) -> "tuple[list[str], set[tuple]]":
-    """State at ``version``: (file list, seen (app, run) txns). Starts
-    from the newest checkpoint at or below ``version``."""
+def _replay(root: str, version: int) -> "tuple[list[str], set[tuple], dict]":
+    """State at ``version``: (file list, seen (app, run) txns, per-file
+    min/max stats for live files). Starts from the newest checkpoint at
+    or below ``version``."""
     files: list[str] = []
     txns: set[tuple] = set()
+    stats: dict = {}
     start = 0
     cp = _latest_checkpoint(root, version)
     if cp is not None:
         files = list(cp["files"])
         txns = {tuple(t) for t in cp["txns"]}
+        stats = dict(cp.get("stats", {}))
         start = cp["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(root, v)
         files = _apply_commit(files, c)
+        stats.update(c.get("stats", {}))
         if "txn_app" in c:
             txns.add((c["txn_app"], c["txn_run"]))
-    return files, txns
+    live = set(files)
+    return files, txns, {f: s for f, s in stats.items() if f in live}
 
 
 def _txn_state(root: str, version: int) -> list[str]:
@@ -728,12 +733,12 @@ def _maybe_checkpoint(root: str, version: int) -> None:
 
     if version == 0 or version % CHECKPOINT_EVERY != 0:
         return
-    files, txns = _replay(root, version)
+    files, txns, stats = _replay(root, version)
     tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
             {"version": version, "files": files,
-             "txns": sorted(list(t) for t in txns)},
+             "txns": sorted(list(t) for t in txns), "stats": stats},
             fh,
         )
     os.replace(tmp, _checkpoint_path(root, version))
@@ -754,6 +759,34 @@ def _write_data_files(df: DataFrame, root: str) -> list[str]:
     )
 
 
+def _collect_file_stats(
+    spark: SparkSession, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for ``stats_cols`` over freshly-written data
+    files, keyed by FULL path (txn data dirs are uuid-fresh, so
+    basenames like part-00000 repeat across commits). One columnar
+    scan reading only ``stats_cols`` — the add-file stats a commit
+    embeds so readers skip files without opening them (the Delta
+    add-file / Iceberg manifest-stats shape)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias("_f")
+        )
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        r["_f"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
+        for r in rows
+    }
+
+
 def _txn_commit(
     root: str,
     op: str,
@@ -762,6 +795,7 @@ def _txn_commit(
     read_v: "int | None",
     txn: "tuple[str, int] | None",
     max_retries: int,
+    stats: "dict | None" = None,
 ) -> "int | None":
     """The optimistic commit loop shared by write and compact: try to
     win version R+1 with O_EXCL; on loss, apply the file-granularity
@@ -778,6 +812,8 @@ def _txn_commit(
         }
         if op == "compact":
             commit["removes"] = removes
+        if stats is not None:
+            commit["stats"] = stats
         if txn is not None:
             commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
         path = os.path.join(_log_dir(root), f"{attempt_v:020d}.json")
@@ -826,10 +862,13 @@ def txn_write(
     mode: str = "append",
     txn: "tuple[str, int] | None" = None,
     max_retries: int = 20,
+    stats_cols: "list[str] | None" = None,
 ) -> int | None:
     """Commit ``df`` to the transactional table at ``root`` with
     optimistic concurrency. Returns the committed version, or None if
     ``txn`` (app_id, run_id) was already committed (idempotent replay).
+    ``stats_cols`` embeds per-file min/max for those columns in the
+    commit (add-file stats), enabling txn_read_pruned data skipping.
     Raises :class:`ConcurrentWriteConflict` when the commit cannot be
     rebased under the conflict rules above."""
     if mode not in ("append", "overwrite"):
@@ -841,7 +880,14 @@ def txn_write(
     ):
         return None
     files = _write_data_files(df, root)
-    return _txn_commit(root, mode, files, [], read_v, txn, max_retries)
+    stats = (
+        _collect_file_stats(df.sparkSession, files, stats_cols)
+        if stats_cols
+        else None
+    )
+    return _txn_commit(
+        root, mode, files, [], read_v, txn, max_retries, stats
+    )
 
 
 def txn_compact(
@@ -849,6 +895,7 @@ def txn_compact(
     root: str,
     max_file_bytes: "int | None" = None,
     max_retries: int = 20,
+    stats_cols: "list[str] | None" = None,
 ) -> "int | None":
     """Rewrite the current version's small files into one coalesced set
     and commit it as op="compact" (Delta OPTIMIZE semantics). The commit
@@ -871,8 +918,12 @@ def txn_compact(
     files = _write_data_files(
         spark.read.parquet(*victims).coalesce(1), root
     )
+    stats = (
+        _collect_file_stats(spark, files, stats_cols) if stats_cols else None
+    )
     return _txn_commit(
-        root, "compact", files, sorted(victims), read_v, None, max_retries
+        root, "compact", files, sorted(victims), read_v, None, max_retries,
+        stats,
     )
 
 
@@ -930,6 +981,47 @@ def txn_read(
     if not files:
         raise ValueError(f"version {version} is an empty table state")
     return spark.read.parquet(*files)
+
+
+def txn_read_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: "int | None" = None,
+) -> "tuple[DataFrame, int, int]":
+    """Range read with commit-embedded data skipping: files whose
+    [min, max] for ``col`` provably misses [lo, hi] are never opened —
+    pure log arithmetic, no parquet footer reads (the skip at millions
+    of files is the LISTING, which is what add-file stats remove).
+    Skip-only-on-proof: a live file with no recorded stats, or a NULL
+    min/max (all-null chunk), is always scanned. The residual filter is
+    still pushed to the parquet reader for row-group pruning inside
+    survivors. Returns (df, files_read, files_total)."""
+    from pyspark.sql import functions as F
+
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = latest
+    files, _, stats = _replay(root, version)
+    keep = []
+    for f in files:
+        rng = stats.get(f, {}).get(col)
+        if rng is None:
+            keep.append(f)  # no proof -> must scan
+            continue
+        mn, mx = rng
+        if mn is None or mx is None or (mx >= lo and mn <= hi):
+            keep.append(f)
+    if not keep:  # nothing can match; empty frame with the right schema
+        df = spark.read.parquet(*files).filter(F.lit(False))
+    else:
+        df = spark.read.parquet(*keep)
+    df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df, len(keep), len(files)
 
 
 def txn_vacuum(root: str) -> list[str]:

@@ -332,3 +332,87 @@ def test_stream_sink_end_to_end_restart_continues_epochs(spark, tmp_path):
     drain()  # no new input: no new commit
     assert lake.txn_latest_version(root) == v_after_two
     assert _ids(lake.txn_read(spark, root)) == list(range(9))
+
+
+# --------------------------------------------------------------------
+# r7 continuation 2: commit-embedded add-file stats + data skipping
+# --------------------------------------------------------------------
+
+
+def test_stats_pruning_skips_provably_irrelevant_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # three appends with disjoint id ranges, one file each
+    for lo, hi in [(0, 10), (100, 110), (200, 210)]:
+        lake.txn_write(
+            _rows(spark, lo, hi).coalesce(1), root, stats_cols=["id"]
+        )
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 100, 105)
+    assert (nread, ntotal) == (1, 3)
+    assert _ids(df) == list(range(100, 106))
+    # a range spanning two files reads exactly two
+    df, nread, _ = lake.txn_read_pruned(spark, root, "id", 9, 101)
+    assert nread == 2
+    assert _ids(df) == [9, 100, 101]
+    # a range missing every file opens none but keeps the schema
+    df, nread, _ = lake.txn_read_pruned(spark, root, "id", 500, 600)
+    assert nread == 0 and df.count() == 0 and df.columns == ["id", "v"]
+
+
+def test_files_without_stats_are_always_scanned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 10).coalesce(1), root, stats_cols=["id"])
+    lake.txn_write(_rows(spark, 100, 110).coalesce(1), root)  # no stats
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 105, 106)
+    # the no-proof file must be scanned even though only it can match
+    assert (nread, ntotal) == (1, 2)
+    assert _ids(df) == [105, 106]
+
+
+def test_all_null_stats_chunk_is_kept(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    nulls = spark.range(3).select(
+        F.lit(None).cast("long").alias("id"), F.col("id").alias("v")
+    )
+    lake.txn_write(nulls.coalesce(1), root, stats_cols=["id"])
+    lake.txn_write(_rows(spark, 0, 5).coalesce(1), root, stats_cols=["id"])
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 2, 3)
+    assert (nread, ntotal) == (2, 2)  # NULL-range file cannot be pruned
+    assert _ids(df) == [2, 3]
+
+
+def test_checkpoint_carries_stats_pruning_survives_it(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 3)
+    root = str(tmp_path / "t")
+    for i in range(7):  # checkpoints at 3 and 6
+        lake.txn_write(
+            _rows(spark, i * 100, i * 100 + 5).coalesce(1),
+            root,
+            stats_cols=["id"],
+        )
+    cp = json.load(open(lake._checkpoint_path(root, 6)))
+    assert len(cp["stats"]) == 7
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 200, 204)
+    assert (nread, ntotal) == (1, 7)  # pre-checkpoint file still pruned by
+    assert _ids(df) == list(range(200, 205))
+
+
+def test_compact_with_stats_repopulates_skipping(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        lake.txn_write(
+            _rows(spark, lo, lo + 5).coalesce(1), root, stats_cols=["id"]
+        )
+    lake.txn_compact(spark, root, stats_cols=["id"])
+    files, _, stats = lake._replay(root, lake.txn_latest_version(root))
+    assert len(files) == 1 and set(stats) == set(files)
+    assert stats[files[0]]["id"] == [0, 204]
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 100, 104)
+    assert (nread, ntotal) == (1, 1)
+    assert _ids(df) == list(range(100, 105))
+    # pruning at the pre-compact version still sees the old stats
+    df, nread, ntotal = lake.txn_read_pruned(
+        spark, root, "id", 100, 104, version=2
+    )
+    assert (nread, ntotal) == (1, 3)
