@@ -20,6 +20,7 @@ Scale rationale (the 100 TB story):
 from __future__ import annotations
 
 import os
+import typing
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -625,6 +626,13 @@ class ConcurrentWriteConflict(RuntimeError):
     involved on either side)."""
 
 
+class SchemaMismatch(ValueError):
+    """Raised when an append's schema diverges from the table schema
+    and merge_schema was not requested (enforcement-by-default — the
+    failure mode this prevents is a silent half-columned table that
+    reads differently depending on which file Spark samples first)."""
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -692,28 +700,46 @@ def _latest_checkpoint(root: str, at_or_below: int) -> "dict | None":
     return cp if cp.get("version") == best else None
 
 
-def _replay(root: str, version: int) -> "tuple[list[str], set[tuple], dict]":
-    """State at ``version``: (file list, seen (app, run) txns, per-file
-    min/max stats for live files). Starts from the newest checkpoint at
-    or below ``version``."""
+class _TableState(typing.NamedTuple):
+    files: list
+    txns: set
+    stats: dict  # live file -> {col: [min, max]}
+    file_schemas: dict  # live file -> schema json it was written under
+
+
+def _replay(root: str, version: int) -> _TableState:
+    """State at ``version``: live file list, seen (app, run) txns,
+    per-file min/max stats, and the schema each live file was written
+    under (drives the read-side mergeSchema decision). Starts from the
+    newest checkpoint at or below ``version``."""
     files: list[str] = []
     txns: set[tuple] = set()
     stats: dict = {}
+    fschema: dict = {}
     start = 0
     cp = _latest_checkpoint(root, version)
     if cp is not None:
         files = list(cp["files"])
         txns = {tuple(t) for t in cp["txns"]}
         stats = dict(cp.get("stats", {}))
+        fschema = dict(cp.get("file_schemas", {}))
         start = cp["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(root, v)
         files = _apply_commit(files, c)
         stats.update(c.get("stats", {}))
+        if "schema" in c:
+            for f in c["files"]:
+                fschema[f] = c["schema"]
         if "txn_app" in c:
             txns.add((c["txn_app"], c["txn_run"]))
     live = set(files)
-    return files, txns, {f: s for f, s in stats.items() if f in live}
+    return _TableState(
+        files,
+        txns,
+        {f: s for f, s in stats.items() if f in live},
+        {f: s for f, s in fschema.items() if f in live},
+    )
 
 
 def _txn_state(root: str, version: int) -> list[str]:
@@ -733,12 +759,13 @@ def _maybe_checkpoint(root: str, version: int) -> None:
 
     if version == 0 or version % CHECKPOINT_EVERY != 0:
         return
-    files, txns, stats = _replay(root, version)
+    files, txns, stats, fschema = _replay(root, version)
     tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
             {"version": version, "files": files,
-             "txns": sorted(list(t) for t in txns), "stats": stats},
+             "txns": sorted(list(t) for t in txns), "stats": stats,
+             "file_schemas": fschema},
             fh,
         )
     os.replace(tmp, _checkpoint_path(root, version))
@@ -787,6 +814,56 @@ def _collect_file_stats(
     }
 
 
+def _table_schema_json(root: str, version: "int | None") -> "str | None":
+    """The table schema recorded at ``version`` (every commit stores the
+    post-commit table schema). None for an empty table or a legacy log
+    written before schemas were recorded."""
+    if version is None:
+        return None
+    return _read_commit(root, version).get("schema")
+
+
+def _check_schema(
+    table_json: "str | None", df_schema: T.StructType, merge: bool
+) -> str:
+    """Enforcement-by-default: an append must match the table schema
+    (name -> type, order- and nullability-insensitive). With
+    ``merge`` new columns are allowed (schema evolution); a TYPE
+    change never is. Returns the post-commit table schema json."""
+    import json
+
+    if table_json is None:
+        return df_schema.json()
+    table = T.StructType.fromJson(json.loads(table_json))
+    have = {f.name: f.dataType for f in table.fields}
+    new = {f.name: f.dataType for f in df_schema.fields}
+    changed = sorted(
+        n for n, t in new.items() if n in have and have[n] != t
+    )
+    if changed:
+        raise SchemaMismatch(
+            f"column type changed for {changed}; type changes require "
+            "an explicit overwrite"
+        )
+    added = sorted(set(new) - set(have))
+    missing = sorted(set(have) - set(new))
+    if (added or missing) and not merge:
+        raise SchemaMismatch(
+            f"append schema diverges from table (new columns {added}, "
+            f"absent columns {missing}); pass merge_schema=True to evolve"
+        )
+    if not added:
+        return table_json
+    evolved = T.StructType(
+        list(table.fields)
+        + [
+            T.StructField(n, new[n], nullable=True)
+            for n in added
+        ]
+    )
+    return evolved.json()
+
+
 def _txn_commit(
     root: str,
     op: str,
@@ -796,13 +873,18 @@ def _txn_commit(
     txn: "tuple[str, int] | None",
     max_retries: int,
     stats: "dict | None" = None,
+    schema_fn=None,
 ) -> "int | None":
     """The optimistic commit loop shared by write and compact: try to
     win version R+1 with O_EXCL; on loss, apply the file-granularity
-    conflict rules against the gap commits and rebase or raise."""
+    conflict rules against the gap commits and rebase or raise.
+    ``schema_fn(tip)`` computes the post-commit table schema against
+    the CURRENT tip — re-run after every rebase, so a schema check
+    races correctly against a concurrent evolution."""
     import json
 
     attempt_v = (read_v if read_v is not None else -1) + 1
+    schema_json = schema_fn(read_v) if schema_fn is not None else None
     for _ in range(max_retries):
         commit = {
             "version": attempt_v,
@@ -810,6 +892,8 @@ def _txn_commit(
             "files": files,
             "read_version": read_v,
         }
+        if schema_json is not None:
+            commit["schema"] = schema_json
         if op == "compact":
             commit["removes"] = removes
         if stats is not None:
@@ -845,6 +929,8 @@ def _txn_commit(
                         f"concurrent compact at v{v} rewrote an "
                         "overlapping file set"
                     )
+            if schema_fn is not None:
+                schema_json = schema_fn(new_latest)
             attempt_v = new_latest + 1
             continue
         with os.fdopen(fd, "w") as fh:
@@ -863,14 +949,20 @@ def txn_write(
     txn: "tuple[str, int] | None" = None,
     max_retries: int = 20,
     stats_cols: "list[str] | None" = None,
+    merge_schema: bool = False,
 ) -> int | None:
     """Commit ``df`` to the transactional table at ``root`` with
     optimistic concurrency. Returns the committed version, or None if
     ``txn`` (app_id, run_id) was already committed (idempotent replay).
     ``stats_cols`` embeds per-file min/max for those columns in the
     commit (add-file stats), enabling txn_read_pruned data skipping.
-    Raises :class:`ConcurrentWriteConflict` when the commit cannot be
-    rebased under the conflict rules above."""
+    Appends enforce the table schema (raising :class:`SchemaMismatch`
+    on divergence); ``merge_schema=True`` permits ADDING nullable
+    columns (evolution) — never a type change. The schema check runs
+    against the tip a rebase actually lands on, so it races correctly
+    with a concurrent evolution. Raises
+    :class:`ConcurrentWriteConflict` when the commit cannot be rebased
+    under the conflict rules above."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_dir(root), exist_ok=True)
@@ -879,6 +971,15 @@ def txn_write(
         root, read_v, txn[0], txn[1]
     ):
         return None
+
+    def schema_fn(tip):
+        if mode == "overwrite":
+            return df.schema.json()
+        return _check_schema(
+            _table_schema_json(root, tip), df.schema, merge_schema
+        )
+
+    schema_fn(read_v)  # fail fast BEFORE paying for the data write
     files = _write_data_files(df, root)
     stats = (
         _collect_file_stats(df.sparkSession, files, stats_cols)
@@ -886,7 +987,7 @@ def txn_write(
         else None
     )
     return _txn_commit(
-        root, mode, files, [], read_v, txn, max_retries, stats
+        root, mode, files, [], read_v, txn, max_retries, stats, schema_fn
     )
 
 
@@ -915,15 +1016,17 @@ def txn_compact(
         victims = [f for f in state if os.path.getsize(f) < max_file_bytes]
     if len(victims) < 2:
         return None
+    # read victims under the TABLE schema (mergeSchema handles files
+    # written before an evolution), so the rewritten files are uniform
     files = _write_data_files(
-        spark.read.parquet(*victims).coalesce(1), root
+        _read_files(spark, root, read_v, victims).coalesce(1), root
     )
     stats = (
         _collect_file_stats(spark, files, stats_cols) if stats_cols else None
     )
     return _txn_commit(
         root, "compact", files, sorted(victims), read_v, None, max_retries,
-        stats,
+        stats, lambda tip: _table_schema_json(root, tip),
     )
 
 
@@ -965,11 +1068,36 @@ def txn_stream_sink(root: str, app: str):
     return _sink
 
 
+def _read_files(
+    spark: SparkSession, root: str, version: int, files: list
+) -> DataFrame:
+    """Scan ``files`` under the table schema recorded at ``version``.
+    The expensive path — mergeSchema (a footer read per file) plus a
+    column-aligning select — is paid ONLY when the log proves the live
+    files span more than one write schema; a never-evolved table stays
+    a plain first-footer scan."""
+    import json
+
+    state = _replay(root, version)
+    table_json = _table_schema_json(root, version)
+    distinct = {state.file_schemas.get(f) for f in files}
+    if table_json is None or distinct <= {table_json}:
+        return spark.read.parquet(*files)
+    schema = T.StructType.fromJson(json.loads(table_json))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .select(*[f.name for f in schema.fields])
+    )
+
+
 def txn_read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read the transactional table at its latest committed version or
-    a pinned historical one (time travel by log replay)."""
+    a pinned historical one (time travel by log replay). Files written
+    before a schema evolution surface the added columns as NULL, and
+    every read presents the version's recorded table schema."""
     latest = txn_latest_version(root)
     if latest is None:
         raise FileNotFoundError(f"no committed versions under {root}")
@@ -980,7 +1108,7 @@ def txn_read(
     files = _txn_state(root, version)
     if not files:
         raise ValueError(f"version {version} is an empty table state")
-    return spark.read.parquet(*files)
+    return _read_files(spark, root, version, files)
 
 
 def txn_read_pruned(
@@ -1006,7 +1134,7 @@ def txn_read_pruned(
         raise FileNotFoundError(f"no committed versions under {root}")
     if version is None:
         version = latest
-    files, _, stats = _replay(root, version)
+    files, _, stats, _ = _replay(root, version)
     keep = []
     for f in files:
         rng = stats.get(f, {}).get(col)
@@ -1017,9 +1145,9 @@ def txn_read_pruned(
         if mn is None or mx is None or (mx >= lo and mn <= hi):
             keep.append(f)
     if not keep:  # nothing can match; empty frame with the right schema
-        df = spark.read.parquet(*files).filter(F.lit(False))
+        df = _read_files(spark, root, version, files).filter(F.lit(False))
     else:
-        df = spark.read.parquet(*keep)
+        df = _read_files(spark, root, version, keep)
     df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     return df, len(keep), len(files)
 

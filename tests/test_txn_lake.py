@@ -405,7 +405,7 @@ def test_compact_with_stats_repopulates_skipping(spark, tmp_path):
             _rows(spark, lo, lo + 5).coalesce(1), root, stats_cols=["id"]
         )
     lake.txn_compact(spark, root, stats_cols=["id"])
-    files, _, stats = lake._replay(root, lake.txn_latest_version(root))
+    files, _, stats, _ = lake._replay(root, lake.txn_latest_version(root))
     assert len(files) == 1 and set(stats) == set(files)
     assert stats[files[0]]["id"] == [0, 204]
     df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 100, 104)
@@ -416,3 +416,101 @@ def test_compact_with_stats_repopulates_skipping(spark, tmp_path):
         spark, root, "id", 100, 104, version=2
     )
     assert (nread, ntotal) == (1, 3)
+
+
+# --------------------------------------------------------------------
+# r7 continuation 3: schema enforcement + evolution
+# --------------------------------------------------------------------
+
+
+def test_divergent_append_rejected_before_data_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    bad = spark.range(3).select(F.col("id"), F.col("id").alias("other"))
+    with pytest.raises(lake.SchemaMismatch):
+        lake.txn_write(bad, root)
+    # fail-fast: no data garbage was written, no version consumed
+    assert lake.txn_latest_version(root) == 0
+    assert lake.txn_vacuum(root) == []
+    # type change is rejected even under merge_schema
+    retyped = spark.range(3).select(
+        F.col("id").cast("int"), (F.col("id") * 2).alias("v")
+    )
+    with pytest.raises(lake.SchemaMismatch):
+        lake.txn_write(retyped, root, merge_schema=True)
+
+
+def test_merge_schema_adds_nullable_column_old_files_read_null(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    wide = _rows(spark, 3, 6).withColumn("w", F.col("id") + 100)
+    with pytest.raises(lake.SchemaMismatch):
+        lake.txn_write(wide, root)  # evolution must be explicit
+    lake.txn_write(wide, root, merge_schema=True)
+    df = lake.txn_read(spark, root)
+    assert df.columns == ["id", "v", "w"]
+    got = {r["id"]: r["w"] for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 103, 4: 104, 5: 105}
+    # post-evolution appends must carry the evolved schema
+    with pytest.raises(lake.SchemaMismatch):
+        lake.txn_write(_rows(spark, 6, 9), root)
+    # ...unless merge_schema tolerates the absent column
+    lake.txn_write(_rows(spark, 6, 9), root, merge_schema=True)
+    assert lake.txn_read(spark, root).filter("id = 7").collect()[0]["w"] is None
+    # a pinned pre-evolution read presents the ORIGINAL schema
+    assert lake.txn_read(spark, root, version=0).columns == ["id", "v"]
+
+
+def test_column_order_and_nullability_do_not_conflict(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    reordered = spark.range(3, 6).select(
+        (F.col("id") * 2).alias("v"), F.col("id")
+    )
+    lake.txn_write(reordered, root)  # same name->type set: no mismatch
+    df = lake.txn_read(spark, root)
+    assert sorted(df.columns) == ["id", "v"]
+    assert df.count() == 6
+
+
+def test_overwrite_resets_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    fresh = spark.range(3).select(F.col("id").alias("doc"), F.lit("x").alias("s"))
+    lake.txn_write(fresh, root, mode="overwrite")
+    assert lake.txn_read(spark, root).columns == ["doc", "s"]
+    lake.txn_write(fresh, root)  # appends now check against the new schema
+    with pytest.raises(lake.SchemaMismatch):
+        lake.txn_write(_rows(spark, 0, 3), root)
+
+
+def test_evolution_survives_compact_and_checkpoint(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 3)
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3), root)
+    lake.txn_write(
+        _rows(spark, 3, 6).withColumn("w", F.col("id") + 100),
+        root,
+        merge_schema=True,
+    )
+    lake.txn_write(_rows(spark, 6, 9), root, merge_schema=True)
+    v = lake.txn_compact(spark, root)  # v3 -> checkpoint at 3
+    assert v == 3
+    assert os.path.exists(lake._checkpoint_path(root, 3))
+    df = lake.txn_read(spark, root)
+    assert df.columns == ["id", "v", "w"]
+    got = {r["id"]: r["w"] for r in df.collect()}
+    assert got[4] == 104 and got[0] is None and got[8] is None
+    # compacted files are uniform: replay says one schema, plain scan OK
+    st = lake._replay(root, 3)
+    assert len({st.file_schemas[f] for f in st.files}) == 1
