@@ -666,7 +666,7 @@ def txn_latest_version(root: str) -> int | None:
 def _apply_commit(files: list[str], c: dict) -> list[str]:
     if c["op"] == "overwrite":
         return list(c["files"])
-    if c["op"] == "compact":
+    if c["op"] in ("compact", "merge"):
         rm = set(c["removes"])
         return [f for f in files if f not in rm] + list(c["files"])
     return files + list(c["files"])
@@ -874,13 +874,18 @@ def _txn_commit(
     max_retries: int,
     stats: "dict | None" = None,
     schema_fn=None,
+    extra_conflict=None,
 ) -> "int | None":
-    """The optimistic commit loop shared by write and compact: try to
-    win version R+1 with O_EXCL; on loss, apply the file-granularity
-    conflict rules against the gap commits and rebase or raise.
-    ``schema_fn(tip)`` computes the post-commit table schema against
-    the CURRENT tip — re-run after every rebase, so a schema check
-    races correctly against a concurrent evolution."""
+    """The optimistic commit loop shared by write, compact and merge:
+    try to win version R+1 with O_EXCL; on loss, apply the
+    file-granularity conflict rules against the gap commits and rebase
+    or raise. ``schema_fn(tip)`` computes the post-commit table schema
+    against the CURRENT tip — re-run after every rebase, so a schema
+    check races correctly against a concurrent evolution.
+    ``extra_conflict(won_commit)`` (optional) returns a reason string
+    when a gap commit invalidates this one under a stricter isolation
+    level (merge's serializable mode) — evaluated per gap commit on
+    every rebase."""
     import json
 
     attempt_v = (read_v if read_v is not None else -1) + 1
@@ -894,7 +899,7 @@ def _txn_commit(
         }
         if schema_json is not None:
             commit["schema"] = schema_json
-        if op == "compact":
+        if op in ("compact", "merge"):
             commit["removes"] = removes
         if stats is not None:
             commit["stats"] = stats
@@ -921,13 +926,20 @@ def _txn_commit(
                         f"{op} rebased across an overwrite at v{v}"
                     )
                 if (
-                    op == "compact"
-                    and won["op"] == "compact"
-                    and set(won["removes"]) & set(removes)
+                    op in ("compact", "merge")
+                    and won["op"] in ("compact", "merge")
+                    and set(won.get("removes", ())) & set(removes)
                 ):
                     raise ConcurrentWriteConflict(
-                        f"concurrent compact at v{v} rewrote an "
+                        f"concurrent {won['op']} at v{v} rewrote an "
                         "overlapping file set"
+                    )
+                if extra_conflict is not None and (
+                    why := extra_conflict(won)
+                ):
+                    raise ConcurrentWriteConflict(
+                        f"{op} invalidated by concurrent "
+                        f"{won['op']} at v{v}: {why}"
                     )
             if schema_fn is not None:
                 schema_json = schema_fn(new_latest)
@@ -1028,6 +1040,221 @@ def txn_compact(
         root, "compact", files, sorted(victims), read_v, None, max_retries,
         stats, lambda tip: _table_schema_json(root, tip),
     )
+
+
+def _ranges_disjoint(a: "list | None", b: "tuple | None") -> bool:
+    """True only when [a_min, a_max] and [b_min, b_max] PROVABLY miss
+    each other. Any None endpoint (all-null chunk, absent stats) is
+    no-proof -> False."""
+    if a is None or b is None:
+        return False
+    amn, amx = a
+    bmn, bmx = b
+    if amn is None or amx is None or bmn is None or bmx is None:
+        return False
+    return amx < bmn or bmx < amn
+
+
+def _merge_prunable(file_stats: dict, src_rng: dict) -> bool:
+    """A file needs rewriting unless SOME key column proves it holds no
+    source key: its recorded [min, max] is disjoint from the source's.
+    Skip-only-on-proof, same contract as txn_read_pruned."""
+    return any(
+        _ranges_disjoint(file_stats.get(c), src_rng[c]) for c in src_rng
+    )
+
+
+def _rng_may_contain(rng: "list | None", val) -> bool:
+    """False only when the recorded [min, max] PROVES ``val`` absent."""
+    if rng is None:
+        return True
+    mn, mx = rng
+    if mn is None or mx is None or val is None:
+        return True
+    return mn <= val <= mx
+
+
+def _merge_prunable_keys(file_stats: dict, keys: list, key_cols: list) -> bool:
+    """Exact per-key pruning for a small (collected) source key set: the
+    file survives pruning only if NO source key fits inside its ranges
+    on every key column. Far sharper than the single-range proof for
+    sparse CDC batches (keys {0, 9, 205} must not drag in a [100, 109]
+    file just because the overall range spans it)."""
+    return not any(
+        all(_rng_may_contain(file_stats.get(c), k[c]) for c in key_cols)
+        for k in keys
+    )
+
+
+# a CDC batch at or below this many distinct keys is pruned per-key
+# (one bounded driver-side collect); larger sources use the range proof
+MERGE_PRUNE_MAX_KEYS = 1024
+
+
+def txn_merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: "list[str]",
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    stats_cols: "list[str] | None" = None,
+    max_retries: int = 20,
+    serializable: bool = False,
+) -> "tuple[int | None, int, int]":
+    """Copy-on-write MERGE INTO (the Delta MERGE shape): target rows
+    whose key matches a ``source`` row are updated (replaced by the
+    source row) or deleted per ``when_matched``; source rows matching
+    nothing are inserted or ignored per ``when_not_matched``. Only
+    files that can contain a matching key are rewritten — commit-
+    embedded add-file stats prove the rest untouched, so a CDC batch
+    against a million-file table rewrites a handful of files instead
+    of the table (the property that makes upsert viable at 100 TB).
+    Returns (version, files_rewritten, files_total); version is None
+    for a provable no-op (empty source, or nothing matched under
+    update+ignore).
+
+    Concurrency is the default Delta posture (WriteSerializable):
+    concurrent appends rebase past a merge — if one lands a matching
+    key in the gap, the table afterwards holds both rows, exactly as
+    Delta documents. ``serializable=True`` upgrades the check: any gap
+    commit adding files whose key stats OVERLAP the source key range
+    (or carry no stats — no proof) raises
+    :class:`ConcurrentWriteConflict` instead.
+
+    ``when_matched="delete"`` with ``when_not_matched="ignore"``
+    accepts a keys-only source (a tombstone feed); every other mode
+    inserts/updates full rows, so the source must match the table
+    schema exactly (merge never evolves schema — evolve with an
+    explicit ``txn_write(..., merge_schema=True)`` first)."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete: {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore: {when_not_matched!r}"
+        )
+    keys_only = when_matched == "delete" and when_not_matched == "ignore"
+
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        # empty table: merge degenerates to insert-all (or a no-op)
+        if when_not_matched == "ignore":
+            return None, 0, 0
+        return txn_write(source, root, stats_cols=stats_cols), 0, 0
+
+    table_json = _table_schema_json(root, read_v)
+    if not keys_only:
+        _check_schema(table_json, source.schema, merge=False)
+
+    # one bounded agg: source key ranges (pruning proof + serializable
+    # conflict predicate) and, for update, the no-duplicate-keys check
+    # MERGE semantics require (two source rows updating one target row
+    # is ambiguous — Delta raises here too)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if when_matched == "update":
+        aggs.append(F.count_distinct(*[F.col(c) for c in key_cols]).alias("_d"))
+    for c in key_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    head = source.agg(*aggs).collect()[0]
+    if head["_n"] == 0:
+        return None, 0, 0
+    if when_matched == "update" and head["_d"] != head["_n"]:
+        raise ValueError(
+            "source has duplicate keys: MERGE update is ambiguous "
+            f"({head['_n']} rows, {head['_d']} distinct keys)"
+        )
+    src_rng = {c: (head[f"_mn_{c}"], head[f"_mx_{c}"]) for c in key_cols}
+
+    state = _replay(root, read_v)
+    key_rows = (
+        source.select(*key_cols).distinct().collect()
+        if head["_n"] <= MERGE_PRUNE_MAX_KEYS
+        else None
+    )
+    if key_rows is not None:
+        victims = [
+            f for f in state.files
+            if not _merge_prunable_keys(
+                state.stats.get(f, {}), key_rows, key_cols
+            )
+        ]
+    else:
+        victims = [
+            f for f in state.files
+            if not _merge_prunable(state.stats.get(f, {}), src_rng)
+        ]
+    src_keys = F.broadcast(source.select(*key_cols).distinct())
+
+    if victims:
+        tgt = _read_files(spark, root, read_v, victims)
+        survivors = tgt.join(src_keys, key_cols, "left_anti")
+        if when_matched == "update":
+            if when_not_matched == "insert":
+                new_rows = survivors.unionByName(source)
+            else:  # update only the matched keys
+                matched = source.join(
+                    tgt.select(*key_cols).distinct(), key_cols, "left_semi"
+                )
+                new_rows = survivors.unionByName(matched)
+        else:  # delete
+            new_rows = survivors
+            if when_not_matched == "insert":
+                inserts = source.join(
+                    tgt.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+                new_rows = new_rows.unionByName(inserts)
+    else:
+        if when_not_matched == "ignore":
+            return None, 0, len(state.files)  # provable no-op
+        new_rows = source  # nothing can match: pure insert
+
+    if not keys_only and table_json is not None:
+        import json as _json
+
+        order = [
+            f.name
+            for f in T.StructType.fromJson(_json.loads(table_json)).fields
+        ]
+        new_rows = new_rows.select(*order)
+    files = _write_data_files(new_rows, root)
+    stats = (
+        _collect_file_stats(spark, files, stats_cols) if stats_cols else None
+    )
+
+    extra = None
+    if serializable:
+        def extra(won: dict) -> "str | None":
+            # compact rewrites rows that already existed at our read
+            # snapshot — it can never introduce a matching key; only
+            # commits that ADD rows (append, another merge's
+            # updates/inserts) can invalidate the snapshot
+            if won["op"] == "compact":
+                return None
+            for f, fs in won.get("stats", {}).items():
+                if f not in won.get("files", ()):
+                    continue
+                hit = (
+                    not _merge_prunable_keys(fs, key_rows, key_cols)
+                    if key_rows is not None
+                    else all(
+                        not _ranges_disjoint(fs.get(c), src_rng[c])
+                        for c in src_rng
+                    )
+                )
+                if hit:
+                    return f"added file {f} may hold a merged key"
+            for f in won.get("files", ()):
+                if f not in won.get("stats", {}):
+                    return f"added file {f} carries no key stats (no proof)"
+            return None
+
+    v = _txn_commit(
+        root, "merge", files, sorted(victims), read_v, None, max_retries,
+        stats, lambda tip: _table_schema_json(root, tip), extra,
+    )
+    return v, len(victims), len(state.files)
 
 
 def txn_history(root: str) -> list[dict]:

@@ -514,3 +514,251 @@ def test_evolution_survives_compact_and_checkpoint(spark, tmp_path, monkeypatch)
     # compacted files are uniform: replay says one schema, plain scan OK
     st = lake._replay(root, 3)
     assert len({st.file_schemas[f] for f in st.files}) == 1
+
+
+# --------------------------------------------------------------------
+# r7 continuation 4: copy-on-write MERGE INTO (the Delta MERGE shape)
+# --------------------------------------------------------------------
+
+
+def _kv(df):
+    return {r["id"]: r["v"] for r in df.collect()}
+
+
+def _seed_three_files(spark, root):
+    """Three one-file appends with disjoint id ranges + key stats."""
+    for lo, hi in [(0, 10), (100, 110), (200, 210)]:
+        lake.txn_write(
+            _rows(spark, lo, hi).coalesce(1), root, stats_cols=["id"]
+        )
+
+
+def test_merge_upsert_updates_matched_inserts_unmatched(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    src = spark.createDataFrame(
+        [(105, -1), (106, -2), (500, -3)], "id long, v long"
+    )
+    v, rewritten, total = lake.txn_merge(
+        spark, root, src, ["id"], stats_cols=["id"]
+    )
+    assert v == 3 and total == 3
+    got = _kv(lake.txn_read(spark, root))
+    assert got[105] == -1 and got[106] == -2 and got[500] == -3
+    assert got[104] == 208 and got[0] == 0 and got[205] == 410
+    assert len(got) == 31  # 30 seeded + 1 insert
+    # time travel: the pre-merge snapshot is untouched
+    assert _kv(lake.txn_read(spark, root, version=2))[105] == 210
+    h = lake.txn_history(root)[0]
+    # per-key pruning: keys {105, 106, 500} fit only the [100, 109]
+    # file — [200, 209] is NOT dragged in by the overall range span
+    assert h["op"] == "merge" and h["n_removes"] == 1
+
+
+def test_merge_rewrites_only_files_that_can_match(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    before = set(lake._txn_state(root, 2))
+    src = spark.createDataFrame([(105, -1)], "id long, v long")
+    v, rewritten, total = lake.txn_merge(
+        spark, root, src, ["id"], stats_cols=["id"]
+    )
+    assert (rewritten, total) == (1, 3)
+    after = set(lake._txn_state(root, v))
+    # the two provably-unmatchable files survive AS THE SAME paths
+    assert len(before & after) == 2
+    removed = json.load(
+        open(os.path.join(lake._log_dir(root), f"{v:020d}.json"))
+    )["removes"]
+    mn_mx = lake._replay(root, 2).stats[removed[0]]["id"]
+    assert mn_mx == [100, 109]
+
+
+def test_merge_delete_accepts_keys_only_tombstone_feed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    tombstones = spark.createDataFrame([(0,), (9,), (205,)], "id long")
+    v, rewritten, total = lake.txn_merge(
+        spark, root, tombstones, ["id"],
+        when_matched="delete", when_not_matched="ignore",
+        stats_cols=["id"],
+    )
+    assert rewritten == 2  # files 1 and 3 hold the victims
+    ids = _ids(lake.txn_read(spark, root))
+    assert 0 not in ids and 9 not in ids and 205 not in ids
+    assert len(ids) == 27
+
+
+def test_merge_update_only_ignores_unmatched_source_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    src = spark.createDataFrame([(7, -7), (999, -9)], "id long, v long")
+    v, _, _ = lake.txn_merge(
+        spark, root, src, ["id"], when_not_matched="ignore",
+        stats_cols=["id"],
+    )
+    got = _kv(lake.txn_read(spark, root))
+    assert got[7] == -7 and 999 not in got and len(got) == 30
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    dup = spark.createDataFrame([(5, 1), (5, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        lake.txn_merge(spark, root, dup, ["id"])
+    # delete mode tolerates duplicates (tombstones are idempotent)
+    v, _, _ = lake.txn_merge(
+        spark, root, dup.select("id"), ["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert 5 not in _ids(lake.txn_read(spark, root))
+
+
+def test_merge_empty_source_and_no_match_ignore_are_noops(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    empty = spark.createDataFrame([], "id long, v long")
+    assert lake.txn_merge(spark, root, empty, ["id"])[0] is None
+    far = spark.createDataFrame([(10_000, 0)], "id long, v long")
+    v, rewritten, _ = lake.txn_merge(
+        spark, root, far, ["id"], when_not_matched="ignore"
+    )
+    assert v is None and rewritten == 0
+    assert lake.txn_latest_version(root) == 2  # nothing committed
+
+
+def test_merge_into_empty_table_is_insert(spark, tmp_path):
+    root = str(tmp_path / "t")
+    src = spark.createDataFrame([(1, 10)], "id long, v long")
+    v, _, _ = lake.txn_merge(spark, root, src, ["id"], stats_cols=["id"])
+    assert v == 0 and _kv(lake.txn_read(spark, root)) == {1: 10}
+
+
+def test_merge_schema_must_match_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    src = spark.createDataFrame([(5,)], "id long").withColumn(
+        "extra", F.lit(1)
+    )
+    with pytest.raises(lake.SchemaMismatch):
+        lake.txn_merge(spark, root, src, ["id"])
+
+
+def test_merge_rebases_past_disjoint_append_write_serializable(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    # steal the merge's version between its read and its commit
+    orig = lake._write_data_files
+
+    def hijack(df, r):
+        files = orig(df, r)
+        if not getattr(hijack, "done", False):
+            hijack.done = True
+            lake.txn_write(
+                _rows(spark, 300, 305).coalesce(1), root, stats_cols=["id"]
+            )
+        return files
+
+    monkeypatch.setattr(lake, "_write_data_files", hijack)
+    src = spark.createDataFrame([(105, -1)], "id long, v long")
+    v, _, _ = lake.txn_merge(spark, root, src, ["id"], stats_cols=["id"])
+    assert v == 4  # rebased past the concurrent append at v3
+    got = _kv(lake.txn_read(spark, root))
+    assert got[105] == -1 and got[300] == 600  # both writes survive
+
+
+def test_merge_serializable_conflicts_with_overlapping_gap_append(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    orig = lake._write_data_files
+
+    def hijack(df, r):
+        files = orig(df, r)
+        if not getattr(hijack, "done", False):
+            hijack.done = True
+            # gap append whose id range CONTAINS the merged key
+            lake.txn_write(
+                _rows(spark, 104, 107).coalesce(1), root, stats_cols=["id"]
+            )
+        return files
+
+    monkeypatch.setattr(lake, "_write_data_files", hijack)
+    src = spark.createDataFrame([(105, -1)], "id long, v long")
+    with pytest.raises(lake.ConcurrentWriteConflict, match="may hold"):
+        lake.txn_merge(
+            spark, root, src, ["id"], stats_cols=["id"], serializable=True
+        )
+
+
+def test_merge_serializable_rebases_past_provably_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    orig = lake._write_data_files
+
+    def hijack(df, r):
+        files = orig(df, r)
+        if not getattr(hijack, "done", False):
+            hijack.done = True
+            lake.txn_write(
+                _rows(spark, 900, 905).coalesce(1), root, stats_cols=["id"]
+            )
+        return files
+
+    monkeypatch.setattr(lake, "_write_data_files", hijack)
+    src = spark.createDataFrame([(105, -1)], "id long, v long")
+    v, _, _ = lake.txn_merge(
+        spark, root, src, ["id"], stats_cols=["id"], serializable=True
+    )
+    assert v == 4
+    assert _kv(lake.txn_read(spark, root))[105] == -1
+
+
+def test_concurrent_merge_and_compact_overlapping_files_conflict(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    orig = lake._write_data_files
+    calls = {"n": 0}
+
+    def hijack(df, r):
+        files = orig(df, r)
+        calls["n"] += 1
+        if calls["n"] == 1:  # only on the merge's own data write
+            monkeypatch.setattr(lake, "_write_data_files", orig)
+            lake.txn_compact(spark, root)  # rewrites ALL three files
+        return files
+
+    monkeypatch.setattr(lake, "_write_data_files", hijack)
+    src = spark.createDataFrame([(105, -1)], "id long, v long")
+    with pytest.raises(lake.ConcurrentWriteConflict, match="overlapping"):
+        lake.txn_merge(spark, root, src, ["id"], stats_cols=["id"])
+
+
+def test_merge_large_source_falls_back_to_range_proof(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(lake, "MERGE_PRUNE_MAX_KEYS", 1)
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    tombstones = spark.createDataFrame([(0,), (205,)], "id long")
+    v, rewritten, total = lake.txn_merge(
+        spark, root, tombstones, ["id"],
+        when_matched="delete", when_not_matched="ignore",
+        stats_cols=["id"],
+    )
+    # range [0, 205] overlaps all three files — conservative but correct
+    assert (rewritten, total) == (3, 3)
+    ids = _ids(lake.txn_read(spark, root))
+    assert 0 not in ids and 205 not in ids and len(ids) == 28
