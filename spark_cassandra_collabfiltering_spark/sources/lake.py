@@ -1101,6 +1101,7 @@ def txn_merge(
     stats_cols: "list[str] | None" = None,
     max_retries: int = 20,
     serializable: bool = False,
+    txn: "tuple[str, int] | None" = None,
 ) -> "tuple[int | None, int, int]":
     """Copy-on-write MERGE INTO (the Delta MERGE shape): target rows
     whose key matches a ``source`` row are updated (replaced by the
@@ -1138,11 +1139,17 @@ def txn_merge(
     keys_only = when_matched == "delete" and when_not_matched == "ignore"
 
     read_v = txn_latest_version(root)
+    if (
+        txn is not None
+        and read_v is not None
+        and _txn_seen(root, read_v, txn[0], txn[1])
+    ):
+        return None, 0, 0  # idempotent replay: this batch already landed
     if read_v is None:
         # empty table: merge degenerates to insert-all (or a no-op)
         if when_not_matched == "ignore":
             return None, 0, 0
-        return txn_write(source, root, stats_cols=stats_cols), 0, 0
+        return txn_write(source, root, stats_cols=stats_cols, txn=txn), 0, 0
 
     table_json = _table_schema_json(root, read_v)
     if not keys_only:
@@ -1251,10 +1258,47 @@ def txn_merge(
             return None
 
     v = _txn_commit(
-        root, "merge", files, sorted(victims), read_v, None, max_retries,
+        root, "merge", files, sorted(victims), read_v, txn, max_retries,
         stats, lambda tip: _table_schema_json(root, tip), extra,
     )
     return v, len(victims), len(state.files)
+
+
+def txn_cdc_sink(
+    root: str,
+    app: str,
+    key_cols: "list[str]",
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    stats_cols: "list[str] | None" = None,
+):
+    """An exactly-once CDC-apply sink: each micro-batch is MERGEd into
+    the transactional table, keyed as idempotent transaction
+    (app, epoch_id) — a batch whose commit outcome was lost and is
+    replayed by the engine becomes a no-op instead of a double-apply
+    (double-applying an upsert is harmless for idempotent updates but
+    NOT for aggregated CDC deltas; the txn marker makes it safe
+    unconditionally). The streaming half of the Delta
+    MERGE-in-foreachBatch pattern:
+    ``changes.writeStream.foreachBatch(txn_cdc_sink(root, "cdc", ["id"]))``.
+
+    Batches should carry the LAST change per key (dedupe upstream with
+    a window over the CDC sequence column) — merge rejects ambiguous
+    duplicate update keys by design."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        txn_merge(
+            batch_df.sparkSession,
+            root,
+            batch_df,
+            key_cols,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            stats_cols=stats_cols,
+            txn=(app, int(epoch_id)),
+        )
+
+    return _sink
 
 
 def txn_history(root: str) -> list[dict]:

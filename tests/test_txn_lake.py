@@ -762,3 +762,69 @@ def test_merge_large_source_falls_back_to_range_proof(
     assert (rewritten, total) == (3, 3)
     ids = _ids(lake.txn_read(spark, root))
     assert 0 not in ids and 205 not in ids and len(ids) == 28
+
+
+def test_merge_idempotent_txn_replay_is_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    src = spark.createDataFrame([(5, -5)], "id long, v long")
+    v, _, _ = lake.txn_merge(
+        spark, root, src, ["id"], stats_cols=["id"], txn=("cdc", 3)
+    )
+    assert v == 3
+    # replay of the same (app, run): no-op, no new version
+    v2, _, _ = lake.txn_merge(
+        spark, root, src, ["id"], stats_cols=["id"], txn=("cdc", 3)
+    )
+    assert v2 is None and lake.txn_latest_version(root) == 3
+    assert _kv(lake.txn_read(spark, root))[5] == -5
+
+
+def test_cdc_sink_exactly_once_upsert_and_replay(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    sink = lake.txn_cdc_sink(root, "cdc", ["id"], stats_cols=["id"])
+    sink(spark.createDataFrame([(0, -1), (999, -2)], "id long, v long"), 0)
+    sink(spark.createDataFrame([(999, -3)], "id long, v long"), 1)
+    sink(spark.createDataFrame([(999, -3)], "id long, v long"), 1)  # replay
+    got = _kv(lake.txn_read(spark, root))
+    assert got[0] == -1 and got[999] == -3 and len(got) == 31
+    assert lake.txn_latest_version(root) == 4  # 3 seeds + 2 merges
+
+
+def test_cdc_sink_end_to_end_stream_applies_last_change_per_key(
+    spark, tmp_path
+):
+    """Real writeStream drain: a CDC file feed upserted into the txn
+    table via foreachBatch merge; restart drains only the new slice."""
+    from pyspark.sql import functions as F
+
+    src, ckpt, root = (str(tmp_path / d) for d in ("src", "ck", "t"))
+    os.makedirs(src, exist_ok=True)
+    lake.txn_write(_rows(spark, 0, 5).coalesce(1), root, stats_cols=["id"])
+
+    spark.createDataFrame(
+        [(2, -2), (50, -50)], "id long, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("id BIGINT, v BIGINT").parquet(src)
+            .writeStream.foreachBatch(
+                lake.txn_cdc_sink(root, "cdc-e2e", ["id"], stats_cols=["id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = _kv(lake.txn_read(spark, root))
+    assert got[2] == -2 and got[50] == -50 and len(got) == 6
+    spark.createDataFrame(
+        [(50, -51)], "id long, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = _kv(lake.txn_read(spark, root))
+    assert got[50] == -51 and len(got) == 6
