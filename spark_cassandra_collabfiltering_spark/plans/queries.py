@@ -92,8 +92,11 @@ _DRIVER_ORDER = [
     # --- scalar-function suites: map functions + posexplode (first
     # driver rows)
     "f_map_suite", "f_posexplode_tokens",
-    # --- windows: RANGE frame variant (rank/lag had r1-r5 rows)
-    "w5_range_frame",
+    # --- r7 continuation: ACID MERGE INTO through the txn lake, read
+    # back from the log — the lake's write path made driver-visible
+    # (took w5_range_frame's slot: windows held driver rows r1-r5 via
+    # the w1 family; w5 stays registered + locally oracle-checked)
+    "lake_txn_merge",
     # --- events: retention cohorts, streaks, rolling 7d sums, rolling
     # windowed-HLL distinct (first driver rows)
     "ev_retention_daily", "ev_streaks", "ev_rolling_7d",
@@ -9543,3 +9546,70 @@ def q_dedup_lsh_advisor(spark, sf_dir):
        JOIN op o USING (bands, rows_per_band)
        JOIN pick p USING (bands, rows_per_band)"""
     )
+
+
+@register(
+    "lake_txn_merge",
+    """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 = 3),
+        survived AS (SELECT c_custkey, c_name, c_nationkey FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM del
+                                       WHERE del.c_custkey = c.c_custkey)),
+        up AS (SELECT c_custkey, 'UPDATED-' || c_name AS c_name, c_nationkey
+               FROM customer WHERE c_custkey % 10 = 0
+               UNION ALL
+               SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey
+               FROM customer WHERE c_custkey % 25 = 0)
+       SELECT * FROM up
+       UNION ALL
+       SELECT * FROM survived s
+       WHERE NOT EXISTS (SELECT 1 FROM up WHERE up.c_custkey = s.c_custkey)""",
+    "ACID MERGE INTO through the transaction-log lake, end to end: a "
+    "customer snapshot is committed as a range-laid-out transactional "
+    "table (commit-embedded key stats), a tombstone feed is MERGEd "
+    "with when_matched=delete, a CDC batch (updates + brand-new keys) "
+    "is MERGEd with upsert semantics, and the query returns the table "
+    "READ BACK FROM THE LOG — so the oracle match proves the whole "
+    "write path: copy-on-write rewrites, per-key file pruning "
+    "(untouched files are never rewritten, asserted in "
+    "tests/test_txn_lake.py), optimistic commit, and log-replay read. "
+    "Note a key can be deleted AND re-upserted (custkey 20 at sf>=0.01 "
+    "is in both feeds) — the oracle replays the same two-step apply. "
+    "At 100 TB the upsert rewrites only files whose stats admit a "
+    "source key: a bounded CDC batch against a million-file table is "
+    "a handful of file rewrites plus one commit, not a table scan.",
+)
+def q_lake_txn_merge(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="txn_merge_q_") + "/t"
+    # range layout on the key -> disjoint per-file stats -> the merges
+    # below actually exercise pruning, not rewrite-everything
+    lake.txn_write(
+        base.repartitionByRange(4, "c_custkey"), root, stats_cols=["c_custkey"]
+    )
+    tombstones = base.filter(F.col("c_custkey") % 17 == 3).select("c_custkey")
+    lake.txn_merge(
+        spark, root, tombstones, ["c_custkey"],
+        when_matched="delete", when_not_matched="ignore",
+        stats_cols=["c_custkey"],
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+    )
+    inserts = base.filter(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+    )
+    lake.txn_merge(
+        spark, root, updates.unionByName(inserts), ["c_custkey"],
+        stats_cols=["c_custkey"],
+    )
+    return lake.txn_read(spark, root)

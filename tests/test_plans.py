@@ -492,7 +492,23 @@ def test_mm_decode_chain_is_shuffle_free(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert _op_count(plan, "MapInPandas") == 2, plan
-    assert "Exchange" not in plan, plan
+    # r7: exactly ONE exchange is allowed — the deliberate id-only
+    # RoundRobin fan-out BEFORE the encode stage (Python-heavy work
+    # must not inherit a single file's scan parallelism; the shuffled
+    # rows are 8-byte ids). Between the two Arrow stages the chain
+    # stays narrow: a shuffle there would re-serialize every payload.
+    assert _op_count(plan, "Exchange") == 1, plan
+    ex = re.search(
+        r"\(\d+\) Exchange\s*\nInput \[1\]: \[doc_id#\d+L\]\s*\n"
+        r"Arguments: RoundRobinPartitioning",
+        plan,
+    )
+    assert ex, plan
+    # the chain is linear and formatted-plan node ids number bottom-up:
+    # the exchange id below both MapInPandas ids == upstream of both
+    ex_id = int(re.search(r"Exchange \((\d+)\)", plan).group(1))
+    map_ids = [int(x) for x in re.findall(r"MapInPandas \((\d+)\)", plan)]
+    assert len(set(map_ids)) == 2 and ex_id < min(map_ids), plan
     # column pruning reaches the scan: only doc_id is read
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).split(",") == ["doc_id:bigint"], plan
