@@ -669,6 +669,8 @@ def _apply_commit(files: list[str], c: dict) -> list[str]:
     if c["op"] in ("compact", "merge"):
         rm = set(c["removes"])
         return [f for f in files if f not in rm] + list(c["files"])
+    if c["op"] == "dv":
+        return files  # deletion vector: sidecars only, data files stay
     return files + list(c["files"])
 
 
@@ -705,17 +707,20 @@ class _TableState(typing.NamedTuple):
     txns: set
     stats: dict  # live file -> {col: [min, max]}
     file_schemas: dict  # live file -> schema json it was written under
+    dvs: list  # active deletion vectors: [(sidecar_files, target_files)]
 
 
 def _replay(root: str, version: int) -> _TableState:
     """State at ``version``: live file list, seen (app, run) txns,
-    per-file min/max stats, and the schema each live file was written
-    under (drives the read-side mergeSchema decision). Starts from the
-    newest checkpoint at or below ``version``."""
+    per-file min/max stats, the schema each live file was written
+    under (drives the read-side mergeSchema decision), and the active
+    deletion vectors. Starts from the newest checkpoint at or below
+    ``version``."""
     files: list[str] = []
     txns: set[tuple] = set()
     stats: dict = {}
     fschema: dict = {}
+    dvs: list = []
     start = 0
     cp = _latest_checkpoint(root, version)
     if cp is not None:
@@ -723,22 +728,33 @@ def _replay(root: str, version: int) -> _TableState:
         txns = {tuple(t) for t in cp["txns"]}
         stats = dict(cp.get("stats", {}))
         fschema = dict(cp.get("file_schemas", {}))
+        dvs = [tuple(d) for d in cp.get("dvs", [])]
         start = cp["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(root, v)
         files = _apply_commit(files, c)
         stats.update(c.get("stats", {}))
+        if c["op"] == "dv":
+            dvs.append((list(c["files"]), list(c["dv_for"])))
         if "schema" in c:
             for f in c["files"]:
                 fschema[f] = c["schema"]
         if "txn_app" in c:
             txns.add((c["txn_app"], c["txn_run"]))
     live = set(files)
+    # a DV whose every target was rewritten (compact/merge/overwrite)
+    # is inert — its row positions reference dead files
+    dvs = [
+        (sf, [t for t in tg if t in live])
+        for sf, tg in dvs
+        if set(tg) & live
+    ]
     return _TableState(
         files,
         txns,
         {f: s for f, s in stats.items() if f in live},
         {f: s for f, s in fschema.items() if f in live},
+        dvs,
     )
 
 
@@ -759,13 +775,13 @@ def _maybe_checkpoint(root: str, version: int) -> None:
 
     if version == 0 or version % CHECKPOINT_EVERY != 0:
         return
-    files, txns, stats, fschema = _replay(root, version)
+    files, txns, stats, fschema, dvs = _replay(root, version)
     tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
             {"version": version, "files": files,
              "txns": sorted(list(t) for t in txns), "stats": stats,
-             "file_schemas": fschema},
+             "file_schemas": fschema, "dvs": [list(d) for d in dvs]},
             fh,
         )
     os.replace(tmp, _checkpoint_path(root, version))
@@ -901,6 +917,8 @@ def _txn_commit(
             commit["schema"] = schema_json
         if op in ("compact", "merge"):
             commit["removes"] = removes
+        elif op == "dv":
+            commit["dv_for"] = removes  # touched, not removed
         if stats is not None:
             commit["stats"] = stats
         if txn is not None:
@@ -925,13 +943,24 @@ def _txn_commit(
                     raise ConcurrentWriteConflict(
                         f"{op} rebased across an overwrite at v{v}"
                     )
+                # compact/merge REWRITE files; dv pins ROW POSITIONS in
+                # files. Any two of them touching the same file conflict
+                # (a rewrite invalidates positions; a position set
+                # invalidates a rewrite computed without it) — EXCEPT
+                # dv+dv on one file, which compose (both anti-joins
+                # apply independently).
+                _touch_ops = ("compact", "merge", "dv")
+                won_touch = set(won.get("removes", ())) | set(
+                    won.get("dv_for", ())
+                )
                 if (
-                    op in ("compact", "merge")
-                    and won["op"] in ("compact", "merge")
-                    and set(won.get("removes", ())) & set(removes)
+                    op in _touch_ops
+                    and won["op"] in _touch_ops
+                    and not (op == "dv" and won["op"] == "dv")
+                    and won_touch & set(removes)
                 ):
                     raise ConcurrentWriteConflict(
-                        f"concurrent {won['op']} at v{v} rewrote an "
+                        f"concurrent {won['op']} at v{v} touched an "
                         "overlapping file set"
                     )
                 if extra_conflict is not None and (
@@ -1091,6 +1120,25 @@ def _merge_prunable_keys(file_stats: dict, keys: list, key_cols: list) -> bool:
 MERGE_PRUNE_MAX_KEYS = 1024
 
 
+def _prune_victims(
+    state: "_TableState", src_rng: dict, key_rows: "list | None",
+    key_cols: list,
+) -> list:
+    """Files that may hold a source key: exact per-key proof when the
+    key set was collected, the single-range proof otherwise."""
+    if key_rows is not None:
+        return [
+            f for f in state.files
+            if not _merge_prunable_keys(
+                state.stats.get(f, {}), key_rows, key_cols
+            )
+        ]
+    return [
+        f for f in state.files
+        if not _merge_prunable(state.stats.get(f, {}), src_rng)
+    ]
+
+
 def txn_merge(
     spark: SparkSession,
     root: str,
@@ -1180,18 +1228,7 @@ def txn_merge(
         if head["_n"] <= MERGE_PRUNE_MAX_KEYS
         else None
     )
-    if key_rows is not None:
-        victims = [
-            f for f in state.files
-            if not _merge_prunable_keys(
-                state.stats.get(f, {}), key_rows, key_cols
-            )
-        ]
-    else:
-        victims = [
-            f for f in state.files
-            if not _merge_prunable(state.stats.get(f, {}), src_rng)
-        ]
+    victims = _prune_victims(state, src_rng, key_rows, key_cols)
     src_keys = F.broadcast(source.select(*key_cols).distinct())
 
     if victims:
@@ -1301,6 +1338,87 @@ def txn_cdc_sink(
     return _sink
 
 
+def txn_delete_dv(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_cols: "list[str]",
+    max_retries: int = 20,
+    txn: "tuple[str, int] | None" = None,
+) -> "tuple[int | None, int, int]":
+    """Delete by key WITHOUT rewriting data files: record the matching
+    row positions as a deletion-vector sidecar (parquet of
+    (file, pos)) and commit op="dv". Reads at or after this version
+    anti-join the positions out; the data files themselves are
+    untouched, so a bounded tombstone batch against a 100 TB table
+    costs one pruned scan of the candidate files plus a metadata-sized
+    sidecar write — not a copy-on-write rewrite (``txn_merge`` with
+    when_matched="delete" is the rewrite path; this is the Delta
+    deletion-vectors shape). ``txn_compact`` materializes DVs away:
+    it reads through them, so the rewritten files simply lack the
+    deleted rows and the replayed state drops the inert sidecars.
+
+    A DV conflicts with a concurrent compact/merge touching the same
+    files (a rewrite invalidates row positions — and a rewrite computed
+    without the DV would resurrect the rows); concurrent DVs on the
+    same file compose and never conflict. Appends rebase past freely.
+
+    Returns (version, rows_deleted, candidate_files). version is None
+    when no row matched (nothing committed; sidecar garbage is
+    vacuumable) or when ``txn`` was already committed."""
+    from pyspark.sql import functions as F
+
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        return None, 0, 0
+    if txn is not None and _txn_seen(root, read_v, txn[0], txn[1]):
+        return None, 0, 0
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in key_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    head = keys.agg(*aggs).collect()[0]
+    if head["_n"] == 0:
+        return None, 0, 0
+    src_rng = {c: (head[f"_mn_{c}"], head[f"_mx_{c}"]) for c in key_cols}
+    state = _replay(root, read_v)
+    key_rows = (
+        keys.select(*key_cols).distinct().collect()
+        if head["_n"] <= MERGE_PRUNE_MAX_KEYS
+        else None
+    )
+    victims = _prune_victims(state, src_rng, key_rows, key_cols)
+    if not victims:
+        return None, 0, 0
+
+    # positions come off the RAW victim scan (_metadata is only
+    # addressable there); rows an existing DV already hides may re-enter
+    # the new sidecar — the anti-join result is identical either way
+    scan = spark.read.option("mergeSchema", "true").parquet(*victims)
+    hits = (
+        scan.select(
+            *key_cols,
+            _strip_file_uri(F.col("_metadata.file_path")).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .join(
+            F.broadcast(keys.select(*key_cols).distinct()),
+            key_cols,
+            "left_semi",
+        )
+        .select("file", "pos")
+    )
+    sidecars = _write_data_files(hits, root)
+    n_deleted = spark.read.parquet(*sidecars).count() if sidecars else 0
+    if n_deleted == 0:
+        return None, 0, len(victims)  # orphan sidecars: vacuumable
+    v = _txn_commit(
+        root, "dv", sidecars, sorted(victims), read_v, txn, max_retries,
+        None, lambda tip: _table_schema_json(root, tip),
+    )
+    return v, n_deleted, len(victims)
+
+
 def txn_history(root: str) -> list[dict]:
     """Commit metadata, newest first (the DESCRIBE HISTORY shape)."""
     latest = txn_latest_version(root)
@@ -1339,11 +1457,48 @@ def txn_stream_sink(root: str, app: str):
     return _sink
 
 
+def _strip_file_uri(col):
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:(//)?", "")
+
+
+def _apply_dvs(
+    spark: SparkSession, df: DataFrame, dvs: list, files: list
+) -> DataFrame:
+    """Anti-join out deletion-vector row positions. ``df`` must be the
+    raw scan of ``files`` (no projection yet — _metadata is only
+    addressable on the scan). Sidecars whose targets are disjoint from
+    this read are skipped; positions for files outside the read never
+    match, so over-wide sidecars are harmless."""
+    from pyspark.sql import functions as F
+
+    fset = set(files)
+    sidecars = [
+        p for sf, tg in dvs if set(tg) & fset for p in sf
+    ]
+    if not sidecars:
+        return df
+    dv = spark.read.parquet(*sidecars).select(
+        F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+    )
+    cols = df.columns
+    return (
+        df.withColumn(
+            "_dv_file", _strip_file_uri(F.col("_metadata.file_path"))
+        )
+        .withColumn("_dv_pos", F.col("_metadata.row_index"))
+        .join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+        .select(*cols)
+    )
+
+
 def _read_files(
     spark: SparkSession, root: str, version: int, files: list
 ) -> DataFrame:
-    """Scan ``files`` under the table schema recorded at ``version``.
-    The expensive path — mergeSchema (a footer read per file) plus a
+    """Scan ``files`` under the table schema recorded at ``version``,
+    with that version's deletion vectors anti-joined out. The expensive
+    schema path — mergeSchema (a footer read per file) plus a
     column-aligning select — is paid ONLY when the log proves the live
     files span more than one write schema; a never-evolved table stays
     a plain first-footer scan."""
@@ -1353,13 +1508,12 @@ def _read_files(
     table_json = _table_schema_json(root, version)
     distinct = {state.file_schemas.get(f) for f in files}
     if table_json is None or distinct <= {table_json}:
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        return _apply_dvs(spark, df, state.dvs, files)
     schema = T.StructType.fromJson(json.loads(table_json))
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .select(*[f.name for f in schema.fields])
-    )
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = _apply_dvs(spark, df, state.dvs, files)
+    return df.select(*[f.name for f in schema.fields])
 
 
 def txn_read(
@@ -1405,7 +1559,7 @@ def txn_read_pruned(
         raise FileNotFoundError(f"no committed versions under {root}")
     if version is None:
         version = latest
-    files, _, stats, _ = _replay(root, version)
+    files, _, stats, _, _ = _replay(root, version)
     keep = []
     for f in files:
         rng = stats.get(f, {}).get(col)
@@ -1429,11 +1583,14 @@ def txn_vacuum(root: str) -> list[str]:
     latest = txn_latest_version(root)
     live: set[str] = set()
     if latest is not None:
-        for v in range(latest + 1):
-            live.update(_read_commit(root, v)["files"])
         # historical overwrites keep their files readable via time
-        # travel, so every version's files are live by construction
+        # travel, so every version's files are live by construction;
+        # dv sidecars are live through the commit that recorded them
         live = {f for v in range(latest + 1) for f in _txn_state(root, v)}
+        for v in range(latest + 1):
+            c = _read_commit(root, v)
+            if c["op"] == "dv":
+                live.update(c["files"])
     removed = []
     data_root = os.path.join(root, "_data")
     if os.path.isdir(data_root):

@@ -405,7 +405,7 @@ def test_compact_with_stats_repopulates_skipping(spark, tmp_path):
             _rows(spark, lo, lo + 5).coalesce(1), root, stats_cols=["id"]
         )
     lake.txn_compact(spark, root, stats_cols=["id"])
-    files, _, stats, _ = lake._replay(root, lake.txn_latest_version(root))
+    files, _, stats, _, _ = lake._replay(root, lake.txn_latest_version(root))
     assert len(files) == 1 and set(stats) == set(files)
     assert stats[files[0]]["id"] == [0, 204]
     df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 100, 104)
@@ -828,3 +828,169 @@ def test_cdc_sink_end_to_end_stream_applies_last_change_per_key(
     drain()
     got = _kv(lake.txn_read(spark, root))
     assert got[50] == -51 and len(got) == 6
+
+
+# --------------------------------------------------------------------
+# r7 continuation 5: deletion vectors (delete without rewriting files)
+# --------------------------------------------------------------------
+
+
+def test_dv_deletes_rows_without_touching_data_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    files_before = list(lake._txn_state(root, 2))
+    v, n_deleted, n_cand = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(3,), (105,)], "id long"), ["id"]
+    )
+    assert v == 3 and n_deleted == 2 and n_cand == 2  # per-key pruning
+    # the data file set is IDENTICAL — only a sidecar was added
+    assert lake._txn_state(root, 3) == files_before
+    ids = _ids(lake.txn_read(spark, root))
+    assert 3 not in ids and 105 not in ids and len(ids) == 28
+    # time travel: pre-DV version still shows the rows
+    assert 3 in _ids(lake.txn_read(spark, root, version=2))
+    assert lake.txn_history(root)[0]["op"] == "dv"
+
+
+def test_dv_compose_and_pruned_read_respects_them(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(100,)], "id long"), ["id"]
+    )
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(101,)], "id long"), ["id"]
+    )
+    ids = _ids(lake.txn_read(spark, root))
+    assert 100 not in ids and 101 not in ids and len(ids) == 28
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 100, 104)
+    assert (nread, ntotal) == (1, 3)
+    assert _ids(df) == [102, 103, 104]  # DV applies inside pruned reads
+
+
+def test_compact_materializes_dvs_away(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(5,), (205,)], "id long"), ["id"]
+    )
+    v = lake.txn_compact(spark, root, stats_cols=["id"])
+    assert v == 4
+    st = lake._replay(root, v)
+    assert st.dvs == []  # rewritten targets -> sidecars inert, pruned
+    ids = _ids(lake.txn_read(spark, root))
+    assert 5 not in ids and 205 not in ids and len(ids) == 28
+    # and the compacted file's stats reflect the survivors
+    assert st.stats[st.files[0]]["id"] == [0, 209]
+
+
+def test_merge_rewrite_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(104,)], "id long"), ["id"]
+    )
+    src = spark.createDataFrame([(105, -1)], "id long, v long")
+    v, rewritten, _ = lake.txn_merge(
+        spark, root, src, ["id"], stats_cols=["id"]
+    )
+    assert rewritten == 1
+    got = _kv(lake.txn_read(spark, root))
+    assert 104 not in got and got[105] == -1 and len(got) == 29
+    assert lake._replay(root, v).dvs == []  # target rewritten -> inert
+
+
+def test_dv_conflicts_with_concurrent_compact_both_directions(
+    spark, tmp_path, monkeypatch
+):
+    # direction 1: the DV loses the race to a compact of its targets
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    orig = lake._write_data_files
+    done = {"x": False}
+
+    def hijack(df, r):
+        files = orig(df, r)
+        if not done["x"]:
+            done["x"] = True
+            monkeypatch.setattr(lake, "_write_data_files", orig)
+            lake.txn_compact(spark, root, stats_cols=["id"])
+        return files
+
+    monkeypatch.setattr(lake, "_write_data_files", hijack)
+    with pytest.raises(lake.ConcurrentWriteConflict, match="touched"):
+        lake.txn_delete_dv(
+            spark, root, spark.createDataFrame([(5,)], "id long"), ["id"]
+        )
+
+
+def test_compact_conflicts_with_concurrent_dv(spark, tmp_path, monkeypatch):
+    # direction 2: a compact computed WITHOUT a freshly-committed DV
+    # would resurrect the deleted rows — it must conflict
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    orig = lake._write_data_files
+    done = {"x": False}
+
+    def hijack(df, r):
+        files = orig(df, r)
+        if not done["x"]:
+            done["x"] = True
+            monkeypatch.setattr(lake, "_write_data_files", orig)
+            lake.txn_delete_dv(
+                spark, root, spark.createDataFrame([(5,)], "id long"), ["id"]
+            )
+        return files
+
+    monkeypatch.setattr(lake, "_write_data_files", hijack)
+    with pytest.raises(lake.ConcurrentWriteConflict, match="touched"):
+        lake.txn_compact(spark, root, stats_cols=["id"])
+
+
+def test_append_rebases_past_dv_and_vacuum_keeps_sidecars(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(7,)], "id long"), ["id"]
+    )
+    lake.txn_write(_rows(spark, 300, 303).coalesce(1), root, stats_cols=["id"])
+    ids = _ids(lake.txn_read(spark, root))
+    assert 7 not in ids and 300 in ids
+    removed = lake.txn_vacuum(root)
+    assert removed == []  # sidecars and data files all live
+    assert 7 not in _ids(lake.txn_read(spark, root))
+
+
+def test_dv_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 4)
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    lake.txn_write(_rows(spark, 300, 303).coalesce(1), root)  # v4 -> ckpt
+    assert os.path.exists(lake._checkpoint_path(root, 4))
+    cp = json.load(open(lake._checkpoint_path(root, 4)))
+    assert cp["dvs"]  # the active DV survives the checkpoint
+    assert 5 not in _ids(lake.txn_read(spark, root))
+
+
+def test_dv_no_match_is_noop_and_idempotent_txn(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    v, n, _ = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(104,)], "id long"), ["id"],
+        txn=("purge", 1),
+    )
+    assert v == 3 and n == 1
+    v2, n2, _ = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(104,)], "id long"), ["id"],
+        txn=("purge", 1),
+    )
+    assert v2 is None and n2 == 0  # replay absorbed
+    # a genuinely-unmatched key commits nothing
+    v3, n3, _ = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(99999,)], "id long"), ["id"]
+    )
+    assert v3 is None and n3 == 0
+    assert lake.txn_latest_version(root) == 3
