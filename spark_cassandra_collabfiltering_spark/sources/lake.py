@@ -1038,15 +1038,24 @@ def txn_compact(
     max_file_bytes: "int | None" = None,
     max_retries: int = 20,
     stats_cols: "list[str] | None" = None,
+    sort_cols: "list[str] | None" = None,
+    n_files: int = 1,
 ) -> "int | None":
     """Rewrite the current version's small files into one coalesced set
     and commit it as op="compact" (Delta OPTIMIZE semantics). The commit
     carries the exact ``removes`` set, so it conflicts ONLY with a
-    concurrent compact/overwrite touching the same files — concurrent
+    concurrent compact/overwrite/dv touching the same files — concurrent
     appends rebase straight past it (file-granularity conflicts, the
     property that lets maintenance run continuously under live ingest
-    at cluster scale). Returns the committed version, or None when
-    there is nothing to compact (0 or 1 qualifying file)."""
+    at cluster scale). ``sort_cols`` clusters the rewrite
+    (OPTIMIZE ... ZORDER's single-dimension analog; compose with
+    lake.zorder_key for multi-column interleave): a range repartition
+    into ``n_files`` files plus a within-partition sort, so the
+    rewritten files carry DISJOINT min/max stats on the sort key —
+    after many interleaved appends this is what restores
+    txn_read_pruned/txn_merge pruning to skip-almost-everything.
+    Returns the committed version, or None when there is nothing to
+    compact (0 or 1 qualifying file)."""
     read_v = txn_latest_version(root)
     if read_v is None:
         return None
@@ -1059,9 +1068,14 @@ def txn_compact(
         return None
     # read victims under the TABLE schema (mergeSchema handles files
     # written before an evolution), so the rewritten files are uniform
-    files = _write_data_files(
-        _read_files(spark, root, read_v, victims).coalesce(1), root
-    )
+    rows = _read_files(spark, root, read_v, victims)
+    if sort_cols:
+        rows = rows.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        rows = rows.coalesce(n_files)
+    files = _write_data_files(rows, root)
     stats = (
         _collect_file_stats(spark, files, stats_cols) if stats_cols else None
     )

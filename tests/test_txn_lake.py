@@ -994,3 +994,36 @@ def test_dv_no_match_is_noop_and_idempotent_txn(spark, tmp_path):
     )
     assert v3 is None and n3 == 0
     assert lake.txn_latest_version(root) == 3
+
+
+def test_clustered_compact_restores_disjoint_stats_and_pruning(
+    spark, tmp_path
+):
+    """Interleaved appends -> every file's range spans everything ->
+    pruning skips nothing. sort_cols compaction range-clusters the
+    rewrite: files get DISJOINT stats and point reads open one file."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    # 4 appends, each striping across the whole key space (mod layout)
+    for k in range(4):
+        df = (
+            spark.range(0, 400)
+            .filter(F.col("id") % 4 == k)
+            .select("id", (F.col("id") * 2).alias("v"))
+        )
+        lake.txn_write(df.coalesce(1), root, stats_cols=["id"])
+    _, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 10, 11)
+    assert (nread, ntotal) == (4, 4)  # interleaved: nothing prunable
+    v = lake.txn_compact(
+        spark, root, stats_cols=["id"], sort_cols=["id"], n_files=4
+    )
+    st = lake._replay(root, v)
+    assert len(st.files) == 4
+    ranges = sorted(tuple(st.stats[f]["id"]) for f in st.files)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # provably disjoint after clustering
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 10, 11)
+    assert (nread, ntotal) == (1, 4)  # point read opens ONE file
+    assert _ids(df) == [10, 11]
+    assert _ids(lake.txn_read(spark, root)) == list(range(400))
