@@ -1591,6 +1591,123 @@ def txn_read_pruned(
     return df, len(keep), len(files)
 
 
+def txn_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: "int | None" = None,
+) -> DataFrame:
+    """Row-level change feed for versions ``v_from..v_to`` (inclusive),
+    derived purely from the transaction log — no change data is stored
+    at write time (the readChangeFeed shape, reconstructed). Output =
+    the v_to table schema plus ``_change_type`` ('insert' | 'delete')
+    and ``_commit_version``. An update surfaces as a delete of the
+    pre-image plus an insert of the post-image at the same version —
+    the log records files, not keys, so pairing them back into
+    update_pre/update_post is the consumer's key-aware join.
+
+    Per-op derivation: append -> added files are inserts. overwrite ->
+    the prior snapshot deletes, the new files insert. merge -> removed
+    files AT v-1 ``exceptAll`` added files (and vice versa), so
+    rewritten-but-identical rows cancel and only true churn surfaces.
+    dv -> the sidecar positions' rows, minus rows an earlier DV already
+    hid. compact -> no logical change, nothing emitted. Downstream
+    incremental consumers (IVM, replication, index maintenance) read
+    this instead of rescanning the table: cost scales with the CHANGED
+    files, never the table."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if v_to is None:
+        v_to = latest
+    if not 0 <= v_from <= v_to <= latest:
+        raise ValueError(f"bad version range [{v_from}, {v_to}] vs {latest}")
+    table = T.StructType.fromJson(
+        json.loads(_table_schema_json(root, v_to))
+    )
+    names = [f.name for f in table.fields]
+    types = {f.name: f.dataType for f in table.fields}
+
+    def align(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(n) if n in df.columns
+                else F.lit(None).cast(types[n]).alias(n)
+                for n in names
+            ]
+        )
+
+    def tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_version", F.lit(v).cast("bigint")
+        )
+
+    parts: list[DataFrame] = []
+    for v in range(v_from, v_to + 1):
+        c = _read_commit(root, v)
+        if c["op"] == "compact":
+            continue
+        if c["op"] == "append":
+            if c["files"]:
+                parts.append(tag(align(_read_files(spark, root, v, c["files"])), "insert", v))
+        elif c["op"] == "overwrite":
+            prev = _txn_state(root, v - 1) if v > 0 else []
+            if prev:
+                parts.append(tag(align(_read_files(spark, root, v - 1, prev)), "delete", v))
+            if c["files"]:
+                parts.append(tag(align(_read_files(spark, root, v, c["files"])), "insert", v))
+        elif c["op"] == "merge":
+            old = (
+                align(_read_files(spark, root, v - 1, c["removes"]))
+                if c["removes"]
+                else spark.createDataFrame([], table)
+            )
+            new = (
+                align(_read_files(spark, root, v, c["files"]))
+                if c["files"]
+                else spark.createDataFrame([], table)
+            )
+            parts.append(tag(old.exceptAll(new), "delete", v))
+            parts.append(tag(new.exceptAll(old), "insert", v))
+        elif c["op"] == "dv":
+            scan = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*c["dv_for"])
+                .withColumn(
+                    "_dv_file", _strip_file_uri(F.col("_metadata.file_path"))
+                )
+                .withColumn("_dv_pos", F.col("_metadata.row_index"))
+            )
+            newdv = spark.read.parquet(*c["files"]).select(
+                F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+            )
+            hit = scan.join(newdv, ["_dv_file", "_dv_pos"], "left_semi")
+            prior = [
+                p
+                for sf, tg in _replay(root, v - 1).dvs
+                if set(tg) & set(c["dv_for"])
+                for p in sf
+            ]
+            if prior:
+                olddv = spark.read.parquet(*prior).select(
+                    F.col("file").alias("_dv_file"),
+                    F.col("pos").alias("_dv_pos"),
+                )
+                hit = hit.join(olddv, ["_dv_file", "_dv_pos"], "left_anti")
+            parts.append(tag(align(hit), "delete", v))
+    if not parts:
+        empty = spark.createDataFrame([], table)
+        return tag(empty, "insert", v_from).filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def txn_vacuum(root: str) -> list[str]:
     """Delete data files no committed version references (aborted or
     pre-commit writer garbage). Never touches the log."""

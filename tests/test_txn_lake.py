@@ -1027,3 +1027,105 @@ def test_clustered_compact_restores_disjoint_stats_and_pruning(
     assert (nread, ntotal) == (1, 4)  # point read opens ONE file
     assert _ids(df) == [10, 11]
     assert _ids(lake.txn_read(spark, root)) == list(range(400))
+
+
+# --------------------------------------------------------------------
+# r7 continuation 6: change data feed derived from the log
+# --------------------------------------------------------------------
+
+
+def _changes(spark, root, v_from, v_to=None):
+    rows = lake.txn_changes(spark, root, v_from, v_to).collect()
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in rows
+    )
+
+
+def test_changes_per_op_shapes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)  # v0..v2 appends
+    # v3: merge upsert — update 105, insert 500
+    lake.txn_merge(
+        spark, root,
+        spark.createDataFrame([(105, -1), (500, -5)], "id long, v long"),
+        ["id"], stats_cols=["id"],
+    )
+    # v4: DV delete of 7
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(7,)], "id long"), ["id"]
+    )
+    # v5: compact — no logical change
+    lake.txn_compact(spark, root, stats_cols=["id"])
+    assert lake.txn_latest_version(root) == 5
+
+    # append version: pure inserts
+    ch0 = _changes(spark, root, 0, 0)
+    assert ch0 == [(0, "insert", i, 2 * i) for i in range(10)]
+    # merge version: identical rewritten rows CANCEL — only true churn
+    ch3 = _changes(spark, root, 3, 3)
+    assert ch3 == [
+        (3, "delete", 105, 210),
+        (3, "insert", 105, -1),
+        (3, "insert", 500, -5),
+    ]
+    # dv version: exactly the deleted row
+    assert _changes(spark, root, 4, 4) == [(4, "delete", 7, 14)]
+    # compact version: empty feed
+    assert _changes(spark, root, 5, 5) == []
+
+
+def test_changes_replay_reconstructs_any_snapshot(spark, tmp_path):
+    """The algebraic contract: snapshot(v0) + inserts − deletes over
+    (v0, vN] == snapshot(vN), as multisets."""
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    lake.txn_merge(
+        spark, root,
+        spark.createDataFrame([(0, -9), (777, 1)], "id long, v long"),
+        ["id"], stats_cols=["id"],
+    )
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(105,), (777,)], "id long"), ["id"]
+    )
+    lake.txn_compact(spark, root, stats_cols=["id"])
+    lake.txn_write(_rows(spark, 300, 303).coalesce(1), root, stats_cols=["id"])
+    v_n = lake.txn_latest_version(root)
+
+    base = lake.txn_read(spark, root, version=0).select("id", "v")
+    feed = lake.txn_changes(spark, root, 1, v_n)
+    ins = feed.filter("_change_type = 'insert'").select("id", "v")
+    dels = feed.filter("_change_type = 'delete'").select("id", "v")
+    replayed = base.unionByName(ins).exceptAll(dels)
+    want = lake.txn_read(spark, root, version=v_n).select("id", "v")
+    assert replayed.exceptAll(want).count() == 0
+    assert want.exceptAll(replayed).count() == 0
+
+
+def test_changes_second_dv_on_same_file_reports_only_new_rows(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(100,)], "id long"), ["id"]
+    )
+    # same file, overlapping tombstone set {100, 101}: 100 already gone
+    lake.txn_delete_dv(
+        spark, root,
+        spark.createDataFrame([(100,), (101,)], "id long"), ["id"],
+    )
+    assert _changes(spark, root, 4, 4) == [(4, "delete", 101, 202)]
+
+
+def test_changes_overwrite_and_empty_range(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_rows(spark, 0, 3).coalesce(1), root)
+    lake.txn_write(_rows(spark, 10, 12).coalesce(1), root, mode="overwrite")
+    ch = _changes(spark, root, 1, 1)
+    assert ch == [
+        (1, "delete", 0, 0), (1, "delete", 1, 2), (1, "delete", 2, 4),
+        (1, "insert", 10, 20), (1, "insert", 11, 22),
+    ]
+    with pytest.raises(ValueError):
+        lake.txn_changes(spark, root, 0, 5)
