@@ -1129,3 +1129,63 @@ def test_changes_overwrite_and_empty_range(spark, tmp_path):
     ]
     with pytest.raises(ValueError):
         lake.txn_changes(spark, root, 0, 5)
+
+
+def test_incremental_view_maintenance_over_change_feed(spark, tmp_path):
+    """The CDF consumer pattern: a downstream aggregate (sum(v), count
+    per id-bucket) maintained from txn_changes deltas alone — reading
+    ONLY changed files — equals a full recompute at every step."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)  # v0..v2
+
+    def full(v):
+        return (
+            lake.txn_read(spark, root, version=v)
+            .groupBy((F.col("id") % 7).alias("b"))
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    # materialized state at v2
+    state = full(2)
+
+    def advance(state, v_lo, v_hi):
+        feed = lake.txn_changes(spark, root, v_lo, v_hi)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            feed.groupBy((F.col("id") % 7).alias("b"))
+            .agg(
+                F.sum(sign * F.col("v")).alias("ds"),
+                F.sum(sign).alias("dn"),
+            )
+        )
+        merged = (
+            state.join(delta, "b", "full_outer")
+            .select(
+                "b",
+                (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("s"),
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        return merged
+
+    lake.txn_merge(
+        spark, root,
+        spark.createDataFrame([(105, -1), (888, 3)], "id long, v long"),
+        ["id"], stats_cols=["id"],
+    )  # v3
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(0,), (888,)], "id long"), ["id"]
+    )  # v4
+    state = advance(state, 3, 4)
+    assert state.exceptAll(full(4)).count() == 0
+    assert full(4).exceptAll(state).count() == 0
+
+    lake.txn_write(_rows(spark, 400, 410).coalesce(1), root, stats_cols=["id"])  # v5
+    state = advance(state, 5, 5)
+    assert state.exceptAll(full(5)).count() == 0
+    assert full(5).exceptAll(state).count() == 0
