@@ -1708,6 +1708,26 @@ def txn_changes(
     return out
 
 
+def txn_read_incremental(
+    spark: SparkSession, root: str, last_version: "int | None"
+) -> "tuple[DataFrame | None, int]":
+    """Streaming-source semantics over the transactional table (the
+    'stream FROM a Delta table' shape, polled): return the row-level
+    changes SINCE ``last_version`` (exclusive) plus the new cursor to
+    persist. None df when nothing committed since. The consumer folds
+    inserts/deletes (or ignores deletes for append-only topologies) and
+    stores the cursor transactionally with its own output — pair with
+    txn_write(txn=...) for end-to-end exactly-once across the hop.
+    Each poll reads only the files the gap commits touched, so a
+    minute-cadence consumer of a 100 TB table pays per-commit cost,
+    never a table scan."""
+    latest = txn_latest_version(root)
+    if latest is None or (last_version is not None and latest <= last_version):
+        return None, latest if latest is not None else -1
+    v_from = 0 if last_version is None else last_version + 1
+    return txn_changes(spark, root, v_from, latest), latest
+
+
 def txn_vacuum(root: str) -> list[str]:
     """Delete data files no committed version references (aborted or
     pre-commit writer garbage). Never touches the log."""

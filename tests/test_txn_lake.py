@@ -1189,3 +1189,28 @@ def test_incremental_view_maintenance_over_change_feed(spark, tmp_path):
     state = advance(state, 5, 5)
     assert state.exceptAll(full(5)).count() == 0
     assert full(5).exceptAll(state).count() == 0
+
+
+def test_incremental_reader_pages_through_commits_exactly_once(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    df0, cur = lake.txn_read_incremental(spark, root, None)
+    assert df0 is None and cur == -1  # nothing yet
+    _seed_three_files(spark, root)
+    feed, cur = lake.txn_read_incremental(spark, root, cur)
+    assert cur == 2 and feed.count() == 30
+    assert set(r["_change_type"] for r in feed.collect()) == {"insert"}
+    # no new commits: empty poll, cursor stable
+    feed, cur2 = lake.txn_read_incremental(spark, root, cur)
+    assert feed is None and cur2 == 2
+    # a merge lands: the next poll carries exactly its churn
+    lake.txn_merge(
+        spark, root,
+        spark.createDataFrame([(105, -1)], "id long, v long"),
+        ["id"], stats_cols=["id"],
+    )
+    feed, cur3 = lake.txn_read_incremental(spark, root, cur2)
+    assert cur3 == 3
+    got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
+    assert got == [("delete", 105), ("insert", 105)]
