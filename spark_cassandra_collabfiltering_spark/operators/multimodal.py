@@ -291,6 +291,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     if b[:8] == b"\x89PNG\r\n\x1a\n":
                         w, h, px = codecs.decode_png_gray(b)
                         rows.append((doc_id, "png", w, h, w * h, sum(px)))
+                    elif b[:2] == b"\xff\xd8":
+                        w, h, nc, px = codecs.decode_jpeg(b)
+                        rows.append((doc_id, "jpeg", w, h, w * h, sum(px)))
                     elif b[:4] == b"RIFF":
                         _, samples = codecs.decode_wav_pcm16(b)
                         rows.append(
@@ -314,6 +317,64 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         batches, schema=DECODED_SCHEMA
     )
+
+
+def _synth_jpeg_payload(doc_id: int) -> bytes:
+    """Deterministic REAL JPEG for a doc id, BLOCK-CONSTANT content at
+    quality 100 — the provably-lossless subset (all-ones quant tables;
+    a constant 8x8 block is DC-only with integer DC), so the decode
+    features have a closed-form oracle. Even ids: grayscale. Odd ids:
+    the full 3-component 4:4:4 color path carrying gray-valued RGB
+    (Y=c, Cb=Cr=128 — exact through YCbCr both ways). General lossy
+    content is pinned by the PSNR/hypothesis tests in
+    tests/test_codecs.py, not oracled."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    w, h = 8 * (1 + doc_id % 4), 8 * (1 + doc_id % 3)
+    vals = {
+        (bx, by): (doc_id * 31 + bx * 37 + by * 91) % 256
+        for by in range(h // 8)
+        for bx in range(w // 8)
+    }
+    if doc_id % 2 == 0:
+        px = bytes(
+            vals[(x // 8, y // 8)] for y in range(h) for x in range(w)
+        )
+        return codecs.encode_jpeg_gray(w, h, px, quality=100)
+    rgb = [
+        (vals[(x // 8, y // 8)],) * 3 for y in range(h) for x in range(w)
+    ]
+    return codecs.encode_jpeg_rgb(w, h, rgb, quality=100)
+
+
+def jpeg_decode_query(df_documents: DataFrame) -> DataFrame:
+    """documents → real baseline JPEG payloads (grayscale + 4:4:4
+    color) → the from-scratch T.81 decoder → integer-exact features.
+    Same narrow two-stage Arrow chain as media_decode_query."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _synth_jpeg_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    ids = df_documents.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    media = ids.mapInPandas(
+        encode,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+    return decode_media_features(media)
 
 
 def media_decode_query(df_documents: DataFrame) -> DataFrame:

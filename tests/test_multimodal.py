@@ -413,3 +413,138 @@ def test_gif_lzw_encoder_cap_reset_roundtrip():
     W, H, P, FR = C.decode_gif(gif)
     assert (W, H) == (400, 300) and FR == [big]
     assert len(gif) < len(big) // 2
+
+
+# ---------------------------------------------------------------------------
+# r7 cont.: real baseline JPEG (T.81) — exact on the block-constant q100
+# subset (the oracled arm), bounded-error on general lossy content,
+# quarantine on truncation/progressive/subsampled input.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    bw=st.integers(1, 5),
+    bh=st.integers(1, 4),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+)
+def test_jpeg_block_constant_q100_roundtrip_is_bit_exact(bw, bh, seed, color):
+    """The lossless-subset contract the mm_jpeg_features oracle relies
+    on: block-constant content at quality 100 round-trips exactly,
+    through BOTH the grayscale and the 3-component color path (gray-
+    valued RGB: Y=c, Cb=Cr=128 exact both ways)."""
+    import random
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    rng = random.Random(seed)
+    w, h = bw * 8, bh * 8
+    vals = {(x, y): rng.randrange(256) for y in range(bh) for x in range(bw)}
+    if color:
+        px = [(vals[(x // 8, y // 8)],) * 3 for y in range(h) for x in range(w)]
+        enc = C.encode_jpeg_rgb(w, h, px, quality=100)
+        W, H, n, out = C.decode_jpeg(enc)
+        assert (W, H, n) == (w, h, 3)
+        want = bytes(v for p in px for v in p)
+        assert out == want
+    else:
+        px = bytes(vals[(x // 8, y // 8)] for y in range(h) for x in range(w))
+        enc = C.encode_jpeg_gray(w, h, px, quality=100)
+        W, H, n, out = C.decode_jpeg(enc)
+        assert (W, H, n, out) == (w, h, 1, px)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31),
+    quality=st.sampled_from([85, 95, 100]),
+)
+def test_jpeg_lossy_roundtrip_error_is_bounded(w, h, seed, quality):
+    """General content (non-multiple-of-8 dims included: edge-replicated
+    padding) must reconstruct within a quantization-scale bound —
+    lossy, but never wild. Bound: q100 DCT roundoff only; q>=85 stays
+    within a generous but diagnostic envelope."""
+    import random
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    enc = C.encode_jpeg_gray(w, h, px, quality=quality)
+    W, H, n, out = C.decode_jpeg(enc)
+    assert (W, H, n) == (w, h, 1)
+    errs = [abs(a - b) for a, b in zip(out, px)]
+    cap = 2 if quality == 100 else 40
+    assert max(errs) <= cap, (quality, max(errs))
+    assert sum(errs) / len(errs) <= (1 if quality == 100 else 12)
+
+
+def test_jpeg_color_gradient_roundtrip_close():
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    px = [
+        (x * 7 % 256, y * 11 % 256, (x + y) % 256)
+        for y in range(16)
+        for x in range(16)
+    ]
+    enc = C.encode_jpeg_rgb(16, 16, px, quality=100)
+    W, H, n, out = C.decode_jpeg(enc)
+    assert (W, H, n) == (16, 16, 3)
+    flat = [v for p in px for v in p]
+    errs = [abs(a - b) for a, b in zip(out, flat)]
+    assert max(errs) <= 3  # YCbCr double rounding only at q100
+
+
+def test_jpeg_quarantine_contract():
+    """Truncated, progressive, subsampled and garbage inputs raise
+    ValueError (-> the decode stage's corrupt-row quarantine), never
+    crash or return wrong pixels."""
+    import pytest as _pytest
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    px = bytes(range(64))
+    good = C.encode_jpeg_gray(8, 8, px, quality=100)
+    for cut in (2, 10, len(good) // 2, len(good) - 3):
+        with _pytest.raises(ValueError):
+            C.decode_jpeg(good[:cut])
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(b"\x00" + good)
+    # progressive: flip SOF0 -> SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="baseline"):
+        C.decode_jpeg(prog)
+    # 2x2-subsampled SOF byte (SOF0 body: len(2) P(1) H(2) W(2) N(1),
+    # then per component cid/samp/tq — samp of component 1 = offset 11)
+    sub = bytearray(good)
+    i = sub.find(b"\xff\xc0")
+    sub[i + 11] = 0x22
+    with _pytest.raises(ValueError, match="subsampling"):
+        C.decode_jpeg(bytes(sub))
+    # unknown quant-table selector: malformed, quarantined
+    bad_tq = bytearray(good)
+    bad_tq[i + 12] = 7
+    with _pytest.raises(ValueError, match="malformed"):
+        C.decode_jpeg(bytes(bad_tq))
+
+
+def test_jpeg_decode_features_quarantines_corrupt_payloads(spark):
+    """The Arrow decode stage turns a broken JPEG into a corrupt row,
+    not a job abort — same contract as the PNG/GIF arms."""
+    import pandas as pd
+
+    from spark_cassandra_collabfiltering_spark.operators import (
+        codecs as C,
+        multimodal as mm,
+    )
+
+    good = C.encode_jpeg_gray(8, 8, bytes(range(64)), quality=100)
+    rows = [(0, good), (1, good[:20]), (2, b"\xff\xd8\xff")]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["kind"] for r in mm.decode_media_features(media).collect()}
+    assert out == {0: "jpeg", 1: "corrupt", 2: "corrupt"}
