@@ -130,7 +130,11 @@ _DRIVER_ORDER = [
     # driver rows); minhash stays (benched default path); ppjoin stays
     # (r7 suffix-filter contract change)
     "dedup_containment", "dedup_clusters_bigstar",
-    "dedup_clusters_incremental", "dedup_minhash_lsh", "dedup_ppjoin",
+    # (r7 cont.: dedup_minhash_lsh's slot went to mm_jpeg_features —
+    # the from-scratch T.81 codec's first driver row; minhash stays the
+    # benched family default and driver-green r1-r6, locally sweep-
+    # checked every round)
+    "dedup_clusters_incremental", "mm_jpeg_features", "dedup_ppjoin",
     # --- the r6 end-to-end corpus assembly composition (kept)
     "pipeline_corpus_assembly",
     # --- graph: personalized PageRank + modularity (first driver rows)
