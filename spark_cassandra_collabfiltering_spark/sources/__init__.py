@@ -16,6 +16,22 @@ from spark_cassandra_collabfiltering_spark.sources.fixedwidth_source import (
     read_fixed_width,
 )
 from spark_cassandra_collabfiltering_spark.sources.warc_source import read_warc
+from spark_cassandra_collabfiltering_spark.sources.lake import (
+    ConcurrentWriteConflict,
+    SchemaMismatch,
+    txn_cdc_sink,
+    txn_changes,
+    txn_compact,
+    txn_delete_dv,
+    txn_history,
+    txn_merge,
+    txn_read,
+    txn_read_incremental,
+    txn_read_pruned,
+    txn_stream_sink,
+    txn_vacuum,
+    txn_write,
+)
 
 __all__ = [
     "read_ratings_csv",
@@ -30,4 +46,19 @@ __all__ = [
     "CassandraStorage",
     "read_testdata",
     "register_testdata_views",
+    # transactional lake (r7): ACID tables on create-if-absent
+    "ConcurrentWriteConflict",
+    "SchemaMismatch",
+    "txn_write",
+    "txn_read",
+    "txn_read_pruned",
+    "txn_read_incremental",
+    "txn_merge",
+    "txn_delete_dv",
+    "txn_changes",
+    "txn_compact",
+    "txn_vacuum",
+    "txn_history",
+    "txn_stream_sink",
+    "txn_cdc_sink",
 ]
