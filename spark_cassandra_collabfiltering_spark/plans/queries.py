@@ -9654,3 +9654,70 @@ def q_lake_txn_merge(spark, sf_dir):
 def q_mm_jpeg(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return mm.jpeg_decode_query(docs)
+
+
+@register(
+    "lake_txn_changes",
+    """WITH del AS (SELECT c_custkey, c_name, c_nationkey
+                    FROM customer WHERE c_custkey % 17 = 3),
+        pre AS (SELECT c_custkey, c_name, c_nationkey
+                FROM customer
+                WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 3),
+        post AS (SELECT c_custkey, 'UPDATED-' || c_name AS c_name,
+                        c_nationkey
+                 FROM customer WHERE c_custkey % 10 = 0
+                 UNION ALL
+                 SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey
+                 FROM customer WHERE c_custkey % 25 = 0)
+       SELECT c_custkey, c_name, c_nationkey,
+              'delete' AS _change_type, 1::BIGINT AS _commit_version
+       FROM del
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey, 'delete', 2::BIGINT
+       FROM pre
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey, 'insert', 2::BIGINT
+       FROM post""",
+    "Row-level change data feed reconstructed from the transaction "
+    "log, exactly oracled: a customer snapshot (v0) takes a "
+    "deletion-vector tombstone batch (v1) then a MERGE upsert (v2); "
+    "the query returns txn_changes(1, 2) — the DV version emits "
+    "exactly the newly-hidden rows, the merge version emits only true "
+    "churn (identically rewritten rows CANCEL via exceptAll; a key "
+    "deleted at v1 then upserted at v2 surfaces as insert-only, no "
+    "phantom pre-image). The oracle derives the same feed in closed "
+    "form. Nothing is stored at write time — downstream IVM/replica "
+    "consumers pay per changed file, never per table.",
+)
+def q_lake_txn_changes(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="txn_cdf_q_") + "/t"
+    lake.txn_write(
+        base.repartitionByRange(4, "c_custkey"), root, stats_cols=["c_custkey"]
+    )
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("c_custkey") % 17 == 3).select("c_custkey"),
+        ["c_custkey"],
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+    )
+    inserts = base.filter(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+    )
+    lake.txn_merge(
+        spark, root, updates.unionByName(inserts), ["c_custkey"],
+        stats_cols=["c_custkey"],
+    )
+    return lake.txn_changes(spark, root, 1, 2)

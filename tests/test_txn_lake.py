@@ -1214,3 +1214,33 @@ def test_incremental_reader_pages_through_commits_exactly_once(
     assert cur3 == 3
     got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
     assert got == [("delete", 105), ("insert", 105)]
+
+
+def test_dv_free_read_plan_has_no_join(spark, tmp_path):
+    """The hot path contract: a table with no active deletion vectors
+    reads as a PLAIN parquet scan — the DV anti-join must only enter
+    the plan when an active DV targets the files being read (and must
+    leave again once compaction materializes it)."""
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    p = plan_of(lake.txn_read(spark, root))
+    assert "Join" not in p and "_metadata" not in p, p
+
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    p = plan_of(lake.txn_read(spark, root))
+    assert "LeftAnti" in p, p  # DV active: anti-join engaged
+
+    lake.txn_compact(spark, root, stats_cols=["id"])
+    p = plan_of(lake.txn_read(spark, root))
+    assert "Join" not in p and "_metadata" not in p, p  # materialized
