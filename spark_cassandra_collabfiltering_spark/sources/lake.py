@@ -1040,6 +1040,7 @@ def txn_compact(
     stats_cols: "list[str] | None" = None,
     sort_cols: "list[str] | None" = None,
     n_files: int = 1,
+    zorder_dims: "list[tuple] | None" = None,
 ) -> "int | None":
     """Rewrite the current version's small files into one coalesced set
     and commit it as op="compact" (Delta OPTIMIZE semantics). The commit
@@ -1069,7 +1070,18 @@ def txn_compact(
     # read victims under the TABLE schema (mergeSchema handles files
     # written before an evolution), so the rewritten files are uniform
     rows = _read_files(spark, root, read_v, victims)
-    if sort_cols:
+    if zorder_dims:
+        # OPTIMIZE ... ZORDER: cluster on the Morton interleave of
+        # several dims so min/max stats prune on ANY of them (a plain
+        # sort clusters only its leading column); the key is transient
+        zk = zorder_key(zorder_dims)
+        rows = (
+            rows.withColumn("_zk", zk)
+            .repartitionByRange(n_files, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+        )
+    elif sort_cols:
         rows = rows.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         )

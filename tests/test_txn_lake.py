@@ -1244,3 +1244,69 @@ def test_dv_free_read_plan_has_no_join(spark, tmp_path):
     lake.txn_compact(spark, root, stats_cols=["id"])
     p = plan_of(lake.txn_read(spark, root))
     assert "Join" not in p and "_metadata" not in p, p  # materialized
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ... ZORDER through the txn lake: after z-clustered
+    compaction a point-range read prunes files on EITHER dimension —
+    the property a single-column sort cannot give the trailing dim."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    # x and y decorrelated: clustering on x alone leaves y scattered
+    rows = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 37 + 11) % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    for k in range(4):  # interleaved appends: nothing prunable at v3
+        lake.txn_write(
+            rows.filter(F.col("id") % 4 == k).coalesce(1),
+            root, stats_cols=["x", "y"],
+        )
+    v = lake.txn_compact(
+        spark, root, stats_cols=["x", "y"],
+        zorder_dims=[("x", 0, 63), ("y", 0, 63)], n_files=16,
+    )
+    st = lake._replay(root, v)
+    assert len(st.files) == 16
+    _, nx, total = lake.txn_read_pruned(spark, root, "x", 3, 4)
+    _, ny, _ = lake.txn_read_pruned(spark, root, "y", 3, 4)
+    assert total == 16
+    # both dims prune to a strict subset (z-order: ~sqrt(F) files)
+    assert nx <= 8 and ny <= 8, (nx, ny)
+    # correctness unharmed
+    df, _, _ = lake.txn_read_pruned(spark, root, "x", 3, 3)
+    assert df.count() == 64 and df.agg({"x": "max"}).collect()[0][0] == 3
+
+
+def test_exactly_once_lake_to_lake_hop(spark, tmp_path):
+    """The incremental-reader consumer contract end-to-end: a consumer
+    folds txn_read_incremental feeds into a downstream txn table with
+    idempotent (app, cursor) writes — replaying a crashed hop commits
+    nothing twice, and the downstream equals the upstream at rest."""
+    from pyspark.sql import functions as F
+
+    up, down = str(tmp_path / "up"), str(tmp_path / "down")
+    _seed_three_files(spark, up)
+
+    def hop(cursor):
+        feed, new_cursor = lake.txn_read_incremental(spark, up, cursor)
+        if feed is None:
+            return cursor
+        # append-only upstream here: fold inserts (deletes would MERGE)
+        ins = feed.filter("_change_type = 'insert'").select("id", "v")
+        lake.txn_write(ins, down, txn=("hop", new_cursor))
+        return new_cursor
+
+    cur = hop(None)
+    assert cur == 2
+    cur_replay = hop(None)  # crashed consumer replays from old cursor
+    assert cur_replay == 2
+    # the idempotent txn absorbed the duplicate fold
+    assert lake.txn_latest_version(down) == 0
+    assert _ids(lake.txn_read(spark, down)) == _ids(lake.txn_read(spark, up))
+    lake.txn_write(_rows(spark, 500, 503).coalesce(1), up, stats_cols=["id"])
+    cur = hop(cur)
+    assert cur == 3
+    assert _ids(lake.txn_read(spark, down)) == _ids(lake.txn_read(spark, up))
