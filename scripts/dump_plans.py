@@ -123,6 +123,10 @@ SHOWN = [
     "ml_nb_f1",
     "mm_audio_resample",
     "mm_audio_vad",
+    # r7 continuation: ACID lake write path + the T.81 JPEG decode chain
+    "lake_txn_merge",
+    "lake_txn_changes",
+    "mm_jpeg_features",
     "stats_broadcast_advice",
     "sketch_kmv_overlap",
     "sketch_bottomk_quantiles",
