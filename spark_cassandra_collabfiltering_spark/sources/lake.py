@@ -1418,8 +1418,10 @@ def txn_delete_dv(
         return None, 0, 0
 
     # positions come off the RAW victim scan (_metadata is only
-    # addressable there); rows an existing DV already hides may re-enter
-    # the new sidecar — the anti-join result is identical either way
+    # addressable there); positions an EARLIER DV already hides are
+    # excluded, so a repeat tombstone is an honest no-op (no redundant
+    # sidecar, no phantom rows_deleted) and n_deleted counts rows that
+    # actually left the table at this commit
     scan = spark.read.option("mergeSchema", "true").parquet(*victims)
     hits = (
         scan.select(
@@ -1434,6 +1436,12 @@ def txn_delete_dv(
         )
         .select("file", "pos")
     )
+    prior = [
+        p for sf, tg in state.dvs if set(tg) & set(victims) for p in sf
+    ]
+    if prior:
+        olddv = spark.read.parquet(*prior).select("file", "pos")
+        hits = hits.join(olddv, ["file", "pos"], "left_anti")
     sidecars = _write_data_files(hits, root)
     n_deleted = spark.read.parquet(*sidecars).count() if sidecars else 0
     if n_deleted == 0:

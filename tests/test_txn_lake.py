@@ -1310,3 +1310,26 @@ def test_exactly_once_lake_to_lake_hop(spark, tmp_path):
     cur = hop(cur)
     assert cur == 3
     assert _ids(lake.txn_read(spark, down)) == _ids(lake.txn_read(spark, up))
+
+
+def test_repeat_tombstone_is_honest_noop(spark, tmp_path):
+    """Deleting an already-DV-hidden key commits nothing: no redundant
+    sidecar, no phantom rows_deleted."""
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)
+    v1, n1, _ = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    assert (v1, n1) == (3, 1)
+    v2, n2, _ = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    assert v2 is None and n2 == 0
+    assert lake.txn_latest_version(root) == 3
+    # a mixed batch deletes only the still-live key
+    v3, n3, _ = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(5,), (6,)], "id long"), ["id"]
+    )
+    assert v3 == 4 and n3 == 1
+    ids = _ids(lake.txn_read(spark, root))
+    assert 5 not in ids and 6 not in ids and len(ids) == 28
