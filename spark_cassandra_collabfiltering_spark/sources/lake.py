@@ -1467,6 +1467,7 @@ def txn_history(root: str) -> list[dict]:
                 "op": c["op"],
                 "n_files": len(c["files"]),
                 "n_removes": len(c.get("removes", [])),
+                "n_dv_targets": len(c.get("dv_for", [])),
                 "read_version": c["read_version"],
                 "txn": (
                     (c["txn_app"], c["txn_run"]) if "txn_app" in c else None
