@@ -671,3 +671,179 @@ def audio_vad_summary(
 def audio_vad_query(df_documents: DataFrame) -> DataFrame:
     media = synthesize_media_payloads(df_documents.select("doc_id"))
     return audio_vad_summary(media)
+
+
+# ---------------------------------------------------------------------------
+# r7 cont.: perceptual image near-dup — dHash over the REAL codecs.
+# The multimodal arm of the dedup family: decode (PNG/JPEG sniff) ->
+# mean-pool to the canonical 9x8 grid -> 64-bit difference hash carried
+# as four 16-bit bands -> banded hamming join (the simhash shape). At
+# 100 TB the hash is a map-only Arrow stage and the pair search never
+# goes all-pairs: band equality is the LSH bucket (pigeonhole: any pair
+# within hamming distance 3 shares >= 1 exact band).
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("b0", T.IntegerType(), True),
+        T.StructField("b1", T.IntegerType(), True),
+        T.StructField("b2", T.IntegerType(), True),
+        T.StructField("b3", T.IntegerType(), True),
+    ]
+)
+
+
+def image_dhash_bands(media: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, b0..b3): the 64-bit dHash split
+    into four 16-bit bands (bit (y*8+x) set iff px[y, x+1] > px[y, x]
+    on the 8-row x 9-col grid; band = bit//16, positive ints — no
+    64-bit sign gymnastics anywhere). Non-9x8 images are mean-pooled
+    with NumPy (area-weighted to cell boundaries), so the hash is
+    resolution-invariant: an upscaled copy keeps its hash (pinned in
+    tests). Corrupt payloads quarantine to NULL bands."""
+    import numpy as np
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    def pool_to(img: "np.ndarray", rows: int, cols: int) -> "np.ndarray":
+        h, w = img.shape
+        ys = (np.arange(rows + 1) * h) // rows
+        xs = (np.arange(cols + 1) * w) // cols
+        out = np.empty((rows, cols), dtype=np.float64)
+        for r in range(rows):
+            for c in range(cols):
+                out[r, c] = img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, px = codecs.decode_png_gray(b)
+                        img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                    elif b[:2] == b"\xff\xd8":
+                        w, h, nc, px = codecs.decode_jpeg(b)
+                        arr = np.frombuffer(px, dtype=np.uint8)
+                        img = (
+                            arr.reshape(h, w) if nc == 1
+                            else arr.reshape(h, w, 3).mean(axis=2)
+                        )
+                    else:
+                        raise ValueError("unknown container signature")
+                    g = img.astype(np.float64)
+                    if g.shape != (8, 9):
+                        g = pool_to(g, 8, 9)
+                    bands = [0, 0, 0, 0]
+                    for y in range(8):
+                        for x in range(8):
+                            if g[y, x + 1] > g[y, x]:
+                                bit = y * 8 + x
+                                bands[bit // 16] |= 1 << (bit % 16)
+                    rows.append((doc_id, *bands))
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_near_dup_pairs(bands: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Banded hamming join over dHash bands: candidates share at least
+    one exact 16-bit band (complete for max_dist <= 3 by pigeonhole
+    over 4 bands), verified by exact popcount distance. Output
+    (doc_a, doc_b, dist), doc_a < doc_b."""
+    import pyspark.sql.functions as F
+
+    b = bands.filter(F.col("b0").isNotNull())
+    sides = []
+    for side in ("a", "b"):
+        sides.append(
+            b.select(
+                F.col("doc_id").alias(f"doc_{side}"),
+                *[F.col(c).alias(f"{c}{side}") for c in ("b0", "b1", "b2", "b3")],
+            )
+        )
+    exploded_a = sides[0].select(
+        "*",
+        F.posexplode(F.array("b0a", "b1a", "b2a", "b3a")).alias("band", "val"),
+    )
+    exploded_b = sides[1].select(
+        "*",
+        F.posexplode(F.array("b0b", "b1b", "b2b", "b3b")).alias("band", "val"),
+    )
+    cand = (
+        exploded_a.join(exploded_b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", *[f"{c}a" for c in ("b0", "b1", "b2", "b3")],
+                *[f"{c}b" for c in ("b0", "b1", "b2", "b3")])
+        .distinct()
+    )
+    dist = sum(
+        F.bit_count(F.col(f"{c}a").bitwiseXOR(F.col(f"{c}b")))
+        for c in ("b0", "b1", "b2", "b3")
+    )
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def _synth_dhash_png(doc_id: int) -> bytes:
+    """Planted 9x8 binary PNG for the near-dup oracle: docs 2g and 2g+1
+    share base pixels; the odd twin flips ONE pixel (<= 2 dHash bits),
+    so every (2g, 2g+1) pair sits within hamming distance 2 while
+    cross-group hashes differ widely. Lossless PNG at the canonical
+    grid — no resampling, so the oracle's closed form IS the pixel
+    array the decoder must recover."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    g = doc_id // 2
+    fx, fy = g % 9, (g * 3) % 8
+
+    def px(x: int, y: int) -> int:
+        v = 255 if (g * 131 + x * 7 + y * 13) % 97 < 39 else 0
+        if doc_id % 2 == 1 and x == fx and y == fy:
+            v = 255 - v
+        return v
+
+    flat = bytes(px(x, y) for y in range(8) for x in range(9))
+    return codecs.encode_png_gray(9, 8, flat)
+
+
+def image_neardup_query(df_documents: DataFrame, max_dist: int = 3) -> DataFrame:
+    """documents -> planted 9x8 PNG twins -> REAL decode -> dHash bands
+    -> banded hamming join. The exact-oracle proof that decode + hash +
+    candidate generation + verify all compose correctly."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _synth_dhash_png(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    ids = df_documents.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    media = ids.mapInPandas(
+        encode,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+    return dhash_near_dup_pairs(image_dhash_bands(media), max_dist)

@@ -9721,3 +9721,68 @@ def q_lake_txn_changes(spark, sf_dir):
         stats_cols=["c_custkey"],
     )
     return lake.txn_changes(spark, root, 1, 2)
+
+
+@register(
+    "mm_image_neardup",
+    """WITH d AS (SELECT doc_id, doc_id // 2 AS g
+                  FROM documents WHERE doc_id < 200),
+        bits AS (
+          SELECT d.doc_id,
+                 (y.i * 8 + x.i) // 16 AS band,
+                 (y.i * 8 + x.i) % 16 AS off,
+                 (CASE WHEN d.doc_id % 2 = 1 AND x.i + 1 = d.g % 9
+                            AND y.i = (d.g * 3) % 8
+                       THEN 255 - (CASE WHEN (d.g * 131 + (x.i + 1) * 7
+                                              + y.i * 13) % 97 < 39
+                                        THEN 255 ELSE 0 END)
+                       ELSE (CASE WHEN (d.g * 131 + (x.i + 1) * 7
+                                        + y.i * 13) % 97 < 39
+                                  THEN 255 ELSE 0 END) END)
+                 >
+                 (CASE WHEN d.doc_id % 2 = 1 AND x.i = d.g % 9
+                            AND y.i = (d.g * 3) % 8
+                       THEN 255 - (CASE WHEN (d.g * 131 + x.i * 7
+                                              + y.i * 13) % 97 < 39
+                                        THEN 255 ELSE 0 END)
+                       ELSE (CASE WHEN (d.g * 131 + x.i * 7
+                                        + y.i * 13) % 97 < 39
+                                  THEN 255 ELSE 0 END) END) AS bit
+          FROM d,
+               LATERAL unnest(range(0, 8)) x(i),
+               LATERAL unnest(range(0, 8)) y(i)),
+        bands AS (SELECT doc_id, band,
+                         sum(CASE WHEN bit THEN 1 << off ELSE 0 END)::INT
+                             AS val
+                  FROM bits GROUP BY 1, 2),
+        h AS (SELECT doc_id,
+                     max(CASE WHEN band = 0 THEN val END) AS b0,
+                     max(CASE WHEN band = 1 THEN val END) AS b1,
+                     max(CASE WHEN band = 2 THEN val END) AS b2,
+                     max(CASE WHEN band = 3 THEN val END) AS b3
+              FROM bands GROUP BY 1)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+               + bit_count(xor(a.b2, b.b2))
+               + bit_count(xor(a.b3, b.b3)))::INT AS dist
+       FROM h a JOIN h b
+         ON a.doc_id < b.doc_id
+        AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+       WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3""",
+    "Perceptual image near-dup (dHash), the multimodal arm of the "
+    "dedup family, exactly oracled end to end: planted 9x8 PNG twins "
+    "(doc 2g+1 = doc 2g with ONE flipped pixel, <= 2 dHash bits) are "
+    "REALLY encoded, REALLY decoded (codecs.decode_png_gray), "
+    "mean-pool-normalized, difference-hashed into four 16-bit bands, "
+    "and paired by the banded hamming join (band equality is the LSH "
+    "bucket — complete for distance <= 3 by pigeonhole — then exact "
+    "popcount verify). The oracle derives the same bands in closed "
+    "form from the pixel formula, so the hash match proves decode + "
+    "hash + candidate generation + verify compose bit-exactly. At "
+    "100 TB: map-only Arrow hashing, never all-pairs; resolution "
+    "invariance (upscaled copy keeps its hash) pinned in pytest.",
+)
+def q_mm_image_neardup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return mm.image_neardup_query(docs)

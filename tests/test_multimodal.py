@@ -548,3 +548,73 @@ def test_jpeg_decode_features_quarantines_corrupt_payloads(spark):
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r["kind"] for r in mm.decode_media_features(media).collect()}
     assert out == {0: "jpeg", 1: "corrupt", 2: "corrupt"}
+
+
+# ---------------------------------------------------------------------------
+# r7 cont.: perceptual image near-dup (dHash over the real codecs)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_resolution_invariance_and_twin_distance(spark):
+    """An upscaled copy keeps its dHash (mean-pool normalization), a
+    one-pixel twin stays within hamming distance 2, and an unrelated
+    image is far."""
+    import numpy as np
+
+    from spark_cassandra_collabfiltering_spark.operators import (
+        codecs as C,
+        multimodal as mm,
+    )
+
+    base = mm._synth_dhash_png(10)  # doc 10 (g=5)
+    twin = mm._synth_dhash_png(11)  # one flipped pixel
+    other = mm._synth_dhash_png(40)  # different group
+    # upscale base 4x with nearest-neighbor: same pooled grid
+    w, h, px = C.decode_png_gray(base)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    big = np.repeat(np.repeat(img, 4, axis=0), 4, axis=1)
+    big_png = C.encode_png_gray(w * 4, h * 4, big.tobytes())
+
+    media = spark.createDataFrame(
+        [(0, base), (1, twin), (2, other), (3, big_png), (4, b"junk")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.image_dhash_bands(media).collect()}
+
+    def dist(a, b):
+        return sum(
+            bin(rows[a][c] ^ rows[b][c]).count("1")
+            for c in ("b0", "b1", "b2", "b3")
+        )
+
+    assert dist(0, 3) == 0  # resolution-invariant
+    assert dist(0, 1) <= 2  # twin
+    assert dist(0, 2) > 3  # unrelated
+    assert rows[4]["b0"] is None  # corrupt payload quarantined
+
+
+def test_dhash_banded_join_is_complete_for_small_distances(spark):
+    """Pigeonhole completeness: every pair within distance 3 shares a
+    band and must surface — verified against a brute-force all-pairs
+    distance computation on a planted batch."""
+    from itertools import combinations
+
+    from spark_cassandra_collabfiltering_spark.operators import multimodal as mm
+
+    media_rows = [(d, mm._synth_dhash_png(d)) for d in range(60)]
+    media = spark.createDataFrame(media_rows, "doc_id long, payload binary")
+    bands = mm.image_dhash_bands(media)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in mm.dhash_near_dup_pairs(bands, max_dist=3).collect()
+    }
+    rows = {r["doc_id"]: r for r in bands.collect()}
+    want = {}
+    for a, b in combinations(sorted(rows), 2):
+        d = sum(
+            bin(rows[a][c] ^ rows[b][c]).count("1")
+            for c in ("b0", "b1", "b2", "b3")
+        )
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want and any(v <= 2 for v in want.values())
