@@ -1333,3 +1333,43 @@ def test_repeat_tombstone_is_honest_noop(spark, tmp_path):
     assert v3 == 4 and n3 == 1
     ids = _ids(lake.txn_read(spark, root))
     assert 5 not in ids and 6 not in ids and len(ids) == 28
+
+
+def test_merge_composite_key_pruning_and_update(spark, tmp_path):
+    """Two-column keys: per-key pruning must require BOTH columns to
+    fit a file's ranges (a file matching on k1 alone is prunable via
+    k2), and the upsert joins on the composite key."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    # files partitioned by k1 range; k2 varies within
+    rows = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("k1"),
+        F.floor(F.col("id") / 3).cast("long").alias("k2"),
+        (F.col("id") * 10).alias("v"),
+    )
+    for k in range(3):
+        lake.txn_write(
+            rows.filter(F.col("k1") == k).coalesce(1),
+            root, stats_cols=["k1", "k2"],
+        )
+    src = spark.createDataFrame([(1, 5, -1), (1, 999, -2)], "k1 long, k2 long, v long")
+    v, rewritten, total = lake.txn_merge(
+        spark, root, src, ["k1", "k2"], stats_cols=["k1", "k2"]
+    )
+    # k2=999 exceeds every file's k2 range; k1=1/k2=5 fits file 1 only
+    assert (rewritten, total) == (1, 3)
+    got = {(r["k1"], r["k2"]): r["v"] for r in lake.txn_read(spark, root).collect()}
+    assert got[(1, 5)] == -1 and got[(1, 999)] == -2 and len(got) == 301
+    # duplicate composite keys still raise
+    dup = spark.createDataFrame([(1, 5, 0), (1, 5, 9)], "k1 long, k2 long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        lake.txn_merge(spark, root, dup, ["k1", "k2"])
+    # composite-key DV delete
+    v2, n, _ = lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(1, 5)], "k1 long, k2 long"),
+        ["k1", "k2"],
+    )
+    assert n == 1 and (1, 5) not in {
+        (r["k1"], r["k2"]) for r in lake.txn_read(spark, root).collect()
+    }
