@@ -262,7 +262,10 @@ def write_snapshot_stats(
         .collect()
     )
     stats = {
-        r["_f"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
+        r["_f"]: {
+            c: [_stat_val(r[f"min_{c}"]), _stat_val(r[f"max_{c}"])]
+            for c in stats_cols
+        }
         for r in rows
     }
     tmp = os.path.join(path, "_stats.json.tmp")
@@ -288,6 +291,7 @@ def prune_files(
         st = json.load(fh)
     if col not in st["cols"]:
         raise ValueError(f"no stats recorded for column {col!r}")
+    lo, hi = _stat_val(lo), _stat_val(hi)  # like-for-like vs the stats
     keep = []
     for fname, cols in st["files"].items():
         mn, mx = cols[col]
@@ -802,6 +806,22 @@ def _write_data_files(df: DataFrame, root: str) -> list[str]:
     )
 
 
+def _stat_val(v):
+    """Canonicalize a min/max stat (or a pruning bound) to a JSON-safe,
+    ORDER-PRESERVING value: dates/timestamps become ISO strings (ISO
+    sorts chronologically, including the no-microseconds short form by
+    prefix order), JSON primitives pass through, and anything else
+    (Decimal, bytes, structs) becomes None — no proof, never pruned
+    (the skip-only-on-proof contract, same as an all-null chunk)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
 def _collect_file_stats(
     spark: SparkSession, files: list[str], stats_cols: list[str]
 ) -> dict:
@@ -825,7 +845,10 @@ def _collect_file_stats(
         .collect()
     )
     return {
-        r["_f"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
+        r["_f"]: {
+            c: [_stat_val(r[f"min_{c}"]), _stat_val(r[f"max_{c}"])]
+            for c in stats_cols
+        }
         for r in rows
     }
 
@@ -1120,10 +1143,13 @@ def _merge_prunable(file_stats: dict, src_rng: dict) -> bool:
 
 
 def _rng_may_contain(rng: "list | None", val) -> bool:
-    """False only when the recorded [min, max] PROVES ``val`` absent."""
+    """False only when the recorded [min, max] PROVES ``val`` absent.
+    ``val`` is canonicalized like the stats were (dates -> ISO), so
+    comparisons are like-for-like."""
     if rng is None:
         return True
     mn, mx = rng
+    val = _stat_val(val)
     if mn is None or mx is None or val is None:
         return True
     return mn <= val <= mx
@@ -1246,7 +1272,10 @@ def txn_merge(
             "source has duplicate keys: MERGE update is ambiguous "
             f"({head['_n']} rows, {head['_d']} distinct keys)"
         )
-    src_rng = {c: (head[f"_mn_{c}"], head[f"_mx_{c}"]) for c in key_cols}
+    src_rng = {
+        c: (_stat_val(head[f"_mn_{c}"]), _stat_val(head[f"_mx_{c}"]))
+        for c in key_cols
+    }
 
     state = _replay(root, read_v)
     key_rows = (
@@ -1406,7 +1435,10 @@ def txn_delete_dv(
     head = keys.agg(*aggs).collect()[0]
     if head["_n"] == 0:
         return None, 0, 0
-    src_rng = {c: (head[f"_mn_{c}"], head[f"_mx_{c}"]) for c in key_cols}
+    src_rng = {
+        c: (_stat_val(head[f"_mn_{c}"]), _stat_val(head[f"_mx_{c}"]))
+        for c in key_cols
+    }
     state = _replay(root, read_v)
     key_rows = (
         keys.select(*key_cols).distinct().collect()
@@ -1595,6 +1627,7 @@ def txn_read_pruned(
     if version is None:
         version = latest
     files, _, stats, _, _ = _replay(root, version)
+    lo, hi = _stat_val(lo), _stat_val(hi)  # like-for-like vs the stats
     keep = []
     for f in files:
         rng = stats.get(f, {}).get(col)

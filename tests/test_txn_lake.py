@@ -1373,3 +1373,49 @@ def test_merge_composite_key_pruning_and_update(spark, tmp_path):
     assert n == 1 and (1, 5) not in {
         (r["k1"], r["k2"]) for r in lake.txn_read(spark, root).collect()
     }
+
+
+def test_date_and_decimal_stats_are_safe(spark, tmp_path):
+    """Stats on date columns serialize as ISO strings (chronological
+    order preserved: pruning works, and date-keyed MERGE prunes too);
+    stats on types with no JSON-safe order (DECIMAL) degrade to
+    no-proof — never a crash, never a wrong prune."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    for m in (1, 2, 3):
+        df = spark.range(5).select(
+            "id",
+            F.date_add(
+                F.lit(f"2026-0{m}-01").cast("date"), F.col("id").cast("int")
+            ).alias("d"),
+            F.col("id").cast("decimal(10,2)").alias("amt"),
+        )
+        lake.txn_write(df.coalesce(1), root, stats_cols=["d", "amt"])
+    # date pruning: one month hit
+    out, nread, ntot = lake.txn_read_pruned(
+        spark, root, "d", "2026-02-01", "2026-02-28"
+    )
+    assert (nread, ntot) == (1, 3) and out.count() == 5
+    # passing date OBJECTS as bounds works the same (canonicalized)
+    _, nread, _ = lake.txn_read_pruned(
+        spark, root, "d", datetime.date(2026, 2, 1), datetime.date(2026, 2, 28)
+    )
+    assert nread == 1
+    # decimal stats are no-proof: never pruned on amt
+    _, nread, _ = lake.txn_read_pruned(spark, root, "amt", 0, 0)
+    assert nread == 3
+    # date-keyed merge prunes to the one file holding the key
+    src = spark.range(1).select(
+        F.lit("2026-02-03").cast("date").alias("d"),
+        F.lit(99).cast("bigint").alias("id"),
+        F.lit(0).cast("decimal(10,2)").alias("amt"),
+    ).select("id", "d", "amt")
+    v, rewritten, total = lake.txn_merge(
+        spark, root, src, ["d"], stats_cols=["d", "amt"]
+    )
+    assert (rewritten, total) == (1, 3)
+    got = {str(r["d"]): r["id"] for r in lake.txn_read(spark, root).collect()}
+    assert got["2026-02-03"] == 99 and len(got) == 15
