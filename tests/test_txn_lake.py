@@ -1419,3 +1419,105 @@ def test_date_and_decimal_stats_are_safe(spark, tmp_path):
     assert (rewritten, total) == (1, 3)
     got = {str(r["d"]): r["id"] for r in lake.txn_read(spark, root).collect()}
     assert got["2026-02-03"] == 99 and len(got) == 15
+
+
+# --------------------------------------------------------------------
+# r7 continuation 7: model-based randomized sequences — the whole ACID
+# surface (append / merge / dv / compact / clustered compact) replayed
+# against a plain Python dict model; every version's read must equal
+# the model's snapshot history exactly.
+# --------------------------------------------------------------------
+
+
+def test_randomized_op_sequences_match_dict_model(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"m{seed}")
+        model: dict[int, int] = {}
+        snapshots: list[dict[int, int]] = []
+
+        def mk(rows):
+            return spark.createDataFrame(list(rows), "id long, v long")
+
+        lake.txn_write(
+            mk((i, i * 2) for i in range(0, 40)).coalesce(2),
+            root, stats_cols=["id"],
+        )
+        model.update({i: i * 2 for i in range(0, 40)})
+        snapshots.append(dict(model))
+
+        for step in range(7):
+            op = rng.choice(["append", "upsert", "delete_cow", "dv", "compact"])
+            if op == "append":
+                lo = rng.randrange(100, 10_000)
+                rows = {lo + j: step for j in range(rng.randrange(1, 6))}
+                # keys may collide with existing (append allows dups in
+                # a real table; keep model simple: pick fresh keys)
+                rows = {k: v for k, v in rows.items() if k not in model}
+                if not rows:
+                    continue  # no commit -> no new version, no snapshot
+                lake.txn_write(
+                    mk(rows.items()).coalesce(1), root, stats_cols=["id"]
+                )
+                model.update(rows)
+            elif op == "upsert":
+                keys = rng.sample(sorted(model), k=min(3, len(model)))
+                extra = rng.randrange(20_000, 30_000)
+                rows = {k: -step - 1 for k in keys} | {extra: -step - 1}
+                lake.txn_merge(
+                    spark, root, mk(rows.items()), ["id"], stats_cols=["id"]
+                )
+                model.update(rows)
+            elif op == "delete_cow":
+                keys = rng.sample(sorted(model), k=min(2, len(model)))
+                lake.txn_merge(
+                    spark, root,
+                    spark.createDataFrame([(k,) for k in keys], "id long"),
+                    ["id"], when_matched="delete", when_not_matched="ignore",
+                    stats_cols=["id"],
+                )
+                for k in keys:
+                    model.pop(k, None)
+            elif op == "dv":
+                keys = rng.sample(sorted(model), k=min(2, len(model)))
+                v, n, _ = lake.txn_delete_dv(
+                    spark, root,
+                    spark.createDataFrame([(k,) for k in keys], "id long"),
+                    ["id"],
+                )
+                assert n == len(keys)
+                for k in keys:
+                    model.pop(k, None)
+            else:  # compact (sometimes clustered)
+                v = lake.txn_compact(
+                    spark, root, stats_cols=["id"],
+                    sort_cols=["id"] if rng.random() < 0.5 else None,
+                    n_files=rng.choice([1, 2]),
+                )
+                if v is None:  # nothing to compact: no new version
+                    continue
+            snapshots.append(dict(model))
+
+        # every surviving version reads back as its model snapshot
+        latest = lake.txn_latest_version(root)
+        assert latest == len(snapshots) - 1
+        for v, want in enumerate(snapshots):
+            got = {
+                r["id"]: r["v"]
+                for r in lake.txn_read(spark, root, version=v).collect()
+            }
+            assert got == want, (seed, v)
+        # and the change feed replays v0 -> latest
+        feed = lake.txn_changes(spark, root, 1, latest)
+        base = lake.txn_read(spark, root, version=0).select("id", "v")
+        ins = feed.filter("_change_type = 'insert'").select("id", "v")
+        dels = feed.filter("_change_type = 'delete'").select("id", "v")
+        replayed = {
+            (r["id"], r["v"])
+            for r in base.unionByName(ins).exceptAll(dels).collect()
+        }
+        assert replayed == set(snapshots[-1].items()), seed
