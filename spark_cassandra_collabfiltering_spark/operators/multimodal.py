@@ -26,7 +26,7 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -847,3 +847,110 @@ def image_neardup_query(df_documents: DataFrame, max_dist: int = 3) -> DataFrame
         ),
     )
     return dhash_near_dup_pairs(image_dhash_bands(media), max_dist)
+
+
+# ---------------------------------------------------------------------------
+# r7 cont.: audio near-dup — amplitude-invariant envelope fingerprint
+# over the real WAV codec (the audio arm of the dedup family, beside
+# the image dHash). Volume-scaled copies of a recording share the
+# fingerprint because quantization is RELATIVE to the doc's own peak
+# frame energy; different recordings diverge. Map-only decode; the
+# pair search is one hash-agg on the fingerprint — never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def audio_envelope_fingerprint(
+    media: DataFrame, frame: int = 32, levels: int = 4
+) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, n_frames, fp): per-frame energies
+    (integer-exact, real decode) quantized to ``levels`` buckets
+    RELATIVE to the doc's peak frame energy (level = e*levels //
+    (max_e+1) — invariant under uniform gain to the extent the gained
+    samples keep energy ratios, and reproducible in closed form by the
+    oracle), then md5 over the dash-joined level sequence."""
+
+    e = audio_frame_energy(media, frame=frame)
+    w = Window.partitionBy("doc_id")
+    # exact INTEGER division (div), not float floor — bit-identical in
+    # any engine, no float-boundary drift
+    leveled = e.withColumn("_mx", F.max("energy").over(w)).select(
+        "doc_id",
+        "frame_idx",
+        F.expr(f"cast((energy * {levels}) div (_mx + 1) as int)").alias("lvl"),
+    )
+    seq = (
+        leveled.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_idx", "lvl"))
+                    ),
+                    lambda s: s["lvl"].cast("string"),
+                ),
+                "-",
+            ).alias("env"),
+        )
+    )
+    return seq.select(
+        "doc_id", "n_frames", F.md5(F.col("env")).alias("fp")
+    )
+
+
+def audio_near_dup_pairs(fps: DataFrame) -> DataFrame:
+    """Pairs sharing the envelope fingerprint (and frame count):
+    (doc_a, doc_b, n_frames), doc_a < doc_b. One exchange on fp."""
+    a = fps.select(
+        F.col("doc_id").alias("doc_a"), "n_frames", "fp"
+    )
+    b = fps.select(F.col("doc_id").alias("doc_b"), "n_frames", "fp")
+    return (
+        a.join(b, ["fp", "n_frames"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_frames")
+    )
+
+
+def _synth_audio_twin(doc_id: int) -> bytes:
+    """Planted WAV twins: docs 2g and 2g+1 carry the SAME recording at
+    different volumes (odd twin = 3/2 gain, integer floor, no clip at
+    |s| <= 768) — the relative envelope quantization must pair them."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    g = doc_id // 2
+    n = 256 + (g % 64) * 32  # 8..71 frames: real envelope entropy
+    base = [((g * 17 + i * 5) % 1024) - 512 for i in range(n)]
+    if doc_id % 2 == 1:
+        base = [(3 * s) // 2 if s >= 0 else -((3 * (-s)) // 2) for s in base]
+    return codecs.encode_wav_pcm16(8000, base)
+
+
+def audio_neardup_query(df_documents: DataFrame) -> DataFrame:
+    """documents -> planted volume twins -> real decode -> envelope
+    fingerprint -> pair join. Exactly oracled: the oracle replays the
+    gain, framing, energy and quantization arithmetic in closed form."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _synth_audio_twin(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    ids = df_documents.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    media = ids.mapInPandas(
+        encode,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+    return audio_near_dup_pairs(audio_envelope_fingerprint(media, levels=8))

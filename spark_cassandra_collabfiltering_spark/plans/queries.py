@@ -9786,3 +9786,49 @@ def q_lake_txn_changes(spark, sf_dir):
 def q_mm_image_neardup(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return mm.image_neardup_query(docs)
+
+
+@register(
+    "mm_audio_neardup",
+    """WITH d AS (SELECT doc_id, doc_id // 2 AS g
+                  FROM documents WHERE doc_id < 300),
+        sam AS (SELECT d.doc_id, i.i AS idx, i.i // 32 AS frame_idx,
+                       CASE WHEN d.doc_id % 2 = 1 THEN
+                            CASE WHEN ((d.g * 17 + i.i * 5) % 1024) - 512 >= 0
+                                 THEN (3 * (((d.g * 17 + i.i * 5) % 1024) - 512)) // 2
+                                 ELSE -((3 * (512 - ((d.g * 17 + i.i * 5) % 1024))) // 2)
+                            END
+                            ELSE ((d.g * 17 + i.i * 5) % 1024) - 512
+                       END AS s
+                FROM d, LATERAL unnest(range(0, 256 + (d.g % 64) * 32)) i(i)),
+        fr AS (SELECT doc_id, frame_idx, sum(s * s) AS energy
+               FROM sam GROUP BY 1, 2),
+        lv AS (SELECT doc_id, frame_idx,
+                      (energy * 8) // (max(energy) OVER (PARTITION BY doc_id) + 1)
+                          AS lvl
+               FROM fr),
+        h AS (SELECT doc_id, count(*)::BIGINT AS n_frames,
+                     md5(string_agg(lvl::VARCHAR, '-' ORDER BY frame_idx))
+                         AS fp
+              FROM lv GROUP BY 1)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_frames
+       FROM h a JOIN h b
+         ON a.fp = b.fp AND a.n_frames = b.n_frames
+        AND a.doc_id < b.doc_id""",
+    "Audio near-dup via an amplitude-invariant envelope fingerprint "
+    "over the REAL WAV codec — the audio arm of the dedup family "
+    "(beside the image dHash): per-frame energies (integer-exact "
+    "decode) quantized RELATIVE to the doc's own peak frame (exact "
+    "integer div, no float drift), md5 over the level sequence, pairs "
+    "by fingerprint equality. Planted twins carry the SAME recording "
+    "at 1x and 1.5x gain (integer-floored, sign-aware, no clipping); "
+    "the oracle replays gain, framing, energy and quantization in "
+    "closed form, so the hash match proves the decode + DSP + "
+    "fingerprint + join path end to end. At 100 TB: map-only decode, "
+    "ONE exchange on the fingerprint, never all-pairs — gain-variant "
+    "copies (re-encodes, loudness-normalized rips) dedupe at corpus "
+    "scale.",
+)
+def q_mm_audio_neardup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return mm.audio_neardup_query(docs)

@@ -618,3 +618,51 @@ def test_dhash_banded_join_is_complete_for_small_distances(spark):
         if d <= 3:
             want[(a, b)] = d
     assert got == want and any(v <= 2 for v in want.values())
+
+
+# ---------------------------------------------------------------------------
+# r7 cont.: audio near-dup (amplitude-invariant envelope fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_envelope_pairs_volume_twins_not_strangers(spark):
+    from spark_cassandra_collabfiltering_spark.operators import (
+        codecs as C,
+        multimodal as mm,
+    )
+
+    base = [((7 * 17 + i * 5) % 1024) - 512 for i in range(512)]
+    double = [2 * s for s in base]  # exact 2x gain: energies scale 4x
+    other = [((99 * 13 + i * 11) % 1024) - 512 for i in range(512)]
+    rows = [
+        (0, C.encode_wav_pcm16(8000, base)),
+        (1, C.encode_wav_pcm16(8000, double)),
+        (2, C.encode_wav_pcm16(8000, other)),
+        (3, b"not audio"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = mm.audio_envelope_fingerprint(media, levels=8)
+    got = {r["doc_id"]: r["fp"] for r in fps.collect()}
+    assert 3 not in got  # non-RIFF payloads never fingerprint
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.audio_near_dup_pairs(fps).collect()
+    }
+    assert (0, 1) in pairs and not {(0, 2), (1, 2)} & pairs
+
+
+def test_audio_neardup_query_finds_planted_twins(spark):
+    """Deterministic planted batch: every (2g, 2g+1) volume-twin pair
+    must surface unless the 1.5x integer gain flips a quantization
+    level at a boundary — tolerated, bounded, and deterministic."""
+    from spark_cassandra_collabfiltering_spark.operators import multimodal as mm
+
+    docs = spark.range(40).selectExpr("id as doc_id")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.audio_neardup_query(docs).collect()
+    }
+    twins = {(2 * g, 2 * g + 1) for g in range(20)}
+    found = pairs & twins
+    assert len(found) >= 18  # at most ~10% boundary flips
+    assert not (pairs - twins)  # no cross-group collisions in 20 groups
