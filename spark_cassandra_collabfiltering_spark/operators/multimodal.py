@@ -954,3 +954,96 @@ def audio_neardup_query(df_documents: DataFrame) -> DataFrame:
         ),
     )
     return audio_near_dup_pairs(audio_envelope_fingerprint(media, levels=8))
+
+
+# ---------------------------------------------------------------------------
+# r7 cont.: TRUE video — Motion-JPEG in AVI, decoded from scratch
+# (codecs.encode_avi_mjpeg / decode_avi_mjpeg + decode_jpeg per frame).
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("unit_sum", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """(doc_id, payload[AVI/MJPG]) -> one row per SAMPLED frame with the
+    decoded pixel sum: RIFF walk -> keep every ``every_n``-th frame ->
+    baseline-JPEG decode. Corrupt containers quarantine as a single
+    (frame_idx NULL) row. Scan-local 1->N Arrow fan-out, the pyav
+    keyframe-sampler shape with a real from-scratch codec inside."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    w, h, frames = codecs.decode_avi_mjpeg(b)
+                    for fi in range(0, len(frames), every_n):
+                        fw, fh, nc, px = codecs.decode_jpeg(frames[fi])
+                        rows.append((doc_id, fi, fw, fh, sum(px)))
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "unit_sum"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def _synth_mjpeg_avi(doc_id: int) -> bytes:
+    """Deterministic MJPG AVI: 2 + doc%4 block-constant q100 grayscale
+    frames (the lossless-subset trick, per-frame content varies) —
+    every decoded pixel sum has a closed form."""
+    from spark_cassandra_collabfiltering_spark.operators import codecs
+
+    w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+    frames = []
+    for f in range(2 + doc_id % 4):
+        px = bytes(
+            (doc_id * 31 + f * 53 + (x // 8) * 37 + (y // 8) * 91) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        frames.append(codecs.encode_jpeg_gray(w, h, px, quality=100))
+    return codecs.encode_avi_mjpeg(w, h, frames)
+
+
+def video_sample_query(df_documents: DataFrame) -> DataFrame:
+    """documents -> real MJPG AVIs -> RIFF walk -> every-2nd-frame
+    JPEG decode -> integer-exact per-frame features."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _synth_mjpeg_avi(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    ids = df_documents.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    media = ids.mapInPandas(
+        encode,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+    return video_frame_features(media, every_n=2)

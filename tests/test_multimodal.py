@@ -666,3 +666,57 @@ def test_audio_neardup_query_finds_planted_twins(spark):
     found = pairs & twins
     assert len(found) >= 18  # at most ~10% boundary flips
     assert not (pairs - twins)  # no cross-group collisions in 20 groups
+
+
+# ---------------------------------------------------------------------------
+# r7 cont.: AVI/MJPEG — true video through from-scratch codecs
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_quarantine():
+    import pytest as _pytest
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    f1 = C.encode_jpeg_gray(16, 8, bytes([10] * 64 + [200] * 64), quality=100)
+    f2 = C.encode_jpeg_gray(16, 8, bytes([99] * 128), quality=100)
+    avi = C.encode_avi_mjpeg(16, 8, [f1, f2], fps=5)
+    w, h, frames = C.decode_avi_mjpeg(avi)
+    assert (w, h) == (16, 8) and frames == [f1, f2]
+    # frame payloads decode bit-exactly (lossless subset)
+    assert C.decode_jpeg(frames[1])[3] == bytes([99] * 128)
+    # quarantine: truncation, non-AVI, foreign codec
+    with _pytest.raises(ValueError):
+        C.decode_avi_mjpeg(avi[: len(avi) // 2])
+    with _pytest.raises(ValueError):
+        C.decode_avi_mjpeg(b"RIFFxxxxWAVE" + avi[12:])
+    foreign = avi.replace(b"vidsMJPG", b"vidsH264", 1)
+    with _pytest.raises(ValueError, match="foreign"):
+        C.decode_avi_mjpeg(foreign)
+    with _pytest.raises(ValueError):
+        C.encode_avi_mjpeg(4, 4, [])
+
+
+def test_video_frame_features_samples_and_quarantines(spark):
+    from spark_cassandra_collabfiltering_spark.operators import (
+        codecs as C,
+        multimodal as mm,
+    )
+
+    avi = mm._synth_mjpeg_avi(5)  # 3 frames -> sampled idx {0, 2}
+    media = spark.createDataFrame(
+        [(5, avi), (6, b"garbage")], "doc_id long, payload binary"
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r["unit_sum"]
+        for r in mm.video_frame_features(media).collect()
+    }
+    assert set(rows) == {(5, 0), (5, 2), (6, None)}
+    # direct recompute of frame 2's sum from the planted formula
+    w, h = 8 * (1 + 5 % 3), 8 * (1 + 5 % 2)
+    want = sum(
+        (5 * 31 + 2 * 53 + bx * 37 + by * 91) % 256
+        for by in range(h // 8)
+        for bx in range(w // 8)
+    ) * 64
+    assert rows[(5, 2)] == want and rows[(6, None)] is None
