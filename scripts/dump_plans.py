@@ -127,6 +127,9 @@ SHOWN = [
     "lake_txn_merge",
     "lake_txn_changes",
     "mm_jpeg_features",
+    "mm_image_neardup",
+    "mm_audio_neardup",
+    "mm_video_frame_sample",
     "stats_broadcast_advice",
     "sketch_kmv_overlap",
     "sketch_bottomk_quantiles",
