@@ -23,11 +23,13 @@ from spark_cassandra_collabfiltering_spark.sources.lake import (
     txn_changes,
     txn_compact,
     txn_delete_dv,
+    txn_clone,
     txn_history,
     txn_merge,
     txn_read,
     txn_read_incremental,
     txn_read_pruned,
+    txn_restore,
     txn_stream_sink,
     txn_vacuum,
     txn_write,
@@ -57,6 +59,8 @@ __all__ = [
     "txn_delete_dv",
     "txn_changes",
     "txn_compact",
+    "txn_restore",
+    "txn_clone",
     "txn_vacuum",
     "txn_history",
     "txn_stream_sink",

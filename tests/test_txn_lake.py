@@ -1521,3 +1521,65 @@ def test_randomized_op_sequences_match_dict_model(spark, tmp_path):
             for r in base.unionByName(ins).exceptAll(dels).collect()
         }
         assert replayed == set(snapshots[-1].items()), seed
+
+
+# --------------------------------------------------------------------
+# r7 continuation 8: RESTORE + shallow CLONE
+# --------------------------------------------------------------------
+
+
+def test_restore_rolls_back_as_a_new_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _seed_three_files(spark, root)  # v0..v2
+    lake.txn_merge(
+        spark, root, spark.createDataFrame([(5, -5)], "id long, v long"),
+        ["id"], stats_cols=["id"],
+    )  # v3: bad write
+    v = lake.txn_restore(root, 2)
+    assert v == 4
+    got = _kv(lake.txn_read(spark, root))
+    assert got[5] == 10 and len(got) == 30  # pre-merge state is back
+    # the bad version stays time-travelable; restore is append-only
+    assert _kv(lake.txn_read(spark, root, version=3))[5] == -5
+    assert lake.txn_history(root)[0]["op"] == "overwrite"
+    # a restore TARGET with active DVs is refused (exactness guard)
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(7,)], "id long"), ["id"]
+    )  # v5
+    lake.txn_write(_rows(spark, 900, 901).coalesce(1), root)  # v6
+    with pytest.raises(ValueError, match="deletion vectors"):
+        lake.txn_restore(root, 5)
+    # restoring to the pre-DV version still works
+    v = lake.txn_restore(root, 4)
+    assert 7 in _ids(lake.txn_read(spark, root))
+
+
+def test_shallow_clone_diverges_without_copying(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _seed_three_files(spark, src)
+    lake.txn_delete_dv(
+        spark, src, spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    v = lake.txn_clone(src, dst)
+    assert v == 1  # v0 overwrite + v1 carried DV
+    # clone reads the source's state — including through the DV
+    assert _ids(lake.txn_read(spark, dst)) == _ids(lake.txn_read(spark, src))
+    # zero copy: the clone references the SAME data files
+    assert set(lake._txn_state(dst, 0)) == set(
+        lake._txn_state(src, lake.txn_latest_version(src))
+    )
+    # divergence: writes to the clone never touch the source
+    lake.txn_merge(
+        spark, dst, spark.createDataFrame([(0, -1)], "id long, v long"),
+        ["id"], stats_cols=["id"],
+    )
+    assert _kv(lake.txn_read(spark, dst))[0] == -1
+    assert _kv(lake.txn_read(spark, src))[0] == 0
+    # stats carried: pruned reads work on the clone immediately (the
+    # merge's union rewrite may split across part files; pruning still
+    # isolates the one file holding [200, 209])
+    _, nread, ntotal = lake.txn_read_pruned(spark, dst, "id", 200, 204)
+    assert nread == 1 and ntotal >= 3
+    # double clone refused
+    with pytest.raises(FileExistsError):
+        lake.txn_clone(src, dst)
