@@ -819,9 +819,15 @@ def _stat_val(v):
     (Decimal, bytes, structs) becomes None — no proof, never pruned
     (the skip-only-on-proof contract, same as an all-null chunk)."""
     import datetime
+    import math
 
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        # Spark sorts NaN greatest, so ONE NaN row poisons max(); a
+        # NaN bound compares False against everything in Python and
+        # would WRONGLY prune a file that also holds in-range rows
+        return None
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     return None

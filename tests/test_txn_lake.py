@@ -1583,3 +1583,29 @@ def test_shallow_clone_diverges_without_copying(spark, tmp_path):
     # double clone refused
     with pytest.raises(FileExistsError):
         lake.txn_clone(src, dst)
+
+
+def test_nan_stat_never_prunes_a_file_with_live_rows(spark, tmp_path):
+    """Spark sorts NaN greatest, so one NaN row poisons max(); the
+    stat canonicalizer must degrade a NaN bound to no-proof — a range
+    read must still return the file's normal in-range rows."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    poisoned = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (3, float("nan"))], "id long, x double"
+    )
+    clean = spark.createDataFrame(
+        [(10, 100.0), (11, 101.0)], "id long, x double"
+    )
+    lake.txn_write(poisoned.coalesce(1), root, stats_cols=["x"])
+    lake.txn_write(clean.coalesce(1), root, stats_cols=["x"])
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "x", 2.0, 3.0)
+    assert ntotal == 2 and nread == 1  # clean file still prunable
+    assert sorted(r["id"] for r in df.collect()) == [2]
+    # and merge pruning keyed on the poisoned column never skips it
+    src = spark.createDataFrame([(2, -1.0)], "id long, x double")
+    # (key on id here — the point is stats on x are no-proof, not keys)
+    files, _, stats, _, _ = lake._replay(root, 1)
+    poisoned_file = [f for f in files if stats[f]["x"][1] is None]
+    assert len(poisoned_file) == 1  # NaN max stored as no-proof
