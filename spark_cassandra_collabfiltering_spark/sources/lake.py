@@ -1797,11 +1797,13 @@ def txn_restore(root: str, version: int, max_retries: int = 20) -> int:
     """RESTORE TABLE to a historical version: commits the old file
     list (and its schema) as a NEW overwrite — history is append-only,
     nothing is deleted, and the restore itself is time-travelable.
-    The restored state still reads through any deletion vectors that
-    were active AT that version (replay reconstructs them), so a
-    restore is exact, not files-only. Raises on an invalid version;
-    optimistic-commit rules apply (an overwrite that loses its race
-    raises, like any overwrite)."""
+    A target version with ACTIVE deletion vectors is refused: an
+    overwrite clears DV lineage (and must — restores reuse file paths,
+    so a later DV would otherwise re-attach), which would resurrect
+    the DV-hidden rows; compact first to materialize the DVs, then
+    restore to the post-compaction version. Raises on an invalid
+    version; optimistic-commit rules apply (an overwrite that loses
+    its race raises, like any overwrite)."""
     latest = txn_latest_version(root)
     if latest is None:
         raise FileNotFoundError(f"no committed versions under {root}")
