@@ -720,3 +720,26 @@ def test_video_frame_features_samples_and_quarantines(spark):
         for bx in range(w // 8)
     ) * 64
     assert rows[(5, 2)] == want and rows[(6, None)] is None
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(w=st.integers(1, 24), h=st.integers(1, 16), seed=st.integers(0, 2**31))
+def test_jpeg_color_roundtrip_error_bounded_on_random_rgb(w, h, seed):
+    """Arbitrary RGB content through the full color path (YCbCr both
+    ways + double rounding) stays within a tight q100 envelope."""
+    import random
+
+    from spark_cassandra_collabfiltering_spark.operators import codecs as C
+
+    rng = random.Random(seed)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    enc = C.encode_jpeg_rgb(w, h, px, quality=100)
+    W, H, n, out = C.decode_jpeg(enc)
+    assert (W, H, n) == (w, h, 3)
+    flat = [v for p in px for v in p]
+    errs = [abs(a - b) for a, b in zip(out, flat)]
+    assert max(errs) <= 6 and sum(errs) / len(errs) <= 2.0, max(errs)
