@@ -1451,7 +1451,9 @@ def test_randomized_op_sequences_match_dict_model(spark, tmp_path):
         snapshots.append(dict(model))
 
         for step in range(7):
-            op = rng.choice(["append", "upsert", "delete_cow", "dv", "compact"])
+            op = rng.choice(
+                ["append", "upsert", "delete_cow", "dv", "compact", "restore"]
+            )
             if op == "append":
                 lo = rng.randrange(100, 10_000)
                 rows = {lo + j: step for j in range(rng.randrange(1, 6))}
@@ -1492,6 +1494,13 @@ def test_randomized_op_sequences_match_dict_model(spark, tmp_path):
                 assert n == len(keys)
                 for k in keys:
                     model.pop(k, None)
+            elif op == "restore":
+                target = rng.randrange(len(snapshots))
+                try:
+                    lake.txn_restore(root, target)
+                except ValueError:
+                    continue  # DV-active target refused: no commit
+                model = dict(snapshots[target])
             else:  # compact (sometimes clustered)
                 v = lake.txn_compact(
                     spark, root, stats_cols=["id"],
