@@ -796,14 +796,24 @@ def _maybe_checkpoint(root: str, version: int) -> None:
     os.replace(tmp, _checkpoint_path(root, version))
 
 
-def _write_data_files(df: DataFrame, root: str) -> list[str]:
+def _write_data_files(
+    df: DataFrame, root: str, bloom_cols: "list[str] | None" = None
+) -> list[str]:
     """Write ``df`` under a fresh _data/<uuid>/ — data files first, so
     that without a log entry they are invisible garbage, never a torn
-    table state."""
+    table state. ``bloom_cols`` embeds parquet FOOTER bloom filters
+    for those columns: the layer BELOW add-file stats — min/max skip
+    whole files, the footer bloom then kills point lookups inside the
+    files that survive (a needle key in a 100 TB table touches the
+    bloom'd row groups only). Readers need no cooperation; the parquet
+    reader consults blooms under the pushed filter automatically."""
     import uuid
 
     data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
-    df.write.mode("error").parquet(data_dir)
+    w = df.write.mode("error")
+    for c in bloom_cols or ():
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.parquet(data_dir)
     return sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
@@ -1025,6 +1035,7 @@ def txn_write(
     max_retries: int = 20,
     stats_cols: "list[str] | None" = None,
     merge_schema: bool = False,
+    bloom_cols: "list[str] | None" = None,
 ) -> int | None:
     """Commit ``df`` to the transactional table at ``root`` with
     optimistic concurrency. Returns the committed version, or None if
@@ -1055,7 +1066,7 @@ def txn_write(
         )
 
     schema_fn(read_v)  # fail fast BEFORE paying for the data write
-    files = _write_data_files(df, root)
+    files = _write_data_files(df, root, bloom_cols)
     stats = (
         _collect_file_stats(df.sparkSession, files, stats_cols)
         if stats_cols
