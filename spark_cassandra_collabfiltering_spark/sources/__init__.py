@@ -26,6 +26,7 @@ from spark_cassandra_collabfiltering_spark.sources.lake import (
     txn_clone,
     txn_history,
     txn_merge,
+    txn_purge_sink,
     txn_read,
     txn_read_incremental,
     txn_read_pruned,
@@ -65,4 +66,5 @@ __all__ = [
     "txn_history",
     "txn_stream_sink",
     "txn_cdc_sink",
+    "txn_purge_sink",
 ]

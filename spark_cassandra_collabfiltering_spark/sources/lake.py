@@ -1415,6 +1415,24 @@ def txn_cdc_sink(
     return _sink
 
 
+def txn_purge_sink(root: str, app: str, key_cols: "list[str]"):
+    """An exactly-once streaming PURGE sink: each micro-batch of
+    tombstone keys lands as a deletion vector keyed on (app, epoch) —
+    the right-to-be-forgotten feed applied continuously without
+    rewriting a file, replay-safe across restarts. (txn_vacuum after a
+    later compaction is the physical-erasure step; the DV makes the
+    rows unreadable immediately.)
+    ``keys.writeStream.foreachBatch(txn_purge_sink(root, "gdpr", ["id"]))``"""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        txn_delete_dv(
+            batch_df.sparkSession, root, batch_df, key_cols,
+            txn=(app, int(epoch_id)),
+        )
+
+    return _sink
+
+
 def txn_delete_dv(
     spark: SparkSession,
     root: str,

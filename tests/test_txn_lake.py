@@ -1640,3 +1640,46 @@ def test_bloom_cols_plumb_into_parquet_footers(spark, tmp_path):
     assert size(r_bloom) > size(r_plain) + 50_000  # filter bytes present
     got = lake.txn_read(spark, r_bloom).filter(F.col("k") == 7919).collect()
     assert [r["id"] for r in got] == [1]
+
+
+def test_purge_sink_streams_tombstones_exactly_once(spark, tmp_path):
+    """Streaming right-to-be-forgotten: a tombstone file feed lands as
+    deletion vectors via foreachBatch, replay-safe, restart drains only
+    the new slice; data files are never rewritten."""
+    src, ckpt, root = (str(tmp_path / d) for d in ("src", "ck", "t"))
+    os.makedirs(src, exist_ok=True)
+    _seed_three_files(spark, root)
+    files_before = list(lake._txn_state(root, 2))
+
+    spark.createDataFrame([(3,), (104,)], "id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("id BIGINT").parquet(src)
+            .writeStream.foreachBatch(
+                lake.txn_purge_sink(root, "gdpr", ["id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    ids = _ids(lake.txn_read(spark, root))
+    assert 3 not in ids and 104 not in ids and len(ids) == 28
+    spark.createDataFrame([(205,)], "id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    ids = _ids(lake.txn_read(spark, root))
+    assert 205 not in ids and len(ids) == 27
+    # purge never rewrote a data file
+    assert lake._txn_state(root, lake.txn_latest_version(root)) == files_before
+    # manual replay of a committed epoch is absorbed by the txn key
+    lake.txn_purge_sink(root, "gdpr", ["id"])(
+        spark.createDataFrame([(3,), (104,)], "id long"), 0
+    )
+    assert len(_ids(lake.txn_read(spark, root))) == 27
