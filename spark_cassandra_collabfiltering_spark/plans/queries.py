@@ -105,9 +105,12 @@ _DRIVER_ORDER = [
     # covariance matrix, one-pass column profiler (first driver rows)
     "stats_psi_drift", "stats_ks_drift", "stats_mad_outliers",
     "stats_cov_matrix", "stats_profile_orders",
-    # --- lake: z-order interleave key (first driver row for the lake
-    # family's only SQL-expressible member)
-    "lake_zorder_key",
+    # --- lake: the r7-continuation partition layout, driver-visible
+    # end to end (partitioned txn write -> RLE deletion vector keyed
+    # through the partition map -> exact-pruned partition read). Took
+    # lake_zorder_key's slot; zorder stays registered + locally
+    # oracle-checked every sweep.
+    "lake_txn_partition",
     # --- the r6 additions' first driver rows
     "dedup_lsh_advisor", "text_lm_perplexity_by_source",
     "curation_contamination_multi",
@@ -9721,6 +9724,56 @@ def q_lake_txn_changes(spark, sf_dir):
         stats_cols=["c_custkey"],
     )
     return lake.txn_changes(spark, root, 1, 2)
+
+
+@register(
+    "lake_txn_partition",
+    """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+       FROM orders
+       WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 <> 2""",
+    "Hive-style partition layout on the transaction-log lake, end to "
+    "end: an orders snapshot is committed partitioned by "
+    "o_orderpriority (files land under priority=value/ directories; "
+    "the commit records each file's EXACT partition value, which "
+    "doubles as a [v, v] singleton add-file stat), a tombstone feed "
+    "lands as a run-length-encoded deletion vector keyed on "
+    "(priority, orderkey) — the partition column is resolved through "
+    "the broadcast per-file value map, since hive layouts strip it "
+    "from the data files — and the query returns ONE partition read "
+    "back via txn_read_partitioned: exact partition pruning from "
+    "pure log arithmetic (the in-query assert pins files_read < "
+    "files_total; no file opened to prove the skips, no directory "
+    "listed). The oracle replays the same filter + tombstone over the "
+    "raw table, so the hash match proves layout write, DV apply, "
+    "partition-column re-attachment and pruning all at once. At 100 "
+    "TB the filter-aligned partition key means a priority-sliced "
+    "consumer touches 1/5 of the files BEFORE stats or footers are "
+    "consulted — the coarsest, cheapest skip layer.",
+)
+def q_lake_txn_partition(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="txn_part_q_") + "/t"
+    lake.txn_write(
+        base.repartition(4), root,
+        partition_by=["o_orderpriority"], stats_cols=["o_orderkey"],
+    )
+    tombstones = base.filter(F.col("o_orderkey") % 7 == 2).select(
+        "o_orderpriority", "o_orderkey"
+    )
+    lake.txn_delete_dv(
+        spark, root, tombstones, ["o_orderpriority", "o_orderkey"]
+    )
+    df, files_read, files_total = lake.txn_read_partitioned(
+        spark, root, {"o_orderpriority": "1-URGENT"}
+    )
+    assert files_read < files_total, (files_read, files_total)
+    return df
 
 
 @register(

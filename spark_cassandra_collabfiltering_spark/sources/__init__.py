@@ -29,6 +29,7 @@ from spark_cassandra_collabfiltering_spark.sources.lake import (
     txn_purge_sink,
     txn_read,
     txn_read_incremental,
+    txn_read_partitioned,
     txn_read_pruned,
     txn_restore,
     txn_stream_sink,
@@ -55,6 +56,7 @@ __all__ = [
     "txn_write",
     "txn_read",
     "txn_read_pruned",
+    "txn_read_partitioned",
     "txn_read_incremental",
     "txn_merge",
     "txn_delete_dv",

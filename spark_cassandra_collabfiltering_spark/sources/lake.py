@@ -712,19 +712,24 @@ class _TableState(typing.NamedTuple):
     stats: dict  # live file -> {col: [min, max]}
     file_schemas: dict  # live file -> schema json it was written under
     dvs: list  # active deletion vectors: [(sidecar_files, target_files)]
+    parts: dict  # live file -> {partition col: hive string value | None}
+    spec: list  # table partition spec (column names), [] = unpartitioned
 
 
 def _replay(root: str, version: int) -> _TableState:
     """State at ``version``: live file list, seen (app, run) txns,
     per-file min/max stats, the schema each live file was written
-    under (drives the read-side mergeSchema decision), and the active
-    deletion vectors. Starts from the newest checkpoint at or below
+    under (drives the read-side mergeSchema decision), the active
+    deletion vectors, and the partition layout (spec + per-file
+    partition values). Starts from the newest checkpoint at or below
     ``version``."""
     files: list[str] = []
     txns: set[tuple] = set()
     stats: dict = {}
     fschema: dict = {}
     dvs: list = []
+    parts: dict = {}
+    spec: list = []
     start = 0
     cp = _latest_checkpoint(root, version)
     if cp is not None:
@@ -733,11 +738,16 @@ def _replay(root: str, version: int) -> _TableState:
         stats = dict(cp.get("stats", {}))
         fschema = dict(cp.get("file_schemas", {}))
         dvs = [tuple(d) for d in cp.get("dvs", [])]
+        parts = dict(cp.get("parts", {}))
+        spec = list(cp.get("spec", []))
         start = cp["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(root, v)
         files = _apply_commit(files, c)
         stats.update(c.get("stats", {}))
+        parts.update(c.get("partitions", {}))
+        if "partition_by" in c:
+            spec = list(c["partition_by"])
         if c["op"] == "overwrite":
             # an overwrite (incl. RESTORE) defines a COMPLETE state:
             # prior DVs belong to the replaced history, and must not
@@ -764,6 +774,8 @@ def _replay(root: str, version: int) -> _TableState:
         {f: s for f, s in stats.items() if f in live},
         {f: s for f, s in fschema.items() if f in live},
         dvs,
+        {f: p for f, p in parts.items() if f in live},
+        spec,
     )
 
 
@@ -784,20 +796,25 @@ def _maybe_checkpoint(root: str, version: int) -> None:
 
     if version == 0 or version % CHECKPOINT_EVERY != 0:
         return
-    files, txns, stats, fschema, dvs = _replay(root, version)
+    st = _replay(root, version)
     tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
-            {"version": version, "files": files,
-             "txns": sorted(list(t) for t in txns), "stats": stats,
-             "file_schemas": fschema, "dvs": [list(d) for d in dvs]},
+            {"version": version, "files": st.files,
+             "txns": sorted(list(t) for t in st.txns), "stats": st.stats,
+             "file_schemas": st.file_schemas,
+             "dvs": [list(d) for d in st.dvs],
+             "parts": st.parts, "spec": st.spec},
             fh,
         )
     os.replace(tmp, _checkpoint_path(root, version))
 
 
 def _write_data_files(
-    df: DataFrame, root: str, bloom_cols: "list[str] | None" = None
+    df: DataFrame,
+    root: str,
+    bloom_cols: "list[str] | None" = None,
+    partition_by: "list[str] | None" = None,
 ) -> list[str]:
     """Write ``df`` under a fresh _data/<uuid>/ — data files first, so
     that without a log entry they are invisible garbage, never a torn
@@ -806,19 +823,118 @@ def _write_data_files(
     whole files, the footer bloom then kills point lookups inside the
     files that survive (a needle key in a 100 TB table touches the
     bloom'd row groups only). Readers need no cooperation; the parquet
-    reader consults blooms under the pushed filter automatically."""
+    reader consults blooms under the pushed filter automatically.
+    ``partition_by`` lays the files out hive-style
+    (``col=value/part-*.parquet``); partition columns are stripped
+    from the data files (the standard hive contract) and recovered
+    from the recorded per-file partition values at read time."""
     import uuid
 
     data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
     w = df.write.mode("error")
     for c in bloom_cols or ():
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
     w.parquet(data_dir)
-    return sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
+    out = []
+    for dirpath, _dirs, fnames in os.walk(data_dir):
+        out += [
+            os.path.join(dirpath, f)
+            for f in fnames
+            if f.endswith(".parquet")
+        ]
+    return sorted(out)
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# partition columns must be types whose hive path encoding round-trips
+# exactly (the same restriction real table formats apply in spirit:
+# a partition value IS an equality proof, so lossy encodings are out)
+_PART_OK_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType,
+    T.BooleanType, T.DateType,
+)
+
+
+def _parse_part_vals(files: list[str], spec: list[str]) -> dict:
+    """Per-file partition values parsed back out of the hive-style
+    ``col=value`` path segments Spark wrote — {file: {col: str | None}}.
+    Values stay in their URL-decoded STRING form (the authoritative
+    layout record); typing happens against the table schema at use."""
+    from urllib.parse import unquote
+
+    out: dict[str, dict] = {}
+    for f in files:
+        vals: dict[str, "str | None"] = {}
+        for seg in f.split(os.sep):
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            if k in spec:
+                vals[k] = None if v == _HIVE_NULL else unquote(v)
+        missing = [c for c in spec if c not in vals]
+        assert not missing, f"file {f} lacks partition segments {missing}"
+        out[f] = vals
+    return out
+
+
+_URI_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "/;:@&=+$,-_.!~*'()"
+)
+
+
+def _uri_path(path: str) -> str:
+    """A filesystem path in the exact form Spark's ``_metadata.
+    file_path`` / ``input_file_name`` report it (scheme stripped):
+    the JVM percent-encodes ASCII outside the RFC 2396 path set
+    (space, %, #, ?, |, `, [, ]...) but keeps ``;`` and non-ASCII
+    literal — verified empirically against partition directories
+    carrying every such character. Joining log paths (raw os.walk
+    strings) against scan-side paths MUST go through this, or files
+    under ``col=a b/`` silently stop matching their recorded
+    partition values and stats."""
+    return "".join(
+        c if (ord(c) > 127 or c in _URI_SAFE) else f"%{ord(c):02X}"
+        for c in path
     )
+
+
+def _py_part_val(sval: "str | None", dtype):
+    """A hive partition string back to the python value of its table
+    type (int/long/short/byte, string, boolean, date). Write-time
+    validation (_check_partition_spec) guarantees the type is one of
+    these."""
+    import datetime
+
+    if sval is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(sval)
+    if isinstance(dtype, T.BooleanType):
+        return sval.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(sval)
+    return sval
+
+
+def _part_stats(parts: dict, spec: list[str], types: dict) -> dict:
+    """Exact [v, v] singleton stats from partition values, typed per
+    the table schema then canonicalized like any add-file stat. Folding
+    these into the commit's stats dict is what makes EVERY existing
+    pruning path (range reads, merge victim pruning, DV pruning,
+    serializable conflict checks) partition-aware with no extra code:
+    a partition value is just a maximally-tight min==max range."""
+    out: dict[str, dict] = {}
+    for f, vals in parts.items():
+        st = {}
+        for c in spec:
+            v = _stat_val(_py_part_val(vals[c], types[c]))
+            st[c] = [v, v]
+        out[f] = st
+    return out
 
 
 def _stat_val(v):
@@ -865,8 +981,11 @@ def _collect_file_stats(
         .agg(*aggs)
         .collect()
     )
+    # input_file_name reports URI-encoded paths; commit file lists are
+    # raw filesystem strings — translate back so stats keys match
+    dec = {_uri_path(f): f for f in files}
     return {
-        r["_f"]: {
+        dec.get(r["_f"], r["_f"]): {
             c: [_stat_val(r[f"min_{c}"]), _stat_val(r[f"max_{c}"])]
             for c in stats_cols
         }
@@ -935,6 +1054,8 @@ def _txn_commit(
     stats: "dict | None" = None,
     schema_fn=None,
     extra_conflict=None,
+    parts: "dict | None" = None,
+    spec: "list | None" = None,
 ) -> "int | None":
     """The optimistic commit loop shared by write, compact and merge:
     try to win version R+1 with O_EXCL; on loss, apply the
@@ -965,6 +1086,12 @@ def _txn_commit(
             commit["dv_for"] = removes  # touched, not removed
         if stats is not None:
             commit["stats"] = stats
+        if parts is not None:
+            commit["partitions"] = parts
+        if spec is not None:
+            # recorded even when [] — an overwrite/RESTORE may reset a
+            # partitioned table to an unpartitioned state
+            commit["partition_by"] = list(spec)
         if txn is not None:
             commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
         path = os.path.join(_log_dir(root), f"{attempt_v:020d}.json")
@@ -1027,6 +1154,74 @@ def _txn_commit(
     raise ConcurrentWriteConflict(f"gave up after {max_retries} retries")
 
 
+def _resolve_spec(
+    df_schema: T.StructType,
+    partition_by: "list[str] | None",
+    table_spec: list,
+    table_exists: bool,
+    mode: str,
+) -> list:
+    """The partition spec this write commits under. ``partition_by``
+    is validated against the dataframe schema (columns must exist,
+    with hive-round-trippable types); omitted, the write INHERITS the
+    table's spec (appends keep the layout). The spec is a table
+    property fixed at creation — an append may not change it; an
+    overwrite (a complete new state) may."""
+    if partition_by is None:
+        return list(table_spec)
+    have = {f.name: f.dataType for f in df_schema.fields}
+    missing = [c for c in partition_by if c not in have]
+    if missing:
+        raise ValueError(f"partition columns not in dataframe: {missing}")
+    bad = [
+        c for c in partition_by
+        if not isinstance(have[c], _PART_OK_TYPES)
+    ]
+    if bad:
+        raise ValueError(
+            f"unsupported partition column types for {bad}: partition "
+            "values must round-trip exactly through hive paths "
+            "(int/long/short/byte, string, boolean, date)"
+        )
+    if (
+        mode == "append"
+        and table_exists
+        and list(partition_by) != list(table_spec)
+    ):
+        raise ValueError(
+            f"append partition_by {list(partition_by)} differs from the "
+            f"table spec {list(table_spec)}; changing the layout takes "
+            "an explicit overwrite"
+        )
+    return list(partition_by)
+
+
+def _spec_stats(
+    spark: SparkSession,
+    files: list,
+    stats_cols: "list[str] | None",
+    spec: list,
+    parts: "dict | None",
+    types: dict,
+) -> "dict | None":
+    """Commit stats = physically-scanned min/max for the non-partition
+    stats columns, merged with exact [v, v] partition-value singletons
+    for every spec column (partition columns are stripped from the
+    data files, so they are never physically scanned — and never need
+    to be: the path value is an exact proof)."""
+    phys = [c for c in (stats_cols or []) if c not in spec]
+    stats = _collect_file_stats(spark, files, phys) if phys and files else None
+    if not spec:
+        return stats
+    ps = _part_stats(parts or {}, spec, types)
+    if stats is None:
+        return ps
+    return {
+        f: {**ps.get(f, {}), **stats.get(f, {})}
+        for f in set(ps) | set(stats)
+    }
+
+
 def txn_write(
     df: DataFrame,
     root: str,
@@ -1036,17 +1231,25 @@ def txn_write(
     stats_cols: "list[str] | None" = None,
     merge_schema: bool = False,
     bloom_cols: "list[str] | None" = None,
+    partition_by: "list[str] | None" = None,
 ) -> int | None:
     """Commit ``df`` to the transactional table at ``root`` with
     optimistic concurrency. Returns the committed version, or None if
     ``txn`` (app_id, run_id) was already committed (idempotent replay).
     ``stats_cols`` embeds per-file min/max for those columns in the
     commit (add-file stats), enabling txn_read_pruned data skipping.
-    Appends enforce the table schema (raising :class:`SchemaMismatch`
-    on divergence); ``merge_schema=True`` permits ADDING nullable
-    columns (evolution) — never a type change. The schema check runs
-    against the tip a rebase actually lands on, so it races correctly
-    with a concurrent evolution. Raises
+    ``partition_by`` lays data files out hive-style (``col=value/``
+    directories) and records exact per-file partition values in the
+    commit; those values double as singleton add-file stats, so every
+    pruning path (range reads, merge victim pruning, DV candidate
+    pruning, serializable conflicts) skips foreign partitions with no
+    file opened. The spec is a table property: appends inherit it when
+    ``partition_by`` is omitted and may never change it; an overwrite
+    may. Appends enforce the table schema (raising
+    :class:`SchemaMismatch` on divergence); ``merge_schema=True``
+    permits ADDING nullable columns (evolution) — never a type change.
+    The schema check runs against the tip a rebase actually lands on,
+    so it races correctly with a concurrent evolution. Raises
     :class:`ConcurrentWriteConflict` when the commit cannot be rebased
     under the conflict rules above."""
     if mode not in ("append", "overwrite"):
@@ -1057,8 +1260,20 @@ def txn_write(
         root, read_v, txn[0], txn[1]
     ):
         return None
+    table_spec = _replay(root, read_v).spec if read_v is not None else []
+    spec = _resolve_spec(
+        df.schema, partition_by, table_spec, read_v is not None, mode
+    )
 
     def schema_fn(tip):
+        # re-resolve the spec against the tip a rebase lands on: a
+        # concurrent creator may have fixed a different table spec
+        # between our empty-table read and the commit
+        if tip is not None and tip != read_v:
+            # pass the ALREADY-LAID-OUT spec explicitly (even when []):
+            # inheriting the tip's spec here would claim a layout the
+            # written files don't have
+            _resolve_spec(df.schema, spec, _replay(root, tip).spec, True, mode)
         if mode == "overwrite":
             return df.schema.json()
         return _check_schema(
@@ -1066,14 +1281,13 @@ def txn_write(
         )
 
     schema_fn(read_v)  # fail fast BEFORE paying for the data write
-    files = _write_data_files(df, root, bloom_cols)
-    stats = (
-        _collect_file_stats(df.sparkSession, files, stats_cols)
-        if stats_cols
-        else None
-    )
+    files = _write_data_files(df, root, bloom_cols, spec or None)
+    parts = _parse_part_vals(files, spec) if spec else None
+    types = {f.name: f.dataType for f in df.schema.fields}
+    stats = _spec_stats(df.sparkSession, files, stats_cols, spec, parts, types)
     return _txn_commit(
-        root, mode, files, [], read_v, txn, max_retries, stats, schema_fn
+        root, mode, files, [], read_v, txn, max_retries, stats, schema_fn,
+        parts=parts, spec=spec,
     )
 
 
@@ -1137,13 +1351,14 @@ def txn_compact(
         )
     else:
         rows = rows.coalesce(n_files)
-    files = _write_data_files(rows, root)
-    stats = (
-        _collect_file_stats(spark, files, stats_cols) if stats_cols else None
-    )
+    files = _write_data_files(rows, root, partition_by=full.spec or None)
+    parts = _parse_part_vals(files, full.spec) if full.spec else None
+    types = {f.name: f.dataType for f in rows.schema.fields}
+    stats = _spec_stats(spark, files, stats_cols, full.spec, parts, types)
     return _txn_commit(
         root, "compact", files, sorted(victims), read_v, None, max_retries,
         stats, lambda tip: _table_schema_json(root, tip),
+        parts=parts, spec=full.spec,
     )
 
 
@@ -1344,10 +1559,10 @@ def txn_merge(
             for f in T.StructType.fromJson(_json.loads(table_json)).fields
         ]
         new_rows = new_rows.select(*order)
-    files = _write_data_files(new_rows, root)
-    stats = (
-        _collect_file_stats(spark, files, stats_cols) if stats_cols else None
-    )
+    files = _write_data_files(new_rows, root, partition_by=state.spec or None)
+    parts = _parse_part_vals(files, state.spec) if state.spec else None
+    types = {f.name: f.dataType for f in new_rows.schema.fields}
+    stats = _spec_stats(spark, files, stats_cols, state.spec, parts, types)
 
     extra = None
     if serializable:
@@ -1379,6 +1594,7 @@ def txn_merge(
     v = _txn_commit(
         root, "merge", files, sorted(victims), read_v, txn, max_retries,
         stats, lambda tip: _table_schema_json(root, tip), extra,
+        parts=parts, spec=state.spec,
     )
     return v, len(victims), len(state.files)
 
@@ -1498,15 +1714,22 @@ def txn_delete_dv(
     # addressable there); positions an EARLIER DV already hides are
     # excluded, so a repeat tombstone is an honest no-op (no redundant
     # sidecar, no phantom rows_deleted) and n_deleted counts rows that
-    # actually left the table at this commit
+    # actually left the table at this commit. On a partitioned table
+    # the scan lacks the partition columns (hive strips them); keys on
+    # those columns resolve through the broadcast per-file value map.
     scan = spark.read.option("mergeSchema", "true").parquet(*victims)
+    base = scan.select(
+        _strip_file_uri(F.col("_metadata.file_path")).alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+        *[c for c in key_cols if c not in state.spec],
+    )
+    if state.spec:
+        pmap = _part_map_df(
+            spark, state, victims, _table_schema_json(root, read_v)
+        ).withColumnRenamed("_pfile", "file")
+        base = base.join(F.broadcast(pmap), "file")
     hits = (
-        scan.select(
-            *key_cols,
-            _strip_file_uri(F.col("_metadata.file_path")).alias("file"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
-        .join(
+        base.join(
             F.broadcast(keys.select(*key_cols).distinct()),
             key_cols,
             "left_semi",
@@ -1517,10 +1740,18 @@ def txn_delete_dv(
         p for sf, tg in state.dvs if set(tg) & set(victims) for p in sf
     ]
     if prior:
-        olddv = spark.read.parquet(*prior).select("file", "pos")
+        olddv = _read_dv(spark, prior).select("file", "pos")
         hits = hits.join(olddv, ["file", "pos"], "left_anti")
-    sidecars = _write_data_files(hits, root)
-    n_deleted = spark.read.parquet(*sidecars).count() if sidecars else 0
+    sidecars = _write_data_files(_rle_runs(hits), root)
+    n_deleted = (
+        (
+            spark.read.parquet(*sidecars)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+            .collect()[0]["n"]
+        )
+        if sidecars
+        else 0
+    )
     if n_deleted == 0:
         return None, 0, len(victims)  # orphan sidecars: vacuumable
     v = _txn_commit(
@@ -1575,6 +1806,83 @@ def _strip_file_uri(col):
     return F.regexp_replace(col, "^file:(//)?", "")
 
 
+def _read_dv(spark: SparkSession, sidecars: list) -> DataFrame:
+    """Normalize deletion-vector sidecars to (file, pos) rows. Current
+    sidecars are RUN-LENGTH encoded — (file, start, n) covers positions
+    [start, start+n) — so a dense tombstone batch (drop 90% of a file)
+    costs one row per run, not per row; runs are capped at
+    _DV_MAX_RUN at write so the expansion array stays bounded. Legacy
+    (file, pos) sidecars read through unchanged (mixed lists of both
+    shapes normalize correctly via mergeSchema)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.option("mergeSchema", "true").parquet(*sidecars)
+    cols = set(raw.columns)
+    parts = []
+    if "pos" in cols:
+        parts.append(
+            raw.filter(F.col("pos").isNotNull()).select("file", "pos")
+        )
+    if "start" in cols:
+        runs = raw.filter(F.col("start").isNotNull())
+        parts.append(
+            runs.select(
+                "file",
+                F.explode(
+                    F.sequence(
+                        F.col("start"), F.col("start") + F.col("n") - 1
+                    )
+                ).alias("pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_DV_MAX_RUN = 65536  # cap per sidecar row so sequence() arrays stay bounded
+
+
+def _rle_runs(hits: DataFrame) -> DataFrame:
+    """Compress (file, pos) hit rows into (file, start, n) runs: the
+    classic gaps-and-islands grouping (pos - row_number is constant
+    within a consecutive run), then long runs split at _DV_MAX_RUN.
+    One partitioned window + one agg — the window is per-FILE, never
+    global."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("file").orderBy("pos")
+    runs = (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("file", "_grp")
+        .agg(F.min("pos").alias("start"), F.count("*").alias("n"))
+    )
+    chunk = (
+        runs.select(
+            "file",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n") - 1) / _DV_MAX_RUN).cast("bigint"),
+                )
+            ).alias("_i", "_z"),
+            "start",
+            "n",
+        )
+        .select(
+            "file",
+            (F.col("start") + F.col("_i") * _DV_MAX_RUN).alias("start"),
+            F.least(
+                F.lit(_DV_MAX_RUN).cast("bigint"),
+                F.col("n") - F.col("_i") * _DV_MAX_RUN,
+            ).alias("n"),
+        )
+    )
+    return chunk
+
+
 def _apply_dvs(
     spark: SparkSession, df: DataFrame, dvs: list, files: list
 ) -> DataFrame:
@@ -1591,7 +1899,7 @@ def _apply_dvs(
     ]
     if not sidecars:
         return df
-    dv = spark.read.parquet(*sidecars).select(
+    dv = _read_dv(spark, sidecars).select(
         F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
     )
     cols = df.columns
@@ -1605,27 +1913,66 @@ def _apply_dvs(
     )
 
 
+def _part_map_df(
+    spark: SparkSession, state: "_TableState", files: list, table_json: str
+) -> DataFrame:
+    """The (file -> typed partition values) map as a tiny DataFrame
+    keyed ``_pfile`` — broadcast-joined onto scans to re-attach the
+    partition columns hive layouts strip from data files. O(files)
+    rows, never row-scaled."""
+    import json
+
+    schema = T.StructType.fromJson(json.loads(table_json))
+    types = {f.name: f.dataType for f in schema.fields}
+    fields = [T.StructField("_pfile", T.StringType(), False)] + [
+        T.StructField(c, types[c], True) for c in state.spec
+    ]
+    rows = [
+        tuple(
+            [_uri_path(f)]  # scan-side paths arrive URI-encoded
+            + [
+                _py_part_val((state.parts.get(f) or {}).get(c), types[c])
+                for c in state.spec
+            ]
+        )
+        for f in files
+    ]
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
 def _read_files(
     spark: SparkSession, root: str, version: int, files: list
 ) -> DataFrame:
     """Scan ``files`` under the table schema recorded at ``version``,
-    with that version's deletion vectors anti-joined out. The expensive
-    schema path — mergeSchema (a footer read per file) plus a
-    column-aligning select — is paid ONLY when the log proves the live
-    files span more than one write schema; a never-evolved table stays
-    a plain first-footer scan."""
+    with that version's deletion vectors anti-joined out and (for a
+    partitioned table) the partition columns re-attached from the
+    log's recorded per-file values via one broadcast map join. The
+    expensive schema path — mergeSchema (a footer read per file) plus
+    a column-aligning select — is paid ONLY when the log proves the
+    live files span more than one write schema; a never-evolved table
+    stays a plain first-footer scan."""
     import json
+
+    from pyspark.sql import functions as F
 
     state = _replay(root, version)
     table_json = _table_schema_json(root, version)
     distinct = {state.file_schemas.get(f) for f in files}
-    if table_json is None or distinct <= {table_json}:
-        df = spark.read.parquet(*files)
-        return _apply_dvs(spark, df, state.dvs, files)
-    schema = T.StructType.fromJson(json.loads(table_json))
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    merge = not (table_json is None or distinct <= {table_json})
+    reader = spark.read.option("mergeSchema", "true") if merge else spark.read
+    df = reader.parquet(*files)
+    if state.spec:
+        df = df.withColumn(
+            "_pfile", _strip_file_uri(F.col("_metadata.file_path"))
+        )
     df = _apply_dvs(spark, df, state.dvs, files)
-    return df.select(*[f.name for f in schema.fields])
+    if state.spec:
+        pmap = _part_map_df(spark, state, files, table_json)
+        df = df.join(F.broadcast(pmap), "_pfile").drop("_pfile")
+    if table_json is not None and (merge or state.spec):
+        schema = T.StructType.fromJson(json.loads(table_json))
+        df = df.select(*[f.name for f in schema.fields])
+    return df
 
 
 def txn_read(
@@ -1671,7 +2018,7 @@ def txn_read_pruned(
         raise FileNotFoundError(f"no committed versions under {root}")
     if version is None:
         version = latest
-    files, _, stats, _, _ = _replay(root, version)
+    files, _, stats = _replay(root, version)[:3]
     lo, hi = _stat_val(lo), _stat_val(hi)  # like-for-like vs the stats
     keep = []
     for f in files:
@@ -1688,6 +2035,59 @@ def txn_read_pruned(
         df = _read_files(spark, root, version, keep)
     df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     return df, len(keep), len(files)
+
+
+def txn_read_partitioned(
+    spark: SparkSession,
+    root: str,
+    filters: dict,
+    version: "int | None" = None,
+) -> "tuple[DataFrame, int, int]":
+    """Partition-pruned read: keep only the files whose recorded
+    partition values EQUAL every ``{col: value}`` filter — an exact
+    proof (partition pruning), not a min/max may-contain one, resolved
+    entirely from the log (no file opened, no directory listed). A
+    ``None`` filter value selects the null partition. Non-partition
+    columns are rejected (use txn_read_pruned's stats ranges there;
+    note partition columns work THERE too — their values double as
+    singleton stats). Returns (df, files_read, files_total)."""
+    from pyspark.sql import functions as F
+
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = latest
+    state = _replay(root, version)
+    bad = sorted(set(filters) - set(state.spec))
+    if bad:
+        raise ValueError(
+            f"not partition columns of this table: {bad} (spec={state.spec})"
+        )
+    import json
+
+    table_json = _table_schema_json(root, version)
+    types = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(json.loads(table_json)).fields
+    }
+    keep = [
+        f
+        for f in state.files
+        if all(
+            _py_part_val((state.parts.get(f) or {}).get(c), types[c]) == v
+            for c, v in filters.items()
+        )
+    ]
+    if not keep:
+        df = _read_files(spark, root, version, state.files).filter(
+            F.lit(False)
+        )
+        return df, 0, len(state.files)
+    df = _read_files(spark, root, version, keep)
+    for c, v in filters.items():  # residual: defensive, prunes to no-op
+        df = df.filter(F.col(c).isNull() if v is None else F.col(c) == F.lit(v))
+    return df, len(keep), len(state.files)
 
 
 def txn_changes(
@@ -1773,6 +2173,7 @@ def txn_changes(
             parts.append(tag(old.exceptAll(new), "delete", v))
             parts.append(tag(new.exceptAll(old), "insert", v))
         elif c["op"] == "dv":
+            st_v = _replay(root, v)
             scan = (
                 spark.read.option("mergeSchema", "true")
                 .parquet(*c["dv_for"])
@@ -1781,7 +2182,7 @@ def txn_changes(
                 )
                 .withColumn("_dv_pos", F.col("_metadata.row_index"))
             )
-            newdv = spark.read.parquet(*c["files"]).select(
+            newdv = _read_dv(spark, c["files"]).select(
                 F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
             )
             hit = scan.join(newdv, ["_dv_file", "_dv_pos"], "left_semi")
@@ -1792,11 +2193,16 @@ def txn_changes(
                 for p in sf
             ]
             if prior:
-                olddv = spark.read.parquet(*prior).select(
+                olddv = _read_dv(spark, prior).select(
                     F.col("file").alias("_dv_file"),
                     F.col("pos").alias("_dv_pos"),
                 )
                 hit = hit.join(olddv, ["_dv_file", "_dv_pos"], "left_anti")
+            if st_v.spec:
+                pmap = _part_map_df(
+                    spark, st_v, c["dv_for"], _table_schema_json(root, v)
+                ).withColumnRenamed("_pfile", "_dv_file")
+                hit = hit.join(F.broadcast(pmap), "_dv_file")
             parts.append(tag(align(hit), "delete", v))
     if not parts:
         empty = spark.createDataFrame([], table)
@@ -1848,16 +2254,21 @@ def txn_restore(root: str, version: int, max_retries: int = 20) -> int:
     # by keeping them as a dv commit right after would — simpler and
     # exact: refuse files-only restore when DVs were active, and point
     # the caller at the copy-on-write path
-    dvs = _replay(root, version).dvs
-    if dvs:
+    old = _replay(root, version)
+    if old.dvs:
         raise ValueError(
             "restore target has active deletion vectors; materialize "
             "first (txn_compact at that version's state) or restore to "
             "a post-compaction version"
         )
+    # re-embed the restored files' stats and partition values: replay
+    # accumulates them across history, but a checkpoint between the
+    # files' death and this restore stores only live-file maps — the
+    # restore commit is the proof carrier either way
     return _txn_commit(
         root, "overwrite", list(files), [], latest, None, max_retries,
-        None, lambda tip: _table_schema_json(root, version),
+        old.stats or None, lambda tip: _table_schema_json(root, version),
+        parts=old.parts if old.spec else None, spec=old.spec,
     )
 
 
@@ -1886,6 +2297,9 @@ def txn_clone(src_root: str, dst_root: str) -> int:
         "read_version": None,
         "stats": dict(state.stats),
     }
+    if state.spec:
+        commit["partition_by"] = list(state.spec)
+        commit["partitions"] = dict(state.parts)
     schema = _table_schema_json(src_root, latest)
     if schema is not None:
         commit["schema"] = schema
@@ -1933,10 +2347,10 @@ def txn_vacuum(root: str) -> list[str]:
     removed = []
     data_root = os.path.join(root, "_data")
     if os.path.isdir(data_root):
-        for d in os.listdir(data_root):
-            full = os.path.join(data_root, d)
-            for f in sorted(os.listdir(full)):
-                p = os.path.join(full, f)
+        # walk: partitioned writes nest col=value/ dirs under the uuid
+        for dirpath, _dirs, fnames in os.walk(data_root):
+            for f in sorted(fnames):
+                p = os.path.join(dirpath, f)
                 if f.endswith(".parquet") and p not in live:
                     os.remove(p)
                     removed.append(p)

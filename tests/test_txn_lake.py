@@ -405,7 +405,7 @@ def test_compact_with_stats_repopulates_skipping(spark, tmp_path):
             _rows(spark, lo, lo + 5).coalesce(1), root, stats_cols=["id"]
         )
     lake.txn_compact(spark, root, stats_cols=["id"])
-    files, _, stats, _, _ = lake._replay(root, lake.txn_latest_version(root))
+    files, _, stats = lake._replay(root, lake.txn_latest_version(root))[:3]
     assert len(files) == 1 and set(stats) == set(files)
     assert stats[files[0]]["id"] == [0, 204]
     df, nread, ntotal = lake.txn_read_pruned(spark, root, "id", 100, 104)
@@ -657,8 +657,8 @@ def test_merge_rebases_past_disjoint_append_write_serializable(
     # steal the merge's version between its read and its commit
     orig = lake._write_data_files
 
-    def hijack(df, r):
-        files = orig(df, r)
+    def hijack(df, r, *a, **k):
+        files = orig(df, r, *a, **k)
         if not getattr(hijack, "done", False):
             hijack.done = True
             lake.txn_write(
@@ -681,8 +681,8 @@ def test_merge_serializable_conflicts_with_overlapping_gap_append(
     _seed_three_files(spark, root)
     orig = lake._write_data_files
 
-    def hijack(df, r):
-        files = orig(df, r)
+    def hijack(df, r, *a, **k):
+        files = orig(df, r, *a, **k)
         if not getattr(hijack, "done", False):
             hijack.done = True
             # gap append whose id range CONTAINS the merged key
@@ -706,8 +706,8 @@ def test_merge_serializable_rebases_past_provably_disjoint_append(
     _seed_three_files(spark, root)
     orig = lake._write_data_files
 
-    def hijack(df, r):
-        files = orig(df, r)
+    def hijack(df, r, *a, **k):
+        files = orig(df, r, *a, **k)
         if not getattr(hijack, "done", False):
             hijack.done = True
             lake.txn_write(
@@ -732,8 +732,8 @@ def test_concurrent_merge_and_compact_overlapping_files_conflict(
     orig = lake._write_data_files
     calls = {"n": 0}
 
-    def hijack(df, r):
-        files = orig(df, r)
+    def hijack(df, r, *a, **k):
+        files = orig(df, r, *a, **k)
         calls["n"] += 1
         if calls["n"] == 1:  # only on the merge's own data write
             monkeypatch.setattr(lake, "_write_data_files", orig)
@@ -909,8 +909,8 @@ def test_dv_conflicts_with_concurrent_compact_both_directions(
     orig = lake._write_data_files
     done = {"x": False}
 
-    def hijack(df, r):
-        files = orig(df, r)
+    def hijack(df, r, *a, **k):
+        files = orig(df, r, *a, **k)
         if not done["x"]:
             done["x"] = True
             monkeypatch.setattr(lake, "_write_data_files", orig)
@@ -932,8 +932,8 @@ def test_compact_conflicts_with_concurrent_dv(spark, tmp_path, monkeypatch):
     orig = lake._write_data_files
     done = {"x": False}
 
-    def hijack(df, r):
-        files = orig(df, r)
+    def hijack(df, r, *a, **k):
+        files = orig(df, r, *a, **k)
         if not done["x"]:
             done["x"] = True
             monkeypatch.setattr(lake, "_write_data_files", orig)
@@ -1615,7 +1615,7 @@ def test_nan_stat_never_prunes_a_file_with_live_rows(spark, tmp_path):
     # and merge pruning keyed on the poisoned column never skips it
     src = spark.createDataFrame([(2, -1.0)], "id long, x double")
     # (key on id here — the point is stats on x are no-proof, not keys)
-    files, _, stats, _, _ = lake._replay(root, 1)
+    files, _, stats = lake._replay(root, 1)[:3]
     poisoned_file = [f for f in files if stats[f]["x"][1] is None]
     assert len(poisoned_file) == 1  # NaN max stored as no-proof
 

@@ -1,0 +1,356 @@
+"""Hive-style partition layout on the transaction-log lake (r7
+continuation) + run-length-encoded deletion vectors.
+
+The partition spec is a TABLE property: files land under
+``col=value/`` directories, the commit records each file's exact
+partition values, and those values double as [v, v] singleton
+add-file stats — so every existing pruning path (range reads, merge
+victim pruning, DV candidate pruning) skips foreign partitions with
+no file opened, from pure log arithmetic. Partition columns are
+stripped from the data files (the hive contract) and re-attached at
+read time via one broadcast per-file value map.
+
+The path-encoding pin matters: ``_metadata.file_path`` reports
+URI-encoded paths (space -> %20, %% -> %25, but ``;`` and non-ASCII
+literal) while the log stores raw filesystem strings; ``_uri_path``
+is the empirically-verified bridge. Without it, files under
+``col=a b/`` silently lose their partition values and stats.
+"""
+
+import datetime
+import os
+
+import pytest
+
+from spark_cassandra_collabfiltering_spark.sources import lake
+
+
+def _df(spark, n=100):
+    from pyspark.sql import functions as F
+
+    return spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("int").alias("bucket"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def _mk(spark, tmp_path, **kw):
+    root = str(tmp_path / "t")
+    lake.txn_write(
+        _df(spark).repartition(2), root,
+        partition_by=["bucket"], stats_cols=["id"], **kw,
+    )
+    return root
+
+
+def test_layout_is_hive_dirs_and_readback_roundtrips(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    st = lake._replay(root, 0)
+    assert st.spec == ["bucket"]
+    assert all(f"{os.sep}bucket=" in f for f in st.files)
+    back = lake.txn_read(spark, root)
+    # table column ORDER and partition column TYPE both survive
+    assert back.columns == ["id", "bucket", "name"]
+    assert dict(back.dtypes)["bucket"] == "int"
+    assert back.count() == 100
+    assert back.filter(back.bucket == back.id % 5).count() == 100
+
+
+def test_partition_read_prunes_exactly(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    df, nread, ntotal = lake.txn_read_partitioned(spark, root, {"bucket": 2})
+    assert nread < ntotal
+    assert _ids(df) == [i for i in range(100) if i % 5 == 2]
+    # no matching partition -> zero files read, empty frame, schema kept
+    df0, n0, t0 = lake.txn_read_partitioned(spark, root, {"bucket": 99})
+    assert (n0, df0.count()) == (0, 0) and t0 == ntotal
+    assert df0.columns == ["id", "bucket", "name"]
+    with pytest.raises(ValueError, match="not partition columns"):
+        lake.txn_read_partitioned(spark, root, {"name": "x"})
+
+
+def test_partition_values_double_as_singleton_stats(spark, tmp_path):
+    # NO stats_cols on the bucket column — pruning on it still works,
+    # because partition values are folded in as [v, v] stats
+    root = str(tmp_path / "t")
+    lake.txn_write(_df(spark).repartition(2), root, partition_by=["bucket"])
+    df, nread, ntotal = lake.txn_read_pruned(spark, root, "bucket", 3, 4)
+    assert nread < ntotal
+    assert df.count() == 40
+    st = lake._replay(root, 0)
+    assert all(
+        st.stats[f]["bucket"][0] == st.stats[f]["bucket"][1]
+        for f in st.files
+    )
+
+
+def test_spec_is_a_table_property(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    # append with a DIFFERENT spec raises; with none, inherits
+    with pytest.raises(ValueError, match="differs from the table spec"):
+        lake.txn_write(_df(spark), root, partition_by=["name"])
+    with pytest.raises(ValueError, match="differs from the table spec"):
+        lake.txn_write(_df(spark), root, partition_by=[])
+    v = lake.txn_write(_df(spark, 10), root)  # inherit
+    st = lake._replay(root, v)
+    assert st.spec == ["bucket"]
+    assert all(f"{os.sep}bucket=" in f for f in st.files)
+    # a bare overwrite replaces DATA, not table properties: spec kept
+    v2 = lake.txn_write(_df(spark, 10), root, mode="overwrite")
+    assert lake._replay(root, v2).spec == ["bucket"]
+    # an EXPLICIT partition_by on an overwrite may change the layout
+    v3 = lake.txn_write(
+        _df(spark, 10), root, mode="overwrite", partition_by=[]
+    )
+    st3 = lake._replay(root, v3)
+    assert st3.spec == [] and not any("bucket=" in f for f in st3.files)
+    # ... and the old partitioned version still time-travels
+    assert lake.txn_read(spark, root, version=0).count() == 100
+
+
+def test_unsupported_partition_types_and_missing_cols_raise(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    bad = spark.range(3).select("id", (F.col("id") * 1.5).alias("x"))
+    with pytest.raises(ValueError, match="unsupported partition column"):
+        lake.txn_write(bad, root, partition_by=["x"])
+    with pytest.raises(ValueError, match="not in dataframe"):
+        lake.txn_write(bad, root, partition_by=["nope"])
+
+
+def test_merge_prunes_victims_to_the_touched_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _mk(spark, tmp_path)
+    n_files = len(lake._replay(root, 0).files)
+    b3 = [f for f in lake._replay(root, 0).files if "bucket=3" in f]
+    src = spark.createDataFrame(
+        [(3, 3, "UPD")], "id long, bucket int, name string"
+    )
+    v, rewritten, total = lake.txn_merge(
+        spark, root, src, ["bucket", "id"], stats_cols=["id"]
+    )
+    assert total == n_files
+    # every rewritten victim is a bucket=3 file (partition singleton
+    # stats prune the other partitions outright); the per-key id-range
+    # proof may prune WITHIN the partition too, so <= not ==
+    victims = lake._read_commit(root, v)["removes"]
+    assert 1 <= rewritten <= len(b3)
+    assert victims and all("bucket=3" in f for f in victims)
+    st = lake._replay(root, v)
+    assert all(f"{os.sep}bucket=" in f for f in st.files)  # layout kept
+    got = lake.txn_read(spark, root).filter(F.col("id") == 3).collect()
+    assert [r["name"] for r in got] == ["UPD"]
+
+
+def test_dv_delete_keyed_on_partition_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _mk(spark, tmp_path)
+    keys = (
+        _df(spark)
+        .filter((F.col("bucket") == 1) & (F.col("id") < 50))
+        .select("bucket", "id")
+    )
+    v, ndel, ncand = lake.txn_delete_dv(spark, root, keys, ["bucket", "id"])
+    assert ndel == 10
+    st0 = lake._replay(root, 0)
+    assert ncand == len([f for f in st0.files if "bucket=1" in f])
+    assert lake.txn_read(spark, root).count() == 90
+    # repeat tombstone is an honest no-op
+    v2, ndel2, _ = lake.txn_delete_dv(spark, root, keys, ["bucket", "id"])
+    assert (v2, ndel2) == (None, 0)
+
+
+def test_compact_materializes_dvs_and_preserves_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = _mk(spark, tmp_path)
+    keys = (
+        _df(spark)
+        .filter((F.col("bucket") == 1) & (F.col("id") < 50))
+        .select("bucket", "id")
+    )
+    lake.txn_delete_dv(spark, root, keys, ["bucket", "id"])
+    vc = lake.txn_compact(spark, root, stats_cols=["id"])
+    st = lake._replay(root, vc)
+    assert st.dvs == [] and st.spec == ["bucket"]
+    assert all(f"{os.sep}bucket=" in f for f in st.files)
+    df, nread, ntotal = lake.txn_read_partitioned(spark, root, {"bucket": 1})
+    assert nread < ntotal and df.count() == 10
+    assert lake.txn_read(spark, root).count() == 90
+
+
+def test_changes_carry_partition_values_through_the_dv_branch(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    root = _mk(spark, tmp_path)
+    keys = (
+        _df(spark)
+        .filter((F.col("bucket") == 1) & (F.col("id") < 50))
+        .select("bucket", "id")
+    )
+    lake.txn_delete_dv(spark, root, keys, ["bucket", "id"])
+    ch = lake.txn_changes(spark, root, 1, 1).collect()
+    assert len(ch) == 10
+    # the deleted rows surface WITH their (path-derived) bucket value
+    assert all(r["bucket"] == 1 and r["_change_type"] == "delete" for r in ch)
+
+
+def test_restore_and_clone_carry_partition_metadata(
+    spark, tmp_path, monkeypatch
+):
+    # checkpoints store LIVE-file maps only; a restore that revives
+    # files after a checkpoint must re-embed their partition values
+    monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 2)
+    root = _mk(spark, tmp_path)
+    lake.txn_write(_df(spark, 5), root, mode="overwrite")  # v1: flat
+    lake.txn_write(_df(spark, 3), root)  # v2: checkpoint (live = flat)
+    vr = lake.txn_restore(root, 0)
+    st = lake._replay(root, vr)
+    assert st.spec == ["bucket"] and set(st.parts) == set(st.files)
+    back = lake.txn_read(spark, root)
+    assert back.count() == 100
+    assert back.filter(back.bucket == back.id % 5).count() == 100
+    df, nread, ntotal = lake.txn_read_partitioned(spark, root, {"bucket": 0})
+    assert nread < ntotal and df.count() == 20
+    clone = str(tmp_path / "c")
+    lake.txn_clone(root, clone)
+    dfc, nc, tc = lake.txn_read_partitioned(spark, clone, {"bucket": 0})
+    assert nc < tc and dfc.count() == 20
+
+
+def test_string_partition_values_roundtrip_uri_encoding(spark, tmp_path):
+    # the exact characters where raw paths and _metadata.file_path
+    # diverge: space/%/= are percent-encoded by the JVM, ';' and
+    # non-ASCII stay literal, null takes the hive default dir
+    root = str(tmp_path / "t")
+    rows = [
+        (1, "a b"), (2, None), (3, "x=y/z"), (4, "a b"),
+        (5, "semi;colon"), (6, "unié中"), (7, "pc%t"),
+    ]
+    d = spark.createDataFrame(rows, "id long, tag string")
+    lake.txn_write(d, root, partition_by=["tag"], stats_cols=["id"])
+    got = sorted(
+        ((r["id"], r["tag"]) for r in lake.txn_read(spark, root).collect()),
+        key=str,
+    )
+    assert got == sorted(rows, key=str)
+    pn, x, y = lake.txn_read_partitioned(spark, root, {"tag": None})
+    assert [r["id"] for r in pn.collect()] == [2] and x < y
+    ps, x2, y2 = lake.txn_read_partitioned(spark, root, {"tag": "x=y/z"})
+    assert [r["id"] for r in ps.collect()] == [3] and x2 < y2
+    # physical stats stay keyed by RAW paths even under weird dirs
+    rp, nr, nt = lake.txn_read_pruned(spark, root, "id", 5, 5)
+    assert nr < nt
+    assert [r["tag"] for r in rp.collect()] == ["semi;colon"]
+
+
+def test_date_partition_prunes_typed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    d = spark.createDataFrame(
+        [(i, datetime.date(2026, 1, 1 + i % 3)) for i in range(9)],
+        "id long, d date",
+    )
+    lake.txn_write(d, root, partition_by=["d"])
+    df, nread, ntotal = lake.txn_read_partitioned(
+        spark, root, {"d": datetime.date(2026, 1, 2)}
+    )
+    assert df.count() == 3 and nread < ntotal
+    assert dict(df.dtypes)["d"] == "date"
+    rr, nr, _ = lake.txn_read_pruned(
+        spark, root, "d", datetime.date(2026, 1, 1), datetime.date(2026, 1, 2)
+    )
+    assert rr.count() == 6 and nr < ntotal
+
+
+def test_vacuum_walks_partition_dirs(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    # fabricate aborted-writer garbage inside a partition layout
+    orig = lake._txn_commit
+
+    def fail_commit(*a, **k):
+        raise RuntimeError("die before commit")
+
+    lake._txn_commit = fail_commit
+    try:
+        with pytest.raises(RuntimeError):
+            lake.txn_write(_df(spark, 7), root)
+    finally:
+        lake._txn_commit = orig
+    removed = lake.txn_vacuum(root)
+    assert removed  # the uncommitted partitioned files went away
+    assert all(f"{os.sep}bucket=" in f for f in removed)
+    assert lake.txn_read(spark, root).count() == 100
+
+
+def test_dv_rle_compresses_dense_tombstones(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    d = spark.range(0, 10000).select("id", (F.col("id") * 2).alias("v"))
+    lake.txn_write(d.coalesce(1), root)
+    v, ndel, _ = lake.txn_delete_dv(
+        spark, root, spark.range(0, 9000).select("id"), ["id"]
+    )
+    assert ndel == 9000
+    sidecars = [p for sf, _t in lake._replay(root, v).dvs for p in sf]
+    runs = spark.read.parquet(*sidecars)
+    # 9000 consecutive positions -> one run row (not 9000 rows)
+    assert runs.count() <= 2
+    assert runs.agg(F.sum("n")).collect()[0][0] == 9000
+    assert lake.txn_read(spark, root).count() == 1000
+    # sparse follow-up (alternating positions): still exact
+    v2, ndel2, _ = lake.txn_delete_dv(
+        spark, root, spark.range(9000, 10000, 2).select("id"), ["id"]
+    )
+    assert ndel2 == 500
+    assert _ids(lake.txn_read(spark, root)) == list(range(9001, 10000, 2))
+
+
+def test_dv_rle_run_cap_splits_long_runs(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(lake, "_DV_MAX_RUN", 100)
+    root = str(tmp_path / "t")
+    lake.txn_write(spark.range(0, 1000).coalesce(1), root)
+    v, ndel, _ = lake.txn_delete_dv(
+        spark, root, spark.range(0, 950).select("id"), ["id"]
+    )
+    assert ndel == 950
+    sidecars = [p for sf, _t in lake._replay(root, v).dvs for p in sf]
+    runs = spark.read.parquet(*sidecars)
+    assert runs.count() == 10  # ceil(950 / 100)
+    assert runs.agg(F.max("n")).collect()[0][0] <= 100
+    assert _ids(lake.txn_read(spark, root)) == list(range(950, 1000))
+
+
+def test_read_dv_accepts_legacy_position_sidecars(spark, tmp_path):
+    # pre-RLE sidecars were plain (file, pos) rows; a mixed list of
+    # both shapes must normalize losslessly
+    legacy = str(tmp_path / "legacy")
+    rle = str(tmp_path / "rle")
+    spark.createDataFrame(
+        [("fA", 3), ("fA", 7)], "file string, pos bigint"
+    ).coalesce(1).write.parquet(legacy)
+    spark.createDataFrame(
+        [("fB", 10, 3)], "file string, start bigint, n bigint"
+    ).coalesce(1).write.parquet(rle)
+    paths = [
+        os.path.join(d, f)
+        for d in (legacy, rle)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    ]
+    got = sorted(
+        (r["file"], r["pos"]) for r in lake._read_dv(spark, paths).collect()
+    )
+    assert got == [("fA", 3), ("fA", 7), ("fB", 10), ("fB", 11), ("fB", 12)]
