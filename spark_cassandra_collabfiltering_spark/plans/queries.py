@@ -9777,6 +9777,53 @@ def q_lake_txn_partition(spark, sf_dir):
 
 
 @register(
+    "lake_txn_multi",
+    """SELECT c_custkey, c_name, c_nationkey
+       FROM customer WHERE c_custkey % 2 = 0""",
+    "Multi-table transaction, end to end: catalog version 0 publishes "
+    "a 'corpus' table (custkey, name) AND an 'index' table (custkey, "
+    "nationkey) — even keys only — in ONE atomic commit; version 1 "
+    "appends the odd keys to both. The query reads BOTH tables pinned "
+    "at catalog version 0 and FULL OUTER joins them: the consistent "
+    "cross-table snapshot means no side is ever null — a torn read "
+    "(one table at v0, the other at v1) would surface odd keys with a "
+    "NULL name or nationkey and break the hash. This is the publish "
+    "contract a training pipeline needs ('this model saw corpus v12 "
+    "with index v12') that N independent single-table logs cannot "
+    "give: the atomic point is one create-if-absent log entry "
+    "spanning the tables, and a crash between the two data writes "
+    "publishes neither (pinned in tests/test_txn_multi.py).",
+)
+def q_lake_txn_multi(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "customer")
+    even = F.col("c_custkey") % 2 == 0
+    cat = tempfile.mkdtemp(prefix="txn_multi_q_") + "/cat"
+    lake.txn_multi_write(
+        cat,
+        {
+            "corpus": base.filter(even).select("c_custkey", "c_name"),
+            "index": base.filter(even).select("c_custkey", "c_nationkey"),
+        },
+    )
+    lake.txn_multi_write(
+        cat,
+        {
+            "corpus": base.filter(~even).select("c_custkey", "c_name"),
+            "index": base.filter(~even).select("c_custkey", "c_nationkey"),
+        },
+    )
+    c0 = lake.txn_table_read(spark, cat, "corpus", version=0)
+    i0 = lake.txn_table_read(spark, cat, "index", version=0)
+    return c0.join(i0, "c_custkey", "full_outer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+@register(
     "mm_image_neardup",
     """WITH d AS (SELECT doc_id, doc_id // 2 AS g
                   FROM documents WHERE doc_id < 200),

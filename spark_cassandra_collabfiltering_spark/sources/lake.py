@@ -2355,3 +2355,291 @@ def txn_vacuum(root: str) -> list[str]:
                     os.remove(p)
                     removed.append(p)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions (r7 continuation) — one atomic commit spanning
+# several tables. The single-table log makes each TABLE a serializable
+# history, but a pipeline step that must publish "corpus shards + index
+# + manifest" as one unit cannot get cross-table atomicity from N
+# independent logs (a crash between commits leaves a half-published
+# state readers can see). The catalog layer moves the atomic point UP:
+# one shared log whose commits carry a per-table action map, over the
+# same create-if-absent primitive.
+#
+# Layout:
+#   cat_root/_log/<v 20d>.json        one IMMUTABLE commit per version
+#   cat_root/_data/<table>/<uuid>/    data files, written before commit
+#
+# A catalog VERSION is a consistent cross-table snapshot: reading table
+# A and table B "at v12" can never mix A's v12 with B's v11 — the
+# reproducible-training contract ("this model saw corpus v12 with index
+# v12") the single-table layer cannot give.
+#
+# Scope (lean by design): atomic multi-table APPEND / OVERWRITE with
+# schema enforcement, per-table add-file stats + pruned reads,
+# idempotent writer transactions, time travel and vacuum. Row-level
+# surgery (merge, deletion vectors, partition layouts, evolution)
+# stays on single-table roots where those histories already compose;
+# a workload needing both keeps per-table roots for surgery and a
+# catalog for the atomic publish step (txn_clone is the zero-copy
+# bridge). Conflict rules per gap commit, per SHARED table: append vs
+# append rebases (disjoint files by construction); anything involving
+# an overwrite of a shared table raises. Commits touching disjoint
+# table sets always rebase past each other.
+# ---------------------------------------------------------------------------
+
+
+def _cat_replay(cat_root: str, version: int) -> "tuple[dict, set]":
+    """Catalog state at ``version``: {table: {"files": [...], "schema":
+    json, "stats": {file: {col: [mn, mx]}}}} plus the seen (app, run)
+    txn set. O(versions) replay — catalogs gate PUBLISH steps (tens a
+    day), not row traffic; the single-table checkpoint pattern drops in
+    if a deployment ever runs minute-cadence catalog commits."""
+    state: dict = {}
+    txns: set = set()
+    for v in range(version + 1):
+        c = _read_commit(cat_root, v)
+        for name, act in c["tables"].items():
+            t = state.setdefault(
+                name, {"files": [], "schema": None, "stats": {}}
+            )
+            if act["op"] == "overwrite":
+                t["files"] = list(act["files"])
+                t["stats"] = dict(act.get("stats", {}))
+            else:
+                t["files"] = t["files"] + list(act["files"])
+                t["stats"].update(act.get("stats", {}))
+            t["schema"] = act.get("schema", t["schema"])
+        if "txn_app" in c:
+            txns.add((c["txn_app"], c["txn_run"]))
+    return state, txns
+
+
+def txn_multi_write(
+    cat_root: str,
+    writes: dict,
+    stats_cols: "dict[str, list[str]] | None" = None,
+    txn: "tuple[str, int] | None" = None,
+    max_retries: int = 20,
+) -> "int | None":
+    """Commit several tables ATOMICALLY as one catalog version.
+    ``writes`` maps table name -> DataFrame (append) or
+    (DataFrame, "append"|"overwrite"). All data files for every table
+    are written BEFORE the single O_EXCL log-entry create, so a crash
+    anywhere leaves only invisible garbage — no reader can ever see
+    table A's half of the publish without table B's. ``stats_cols``
+    (per table) embeds add-file min/max for txn_table_read_pruned.
+    Returns the catalog version, or None on an idempotent ``txn``
+    replay. Raises :class:`SchemaMismatch` when an append diverges
+    from a table's schema, :class:`ConcurrentWriteConflict` when a
+    lost race cannot be rebased (an overwrite of a table a gap commit
+    also touched, in either direction)."""
+    import json
+
+    norm: dict[str, tuple] = {}
+    for name, w in writes.items():
+        df, mode = w if isinstance(w, tuple) else (w, "append")
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"{name}: mode must be append|overwrite")
+        norm[name] = (df, mode)
+    if not norm:
+        raise ValueError("empty writes")
+    os.makedirs(_log_dir(cat_root), exist_ok=True)
+    read_v = txn_latest_version(cat_root)
+    state, txns = (
+        _cat_replay(cat_root, read_v) if read_v is not None else ({}, set())
+    )
+    if txn is not None and tuple(txn) in txns:
+        return None
+
+    def check_schemas(st: dict) -> dict:
+        out = {}
+        for name, (df, mode) in norm.items():
+            if mode == "overwrite":
+                out[name] = df.schema.json()
+            else:
+                out[name] = _check_schema(
+                    (st.get(name) or {}).get("schema"), df.schema, False
+                )
+        return out
+
+    schemas = check_schemas(state)  # fail fast BEFORE the data writes
+    actions = {}
+    for name, (df, mode) in norm.items():
+        files = _write_data_files(df, os.path.join(cat_root, "_data", name))
+        act = {"op": mode, "files": files, "schema": schemas[name]}
+        cols = (stats_cols or {}).get(name)
+        if cols and files:
+            act["stats"] = _collect_file_stats(df.sparkSession, files, cols)
+        actions[name] = act
+
+    attempt_v = (read_v if read_v is not None else -1) + 1
+    for _ in range(max_retries):
+        commit = {
+            "version": attempt_v,
+            "op": "multi",
+            "tables": actions,
+            "read_version": read_v,
+        }
+        if txn is not None:
+            commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
+        path = os.path.join(_log_dir(cat_root), f"{attempt_v:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            new_latest = txn_latest_version(cat_root)
+            assert new_latest is not None and new_latest >= attempt_v
+            new_state, new_txns = _cat_replay(cat_root, new_latest)
+            if txn is not None and tuple(txn) in new_txns:
+                return None
+            for v in range(attempt_v, new_latest + 1):
+                won = _read_commit(cat_root, v)
+                shared = set(won["tables"]) & set(actions)
+                for name in sorted(shared):
+                    if (
+                        won["tables"][name]["op"] == "overwrite"
+                        or actions[name]["op"] == "overwrite"
+                    ):
+                        raise ConcurrentWriteConflict(
+                            f"multi-table commit conflicts at v{v}: "
+                            f"table {name!r} overwritten concurrently"
+                        )
+            # all shared tables are append-vs-append: rebase. Re-run
+            # the schema checks against the tip (a gap commit may have
+            # evolved a table via overwrite of a NON-shared... no:
+            # overwrite of a shared table raised above; a non-shared
+            # table cannot affect our schemas, but re-check is cheap
+            # and exact either way)
+            for name, sj in check_schemas(new_state).items():
+                actions[name]["schema"] = sj
+            attempt_v = new_latest + 1
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(commit, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return attempt_v
+    raise ConcurrentWriteConflict(f"gave up after {max_retries} retries")
+
+
+def txn_catalog_tables(cat_root: str, version: "int | None" = None) -> list:
+    """Table names present in the catalog at ``version`` (default
+    latest), sorted."""
+    latest = txn_latest_version(cat_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {cat_root}")
+    if version is None:
+        version = latest
+    state, _ = _cat_replay(cat_root, version)
+    return sorted(n for n, t in state.items() if t["files"])
+
+
+def txn_table_read(
+    spark: SparkSession,
+    cat_root: str,
+    table: str,
+    version: "int | None" = None,
+) -> DataFrame:
+    """Read one table of the catalog at a (cross-table consistent)
+    catalog version — default latest, or any pinned historical one."""
+    latest = txn_latest_version(cat_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {cat_root}")
+    if version is None:
+        version = latest
+    if not 0 <= version <= latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    state, _ = _cat_replay(cat_root, version)
+    t = state.get(table)
+    if t is None or not t["files"]:
+        raise ValueError(f"table {table!r} is empty at version {version}")
+    return spark.read.parquet(*t["files"])
+
+
+def txn_table_read_pruned(
+    spark: SparkSession,
+    cat_root: str,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    version: "int | None" = None,
+) -> "tuple[DataFrame, int, int]":
+    """Range read over one catalog table with commit-embedded data
+    skipping — same skip-only-on-proof contract as the single-table
+    txn_read_pruned. Returns (df, files_read, files_total)."""
+    from pyspark.sql import functions as F
+
+    latest = txn_latest_version(cat_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {cat_root}")
+    if version is None:
+        version = latest
+    state, _ = _cat_replay(cat_root, version)
+    t = state.get(table)
+    if t is None or not t["files"]:
+        raise ValueError(f"table {table!r} is empty at version {version}")
+    lo_c, hi_c = _stat_val(lo), _stat_val(hi)
+    keep = []
+    for f in t["files"]:
+        rng = t["stats"].get(f, {}).get(col)
+        if rng is None:
+            keep.append(f)
+            continue
+        mn, mx = rng
+        if mn is None or mx is None or (mx >= lo_c and mn <= hi_c):
+            keep.append(f)
+    if not keep:
+        df = spark.read.parquet(*t["files"]).filter(F.lit(False))
+    else:
+        df = spark.read.parquet(*keep)
+    df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df, len(keep), len(t["files"])
+
+
+def txn_multi_history(cat_root: str) -> list:
+    """Catalog commit metadata, newest first: which tables each
+    version touched and how."""
+    latest = txn_latest_version(cat_root)
+    if latest is None:
+        return []
+    out = []
+    for v in range(latest, -1, -1):
+        c = _read_commit(cat_root, v)
+        out.append(
+            {
+                "version": v,
+                "tables": {
+                    n: {"op": a["op"], "n_files": len(a["files"])}
+                    for n, a in c["tables"].items()
+                },
+                "read_version": c["read_version"],
+                "txn": (
+                    (c["txn_app"], c["txn_run"]) if "txn_app" in c else None
+                ),
+            }
+        )
+    return out
+
+
+def txn_multi_vacuum(cat_root: str) -> list:
+    """Delete catalog data files no committed version references
+    (aborted multi-table publishes — the half-written garbage the
+    atomic commit makes invisible). Never touches the log."""
+    latest = txn_latest_version(cat_root)
+    live: set = set()
+    if latest is not None:
+        for v in range(latest + 1):
+            for act in _read_commit(cat_root, v)["tables"].values():
+                live.update(act["files"])
+    removed = []
+    data_root = os.path.join(cat_root, "_data")
+    if os.path.isdir(data_root):
+        for dirpath, _dirs, fnames in os.walk(data_root):
+            for f in sorted(fnames):
+                p = os.path.join(dirpath, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed.append(p)
+    return removed
