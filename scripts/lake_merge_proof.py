@@ -112,6 +112,63 @@ def main():
             spark, stats_root, "id", 5, 10, version=0
         )
         out["point_read_files"] = f"{nread}/{ntotal}"
+
+        # 4. Partition-layout read proof (r7 cont.): the same rows
+        # written hive-partitioned on a 20-value column vs flat with
+        # the values interleaved (id % 20 -> no row-group locality for
+        # the flat scan to exploit). Reading ONE partition: exact
+        # log-arithmetic pruning vs a full-table scan + filter.
+        nparts = 20
+        withp = base.withColumn(
+            "p", (F.col("id") % nparts).cast("int")
+        )
+        part_root = os.path.join(work, "parted")
+        flat_root = os.path.join(work, "flat")
+        lake.txn_write(
+            withp.repartitionByRange(nfiles, "p"), part_root,
+            partition_by=["p"],
+        )
+        lake.txn_write(
+            withp.repartitionByRange(nfiles, "id"), flat_root
+        )
+
+        def read_one_partition():
+            df, nr, nt = lake.txn_read_partitioned(
+                spark, part_root, {"p": 7}
+            )
+            return df.count(), nr, nt
+
+        t_part, (c1, nr, nt) = timed(read_one_partition)
+        t_flat, c2 = timed(
+            lambda: lake.txn_read(spark, flat_root)
+            .filter(F.col("p") == 7)
+            .count()
+        )
+        assert c1 == c2, (c1, c2)
+        out["partition_read_s"] = round(t_part, 2)
+        out["partition_scan_s"] = round(t_flat, 2)
+        out["partition_speedup"] = round(t_flat / t_part, 2)
+        out["partition_files"] = f"{nr}/{nt}"
+
+        # 5. RLE deletion-vector density proof: a DENSE contiguous
+        # tombstone range (drop the oldest 30% — the retention shape)
+        # costs one sidecar row per run, not per deleted row.
+        rle_root = os.path.join(work, "rle")
+        lake.txn_write(clustered, rle_root, stats_cols=["id"])
+        dense = spark.range(int(rows * 0.3)).select("id")
+        dense.localCheckpoint()
+        t_rle, (vd, ndense, _) = timed(
+            lambda: lake.txn_delete_dv(spark, rle_root, dense, ["id"])
+        )
+        sidecars = [
+            p for sf, _t in lake._replay(rle_root, vd).dvs for p in sf
+        ]
+        side_rows = spark.read.parquet(*sidecars).count()
+        side_bytes = sum(os.path.getsize(p) for p in sidecars)
+        out["rle_dense_s"] = round(t_rle, 2)
+        out["rle_deleted"] = ndense
+        out["rle_sidecar_rows"] = side_rows
+        out["rle_sidecar_bytes"] = side_bytes
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -1940,17 +1940,26 @@ def _part_map_df(
     return spark.createDataFrame(rows, T.StructType(fields))
 
 
+# partition-value groups up to this many attach values as LITERAL
+# columns on per-group scans (no join, whole-stage codegen'd constants
+# — an equality partition read is a pure scan); beyond it, one
+# broadcast map join covers arbitrary cardinality
+_PART_ATTACH_UNION_MAX = 64
+
+
 def _read_files(
     spark: SparkSession, root: str, version: int, files: list
 ) -> DataFrame:
     """Scan ``files`` under the table schema recorded at ``version``,
     with that version's deletion vectors anti-joined out and (for a
     partitioned table) the partition columns re-attached from the
-    log's recorded per-file values via one broadcast map join. The
-    expensive schema path — mergeSchema (a footer read per file) plus
-    a column-aligning select — is paid ONLY when the log proves the
-    live files span more than one write schema; a never-evolved table
-    stays a plain first-footer scan."""
+    log's recorded per-file values — as per-group literal columns when
+    the read touches few partitions (the common pruned case: zero join
+    cost), else via one broadcast map join. The expensive schema path
+    — mergeSchema (a footer read per file) plus a column-aligning
+    select — is paid ONLY when the log proves the live files span more
+    than one write schema; a never-evolved table stays a plain
+    first-footer scan."""
     import json
 
     from pyspark.sql import functions as F
@@ -1960,15 +1969,39 @@ def _read_files(
     distinct = {state.file_schemas.get(f) for f in files}
     merge = not (table_json is None or distinct <= {table_json})
     reader = spark.read.option("mergeSchema", "true") if merge else spark.read
-    df = reader.parquet(*files)
+
     if state.spec:
-        df = df.withColumn(
-            "_pfile", _strip_file_uri(F.col("_metadata.file_path"))
-        )
-    df = _apply_dvs(spark, df, state.dvs, files)
-    if state.spec:
-        pmap = _part_map_df(spark, state, files, table_json)
-        df = df.join(F.broadcast(pmap), "_pfile").drop("_pfile")
+        types = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(table_json)).fields
+        }
+        groups: dict[tuple, list] = {}
+        for f in files:
+            vals = state.parts.get(f) or {}
+            groups.setdefault(
+                tuple(vals.get(c) for c in state.spec), []
+            ).append(f)
+        if len(groups) <= _PART_ATTACH_UNION_MAX:
+            df = None
+            for key, gfiles in sorted(groups.items(), key=str):
+                scan = reader.parquet(*gfiles)
+                scan = _apply_dvs(spark, scan, state.dvs, gfiles)
+                for c, sval in zip(state.spec, key):
+                    scan = scan.withColumn(
+                        c,
+                        F.lit(_py_part_val(sval, types[c])).cast(types[c]),
+                    )
+                df = scan if df is None else df.unionByName(scan)
+        else:
+            df = reader.parquet(*files).withColumn(
+                "_pfile", _strip_file_uri(F.col("_metadata.file_path"))
+            )
+            df = _apply_dvs(spark, df, state.dvs, files)
+            pmap = _part_map_df(spark, state, files, table_json)
+            df = df.join(F.broadcast(pmap), "_pfile").drop("_pfile")
+    else:
+        df = reader.parquet(*files)
+        df = _apply_dvs(spark, df, state.dvs, files)
     if table_json is not None and (merge or state.spec):
         schema = T.StructType.fromJson(json.loads(table_json))
         df = df.select(*[f.name for f in schema.fields])

@@ -354,3 +354,128 @@ def test_read_dv_accepts_legacy_position_sidecars(spark, tmp_path):
         (r["file"], r["pos"]) for r in lake._read_dv(spark, paths).collect()
     )
     assert got == [("fA", 3), ("fA", 7), ("fB", 10), ("fB", 11), ("fB", 12)]
+
+
+def test_randomized_op_sequences_on_a_partitioned_table(spark, tmp_path):
+    """The single-table model pin replayed over a PARTITIONED table:
+    append / upsert / CoW delete / RLE-DV delete / compact / restore in
+    random order, every surviving version read back against a plain
+    dict model — including per-partition pruned reads. Composition
+    bugs (a merge that loses the layout, a DV that misses the
+    partition map, a restore that drops parts) have nowhere to hide.
+    """
+    import random
+
+    def pof(k):
+        return int(k % 4)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, pof(k), v) for k, v in rows], "id long, p int, v long"
+        )
+
+    for seed in (13, 37):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"m{seed}")
+        model: dict = {}
+        snapshots: list = []
+
+        lake.txn_write(
+            mk((i, i * 2) for i in range(0, 40)).coalesce(2),
+            root, partition_by=["p"], stats_cols=["id"],
+        )
+        model.update({i: i * 2 for i in range(0, 40)})
+        snapshots.append(dict(model))
+
+        for step in range(7):
+            op = rng.choice(
+                ["append", "upsert", "delete_cow", "dv", "compact", "restore"]
+            )
+            if op == "append":
+                lo = rng.randrange(100, 10_000)
+                rows = {
+                    lo + j: step
+                    for j in range(rng.randrange(1, 6))
+                    if (lo + j) not in model
+                }
+                if not rows:
+                    continue
+                lake.txn_write(
+                    mk(rows.items()).coalesce(1), root, stats_cols=["id"]
+                )
+                model.update(rows)
+            elif op == "upsert":
+                keys = rng.sample(sorted(model), k=min(3, len(model)))
+                extra = rng.randrange(20_000, 30_000)
+                rows = {k: -step - 1 for k in keys} | {extra: -step - 1}
+                lake.txn_merge(
+                    spark, root, mk(rows.items()), ["id"], stats_cols=["id"]
+                )
+                model.update(rows)
+            elif op == "delete_cow":
+                keys = rng.sample(sorted(model), k=min(2, len(model)))
+                lake.txn_merge(
+                    spark, root,
+                    spark.createDataFrame([(k,) for k in keys], "id long"),
+                    ["id"], when_matched="delete", when_not_matched="ignore",
+                    stats_cols=["id"],
+                )
+                for k in keys:
+                    model.pop(k, None)
+            elif op == "dv":
+                keys = rng.sample(sorted(model), k=min(2, len(model)))
+                # half the time key the tombstones THROUGH the
+                # partition column (resolved via the broadcast map)
+                if rng.random() < 0.5:
+                    kdf = spark.createDataFrame(
+                        [(pof(k), k) for k in keys], "p int, id long"
+                    )
+                    v, n, _ = lake.txn_delete_dv(
+                        spark, root, kdf, ["p", "id"]
+                    )
+                else:
+                    kdf = spark.createDataFrame(
+                        [(k,) for k in keys], "id long"
+                    )
+                    v, n, _ = lake.txn_delete_dv(spark, root, kdf, ["id"])
+                assert n == len(keys)
+                for k in keys:
+                    model.pop(k, None)
+            elif op == "restore":
+                target = rng.randrange(len(snapshots))
+                try:
+                    lake.txn_restore(root, target)
+                except ValueError:
+                    continue  # DV-active target refused: no commit
+                model = dict(snapshots[target])
+            else:
+                v = lake.txn_compact(
+                    spark, root, stats_cols=["id"],
+                    sort_cols=["id"] if rng.random() < 0.5 else None,
+                    n_files=rng.choice([1, 2]),
+                )
+                if v is None:
+                    continue
+            snapshots.append(dict(model))
+
+        latest = lake.txn_latest_version(root)
+        assert latest == len(snapshots) - 1
+        for v, want in enumerate(snapshots):
+            got = {
+                r["id"]: (r["p"], r["v"])
+                for r in lake.txn_read(spark, root, version=v).collect()
+            }
+            assert got == {k: (pof(k), x) for k, x in want.items()}, (seed, v)
+            st = lake._replay(root, v)
+            assert st.spec == ["p"], (seed, v)
+            assert all(f"{os.sep}p=" in f for f in st.files), (seed, v)
+        # per-partition pruned reads at the LATEST version
+        for pval in range(4):
+            df, nread, ntotal = lake.txn_read_partitioned(
+                spark, root, {"p": pval}, version=latest
+            )
+            got = {r["id"]: r["v"] for r in df.collect()}
+            want = {k: x for k, x in snapshots[-1].items() if pof(k) == pval}
+            assert got == want, (seed, pval)
+            if want and ntotal > nread:
+                pass  # pruning observed; exactness asserted above
