@@ -139,6 +139,12 @@ SHOWN = [
     "stats_expectations",
     # r6: the end-to-end corpus assembly composition
     "pipeline_corpus_assembly",
+    # r7 continuation 2: partitioned lake + multi-table catalog. The
+    # partition read plan is the evidence that re-attachment is
+    # JOIN-FREE in the pruned case: per-group scans with literal
+    # partition columns, unioned — no exchange, no broadcast build.
+    "lake_txn_partition",
+    "lake_txn_multi",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)

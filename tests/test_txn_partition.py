@@ -479,3 +479,30 @@ def test_randomized_op_sequences_on_a_partitioned_table(spark, tmp_path):
             assert got == want, (seed, pval)
             if want and ntotal > nread:
                 pass  # pruning observed; exactness asserted above
+
+
+def test_partition_read_plan_is_join_free_in_the_pruned_case(
+    spark, tmp_path, monkeypatch
+):
+    """Re-attaching partition columns must not tax the hot read path:
+    with few touched partitions the plan is per-group scans + literal
+    columns + union — NO join, NO exchange (a DV-free partition read
+    is a pure scan). Past _PART_ATTACH_UNION_MAX groups the broadcast
+    map join takes over (still shuffle-free)."""
+    root = _mk(spark, tmp_path)
+    df, _, _ = lake.txn_read_partitioned(spark, root, {"bucket": 2})
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    # force the high-cardinality fallback: broadcast map join, no shuffle
+    monkeypatch.setattr(lake, "_PART_ATTACH_UNION_MAX", 0)
+    df2, _, _ = lake.txn_read_partitioned(spark, root, {"bucket": 2})
+    plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan2, plan2[:2000]
+    assert "Exchange hashpartitioning" not in plan2, plan2[:2000]
+    # both paths return identical rows
+    assert _ids(df) == _ids(df2)
