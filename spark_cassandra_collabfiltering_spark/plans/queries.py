@@ -9824,6 +9824,56 @@ def q_lake_txn_multi(spark, sf_dir):
 
 
 @register(
+    "lake_txn_datasource",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderkey % 5 <> 0""",
+    "The txn lake as a NATIVE Spark data source (Spark 4 Python "
+    "DataSource API): an orders snapshot is committed range-clustered "
+    "with add-file stats, a tombstone batch lands as an RLE deletion "
+    "vector, and the query reads spark.read.format('txnlake') with a "
+    "range filter — Catalyst pushes the predicate into pushFilters(), "
+    "which prunes the FILE LIST through the same commit-embedded "
+    "stats the function API uses (log arithmetic, no footer opened), "
+    "then re-applies the filter row-exactly above the Arrow scan. "
+    "Each surviving file is one input partition read executor-side "
+    "via pyarrow with its deletion vector applied — so the oracle "
+    "hash-match proves pushdown pruning, partition-parallel Arrow "
+    "reads and DV application compose through Spark's own reader "
+    "surface, not just the lake.txn_* functions. tests/"
+    "test_txnlake_ds.py pins files-pruned < files-total for this "
+    "shape plus the streaming source and the Arrow writer.",
+)
+def q_lake_txn_datasource(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+    from ..sources.txnlake_ds import TxnLakeDataSource
+
+    try:
+        spark.dataSource.register(TxnLakeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="txn_ds_q_") + "/t"
+    lake.txn_write(
+        base.repartitionByRange(8, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    df = spark.read.format("txnlake").option("root", root).load()
+    return df.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 3000)
+    )
+
+
+@register(
     "mm_image_neardup",
     """WITH d AS (SELECT doc_id, doc_id // 2 AS g
                   FROM documents WHERE doc_id < 200),

@@ -42,6 +42,9 @@ from spark_cassandra_collabfiltering_spark.sources.lake import (
     txn_table_read,
     txn_table_read_pruned,
 )
+from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
+    TxnLakeDataSource,
+)
 
 __all__ = [
     "read_ratings_csv",
@@ -82,4 +85,6 @@ __all__ = [
     "txn_catalog_tables",
     "txn_table_read",
     "txn_table_read_pruned",
+    # the lake as a native Spark data source: format("txnlake")
+    "TxnLakeDataSource",
 ]

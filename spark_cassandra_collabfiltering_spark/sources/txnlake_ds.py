@@ -1,0 +1,435 @@
+"""The transactional lake as a NATIVE Spark data source (r7 cont.):
+
+    spark.dataSource.register(TxnLakeDataSource)
+    spark.read.format("txnlake").option("root", root).load()
+    spark.readStream.format("txnlake").option("root", root).load()
+    df.write.format("txnlake").option("root", root).mode("append").save()
+
+Built on Spark 4's Python DataSource API (pyspark.sql.datasource) so
+the lake composes with the whole reader/writer surface instead of only
+the ``lake.txn_*`` function API:
+
+- **Batch read**: one input partition per live data file, each read
+  executor-side via pyarrow (Arrow RecordBatches — no row-at-a-time
+  Python). Deletion vectors are applied per file from the RLE
+  sidecars; hive-stripped partition columns re-attach as Arrow
+  constant arrays; files written before a schema evolution surface
+  the added columns as nulls.
+- **Filter pushdown** (``pushFilters``): equality/range/In/IsNull
+  filters reaching the source prune the FILE LIST through the same
+  commit-embedded stats the function API uses (partition values are
+  [v, v] singletons there, so partition pruning falls out). Every
+  filter is returned as unhandled — file-level pruning never proves
+  row-level truth, so Spark re-applies them above the scan; the
+  pushdown's value is skipping whole files at plan time.
+- **Streaming read**: offsets are LOG VERSIONS; each micro-batch's
+  partitions are the data files the gap commits appended, read
+  executor-side (a distributed DataSourceStreamReader, not the
+  driver-funneled Simple variant). Non-append commits raise unless
+  ``skipChangeCommits`` is set — the Delta streaming-source contract.
+- **Write**: the DataSourceWriter protocol maps 1:1 onto the lake's
+  optimistic commit: tasks write parquet files under a fresh
+  ``_data/<uuid>/`` and return their paths (+ per-file min/max for
+  ``stats_cols`` computed from the Arrow table in-task), the driver's
+  ``commit`` races the single log-entry create with the same rebase
+  rules as ``txn_write``. Aborted jobs leave only invisible,
+  vacuumable garbage. (Partitioned layouts still write through
+  ``lake.txn_write(partition_by=...)``; the data source enforces the
+  spec rather than silently flattening a partitioned table.)
+
+Everything stateful lives in the log; the data source is a thin
+protocol adapter over the same replay/commit functions, so the two
+surfaces can never disagree about table state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import typing
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from spark_cassandra_collabfiltering_spark.sources import lake
+
+
+def _arrow_type(dt):
+    import pyarrow as pa
+
+    mapping = {
+        T.ByteType: pa.int8(),
+        T.ShortType: pa.int16(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+        T.BinaryType: pa.binary(),
+    }
+    for k, v in mapping.items():
+        if isinstance(dt, k):
+            return v
+    return None  # let pyarrow's native file type stand
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file, part_vals, dv_sidecars):
+        self.file = file
+        self.part_vals = part_vals  # {col: hive string | None} or {}
+        self.dv_sidecars = dv_sidecars  # sidecar paths targeting this file
+
+
+def _read_dv_positions(sidecars: list, enc_file: str) -> "set[int]":
+    """Executor-side: the deleted row positions of ONE file, from RLE
+    (file, start, n) and/or legacy (file, pos) sidecar rows."""
+    import pyarrow.parquet as pq
+
+    pos: set[int] = set()
+    for sc in sidecars:
+        t = pq.read_table(sc)
+        cols = set(t.column_names)
+        d = t.to_pydict()
+        files = d["file"]
+        if "start" in cols:
+            for f, s, n in zip(files, d["start"], d.get("n", [])):
+                if f == enc_file and s is not None:
+                    pos.update(range(s, s + n))
+        if "pos" in cols:
+            for f, p in zip(files, d["pos"]):
+                if f == enc_file and p is not None:
+                    pos.add(p)
+    return pos
+
+
+def _file_to_batches(
+    partition: "_FilePartition", schema: T.StructType, spec: list
+):
+    """Read one data file to Arrow batches in table-schema order: DV
+    positions masked out, partition columns re-attached as constants,
+    evolution-missing columns as nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(partition.file)
+    n = tbl.num_rows
+    dead = (
+        _read_dv_positions(
+            partition.dv_sidecars, lake._uri_path(partition.file)
+        )
+        if partition.dv_sidecars
+        else set()
+    )
+    if dead:
+        keep = [i for i in range(n) if i not in dead]
+        tbl = tbl.take(pa.array(keep, type=pa.int64()))
+        n = tbl.num_rows
+    arrays, names = [], []
+    for f in schema.fields:
+        at = _arrow_type(f.dataType)
+        if f.name in tbl.column_names:
+            col = tbl.column(f.name)
+            if at is not None and col.type != at:
+                col = col.cast(at)
+            arrays.append(col)
+        elif f.name in partition.part_vals or f.name in spec:
+            v = lake._py_part_val(
+                partition.part_vals.get(f.name), f.dataType
+            )
+            arrays.append(pa.array([v] * n, type=at))
+        else:  # pre-evolution file: the added column is null here
+            arrays.append(pa.nulls(n, type=at))
+        names.append(f.name)
+    out = pa.table(arrays, names=names)
+    yield from out.to_batches()
+
+
+def _prunable_bound(filters) -> dict:
+    """Reduce pushed filters to per-column [lo, hi] bounds (In becomes
+    min..max — file-granular, so the row filter above stays exact)."""
+    bounds: dict = {}
+
+    def tighten(col, lo, hi):
+        c = bounds.setdefault(col, [None, None])
+        if lo is not None and (c[0] is None or lo > c[0]):
+            c[0] = lo
+        if hi is not None and (c[1] is None or hi < c[1]):
+            c[1] = hi
+
+    for f in filters:
+        col = f.attribute[-1] if isinstance(f.attribute, tuple) else f.attribute
+        if isinstance(f, EqualTo):
+            tighten(col, f.value, f.value)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            tighten(col, f.value, None)
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            tighten(col, None, f.value)
+        elif isinstance(f, In) and f.values:
+            vals = [v for v in f.values if v is not None]
+            if vals:
+                tighten(col, min(vals), max(vals))
+    return bounds
+
+
+class TxnLakeReader(DataSourceReader):
+    def __init__(self, root: str, version: "int | None"):
+        latest = lake.txn_latest_version(root)
+        if latest is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        self._version = latest if version is None else version
+        self._state = lake._replay(root, self._version)
+        self._schema = T.StructType.fromJson(
+            json.loads(lake._table_schema_json(root, self._version))
+        )
+        self._files = list(self._state.files)
+
+    def pushFilters(self, filters):
+        bounds = _prunable_bound(filters)
+        if bounds:
+            keep = []
+            for f in self._files:
+                st = self._state.stats.get(f, {})
+                ok = True
+                for col, (lo, hi) in bounds.items():
+                    rng = st.get(col)
+                    if rng is None:
+                        continue  # no proof -> must keep
+                    mn, mx = rng
+                    lo_c = lake._stat_val(lo) if lo is not None else None
+                    hi_c = lake._stat_val(hi) if hi is not None else None
+                    if mn is None or mx is None:
+                        continue
+                    if (hi_c is not None and mn > hi_c) or (
+                        lo_c is not None and mx < lo_c
+                    ):
+                        ok = False
+                        break
+                if ok:
+                    keep.append(f)
+            self._files = keep
+        # file-level pruning never proves row-level truth: hand every
+        # filter back so Spark re-applies them above the scan
+        return filters
+
+    def partitions(self):
+        dv_map: dict = {}  # target file -> ALL sidecars that hit it
+        for sf, tg in self._state.dvs:
+            for t in tg:
+                dv_map.setdefault(t, []).extend(sf)
+        return [
+            _FilePartition(
+                f, self._state.parts.get(f) or {}, dv_map.get(f, [])
+            )
+            for f in self._files
+        ]
+
+    def read(self, partition):
+        yield from _file_to_batches(
+            partition, self._schema, self._state.spec
+        )
+
+
+class TxnLakeStreamReader(DataSourceStreamReader):
+    """Offsets are log versions: {"version": N} = everything up to and
+    including commit N has been emitted. Micro-batch (start, end] =
+    the files appended by commits start+1..end, one input partition
+    per file, read executor-side."""
+
+    def __init__(self, root: str, skip_change_commits: bool):
+        self._root = root
+        self._skip = skip_change_commits
+
+    def initialOffset(self):
+        return {"version": -1}
+
+    def latestOffset(self):
+        latest = lake.txn_latest_version(self._root)
+        return {"version": latest if latest is not None else -1}
+
+    def partitions(self, start, end):
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            c = lake._read_commit(self._root, v)
+            if c["op"] != "append":
+                if self._skip or c["op"] == "dv":
+                    # dv commits add no rows; with skipChangeCommits
+                    # rewrites are silently skipped (Delta's contract)
+                    continue
+                raise ValueError(
+                    f"streaming source hit a {c['op']} commit at v{v}; "
+                    "this source streams APPEND-ONLY tables — set "
+                    "skipChangeCommits to ignore rewrites"
+                )
+            st = lake._replay(self._root, v)
+            for f in c["files"]:
+                parts.append(
+                    _FilePartition(f, st.parts.get(f) or {}, [])
+                )
+        return parts
+
+    def read(self, partition):
+        latest = lake.txn_latest_version(self._root)
+        schema = T.StructType.fromJson(
+            json.loads(lake._table_schema_json(self._root, latest))
+        )
+        spec = lake._replay(self._root, latest).spec
+        yield from _file_to_batches(partition, schema, spec)
+
+    def commit(self, end):
+        pass  # offsets are durable in the engine's checkpoint
+
+
+class _TaskFiles(WriterCommitMessage):
+    def __init__(self, files, stats):
+        self.files = files
+        self.stats = stats
+
+
+class TxnLakeWriter(DataSourceArrowWriter):
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        overwrite: bool,
+        stats_cols: list,
+    ):
+        self._root = root
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        self._stats_cols = stats_cols
+        import uuid
+
+        self._data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
+        os.makedirs(lake._log_dir(root), exist_ok=True)
+        # read_version is noted commit-side (the commit loop reloads);
+        # fail fast on spec/schema here, before executors do work
+        read_v = lake.txn_latest_version(root)
+        if read_v is not None:
+            state = lake._replay(root, read_v)
+            if state.spec and self._mode == "append":
+                raise ValueError(
+                    "the txnlake data source writes flat layouts; this "
+                    f"table is partitioned by {state.spec} — append "
+                    "through lake.txn_write(partition_by=...) instead"
+                )
+            if self._mode == "append":
+                lake._check_schema(
+                    lake._table_schema_json(root, read_v), schema, False
+                )
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _TaskFiles([], {})
+        tbl = pa.Table.from_batches(batches)
+        os.makedirs(self._data_dir, exist_ok=True)
+        path = os.path.join(
+            self._data_dir, f"part-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(tbl, path)
+        stats = {}
+        for c in self._stats_cols:
+            if c in tbl.column_names and tbl.num_rows:
+                import pyarrow.compute as pc
+
+                col = tbl.column(c)
+                stats[c] = [
+                    lake._stat_val(pc.min(col).as_py()),
+                    lake._stat_val(pc.max(col).as_py()),
+                ]
+        return _TaskFiles([path], {path: stats} if stats else {})
+
+    def commit(self, messages):
+        files = sorted(f for m in messages for f in m.files)
+        stats: dict = {}
+        for m in messages:
+            stats.update(m.stats)
+
+        def schema_fn(tip):
+            if self._mode == "overwrite":
+                return self._schema.json()
+            return lake._check_schema(
+                lake._table_schema_json(self._root, tip),
+                self._schema,
+                False,
+            )
+
+        v = lake._txn_commit(
+            self._root,
+            self._mode,
+            files,
+            [],
+            lake.txn_latest_version(self._root),
+            None,
+            20,
+            stats or None,
+            schema_fn,
+            spec=[],
+        )
+        return v
+
+    def abort(self, messages):
+        pass  # uncommitted files are invisible; txn_vacuum reclaims
+
+
+class TxnLakeDataSource(DataSource):
+    """format("txnlake") — options: root (required), version (batch
+    time travel), stats_cols (write: comma-separated add-file stats
+    columns), skipChangeCommits (stream: skip rewrite commits)."""
+
+    @classmethod
+    def name(cls):
+        return "txnlake"
+
+    def _root(self) -> str:
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("txnlake requires .option('root', <path>)")
+        return root
+
+    def schema(self):
+        root = self._root()
+        latest = lake.txn_latest_version(root)
+        if latest is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        v = int(self.options.get("version", latest))
+        return T.StructType.fromJson(
+            json.loads(lake._table_schema_json(root, v))
+        )
+
+    def reader(self, schema):
+        v = self.options.get("version")
+        return TxnLakeReader(self._root(), None if v is None else int(v))
+
+    def streamReader(self, schema):
+        skip = str(self.options.get("skipchangecommits", "false")).lower()
+        return TxnLakeStreamReader(self._root(), skip in ("true", "1"))
+
+    def writer(self, schema, overwrite):
+        cols = [
+            c
+            for c in self.options.get("stats_cols", "").split(",")
+            if c.strip()
+        ]
+        return TxnLakeWriter(self._root(), schema, overwrite, cols)
