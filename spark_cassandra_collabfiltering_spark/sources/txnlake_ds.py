@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -393,6 +394,71 @@ class TxnLakeWriter(DataSourceArrowWriter):
         pass  # uncommitted files are invisible; txn_vacuum reclaims
 
 
+class TxnLakeStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("txnlake")`` — exactly-once by
+    construction: each micro-batch commits with the idempotent txn key
+    (txnApp option, batchId), so a batch replayed after a lost commit
+    outcome (sink failure, driver restart from checkpoint) is a no-op
+    instead of a duplicate append — the same (app, epoch) contract as
+    lake.txn_stream_sink, carried natively through the engine's sink
+    API instead of foreachBatch."""
+
+    def __init__(self, root: str, schema: T.StructType, app: str):
+        self._root = root
+        self._schema = schema
+        self._app = app
+        import uuid
+
+        self._data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
+        os.makedirs(lake._log_dir(root), exist_ok=True)
+        read_v = lake.txn_latest_version(root)
+        if read_v is not None:
+            state = lake._replay(root, read_v)
+            if state.spec:
+                raise ValueError(
+                    "the txnlake stream writer writes flat layouts; "
+                    f"this table is partitioned by {state.spec} — use "
+                    "foreachBatch(lake.txn_cdc_sink/txn_stream_sink) "
+                    "with lake.txn_write(partition_by=...) instead"
+                )
+            lake._check_schema(
+                lake._table_schema_json(root, read_v), schema, False
+            )
+
+    # tasks write exactly like the batch writer: parquet under the
+    # pre-commit data dir, paths in the commit message
+    write = TxnLakeWriter.write
+    _stats_cols: list = []
+
+    def commit(self, messages, batchId):
+        read_v = lake.txn_latest_version(self._root)
+        if read_v is not None and lake._txn_seen(
+            self._root, read_v, self._app, int(batchId)
+        ):
+            return  # replayed batch: already committed; the fresh
+            # task files are invisible garbage (txn_vacuum reclaims)
+        files = sorted(f for m in messages if m is not None for f in m.files)
+        lake._txn_commit(
+            self._root,
+            "append",
+            files,
+            [],
+            lake.txn_latest_version(self._root),
+            (self._app, int(batchId)),
+            20,
+            None,
+            lambda tip: lake._check_schema(
+                lake._table_schema_json(self._root, tip),
+                self._schema,
+                False,
+            ),
+            spec=[],
+        )
+
+    def abort(self, messages, batchId):
+        pass  # uncommitted files are invisible; txn_vacuum reclaims
+
+
 class TxnLakeDataSource(DataSource):
     """format("txnlake") — options: root (required), version (batch
     time travel), stats_cols (write: comma-separated add-file stats
@@ -433,3 +499,12 @@ class TxnLakeDataSource(DataSource):
             if c.strip()
         ]
         return TxnLakeWriter(self._root(), schema, overwrite, cols)
+
+    def streamWriter(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "txnlake stream writer is append-only (outputMode "
+                "append); use foreachBatch + txn_cdc_sink for upserts"
+            )
+        app = self.options.get("txnapp", "txnlake_stream")
+        return TxnLakeStreamWriter(self._root(), schema, app)

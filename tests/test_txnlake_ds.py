@@ -233,3 +233,59 @@ def test_aborted_ds_write_leaves_only_vacuumable_garbage(dspark, tmp_path):
     msg2 = w.write(iter(pa.table({"id": [7], "v": [14]}).to_batches()))
     w.commit([msg2])
     assert _ids(lake.txn_read(dspark, root)) == [0, 1, 2, 3, 4, 7]
+
+
+def test_stream_writer_appends_exactly_once(dspark, tmp_path):
+    """df.writeStream.format('txnlake'): each micro-batch commits under
+    the idempotent (txnApp, batchId) key — a batch replayed after a
+    lost commit outcome (fresh checkpoint, same app) is a no-op, and
+    its orphaned task files are vacuumable garbage."""
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    dspark.range(0, 5).select("id").coalesce(1).write.json(src + "/b1")
+    sdf = dspark.readStream.schema("id long").json(src + "/*")
+
+    def drain(stream, ckpt):
+        q = (
+            stream.writeStream.format("txnlake")
+            .option("root", root)
+            .option("txnApp", "t")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(sdf, ck)
+    assert _ids(lake.txn_read(dspark, root)) == list(range(5))
+    assert lake.txn_history(root)[0]["txn"] == ("t", 0)
+    dspark.range(5, 9).select("id").coalesce(1).write.json(src + "/b2")
+    drain(sdf, ck)
+    assert _ids(lake.txn_read(dspark, root)) == list(range(9))
+    # replay batch 0 with a FRESH checkpoint but the same txnApp: no-op
+    drain(dspark.readStream.schema("id long").json(src + "/b1"), str(tmp_path / "ck2"))
+    assert lake.txn_read(dspark, root).count() == 9
+    assert lake.txn_vacuum(root)  # the replay's task files reclaimed
+    assert lake.txn_read(dspark, root).count() == 9
+
+
+def test_stream_writer_refuses_partitioned_tables(dspark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    d = dspark.range(6).select("id", (F.col("id") % 2).cast("int").alias("p"))
+    lake.txn_write(d, root, partition_by=["p"])
+    src = str(tmp_path / "src")
+    d.coalesce(1).write.json(src)
+    sdf = dspark.readStream.schema("id long, p int").json(src)
+    q = (
+        sdf.writeStream.format("txnlake")
+        .option("root", root)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "expected stream failure")
