@@ -9874,6 +9874,151 @@ def q_lake_txn_datasource(spark, sf_dir):
 
 
 @register(
+    "cf_preference_pairs",
+    """WITH r AS (SELECT o_custkey AS user_id, l_partkey AS product,
+                         sum(l_quantity) AS rating
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2),
+        ch AS (SELECT user_id, product, rating,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY rating DESC, product) AS rk
+               FROM r),
+        rj AS (SELECT user_id, product, rating,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY rating ASC, product) AS rk
+               FROM r)
+       SELECT ch.user_id AS user_id, ch.product AS chosen,
+              rj.product AS rejected,
+              (ch.rating - rj.rating) AS margin
+       FROM ch JOIN rj USING (user_id)
+       WHERE ch.rk = 1 AND rj.rk = 1 AND ch.product <> rj.product
+         AND ch.rating - rj.rating >= 10""",
+    "Preference-pair construction — the DPO/RLHF dataset-assembly op "
+    "applied to the reference's own recommendation domain: per user, "
+    "the top-rated item becomes 'chosen' and the bottom-rated "
+    "'rejected' (deterministic product-id tiebreaks), kept only when "
+    "the preference margin clears a floor (weak preferences make "
+    "noisy training pairs — the standard reward-gap filter). Two "
+    "per-user top-1 windows over the shared ratings lineage, one "
+    "join; margins are exact (integer-valued quantity sums in "
+    "doubles). At 100 TB this is two rank-1 window passes on the "
+    "user-partitioned ratings — no all-pairs, no skew beyond the "
+    "hot-user cap arguments that already bound this table.",
+)
+def q_cf_preference_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    r = ratings_df(spark, sf_dir)
+    wch = Window.partitionBy("user").orderBy(
+        F.col("rating").desc(), F.col("product").asc()
+    )
+    wrj = Window.partitionBy("user").orderBy(
+        F.col("rating").asc(), F.col("product").asc()
+    )
+    ch = (
+        r.withColumn("rk", F.row_number().over(wch))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("user").alias("user_id"),
+            F.col("product").alias("chosen"),
+            F.col("rating").alias("r_ch"),
+        )
+    )
+    rj = (
+        r.withColumn("rk", F.row_number().over(wrj))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("user").alias("user_id"),
+            F.col("product").alias("rejected"),
+            F.col("rating").alias("r_rj"),
+        )
+    )
+    return (
+        ch.join(rj, "user_id")
+        .filter(
+            (F.col("chosen") != F.col("rejected"))
+            & (F.col("r_ch") - F.col("r_rj") >= 10)
+        )
+        .select(
+            "user_id",
+            "chosen",
+            "rejected",
+            (F.col("r_ch") - F.col("r_rj")).alias("margin"),
+        )
+    )
+
+
+@register(
+    "sft_chat_assembly",
+    """WITH d AS (SELECT doc_id,
+                         list_filter(string_split(text, '.'),
+                                     x -> trim(x) <> '') AS turns
+                  FROM documents WHERE doc_id < 2000),
+        t AS (SELECT d.doc_id, r.i AS turn_idx,
+                     len(list_filter(
+                         string_split(trim(list_extract(d.turns,
+                                                        r.i + 1)), ' '),
+                         w -> w <> '')) AS n_tok
+              FROM d, LATERAL unnest(range(0, len(d.turns))) r(i))
+       SELECT doc_id,
+              count(*)::BIGINT AS n_turns,
+              sum(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS assistant_turns,
+              sum(n_tok)::BIGINT AS total_tokens,
+              sum(CASE WHEN turn_idx % 2 = 1 THEN n_tok ELSE 0 END)::BIGINT
+                  AS assistant_tokens,
+              max(n_tok)::BIGINT AS max_turn_tokens
+       FROM t GROUP BY doc_id""",
+    "SFT chat-record assembly with loss-mask accounting: documents "
+    "split into sentence turns, roles alternating user/assistant by "
+    "position, per-conversation stats = turn count, assistant-turn "
+    "count, total tokens, ASSISTANT-ONLY tokens (the loss-mask size "
+    "an SFT trainer bills by — padding/packing budgets come from "
+    "total, gradient signal from assistant-only), and the longest "
+    "turn (the truncation risk). Both engines explode (doc, "
+    "turn_idx) identically (posexplode ≙ LATERAL unnest(range)), so "
+    "the row is exact. Pure built-in Columns: split/filter/trim + "
+    "one posexplode + one hash-agg — row-local, no shuffle beyond "
+    "the doc-keyed aggregate; at corpus scale this is a map-combine "
+    "pass like the other text kernels.",
+)
+def q_sft_chat_assembly(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    turns = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), "\\."),
+            lambda x: F.trim(x) != F.lit(""),
+        ).alias("turns"),
+    )
+    per_turn = turns.select(
+        "doc_id",
+        F.posexplode("turns").alias("turn_idx", "turn"),
+    ).select(
+        "doc_id",
+        "turn_idx",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("turn")), " "),
+                lambda w: w != F.lit(""),
+            )
+        ).cast("bigint").alias("n_tok"),
+    )
+    a = F.col("turn_idx") % 2 == 1
+    return per_turn.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias(
+            "assistant_turns"
+        ),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(a, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("assistant_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_turn_tokens"),
+    )
+
+
+@register(
     "mm_image_neardup",
     """WITH d AS (SELECT doc_id, doc_id // 2 AS g
                   FROM documents WHERE doc_id < 200),
