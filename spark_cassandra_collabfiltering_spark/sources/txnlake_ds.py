@@ -246,6 +246,64 @@ class TxnLakeReader(DataSourceReader):
         )
 
 
+class TxnCatalogReader(DataSourceReader):
+    """Batch reader for ONE table of a multi-table catalog
+    (txn_multi_write): .option("table", name) selects it, and
+    .option("version", N) pins the CONSISTENT cross-table catalog
+    snapshot — reading corpus and index with the same version option
+    can never mix publishes. Same per-file Arrow partitions and
+    pushed-filter file pruning as the single-table reader; catalogs
+    carry no DVs or partition layouts by design, so the scan is the
+    plain fast path."""
+
+    def __init__(self, cat_root: str, table: str, version: "int | None"):
+        latest = lake.txn_latest_version(cat_root)
+        if latest is None:
+            raise FileNotFoundError(
+                f"no committed versions under {cat_root}"
+            )
+        v = latest if version is None else version
+        state, _ = lake._cat_replay(cat_root, v)
+        t = state.get(table)
+        if t is None or not t["files"]:
+            raise ValueError(f"table {table!r} is empty at version {v}")
+        self._files = list(t["files"])
+        self._stats = dict(t["stats"])
+        self._schema = T.StructType.fromJson(json.loads(t["schema"]))
+
+    def pushFilters(self, filters):
+        bounds = _prunable_bound(filters)
+        if bounds:
+            keep = []
+            for f in self._files:
+                st = self._stats.get(f, {})
+                ok = True
+                for col, (lo, hi) in bounds.items():
+                    rng = st.get(col)
+                    if rng is None:
+                        continue
+                    mn, mx = rng
+                    lo_c = lake._stat_val(lo) if lo is not None else None
+                    hi_c = lake._stat_val(hi) if hi is not None else None
+                    if mn is None or mx is None:
+                        continue
+                    if (hi_c is not None and mn > hi_c) or (
+                        lo_c is not None and mx < lo_c
+                    ):
+                        ok = False
+                        break
+                if ok:
+                    keep.append(f)
+            self._files = keep
+        return filters
+
+    def partitions(self):
+        return [_FilePartition(f, {}, []) for f in self._files]
+
+    def read(self, partition):
+        yield from _file_to_batches(partition, self._schema, [])
+
+
 class TxnLakeStreamReader(DataSourceStreamReader):
     """Offsets are log versions: {"version": N} = everything up to and
     including commit N has been emitted. Micro-batch (start, end] =
@@ -480,13 +538,24 @@ class TxnLakeDataSource(DataSource):
         if latest is None:
             raise FileNotFoundError(f"no committed versions under {root}")
         v = int(self.options.get("version", latest))
+        table = self.options.get("table")
+        if table is not None:  # multi-table catalog member
+            state, _ = lake._cat_replay(root, v)
+            t = state.get(table)
+            if t is None or t["schema"] is None:
+                raise ValueError(f"table {table!r} unknown at version {v}")
+            return T.StructType.fromJson(json.loads(t["schema"]))
         return T.StructType.fromJson(
             json.loads(lake._table_schema_json(root, v))
         )
 
     def reader(self, schema):
         v = self.options.get("version")
-        return TxnLakeReader(self._root(), None if v is None else int(v))
+        v = None if v is None else int(v)
+        table = self.options.get("table")
+        if table is not None:
+            return TxnCatalogReader(self._root(), table, v)
+        return TxnLakeReader(self._root(), v)
 
     def streamReader(self, schema):
         skip = str(self.options.get("skipchangecommits", "false")).lower()

@@ -289,3 +289,47 @@ def test_stream_writer_refuses_partitioned_tables(dspark, tmp_path):
     with pytest.raises(Exception, match="partitioned"):
         q.awaitTermination(120)
         raise RuntimeError(q.exception() or "expected stream failure")
+
+
+def test_catalog_tables_read_through_the_data_source(dspark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cat = str(tmp_path / "cat")
+    corpus = dspark.range(0, 8).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("x")
+    )
+    index = dspark.range(0, 8).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("b")
+    )
+    lake.txn_multi_write(
+        cat, {"corpus": corpus, "index": index},
+        stats_cols={"corpus": ["doc_id"]},
+    )
+    lake.txn_multi_write(cat, {"corpus": corpus.filter("doc_id < 2")})
+    got = (
+        dspark.read.format("txnlake")
+        .option("root", cat)
+        .option("table", "corpus")
+        .load()
+    )
+    assert got.count() == 10 and got.columns == ["doc_id", "x"]
+    # version option pins the consistent cross-table snapshot
+    v0 = (
+        dspark.read.format("txnlake")
+        .option("root", cat)
+        .option("table", "corpus")
+        .option("version", 0)
+        .load()
+    )
+    assert v0.count() == 8
+    idx = (
+        dspark.read.format("txnlake")
+        .option("root", cat)
+        .option("table", "index")
+        .load()
+    )
+    assert idx.count() == 8 and idx.columns == ["doc_id", "b"]
+    with pytest.raises(Exception, match="unknown|empty"):
+        dspark.read.format("txnlake").option("root", cat).option(
+            "table", "nope"
+        ).load().collect()
