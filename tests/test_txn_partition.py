@@ -460,6 +460,11 @@ def test_randomized_op_sequences_on_a_partitioned_table(spark, tmp_path):
 
         latest = lake.txn_latest_version(root)
         assert latest == len(snapshots) - 1
+        from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
+            TxnLakeDataSource,
+        )
+
+        spark.dataSource.register(TxnLakeDataSource)
         for v, want in enumerate(snapshots):
             got = {
                 r["id"]: (r["p"], r["v"])
@@ -469,6 +474,17 @@ def test_randomized_op_sequences_on_a_partitioned_table(spark, tmp_path):
             st = lake._replay(root, v)
             assert st.spec == ["p"], (seed, v)
             assert all(f"{os.sep}p=" in f for f in st.files), (seed, v)
+            # the native data source reads the SAME state at every
+            # version (two surfaces, one source of truth)
+            ds = {
+                r["id"]: (r["p"], r["v"])
+                for r in spark.read.format("txnlake")
+                .option("root", root)
+                .option("version", v)
+                .load()
+                .collect()
+            }
+            assert ds == got, (seed, v)
         # per-partition pruned reads at the LATEST version
         for pval in range(4):
             df, nread, ntotal = lake.txn_read_partitioned(
