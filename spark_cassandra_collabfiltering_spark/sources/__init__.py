@@ -38,6 +38,7 @@ from spark_cassandra_collabfiltering_spark.sources.lake import (
     txn_multi_write,
     txn_multi_history,
     txn_multi_vacuum,
+    txn_multi_sink,
     txn_catalog_tables,
     txn_table_read,
     txn_table_read_pruned,
@@ -82,6 +83,7 @@ __all__ = [
     "txn_multi_write",
     "txn_multi_history",
     "txn_multi_vacuum",
+    "txn_multi_sink",
     "txn_catalog_tables",
     "txn_table_read",
     "txn_table_read_pruned",

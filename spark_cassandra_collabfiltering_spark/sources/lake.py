@@ -2556,6 +2556,24 @@ def txn_multi_write(
     raise ConcurrentWriteConflict(f"gave up after {max_retries} retries")
 
 
+def txn_multi_sink(cat_root: str, app: str, splitter):
+    """An exactly-once MULTI-TABLE streaming sink: each micro-batch is
+    split into per-table frames by ``splitter(batch_df) -> {table:
+    DataFrame}`` and published as ONE atomic catalog commit keyed
+    (app, epoch_id) — the fan-out half of the publish contract: a
+    stream feeding both a corpus table and its index can never land
+    one without the other, and a replayed epoch is a no-op.
+    ``stream.writeStream.foreachBatch(txn_multi_sink(cat, "pub", f))``.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        writes = splitter(batch_df)
+        if writes:
+            txn_multi_write(cat_root, writes, txn=(app, int(epoch_id)))
+
+    return _sink
+
+
 def txn_catalog_tables(cat_root: str, version: "int | None" = None) -> list:
     """Table names present in the catalog at ``version`` (default
     latest), sorted."""

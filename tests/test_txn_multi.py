@@ -190,3 +190,59 @@ def test_table_read_pruned_skips_on_catalog_stats(spark, tmp_path):
     )
     assert (nread, ntotal) == (1, 3)
     assert _ids(df) == list(range(100, 105))
+
+
+def test_multi_sink_publishes_each_epoch_atomically(spark, tmp_path):
+    """foreachBatch fan-out: one micro-batch -> corpus AND index in a
+    single catalog commit; a replayed epoch (same app, same epoch id)
+    is a no-op."""
+    from pyspark.sql import functions as F
+
+    cat = str(tmp_path / "cat")
+
+    def splitter(df):
+        return {
+            "corpus": df.select("doc_id", "text"),
+            "index": df.select("doc_id", (F.col("doc_id") % 7).alias("b")),
+        }
+
+    sink = lake.txn_multi_sink(cat, "pub", splitter)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(3, "c")], "doc_id long, text string")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay: no-op
+    assert lake.txn_latest_version(cat) == 1
+    assert _ids(lake.txn_table_read(spark, cat, "corpus")) == [1, 2, 3]
+    assert _ids(lake.txn_table_read(spark, cat, "index")) == [1, 2, 3]
+    # v0 snapshot is the epoch-0 publish, both tables together
+    assert _ids(lake.txn_table_read(spark, cat, "corpus", 0)) == [1, 2]
+    assert _ids(lake.txn_table_read(spark, cat, "index", 0)) == [1, 2]
+
+
+def test_multi_sink_through_a_real_stream(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cat = str(tmp_path / "cat")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).coalesce(1).write.json(src)
+
+    def splitter(df):
+        return {
+            "corpus": df.select("doc_id", "text"),
+            "index": df.select("doc_id", (F.col("doc_id") % 7).alias("b")),
+        }
+
+    sdf = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        sdf.writeStream.foreachBatch(lake.txn_multi_sink(cat, "s", splitter))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _ids(lake.txn_table_read(spark, cat, "corpus")) == [1, 2]
+    assert _ids(lake.txn_table_read(spark, cat, "index")) == [1, 2]
+    assert lake.txn_multi_history(cat)[0]["txn"] == ("s", 0)
