@@ -145,6 +145,12 @@ SHOWN = [
     # partition columns, unioned — no exchange, no broadcast build.
     "lake_txn_partition",
     "lake_txn_multi",
+    # r7 continuation 2: the native data source (PythonScan with the
+    # file list already pruned by pushFilters) and the two
+    # training-data assembly shapes
+    "lake_txn_datasource",
+    "cf_preference_pairs",
+    "sft_chat_assembly",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
