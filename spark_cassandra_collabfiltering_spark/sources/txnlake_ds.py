@@ -91,10 +91,14 @@ def _arrow_type(dt):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file, part_vals, dv_sidecars):
+    def __init__(self, file, part_vals, dv_sidecars, take_sidecars=None,
+                 extra=None):
         self.file = file
         self.part_vals = part_vals  # {col: hive string | None} or {}
-        self.dv_sidecars = dv_sidecars  # sidecar paths targeting this file
+        self.dv_sidecars = dv_sidecars  # positions to EXCLUDE (masks)
+        # positions to EMIT (change-feed delete rows); None = all-kept
+        self.take_sidecars = take_sidecars
+        self.extra = extra or {}  # {col: python value} constant columns
 
 
 def _read_dv_positions(sidecars: list, enc_file: str) -> "set[int]":
@@ -130,21 +134,29 @@ def _file_to_batches(
 
     tbl = pq.read_table(partition.file)
     n = tbl.num_rows
+    enc = lake._uri_path(partition.file)
     dead = (
-        _read_dv_positions(
-            partition.dv_sidecars, lake._uri_path(partition.file)
-        )
+        _read_dv_positions(partition.dv_sidecars, enc)
         if partition.dv_sidecars
         else set()
     )
-    if dead:
+    if partition.take_sidecars is not None:
+        # change-feed delete rows: EMIT exactly these positions (minus
+        # positions an earlier DV already hid)
+        take = _read_dv_positions(partition.take_sidecars, enc) - dead
+        tbl = tbl.take(pa.array(sorted(p for p in take if p < n),
+                                type=pa.int64()))
+        n = tbl.num_rows
+    elif dead:
         keep = [i for i in range(n) if i not in dead]
         tbl = tbl.take(pa.array(keep, type=pa.int64()))
         n = tbl.num_rows
     arrays, names = [], []
     for f in schema.fields:
         at = _arrow_type(f.dataType)
-        if f.name in tbl.column_names:
+        if f.name in partition.extra:
+            arrays.append(pa.array([partition.extra[f.name]] * n, type=at))
+        elif f.name in tbl.column_names:
             col = tbl.column(f.name)
             if at is not None and col.type != at:
                 col = col.cast(at)
@@ -304,15 +316,41 @@ class TxnCatalogReader(DataSourceReader):
         yield from _file_to_batches(partition, self._schema, [])
 
 
+def _cdf_schema(base: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(base.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+        ]
+    )
+
+
 class TxnLakeStreamReader(DataSourceStreamReader):
     """Offsets are log versions: {"version": N} = everything up to and
-    including commit N has been emitted. Micro-batch (start, end] =
-    the files appended by commits start+1..end, one input partition
-    per file, read executor-side."""
+    including commit N has been emitted. Default mode streams
+    APPEND-ONLY tables: micro-batch (start, end] = the files appended
+    by the gap commits, one input partition per file, read
+    executor-side; non-append commits raise unless skipChangeCommits.
 
-    def __init__(self, root: str, skip_change_commits: bool):
+    ``readChangeFeed`` mode streams ROW-LEVEL CHANGES instead (output
+    = table schema + _change_type + _commit_version): appends emit
+    inserts, DV commits emit the newly-hidden rows as deletes,
+    overwrites emit the prior snapshot as deletes plus the new files
+    as inserts, compaction emits nothing — all per-file parallel.
+    MERGE commits emit UNCANCELLED churn (every removed-file row as a
+    delete + every added-file row as an insert at the same version):
+    unlike the batch txn_changes, rewritten-but-identical rows are NOT
+    cancelled via exceptAll — cancellation needs a cross-file set
+    difference (a shuffle), which a per-partition source cannot run.
+    Folding consumers (IVM, replicas: apply deletes then inserts per
+    version) reach the identical end state; churn-COUNTING consumers
+    should use the batch txn_changes."""
+
+    def __init__(self, root: str, skip_change_commits: bool, cdf: bool):
         self._root = root
         self._skip = skip_change_commits
+        self._cdf = cdf
 
     def initialOffset(self):
         return {"version": -1}
@@ -321,25 +359,80 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         latest = lake.txn_latest_version(self._root)
         return {"version": latest if latest is not None else -1}
 
+    def _parts_for(self, v: int) -> list:
+        c = lake._read_commit(self._root, v)
+        st = lake._replay(self._root, v)
+        if not self._cdf:
+            if c["op"] == "append":
+                return [
+                    _FilePartition(f, st.parts.get(f) or {}, [])
+                    for f in c["files"]
+                ]
+            if self._skip or c["op"] == "dv":
+                # dv commits add no rows; with skipChangeCommits
+                # rewrites are silently skipped (Delta's contract)
+                return []
+            raise ValueError(
+                f"streaming source hit a {c['op']} commit at v{v}; "
+                "this source streams APPEND-ONLY tables — set "
+                "skipChangeCommits to ignore rewrites, or "
+                "readChangeFeed to stream the churn itself"
+            )
+        # --- change-feed mode ---
+        if c["op"] == "compact":
+            return []
+        prev = lake._replay(self._root, v - 1) if v > 0 else None
+
+        def masks(state, f):
+            return [
+                p
+                for sf, tg in (state.dvs if state else [])
+                if f in tg
+                for p in sf
+            ]
+
+        def ins(f, state):
+            return _FilePartition(
+                f, state.parts.get(f) or {}, [],
+                extra={"_change_type": "insert", "_commit_version": v},
+            )
+
+        def dele(f, state):
+            return _FilePartition(
+                f, (state.parts.get(f) if state else None) or {},
+                masks(state, f),
+                extra={"_change_type": "delete", "_commit_version": v},
+            )
+
+        parts: list = []
+        if c["op"] == "append":
+            parts += [ins(f, st) for f in c["files"]]
+        elif c["op"] == "overwrite":
+            parts += [dele(f, prev) for f in (prev.files if prev else [])]
+            parts += [ins(f, st) for f in c["files"]]
+        elif c["op"] == "merge":
+            parts += [dele(f, prev) for f in c.get("removes", [])]
+            parts += [ins(f, st) for f in c["files"]]
+        elif c["op"] == "dv":
+            for f in c["dv_for"]:
+                parts.append(
+                    _FilePartition(
+                        f,
+                        (prev.parts.get(f) if prev else None) or {},
+                        masks(prev, f),  # minus earlier-DV rows
+                        take_sidecars=c["files"],
+                        extra={
+                            "_change_type": "delete",
+                            "_commit_version": v,
+                        },
+                    )
+                )
+        return parts
+
     def partitions(self, start, end):
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            c = lake._read_commit(self._root, v)
-            if c["op"] != "append":
-                if self._skip or c["op"] == "dv":
-                    # dv commits add no rows; with skipChangeCommits
-                    # rewrites are silently skipped (Delta's contract)
-                    continue
-                raise ValueError(
-                    f"streaming source hit a {c['op']} commit at v{v}; "
-                    "this source streams APPEND-ONLY tables — set "
-                    "skipChangeCommits to ignore rewrites"
-                )
-            st = lake._replay(self._root, v)
-            for f in c["files"]:
-                parts.append(
-                    _FilePartition(f, st.parts.get(f) or {}, [])
-                )
+            parts += self._parts_for(v)
         return parts
 
     def read(self, partition):
@@ -347,6 +440,8 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         schema = T.StructType.fromJson(
             json.loads(lake._table_schema_json(self._root, latest))
         )
+        if self._cdf:
+            schema = _cdf_schema(schema)
         spec = lake._replay(self._root, latest).spec
         yield from _file_to_batches(partition, schema, spec)
 
@@ -545,9 +640,15 @@ class TxnLakeDataSource(DataSource):
             if t is None or t["schema"] is None:
                 raise ValueError(f"table {table!r} unknown at version {v}")
             return T.StructType.fromJson(json.loads(t["schema"]))
-        return T.StructType.fromJson(
+        base = T.StructType.fromJson(
             json.loads(lake._table_schema_json(root, v))
         )
+        if self._flag("readchangefeed"):
+            return _cdf_schema(base)
+        return base
+
+    def _flag(self, key: str) -> bool:
+        return str(self.options.get(key, "false")).lower() in ("true", "1")
 
     def reader(self, schema):
         v = self.options.get("version")
@@ -558,8 +659,11 @@ class TxnLakeDataSource(DataSource):
         return TxnLakeReader(self._root(), v)
 
     def streamReader(self, schema):
-        skip = str(self.options.get("skipchangecommits", "false")).lower()
-        return TxnLakeStreamReader(self._root(), skip in ("true", "1"))
+        return TxnLakeStreamReader(
+            self._root(),
+            self._flag("skipchangecommits"),
+            self._flag("readchangefeed"),
+        )
 
     def writer(self, schema, overwrite):
         cols = [

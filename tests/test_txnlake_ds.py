@@ -333,3 +333,63 @@ def test_catalog_tables_read_through_the_data_source(dspark, tmp_path):
         dspark.read.format("txnlake").option("root", cat).option(
             "table", "nope"
         ).load().collect()
+
+
+def test_change_feed_stream_folds_to_the_table_state(dspark, tmp_path):
+    """readChangeFeed mode: appends -> inserts, DV commits -> the
+    newly-hidden rows as deletes, merges -> uncancelled churn,
+    compaction -> nothing. The FOLD (v0 snapshot + inserts - deletes,
+    multiset) must equal the final table — the same replay contract
+    the batch txn_changes pins, carried through the streaming source."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    lake.txn_write(
+        _d(dspark, 0, 20).repartitionByRange(2, "id"), root,
+        stats_cols=["id"],
+    )  # v0
+    lake.txn_write(_d(dspark, 20, 25).coalesce(1), root, stats_cols=["id"])  # v1
+    lake.txn_delete_dv(
+        dspark, root, dspark.range(0, 4).select("id"), ["id"]
+    )  # v2
+    src = dspark.createDataFrame([(5, -5), (100, 200)], "id long, v long")
+    lake.txn_merge(dspark, root, src, ["id"], stats_cols=["id"])  # v3
+    lake.txn_compact(dspark, root, stats_cols=["id"])  # v4: silent
+    sdf = (
+        dspark.readStream.format("txnlake")
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert "_change_type" in sdf.columns and "_commit_version" in sdf.columns
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out + "/data")
+        .option("checkpointLocation", out + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    feed = dspark.read.parquet(out + "/data")
+    assert feed.filter("_commit_version = 4").count() == 0  # compact silent
+    # DV version emits exactly the newly-hidden rows
+    dv_rows = feed.filter("_commit_version = 2").collect()
+    assert sorted(r["id"] for r in dv_rows) == [0, 1, 2, 3]
+    assert all(r["_change_type"] == "delete" for r in dv_rows)
+    # fold: changes SINCE v0 applied to the v0 snapshot == final table
+    base = lake.txn_read(dspark, root, version=0).select("id", "v")
+    ins = feed.filter(
+        "_change_type = 'insert' AND _commit_version >= 1"
+    ).select("id", "v")
+    dels = feed.filter(
+        "_change_type = 'delete' AND _commit_version >= 1"
+    ).select("id", "v")
+    folded = sorted(
+        (r["id"], r["v"])
+        for r in base.unionByName(ins).exceptAll(dels).collect()
+    )
+    want = sorted(
+        (r["id"], r["v"]) for r in lake.txn_read(dspark, root).collect()
+    )
+    assert folded == want
