@@ -246,3 +246,39 @@ def test_multi_sink_through_a_real_stream(spark, tmp_path):
     assert _ids(lake.txn_table_read(spark, cat, "corpus")) == [1, 2]
     assert _ids(lake.txn_table_read(spark, cat, "index")) == [1, 2]
     assert lake.txn_multi_history(cat)[0]["txn"] == ("s", 0)
+
+
+def test_true_thread_race_appends_all_land(spark, tmp_path):
+    """Four writers racing real threads on overlapping table sets:
+    every append rebases and lands, versions are contiguous, and the
+    final state is the union (no lost updates, no torn publishes)."""
+    import threading
+
+    cat = str(tmp_path / "cat")
+    lake.txn_multi_write(
+        cat, {"corpus": _corpus(spark, 0, 1), "index": _index(spark, 0, 1)}
+    )
+    errs = []
+
+    def work(k):
+        try:
+            lake.txn_multi_write(
+                cat,
+                {
+                    "corpus": _corpus(spark, 10 * k, 10 * k + 2),
+                    "index": _index(spark, 10 * k, 10 * k + 2),
+                },
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=work, args=(k,)) for k in range(1, 5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert lake.txn_latest_version(cat) == 4  # contiguous, all landed
+    want = [0] + [10 * k + j for k in range(1, 5) for j in (0, 1)]
+    assert _ids(lake.txn_table_read(spark, cat, "corpus")) == sorted(want)
+    assert _ids(lake.txn_table_read(spark, cat, "index")) == sorted(want)

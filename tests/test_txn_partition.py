@@ -551,3 +551,34 @@ def test_rle_runs_roundtrip_property(spark):
         # dense case compresses maximally
         if positions == list(range(1500)):
             assert len(runs) == 1
+
+
+def test_two_level_partition_spec(spark, tmp_path):
+    """Composite specs nest hive dirs (a=1/b=x/); pruning works on
+    either column alone and on both, and values re-attach typed."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    d = spark.range(0, 60).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("a"),
+        F.concat(F.lit("s"), F.col("id") % 2).alias("b"),
+    )
+    lake.txn_write(d, root, partition_by=["a", "b"])
+    st = lake._replay(root, 0)
+    assert st.spec == ["a", "b"]
+    assert all(f"{os.sep}a=" in f and f"{os.sep}b=" in f for f in st.files)
+    back = lake.txn_read(spark, root)
+    assert back.count() == 60
+    assert back.filter(
+        (back.a == back.id % 3) & (back.b == F.concat(F.lit("s"), back.id % 2))
+    ).count() == 60
+    df, nr, nt = lake.txn_read_partitioned(spark, root, {"a": 1, "b": "s0"})
+    assert nr < nt
+    assert _ids(df) == [i for i in range(60) if i % 3 == 1 and i % 2 == 0]
+    # pruning on the SECOND column alone
+    df2, nr2, nt2 = lake.txn_read_partitioned(spark, root, {"b": "s1"})
+    assert nr2 < nt2 and df2.count() == 30
+    # singleton stats on both spec columns power range pruning too
+    df3, nr3, nt3 = lake.txn_read_pruned(spark, root, "a", 2, 2)
+    assert nr3 < nt3 and df3.count() == 20
