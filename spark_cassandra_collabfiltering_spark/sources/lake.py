@@ -1334,6 +1334,14 @@ def txn_compact(
     # read victims under the TABLE schema (mergeSchema handles files
     # written before an evolution), so the rewritten files are uniform
     rows = _read_files(spark, root, read_v, victims)
+    # On a partitioned table, clustering happens WITHIN each hive
+    # partition: leading the range exchange and the sort with the spec
+    # columns keeps each task on (mostly) one partition's contiguous
+    # key range, so every col=value/ directory's rewritten files carry
+    # near-disjoint min/max on the cluster key — without this, a
+    # global range on the key alone scatters every task across every
+    # partition dir and the per-dir stats overlap completely.
+    lead = list(full.spec)
     if zorder_dims:
         # OPTIMIZE ... ZORDER: cluster on the Morton interleave of
         # several dims so min/max stats prune on ANY of them (a plain
@@ -1341,14 +1349,14 @@ def txn_compact(
         zk = zorder_key(zorder_dims)
         rows = (
             rows.withColumn("_zk", zk)
-            .repartitionByRange(n_files, "_zk")
-            .sortWithinPartitions("_zk")
+            .repartitionByRange(n_files, *lead, "_zk")
+            .sortWithinPartitions(*lead, "_zk")
             .drop("_zk")
         )
     elif sort_cols:
-        rows = rows.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
+        rows = rows.repartitionByRange(
+            n_files, *lead, *sort_cols
+        ).sortWithinPartitions(*lead, *sort_cols)
     else:
         rows = rows.coalesce(n_files)
     files = _write_data_files(rows, root, partition_by=full.spec or None)

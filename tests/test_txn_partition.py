@@ -582,3 +582,49 @@ def test_two_level_partition_spec(spark, tmp_path):
     # singleton stats on both spec columns power range pruning too
     df3, nr3, nt3 = lake.txn_read_pruned(spark, root, "a", 2, 2)
     assert nr3 < nt3 and df3.count() == 20
+
+
+def test_clustered_compaction_within_partitions(spark, tmp_path):
+    """txn_compact(sort_cols) on a partitioned table clusters WITHIN
+    each hive partition: after interleaved appends, each bucket dir's
+    rewritten files carry near-disjoint id ranges, so a (partition,
+    range) read opens a strict subset of the partition's files."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    # three interleaved appends -> overlapping id ranges everywhere
+    for lo in (0, 1, 2):
+        d = spark.range(lo, 300, 3).select(
+            "id", (F.col("id") % 4).cast("int").alias("p")
+        )
+        lake.txn_write(
+            d.repartition(2), root,
+            partition_by=["p"] if lo == 0 else None, stats_cols=["id"],
+        )
+    v = lake.txn_compact(
+        spark, root, stats_cols=["id"], sort_cols=["id"], n_files=4
+    )
+    st = lake._replay(root, v)
+    assert st.spec == ["p"]
+    assert all(f"{os.sep}p=" in f for f in st.files)
+    assert lake.txn_read(spark, root).count() == 300
+    # within ONE partition, files' id ranges must be disjoint
+    for pval in range(4):
+        ranges = sorted(
+            tuple(st.stats[f]["id"])
+            for f in st.files
+            if f"p={pval}" in f and "id" in st.stats.get(f, {})
+        )
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi < b_lo, (pval, ranges)
+    # composed pruning: partition filter + range filter opens a strict
+    # subset of that partition's files (stats pruning inside the dir)
+    files_p1 = [f for f in st.files if "p=1" in f]
+    if len(files_p1) > 1:
+        df, nread, _ = lake.txn_read_pruned(spark, root, "id", 1, 20)
+        in_p1 = [
+            f for f in files_p1
+            if lake._rng_may_contain(st.stats[f].get("id"), 1)
+            or lake._rng_may_contain(st.stats[f].get("id"), 20)
+        ]
+        assert len(in_p1) < len(files_p1)
