@@ -637,6 +637,12 @@ class SchemaMismatch(ValueError):
     reads differently depending on which file Spark samples first)."""
 
 
+class ConstraintViolation(ValueError):
+    """Raised when a write's rows violate a table CHECK constraint —
+    the write-boundary data-quality gate (bad rows never reach the
+    table, instead of being discovered by a downstream scan)."""
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -673,8 +679,8 @@ def _apply_commit(files: list[str], c: dict) -> list[str]:
     if c["op"] in ("compact", "merge"):
         rm = set(c["removes"])
         return [f for f in files if f not in rm] + list(c["files"])
-    if c["op"] == "dv":
-        return files  # deletion vector: sidecars only, data files stay
+    if c["op"] in ("dv", "meta"):
+        return files  # sidecars-only / metadata-only: data files stay
     return files + list(c["files"])
 
 
@@ -714,6 +720,7 @@ class _TableState(typing.NamedTuple):
     dvs: list  # active deletion vectors: [(sidecar_files, target_files)]
     parts: dict  # live file -> {partition col: hive string value | None}
     spec: list  # table partition spec (column names), [] = unpartitioned
+    constraints: dict  # CHECK constraints: {name: sql expr}
 
 
 def _replay(root: str, version: int) -> _TableState:
@@ -730,6 +737,7 @@ def _replay(root: str, version: int) -> _TableState:
     dvs: list = []
     parts: dict = {}
     spec: list = []
+    constraints: dict = {}
     start = 0
     cp = _latest_checkpoint(root, version)
     if cp is not None:
@@ -740,6 +748,7 @@ def _replay(root: str, version: int) -> _TableState:
         dvs = [tuple(d) for d in cp.get("dvs", [])]
         parts = dict(cp.get("parts", {}))
         spec = list(cp.get("spec", []))
+        constraints = dict(cp.get("constraints", {}))
         start = cp["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(root, v)
@@ -748,6 +757,8 @@ def _replay(root: str, version: int) -> _TableState:
         parts.update(c.get("partitions", {}))
         if "partition_by" in c:
             spec = list(c["partition_by"])
+        if "constraints" in c:  # meta commits carry the FULL map
+            constraints = dict(c["constraints"])
         if c["op"] == "overwrite":
             # an overwrite (incl. RESTORE) defines a COMPLETE state:
             # prior DVs belong to the replaced history, and must not
@@ -776,6 +787,7 @@ def _replay(root: str, version: int) -> _TableState:
         dvs,
         {f: p for f, p in parts.items() if f in live},
         spec,
+        constraints,
     )
 
 
@@ -804,7 +816,8 @@ def _maybe_checkpoint(root: str, version: int) -> None:
              "txns": sorted(list(t) for t in st.txns), "stats": st.stats,
              "file_schemas": st.file_schemas,
              "dvs": [list(d) for d in st.dvs],
-             "parts": st.parts, "spec": st.spec},
+             "parts": st.parts, "spec": st.spec,
+             "constraints": st.constraints},
             fh,
         )
     os.replace(tmp, _checkpoint_path(root, version))
@@ -1056,6 +1069,7 @@ def _txn_commit(
     extra_conflict=None,
     parts: "dict | None" = None,
     spec: "list | None" = None,
+    extra_commit: "dict | None" = None,
 ) -> "int | None":
     """The optimistic commit loop shared by write, compact and merge:
     try to win version R+1 with O_EXCL; on loss, apply the
@@ -1092,6 +1106,8 @@ def _txn_commit(
             # recorded even when [] — an overwrite/RESTORE may reset a
             # partitioned table to an unpartitioned state
             commit["partition_by"] = list(spec)
+        if extra_commit:
+            commit.update(extra_commit)
         if txn is not None:
             commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
         path = os.path.join(_log_dir(root), f"{attempt_v:020d}.json")
@@ -1222,6 +1238,84 @@ def _spec_stats(
     }
 
 
+def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
+    """CHECK semantics (SQL standard / Delta): a row violates only
+    when the expression is FALSE — NULL passes. One short-circuiting
+    job per constrained write, run BEFORE any data lands, so a
+    rejected batch leaves zero garbage."""
+    from pyspark.sql import functions as F
+
+    for name, expr in sorted(constraints.items()):
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        if not bad.isEmpty():
+            raise ConstraintViolation(
+                f"rows violate CHECK constraint {name!r}: {expr}"
+            )
+
+
+def txn_set_constraint(
+    root: str, name: str, expr: str, max_retries: int = 20
+) -> int:
+    """ADD/replace a table CHECK constraint as a METADATA-ONLY commit
+    (op="meta", the Delta ALTER TABLE ADD CONSTRAINT shape): every
+    subsequent txn_write/txn_merge validates its rows against the
+    constraint BEFORE writing (SQL CHECK semantics: NULL passes) and
+    raises :class:`ConstraintViolation` instead of landing bad data.
+    EXISTING rows are not re-validated (add constraints before data,
+    or validate with stats_expectations first). Enforcement races
+    resolve by commit order: a write that read the table before the
+    constraint committed may still land unvalidated — the constraint
+    governs writes that BEGIN after it. Meta commits add no files, so
+    concurrent appends/compacts rebase past them freely."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    read_v = txn_latest_version(root)
+    cons = dict(_replay(root, read_v).constraints) if read_v is not None else {}
+    cons[name] = expr
+    v = _txn_commit(
+        root, "meta", [], [], read_v, None, max_retries, None,
+        (lambda tip: _table_schema_json(root, tip))
+        if read_v is not None
+        else None,
+        _meta_conflict,
+        extra_commit={"constraints": cons},
+    )
+    return v
+
+
+def _meta_conflict(won: dict) -> "str | None":
+    # meta commits carry the FULL constraints map; rebasing one past a
+    # concurrent constraint change would silently drop the other edit
+    return (
+        "concurrent constraint change" if "constraints" in won else None
+    )
+
+
+def txn_drop_constraint(root: str, name: str, max_retries: int = 20) -> int:
+    """DROP a CHECK constraint (metadata-only commit). Unknown names
+    raise (a typo must not silently leave the constraint active)."""
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    cons = dict(_replay(root, read_v).constraints)
+    if name not in cons:
+        raise ValueError(f"no CHECK constraint named {name!r}")
+    del cons[name]
+    return _txn_commit(
+        root, "meta", [], [], read_v, None, max_retries, None,
+        lambda tip: _table_schema_json(root, tip),
+        _meta_conflict,
+        extra_commit={"constraints": cons},
+    )
+
+
+def txn_constraints(root: str) -> dict:
+    """The active CHECK constraints ({name: sql expr})."""
+    latest = txn_latest_version(root)
+    if latest is None:
+        return {}
+    return dict(_replay(root, latest).constraints)
+
+
 def txn_write(
     df: DataFrame,
     root: str,
@@ -1260,10 +1354,16 @@ def txn_write(
         root, read_v, txn[0], txn[1]
     ):
         return None
-    table_spec = _replay(root, read_v).spec if read_v is not None else []
+    table_state = _replay(root, read_v) if read_v is not None else None
     spec = _resolve_spec(
-        df.schema, partition_by, table_spec, read_v is not None, mode
+        df.schema, partition_by,
+        table_state.spec if table_state else [],
+        read_v is not None, mode,
     )
+    if table_state and table_state.constraints:
+        # CHECK constraints gate BOTH modes (a table property, like
+        # the spec); runs before any data lands
+        _enforce_constraints(df, table_state.constraints)
 
     def schema_fn(tip):
         # re-resolve the spec against the tip a rebase lands on: a
@@ -1528,6 +1628,10 @@ def txn_merge(
     }
 
     state = _replay(root, read_v)
+    if state.constraints and not keys_only:
+        # validate the NEW rows (source) before any rewrite happens;
+        # survivors were validated by the write that landed them
+        _enforce_constraints(source, state.constraints)
     key_rows = (
         source.select(*key_cols).distinct().collect()
         if head["_n"] <= MERGE_PRUNE_MAX_KEYS

@@ -482,6 +482,14 @@ class TxnLakeWriter(DataSourceArrowWriter):
                     f"table is partitioned by {state.spec} — append "
                     "through lake.txn_write(partition_by=...) instead"
                 )
+            if state.constraints:
+                # the writer cannot evaluate SQL CHECK expressions on
+                # its Arrow task batches; refuse rather than bypass
+                raise ValueError(
+                    "this table has CHECK constraints "
+                    f"{sorted(state.constraints)}; write through "
+                    "lake.txn_write, which enforces them"
+                )
             if self._mode == "append":
                 lake._check_schema(
                     lake._table_schema_json(root, read_v), schema, False
@@ -573,6 +581,13 @@ class TxnLakeStreamWriter(DataSourceStreamArrowWriter):
                     f"this table is partitioned by {state.spec} — use "
                     "foreachBatch(lake.txn_cdc_sink/txn_stream_sink) "
                     "with lake.txn_write(partition_by=...) instead"
+                )
+            if state.constraints:
+                raise ValueError(
+                    "this table has CHECK constraints "
+                    f"{sorted(state.constraints)}; sink through "
+                    "foreachBatch(lake.txn_stream_sink), which routes "
+                    "writes via the enforcing lake.txn_write"
                 )
             lake._check_schema(
                 lake._table_schema_json(root, read_v), schema, False
