@@ -624,6 +624,21 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
 
 CHECKPOINT_EVERY = 10
 
+# Log protocol version (the Delta reader/writer-version shape): every
+# commit records the protocol it was written under; a reader seeing a
+# NEWER protocol than it supports must refuse loudly rather than
+# misread state written under rules it does not know (the alternative
+# — silently ignoring unknown commit fields — corrupts replay).
+# History: 1 = everything through r7 (append/overwrite/compact/merge/
+# dv/meta, partitions, RLE DVs, constraints). Commits WITHOUT a
+# protocol field are protocol 1 (pre-versioning logs stay readable).
+PROTOCOL_VERSION = 1
+
+
+class UnsupportedProtocol(RuntimeError):
+    """The log contains commits written under a newer protocol than
+    this reader supports — upgrade before reading."""
+
 
 class ConcurrentWriteConflict(RuntimeError):
     """Raised when an optimistic commit cannot be rebased (overwrite
@@ -665,7 +680,13 @@ def _read_commit(root: str, version: int) -> dict:
     import json
 
     with open(os.path.join(_log_dir(root), f"{version:020d}.json")) as fh:
-        return json.load(fh)
+        c = json.load(fh)
+    if c.get("protocol", 1) > PROTOCOL_VERSION:
+        raise UnsupportedProtocol(
+            f"commit v{version} was written under protocol "
+            f"{c['protocol']}; this reader supports <= {PROTOCOL_VERSION}"
+        )
+    return c
 
 
 def txn_latest_version(root: str) -> int | None:
@@ -1091,6 +1112,7 @@ def _txn_commit(
             "op": op,
             "files": files,
             "read_version": read_v,
+            "protocol": PROTOCOL_VERSION,
         }
         if schema_json is not None:
             commit["schema"] = schema_json
@@ -1871,6 +1893,40 @@ def txn_delete_dv(
         None, lambda tip: _table_schema_json(root, tip),
     )
     return v, n_deleted, len(victims)
+
+
+def txn_detail(root: str) -> dict:
+    """DESCRIBE DETAIL: one dict summarizing the table at its latest
+    version — version, file/byte counts, partition spec, schema field
+    names, active DV count, constraints, protocol. Pure log+stat
+    arithmetic plus one os.path.getsize pass over live files."""
+    import json
+
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    st = _replay(root, latest)
+    schema_json = _table_schema_json(root, latest)
+    fields = (
+        [f.name for f in T.StructType.fromJson(json.loads(schema_json)).fields]
+        if schema_json
+        else []
+    )
+    return {
+        "version": latest,
+        "num_files": len(st.files),
+        "size_bytes": sum(
+            os.path.getsize(f) for f in st.files if os.path.exists(f)
+        ),
+        "partition_by": list(st.spec),
+        "columns": fields,
+        "num_active_dvs": len(st.dvs),
+        "constraints": dict(st.constraints),
+        "protocol": max(
+            (_read_commit(root, v).get("protocol", 1) for v in range(latest + 1)),
+            default=1,
+        ),
+    }
 
 
 def txn_history(root: str) -> list[dict]:

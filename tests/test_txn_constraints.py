@@ -134,3 +134,50 @@ def test_data_source_writers_refuse_constrained_tables(spark, tmp_path):
         _d(spark, [(2, 20)]).write.format("txnlake").option(
             "root", root
         ).mode("append").save()
+
+
+def test_protocol_versioning_refuses_newer_logs(spark, tmp_path):
+    """Commits record their protocol; a reader must refuse a log
+    written under a NEWER protocol instead of misreading state
+    (silently ignoring unknown commit semantics corrupts replay).
+    Pre-versioning commits (no field) stay readable as protocol 1."""
+    import json
+    import os as _os
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, [(1, 10)]), root)
+    # commits carry the current protocol
+    assert lake._read_commit(root, 0)["protocol"] == lake.PROTOCOL_VERSION
+    assert lake.txn_detail(root)["protocol"] == lake.PROTOCOL_VERSION
+    # a pre-versioning commit (field stripped) reads fine
+    p = _os.path.join(root, "_log", f"{0:020d}.json")
+    c = json.load(open(p))
+    del c["protocol"]
+    json.dump(c, open(p, "w"))
+    assert lake.txn_read(spark, root).count() == 1
+    # a FUTURE protocol refuses loudly
+    c["protocol"] = lake.PROTOCOL_VERSION + 1
+    json.dump(c, open(p, "w"))
+    with pytest.raises(lake.UnsupportedProtocol, match="protocol"):
+        lake.txn_read(spark, root).count()
+
+
+def test_txn_detail_summarizes_the_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    d = spark.range(20).select(
+        "id", (F.col("id") % 2).cast("int").alias("p"), (F.col("id") * 2).alias("v")
+    )
+    lake.txn_write(d, root, partition_by=["p"], stats_cols=["id"])
+    lake.txn_set_constraint(root, "v_nonneg", "v >= 0")
+    lake.txn_delete_dv(
+        spark, root, spark.createDataFrame([(3,)], "id long"), ["id"]
+    )
+    det = lake.txn_detail(root)
+    assert det["version"] == 2
+    assert det["partition_by"] == ["p"]
+    assert det["columns"] == ["id", "p", "v"]
+    assert det["num_active_dvs"] == 1
+    assert det["constraints"] == {"v_nonneg": "v >= 0"}
+    assert det["num_files"] >= 2 and det["size_bytes"] > 0
