@@ -2497,6 +2497,7 @@ def txn_clone(src_root: str, dst_root: str) -> int:
         "files": list(state.files),
         "read_version": None,
         "stats": dict(state.stats),
+        "protocol": PROTOCOL_VERSION,
     }
     if state.spec:
         commit["partition_by"] = list(state.spec)
@@ -2518,6 +2519,7 @@ def txn_clone(src_root: str, dst_root: str) -> int:
             "files": list(sidecars),
             "dv_for": list(targets),
             "read_version": v,
+            "protocol": PROTOCOL_VERSION,
         }
         if schema is not None:
             commit["schema"] = schema
@@ -2682,6 +2684,7 @@ def txn_multi_write(
             "op": "multi",
             "tables": actions,
             "read_version": read_v,
+            "protocol": PROTOCOL_VERSION,
         }
         if txn is not None:
             commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
