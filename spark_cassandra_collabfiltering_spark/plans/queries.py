@@ -138,8 +138,11 @@ _DRIVER_ORDER = [
     # benched family default and driver-green r1-r6, locally sweep-
     # checked every round)
     "dedup_clusters_incremental", "mm_jpeg_features", "dedup_ppjoin",
-    # --- the r6 end-to-end corpus assembly composition (kept)
-    "pipeline_corpus_assembly",
+    # --- r7 continuation-3: column mapping on the txn lake (rename/
+    # drop as metadata-only commits), driver-visible end to end. Took
+    # pipeline_corpus_assembly's slot (driver-green r6; stays
+    # registered + locally sweep-checked).
+    "lake_column_mapping",
     # --- graph: personalized PageRank + modularity (first driver rows)
     "graph_ppr_seeded", "graph_modularity_brand",
     # --- ANN: RRF fusion + filtered search (first driver rows)
@@ -9724,6 +9727,82 @@ def q_lake_txn_changes(spark, sf_dir):
         stats_cols=["c_custkey"],
     )
     return lake.txn_changes(spark, root, 1, 2)
+
+
+@register(
+    "lake_column_mapping",
+    """WITH live AS (
+         SELECT c_custkey, c_acctbal AS balance,
+                CAST(NULL AS VARCHAR) AS c_name
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 1000000, c_acctbal + 100,
+                CAST(NULL AS VARCHAR)
+         FROM customer WHERE c_custkey % 25 = 0
+         UNION ALL
+         SELECT c_custkey + 2000000, c_acctbal, 'READD-' || c_name
+         FROM customer WHERE c_custkey % 50 = 0)
+       SELECT c_custkey, balance, c_name FROM live
+       WHERE NOT (c_custkey < 1000000 AND c_custkey % 17 = 3)""",
+    "Column mapping on the transaction-log lake (the Delta 'name'-mode "
+    "shape, r7): data files carry STABLE physical column names, so "
+    "RENAME and DROP COLUMN are metadata-only commits — zero bytes "
+    "rewritten at any table size. The query runs the full DDL story "
+    "against a customer snapshot and returns the table read back from "
+    "the log: rename c_acctbal->balance (values survive under the new "
+    "name), append under the new logical name (lands under the OLD "
+    "physical name — asserted in tests/test_txn_column_mapping.py), "
+    "drop c_name, re-add c_name (fresh physical name: the ten-e-6 "
+    "oracle NULLs prove dropped data NEVER resurrects through old "
+    "parquet footers), then a deletion-vector tombstone batch keyed "
+    "through physically-keyed add-file stats. The oracle replays the "
+    "same logical history in closed form — the hash match proves the "
+    "logical/physical indirection end to end. Mapped logs stamp "
+    "protocol 2; pre-mapping readers refuse loudly. At 100 TB this is "
+    "the difference between an instant ALTER TABLE and a "
+    "petabyte-scale rewrite.",
+)
+def q_lake_column_mapping(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="txn_cm_q_") + "/t"
+    lake.txn_write(
+        base.repartitionByRange(4, "c_custkey"), root,
+        stats_cols=["c_custkey"],
+    )
+    lake.txn_enable_column_mapping(root)
+    lake.txn_rename_column(root, "c_acctbal", "balance")
+    lake.txn_write(
+        base.filter(F.col("c_custkey") % 25 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+            (F.col("c_acctbal") + 100).alias("balance"),
+        ),
+        root,
+        stats_cols=["c_custkey"],
+    )
+    lake.txn_drop_column(root, "c_name")
+    lake.txn_write(
+        base.filter(F.col("c_custkey") % 50 == 0).select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.col("c_acctbal").alias("balance"),
+            F.concat(F.lit("READD-"), F.col("c_name")).alias("c_name"),
+        ),
+        root,
+        merge_schema=True,
+        stats_cols=["c_custkey"],
+    )
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("c_custkey") % 17 == 3).select("c_custkey"),
+        ["c_custkey"],
+    )
+    return lake.txn_read(spark, root).select("c_custkey", "balance", "c_name")
 
 
 @register(

@@ -632,7 +632,15 @@ CHECKPOINT_EVERY = 10
 # History: 1 = everything through r7 (append/overwrite/compact/merge/
 # dv/meta, partitions, RLE DVs, constraints). Commits WITHOUT a
 # protocol field are protocol 1 (pre-versioning logs stay readable).
+# 2 = column mapping (Delta "name" mode): data files carry STABLE
+# physical column names recorded as ``cm_phys`` field metadata in the
+# commit schema; readers must rename physical -> logical. Only tables
+# that ENABLE mapping stamp 2 — unmapped tables keep writing protocol
+# 1 logs, so a protocol-1 reader refuses exactly the logs it would
+# misread and no others (the Delta columnMapping reader-version bump).
 PROTOCOL_VERSION = 1
+CM_PROTOCOL = 2
+MAX_READER_PROTOCOL = 2
 
 
 class UnsupportedProtocol(RuntimeError):
@@ -681,10 +689,10 @@ def _read_commit(root: str, version: int) -> dict:
 
     with open(os.path.join(_log_dir(root), f"{version:020d}.json")) as fh:
         c = json.load(fh)
-    if c.get("protocol", 1) > PROTOCOL_VERSION:
+    if c.get("protocol", 1) > MAX_READER_PROTOCOL:
         raise UnsupportedProtocol(
             f"commit v{version} was written under protocol "
-            f"{c['protocol']}; this reader supports <= {PROTOCOL_VERSION}"
+            f"{c['protocol']}; this reader supports <= {MAX_READER_PROTOCOL}"
         )
     return c
 
@@ -1037,12 +1045,18 @@ def _table_schema_json(root: str, version: "int | None") -> "str | None":
 
 
 def _check_schema(
-    table_json: "str | None", df_schema: T.StructType, merge: bool
+    table_json: "str | None",
+    df_schema: T.StructType,
+    merge: bool,
+    fresh: "dict | None" = None,
 ) -> str:
     """Enforcement-by-default: an append must match the table schema
     (name -> type, order- and nullability-insensitive). With
     ``merge`` new columns are allowed (schema evolution); a TYPE
-    change never is. Returns the post-commit table schema json."""
+    change never is. Returns the post-commit table schema json.
+    ``fresh`` memoizes the physical names assigned to evolved columns
+    under column mapping, so a commit rebase re-running this check
+    keeps the names its data files were already written with."""
     import json
 
     if table_json is None:
@@ -1067,10 +1081,26 @@ def _check_schema(
         )
     if not added:
         return table_json
+    mapped = _cm_mapping(table_json) is not None
     evolved = T.StructType(
         list(table.fields)
         + [
-            T.StructField(n, new[n], nullable=True)
+            # under column mapping an added field is born with a fresh
+            # physical name — never one a dropped column used to own
+            T.StructField(
+                n,
+                new[n],
+                nullable=True,
+                metadata=(
+                    {
+                        "cm_phys": (
+                            fresh if fresh is not None else {}
+                        ).setdefault(n, _cm_fresh_phys())
+                    }
+                    if mapped
+                    else None
+                ),
+            )
             for n in added
         ]
     )
@@ -1112,7 +1142,7 @@ def _txn_commit(
             "op": op,
             "files": files,
             "read_version": read_v,
-            "protocol": PROTOCOL_VERSION,
+            "protocol": _commit_protocol(schema_json),
         }
         if schema_json is not None:
             commit["schema"] = schema_json
@@ -1198,13 +1228,17 @@ def _resolve_spec(
     table_spec: list,
     table_exists: bool,
     mode: str,
+    mapping: "dict | None" = None,
 ) -> list:
-    """The partition spec this write commits under. ``partition_by``
-    is validated against the dataframe schema (columns must exist,
-    with hive-round-trippable types); omitted, the write INHERITS the
-    table's spec (appends keep the layout). The spec is a table
+    """The PHYSICAL partition spec this write commits under.
+    ``partition_by`` arrives in logical names and is validated against
+    the dataframe schema (columns must exist, with hive-round-trippable
+    types); omitted, the write INHERITS the table's spec (appends keep
+    the layout) — table_spec is already physical. The spec is a table
     property fixed at creation — an append may not change it; an
-    overwrite (a complete new state) may."""
+    overwrite (a complete new state) may. Under column mapping the
+    layout is keyed by physical names, which is what makes RENAMING a
+    partition column metadata-only."""
     if partition_by is None:
         return list(table_spec)
     have = {f.name: f.dataType for f in df_schema.fields}
@@ -1221,17 +1255,14 @@ def _resolve_spec(
             "values must round-trip exactly through hive paths "
             "(int/long/short/byte, string, boolean, date)"
         )
-    if (
-        mode == "append"
-        and table_exists
-        and list(partition_by) != list(table_spec)
-    ):
+    phys = [_cm_phys(mapping, c) for c in partition_by]
+    if mode == "append" and table_exists and phys != list(table_spec):
         raise ValueError(
             f"append partition_by {list(partition_by)} differs from the "
             f"table spec {list(table_spec)}; changing the layout takes "
             "an explicit overwrite"
         )
-    return list(partition_by)
+    return phys
 
 
 def _spec_stats(
@@ -1338,6 +1369,310 @@ def txn_constraints(root: str) -> dict:
     return dict(_replay(root, latest).constraints)
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (the Delta "name"-mode shape). Once ENABLED on a
+# table, every column owns a STABLE physical name: data files are
+# written under physical names, reads rename physical -> logical, and
+# the logical name lives only in the commit schema — so RENAME and
+# DROP COLUMN become metadata-only commits (zero data rewritten at any
+# table size), and a column re-added after a drop gets a FRESH
+# physical name, so rows written under the dropped column can never
+# resurrect through old parquet footers. Enabling is itself
+# metadata-only: existing columns adopt their current name as the
+# physical name (the Delta upgrade semantics), so files already on
+# disk stay valid. Mapping bumps the commit protocol to CM_PROTOCOL —
+# a reader that does not understand the rename step must refuse the
+# log rather than surface physical column names.
+#
+# The mapping is stored per-field as ``cm_phys`` in the StructField
+# metadata of the commit's schema json — carried by every subsequent
+# commit (schema_fn forwards it), checkpoint-free, and replayable.
+# ---------------------------------------------------------------------------
+
+
+def _cm_mapping(table_json: "str | None") -> "dict | None":
+    """{logical -> physical} when column mapping is enabled at this
+    schema, else None. All-or-nothing by construction: enable stamps
+    every field, evolution stamps every added field."""
+    import json
+
+    if table_json is None:
+        return None
+    fields = T.StructType.fromJson(json.loads(table_json)).fields
+    m = {
+        f.name: f.metadata["cm_phys"]
+        for f in fields
+        if f.metadata and "cm_phys" in f.metadata
+    }
+    return m or None
+
+
+def _cm_phys(mapping: "dict | None", name: str) -> str:
+    return mapping.get(name, name) if mapping else name
+
+
+def _cm_cols(mapping: "dict | None", cols):
+    """Translate a list of logical column names to physical (identity
+    when mapping is off or cols is None)."""
+    if cols is None or not mapping:
+        return cols
+    return [_cm_phys(mapping, c) for c in cols]
+
+
+def _cm_fresh_phys() -> str:
+    """A globally-unique physical name (the Delta col-<uuid> shape).
+    Uniqueness is what makes dropped-column ids unreusable without
+    tracking a max-column-id: a re-added logical name can never
+    collide with the physical column its predecessor left in old
+    files."""
+    import uuid
+
+    return "col-" + uuid.uuid4().hex[:12]
+
+
+def _cm_to_physical(df: DataFrame, mapping: "dict | None") -> DataFrame:
+    """Rename a logical dataframe to physical column names just before
+    its files are written. Identity when mapping is off."""
+    from pyspark.sql import functions as F
+
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(_cm_phys(mapping, c)) for c in df.columns]
+    )
+
+
+def _cm_physical_json(schema_json: str) -> str:
+    """The schema as data files physically carry it: physical names,
+    metadata stripped, nullability normalized. This is the layout
+    identity a RENAME does not change — the read path compares
+    physical projections so a renamed table never pays mergeSchema
+    footer reads for files whose bytes are untouched."""
+    import json
+
+    s = T.StructType.fromJson(json.loads(schema_json))
+    return T.StructType(
+        [
+            T.StructField(
+                (f.metadata or {}).get("cm_phys", f.name), f.dataType, True
+            )
+            for f in s.fields
+        ]
+    ).json()
+
+
+def _cm_rename_scan(df: DataFrame, table_json: str) -> DataFrame:
+    """Project a physical scan to the logical schema: each field reads
+    its physical column, aliased to the logical name; a physical
+    column the scan lacks (file written before the column existed)
+    surfaces as typed NULL — the same evolution contract the unmapped
+    path gets from mergeSchema. Also prunes dropped physical columns,
+    because only live schema fields are selected."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    schema = T.StructType.fromJson(json.loads(table_json))
+    have = set(df.columns)
+    sel = []
+    for f in schema.fields:
+        p = (f.metadata or {}).get("cm_phys", f.name)
+        sel.append(
+            F.col(p).alias(f.name)
+            if p in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+        )
+    return df.select(*sel)
+
+
+def _cm_overwrite_schema(table_json: str, df_schema: T.StructType) -> str:
+    """The post-commit schema for an OVERWRITE of a mapped table:
+    logical names matching the current schema keep their physical
+    name (history stays joinable across the overwrite), new logical
+    names get fresh physical names. Mapping survives an overwrite —
+    disabling it would silently downgrade the table protocol."""
+    import json
+
+    old = {
+        f.name: (f.metadata or {}).get("cm_phys")
+        for f in T.StructType.fromJson(json.loads(table_json)).fields
+    }
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                f.dataType,
+                True,
+                {"cm_phys": old.get(f.name) or _cm_fresh_phys()},
+            )
+            for f in df_schema.fields
+        ]
+    ).json()
+
+
+def _commit_protocol(schema_json: "str | None") -> int:
+    """The protocol a commit must stamp: CM_PROTOCOL once its schema
+    carries column mapping (readers below that would surface physical
+    names), the base protocol otherwise."""
+    return CM_PROTOCOL if _cm_mapping(schema_json) else PROTOCOL_VERSION
+
+
+def _cm_guard_refs(name: str, constraints: dict, spec_phys: "set | None" = None,
+                   mapping: "dict | None" = None) -> None:
+    """Refuse a rename/drop of a column a CHECK constraint references
+    (the stored expression text would silently stop matching rows) —
+    conservative word-boundary match, case-insensitive like Spark
+    identifier resolution. ``spec_phys`` additionally refuses DROP of
+    a partition column (the layout physically depends on it)."""
+    import re
+
+    pat = re.compile(rf"(?i)(?<![A-Za-z0-9_`]){re.escape(name)}(?![A-Za-z0-9_])")
+    hit = sorted(n for n, e in constraints.items() if pat.search(e))
+    if hit:
+        raise ValueError(
+            f"column {name!r} is referenced by CHECK constraint(s) {hit}; "
+            "drop the constraint(s) first"
+        )
+    if spec_phys is not None and _cm_phys(mapping, name) in spec_phys:
+        raise ValueError(
+            f"column {name!r} is a partition column; repartition with an "
+            "explicit overwrite before dropping it"
+        )
+
+
+def txn_column_mapping(root: str) -> "dict | None":
+    """The active {logical -> physical} column mapping, or None when
+    mapping was never enabled."""
+    latest = txn_latest_version(root)
+    if latest is None:
+        return None
+    return _cm_mapping(_table_schema_json(root, latest))
+
+
+def txn_enable_column_mapping(root: str, max_retries: int = 20) -> int:
+    """Enable column mapping (ALTER TABLE ... SET columnMapping.mode =
+    'name'): a metadata-only commit that stamps every current field's
+    physical name = its current logical name, so every file already on
+    disk remains valid unread. From this commit on, renames and drops
+    are metadata-only and the log stamps protocol CM_PROTOCOL.
+    Idempotent: enabling an already-mapped table returns the current
+    version without committing."""
+    import json
+
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if _cm_mapping(_table_schema_json(root, read_v)):
+        return read_v
+
+    def schema_fn(tip):
+        tj = _table_schema_json(root, tip)
+        if tj is None:
+            raise ValueError("table has no recorded schema; write once first")
+        if _cm_mapping(tj):
+            return tj  # concurrent enable won: idempotent
+        s = T.StructType.fromJson(json.loads(tj))
+        return T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True, {"cm_phys": f.name})
+                for f in s.fields
+            ]
+        ).json()
+
+    return _txn_commit(
+        root, "meta", [], [], read_v, None, max_retries, None, schema_fn,
+        _meta_conflict,
+    )
+
+
+def txn_rename_column(
+    root: str, old: str, new: str, max_retries: int = 20
+) -> int:
+    """RENAME COLUMN as a metadata-only commit: the field keeps its
+    physical name (zero bytes rewritten, history and time travel
+    intact), only the logical name in the schema changes. Requires
+    column mapping. Rebases re-apply the edit against the tip schema,
+    so a rename races correctly with concurrent evolution; renaming a
+    column a CHECK constraint references is refused. Partition columns
+    MAY be renamed — the layout is keyed by physical name."""
+    import json
+
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+
+    def schema_fn(tip):
+        tj = _table_schema_json(root, tip)
+        if not _cm_mapping(tj):
+            raise ValueError(
+                "column mapping is not enabled; run "
+                "txn_enable_column_mapping first (renames without mapping "
+                "would require rewriting every data file)"
+            )
+        s = T.StructType.fromJson(json.loads(tj))
+        names = [f.name for f in s.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        _cm_guard_refs(old, _replay(root, tip).constraints)
+        return T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    True,
+                    dict(f.metadata or {}),
+                )
+                for f in s.fields
+            ]
+        ).json()
+
+    return _txn_commit(
+        root, "meta", [], [], read_v, None, max_retries, None, schema_fn,
+        _meta_conflict,
+    )
+
+
+def txn_drop_column(root: str, name: str, max_retries: int = 20) -> int:
+    """DROP COLUMN as a metadata-only commit: the field leaves the
+    schema; its physical column stays in old files but no read selects
+    it, and a later re-add of the same logical name receives a FRESH
+    physical name — dropped data never resurrects (the Delta drop
+    contract). Requires column mapping; dropping a partition column,
+    a constrained column, or the last column is refused."""
+    import json
+
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+
+    def schema_fn(tip):
+        tj = _table_schema_json(root, tip)
+        mapping = _cm_mapping(tj)
+        if not mapping:
+            raise ValueError(
+                "column mapping is not enabled; run "
+                "txn_enable_column_mapping first"
+            )
+        s = T.StructType.fromJson(json.loads(tj))
+        names = [f.name for f in s.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        st = _replay(root, tip)
+        _cm_guard_refs(name, st.constraints, set(st.spec), mapping)
+        return T.StructType(
+            [f for f in s.fields if f.name != name]
+        ).json()
+
+    return _txn_commit(
+        root, "meta", [], [], read_v, None, max_retries, None, schema_fn,
+        _meta_conflict,
+    )
+
+
 def txn_write(
     df: DataFrame,
     root: str,
@@ -1377,36 +1712,80 @@ def txn_write(
     ):
         return None
     table_state = _replay(root, read_v) if read_v is not None else None
+    mapping0 = (
+        _cm_mapping(_table_schema_json(root, read_v))
+        if read_v is not None
+        else None
+    )
     spec = _resolve_spec(
         df.schema, partition_by,
         table_state.spec if table_state else [],
-        read_v is not None, mode,
+        read_v is not None, mode, mapping0,
     )
     if table_state and table_state.constraints:
         # CHECK constraints gate BOTH modes (a table property, like
-        # the spec); runs before any data lands
+        # the spec); runs before any data lands — on the LOGICAL rows
         _enforce_constraints(df, table_state.constraints)
 
+    # under column mapping, evolved columns need physical names that
+    # are STABLE across commit rebases (the files are written once);
+    # `fresh` memoizes them, `wm_cell` pins the mapping the files were
+    # actually written under so a rebase can verify it still holds
+    fresh: dict = {}
+    wm_cell: list = []
+
     def schema_fn(tip):
-        # re-resolve the spec against the tip a rebase lands on: a
+        # re-check the spec against the tip a rebase lands on: a
         # concurrent creator may have fixed a different table spec
-        # between our empty-table read and the commit
+        # between our empty-table read and the commit (the files are
+        # ALREADY laid out, so inheriting the tip's spec would claim
+        # a layout they don't have)
         if tip is not None and tip != read_v:
-            # pass the ALREADY-LAID-OUT spec explicitly (even when []):
-            # inheriting the tip's spec here would claim a layout the
-            # written files don't have
-            _resolve_spec(df.schema, spec, _replay(root, tip).spec, True, mode)
+            tip_spec = _replay(root, tip).spec
+            if mode == "append" and list(spec) != list(tip_spec):
+                raise ValueError(
+                    f"append partition layout {list(spec)} differs from "
+                    f"the table spec {list(tip_spec)}; changing the "
+                    "layout takes an explicit overwrite"
+                )
+        tj = _table_schema_json(root, tip) if tip is not None else None
         if mode == "overwrite":
-            return df.schema.json()
-        return _check_schema(
-            _table_schema_json(root, tip), df.schema, merge_schema
-        )
+            out = (
+                _cm_overwrite_schema(tj, df.schema)
+                if _cm_mapping(tj)
+                else df.schema.json()
+            )
+        else:
+            out = _check_schema(tj, df.schema, merge_schema, fresh)
+        # a rebase must not land files under a mapping the tip no
+        # longer agrees with (a gap drop+re-add or concurrent
+        # evolution would silently NULL the written column)
+        m_out = _cm_mapping(out)
+        if wm_cell:
+            wm = wm_cell[0]
+            for c in df.columns:
+                if (m_out or {}).get(c, c) != (wm or {}).get(c, c):
+                    raise ConcurrentWriteConflict(
+                        f"concurrent schema change remapped column {c!r}; "
+                        "the written files no longer match the table "
+                        "mapping"
+                    )
+        else:
+            wm_cell.append(m_out)
+        return out
 
     schema_fn(read_v)  # fail fast BEFORE paying for the data write
-    files = _write_data_files(df, root, bloom_cols, spec or None)
+    write_mapping = wm_cell[0]
+    dfp = _cm_to_physical(df, write_mapping)
+    files = _write_data_files(
+        dfp, root, _cm_cols(write_mapping, bloom_cols), spec or None
+    )
     parts = _parse_part_vals(files, spec) if spec else None
-    types = {f.name: f.dataType for f in df.schema.fields}
-    stats = _spec_stats(df.sparkSession, files, stats_cols, spec, parts, types)
+    types = {f.name: f.dataType for f in dfp.schema.fields}
+    stats = _spec_stats(
+        df.sparkSession, files, _cm_cols(write_mapping, stats_cols),
+        spec, parts, types,
+    )
     return _txn_commit(
         root, mode, files, [], read_v, txn, max_retries, stats, schema_fn,
         parts=parts, spec=spec,
@@ -1455,7 +1834,12 @@ def txn_compact(
         return None
     # read victims under the TABLE schema (mergeSchema handles files
     # written before an evolution), so the rewritten files are uniform
+    # — note this also MATERIALIZES column mapping state: the rewrite
+    # reads logical rows (dropped columns pruned) and lands them back
+    # under the current physical names
     rows = _read_files(spark, root, read_v, victims)
+    mapping = _cm_mapping(_table_schema_json(root, read_v))
+    inv = {p: l for l, p in mapping.items()} if mapping else {}
     # On a partitioned table, clustering happens WITHIN each hive
     # partition: leading the range exchange and the sort with the spec
     # columns keeps each task on (mostly) one partition's contiguous
@@ -1463,7 +1847,7 @@ def txn_compact(
     # near-disjoint min/max on the cluster key — without this, a
     # global range on the key alone scatters every task across every
     # partition dir and the per-dir stats overlap completely.
-    lead = list(full.spec)
+    lead = [inv.get(c, c) for c in full.spec]  # sort on the LOGICAL rows
     if zorder_dims:
         # OPTIMIZE ... ZORDER: cluster on the Morton interleave of
         # several dims so min/max stats prune on ANY of them (a plain
@@ -1481,10 +1865,13 @@ def txn_compact(
         ).sortWithinPartitions(*lead, *sort_cols)
     else:
         rows = rows.coalesce(n_files)
-    files = _write_data_files(rows, root, partition_by=full.spec or None)
+    rows_phys = _cm_to_physical(rows, mapping)
+    files = _write_data_files(rows_phys, root, partition_by=full.spec or None)
     parts = _parse_part_vals(files, full.spec) if full.spec else None
-    types = {f.name: f.dataType for f in rows.schema.fields}
-    stats = _spec_stats(spark, files, stats_cols, full.spec, parts, types)
+    types = {f.name: f.dataType for f in rows_phys.schema.fields}
+    stats = _spec_stats(
+        spark, files, _cm_cols(mapping, stats_cols), full.spec, parts, types
+    )
     return _txn_commit(
         root, "compact", files, sorted(victims), read_v, None, max_retries,
         stats, lambda tip: _table_schema_json(root, tip),
@@ -1654,12 +2041,20 @@ def txn_merge(
         # validate the NEW rows (source) before any rewrite happens;
         # survivors were validated by the write that landed them
         _enforce_constraints(source, state.constraints)
+    # add-file stats are keyed by PHYSICAL column name; translate the
+    # pruning proofs (the source itself stays logical throughout)
+    mapping = _cm_mapping(table_json)
+    pkey_cols = _cm_cols(mapping, key_cols)
+    psrc_rng = {_cm_phys(mapping, c): src_rng[c] for c in src_rng}
     key_rows = (
-        source.select(*key_cols).distinct().collect()
+        [
+            {_cm_phys(mapping, c): r[c] for c in key_cols}
+            for r in source.select(*key_cols).distinct().collect()
+        ]
         if head["_n"] <= MERGE_PRUNE_MAX_KEYS
         else None
     )
-    victims = _prune_victims(state, src_rng, key_rows, key_cols)
+    victims = _prune_victims(state, psrc_rng, key_rows, pkey_cols)
     src_keys = F.broadcast(source.select(*key_cols).distinct())
 
     if victims:
@@ -1693,10 +2088,13 @@ def txn_merge(
             for f in T.StructType.fromJson(_json.loads(table_json)).fields
         ]
         new_rows = new_rows.select(*order)
-    files = _write_data_files(new_rows, root, partition_by=state.spec or None)
+    new_phys = _cm_to_physical(new_rows, mapping)
+    files = _write_data_files(new_phys, root, partition_by=state.spec or None)
     parts = _parse_part_vals(files, state.spec) if state.spec else None
-    types = {f.name: f.dataType for f in new_rows.schema.fields}
-    stats = _spec_stats(spark, files, stats_cols, state.spec, parts, types)
+    types = {f.name: f.dataType for f in new_phys.schema.fields}
+    stats = _spec_stats(
+        spark, files, _cm_cols(mapping, stats_cols), state.spec, parts, types
+    )
 
     extra = None
     if serializable:
@@ -1711,11 +2109,11 @@ def txn_merge(
                 if f not in won.get("files", ()):
                     continue
                 hit = (
-                    not _merge_prunable_keys(fs, key_rows, key_cols)
+                    not _merge_prunable_keys(fs, key_rows, pkey_cols)
                     if key_rows is not None
                     else all(
-                        not _ranges_disjoint(fs.get(c), src_rng[c])
-                        for c in src_rng
+                        not _ranges_disjoint(fs.get(c), psrc_rng[c])
+                        for c in psrc_rng
                     )
                 )
                 if hit:
@@ -1835,32 +2233,48 @@ def txn_delete_dv(
         for c in key_cols
     }
     state = _replay(root, read_v)
+    table_json = _table_schema_json(root, read_v)
+    mapping = _cm_mapping(table_json)
+    pkey_cols = _cm_cols(mapping, key_cols)
+    psrc_rng = {_cm_phys(mapping, c): src_rng[c] for c in src_rng}
     key_rows = (
-        keys.select(*key_cols).distinct().collect()
+        [
+            {_cm_phys(mapping, c): r[c] for c in key_cols}
+            for r in keys.select(*key_cols).distinct().collect()
+        ]
         if head["_n"] <= MERGE_PRUNE_MAX_KEYS
         else None
     )
-    victims = _prune_victims(state, src_rng, key_rows, key_cols)
+    victims = _prune_victims(state, psrc_rng, key_rows, pkey_cols)
     if not victims:
         return None, 0, 0
 
     # positions come off the RAW victim scan (_metadata is only
-    # addressable there); positions an EARLIER DV already hides are
-    # excluded, so a repeat tombstone is an honest no-op (no redundant
-    # sidecar, no phantom rows_deleted) and n_deleted counts rows that
-    # actually left the table at this commit. On a partitioned table
-    # the scan lacks the partition columns (hive strips them); keys on
-    # those columns resolve through the broadcast per-file value map.
+    # addressable there, and the scan carries PHYSICAL column names —
+    # aliased back to logical so the tombstone semi-join lines up);
+    # positions an EARLIER DV already hides are excluded, so a repeat
+    # tombstone is an honest no-op (no redundant sidecar, no phantom
+    # rows_deleted) and n_deleted counts rows that actually left the
+    # table at this commit. On a partitioned table the scan lacks the
+    # partition columns (hive strips them); keys on those columns
+    # resolve through the broadcast per-file value map.
     scan = spark.read.option("mergeSchema", "true").parquet(*victims)
     base = scan.select(
         _strip_file_uri(F.col("_metadata.file_path")).alias("file"),
         F.col("_metadata.row_index").alias("pos"),
-        *[c for c in key_cols if c not in state.spec],
+        *[
+            F.col(p).alias(c)
+            for c, p in zip(key_cols, pkey_cols)
+            if p not in state.spec
+        ],
     )
     if state.spec:
         pmap = _part_map_df(
-            spark, state, victims, _table_schema_json(root, read_v)
+            spark, state, victims, table_json
         ).withColumnRenamed("_pfile", "file")
+        for c, p in zip(key_cols, pkey_cols):
+            if p in state.spec and p != c:
+                pmap = pmap.withColumnRenamed(p, c)
         base = base.join(F.broadcast(pmap), "file")
     hits = (
         base.join(
@@ -1922,6 +2336,7 @@ def txn_detail(root: str) -> dict:
         "columns": fields,
         "num_active_dvs": len(st.dvs),
         "constraints": dict(st.constraints),
+        "column_mapping": _cm_mapping(schema_json),
         "protocol": max(
             (_read_commit(root, v).get("protocol", 1) for v in range(latest + 1)),
             default=1,
@@ -2087,11 +2502,17 @@ def _part_map_df(
     """The (file -> typed partition values) map as a tiny DataFrame
     keyed ``_pfile`` — broadcast-joined onto scans to re-attach the
     partition columns hive layouts strip from data files. O(files)
-    rows, never row-scaled."""
+    rows, never row-scaled. Columns come out under their PHYSICAL
+    names (the spec's vocabulary) — the scan they join onto is
+    physical; the logical rename happens once at the end of
+    _read_files."""
     import json
 
     schema = T.StructType.fromJson(json.loads(table_json))
-    types = {f.name: f.dataType for f in schema.fields}
+    types = {
+        (f.metadata or {}).get("cm_phys", f.name): f.dataType
+        for f in schema.fields
+    }
     fields = [T.StructField("_pfile", T.StringType(), False)] + [
         T.StructField(c, types[c], True) for c in state.spec
     ]
@@ -2116,7 +2537,8 @@ _PART_ATTACH_UNION_MAX = 64
 
 
 def _read_files(
-    spark: SparkSession, root: str, version: int, files: list
+    spark: SparkSession, root: str, version: int, files: list,
+    as_schema: "str | None" = None,
 ) -> DataFrame:
     """Scan ``files`` under the table schema recorded at ``version``,
     with that version's deletion vectors anti-joined out and (for a
@@ -2127,20 +2549,34 @@ def _read_files(
     — mergeSchema (a footer read per file) plus a column-aligning
     select — is paid ONLY when the log proves the live files span more
     than one write schema; a never-evolved table stays a plain
-    first-footer scan."""
+    first-footer scan. Under column mapping the comparison runs on
+    PHYSICAL projections, so a metadata-only rename never starts
+    charging footer reads for untouched files. ``as_schema`` overrides
+    the schema the result is presented under (txn_changes reads
+    historical snapshots under the range-end schema: physical names
+    are stable, so the override is just a different logical rename)."""
     import json
 
     from pyspark.sql import functions as F
 
     state = _replay(root, version)
     table_json = _table_schema_json(root, version)
+    eff_json = as_schema or table_json
+    mapping = _cm_mapping(eff_json)
     distinct = {state.file_schemas.get(f) for f in files}
-    merge = not (table_json is None or distinct <= {table_json})
+    if table_json is not None and _cm_mapping(table_json):
+        tphys = _cm_physical_json(table_json)
+        dphys = {
+            None if s is None else _cm_physical_json(s) for s in distinct
+        }
+        merge = not (dphys <= {tphys})
+    else:
+        merge = not (table_json is None or distinct <= {table_json})
     reader = spark.read.option("mergeSchema", "true") if merge else spark.read
 
     if state.spec:
         types = {
-            f.name: f.dataType
+            (f.metadata or {}).get("cm_phys", f.name): f.dataType
             for f in T.StructType.fromJson(json.loads(table_json)).fields
         }
         groups: dict[tuple, list] = {}
@@ -2170,7 +2606,11 @@ def _read_files(
     else:
         df = reader.parquet(*files)
         df = _apply_dvs(spark, df, state.dvs, files)
-    if table_json is not None and (merge or state.spec):
+    if eff_json is not None and (mapping or as_schema):
+        # physical -> logical rename (and dropped-column pruning);
+        # subsumes the aligning select below
+        df = _cm_rename_scan(df, eff_json)
+    elif table_json is not None and (merge or state.spec):
         schema = T.StructType.fromJson(json.loads(table_json))
         df = df.select(*[f.name for f in schema.fields])
     return df
@@ -2220,10 +2660,12 @@ def txn_read_pruned(
     if version is None:
         version = latest
     files, _, stats = _replay(root, version)[:3]
+    # stats are keyed by PHYSICAL column name; the caller speaks logical
+    pcol = _cm_phys(_cm_mapping(_table_schema_json(root, version)), col)
     lo, hi = _stat_val(lo), _stat_val(hi)  # like-for-like vs the stats
     keep = []
     for f in files:
-        rng = stats.get(f, {}).get(col)
+        rng = stats.get(f, {}).get(pcol)
         if rng is None:
             keep.append(f)  # no proof -> must scan
             continue
@@ -2260,16 +2702,28 @@ def txn_read_partitioned(
     if version is None:
         version = latest
     state = _replay(root, version)
-    bad = sorted(set(filters) - set(state.spec))
+    import json
+
+    table_json = _table_schema_json(root, version)
+    mapping = _cm_mapping(table_json)
+    # the spec (and per-file values) live under PHYSICAL names; the
+    # caller filters by logical name
+    pfilters = {_cm_phys(mapping, c): v for c, v in filters.items()}
+    bad = sorted(
+        c
+        for c in filters
+        if _cm_phys(mapping, c) not in set(state.spec)
+        # under mapping the filter must also be a LIVE logical column —
+        # a renamed partition column's OLD name must not keep working
+        # just because it equals the physical name
+        or (mapping is not None and c not in mapping)
+    )
     if bad:
         raise ValueError(
             f"not partition columns of this table: {bad} (spec={state.spec})"
         )
-    import json
-
-    table_json = _table_schema_json(root, version)
     types = {
-        f.name: f.dataType
+        (f.metadata or {}).get("cm_phys", f.name): f.dataType
         for f in T.StructType.fromJson(json.loads(table_json)).fields
     }
     keep = [
@@ -2277,7 +2731,7 @@ def txn_read_partitioned(
         for f in state.files
         if all(
             _py_part_val((state.parts.get(f) or {}).get(c), types[c]) == v
-            for c, v in filters.items()
+            for c, v in pfilters.items()
         )
     ]
     if not keep:
@@ -2326,11 +2780,15 @@ def txn_changes(
         v_to = latest
     if not 0 <= v_from <= v_to <= latest:
         raise ValueError(f"bad version range [{v_from}, {v_to}] vs {latest}")
-    table = T.StructType.fromJson(
-        json.loads(_table_schema_json(root, v_to))
-    )
+    tj_to = _table_schema_json(root, v_to)
+    table = T.StructType.fromJson(json.loads(tj_to))
     names = [f.name for f in table.fields]
     types = {f.name: f.dataType for f in table.fields}
+    # under column mapping every snapshot is read under the RANGE-END
+    # schema (physical names are stable, so an override is just a
+    # different logical rename) — changes across a rename come out in
+    # the rename's current vocabulary instead of NULLing out
+    ov = tj_to if _cm_mapping(tj_to) else None
 
     def align(df: DataFrame) -> DataFrame:
         return df.select(
@@ -2353,21 +2811,21 @@ def txn_changes(
             continue
         if c["op"] == "append":
             if c["files"]:
-                parts.append(tag(align(_read_files(spark, root, v, c["files"])), "insert", v))
+                parts.append(tag(align(_read_files(spark, root, v, c["files"], as_schema=ov)), "insert", v))
         elif c["op"] == "overwrite":
             prev = _txn_state(root, v - 1) if v > 0 else []
             if prev:
-                parts.append(tag(align(_read_files(spark, root, v - 1, prev)), "delete", v))
+                parts.append(tag(align(_read_files(spark, root, v - 1, prev, as_schema=ov)), "delete", v))
             if c["files"]:
-                parts.append(tag(align(_read_files(spark, root, v, c["files"])), "insert", v))
+                parts.append(tag(align(_read_files(spark, root, v, c["files"], as_schema=ov)), "insert", v))
         elif c["op"] == "merge":
             old = (
-                align(_read_files(spark, root, v - 1, c["removes"]))
+                align(_read_files(spark, root, v - 1, c["removes"], as_schema=ov))
                 if c["removes"]
                 else spark.createDataFrame([], table)
             )
             new = (
-                align(_read_files(spark, root, v, c["files"]))
+                align(_read_files(spark, root, v, c["files"], as_schema=ov))
                 if c["files"]
                 else spark.createDataFrame([], table)
             )
@@ -2404,7 +2862,7 @@ def txn_changes(
                     spark, st_v, c["dv_for"], _table_schema_json(root, v)
                 ).withColumnRenamed("_pfile", "_dv_file")
                 hit = hit.join(F.broadcast(pmap), "_dv_file")
-            parts.append(tag(align(hit), "delete", v))
+            parts.append(tag(align(_cm_rename_scan(hit, tj_to) if ov else hit), "delete", v))
     if not parts:
         empty = spark.createDataFrame([], table)
         return tag(empty, "insert", v_from).filter(F.lit(False))
@@ -2491,18 +2949,19 @@ def txn_clone(src_root: str, dst_root: str) -> int:
         raise FileExistsError(f"{dst_root} already has a transaction log")
     state = _replay(src_root, latest)
     os.makedirs(_log_dir(dst_root), exist_ok=True)
+    schema0 = _table_schema_json(src_root, latest)
     commit = {
         "version": 0,
         "op": "overwrite",
         "files": list(state.files),
         "read_version": None,
         "stats": dict(state.stats),
-        "protocol": PROTOCOL_VERSION,
+        "protocol": _commit_protocol(schema0),
     }
     if state.spec:
         commit["partition_by"] = list(state.spec)
         commit["partitions"] = dict(state.parts)
-    schema = _table_schema_json(src_root, latest)
+    schema = schema0
     if schema is not None:
         commit["schema"] = schema
     path = os.path.join(_log_dir(dst_root), f"{0:020d}.json")
@@ -2519,7 +2978,7 @@ def txn_clone(src_root: str, dst_root: str) -> int:
             "files": list(sidecars),
             "dv_for": list(targets),
             "read_version": v,
-            "protocol": PROTOCOL_VERSION,
+            "protocol": _commit_protocol(schema0),
         }
         if schema is not None:
             commit["schema"] = schema

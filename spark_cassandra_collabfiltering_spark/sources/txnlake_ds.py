@@ -207,9 +207,16 @@ class TxnLakeReader(DataSourceReader):
             raise FileNotFoundError(f"no committed versions under {root}")
         self._version = latest if version is None else version
         self._state = lake._replay(root, self._version)
-        self._schema = T.StructType.fromJson(
-            json.loads(lake._table_schema_json(root, self._version))
-        )
+        tj = lake._table_schema_json(root, self._version)
+        if lake._cm_mapping(tj):
+            # the Arrow partition reader surfaces raw parquet column
+            # names; a column-mapped table needs the physical->logical
+            # rename — refuse rather than expose physical names
+            raise ValueError(
+                "this table uses column mapping; read through "
+                "lake.txn_read(...) instead of format('txnlake')"
+            )
+        self._schema = T.StructType.fromJson(json.loads(tj))
         self._files = list(self._state.files)
 
     def pushFilters(self, filters):
@@ -351,6 +358,15 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         self._root = root
         self._skip = skip_change_commits
         self._cdf = cdf
+        latest = lake.txn_latest_version(root)
+        if latest is not None and lake._cm_mapping(
+            lake._table_schema_json(root, latest)
+        ):
+            raise ValueError(
+                "this table uses column mapping; stream through "
+                "lake.txn_read_incremental(...) instead of "
+                "format('txnlake')"
+            )
 
     def initialOffset(self):
         return {"version": -1}
@@ -481,6 +497,14 @@ class TxnLakeWriter(DataSourceArrowWriter):
                     "the txnlake data source writes flat layouts; this "
                     f"table is partitioned by {state.spec} — append "
                     "through lake.txn_write(partition_by=...) instead"
+                )
+            if lake._cm_mapping(lake._table_schema_json(root, read_v)):
+                # task batches would land under LOGICAL names while the
+                # table contract is physical; refuse rather than corrupt
+                raise ValueError(
+                    "this table uses column mapping; write through "
+                    "lake.txn_write, which maps columns to their "
+                    "physical names"
                 )
             if state.constraints:
                 # the writer cannot evaluate SQL CHECK expressions on

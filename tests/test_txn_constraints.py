@@ -155,8 +155,9 @@ def test_protocol_versioning_refuses_newer_logs(spark, tmp_path):
     del c["protocol"]
     json.dump(c, open(p, "w"))
     assert lake.txn_read(spark, root).count() == 1
-    # a FUTURE protocol refuses loudly
-    c["protocol"] = lake.PROTOCOL_VERSION + 1
+    # a FUTURE protocol refuses loudly (beyond the HIGHEST supported —
+    # CM_PROTOCOL logs are readable since column mapping landed)
+    c["protocol"] = lake.MAX_READER_PROTOCOL + 1
     json.dump(c, open(p, "w"))
     with pytest.raises(lake.UnsupportedProtocol, match="protocol"):
         lake.txn_read(spark, root).count()
