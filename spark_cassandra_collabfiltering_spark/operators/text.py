@@ -135,6 +135,60 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents_tokens(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG/embedding chunking: fixed-size whitespace-token windows with
+    overlap — the step between a curated corpus and an embedding/index
+    pipeline (every retrieval stack chunks before it embeds).
+
+    Each document yields ``ceil((n - overlap) / stride)`` chunks
+    (at least one for any non-empty doc; stride = chunk_tokens -
+    overlap), chunk i covering tokens [i*stride, i*stride +
+    chunk_tokens). The final chunk may be short; consecutive chunks
+    share ``overlap`` tokens so no retrieval query straddling a
+    boundary loses context. Empty documents yield no chunk.
+
+    100 TB posture: pure Column expressions — tokenize, a per-row
+    chunk-count, one explode, array slices. Map-only (NO shuffle, no
+    UDF); chunking a corpus costs one scan regardless of cluster size,
+    and the output inherits the input's partitioning for the
+    embedding stage that follows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap} / {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    ws = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.size("_ws") - F.lit(overlap)) / F.lit(stride)),
+    )
+    toks = F.slice(
+        F.col("_ws"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return (
+        df.select(id_col, ws.alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), k - 1)),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("start_token"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.array_join(toks, " ").alias("chunk_text"),
+        )
+    )
+
+
 def _word_ngrams(c: Column, n: int) -> Column:
     """Ordered lowercase word n-grams as an array<string> (space-joined).
 

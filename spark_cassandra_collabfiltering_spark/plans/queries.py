@@ -2375,6 +2375,44 @@ def q_text_token_count(spark, sf_dir):
 
 
 @register(
+    "text_chunking_tokens",
+    r"""WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                     FROM documents),
+        k AS (SELECT doc_id, ws,
+                     GREATEST(1, CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT))
+                         AS nch
+              FROM tok WHERE len(ws) > 0),
+        c AS (SELECT doc_id, i.i AS chunk_id,
+                     list_slice(ws, CAST(i.i AS BIGINT) * 24 + 1,
+                                CAST(i.i AS BIGINT) * 24 + 32) AS toks
+              FROM k, LATERAL unnest(range(0, nch)) i(i))
+       SELECT doc_id, chunk_id::INT AS chunk_id,
+              (chunk_id * 24)::BIGINT AS start_token,
+              len(toks)::BIGINT AS n_tokens,
+              array_to_string(toks, ' ') AS chunk_text
+       FROM c""",
+    "RAG/embedding chunking (r7; the TOKEN-window sibling of r5's "
+    "char-based text_chunking): fixed-size 32-token whitespace "
+    "windows with 32-token overlap — the step between a curated corpus "
+    "and the embedding/index pipeline; every retrieval stack chunks "
+    "before it embeds (8-token overlap; sized so the synthetic 10-99 "
+    "token docs genuinely multi-chunk). ceil((n-overlap)/stride) "
+    "chunks per non-empty "
+    "doc (the last may be short; neighbors share the overlap so no "
+    "boundary-straddling query loses context). The oracle replays the "
+    "same slicing with DuckDB list arithmetic — the hash match pins "
+    "tokenizer parity, the chunk-count formula and every slice "
+    "boundary. 100 TB posture: pure Column exprs, map-only — ONE scan, "
+    "zero shuffle, no UDF; output inherits input partitioning for the "
+    "embedding stage (plan-pinned in tests/test_plans.py).",
+)
+def q_text_chunking_tokens(spark, sf_dir):
+    return tx.chunk_documents_tokens(
+        t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
     "text_quality",
     rf"""WITH f AS (
           SELECT doc_id,
@@ -9803,6 +9841,52 @@ def q_lake_column_mapping(spark, sf_dir):
         ["c_custkey"],
     )
     return lake.txn_read(spark, root).select("c_custkey", "balance", "c_name")
+
+
+@register(
+    "lake_generated_cols",
+    """SELECT event_id, ts, user_id, value,
+              CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         AND ts <= TIMESTAMP '2024-01-12 23:59:59'""",
+    "Generated columns + derived partition pruning on the txn lake "
+    "(the Delta GENERATED ALWAYS AS shape, r7): events are committed "
+    "partitioned by a DECLARED generated column d = CAST(ts AS DATE) "
+    "that the writer OMITS (the lake computes it at the write "
+    "boundary; provided-but-divergent values are refused before data "
+    "lands — GeneratedColumnViolation), then the query filters the "
+    "RAW timestamp via txn_read_pruned_derived: the monotone interval "
+    "[CAST(lo AS DATE), CAST(hi AS DATE)] prunes whole date "
+    "partitions from pure log arithmetic without the caller naming "
+    "the partition column — the everyday 'WHERE ts BETWEEN' query at "
+    "100 TB touching 5 of 30 day-partitions. The oracle recomputes "
+    "the generation expression and the raw-range filter in closed "
+    "form; the hash match proves compute-at-write == declared "
+    "expression AND that pruning lost no rows. Non-monotone "
+    "derivations are refused by whitelist "
+    "(tests/test_txn_generated.py).",
+)
+def q_lake_generated_cols(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="txn_gen_q_") + "/t"
+    lake.txn_write(
+        ev, root, generated={"d": "CAST(ts AS DATE)"},
+        partition_by=["d"], stats_cols=["event_id"],
+    )
+    df, _nread, _ntotal = lake.txn_read_pruned_derived(
+        spark, root, "ts", "2024-01-08 00:00:00", "2024-01-12 23:59:59"
+    )
+    return df.select(
+        "event_id", "ts", "user_id", "value",
+        F.col("d").cast("string").alias("d"),
+    )
 
 
 @register(

@@ -666,6 +666,14 @@ class ConstraintViolation(ValueError):
     table, instead of being discovered by a downstream scan)."""
 
 
+class GeneratedColumnViolation(ValueError):
+    """Raised when a write provides a generated column whose values
+    disagree with the table's generation expression (the Delta
+    invariant: a caller may omit the column — it is computed — or
+    supply values that match EXACTLY; silently accepting divergent
+    values would break derived-pruning proofs)."""
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -750,6 +758,7 @@ class _TableState(typing.NamedTuple):
     parts: dict  # live file -> {partition col: hive string value | None}
     spec: list  # table partition spec (column names), [] = unpartitioned
     constraints: dict  # CHECK constraints: {name: sql expr}
+    generated: dict  # generated columns: {col: generation sql expr}
 
 
 def _replay(root: str, version: int) -> _TableState:
@@ -767,6 +776,7 @@ def _replay(root: str, version: int) -> _TableState:
     parts: dict = {}
     spec: list = []
     constraints: dict = {}
+    generated: dict = {}
     start = 0
     cp = _latest_checkpoint(root, version)
     if cp is not None:
@@ -778,6 +788,7 @@ def _replay(root: str, version: int) -> _TableState:
         parts = dict(cp.get("parts", {}))
         spec = list(cp.get("spec", []))
         constraints = dict(cp.get("constraints", {}))
+        generated = dict(cp.get("generated", {}))
         start = cp["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(root, v)
@@ -788,6 +799,8 @@ def _replay(root: str, version: int) -> _TableState:
             spec = list(c["partition_by"])
         if "constraints" in c:  # meta commits carry the FULL map
             constraints = dict(c["constraints"])
+        if "generated" in c:  # creation/overwrite carries the FULL map
+            generated = dict(c["generated"])
         if c["op"] == "overwrite":
             # an overwrite (incl. RESTORE) defines a COMPLETE state:
             # prior DVs belong to the replaced history, and must not
@@ -817,6 +830,7 @@ def _replay(root: str, version: int) -> _TableState:
         {f: p for f, p in parts.items() if f in live},
         spec,
         constraints,
+        generated,
     )
 
 
@@ -846,7 +860,8 @@ def _maybe_checkpoint(root: str, version: int) -> None:
              "file_schemas": st.file_schemas,
              "dvs": [list(d) for d in st.dvs],
              "parts": st.parts, "spec": st.spec,
-             "constraints": st.constraints},
+             "constraints": st.constraints,
+             "generated": st.generated},
             fh,
         )
     os.replace(tmp, _checkpoint_path(root, version))
@@ -1306,6 +1321,37 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
             )
 
 
+def _apply_generated(df: DataFrame, generated: dict) -> DataFrame:
+    """Generated-column enforcement (the Delta GENERATED ALWAYS AS
+    shape): a write that OMITS a generated column gets it computed
+    from the table's generation expression; a write that PROVIDES it
+    must match the expression exactly (null-safe) or the batch is
+    refused — divergent values would silently break derived-pruning
+    proofs. One short-circuiting job per provided generated column,
+    before any data lands."""
+    from pyspark.sql import functions as F
+
+    for col, expr in sorted(generated.items()):
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad = df.filter(~F.col(col).eqNullSafe(F.expr(expr)))
+            if not bad.isEmpty():
+                raise GeneratedColumnViolation(
+                    f"column {col!r} does not match its generation "
+                    f"expression: {expr}"
+                )
+    return df
+
+
+def txn_generated(root: str) -> dict:
+    """The active generated-column map ({col: generation sql expr})."""
+    latest = txn_latest_version(root)
+    if latest is None:
+        return {}
+    return dict(_replay(root, latest).generated)
+
+
 def txn_set_constraint(
     root: str, name: str, expr: str, max_retries: int = 20
 ) -> int:
@@ -1530,8 +1576,8 @@ def _cm_guard_refs(name: str, constraints: dict, spec_phys: "set | None" = None,
     hit = sorted(n for n, e in constraints.items() if pat.search(e))
     if hit:
         raise ValueError(
-            f"column {name!r} is referenced by CHECK constraint(s) {hit}; "
-            "drop the constraint(s) first"
+            f"column {name!r} is referenced by constraint / generation "
+            f"expression(s) {hit}; drop those first"
         )
     if spec_phys is not None and _cm_phys(mapping, name) in spec_phys:
         raise ValueError(
@@ -1615,7 +1661,19 @@ def txn_rename_column(
             raise ValueError(f"no column {old!r} (have {names})")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
-        _cm_guard_refs(old, _replay(root, tip).constraints)
+        st = _replay(root, tip)
+        if old in st.generated:
+            raise ValueError(
+                f"column {old!r} is a generated column; redefine the "
+                "table with an explicit overwrite first"
+            )
+        _cm_guard_refs(
+            old,
+            {
+                **st.constraints,
+                **{f"generated({k})": e for k, e in st.generated.items()},
+            },
+        )
         return T.StructType(
             [
                 T.StructField(
@@ -1662,7 +1720,20 @@ def txn_drop_column(root: str, name: str, max_retries: int = 20) -> int:
         if len(names) == 1:
             raise ValueError("cannot drop the last column")
         st = _replay(root, tip)
-        _cm_guard_refs(name, st.constraints, set(st.spec), mapping)
+        if name in st.generated:
+            raise ValueError(
+                f"column {name!r} is a generated column; redefine the "
+                "table with an explicit overwrite first"
+            )
+        _cm_guard_refs(
+            name,
+            {
+                **st.constraints,
+                **{f"generated({k})": e for k, e in st.generated.items()},
+            },
+            set(st.spec),
+            mapping,
+        )
         return T.StructType(
             [f for f in s.fields if f.name != name]
         ).json()
@@ -1683,6 +1754,7 @@ def txn_write(
     merge_schema: bool = False,
     bloom_cols: "list[str] | None" = None,
     partition_by: "list[str] | None" = None,
+    generated: "dict | None" = None,
 ) -> int | None:
     """Commit ``df`` to the transactional table at ``root`` with
     optimistic concurrency. Returns the committed version, or None if
@@ -1712,6 +1784,24 @@ def txn_write(
     ):
         return None
     table_state = _replay(root, read_v) if read_v is not None else None
+    if generated is not None and read_v is not None and mode == "append":
+        raise ValueError(
+            "generation expressions are a table property fixed at "
+            "creation; redefining them takes an explicit overwrite"
+        )
+    # the active map: declared now (creation/overwrite), else inherited
+    # — it PERSISTS across overwrites unless explicitly redefined, the
+    # same table-property posture as CHECK constraints
+    gen = (
+        dict(generated)
+        if generated is not None
+        else (dict(table_state.generated) if table_state else {})
+    )
+    if gen:
+        # compute absent / validate provided generated columns BEFORE
+        # spec resolution (the generated column is often the partition
+        # column) and before constraints see the rows
+        df = _apply_generated(df, gen)
     mapping0 = (
         _cm_mapping(_table_schema_json(root, read_v))
         if read_v is not None
@@ -1789,6 +1879,9 @@ def txn_write(
     return _txn_commit(
         root, mode, files, [], read_v, txn, max_retries, stats, schema_fn,
         parts=parts, spec=spec,
+        extra_commit=(
+            {"generated": gen} if generated is not None else None
+        ),
     )
 
 
@@ -2011,7 +2104,12 @@ def txn_merge(
         return txn_write(source, root, stats_cols=stats_cols, txn=txn), 0, 0
 
     table_json = _table_schema_json(root, read_v)
+    state = _replay(root, read_v)
     if not keys_only:
+        if state.generated:
+            # omitted generated columns are computed, provided ones
+            # validated — same write-boundary contract as txn_write
+            source = _apply_generated(source, state.generated)
         _check_schema(table_json, source.schema, merge=False)
 
     # one bounded agg: source key ranges (pruning proof + serializable
@@ -2036,7 +2134,6 @@ def txn_merge(
         for c in key_cols
     }
 
-    state = _replay(root, read_v)
     if state.constraints and not keys_only:
         # validate the NEW rows (source) before any rewrite happens;
         # survivors were validated by the write that landed them
@@ -2336,6 +2433,7 @@ def txn_detail(root: str) -> dict:
         "columns": fields,
         "num_active_dvs": len(st.dvs),
         "constraints": dict(st.constraints),
+        "generated": dict(st.generated),
         "column_mapping": _cm_mapping(schema_json),
         "protocol": max(
             (_read_commit(root, v).get("protocol", 1) for v in range(latest + 1)),
@@ -2680,6 +2778,112 @@ def txn_read_pruned(
     return df, len(keep), len(files)
 
 
+# generation expressions a derived-range read recognizes as MONOTONE
+# in their source column — the property that makes [f(lo), f(hi)] a
+# sound pruning interval for a source-range predicate. Deliberately a
+# whitelist: pruning through a non-monotone derivation (hash, month
+# number without year) would silently drop matching files.
+_MONOTONE_GEN_PATTERNS = (
+    r"CAST\s*\(\s*{c}\s+AS\s+DATE\s*\)",
+    r"to_date\s*\(\s*{c}\s*\)",
+    r"date_trunc\s*\(\s*'[A-Za-z]+'\s*,\s*{c}\s*\)",
+    r"CAST\s*\(\s*{c}\s+AS\s+TIMESTAMP\s*\)",
+)
+
+
+def txn_read_pruned_derived(
+    spark: SparkSession,
+    root: str,
+    src_col: str,
+    lo,
+    hi,
+    version: "int | None" = None,
+) -> "tuple[DataFrame, int, int]":
+    """Range read on a RAW column pruned through a GENERATED column
+    (the Delta generated-column partition-pruning shape): for a table
+    whose partition/stats column is GENERATED ALWAYS AS a monotone
+    derivation of ``src_col`` (CAST AS DATE / to_date / date_trunc),
+    a predicate ``src_col BETWEEN lo AND hi`` prunes files with the
+    DERIVED interval [f(lo), f(hi)] against the generated column's
+    commit-embedded stats — so the everyday query pattern 'filter the
+    raw event timestamp' skips whole date partitions without the
+    caller ever naming the partition column. Pure log arithmetic, no
+    footer opened; the exact source-range filter is still applied to
+    survivors. Returns (df, files_read, files_total)."""
+    import json
+    import re
+
+    from pyspark.sql import functions as F
+
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = latest
+    state = _replay(root, version)
+    table_json = _table_schema_json(root, version)
+    mapping = _cm_mapping(table_json)
+    cand = None
+    for g, expr in sorted(state.generated.items()):
+        for p in _MONOTONE_GEN_PATTERNS:
+            if re.fullmatch(
+                r"\s*" + p.format(c=re.escape(src_col)) + r"\s*",
+                expr,
+                re.IGNORECASE,
+            ):
+                cand = (g, expr)
+                break
+        if cand:
+            break
+    if cand is None:
+        raise ValueError(
+            f"no generated column is a recognized monotone derivation "
+            f"of {src_col!r} (generated map: {state.generated})"
+        )
+    g, expr = cand
+    # evaluate the derivation on the two bounds IN-ENGINE — the same
+    # expression the writes used, so the interval is exact by
+    # construction (no python reimplementation to drift)
+    src_type = next(
+        f.dataType
+        for f in T.StructType.fromJson(json.loads(table_json)).fields
+        if f.name == src_col
+    )
+    bounds = (
+        spark.createDataFrame([(str(lo),), (str(hi),)], "b string")
+        .select(F.col("b").cast(src_type).alias(src_col))
+        .select(F.col(src_col), F.expr(expr).alias("_g"))
+        .collect()
+    )
+    tlo, thi = bounds[0][src_col], bounds[1][src_col]
+    if tlo is None or thi is None:
+        raise ValueError(
+            f"bounds {lo!r}..{hi!r} do not cast to {src_type.simpleString()}"
+        )
+    gvals = [r["_g"] for r in bounds]
+    glo, ghi = _stat_val(min(gvals)), _stat_val(max(gvals))
+    pg = _cm_phys(mapping, g)
+    keep = []
+    for f in state.files:
+        rng = state.stats.get(f, {}).get(pg)
+        if rng is None:
+            keep.append(f)  # no proof -> must scan
+            continue
+        mn, mx = rng
+        if mn is None or mx is None or (mx >= glo and mn <= ghi):
+            keep.append(f)
+    if not keep:
+        df = _read_files(spark, root, version, state.files).filter(
+            F.lit(False)
+        )
+    else:
+        df = _read_files(spark, root, version, keep)
+    df = df.filter(
+        (F.col(src_col) >= F.lit(tlo)) & (F.col(src_col) <= F.lit(thi))
+    )
+    return df, len(keep), len(state.files)
+
+
 def txn_read_partitioned(
     spark: SparkSession,
     root: str,
@@ -2961,6 +3165,10 @@ def txn_clone(src_root: str, dst_root: str) -> int:
     if state.spec:
         commit["partition_by"] = list(state.spec)
         commit["partitions"] = dict(state.parts)
+    if state.constraints:  # table properties travel with the clone
+        commit["constraints"] = dict(state.constraints)
+    if state.generated:
+        commit["generated"] = dict(state.generated)
     schema = schema0
     if schema is not None:
         commit["schema"] = schema

@@ -52,6 +52,8 @@ PLAN_QUERIES = [
     # ann_sq_topk are excluded: their BUILDERS run the bloom-build /
     # min-max-training jobs; their plan shapes get standalone tests)
     "curation_domain_mix",
+    # r7: token-window chunking (row-local explode, zero exchanges)
+    "text_chunking_tokens",
     # r5 additions (plan-only cheap): JSONL quarantine (text scan +
     # from_json, all JVM), ANN recall matrix (broadcast-join compose of
     # already-guarded exact + LSH arms), extended lang-id eval,
@@ -310,6 +312,7 @@ def test_r2_scan_local_ops_have_zero_exchanges(plans):
         "text_repetition",
         "sample_weighted",
         "text_chunking",
+        "text_chunking_tokens",
         "text_html_extract",
     ):
         assert _op_count(plans[name], "Exchange") == 0, plans[name]
