@@ -9890,6 +9890,46 @@ def q_lake_generated_cols(spark, sf_dir):
 
 
 @register(
+    "lake_count_star",
+    """SELECT count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN c_custkey % 13 = 0 THEN 0 ELSE 1 END)::BIGINT
+                  AS n_after_delete
+       FROM customer""",
+    "Metadata-only COUNT(*) (the Delta numRecords shape, r7): every "
+    "commit records per-file row counts from parquet FOOTERS under a "
+    "reserved stats key; txn_count sums live files and subtracts "
+    "deletion-vector-hidden rows by reading the metadata-sized "
+    "sidecars with pyarrow — NO Spark job, NO data page touched, at "
+    "any table size. The query commits a customer snapshot, counts, "
+    "DV-deletes every 13th key, counts again — both counts from pure "
+    "log arithmetic — and the oracle recomputes them by scanning. The "
+    "hash match proves log arithmetic == scan truth, DVs included. "
+    "At 100 TB: COUNT(*) is O(files) instead of a table scan.",
+)
+def q_lake_count_star(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    root = tempfile.mkdtemp(prefix="txn_cnt_q_") + "/t"
+    lake.txn_write(
+        base.repartitionByRange(4, "c_custkey"), root,
+        stats_cols=["c_custkey"],
+    )
+    n0 = lake.txn_count(root)
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("c_custkey") % 13 == 0).select("c_custkey"),
+        ["c_custkey"],
+    )
+    n1 = lake.txn_count(root)
+    return spark.createDataFrame(
+        [(n0, n1)], "n_rows bigint, n_after_delete bigint"
+    )
+
+
+@register(
     "lake_txn_partition",
     """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
        FROM orders

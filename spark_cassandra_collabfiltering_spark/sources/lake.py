@@ -1280,6 +1280,28 @@ def _resolve_spec(
     return phys
 
 
+# reserved per-file stats key carrying the file's ROW COUNT (the Delta
+# add-file numRecords shape). Never a column name; pruning code looks
+# stats up by real column names only, so the key is inert there.
+_NROWS_KEY = "__nrows__"
+
+
+def _file_row_counts(files: list) -> dict:
+    """Per-file row counts from parquet FOOTERS (pyarrow metadata read
+    — no data pages touched). Recorded in every commit so COUNT(*) is
+    log arithmetic at any table size; a file whose footer cannot be
+    read degrades to no-proof (absent key), never a wrong count."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in files:
+        try:
+            out[f] = pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            pass
+    return out
+
+
 def _spec_stats(
     spark: SparkSession,
     files: list,
@@ -1292,18 +1314,29 @@ def _spec_stats(
     stats columns, merged with exact [v, v] partition-value singletons
     for every spec column (partition columns are stripped from the
     data files, so they are never physically scanned — and never need
-    to be: the path value is an exact proof)."""
+    to be: the path value is an exact proof), plus the per-file row
+    count under the reserved _NROWS_KEY (footer metadata only)."""
+    if _NROWS_KEY in (stats_cols or ()):
+        raise ValueError(f"{_NROWS_KEY} is a reserved stats key")
     phys = [c for c in (stats_cols or []) if c not in spec]
     stats = _collect_file_stats(spark, files, phys) if phys and files else None
-    if not spec:
-        return stats
-    ps = _part_stats(parts or {}, spec, types)
-    if stats is None:
-        return ps
-    return {
-        f: {**ps.get(f, {}), **stats.get(f, {})}
-        for f in set(ps) | set(stats)
-    }
+    nrows = _file_row_counts(files)
+    merged: dict = {}
+    for f in files:
+        entry = {}
+        if f in nrows:
+            entry[_NROWS_KEY] = nrows[f]
+        if stats and f in stats:
+            entry.update(stats[f])
+        if entry:
+            merged[f] = entry
+    if spec:
+        ps = _part_stats(parts or {}, spec, types)
+        merged = {
+            f: {**ps.get(f, {}), **merged.get(f, {})}
+            for f in set(ps) | set(merged)
+        }
+    return merged or None
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
@@ -2406,6 +2439,44 @@ def txn_delete_dv(
     return v, n_deleted, len(victims)
 
 
+def txn_count(root: str, version: "int | None" = None) -> int:
+    """COUNT(*) without a table scan (the Delta numRecords shape):
+    live-file row counts come from the commits' reserved per-file
+    _NROWS_KEY stats (footer fallback for files committed before row
+    counts were recorded — still a metadata read, no data pages), and
+    deletion-vector-hidden rows are subtracted by reading the ACTIVE
+    sidecars (metadata-sized parquet, pyarrow, no Spark job). At
+    100 TB a COUNT(*) is O(files) log arithmetic instead of a scan —
+    and it is exactly what a scan would return, DVs included."""
+    import pyarrow.parquet as pq
+
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = latest
+    state = _replay(root, version)
+    total = 0
+    for f in state.files:
+        n = state.stats.get(f, {}).get(_NROWS_KEY)
+        if n is None:
+            n = pq.ParquetFile(f).metadata.num_rows  # footer, not data
+        total += n
+    for sidecars, targets in state.dvs:
+        # replay already filtered targets to live files; sidecar file
+        # values are scan-side URI form, targets are raw fs paths
+        tset = {_uri_path(t) for t in targets}
+        for sc in sidecars:
+            tbl = pq.read_table(sc).to_pandas()
+            hit = tbl[tbl["file"].isin(tset)]
+            total -= (
+                int(hit["n"].sum())
+                if "n" in tbl.columns
+                else len(hit)  # legacy (file, pos) sidecars: 1 row each
+            )
+    return total
+
+
 def txn_detail(root: str) -> dict:
     """DESCRIBE DETAIL: one dict summarizing the table at its latest
     version — version, file/byte counts, partition spec, schema field
@@ -2426,6 +2497,7 @@ def txn_detail(root: str) -> dict:
     return {
         "version": latest,
         "num_files": len(st.files),
+        "num_rows": txn_count(root, latest),
         "size_bytes": sum(
             os.path.getsize(f) for f in st.files if os.path.exists(f)
         ),
