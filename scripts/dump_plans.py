@@ -151,6 +151,14 @@ SHOWN = [
     "lake_txn_datasource",
     "cf_preference_pairs",
     "sft_chat_assembly",
+    # r7 continuation 3: column mapping (read = rename-project over the
+    # same pruned scan — no join, no extra exchange), generated-column
+    # derived pruning (partition-pruned scan from a raw-ts predicate),
+    # log-arithmetic COUNT(*), and the token-window chunker (map-only,
+    # zero exchanges)
+    "lake_column_mapping",
+    "lake_generated_cols",
+    "text_chunking_tokens",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
