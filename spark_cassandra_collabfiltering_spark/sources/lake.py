@@ -2455,6 +2455,7 @@ def txn_count(root: str, version: "int | None" = None) -> int:
         raise FileNotFoundError(f"no committed versions under {root}")
     if version is None:
         version = latest
+    _check_horizon(root, version)
     state = _replay(root, version)
     total = 0
     for f in state.files:
@@ -2800,6 +2801,7 @@ def txn_read(
         version = latest
     if not 0 <= version <= latest:
         raise ValueError(f"version {version} not in [0, {latest}]")
+    _check_horizon(root, version)
     files = _txn_state(root, version)
     if not files:
         raise ValueError(f"version {version} is an empty table state")
@@ -2829,6 +2831,7 @@ def txn_read_pruned(
         raise FileNotFoundError(f"no committed versions under {root}")
     if version is None:
         version = latest
+    _check_horizon(root, version)
     files, _, stats = _replay(root, version)[:3]
     # stats are keyed by PHYSICAL column name; the caller speaks logical
     pcol = _cm_phys(_cm_mapping(_table_schema_json(root, version)), col)
@@ -2892,6 +2895,7 @@ def txn_read_pruned_derived(
         raise FileNotFoundError(f"no committed versions under {root}")
     if version is None:
         version = latest
+    _check_horizon(root, version)
     state = _replay(root, version)
     table_json = _table_schema_json(root, version)
     mapping = _cm_mapping(table_json)
@@ -2977,6 +2981,7 @@ def txn_read_partitioned(
         raise FileNotFoundError(f"no committed versions under {root}")
     if version is None:
         version = latest
+    _check_horizon(root, version)
     state = _replay(root, version)
     import json
 
@@ -3056,6 +3061,7 @@ def txn_changes(
         v_to = latest
     if not 0 <= v_from <= v_to <= latest:
         raise ValueError(f"bad version range [{v_from}, {v_to}] vs {latest}")
+    _check_horizon(root, v_from)
     tj_to = _table_schema_json(root, v_to)
     table = T.StructType.fromJson(json.loads(tj_to))
     names = [f.name for f in table.fields]
@@ -3184,6 +3190,7 @@ def txn_restore(root: str, version: int, max_retries: int = 20) -> int:
         raise FileNotFoundError(f"no committed versions under {root}")
     if not 0 <= version <= latest:
         raise ValueError(f"version {version} not in [0, {latest}]")
+    _check_horizon(root, version)
     files = _txn_state(root, version)
     # an overwrite drops DV lineage; fold the restored version's DVs in
     # by keeping them as a dv commit right after would — simpler and
@@ -3272,9 +3279,98 @@ def txn_clone(src_root: str, dst_root: str) -> int:
     return v
 
 
+def _horizon_path(root: str) -> str:
+    return os.path.join(_log_dir(root), "_vacuum_horizon.json")
+
+
+def _vacuum_horizon(root: str) -> int:
+    """The retention horizon: versions BELOW it were vacuumed away and
+    must refuse loudly instead of erroring on missing files. 0 = full
+    history intact."""
+    import json
+
+    p = _horizon_path(root)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return json.load(fh)["version"]
+
+
+def _check_horizon(root: str, version: int) -> None:
+    h = _vacuum_horizon(root)
+    if version < h:
+        raise ValueError(
+            f"version {version} is below the vacuum horizon {h}: its "
+            "data files were reclaimed by txn_vacuum_retain and time "
+            "travel there is gone (the log itself is kept for lineage)"
+        )
+
+
+def txn_vacuum_retain(root: str, keep_from: int) -> list[str]:
+    """VACUUM with a retention horizon (the Delta VACUUM ... RETAIN
+    shape): reclaim the data files referenced ONLY by versions below
+    ``keep_from``. Without this, a long-lived table's storage grows
+    forever — every compaction and merge keeps its pre-images alive
+    for time travel. The horizon marker is persisted FIRST (atomic
+    rename), so a crash mid-delete leaves readers refusing loudly
+    rather than tripping over missing files; then everything a
+    version >= keep_from can need stays: its live files, its active
+    DV sidecars, and the pre-image files its commit's removes/dv_for
+    reference (so txn_changes(keep_from, ...) still reconstructs the
+    boundary commit's churn). Time travel, CDF and restore below the
+    horizon refuse with a clear error. The log is never touched —
+    lineage and txn_history survive. Monotone: a smaller keep_from
+    than the current horizon is clamped up. Returns deleted paths.
+
+    Note the boundary nuance: a horizon placed EXACTLY on a
+    compact/merge keeps that commit's pre-images (txn_changes needs
+    them); to reclaim a rewrite's pre-images, place the horizon one
+    version past it."""
+    import json
+    import uuid
+
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if not 0 <= keep_from <= latest:
+        raise ValueError(f"keep_from {keep_from} not in [0, {latest}]")
+    keep_from = max(keep_from, _vacuum_horizon(root))
+    tmp = _horizon_path(root) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": keep_from}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _horizon_path(root))
+
+    keep: set[str] = set()
+    for v in range(keep_from, latest + 1):
+        st = _replay(root, v)
+        keep.update(st.files)
+        for sidecars, _tg in st.dvs:
+            keep.update(sidecars)
+        c = _read_commit(root, v)
+        keep.update(c.get("removes", ()))
+        keep.update(c.get("dv_for", ()))
+        if c["op"] == "dv":
+            keep.update(c["files"])
+    removed = []
+    data_root = os.path.join(root, "_data")
+    if os.path.isdir(data_root):
+        for dirpath, _dirs, fnames in os.walk(data_root):
+            for f in sorted(fnames):
+                p = os.path.join(dirpath, f)
+                if f.endswith(".parquet") and p not in keep:
+                    os.remove(p)
+                    removed.append(p)
+    return removed
+
+
 def txn_vacuum(root: str) -> list[str]:
     """Delete data files no committed version references (aborted or
-    pre-commit writer garbage). Never touches the log."""
+    pre-commit writer garbage). Never touches the log. Composes with
+    txn_vacuum_retain: every version's state still pins files here
+    (below-horizon files retain already deleted are simply absent),
+    so this never removes the boundary pre-images retain kept."""
     latest = txn_latest_version(root)
     live: set[str] = set()
     if latest is not None:

@@ -206,6 +206,7 @@ class TxnLakeReader(DataSourceReader):
         if latest is None:
             raise FileNotFoundError(f"no committed versions under {root}")
         self._version = latest if version is None else version
+        lake._check_horizon(root, self._version)
         self._state = lake._replay(root, self._version)
         tj = lake._table_schema_json(root, self._version)
         if lake._cm_mapping(tj):
@@ -376,6 +377,7 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         return {"version": latest if latest is not None else -1}
 
     def _parts_for(self, v: int) -> list:
+        lake._check_horizon(self._root, v)
         c = lake._read_commit(self._root, v)
         st = lake._replay(self._root, v)
         if not self._cdf:
