@@ -901,7 +901,23 @@ def _write_data_files(
             for f in fnames
             if f.endswith(".parquet")
         ]
-    return sorted(out)
+    # Spark tasks with no rows still emit empty part files; committing
+    # them bloats the log and every replayed file list with entries
+    # that can never matter — drop them here (footer read only), so a
+    # commit's file list is exactly its data
+    kept = []
+    for f in sorted(out):
+        try:
+            import pyarrow.parquet as pq
+
+            empty = pq.ParquetFile(f).metadata.num_rows == 0
+        except Exception:
+            empty = False  # unreadable -> keep; readers will surface it
+        if empty:
+            os.remove(f)
+        else:
+            kept.append(f)
+    return kept
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
