@@ -154,16 +154,19 @@ def _file_to_batches(
     arrays, names = [], []
     for f in schema.fields:
         at = _arrow_type(f.dataType)
+        # under column mapping the parquet file carries the PHYSICAL
+        # name (cm_phys field metadata); unmapped fields use their own
+        phys = (f.metadata or {}).get("cm_phys", f.name)
         if f.name in partition.extra:
             arrays.append(pa.array([partition.extra[f.name]] * n, type=at))
-        elif f.name in tbl.column_names:
-            col = tbl.column(f.name)
+        elif phys in tbl.column_names:
+            col = tbl.column(phys)
             if at is not None and col.type != at:
                 col = col.cast(at)
             arrays.append(col)
-        elif f.name in partition.part_vals or f.name in spec:
+        elif phys in partition.part_vals or phys in spec:
             v = lake._py_part_val(
-                partition.part_vals.get(f.name), f.dataType
+                partition.part_vals.get(phys), f.dataType
             )
             arrays.append(pa.array([v] * n, type=at))
         else:  # pre-evolution file: the added column is null here
@@ -209,14 +212,11 @@ class TxnLakeReader(DataSourceReader):
         lake._check_horizon(root, self._version)
         self._state = lake._replay(root, self._version)
         tj = lake._table_schema_json(root, self._version)
-        if lake._cm_mapping(tj):
-            # the Arrow partition reader surfaces raw parquet column
-            # names; a column-mapped table needs the physical->logical
-            # rename — refuse rather than expose physical names
-            raise ValueError(
-                "this table uses column mapping; read through "
-                "lake.txn_read(...) instead of format('txnlake')"
-            )
+        # column mapping is handled natively: the schema's cm_phys
+        # field metadata drives the physical->logical rename in
+        # _file_to_batches, and pushed filters translate to physical
+        # names before consulting the (physically-keyed) stats
+        self._mapping = lake._cm_mapping(tj) or {}
         self._schema = T.StructType.fromJson(json.loads(tj))
         self._files = list(self._state.files)
 
@@ -228,7 +228,7 @@ class TxnLakeReader(DataSourceReader):
                 st = self._state.stats.get(f, {})
                 ok = True
                 for col, (lo, hi) in bounds.items():
-                    rng = st.get(col)
+                    rng = st.get(self._mapping.get(col, col))
                     if rng is None:
                         continue  # no proof -> must keep
                     mn, mx = rng
@@ -359,15 +359,6 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         self._root = root
         self._skip = skip_change_commits
         self._cdf = cdf
-        latest = lake.txn_latest_version(root)
-        if latest is not None and lake._cm_mapping(
-            lake._table_schema_json(root, latest)
-        ):
-            raise ValueError(
-                "this table uses column mapping; stream through "
-                "lake.txn_read_incremental(...) instead of "
-                "format('txnlake')"
-            )
 
     def initialOffset(self):
         return {"version": -1}
@@ -386,9 +377,11 @@ class TxnLakeStreamReader(DataSourceStreamReader):
                     _FilePartition(f, st.parts.get(f) or {}, [])
                     for f in c["files"]
                 ]
-            if self._skip or c["op"] == "dv":
-                # dv commits add no rows; with skipChangeCommits
-                # rewrites are silently skipped (Delta's contract)
+            if self._skip or c["op"] in ("dv", "meta"):
+                # dv commits add no rows; meta commits (constraints,
+                # column mapping DDL) change no rows at all; with
+                # skipChangeCommits rewrites are silently skipped
+                # (Delta's contract)
                 return []
             raise ValueError(
                 f"streaming source hit a {c['op']} commit at v{v}; "
@@ -492,6 +485,11 @@ class TxnLakeWriter(DataSourceArrowWriter):
         # read_version is noted commit-side (the commit loop reloads);
         # fail fast on spec/schema here, before executors do work
         read_v = lake.txn_latest_version(root)
+        self._wmap = (
+            lake._cm_mapping(lake._table_schema_json(root, read_v)) or {}
+            if read_v is not None
+            else {}
+        )
         if read_v is not None:
             state = lake._replay(root, read_v)
             if state.spec and self._mode == "append":
@@ -499,14 +497,6 @@ class TxnLakeWriter(DataSourceArrowWriter):
                     "the txnlake data source writes flat layouts; this "
                     f"table is partitioned by {state.spec} — append "
                     "through lake.txn_write(partition_by=...) instead"
-                )
-            if lake._cm_mapping(lake._table_schema_json(root, read_v)):
-                # task batches would land under LOGICAL names while the
-                # table contract is physical; refuse rather than corrupt
-                raise ValueError(
-                    "this table uses column mapping; write through "
-                    "lake.txn_write, which maps columns to their "
-                    "physical names"
                 )
             if state.constraints:
                 # the writer cannot evaluate SQL CHECK expressions on
@@ -531,6 +521,13 @@ class TxnLakeWriter(DataSourceArrowWriter):
         if not batches:
             return _TaskFiles([], {})
         tbl = pa.Table.from_batches(batches)
+        wmap = getattr(self, "_wmap", {})
+        if wmap:
+            # mapped table: task batches arrive under LOGICAL names,
+            # files must carry the stable PHYSICAL names
+            tbl = tbl.rename_columns(
+                [wmap.get(c, c) for c in tbl.column_names]
+            )
         os.makedirs(self._data_dir, exist_ok=True)
         path = os.path.join(
             self._data_dir, f"part-{uuid.uuid4().hex}.parquet"
@@ -538,6 +535,7 @@ class TxnLakeWriter(DataSourceArrowWriter):
         pq.write_table(tbl, path)
         stats = {}
         for c in self._stats_cols:
+            c = wmap.get(c, c)  # add-file stats are physically keyed
             if c in tbl.column_names and tbl.num_rows:
                 import pyarrow.compute as pc
 
@@ -556,6 +554,9 @@ class TxnLakeWriter(DataSourceArrowWriter):
 
         def schema_fn(tip):
             if self._mode == "overwrite":
+                tj = lake._table_schema_json(self._root, tip)
+                if lake._cm_mapping(tj):
+                    return lake._cm_overwrite_schema(tj, self._schema)
                 return self._schema.json()
             return lake._check_schema(
                 lake._table_schema_json(self._root, tip),
@@ -599,6 +600,11 @@ class TxnLakeStreamWriter(DataSourceStreamArrowWriter):
         self._data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
         os.makedirs(lake._log_dir(root), exist_ok=True)
         read_v = lake.txn_latest_version(root)
+        self._wmap = (
+            lake._cm_mapping(lake._table_schema_json(root, read_v)) or {}
+            if read_v is not None
+            else {}
+        )
         if read_v is not None:
             state = lake._replay(root, read_v)
             if state.spec:

@@ -375,21 +375,68 @@ def test_pre_mapping_reader_refuses_mapped_log(spark, tmp_path, monkeypatch):
     assert lake.txn_read(spark, root).count() == 10
 
 
-def test_data_source_refuses_mapped_tables(spark, tmp_path):
+def test_data_source_reads_and_writes_mapped_tables(spark, tmp_path):
+    # format("txnlake") handles column mapping natively: the schema's
+    # cm_phys metadata drives the physical->logical rename executor-
+    # side; pushed filters translate to physical stats keys; the Arrow
+    # writer lands task batches under the physical names
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
+        TxnLakeDataSource,
+        TxnLakeReader,
+    )
+
+    spark.dataSource.register(TxnLakeDataSource)
+    root = _mapped(spark, tmp_path)
+    got = spark.read.format("txnlake").option("root", root).load()
+    assert got.columns == ["id", "name", "points"]
+    assert got.agg(F.sum("points")).collect()[0][0] == 450
+    # DS write: logical batches land under the stable PHYSICAL names
+    spark.createDataFrame(
+        [(100, "x", 999)], "id int, name string, points int"
+    ).write.format("txnlake").option("root", root).option(
+        "stats_cols", "id"
+    ).mode("append").save()
+    v = lake.txn_latest_version(root)
+    newf = lake._read_commit(root, v)["files"]
+    raw = spark.read.parquet(*newf)
+    assert "score" in raw.columns and "points" not in raw.columns
+    got = spark.read.format("txnlake").option("root", root).load()
+    assert got.filter("id = 100").collect()[0]["points"] == 999
+    # pushed filters prune through the physically-keyed stats even
+    # after the stats column itself is renamed
+    lake.txn_rename_column(root, "id", "doc_id")
+    r = TxnLakeReader(root, None)
+    r.pushFilters(
+        [GreaterThanOrEqual(("doc_id",), 0), LessThanOrEqual(("doc_id",), 4)]
+    )
+    assert len(r.partitions()) < len(
+        lake._replay(root, lake.txn_latest_version(root)).files
+    )
+
+
+def test_stream_source_skips_meta_commits_and_renames(spark, tmp_path):
+    # enable/rename/constraint commits change no rows: the streaming
+    # source emits nothing for them instead of tripping the
+    # append-only contract, and a mapped table streams under its
+    # LOGICAL names
     from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
         TxnLakeDataSource,
     )
 
     spark.dataSource.register(TxnLakeDataSource)
-    root = _mapped(spark, tmp_path)
-    with pytest.raises(Exception, match="column mapping"):
-        spark.read.format("txnlake").option("root", root).load().collect()
-    with pytest.raises(Exception, match="column mapping"):
-        spark.createDataFrame(
-            [(1, "a", 2)], "id int, name string, points int"
-        ).write.format("txnlake").option("root", root).mode(
-            "append"
-        ).save()
+    root = _mapped(spark, tmp_path)  # history contains 2 meta commits
+    q = (
+        spark.readStream.format("txnlake").option("root", root).load()
+        .writeStream.format("memory").queryName("cm_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select count(*) c, sum(points) s from cm_stream"
+    ).collect()[0]
+    assert (got["c"], got["s"]) == (10, 450)
 
 
 # -------------------------------------------------------- concurrency
