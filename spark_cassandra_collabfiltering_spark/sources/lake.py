@@ -2451,6 +2451,7 @@ def txn_delete_dv(
     v = _txn_commit(
         root, "dv", sidecars, sorted(victims), read_v, txn, max_retries,
         None, lambda tip: _table_schema_json(root, tip),
+        extra_commit={"dv_rows": int(n_deleted)},
     )
     return v, n_deleted, len(victims)
 
@@ -2532,13 +2533,34 @@ def txn_detail(root: str) -> dict:
 
 
 def txn_history(root: str) -> list[dict]:
-    """Commit metadata, newest first (the DESCRIBE HISTORY shape)."""
+    """Commit metadata, newest first (the DESCRIBE HISTORY shape) —
+    including row deltas from pure log arithmetic: ``rows_added`` /
+    ``rows_removed`` sum the reserved per-file row counts of each
+    commit's added/removed files (None when a file predates row-count
+    recording — never a guess), and dv commits carry ``rows_hidden``
+    (the count recorded at commit time). A compaction shows
+    added == removed; an audit of table growth needs no scan."""
     latest = txn_latest_version(root)
     if latest is None:
         return []
+    # one ascending pass accumulates every file's recorded row count,
+    # so a remove at v can be priced from the commit that added it
+    nrows: dict = {}
+    commits = []
+    for v in range(latest + 1):
+        c = _read_commit(root, v)
+        for f, st in (c.get("stats") or {}).items():
+            if _NROWS_KEY in st:
+                nrows[f] = st[_NROWS_KEY]
+        commits.append(c)
+
+    def total(files):
+        got = [nrows.get(f) for f in files]
+        return None if any(g is None for g in got) else sum(got)
+
     out = []
     for v in range(latest, -1, -1):
-        c = _read_commit(root, v)
+        c = commits[v]
         out.append(
             {
                 "version": v,
@@ -2546,6 +2568,11 @@ def txn_history(root: str) -> list[dict]:
                 "n_files": len(c["files"]),
                 "n_removes": len(c.get("removes", [])),
                 "n_dv_targets": len(c.get("dv_for", [])),
+                "rows_added": (
+                    0 if c["op"] == "dv" else total(c["files"])
+                ),
+                "rows_removed": total(c.get("removes", [])),
+                "rows_hidden": c.get("dv_rows"),
                 "read_version": c["read_version"],
                 "txn": (
                     (c["txn_app"], c["txn_run"]) if "txn_app" in c else None

@@ -142,3 +142,20 @@ def test_row_counts_do_not_disturb_pruning(spark, tmp_path):
         when_matched="delete", when_not_matched="ignore",
     )
     assert rewrote < total
+
+
+def test_history_row_deltas_from_log_arithmetic(spark, tmp_path):
+    # DESCRIBE HISTORY row deltas: appends price their files, a DV
+    # commit carries the hidden-row count recorded at commit time, a
+    # compaction shows added == removed-minus-materialized — all from
+    # the log, no scan
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 100).coalesce(2), root, stats_cols=["id"])
+    lake.txn_write(_d(spark, 200, 250), root)
+    lake.txn_delete_dv(spark, root, spark.range(0, 7).select("id"), ["id"])
+    lake.txn_compact(spark, root, sort_cols=["id"], stats_cols=["id"])
+    h = {e["version"]: e for e in lake.txn_history(root)}
+    assert (h[0]["rows_added"], h[0]["rows_removed"]) == (100, 0)
+    assert (h[1]["rows_added"], h[1]["rows_removed"]) == (50, 0)
+    assert (h[2]["rows_added"], h[2]["rows_hidden"]) == (0, 7)
+    assert (h[3]["rows_added"], h[3]["rows_removed"]) == (143, 150)
