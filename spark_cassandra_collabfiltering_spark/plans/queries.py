@@ -9930,6 +9930,58 @@ def q_lake_count_star(spark, sf_dir):
 
 
 @register(
+    "lake_type_widening",
+    """SELECT c_custkey::BIGINT AS c_custkey,
+              CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE) AS balance
+       FROM customer
+       UNION ALL
+       SELECT c_custkey + 4000000000, CAST(c_acctbal AS DOUBLE)
+       FROM customer WHERE c_custkey % 25 = 0""",
+    "Type widening on the txn lake (the Delta type-widening shape, "
+    "r7): a customer snapshot is committed NARROW (int keys, float "
+    "balances), then ALTER COLUMN TYPE widens both columns as "
+    "METADATA-ONLY commits — zero bytes rewritten — and an append "
+    "lands keys beyond int range (custkey + 4e9) with full-double "
+    "balances. The read groups files by their recorded write schema "
+    "and CASTS each group to the table type (mergeSchema alone fails "
+    "outright on int-vs-long footers); the oracle replays the same "
+    "lossless upcasts in SQL, so the hash match proves bit-exact "
+    "int->long and float->double recovery through the grouped-scan "
+    "path plus the wide append. Only whitelist-lossless upcasts are "
+    "metadata-only; narrowing takes an explicit overwrite "
+    "(tests/test_txn_widen.py). At 100 TB: an ALTER COLUMN TYPE is an "
+    "instant commit, not a petabyte rewrite.",
+)
+def q_lake_type_widening(spark, sf_dir):
+    import tempfile
+
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("c_custkey"),
+        F.col("c_acctbal").cast("float").alias("balance"),
+    )
+    root = tempfile.mkdtemp(prefix="txn_widen_q_") + "/t"
+    lake.txn_write(
+        base.repartitionByRange(4, "c_custkey"), root,
+        stats_cols=["c_custkey"],
+    )
+    lake.txn_widen_column(root, "c_custkey", "long")
+    lake.txn_widen_column(root, "balance", "double")
+    lake.txn_write(
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 25 == 0)
+        .select(
+            (F.col("c_custkey") + 4000000000).alias("c_custkey"),
+            F.col("c_acctbal").cast("double").alias("balance"),
+        ),
+        root,
+        stats_cols=["c_custkey"],
+    )
+    return lake.txn_read(spark, root)
+
+
+@register(
     "lake_txn_partition",
     """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
        FROM orders

@@ -1573,7 +1573,9 @@ def _cm_rename_scan(df: DataFrame, table_json: str) -> DataFrame:
     for f in schema.fields:
         p = (f.metadata or {}).get("cm_phys", f.name)
         sel.append(
-            F.col(p).alias(f.name)
+            # the cast is a Catalyst no-op unless the file was written
+            # before a type widening — then it upcasts losslessly
+            F.col(p).cast(f.dataType).alias(f.name)
             if p in have
             else F.lit(None).cast(f.dataType).alias(f.name)
         )
@@ -1603,6 +1605,140 @@ def _cm_overwrite_schema(table_json: str, df_schema: T.StructType) -> str:
             for f in df_schema.fields
         ]
     ).json()
+
+
+# ---------------------------------------------------------------------------
+# Type widening (the Delta type-widening shape): ALTER COLUMN TYPE to a
+# strictly wider type as a METADATA-ONLY commit. Files written before
+# the widen keep their narrow physical type; reads group files by their
+# recorded write schema, scan each group under its own types, CAST to
+# the table type and union — no byte rewritten, values exact by
+# construction (the whitelist admits only lossless upcasts). Appends
+# and merge sources arriving with the old narrow type are auto-upcast.
+# Compaction converges storage to the wide type as a side effect.
+# ---------------------------------------------------------------------------
+
+_WIDENABLE = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"), ("integer", "double"),
+    ("float", "double"),
+}
+
+_WIDEN_TARGETS = {
+    "short": T.ShortType(), "integer": T.IntegerType(),
+    "int": T.IntegerType(), "long": T.LongType(),
+    "bigint": T.LongType(), "double": T.DoubleType(),
+}
+
+
+def _widen_ok(frm: T.DataType, to: T.DataType) -> bool:
+    return (frm.typeName(), to.typeName()) in _WIDENABLE
+
+
+def _auto_upcast(df: DataFrame, table_json: "str | None") -> DataFrame:
+    """Cast dataframe columns whose type is a WIDENABLE narrow version
+    of the table type (a writer still producing int after the table
+    widened to long keeps working — the Delta implicit-upcast
+    contract). Anything else is left for _check_schema to judge."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    if table_json is None:
+        return df
+    types = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(json.loads(table_json)).fields
+    }
+    sel, changed = [], False
+    for f in df.schema.fields:
+        tt = types.get(f.name)
+        if tt is not None and f.dataType != tt and _widen_ok(f.dataType, tt):
+            sel.append(F.col(f.name).cast(tt).alias(f.name))
+            changed = True
+        else:
+            sel.append(F.col(f.name))
+    return df.select(*sel) if changed else df
+
+
+def txn_widen_column(
+    root: str, col: str, new_type, max_retries: int = 20
+) -> int:
+    """ALTER COLUMN TYPE to a strictly WIDER type, metadata-only (zero
+    bytes rewritten at any table size). Only lossless upcasts are
+    admitted (byte->short->int->long, int->double, float->double) —
+    anything else would silently corrupt values and is refused.
+    Partition columns are refused (the hive layout's parse contract is
+    fixed at write); columns referenced by CHECK constraints or
+    generation expressions are refused conservatively. Old files keep
+    their narrow physical type; reads cast per schema-group, appends
+    with the narrow type auto-upcast, compaction converges storage."""
+    import json
+
+    if isinstance(new_type, str):
+        nt = _WIDEN_TARGETS.get(new_type.lower())
+        if nt is None:
+            raise ValueError(
+                f"unknown widen target {new_type!r} "
+                f"(one of {sorted(_WIDEN_TARGETS)})"
+            )
+    else:
+        nt = new_type
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+
+    def schema_fn(tip):
+        tj = _table_schema_json(root, tip)
+        if tj is None:
+            raise ValueError("table has no recorded schema")
+        s = T.StructType.fromJson(json.loads(tj))
+        names = [f.name for f in s.fields]
+        if col not in names:
+            raise ValueError(f"no column {col!r} (have {names})")
+        old = next(f.dataType for f in s.fields if f.name == col)
+        if old == nt:
+            return tj  # idempotent
+        if not _widen_ok(old, nt):
+            raise ValueError(
+                f"cannot widen {col!r} from {old.simpleString()} to "
+                f"{nt.simpleString()}: only lossless upcasts are "
+                "metadata-only (anything else takes an explicit "
+                "overwrite)"
+            )
+        st = _replay(root, tip)
+        mapping = _cm_mapping(tj)
+        if _cm_phys(mapping, col) in set(st.spec):
+            raise ValueError(
+                f"column {col!r} is a partition column; the hive "
+                "layout's value encoding is fixed at write"
+            )
+        if col in st.generated:
+            raise ValueError(f"column {col!r} is a generated column")
+        _cm_guard_refs(
+            col,
+            {
+                **st.constraints,
+                **{f"generated({k})": e for k, e in st.generated.items()},
+            },
+        )
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    nt if f.name == col else f.dataType,
+                    True,
+                    dict(f.metadata or {}),
+                )
+                for f in s.fields
+            ]
+        ).json()
+
+    return _txn_commit(
+        root, "meta", [], [], read_v, None, max_retries, None, schema_fn,
+        _meta_conflict,
+    )
 
 
 def _commit_protocol(schema_json: "str | None") -> int:
@@ -1851,6 +1987,11 @@ def txn_write(
         # spec resolution (the generated column is often the partition
         # column) and before constraints see the rows
         df = _apply_generated(df, gen)
+    if read_v is not None and mode == "append":
+        # writers still producing a pre-widening narrow type keep
+        # working: lossless upcast to the table type (Delta implicit
+        # cast); anything else _check_schema refuses as before
+        df = _auto_upcast(df, _table_schema_json(root, read_v))
     mapping0 = (
         _cm_mapping(_table_schema_json(root, read_v))
         if read_v is not None
@@ -2159,6 +2300,7 @@ def txn_merge(
             # omitted generated columns are computed, provided ones
             # validated — same write-boundary contract as txn_write
             source = _apply_generated(source, state.generated)
+        source = _auto_upcast(source, table_json)
         _check_schema(table_json, source.schema, merge=False)
 
     # one bounded agg: source key ranges (pruning proof + serializable
@@ -2778,6 +2920,49 @@ def _read_files(
     eff_json = as_schema or table_json
     mapping = _cm_mapping(eff_json)
     distinct = {state.file_schemas.get(f) for f in files}
+
+    # type widening: when live files span DIFFERENT physical types for
+    # one column (files written before/after txn_widen_column),
+    # mergeSchema would fail outright — instead scan per schema-group
+    # under each group's own types, CAST to the table type and union.
+    def _phys_types(sjson):
+        if sjson is None:
+            return None
+        s = T.StructType.fromJson(json.loads(sjson))
+        return {
+            (f.metadata or {}).get("cm_phys", f.name): f.dataType
+            for f in s.fields
+        }
+
+    base_types = _phys_types(table_json) or {}
+    tmix = False
+    for sjson in distinct:
+        pt = _phys_types(sjson)
+        if pt is None:
+            continue
+        if any(
+            k in base_types and base_types[k] != dt for k, dt in pt.items()
+        ):
+            tmix = True
+            break
+    if tmix and table_json is not None:
+        by_schema: dict = {}
+        for f in files:
+            by_schema.setdefault(state.file_schemas.get(f), []).append(f)
+        out = None
+        for sjson, gfiles in sorted(by_schema.items(), key=str):
+            scan = spark.read.option("mergeSchema", "true").parquet(*gfiles)
+            if state.spec:
+                scan = scan.withColumn(
+                    "_pfile", _strip_file_uri(F.col("_metadata.file_path"))
+                )
+            scan = _apply_dvs(spark, scan, state.dvs, gfiles)
+            if state.spec:
+                pmap = _part_map_df(spark, state, gfiles, table_json)
+                scan = scan.join(F.broadcast(pmap), "_pfile").drop("_pfile")
+            scan = _cm_rename_scan(scan, eff_json)  # rename + upcast
+            out = scan if out is None else out.unionByName(scan)
+        return out
     if table_json is not None and _cm_mapping(table_json):
         tphys = _cm_physical_json(table_json)
         dphys = {
