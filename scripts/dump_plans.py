@@ -159,6 +159,7 @@ SHOWN = [
     "lake_column_mapping",
     "lake_generated_cols",
     "text_chunking_tokens",
+    "lake_type_widening",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)

@@ -434,12 +434,21 @@ def test_divergent_append_rejected_before_data_write(spark, tmp_path):
     # fail-fast: no data garbage was written, no version consumed
     assert lake.txn_latest_version(root) == 0
     assert lake.txn_vacuum(root) == []
-    # type change is rejected even under merge_schema
+    # a LOSSLESS-narrower write implicitly upcasts (int into a long
+    # column — the Delta implicit-cast contract that keeps narrow
+    # writers working after a type widening) ...
     retyped = spark.range(3).select(
         F.col("id").cast("int"), (F.col("id") * 2).alias("v")
     )
+    v = lake.txn_write(retyped, root)
+    assert lake.txn_read(spark, root).count() == 6
+    # ... while a genuinely incompatible type change is still rejected
+    # even under merge_schema
+    bad_type = spark.range(3).select(
+        F.col("id").cast("string"), (F.col("id") * 2).alias("v")
+    )
     with pytest.raises(lake.SchemaMismatch):
-        lake.txn_write(retyped, root, merge_schema=True)
+        lake.txn_write(bad_type, root, merge_schema=True)
 
 
 def test_merge_schema_adds_nullable_column_old_files_read_null(spark, tmp_path):
