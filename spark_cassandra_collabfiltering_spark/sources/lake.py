@@ -1741,6 +1741,36 @@ def txn_widen_column(
     )
 
 
+def _schema_groups(state: "_TableState", files: list) -> "list[list]":
+    """``files`` split into per-write-schema groups when their
+    physical TYPES conflict (a post-widening mixture breaks a single
+    mergeSchema scan outright); one group when uniform or differing
+    only in column sets (plain evolution — mergeSchema handles that).
+    Raw scanners (DV position finding, CDF pre-images) scan each group
+    separately and union."""
+    import json
+
+    by: dict = {}
+    for f in files:
+        by.setdefault(state.file_schemas.get(f), []).append(f)
+    if len(by) <= 1:
+        return [list(files)]
+    seen: dict = {}
+    conflict = False
+    for sjson in by:
+        if sjson is None:
+            continue
+        s = T.StructType.fromJson(json.loads(sjson))
+        for fld in s.fields:
+            k = (fld.metadata or {}).get("cm_phys", fld.name)
+            if k in seen and seen[k] != fld.dataType:
+                conflict = True
+            seen[k] = fld.dataType
+    if not conflict:
+        return [list(files)]
+    return [sorted(g) for _, g in sorted(by.items(), key=str)]
+
+
 def _commit_protocol(schema_json: "str | None") -> int:
     """The protocol a commit must stamp: CM_PROTOCOL once its schema
     carries column mapping (readers below that would surface physical
@@ -2546,16 +2576,27 @@ def txn_delete_dv(
     # table at this commit. On a partitioned table the scan lacks the
     # partition columns (hive strips them); keys on those columns
     # resolve through the broadcast per-file value map.
-    scan = spark.read.option("mergeSchema", "true").parquet(*victims)
-    base = scan.select(
-        _strip_file_uri(F.col("_metadata.file_path")).alias("file"),
-        F.col("_metadata.row_index").alias("pos"),
-        *[
-            F.col(p).alias(c)
-            for c, p in zip(key_cols, pkey_cols)
-            if p not in state.spec
-        ],
-    )
+    import json as _json
+
+    ktypes = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(_json.loads(table_json)).fields
+    }
+    base = None
+    # post-widening mixtures break one mergeSchema scan; per-group
+    # scans cast the key columns to the table type and union
+    for gfiles in _schema_groups(state, victims):
+        scan = spark.read.option("mergeSchema", "true").parquet(*gfiles)
+        part = scan.select(
+            _strip_file_uri(F.col("_metadata.file_path")).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+            *[
+                F.col(p).cast(ktypes[c]).alias(c)
+                for c, p in zip(key_cols, pkey_cols)
+                if p not in state.spec
+            ],
+        )
+        base = part if base is None else base.unionByName(part)
     if state.spec:
         pmap = _part_map_df(
             spark, state, victims, table_json
@@ -3343,36 +3384,47 @@ def txn_changes(
             parts.append(tag(new.exceptAll(old), "insert", v))
         elif c["op"] == "dv":
             st_v = _replay(root, v)
-            scan = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*c["dv_for"])
-                .withColumn(
-                    "_dv_file", _strip_file_uri(F.col("_metadata.file_path"))
-                )
-                .withColumn("_dv_pos", F.col("_metadata.row_index"))
-            )
             newdv = _read_dv(spark, c["files"]).select(
                 F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
             )
-            hit = scan.join(newdv, ["_dv_file", "_dv_pos"], "left_semi")
             prior = [
                 p
                 for sf, tg in _replay(root, v - 1).dvs
                 if set(tg) & set(c["dv_for"])
                 for p in sf
             ]
-            if prior:
-                olddv = _read_dv(spark, prior).select(
-                    F.col("file").alias("_dv_file"),
-                    F.col("pos").alias("_dv_pos"),
+            # per-write-schema scan groups: a DV whose targets span a
+            # type widening cannot be read in one mergeSchema scan
+            for gfiles in _schema_groups(st_v, c["dv_for"]):
+                scan = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*gfiles)
+                    .withColumn(
+                        "_dv_file",
+                        _strip_file_uri(F.col("_metadata.file_path")),
+                    )
+                    .withColumn("_dv_pos", F.col("_metadata.row_index"))
                 )
-                hit = hit.join(olddv, ["_dv_file", "_dv_pos"], "left_anti")
-            if st_v.spec:
-                pmap = _part_map_df(
-                    spark, st_v, c["dv_for"], _table_schema_json(root, v)
-                ).withColumnRenamed("_pfile", "_dv_file")
-                hit = hit.join(F.broadcast(pmap), "_dv_file")
-            parts.append(tag(align(_cm_rename_scan(hit, tj_to) if ov else hit), "delete", v))
+                hit = scan.join(newdv, ["_dv_file", "_dv_pos"], "left_semi")
+                if prior:
+                    olddv = _read_dv(spark, prior).select(
+                        F.col("file").alias("_dv_file"),
+                        F.col("pos").alias("_dv_pos"),
+                    )
+                    hit = hit.join(
+                        olddv, ["_dv_file", "_dv_pos"], "left_anti"
+                    )
+                if st_v.spec:
+                    pmap = _part_map_df(
+                        spark, st_v, gfiles, _table_schema_json(root, v)
+                    ).withColumnRenamed("_pfile", "_dv_file")
+                    hit = hit.join(F.broadcast(pmap), "_dv_file")
+                # _cm_rename_scan is the generic projector: mapped
+                # tables rename physical->logical, widened histories
+                # cast to the range-end types, plain tables no-op
+                parts.append(
+                    tag(align(_cm_rename_scan(hit, tj_to)), "delete", v)
+                )
     if not parts:
         empty = spark.createDataFrame([], table)
         return tag(empty, "insert", v_from).filter(F.lit(False))

@@ -161,3 +161,33 @@ def test_cdf_and_time_travel_across_a_widen(spark, tmp_path):
     ins = ch.filter("_change_type = 'insert'")
     assert ins.count() == 101
     assert ins.agg(F.max("v")).collect()[0][0] == 2 ** 40
+
+
+def test_dv_delete_and_cdf_spanning_narrow_and_wide_files(spark, tmp_path):
+    # a tombstone batch whose victims span the widen boundary: the
+    # position scan (and the CDF reconstruction of that commit) must
+    # group per write schema — one mergeSchema scan over int-vs-long
+    # footers fails outright
+    root = _widened(spark, tmp_path)  # narrow files, v widened
+    lake.txn_write(
+        spark.createDataFrame(
+            [(2000, 2 ** 40), (2001, 5)], "id int, v long"
+        ),
+        root,
+        stats_cols=["id"],
+    )
+    v, n_del, n_cand = lake.txn_delete_dv(
+        spark, root,
+        spark.createDataFrame([(1,), (2000,)], "id int"), ["id"],
+    )
+    assert n_del == 2 and n_cand >= 2  # hit both sides of the widen
+    got = lake.txn_read(spark, root)
+    ids = {r["id"] for r in got.collect()}
+    assert 1 not in ids and 2000 not in ids and 2001 in ids
+    assert lake.txn_count(root) == 100
+    # CDF of the dv commit reconstructs both deletes, range-end types
+    ch = lake.txn_changes(spark, root, v, v).collect()
+    assert {(r["id"], r["_change_type"]) for r in ch} == {
+        (1, "delete"), (2000, "delete")
+    }
+    assert {r["v"] for r in ch} == {2, 2 ** 40}
