@@ -759,6 +759,9 @@ class _TableState(typing.NamedTuple):
     spec: list  # table partition spec (column names), [] = unpartitioned
     constraints: dict  # CHECK constraints: {name: sql expr}
     generated: dict  # generated columns: {col: generation sql expr}
+    row_tracking: bool  # stable row ids enabled
+    row_bases: dict  # live file -> first row id (fresh-id files)
+    row_hwm: int  # row-id high-water mark (never reused, monotone)
 
 
 def _replay(root: str, version: int) -> _TableState:
@@ -777,6 +780,9 @@ def _replay(root: str, version: int) -> _TableState:
     spec: list = []
     constraints: dict = {}
     generated: dict = {}
+    row_tracking = False
+    row_bases: dict = {}
+    row_hwm = 0
     start = 0
     cp = _latest_checkpoint(root, version)
     if cp is not None:
@@ -789,6 +795,9 @@ def _replay(root: str, version: int) -> _TableState:
         spec = list(cp.get("spec", []))
         constraints = dict(cp.get("constraints", {}))
         generated = dict(cp.get("generated", {}))
+        row_tracking = bool(cp.get("row_tracking", False))
+        row_bases = dict(cp.get("row_bases", {}))
+        row_hwm = int(cp.get("row_hwm", 0))
         start = cp["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(root, v)
@@ -801,6 +810,12 @@ def _replay(root: str, version: int) -> _TableState:
             constraints = dict(c["constraints"])
         if "generated" in c:  # creation/overwrite carries the FULL map
             generated = dict(c["generated"])
+        if "row_tracking" in c:
+            row_tracking = bool(c["row_tracking"])
+        if "row_bases" in c:
+            row_bases.update(c["row_bases"])
+        if "row_hwm" in c:  # allocators stamp the new high-water mark
+            row_hwm = max(row_hwm, int(c["row_hwm"]))
         if c["op"] == "overwrite":
             # an overwrite (incl. RESTORE) defines a COMPLETE state:
             # prior DVs belong to the replaced history, and must not
@@ -831,6 +846,9 @@ def _replay(root: str, version: int) -> _TableState:
         spec,
         constraints,
         generated,
+        row_tracking,
+        {f: b for f, b in row_bases.items() if f in live},
+        row_hwm,
     )
 
 
@@ -861,7 +879,10 @@ def _maybe_checkpoint(root: str, version: int) -> None:
              "dvs": [list(d) for d in st.dvs],
              "parts": st.parts, "spec": st.spec,
              "constraints": st.constraints,
-             "generated": st.generated},
+             "generated": st.generated,
+             "row_tracking": st.row_tracking,
+             "row_bases": st.row_bases,
+             "row_hwm": st.row_hwm},
             fh,
         )
     os.replace(tmp, _checkpoint_path(root, version))
@@ -1190,7 +1211,13 @@ def _txn_commit(
             # partitioned table to an unpartitioned state
             commit["partition_by"] = list(spec)
         if extra_commit:
-            commit.update(extra_commit)
+            # a CALLABLE recomputes per rebase attempt against the tip
+            # it actually lands on (row-id base allocation must not
+            # overlap a gap commit's ranges)
+            tip = attempt_v - 1 if attempt_v > 0 else None
+            extra = extra_commit(tip) if callable(extra_commit) else extra_commit
+            if extra:
+                commit.update(extra)
         if txn is not None:
             commit["txn_app"], commit["txn_run"] = txn[0], txn[1]
         path = os.path.join(_log_dir(root), f"{attempt_v:020d}.json")
@@ -1401,6 +1428,104 @@ def txn_generated(root: str) -> dict:
     return dict(_replay(root, latest).generated)
 
 
+# ---------------------------------------------------------------------------
+# Row tracking (the Delta row-tracking shape): once enabled, every row
+# owns a STABLE 64-bit id. Fresh rows derive ids lazily at read time —
+# id = file's commit-reserved base + row_index, so appends pay NOTHING
+# extra at write — while rewrites (compact, merge survivors) carry the
+# ids along as a materialized __row_id column in the rewritten files,
+# so an id survives any number of OPTIMIZE/MERGE cycles. The base
+# allocator stamps a monotone high-water mark per commit (recomputed
+# on every rebase attempt, so racing appends never overlap ranges) and
+# ids are never reused. Consumers: CDC update pairing (match delete
+# and insert rows of one logical update), incremental feature
+# recompute, row-level debugging.
+# ---------------------------------------------------------------------------
+
+ROW_ID_COL = "__row_id"
+
+
+def _row_alloc(root: str, files: list, nrows: dict):
+    """extra_commit callable reserving a row-id range per data file
+    (recomputed per rebase attempt against the actual tip)."""
+
+    def alloc(tip):
+        if tip is None:
+            return None
+        st = _replay(root, tip)
+        if not st.row_tracking:
+            return None
+        base = st.row_hwm
+        rb = {}
+        for f in files:
+            rb[f] = base
+            base += int(nrows.get(f, 0))
+        return {"row_bases": rb, "row_hwm": base}
+
+    return alloc
+
+
+def txn_enable_row_tracking(root: str, max_retries: int = 20) -> int:
+    """Enable row tracking: a metadata commit that reserves id ranges
+    for every EXISTING live file (backfill by footer row counts), so
+    the whole table has stable ids from this version on. Idempotent."""
+    read_v = txn_latest_version(root)
+    if read_v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if _replay(root, read_v).row_tracking:
+        return read_v
+
+    def extra(tip):
+        st = _replay(root, tip) if tip is not None else None
+        if st is None:
+            return {"row_tracking": True, "row_bases": {}, "row_hwm": 0}
+        if st.row_tracking:  # concurrent enable won: carry it forward
+            return {"row_tracking": True}
+        base = st.row_hwm
+        rb = {}
+        for f in st.files:
+            n = st.stats.get(f, {}).get(_NROWS_KEY)
+            if n is None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(f).metadata.num_rows
+            rb[f] = base
+            base += int(n)
+        return {"row_tracking": True, "row_bases": rb, "row_hwm": base}
+
+    return _txn_commit(
+        root, "meta", [], [], read_v, None, max_retries, None,
+        lambda tip: _table_schema_json(root, tip),
+        _meta_conflict, extra_commit=extra,
+    )
+
+
+def txn_read_with_ids(
+    spark: SparkSession, root: str, version: "int | None" = None
+) -> DataFrame:
+    """The table plus its stable ``_row_id`` column. Fresh-id files
+    derive ids as base + row position (zero storage); rewritten files
+    carry them materialized; deletion vectors drop ids with their
+    rows. Requires row tracking."""
+    latest = txn_latest_version(root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = latest
+    if not 0 <= version <= latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    _check_horizon(root, version)
+    state = _replay(root, version)
+    if not state.row_tracking:
+        raise ValueError(
+            "row tracking is not enabled; run txn_enable_row_tracking "
+            "first"
+        )
+    if not state.files:
+        raise ValueError(f"version {version} is an empty table state")
+    return _read_files(spark, root, version, state.files, with_ids=True)
+
+
 def txn_set_constraint(
     root: str, name: str, expr: str, max_retries: int = 20
 ) -> int:
@@ -1556,7 +1681,9 @@ def _cm_physical_json(schema_json: str) -> str:
     ).json()
 
 
-def _cm_rename_scan(df: DataFrame, table_json: str) -> DataFrame:
+def _cm_rename_scan(
+    df: DataFrame, table_json: str, extra: "list | None" = None
+) -> DataFrame:
     """Project a physical scan to the logical schema: each field reads
     its physical column, aliased to the logical name; a physical
     column the scan lacks (file written before the column existed)
@@ -1579,6 +1706,9 @@ def _cm_rename_scan(df: DataFrame, table_json: str) -> DataFrame:
             if p in have
             else F.lit(None).cast(f.dataType).alias(f.name)
         )
+    for c in extra or ():  # row-tracking temps ride through the rename
+        if c in have:
+            sel.append(F.col(c))
     return df.select(*sel)
 
 
@@ -1992,6 +2122,8 @@ def txn_write(
     under the conflict rules above."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if ROW_ID_COL in df.columns:
+        raise ValueError(f"{ROW_ID_COL} is a reserved column name")
     os.makedirs(_log_dir(root), exist_ok=True)
     read_v = txn_latest_version(root)
     if txn is not None and read_v is not None and _txn_seen(
@@ -2096,12 +2228,22 @@ def txn_write(
         df.sparkSession, files, _cm_cols(write_mapping, stats_cols),
         spec, parts, types,
     )
+    nrows = {
+        f: (stats or {}).get(f, {}).get(_NROWS_KEY, 0) for f in files
+    }
+    alloc = _row_alloc(root, files, nrows)
+    gen_extra = {"generated": gen} if generated is not None else {}
+
+    def extra(tip):
+        out = dict(gen_extra)
+        a = alloc(tip)
+        if a:
+            out.update(a)
+        return out or None
+
     return _txn_commit(
         root, mode, files, [], read_v, txn, max_retries, stats, schema_fn,
-        parts=parts, spec=spec,
-        extra_commit=(
-            {"generated": gen} if generated is not None else None
-        ),
+        parts=parts, spec=spec, extra_commit=extra,
     )
 
 
@@ -2150,7 +2292,13 @@ def txn_compact(
     # — note this also MATERIALIZES column mapping state: the rewrite
     # reads logical rows (dropped columns pruned) and lands them back
     # under the current physical names
-    rows = _read_files(spark, root, read_v, victims)
+    rt = full.row_tracking
+    rows = _read_files(spark, root, read_v, victims, with_ids=rt)
+    if rt:
+        # materialize the stable ids INTO the rewritten files — the
+        # property that makes a row id survive any number of
+        # OPTIMIZE/MERGE cycles
+        rows = rows.withColumnRenamed("_row_id", ROW_ID_COL)
     mapping = _cm_mapping(_table_schema_json(root, read_v))
     inv = {p: l for l, p in mapping.items()} if mapping else {}
     # On a partitioned table, clustering happens WITHIN each hive
@@ -2189,6 +2337,10 @@ def txn_compact(
         root, "compact", files, sorted(victims), read_v, None, max_retries,
         stats, lambda tip: _table_schema_json(root, tip),
         parts=parts, spec=full.spec,
+        extra_commit=_row_alloc(
+            root, files,
+            {f: (stats or {}).get(f, {}).get(_NROWS_KEY, 0) for f in files},
+        ),
     )
 
 
@@ -2309,6 +2461,8 @@ def txn_merge(
             f"when_not_matched must be insert|ignore: {when_not_matched!r}"
         )
     keys_only = when_matched == "delete" and when_not_matched == "ignore"
+    if ROW_ID_COL in source.columns:
+        raise ValueError(f"{ROW_ID_COL} is a reserved column name")
 
     read_v = txn_latest_version(root)
     if (
@@ -2375,24 +2529,30 @@ def txn_merge(
     victims = _prune_victims(state, psrc_rng, key_rows, pkey_cols)
     src_keys = F.broadcast(source.select(*key_cols).distinct())
 
+    rt = state.row_tracking
     if victims:
-        tgt = _read_files(spark, root, read_v, victims)
+        tgt = _read_files(spark, root, read_v, victims, with_ids=rt)
+        if rt:
+            # survivors carry their ids into the rewrite; updated and
+            # inserted rows arrive id-less and draw fresh ones from
+            # the commit's reserved base
+            tgt = tgt.withColumnRenamed("_row_id", ROW_ID_COL)
         survivors = tgt.join(src_keys, key_cols, "left_anti")
         if when_matched == "update":
             if when_not_matched == "insert":
-                new_rows = survivors.unionByName(source)
+                new_rows = survivors.unionByName(source, rt)
             else:  # update only the matched keys
                 matched = source.join(
                     tgt.select(*key_cols).distinct(), key_cols, "left_semi"
                 )
-                new_rows = survivors.unionByName(matched)
+                new_rows = survivors.unionByName(matched, rt)
         else:  # delete
             new_rows = survivors
             if when_not_matched == "insert":
                 inserts = source.join(
                     tgt.select(*key_cols).distinct(), key_cols, "left_anti"
                 )
-                new_rows = new_rows.unionByName(inserts)
+                new_rows = new_rows.unionByName(inserts, rt)
     else:
         if when_not_matched == "ignore":
             return None, 0, len(state.files)  # provable no-op
@@ -2405,6 +2565,8 @@ def txn_merge(
             f.name
             for f in T.StructType.fromJson(_json.loads(table_json)).fields
         ]
+        if rt and ROW_ID_COL in new_rows.columns:
+            order = order + [ROW_ID_COL]
         new_rows = new_rows.select(*order)
     new_phys = _cm_to_physical(new_rows, mapping)
     files = _write_data_files(new_phys, root, partition_by=state.spec or None)
@@ -2445,6 +2607,10 @@ def txn_merge(
         root, "merge", files, sorted(victims), read_v, txn, max_retries,
         stats, lambda tip: _table_schema_json(root, tip), extra,
         parts=parts, spec=state.spec,
+        extra_commit=_row_alloc(
+            root, files,
+            {f: (stats or {}).get(f, {}).get(_NROWS_KEY, 0) for f in files},
+        ),
     )
     return v, len(victims), len(state.files)
 
@@ -2708,6 +2874,7 @@ def txn_detail(root: str) -> dict:
         "constraints": dict(st.constraints),
         "generated": dict(st.generated),
         "column_mapping": _cm_mapping(schema_json),
+        "row_tracking": st.row_tracking,
         "protocol": max(
             (_read_commit(root, v).get("protocol", 1) for v in range(latest + 1)),
             default=1,
@@ -2893,6 +3060,51 @@ def _apply_dvs(
     )
 
 
+def _attach_row_ids(
+    spark: SparkSession, df: DataFrame, state: "_TableState", files: list
+) -> DataFrame:
+    """Turn the scan temps (_pfile, _idx) plus any materialized
+    __row_id column into the logical ``_row_id``: materialized wins
+    (rewritten files), else the file's commit-reserved base + row
+    position. One broadcast map of O(files) rows."""
+    from pyspark.sql import functions as F
+
+    rows_b = [
+        (_uri_path(f), int(state.row_bases[f]))
+        for f in files
+        if f in state.row_bases
+    ]
+    if rows_b:
+        bmap = spark.createDataFrame(
+            rows_b,
+            T.StructType(
+                [
+                    T.StructField("_bfile", T.StringType(), False),
+                    T.StructField("_bbase", T.LongType(), False),
+                ]
+            ),
+        )
+        df = df.join(
+            F.broadcast(bmap), df["_pfile"] == bmap["_bfile"], "left"
+        ).drop("_bfile")
+    else:
+        df = df.withColumn("_bbase", F.lit(None).cast("long"))
+    mat = (
+        F.col(ROW_ID_COL).cast("long")
+        if ROW_ID_COL in df.columns
+        else F.lit(None).cast("long")
+    )
+    df = df.withColumn(
+        "_row_id", F.coalesce(mat, F.col("_bbase") + F.col("_idx"))
+    )
+    drops = [
+        c
+        for c in ("_pfile", "_idx", "_bbase", ROW_ID_COL)
+        if c in df.columns
+    ]
+    return df.drop(*drops)
+
+
 def _part_map_df(
     spark: SparkSession, state: "_TableState", files: list, table_json: str
 ) -> DataFrame:
@@ -2936,6 +3148,7 @@ _PART_ATTACH_UNION_MAX = 64
 def _read_files(
     spark: SparkSession, root: str, version: int, files: list,
     as_schema: "str | None" = None,
+    with_ids: bool = False,
 ) -> DataFrame:
     """Scan ``files`` under the table schema recorded at ``version``,
     with that version's deletion vectors anti-joined out and (for a
@@ -2993,16 +3206,38 @@ def _read_files(
         out = None
         for sjson, gfiles in sorted(by_schema.items(), key=str):
             scan = spark.read.option("mergeSchema", "true").parquet(*gfiles)
-            if state.spec:
+            if state.spec or with_ids:
                 scan = scan.withColumn(
                     "_pfile", _strip_file_uri(F.col("_metadata.file_path"))
+                )
+            if with_ids:
+                scan = scan.withColumn(
+                    "_idx", F.col("_metadata.row_index")
                 )
             scan = _apply_dvs(spark, scan, state.dvs, gfiles)
             if state.spec:
                 pmap = _part_map_df(spark, state, gfiles, table_json)
-                scan = scan.join(F.broadcast(pmap), "_pfile").drop("_pfile")
-            scan = _cm_rename_scan(scan, eff_json)  # rename + upcast
-            out = scan if out is None else out.unionByName(scan)
+                keep_p = (
+                    scan.join(F.broadcast(pmap), "_pfile")
+                    if with_ids
+                    else scan.join(F.broadcast(pmap), "_pfile").drop("_pfile")
+                )
+                scan = keep_p
+            scan = _cm_rename_scan(
+                scan, eff_json,
+                extra=[
+                    c
+                    for c in ("_pfile", "_idx", ROW_ID_COL)
+                    if with_ids and c in scan.columns
+                ],
+            )
+            out = (
+                scan
+                if out is None
+                else out.unionByName(scan, allowMissingColumns=True)
+            )
+        if with_ids:
+            out = _attach_row_ids(spark, out, state, files)
         return out
     if table_json is not None and _cm_mapping(table_json):
         tphys = _cm_physical_json(table_json)
@@ -3012,6 +3247,8 @@ def _read_files(
         merge = not (dphys <= {tphys})
     else:
         merge = not (table_json is None or distinct <= {table_json})
+    if with_ids:
+        merge = True  # materialized __row_id lives only in SOME files
     reader = spark.read.option("mergeSchema", "true") if merge else spark.read
 
     if state.spec:
@@ -3029,23 +3266,42 @@ def _read_files(
             df = None
             for key, gfiles in sorted(groups.items(), key=str):
                 scan = reader.parquet(*gfiles)
+                if with_ids:
+                    scan = scan.withColumn(
+                        "_pfile",
+                        _strip_file_uri(F.col("_metadata.file_path")),
+                    ).withColumn("_idx", F.col("_metadata.row_index"))
                 scan = _apply_dvs(spark, scan, state.dvs, gfiles)
                 for c, sval in zip(state.spec, key):
                     scan = scan.withColumn(
                         c,
                         F.lit(_py_part_val(sval, types[c])).cast(types[c]),
                     )
-                df = scan if df is None else df.unionByName(scan)
+                df = (
+                    scan
+                    if df is None
+                    else df.unionByName(scan, allowMissingColumns=True)
+                )
         else:
             df = reader.parquet(*files).withColumn(
                 "_pfile", _strip_file_uri(F.col("_metadata.file_path"))
             )
+            if with_ids:
+                df = df.withColumn("_idx", F.col("_metadata.row_index"))
             df = _apply_dvs(spark, df, state.dvs, files)
             pmap = _part_map_df(spark, state, files, table_json)
-            df = df.join(F.broadcast(pmap), "_pfile").drop("_pfile")
+            joined = df.join(F.broadcast(pmap), "_pfile")
+            df = joined if with_ids else joined.drop("_pfile")
     else:
         df = reader.parquet(*files)
+        if with_ids:
+            df = df.withColumn(
+                "_pfile", _strip_file_uri(F.col("_metadata.file_path"))
+            ).withColumn("_idx", F.col("_metadata.row_index"))
         df = _apply_dvs(spark, df, state.dvs, files)
+    if with_ids:
+        df = _attach_row_ids(spark, df, state, files)
+        return _cm_rename_scan(df, eff_json, extra=["_row_id"])
     if eff_json is not None and (mapping or as_schema):
         # physical -> logical rename (and dropped-column pruning);
         # subsumes the aligning select below
@@ -3053,6 +3309,10 @@ def _read_files(
     elif table_json is not None and (merge or state.spec):
         schema = T.StructType.fromJson(json.loads(table_json))
         df = df.select(*[f.name for f in schema.fields])
+    elif ROW_ID_COL in df.columns:
+        # a materialized-id file's footer won the plain scan: the
+        # physical id column is internal, never a table column
+        df = df.drop(ROW_ID_COL)
     return df
 
 
@@ -3528,6 +3788,10 @@ def txn_clone(src_root: str, dst_root: str) -> int:
         commit["constraints"] = dict(state.constraints)
     if state.generated:
         commit["generated"] = dict(state.generated)
+    if state.row_tracking:
+        commit["row_tracking"] = True
+        commit["row_bases"] = dict(state.row_bases)
+        commit["row_hwm"] = state.row_hwm
     schema = schema0
     if schema is not None:
         commit["schema"] = schema
