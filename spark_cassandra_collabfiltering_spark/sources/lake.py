@@ -632,14 +632,24 @@ CHECKPOINT_EVERY = 10
 # History: 1 = everything through r7 (append/overwrite/compact/merge/
 # dv/meta, partitions, RLE DVs, constraints). Commits WITHOUT a
 # protocol field are protocol 1 (pre-versioning logs stay readable).
-# 2 = column mapping (Delta "name" mode): data files carry STABLE
-# physical column names recorded as ``cm_phys`` field metadata in the
-# commit schema; readers must rename physical -> logical. Only tables
-# that ENABLE mapping stamp 2 — unmapped tables keep writing protocol
-# 1 logs, so a protocol-1 reader refuses exactly the logs it would
-# misread and no others (the Delta columnMapping reader-version bump).
+# 2 = schema-indirection features a plain first-footer scan would
+# MISREAD, either of:
+#   - column mapping (Delta "name" mode): data files carry STABLE
+#     physical column names recorded as ``cm_phys`` field metadata in
+#     the commit schema; readers must rename physical -> logical.
+#   - materialized row ids: compact/merge on a row-tracked table
+#     writes the internal ``__row_id`` column into rewritten files;
+#     readers must strip it (a protocol-1 reader would surface it as
+#     a user column).
+# Only commits that carry either feature stamp 2 — plain tables keep
+# writing protocol 1 logs, so a protocol-1 reader refuses exactly the
+# logs it would misread and no others (the Delta reader-version bump).
+# Checkpoints stamp the same protocol as the state they summarize, so
+# an old reader starting from a checkpoint refuses there instead of
+# silently replaying state written under rules it does not know.
 PROTOCOL_VERSION = 1
 CM_PROTOCOL = 2
+ROWID_PROTOCOL = 2
 MAX_READER_PROTOCOL = 2
 
 
@@ -746,7 +756,15 @@ def _latest_checkpoint(root: str, at_or_below: int) -> "dict | None":
             cp = json.load(fh)
     except (OSError, ValueError):  # torn/garbage cache: ignore it
         return None
-    return cp if cp.get("version") == best else None
+    if cp.get("version") != best:
+        return None
+    if cp.get("protocol", 1) > MAX_READER_PROTOCOL:
+        raise UnsupportedProtocol(
+            f"checkpoint at v{best} summarizes state written under "
+            f"protocol {cp['protocol']}; this reader supports <= "
+            f"{MAX_READER_PROTOCOL}"
+        )
+    return cp
 
 
 class _TableState(typing.NamedTuple):
@@ -870,10 +888,19 @@ def _maybe_checkpoint(root: str, version: int) -> None:
     if version == 0 or version % CHECKPOINT_EVERY != 0:
         return
     st = _replay(root, version)
+    # the checkpoint carries the protocol of the state it summarizes:
+    # a row-tracked state may hold materialized-__row_id files (even
+    # without mapping), and an old reader starting HERE would never
+    # see the protocol-2 commit that wrote them
+    proto = max(
+        _commit_protocol(_table_schema_json(root, version)),
+        ROWID_PROTOCOL if st.row_tracking else PROTOCOL_VERSION,
+    )
     tmp = _checkpoint_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
-            {"version": version, "files": st.files,
+            {"version": version, "protocol": proto,
+             "files": st.files,
              "txns": sorted(list(t) for t in st.txns), "stats": st.stats,
              "file_schemas": st.file_schemas,
              "dvs": [list(d) for d in st.dvs],
@@ -1173,6 +1200,7 @@ def _txn_commit(
     parts: "dict | None" = None,
     spec: "list | None" = None,
     extra_commit: "dict | None" = None,
+    min_protocol: int = PROTOCOL_VERSION,
 ) -> "int | None":
     """The optimistic commit loop shared by write, compact and merge:
     try to win version R+1 with O_EXCL; on loss, apply the
@@ -1194,7 +1222,10 @@ def _txn_commit(
             "op": op,
             "files": files,
             "read_version": read_v,
-            "protocol": _commit_protocol(schema_json),
+            # min_protocol lets ops whose FILES need a newer reader
+            # (materialized __row_id) stamp it even when the schema
+            # alone would not
+            "protocol": max(_commit_protocol(schema_json), min_protocol),
         }
         if schema_json is not None:
             commit["schema"] = schema_json
@@ -1445,6 +1476,35 @@ def txn_generated(root: str) -> dict:
 ROW_ID_COL = "__row_id"
 
 
+def _row_alloc_ranges(
+    files: list, nrows: dict, base: int
+) -> "tuple[dict, int]":
+    """Reserve one contiguous id range per data file starting at
+    ``base``. A file whose recorded count is missing (footer was
+    unreadable at stats time) falls back to reading the footer HERE;
+    a genuinely uncountable file FAILS the commit — a zero-length
+    range would make the next file's base overlap it and derived ids
+    (base + row_index) would collide across files, violating the
+    never-reused/unique id contract (same degradation posture as
+    txn_count: never a wrong answer)."""
+    rb = {}
+    for f in files:
+        n = nrows.get(f) or 0
+        if n <= 0:
+            try:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(f).metadata.num_rows
+            except Exception as exc:
+                raise RuntimeError(
+                    f"cannot reserve a row-id range: the row count of "
+                    f"{f} is unobtainable ({exc})"
+                ) from exc
+        rb[f] = base
+        base += int(n)
+    return rb, base
+
+
 def _row_alloc(root: str, files: list, nrows: dict):
     """extra_commit callable reserving a row-id range per data file
     (recomputed per rebase attempt against the actual tip)."""
@@ -1455,12 +1515,8 @@ def _row_alloc(root: str, files: list, nrows: dict):
         st = _replay(root, tip)
         if not st.row_tracking:
             return None
-        base = st.row_hwm
-        rb = {}
-        for f in files:
-            rb[f] = base
-            base += int(nrows.get(f, 0))
-        return {"row_bases": rb, "row_hwm": base}
+        rb, hwm = _row_alloc_ranges(files, nrows, st.row_hwm)
+        return {"row_bases": rb, "row_hwm": hwm}
 
     return alloc
 
@@ -2341,6 +2397,9 @@ def txn_compact(
             root, files,
             {f: (stats or {}).get(f, {}).get(_NROWS_KEY, 0) for f in files},
         ),
+        # rewritten files carry materialized __row_id: a protocol-1
+        # reader's plain scan would surface it as a user column
+        min_protocol=ROWID_PROTOCOL if rt else PROTOCOL_VERSION,
     )
 
 
@@ -2611,6 +2670,8 @@ def txn_merge(
             root, files,
             {f: (stats or {}).get(f, {}).get(_NROWS_KEY, 0) for f in files},
         ),
+        # survivors carry materialized __row_id in the rewritten files
+        min_protocol=ROWID_PROTOCOL if rt else PROTOCOL_VERSION,
     )
     return v, len(victims), len(state.files)
 
@@ -3743,14 +3804,45 @@ def txn_restore(root: str, version: int, max_retries: int = 20) -> int:
             "first (txn_compact at that version's state) or restore to "
             "a post-compaction version"
         )
-    # re-embed the restored files' stats and partition values: replay
-    # accumulates them across history, but a checkpoint between the
-    # files' death and this restore stores only live-file maps — the
-    # restore commit is the proof carrier either way
+    # re-embed the restored files' stats, partition values AND row-id
+    # bases: replay accumulates them across history, but a checkpoint
+    # between the files' death and this restore stores only live-file
+    # maps — the restore commit is the proof carrier either way
+    # (baseless restored files would otherwise read NULL _row_id,
+    # silently breaking stable-id consumers like CDC update pairing)
+    def extra(tip):
+        st = _replay(root, tip) if tip is not None else None
+        now_tracking = st.row_tracking if st is not None else False
+        if old.row_tracking:
+            # files absent from old.row_bases carry materialized ids
+            rb = {f: old.row_bases[f] for f in files if f in old.row_bases}
+            return {
+                "row_bases": rb,
+                "row_hwm": max(old.row_hwm, st.row_hwm if st else 0),
+            }
+        if now_tracking:
+            # restoring to a PRE-tracking version of a tracked table:
+            # those files never had ids — allocate fresh, never-reused
+            # ranges (the enable-time backfill contract)
+            rb, hwm = _row_alloc_ranges(
+                list(files),
+                {
+                    f: old.stats.get(f, {}).get(_NROWS_KEY, 0)
+                    for f in files
+                },
+                st.row_hwm,
+            )
+            return {"row_bases": rb, "row_hwm": hwm}
+        return None
+
     return _txn_commit(
         root, "overwrite", list(files), [], latest, None, max_retries,
         old.stats or None, lambda tip: _table_schema_json(root, version),
         parts=old.parts if old.spec else None, spec=old.spec,
+        extra_commit=extra,
+        # restored files may carry materialized __row_id (post-compact
+        # states of a tracked table)
+        min_protocol=ROWID_PROTOCOL if old.row_tracking else PROTOCOL_VERSION,
     )
 
 
@@ -3867,9 +3959,10 @@ def txn_vacuum_retain(root: str, keep_from: int) -> list[str]:
     than the current horizon is clamped up. Returns deleted paths.
 
     Note the boundary nuance: a horizon placed EXACTLY on a
-    compact/merge keeps that commit's pre-images (txn_changes needs
-    them); to reclaim a rewrite's pre-images, place the horizon one
-    version past it."""
+    compact/merge keeps that commit's pre-images, and one placed
+    exactly on an OVERWRITE keeps the v-1 live state it replaced
+    (txn_changes needs both); to reclaim a rewrite's or overwrite's
+    pre-images, place the horizon one version past it."""
     import json
     import uuid
 
@@ -3897,6 +3990,16 @@ def txn_vacuum_retain(root: str, keep_from: int) -> list[str]:
         keep.update(c.get("dv_for", ()))
         if c["op"] == "dv":
             keep.update(c["files"])
+        if v == keep_from and v > 0 and c["op"] == "overwrite":
+            # an overwrite records no removes — its pre-image is the
+            # ENTIRE v-1 live state (plus the DV sidecars needed to
+            # read it), which txn_changes(keep_from, ...) replays as
+            # that commit's delete rows; overwrites above the boundary
+            # are covered by the v-1 iteration's own keep.update
+            prev = _replay(root, v - 1)
+            keep.update(prev.files)
+            for sidecars, _tg in prev.dvs:
+                keep.update(sidecars)
     removed = []
     data_root = os.path.join(root, "_data")
     if os.path.isdir(data_root):

@@ -466,6 +466,49 @@ class _TaskFiles(WriterCommitMessage):
         self.stats = stats
 
 
+def _map_sig(table_json, names):
+    """Per written column: the PHYSICAL name the table schema binds it
+    to (the logical name itself when mapping is off), or None when the
+    column is absent from the schema. This is exactly the part of the
+    table state that decides whether already-written task files still
+    mean what the commit schema will say — captured at writer init and
+    re-verified against the tip at commit time (the wm_cell contract
+    txn_write has; ADVICE r7 #1)."""
+    if table_json is None:
+        return {c: None for c in names}
+    fields = {
+        f.name: f
+        for f in T.StructType.fromJson(json.loads(table_json)).fields
+    }
+    return {
+        c: (
+            (fields[c].metadata or {}).get("cm_phys", c)
+            if c in fields
+            else None
+        )
+        for c in names
+    }
+
+
+def _verify_write_mapping(root, tip, schema, sig0):
+    """Raise ConcurrentWriteConflict when a schema change landed
+    between writer init and commit that remaps (or adds/removes) any
+    written column — committing anyway would bind the already-written
+    physical columns to the wrong logical names and every later read
+    would project typed NULLs (silent data loss)."""
+    tj = lake._table_schema_json(root, tip) if tip is not None else None
+    names = [f.name for f in schema.fields]
+    sig = _map_sig(tj, names)
+    for c in names:
+        if sig[c] != sig0[c]:
+            raise lake.ConcurrentWriteConflict(
+                f"concurrent schema change remapped column {c!r} "
+                f"(physical {sig0[c]!r} -> {sig[c]!r}) between writer "
+                "init and commit; the written files no longer match "
+                "the table mapping"
+            )
+
+
 class TxnLakeWriter(DataSourceArrowWriter):
     def __init__(
         self,
@@ -485,11 +528,25 @@ class TxnLakeWriter(DataSourceArrowWriter):
         # read_version is noted commit-side (the commit loop reloads);
         # fail fast on spec/schema here, before executors do work
         read_v = lake.txn_latest_version(root)
-        self._wmap = (
-            lake._cm_mapping(lake._table_schema_json(root, read_v)) or {}
+        tj0 = (
+            lake._table_schema_json(root, read_v)
             if read_v is not None
-            else {}
+            else None
         )
+        # tasks rename batches with the POST-commit mapping: an
+        # overwrite that ADDS a column to a mapped table must write it
+        # under the same fresh physical name the commit schema will
+        # record, or every later read projects typed NULL (ADVICE r7
+        # #1). Computed ONCE here so task files and commit schema can
+        # never disagree; _map_sig + commit-time re-verify guard the
+        # init->commit window against concurrent renames.
+        if overwrite and lake._cm_mapping(tj0):
+            self._commit_schema_json = lake._cm_overwrite_schema(tj0, schema)
+            self._wmap = lake._cm_mapping(self._commit_schema_json) or {}
+        else:
+            self._commit_schema_json = None
+            self._wmap = lake._cm_mapping(tj0) or {}
+        self._sig0 = _map_sig(tj0, [f.name for f in schema.fields])
         if read_v is not None:
             state = lake._replay(root, read_v)
             if state.spec and self._mode == "append":
@@ -553,10 +610,24 @@ class TxnLakeWriter(DataSourceArrowWriter):
             stats.update(m.stats)
 
         def schema_fn(tip):
+            # the tip may have moved since writer init (the task files
+            # are already on disk): refuse to bind them to a mapping
+            # the tip no longer agrees with
+            _verify_write_mapping(self._root, tip, self._schema, self._sig0)
             if self._mode == "overwrite":
+                if self._commit_schema_json is not None:
+                    # mapped overwrite: the schema the tasks actually
+                    # wrote under (existing columns keep their physical
+                    # names, added columns carry the fresh names the
+                    # files hold) — verified above against the tip
+                    return self._commit_schema_json
                 tj = lake._table_schema_json(self._root, tip)
                 if lake._cm_mapping(tj):
-                    return lake._cm_overwrite_schema(tj, self._schema)
+                    raise lake.ConcurrentWriteConflict(
+                        "column mapping was enabled concurrently with "
+                        "this overwrite; the written files carry plain "
+                        "logical names"
+                    )
                 return self._schema.json()
             return lake._check_schema(
                 lake._table_schema_json(self._root, tip),
@@ -600,11 +671,13 @@ class TxnLakeStreamWriter(DataSourceStreamArrowWriter):
         self._data_dir = os.path.join(root, "_data", uuid.uuid4().hex)
         os.makedirs(lake._log_dir(root), exist_ok=True)
         read_v = lake.txn_latest_version(root)
-        self._wmap = (
-            lake._cm_mapping(lake._table_schema_json(root, read_v)) or {}
+        tj0 = (
+            lake._table_schema_json(root, read_v)
             if read_v is not None
-            else {}
+            else None
         )
+        self._wmap = lake._cm_mapping(tj0) or {}
+        self._sig0 = _map_sig(tj0, [f.name for f in schema.fields])
         if read_v is not None:
             state = lake._replay(root, read_v)
             if state.spec:
@@ -638,6 +711,17 @@ class TxnLakeStreamWriter(DataSourceStreamArrowWriter):
             return  # replayed batch: already committed; the fresh
             # task files are invisible garbage (txn_vacuum reclaims)
         files = sorted(f for m in messages if m is not None for f in m.files)
+
+        def schema_fn(tip):
+            # same init->commit remap guard as the batch writer: the
+            # micro-batch's files were renamed with the init mapping
+            _verify_write_mapping(self._root, tip, self._schema, self._sig0)
+            return lake._check_schema(
+                lake._table_schema_json(self._root, tip),
+                self._schema,
+                False,
+            )
+
         lake._txn_commit(
             self._root,
             "append",
@@ -647,11 +731,7 @@ class TxnLakeStreamWriter(DataSourceStreamArrowWriter):
             (self._app, int(batchId)),
             20,
             None,
-            lambda tip: lake._check_schema(
-                lake._table_schema_json(self._root, tip),
-                self._schema,
-                False,
-            ),
+            schema_fn,
             spec=[],
         )
 
