@@ -1,0 +1,278 @@
+"""Read-only Delta Lake interop (r8, VERDICT r7 'What's missing' #2):
+``delta_read`` replays a real ``_delta_log`` — newline-delimited JSON
+action commits, optional parquet checkpoint + ``_last_checkpoint``,
+partition values, column mapping name mode — per the public Delta
+protocol spec (delta-io/delta PROTOCOL.md). ``delta_export`` is the
+fixture generator / migration path out of the native txn lake; the
+round-trip pins here prove the two logs agree version for version.
+A hand-written log (as another engine would produce it) pins the
+reader against exporter quirks."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.sources import lake
+from spark_cassandra_collabfiltering_spark.sources import delta_interop as di
+
+
+def _d(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _history(spark, tmp_path):
+    """append, append, compact, merge — the rewrite-heavy shape."""
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 200).coalesce(2), root, stats_cols=["id"])
+    lake.txn_write(_d(spark, 200, 300).coalesce(1), root, stats_cols=["id"])
+    lake.txn_compact(spark, root, sort_cols=["id"], n_files=2,
+                     stats_cols=["id"])
+    lake.txn_merge(
+        spark, root,
+        spark.createDataFrame([(0, -1), (5000, 1)], "id long, v long"),
+        ["id"], stats_cols=["id"],
+    )
+    return root
+
+
+def test_history_export_round_trips_every_version(spark, tmp_path):
+    root = _history(spark, tmp_path)
+    droot = str(tmp_path / "delta")
+    last = di.delta_export(root, droot)
+    assert last == lake.txn_latest_version(root)
+    for v in range(last + 1):
+        assert _rows(di.delta_read(spark, droot, v)) == _rows(
+            lake.txn_read(spark, root, v)
+        ), f"divergence at version {v}"
+
+
+def test_metadata_count_matches_scan(spark, tmp_path):
+    root = _history(spark, tmp_path)
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    assert di.delta_count(droot) == lake.txn_count(root)
+
+
+def test_checkpoint_seeds_replay_after_log_truncation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(5):
+        lake.txn_write(_d(spark, i * 10, (i + 1) * 10).coalesce(1), root)
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot, checkpoint_every=2)
+    expect = _rows(lake.txn_read(spark, root))
+    # Delta allows deleting JSON commits at or below a checkpoint
+    # (metadata retention); the reader must seed from the checkpoint
+    cp = di._last_checkpoint(droot)
+    assert cp is not None and cp["version"] >= 2
+    for v in range(int(cp["version"]) + 1):
+        os.remove(di._commit_path(droot, v))
+    assert _rows(di.delta_read(spark, droot)) == expect
+    # ... and a read BELOW the truncation refuses loudly
+    with pytest.raises(FileNotFoundError):
+        di.delta_read(spark, droot, 0)
+
+
+def test_partition_values_reattach_typed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    d = spark.range(0, 60).select(
+        "id", (F.col("id") % 3).cast("int").alias("bucket"),
+        (F.col("id") * 7).alias("v"),
+    )
+    lake.txn_write(d.repartition(2), root, partition_by=["bucket"])
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    got = di.delta_read(spark, droot)
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert _rows(got) == _rows(lake.txn_read(spark, root))
+
+
+def test_column_mapping_renames_and_protocol(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 30).coalesce(1), root)
+    lake.txn_enable_column_mapping(root)
+    lake.txn_rename_column(root, "v", "speed")
+    lake.txn_write(
+        spark.range(30, 40).select("id", (F.col("id") * 2).alias("speed")),
+        root,
+    )
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    got = di.delta_read(spark, droot)
+    assert set(got.columns) == {"id", "speed"}
+    assert _rows(got) == _rows(lake.txn_read(spark, root))
+    # the exported log carries the columnMapping reader bump
+    st, _ = di._replay_delta(droot, None)
+    assert int(st.protocol["minReaderVersion"]) == 2
+    assert st.meta["configuration"]["delta.columnMapping.mode"] == "name"
+
+
+def test_snapshot_export_for_dv_histories(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 100).coalesce(2), root, stats_cols=["id"])
+    lake.txn_delete_dv(spark, root, spark.range(0, 7).select("id"), ["id"])
+    droot = str(tmp_path / "delta")
+    # active DVs: both modes refuse (RoaringBitmap vs RLE sidecars)
+    with pytest.raises(ValueError, match="deletion vector"):
+        di.delta_export(root, droot)
+    lake.txn_compact(spark, root)  # materializes the DV away
+    # history mode still refuses (the dv->compact window would
+    # misrepresent); snapshot mode is the migration path
+    with pytest.raises(ValueError, match="snapshot"):
+        di.delta_export(root, str(tmp_path / "d2"))
+    di.delta_export(root, droot, snapshot=True)
+    assert _rows(di.delta_read(spark, droot)) == _rows(
+        lake.txn_read(spark, root)
+    )
+
+
+def test_unconverged_widening_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(
+        spark.range(0, 20).select(F.col("id").cast("int").alias("id")),
+        root,
+    )
+    lake.txn_widen_column(root, "id", "long")
+    lake.txn_write(spark.range(5_000_000_000, 5_000_000_005), root)
+    with pytest.raises(ValueError, match="typeWidening|physical types"):
+        di.delta_export(root, str(tmp_path / "delta"))
+    lake.txn_compact(spark, root)  # converges storage to long
+    droot = str(tmp_path / "delta_ok")
+    di.delta_export(root, droot, snapshot=True)
+    assert _rows(di.delta_read(spark, droot)) == _rows(
+        lake.txn_read(spark, root)
+    )
+
+
+def test_reader_handles_a_foreign_hand_written_log(spark, tmp_path):
+    """A _delta_log as ANOTHER engine would write it (no exporter in
+    the loop): plain spark parquet files, hand-authored JSON actions
+    including a remove, schema evolution and a commitInfo-only
+    commit."""
+    root = str(tmp_path / "ext")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    def _write_part(df, name):
+        tmpd = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(tmpd)
+        src = next(
+            f for f in os.listdir(tmpd) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmpd, src), os.path.join(root, name))
+        return name
+
+    p0 = _write_part(_d(spark, 0, 10), "part-0.parquet")
+    p1 = _write_part(_d(spark, 10, 20), "part-1.parquet")
+    p2 = _write_part(
+        spark.range(20, 25).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+        ),
+        "part-2.parquet",
+    )
+    schema_v0 = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    schema_v2 = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "tag", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+
+    def commit(v, actions):
+        with open(di._commit_path(root, v), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    commit(0, [
+        {"commitInfo": {"operation": "WRITE", "engineInfo": "other-engine"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "abc", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": schema_v0, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 1}},
+        {"add": {"path": p0, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "stats": "{\"numRecords\":10}"}},
+        {"add": {"path": p1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "stats": "{\"numRecords\":10}"}},
+    ])
+    commit(1, [
+        {"remove": {"path": p0, "deletionTimestamp": 2, "dataChange": True}},
+    ])
+    commit(2, [
+        {"metaData": {"id": "abc", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": schema_v2, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": p2, "partitionValues": {}, "size": 1,
+                 "modificationTime": 3, "dataChange": True,
+                 "stats": "{\"numRecords\":5}"}},
+    ])
+    commit(3, [{"commitInfo": {"operation": "OPTIMIZE"}}])
+
+    got = di.delta_read(spark, root)  # latest: v1 dropped, tag added
+    assert set(got.columns) == {"id", "v", "tag"}
+    by_id = {r["id"]: (r["v"], r["tag"]) for r in got.collect()}
+    assert sorted(by_id) == list(range(10, 25))
+    assert by_id[10] == (20, None)  # pre-evolution file: typed NULL
+    assert by_id[20] == (40, "x")
+    assert di.delta_count(root) == 15
+    # time travel to v0 sees both original files, no tag column
+    v0 = di.delta_read(spark, root, 0)
+    assert set(v0.columns) == {"id", "v"}
+    assert sorted(r["id"] for r in v0.collect()) == list(range(20))
+
+
+def test_unknown_reader_features_refused(spark, tmp_path):
+    root = str(tmp_path / "ext")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(di._commit_path(root, 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": []}),
+            "partitionColumns": [], "configuration": {},
+        }}) + "\n")
+    with pytest.raises(lake.UnsupportedProtocol, match="deletionVectors"):
+        di.delta_read(spark, root)
+
+
+def test_add_with_deletion_vector_refused(spark, tmp_path):
+    root = str(tmp_path / "ext")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(di._commit_path(root, 0), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {},
+        }}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "p.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True,
+            "deletionVector": {"storageType": "u", "pathOrInlineDv": "ab",
+                               "offset": 1, "sizeInBytes": 40,
+                               "cardinality": 6},
+        }}) + "\n")
+    with pytest.raises(lake.UnsupportedProtocol, match="deletion vector"):
+        di.delta_read(spark, root)
