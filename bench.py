@@ -106,6 +106,49 @@ def make_spark():
     )
 
 
+# ---------------------------------------------------------------------------
+# Host-noise self-annotation (VERDICT r7 #5): BENCH_r07 read +10-60% on
+# 20 of 23 series while same-day fresh runs were in-band — a reader of
+# one JSON line couldn't tell host steal from a plan regression without
+# BASELINE.md archaeology. Two independent signals, both cheap:
+#   - cpu_steal_pct: Δsteal/Δtotal from /proc/stat across the timed
+#     passes (authoritative when the hypervisor reports steal);
+#   - spin_noise_ratio: a fixed-iteration pure-Python spin (calibrated
+#     once to ~100 ms) re-timed after each suite pass; median/min > ~1.1
+#     means co-tenant contention even when steal accounting is silent.
+# A noisy window shows up IN the artifact, next to the numbers it
+# inflated.
+# ---------------------------------------------------------------------------
+
+
+def _proc_stat() -> "tuple[int, int] | None":
+    """(total_jiffies, steal_jiffies) from the aggregate cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0
+        return total, steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _spin_once(iters: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def _calibrate_spin(target_sec: float = 0.1) -> int:
+    iters = 1_000_000
+    while _spin_once(iters) < target_sec / 2:
+        iters *= 2
+    return iters
+
+
 def run_one(spark, builder, sf_dir: str) -> float:
     spark.catalog.clearCache()
     # Force a JVM GC so the ContextCleaner reclaims dead broadcasts /
@@ -147,13 +190,28 @@ def main() -> None:
     # Spreading repeats across suite passes puts a burst on different
     # queries each pass, so the min recovers the plan cost. Same total
     # work as per-query best-of-3.
+    spin_iters = _calibrate_spin()
+    spins = [_spin_once(spin_iters)]
+    stat0 = _proc_stat()
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
             timings[name] = min(
                 timings[name], run_one(spark, QUERIES[name].builder, SF_DIR)
             )
+        spins.append(_spin_once(spin_iters))
+    stat1 = _proc_stat()
     timings = {name: round(v, 3) for name, v in timings.items()}
+
+    steal_pct = None
+    if stat0 and stat1 and stat1[0] > stat0[0]:
+        steal_pct = round(
+            100.0 * (stat1[1] - stat0[1]) / (stat1[0] - stat0[0]), 2
+        )
+    spins_ms = sorted(round(s * 1000, 1) for s in spins)
+    noise_ratio = round(
+        spins_ms[len(spins_ms) // 2] / spins_ms[0], 3
+    ) if spins_ms[0] > 0 else None
 
     total = round(sum(timings.values()), 3)
     print(
@@ -164,6 +222,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-noise annotation: quiet window ~= steal 0 /
+                # ratio 1.0; ratio > ~1.1 or steal > ~5% means the
+                # timings above are inflated by co-tenants, not plans
+                "host_noise": {
+                    "cpu_steal_pct": steal_pct,
+                    "spin_ms": spins_ms,
+                    "spin_noise_ratio": noise_ratio,
+                },
             }
         )
     )

@@ -1,13 +1,19 @@
-"""Real stdlib-only media codecs for the multimodal pipeline.
+"""Real stdlib/NumPy-only media codecs for the multimodal pipeline.
 
-The container has no Pillow/pyav, but PNG and WAV are decodable with
-the standard library alone — so the decode step of the multimodal
-plumbing (operators/multimodal.py) can be REAL, not a stub:
+The container has no Pillow/pyav, but every format here is decodable
+from scratch — so the decode step of the multimodal plumbing
+(operators/multimodal.py) is REAL, not a stub:
 
 - PNG: chunk parse + CRC verify + zlib inflate + full scanline-filter
   reconstruction (all five filter types 0-4 per the PNG spec §9:
   None/Sub/Up/Average/Paeth), 8-bit greyscale payloads.
 - WAV: RIFF parse via the ``wave`` module, PCM16 mono.
+- GIF: real LZW, multi-frame; BMP: 24-bit.
+- JPEG (r7): baseline ITU-T T.81 — Huffman entropy code, quant
+  tables, 2-D DCT/IDCT, 4:4:4 color — both directions.
+- AVI/Motion-JPEG (r7): RIFF chunk-tree container, per-frame JPEG —
+  real video frame sampling without pyav (inter-frame codecs like
+  H.264 remain the genuine third-party swap-in point).
 
 Both directions are implemented (the encoder writes a DIFFERENT code
 path than the decoder reverses — e.g. varied per-row filter types —

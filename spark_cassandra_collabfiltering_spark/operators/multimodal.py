@@ -3,14 +3,17 @@
 Images/audio/video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct. The Spark-side machinery here is real and
 tested — schema, partition-preserving mapInPandas with Arrow batches —
-and since round 5 the DECODE step is real too: stdlib PNG (CRC-checked
-chunk parse + zlib inflate + full scanline-filter reconstruction) and
-WAV (RIFF/PCM16) codecs in operators/codecs.py, exercised encode→
-decode with integer-exact features the DuckDB oracle reproduces in
-closed form. Only formats beyond what the stdlib can express (JPEG,
-video) still need a third-party call — swap the inner decode in
-``decode_media_features`` for Pillow/pyav and nothing else changes;
-the byte-level ``_decode_stub`` path below is retained for
+and since round 5 the DECODE step is real too: from-scratch PNG
+(CRC-checked chunk parse + zlib inflate + full scanline-filter
+reconstruction), WAV (RIFF/PCM16), GIF-LZW and BMP codecs in
+operators/codecs.py — joined in round 7 by a from-scratch baseline
+JPEG (ITU-T T.81: Huffman entropy decode, dequant, IDCT, 4:4:4 color)
+and AVI/Motion-JPEG video (RIFF chunk-tree reader + per-frame JPEG) —
+all exercised encode→decode with integer-exact features the DuckDB
+oracle reproduces in closed form. What still needs a third-party call
+is only INTER-FRAME compressed video (H.264 etc., pyav territory):
+swap the inner decode in ``decode_media_features`` and nothing else
+changes; the byte-level ``_decode_stub`` path below is retained for
 codec-agnostic features (crc/length/head bytes).
 
 Scale: mapInPandas streams Arrow record batches through Python with no
