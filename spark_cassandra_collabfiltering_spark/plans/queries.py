@@ -6156,7 +6156,8 @@ def _knn_ndcg_sql(ratings_where: str = "") -> str:
             FROM train) WHERE rk <= 100),
         co AS (SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS c
                FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
-               GROUP BY 1, 2),
+               GROUP BY 1, 2
+               HAVING count(*) >= 2),
         cnts AS (SELECT i, count(*)::BIGINT AS n FROM capped GROUP BY i),
         sim AS (SELECT ia, ib,
                        (c * 1000000) // CAST(floor(sqrt((na * nb)::DOUBLE))
@@ -6227,7 +6228,13 @@ def _itemknn_pipeline(spark, sf_dir, user_subset_mod: int | None = None):
         )
     train, val = rk.hash_split_pairs(ratings)
     capped = ik.cap_user_items(train, max_user_items=100)
-    sim = ik.item_similarity(capped)
+    # min_count=2 is the r8 support floor: singleton co-occurrences
+    # were 99% of all pairs and pure noise at the top of rare items'
+    # neighbor lists — dropping them shrinks every stage downstream of
+    # the wedge agg ~100x while measured NDCG/MRR tick UP (395->399 /
+    # 1010->1026 e6 at sf0.1); the oracle applies the identical
+    # HAVING floor so the row stays hash-exact
+    sim = ik.item_similarity(capped, min_count=2)
     nbr = ik.item_neighbors(sim, k=10)
     recs = ik.recommend(capped, nbr, k=10)
     return rk.ranking_eval_per_user(recs, val, k=10)

@@ -94,3 +94,28 @@ def test_item_similarity_reach_stop_list(spark):
     assert not any(999 in p for p in sim)
     full = {(r.ia, r.ib) for r in ik.item_similarity(capped).collect()}
     assert any(999 in p for p in full)  # default keeps it
+
+
+def test_item_similarity_support_floor(spark):
+    # (10, 20) co-occurs for two users; (10, 30) for one. The floor
+    # keeps evidence-backed pairs and drops singletons — which would
+    # otherwise rank TOP of the neighbor list (c=1 with rare items is
+    # maximal cosine from minimal evidence).
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)]
+    pairs = spark.createDataFrame(rows, "user bigint, product bigint")
+    capped = ik.cap_user_items(pairs)
+    full = {(r.ia, r.ib): r.c for r in ik.item_similarity(capped).collect()}
+    assert full == {(10, 20): 2, (10, 30): 1}
+    floored = {
+        (r.ia, r.ib): r.c
+        for r in ik.item_similarity(capped, min_count=2).collect()
+    }
+    assert floored == {(10, 20): 2}
+    # sim_e6 of the survivor is identical under the floor (the floor
+    # prunes pairs, never changes a surviving pair's cosine)
+    f = {r.ia: r.sim_e6 for r in ik.item_similarity(capped).collect()
+         if (r.ia, r.ib) == (10, 20)}
+    g = {r.ia: r.sim_e6
+         for r in ik.item_similarity(capped, min_count=2).collect()
+         if (r.ia, r.ib) == (10, 20)}
+    assert f == g
