@@ -71,6 +71,7 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
     "vacuumProtocolCheck",
+    "deletionVectors",
 }
 
 MAX_READER_VERSION = 3
@@ -185,13 +186,6 @@ def _replay_delta(root: str, version: "int | None") -> "tuple[_DeltaState, int]"
     _check_protocol(state.protocol)
     if state.meta is None:
         raise ValueError(f"no metaData action found replaying {root}")
-    for a in state.adds.values():
-        if a.get("deletionVector"):
-            raise lake.UnsupportedProtocol(
-                "Delta deletion vectors (RoaringBitmap sidecars) are "
-                "not supported by this read-only reader; OPTIMIZE / "
-                "purge the table to materialize them first"
-            )
     return state, version
 
 
@@ -251,13 +245,17 @@ def delta_read(
     DataFrame under its LOGICAL schema. Partition columns re-attach
     from each add's recorded ``partitionValues``; files written before
     a schema evolution surface added columns as typed NULL; column
-    mapping renames physical -> logical."""
+    mapping renames physical -> logical; deletion vectors (RoaringBitmap
+    sidecars / inline payloads, sources/delta_dv.py) anti-join their
+    row positions out — the same filter shape as the native lake's
+    RLE vectors."""
     from pyspark.sql import functions as F
+
+    from . import delta_dv
 
     state, _v = _replay_delta(root, version)
     schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
     part_cols = list(state.meta.get("partitionColumns") or ())
-    mapping = _delta_mapping(schema)
     types = {f.name: f.dataType for f in schema.fields}
     if not state.adds:
         return spark.createDataFrame(
@@ -265,11 +263,23 @@ def delta_read(
                               for f in schema.fields])
         )
 
+    # resolve DV positions per live file (metadata-sized driver work:
+    # positions, never rows)
+    from urllib.parse import unquote
+
+    dv_rows: list[tuple] = []
+    for path, a in state.adds.items():
+        desc = a.get("deletionVector")
+        if desc:
+            abspath = os.path.join(root, unquote(path))
+            dv_rows += [
+                (lake._uri_path(abspath), int(pos))
+                for pos in delta_dv.resolve_descriptor(root, desc)
+            ]
+
     # group live files by partition tuple: the pruned common case
     # attaches partition values as per-group literals (zero join cost,
     # same strategy as the native lake's _read_files)
-    from urllib.parse import unquote
-
     groups: dict[tuple, list] = {}
     for path, a in state.adds.items():
         pv = a.get("partitionValues") or {}
@@ -290,21 +300,40 @@ def delta_read(
                 if phys in have
                 else F.lit(None).cast(f.dataType).alias(f.name)
             )
+        if dv_rows:
+            sel += [
+                lake._strip_file_uri(F.col("_metadata.file_path")).alias(
+                    "_dv_file"
+                ),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ]
         scan = scan.select(*sel)
         for c, sval in zip(part_cols, key):
             scan = scan.withColumn(
                 c, F.lit(_typed_part_val(sval, types[c])).cast(types[c])
             )
         out = scan if out is None else out.unionByName(scan)
+    if dv_rows:
+        dvdf = spark.createDataFrame(
+            dv_rows,
+            T.StructType([
+                T.StructField("_dv_file", T.StringType(), False),
+                T.StructField("_dv_pos", T.LongType(), False),
+            ]),
+        )
+        out = out.join(
+            F.broadcast(dvdf), ["_dv_file", "_dv_pos"], "left_anti"
+        ).drop("_dv_file", "_dv_pos")
     # present columns in schema order (partition columns sit where the
     # schema declares them, not appended)
     return out.select(*[f.name for f in schema.fields])
 
 
 def delta_count(root: str, version: "int | None" = None) -> int:
-    """Metadata-only COUNT(*) from the adds' embedded numRecords
-    stats (refuses when any live add lacks them — never a wrong
-    count, the same posture as the native lake's txn_count)."""
+    """Metadata-only COUNT(*): the adds' embedded numRecords stats
+    minus each add's deletion-vector cardinality (refuses when any
+    live add lacks numRecords — never a wrong count, the same posture
+    as the native lake's txn_count)."""
     state, _v = _replay_delta(root, version)
     n = 0
     for path, a in state.adds.items():
@@ -316,6 +345,9 @@ def delta_count(root: str, version: "int | None" = None) -> int:
                 "COUNT(*) needs a scan"
             )
         n += int(rec)
+        desc = a.get("deletionVector")
+        if desc:
+            n -= int(desc["cardinality"])
     return n
 
 
@@ -389,33 +421,42 @@ def _export_file(txn_file: str, delta_root: str, spec: list,
     return quote(rel, safe="/=%")
 
 
+def _txn_dv_positions(state) -> dict:
+    """{raw txn file path: sorted deleted row positions} from the
+    state's active RLE sidecars — driver-side pyarrow reads of
+    metadata-sized files (positions, never rows). Runs expand here;
+    the Delta side re-compresses them as roaring containers."""
+    import pyarrow.parquet as pq
+
+    uri_of = {lake._uri_path(f): f for f in state.files}
+    out: dict = {}
+    for sidecars, targets in state.dvs:
+        tset = set(targets)
+        for sc in sidecars:
+            for r in pq.read_table(sc).to_pylist():
+                f = uri_of.get(r["file"], r["file"])
+                if f not in tset:
+                    continue
+                s = out.setdefault(f, set())
+                if r.get("pos") is not None:
+                    s.add(int(r["pos"]))
+                elif r.get("start") is not None:
+                    s.update(
+                        range(int(r["start"]),
+                              int(r["start"]) + int(r["n"]))
+                    )
+    return {f: sorted(s) for f, s in out.items()}
+
+
 def _export_guards(txn_root: str, latest: int, history: bool) -> None:
-    """Refusals that keep the export FAITHFUL rather than best-effort:
-    (a) active DVs at the exported tip — Delta encodes DVs as
-    RoaringBitmap sidecars, a different format; compact materializes
-    ours away; (b) history mode with dv commits anywhere — the
-    rows-hidden-between-dv-and-compact window cannot be represented
-    without DV support, so historical reads would silently resurrect
-    deleted rows (snapshot mode handles these tables); (c) live files
-    spanning physical types after a type widening — Delta needs the
-    typeWidening reader feature for that; txn_compact converges
-    storage to the wide type first."""
+    """Refusal that keeps the export FAITHFUL rather than best-effort:
+    live files spanning physical types after a type widening — Delta
+    needs the typeWidening reader feature for that; txn_compact
+    converges storage to the wide type first. (Deletion vectors are
+    NOT a refusal since r8: the exporter re-encodes the native RLE
+    vectors as real Delta RoaringBitmap sidecars, in history mode as
+    the remove+re-add-with-DV shape Delta itself uses.)"""
     st = lake._replay(txn_root, latest)
-    if st.dvs:
-        raise ValueError(
-            "table has active deletion vectors; txn_compact first "
-            "(Delta DVs are RoaringBitmap sidecars — a faithful "
-            "export must materialize ours away)"
-        )
-    if history:
-        for v in range(latest + 1):
-            if lake._read_commit(txn_root, v)["op"] == "dv":
-                raise ValueError(
-                    "history export of a table with deletion-vector "
-                    "commits would misrepresent the versions between "
-                    "the dv and its materializing compact; use "
-                    "snapshot=True"
-                )
     tj = lake._table_schema_json(txn_root, latest)
     if tj is not None:
         table_types = {
@@ -449,10 +490,16 @@ def delta_export(
     overwrite->removes+adds, compact/merge->removes+adds with compact
     marked ``dataChange: false``, meta->metaData update), so Delta
     time travel matches txn time travel version for version.
-    ``snapshot=True`` exports only the CURRENT state as Delta v0 —
-    the migration path for tables whose history holds deletion-vector
-    commits. Refusals (see _export_guards) keep the export faithful
-    rather than best-effort. Returns the last Delta version written."""
+    ``snapshot=True`` exports only the CURRENT state as Delta v0.
+    Native RLE deletion vectors export as REAL Delta RoaringBitmap
+    sidecars: in snapshot mode as descriptors on the live adds, in
+    history mode each dv commit becomes the remove + re-add-with-DV
+    pair Delta itself writes (the table protocol lists the
+    deletionVectors reader feature). Refusals (see _export_guards)
+    keep the export faithful rather than best-effort. Returns the
+    last Delta version written."""
+    from . import delta_dv
+
     latest = lake.txn_latest_version(txn_root)
     if latest is None:
         raise FileNotFoundError(f"no committed versions under {txn_root}")
@@ -460,6 +507,39 @@ def delta_export(
     if _json_versions(delta_root):
         raise FileExistsError(f"{delta_root} already has a Delta log")
     _export_guards(txn_root, latest, history=not snapshot)
+
+    end_state = lake._replay(txn_root, latest)
+    dv_used = (
+        bool(end_state.dvs)
+        if snapshot
+        else any(
+            lake._read_commit(txn_root, w)["op"] == "dv"
+            for w in range(latest + 1)
+        )
+    )
+    mapped_final = (
+        lake._cm_mapping(lake._table_schema_json(txn_root, latest))
+        is not None
+    )
+
+    def _protocol_action() -> dict:
+        # the final protocol is emitted at Delta v0 (a protocol may be
+        # stricter than a prefix of the history strictly needs; a
+        # LATER requirement appearing under a weaker protocol is what
+        # must never happen)
+        if dv_used:
+            feats = ["deletionVectors"] + (
+                ["columnMapping"] if mapped_final else []
+            )
+            return {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(feats),
+                "writerFeatures": sorted(feats),
+            }}
+        if mapped_final:
+            return {"protocol": {"minReaderVersion": 2,
+                                 "minWriterVersion": 5}}
+        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
     rel_of: dict[str, str] = {}  # txn file path -> exported rel path
     seq = 0
@@ -469,6 +549,7 @@ def delta_export(
     for v in versions:
         c = lake._read_commit(txn_root, v)
         st = lake._replay(txn_root, v)
+        dvpos = _txn_dv_positions(st) if st.dvs else {}
         if snapshot:
             # synthesize one overwrite-like commit of the live state
             c = {
@@ -487,21 +568,8 @@ def delta_export(
                 if schema_json is not None
                 else T.StructType([]).json()
             )
-            mapped = bool(cfg)
             if first:
-                actions.append({
-                    "protocol": {
-                        "minReaderVersion": 2 if mapped else 1,
-                        "minWriterVersion": 5 if mapped else 2,
-                    }
-                })
-            elif mapped and last_schema is not None and not lake._cm_mapping(
-                last_schema
-            ):
-                # mapping enabled mid-history: bump the protocol
-                actions.append({
-                    "protocol": {"minReaderVersion": 2, "minWriterVersion": 5}
-                })
+                actions.append(_protocol_action())
             actions.append({
                 "metaData": {
                     "id": f"txn-export-{os.path.basename(txn_root)}",
@@ -512,31 +580,8 @@ def delta_export(
                 }
             })
             last_schema = schema_json
-        removes: list[str] = []
-        if c["op"] == "overwrite" and v > 0:
-            removes = [
-                f for f in lake._txn_state(txn_root, v - 1) if f in rel_of
-            ]
-        elif c["op"] in ("compact", "merge"):
-            removes = [f for f in c.get("removes", ()) if f in rel_of]
-        data_change = c["op"] != "compact"
-        for f in removes:
-            actions.append({
-                "remove": {
-                    "path": rel_of.pop(f),
-                    "deletionTimestamp": v,  # deterministic fixture time
-                    "dataChange": data_change,
-                }
-            })
-        for f in c.get("files", ()):
-            if c["op"] == "dv":
-                continue
-            if f in rel_of:  # RESTORE re-adds a historical file
-                rel = rel_of[f]
-            else:
-                rel = _export_file(f, delta_root, st.spec, seq)
-                seq += 1
-                rel_of[f] = rel
+
+        def _add_action(f, rel, data_change, stats_src, with_dv):
             add = {
                 "path": rel,
                 "partitionValues": {
@@ -546,10 +591,54 @@ def delta_export(
                 "modificationTime": v,
                 "dataChange": data_change,
             }
-            stats = _delta_stats(c.get("stats", {}).get(f))
+            stats = _delta_stats(stats_src.get(f))
             if stats:
                 add["stats"] = stats
-            actions.append({"add": add})
+            if with_dv and f in dvpos:
+                add["deletionVector"] = delta_dv.make_descriptor_uuid(
+                    delta_root, dvpos[f]
+                )
+            return {"add": add}
+
+        removes: list[str] = []
+        if c["op"] == "overwrite" and v > 0:
+            removes = [
+                f for f in lake._txn_state(txn_root, v - 1) if f in rel_of
+            ]
+        elif c["op"] in ("compact", "merge"):
+            removes = [f for f in c.get("removes", ()) if f in rel_of]
+        elif c["op"] == "dv":
+            # Delta models a DV update as remove + re-add of the SAME
+            # data file with the (cumulative) vector attached
+            removes = [f for f in c.get("dv_for", ()) if f in rel_of]
+        data_change = c["op"] != "compact"
+        for f in removes:
+            rel = rel_of[f] if c["op"] == "dv" else rel_of.pop(f)
+            actions.append({
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": v,  # deterministic fixture time
+                    "dataChange": data_change,
+                }
+            })
+        if c["op"] == "dv":
+            for f in removes:
+                actions.append(
+                    _add_action(f, rel_of[f], True, st.stats, True)
+                )
+        for f in c.get("files", ()):
+            if c["op"] == "dv":
+                continue
+            if f in rel_of:  # RESTORE re-adds a historical file
+                rel = rel_of[f]
+            else:
+                rel = _export_file(f, delta_root, st.spec, seq)
+                seq += 1
+                rel_of[f] = rel
+            actions.append(
+                _add_action(f, rel, data_change, c.get("stats", {}),
+                            snapshot)
+            )
         if "txn_app" in c:
             actions.append({
                 "txn": {"appId": c["txn_app"], "version": c["txn_run"]}
@@ -583,6 +672,8 @@ def _write_checkpoint(root: str, v: int) -> None:
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
         ("metaData", pa.struct([
             ("id", pa.string()),
@@ -599,6 +690,15 @@ def _write_checkpoint(root: str, v: int) -> None:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            # omitting this would make a checkpointed state silently
+            # resurrect DV-deleted rows
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int64()),
+                ("sizeInBytes", pa.int64()),
+                ("cardinality", pa.int64()),
+            ])),
         ])),
         ("remove", pa.struct([
             ("path", pa.string()),
@@ -624,7 +724,7 @@ def _write_checkpoint(root: str, v: int) -> None:
     for a in state.adds.values():
         add = {k: a.get(k) for k in
                ("path", "partitionValues", "size", "modificationTime",
-                "dataChange", "stats")}
+                "dataChange", "stats", "deletionVector")}
         add["partitionValues"] = _pairs(add["partitionValues"])
         rows.append({"protocol": None, "metaData": None,
                      "add": add, "remove": None})

@@ -112,23 +112,55 @@ def test_column_mapping_renames_and_protocol(spark, tmp_path):
     assert st.meta["configuration"]["delta.columnMapping.mode"] == "name"
 
 
-def test_snapshot_export_for_dv_histories(spark, tmp_path):
+def test_dv_history_exports_as_roaring_and_reads_back(spark, tmp_path):
+    """Native RLE deletion vectors export as REAL Delta RoaringBitmap
+    sidecars: history mode writes the remove+re-add-with-DV pair per
+    dv commit, every version still round-trips, and metadata COUNT(*)
+    subtracts cardinality."""
     root = str(tmp_path / "t")
     lake.txn_write(_d(spark, 0, 100).coalesce(2), root, stats_cols=["id"])
     lake.txn_delete_dv(spark, root, spark.range(0, 7).select("id"), ["id"])
+    lake.txn_delete_dv(spark, root,
+                       spark.range(50, 55).select("id"), ["id"])  # composes
+    lake.txn_write(_d(spark, 200, 210).coalesce(1), root,
+                   stats_cols=["id"])
     droot = str(tmp_path / "delta")
-    # active DVs: both modes refuse (RoaringBitmap vs RLE sidecars)
-    with pytest.raises(ValueError, match="deletion vector"):
-        di.delta_export(root, droot)
-    lake.txn_compact(spark, root)  # materializes the DV away
-    # history mode still refuses (the dv->compact window would
-    # misrepresent); snapshot mode is the migration path
-    with pytest.raises(ValueError, match="snapshot"):
-        di.delta_export(root, str(tmp_path / "d2"))
-    di.delta_export(root, droot, snapshot=True)
-    assert _rows(di.delta_read(spark, droot)) == _rows(
+    last = di.delta_export(root, droot)
+    for v in range(last + 1):
+        assert _rows(di.delta_read(spark, droot, v)) == _rows(
+            lake.txn_read(spark, root, v)
+        ), f"divergence at version {v}"
+    assert di.delta_count(droot) == lake.txn_count(root) == 98
+    # the exported protocol declares the feature
+    st, _ = di._replay_delta(droot, None)
+    assert "deletionVectors" in st.protocol["readerFeatures"]
+    # snapshot mode attaches descriptors to the live adds
+    droot2 = str(tmp_path / "delta2")
+    di.delta_export(root, droot2, snapshot=True)
+    assert _rows(di.delta_read(spark, droot2)) == _rows(
         lake.txn_read(spark, root)
     )
+    assert di.delta_count(droot2) == 98
+
+
+def test_dv_survives_checkpoint_seeding(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 50).coalesce(1), root, stats_cols=["id"])
+    lake.txn_delete_dv(spark, root, spark.range(0, 5).select("id"), ["id"])
+    lake.txn_write(_d(spark, 100, 110).coalesce(1), root)
+    lake.txn_write(_d(spark, 110, 120).coalesce(1), root)
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot, checkpoint_every=2)
+    cp = di._last_checkpoint(droot)
+    assert cp is not None
+    for v in range(int(cp["version"]) + 1):
+        os.remove(di._commit_path(droot, v))
+    # the checkpoint alone must preserve the DV descriptor — a lost
+    # one would silently resurrect the 5 deleted rows
+    assert sorted(r[0] for r in di.delta_read(spark, droot).collect()) == (
+        list(range(5, 50)) + list(range(100, 120))
+    )
+    assert di.delta_count(droot) == 65
 
 
 def test_unconverged_widening_refused(spark, tmp_path):
@@ -243,36 +275,50 @@ def test_unknown_reader_features_refused(spark, tmp_path):
     with open(di._commit_path(root, 0), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
+            "readerFeatures": ["typeWidening"],
         }}) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": []}),
             "partitionColumns": [], "configuration": {},
         }}) + "\n")
-    with pytest.raises(lake.UnsupportedProtocol, match="deletionVectors"):
+    with pytest.raises(lake.UnsupportedProtocol, match="typeWidening"):
         di.delta_read(spark, root)
 
 
-def test_add_with_deletion_vector_refused(spark, tmp_path):
+def test_foreign_inline_dv_applies(spark, tmp_path):
+    """An inline ('i' storageType) deletion vector hand-authored into
+    a foreign log — no exporter in the loop — hides exactly its
+    positions."""
+    from spark_cassandra_collabfiltering_spark.sources import delta_dv
+
     root = str(tmp_path / "ext")
     os.makedirs(os.path.join(root, "_delta_log"))
+    tmpd = str(tmp_path / "stage")
+    _d(spark, 0, 20).coalesce(1).write.parquet(tmpd)
+    src = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmpd, src), os.path.join(root, "p.parquet"))
+    desc = delta_dv.make_descriptor_inline([0, 3, 17])
     with open(di._commit_path(root, 0), "w") as fh:
         fh.write(json.dumps({"protocol": {
-            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": [
                 {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "long", "nullable": True,
                  "metadata": {}}]}),
             "partitionColumns": [], "configuration": {},
         }}) + "\n")
         fh.write(json.dumps({"add": {
             "path": "p.parquet", "partitionValues": {}, "size": 1,
             "modificationTime": 1, "dataChange": True,
-            "deletionVector": {"storageType": "u", "pathOrInlineDv": "ab",
-                               "offset": 1, "sizeInBytes": 40,
-                               "cardinality": 6},
+            "stats": "{\"numRecords\":20}",
+            "deletionVector": desc,
         }}) + "\n")
-    with pytest.raises(lake.UnsupportedProtocol, match="deletion vector"):
-        di.delta_read(spark, root)
+    got = sorted(r["id"] for r in di.delta_read(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (0, 3, 17)]
+    assert di.delta_count(root) == 17
