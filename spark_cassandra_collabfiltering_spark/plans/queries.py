@@ -129,12 +129,14 @@ _DRIVER_ORDER = [
     "text_boilerplate", "text_vocab_build", "text_diversity",
     "text_bpe_pairs",
     # --- curation breadth: percentile + floor quality gates, Bloom
-    # and semantic contamination, domain + temperature mixing, URL
-    # canonicalization (first driver rows)
+    # and semantic contamination, domain + temperature mixing (first
+    # driver rows; url_canonical stays registered + locally swept —
+    # its slot goes to the r8-new Avro ingest)
     "curation_quality_percentile", "curation_quality_floor",
     "curation_contamination_bloom", "curation_contamination_semantic",
     "curation_domain_mix", "curation_temperature_mix",
-    "curation_url_canonical",
+    # --- ingest: the r8 from-scratch Avro Object Container round trip
+    "avro_ingest",
     # --- stats breadth: chi-square independence, Gini concentration,
     # per-source entropy, CBO-style skew profile (first driver rows)
     "stats_chi2_lang_source", "stats_gini_sources",
