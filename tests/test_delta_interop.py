@@ -322,3 +322,89 @@ def test_foreign_inline_dv_applies(spark, tmp_path):
     got = sorted(r["id"] for r in di.delta_read(spark, root).collect())
     assert got == [i for i in range(20) if i not in (0, 3, 17)]
     assert di.delta_count(root) == 17
+
+
+# --------------------------------------------------------------------
+# format("deltalog") — the interop as a native Spark data source
+# --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dlspark(spark):
+    from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
+        DeltaLogDataSource,
+    )
+
+    spark.dataSource.register(DeltaLogDataSource)
+    return spark
+
+
+def test_ds_read_matches_delta_read_with_dvs_and_time_travel(
+    dlspark, tmp_path
+):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(dlspark, 0, 100).coalesce(2), root, stats_cols=["id"])
+    lake.txn_delete_dv(dlspark, root,
+                       dlspark.range(0, 9).select("id"), ["id"])
+    lake.txn_write(_d(dlspark, 200, 210).coalesce(1), root,
+                   stats_cols=["id"])
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    got = dlspark.read.format("deltalog").option("root", droot).load()
+    assert _rows(got) == _rows(lake.txn_read(dlspark, root))
+    v0 = (dlspark.read.format("deltalog").option("root", droot)
+          .option("version", 0).load())
+    assert v0.count() == 100
+
+
+def test_ds_pushdown_prunes_files_and_partitions(dlspark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
+        DeltaLogReader,
+    )
+
+    root = str(tmp_path / "t")
+    d = dlspark.range(0, 90).select(
+        "id", (F.col("id") % 3).cast("int").alias("bucket"),
+    )
+    lake.txn_write(d.repartition(2), root, partition_by=["bucket"],
+                   stats_cols=["id"])
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    r = DeltaLogReader(droot, None)
+    total = len(r.partitions())
+    r.pushFilters([EqualTo(("bucket",), 1)])
+    assert 0 < len(r.partitions()) < total  # partition-value pruning
+    r2 = DeltaLogReader(droot, None)
+    r2.pushFilters([GreaterThanOrEqual(("id",), 10**9)])
+    assert len(r2.partitions()) == 0  # min/max stats pruning
+    # rows stay exact through Spark's own re-applied filter
+    got = (dlspark.read.format("deltalog").option("root", droot).load()
+           .filter(F.col("bucket") == 1))
+    assert sorted(x["id"] for x in got.collect()) == [
+        i for i in range(90) if i % 3 == 1
+    ]
+
+
+def test_ds_mapped_table_reads_logical_names(dlspark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(dlspark, 0, 30).coalesce(1), root)
+    lake.txn_enable_column_mapping(root)
+    lake.txn_rename_column(root, "v", "speed")
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    got = dlspark.read.format("deltalog").option("root", droot).load()
+    assert set(got.columns) == {"id", "speed"}
+    assert _rows(got) == _rows(lake.txn_read(dlspark, root))
+
+
+def test_ds_is_read_only(dlspark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(dlspark, 0, 5).coalesce(1), root)
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    with pytest.raises(Exception, match="read-only"):
+        (_d(dlspark, 0, 5).write.format("deltalog")
+         .option("root", droot).mode("append").save())
