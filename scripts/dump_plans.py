@@ -160,6 +160,9 @@ SHOWN = [
     "lake_generated_cols",
     "text_chunking_tokens",
     "lake_type_widening",
+    # r8
+    "lake_delta_interop",
+    "avro_ingest",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)

@@ -3835,9 +3835,37 @@ def txn_restore(root: str, version: int, max_retries: int = 20) -> int:
             return {"row_bases": rb, "row_hwm": hwm}
         return None
 
+    def schema_fn(tip):
+        tj_old = _table_schema_json(root, version)
+        tj_now = _table_schema_json(root, tip) if tip is not None else None
+        if (
+            tj_old is not None
+            and not _cm_mapping(tj_old)
+            and _cm_mapping(tj_now)
+        ):
+            # restoring to a PRE-mapping version of a mapped table
+            # must not downgrade the table protocol (readers that
+            # replayed mapped commits would misproject, and CDF under
+            # the range-end schema would NULL-fill the mapped history):
+            # stamp enable-time physical names — exact, because the
+            # restored files were written pre-mapping and carry their
+            # logical names physically (the r7 ROADMAP corner)
+            import json as _json
+
+            s = T.StructType.fromJson(_json.loads(tj_old))
+            return T.StructType(
+                [
+                    T.StructField(
+                        f.name, f.dataType, True, {"cm_phys": f.name}
+                    )
+                    for f in s.fields
+                ]
+            ).json()
+        return tj_old
+
     return _txn_commit(
         root, "overwrite", list(files), [], latest, None, max_retries,
-        old.stats or None, lambda tip: _table_schema_json(root, version),
+        old.stats or None, schema_fn,
         parts=old.parts if old.spec else None, spec=old.spec,
         extra_commit=extra,
         # restored files may carry materialized __row_id (post-compact

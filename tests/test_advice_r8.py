@@ -267,3 +267,46 @@ def test_row_alloc_refuses_genuinely_uncountable_file(tmp_path):
     # reserve an overlapping zero-length range
     with pytest.raises(RuntimeError, match="row count"):
         lake._row_alloc_ranges(["/nonexistent/x.parquet"], {}, 7)
+
+
+# --------------------------------------------------------------------
+# r8 extra: restore to a pre-mapping version must not downgrade the
+# table protocol (the r7 ROADMAP corner — CDF under the range-end
+# schema NULL-filled the mapped history)
+# --------------------------------------------------------------------
+
+
+def test_restore_below_mapping_enable_keeps_protocol_and_cdf(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 40).coalesce(1), root)            # v0
+    lake.txn_enable_column_mapping(root)                          # v1
+    lake.txn_rename_column(root, "v", "speed")                    # v2
+    lake.txn_write(
+        spark.range(40, 50).select(
+            "id", (F.col("id") * 2).alias("speed")
+        ),
+        root,
+    )                                                             # v3
+    lake.txn_restore(root, 0)                                     # v4
+    # the restore commit keeps the table mapped (protocol 2): the
+    # restored files carry logical-as-physical names, stamped as such
+    v4 = lake.txn_latest_version(root)
+    assert lake._read_commit(root, v4).get("protocol", 1) == 2
+    m = lake._cm_mapping(lake._table_schema_json(root, v4))
+    assert m == {"id": "id", "v": "v"}
+    got = lake.txn_read(spark, root)
+    assert set(got.columns) == {"id", "v"}
+    assert sorted(r["id"] for r in got.collect()) == list(range(40))
+    # the CDF replay contract holds ACROSS the restore: the range-end
+    # schema is v0's vocabulary, so the mapped middle history aligns
+    # through stable physical names instead of NULL-filling
+    base = lake.txn_read(spark, root, version=0).select("id", "v")
+    feed = lake.txn_changes(spark, root, 1, v4)
+    ins = feed.filter("_change_type = 'insert'").select("id", "v")
+    dels = feed.filter("_change_type = 'delete'").select("id", "v")
+    replayed = base.unionByName(ins).exceptAll(dels)
+    now = lake.txn_read(spark, root, version=v4).select("id", "v")
+    assert replayed.exceptAll(now).isEmpty()
+    assert now.exceptAll(replayed).isEmpty()
