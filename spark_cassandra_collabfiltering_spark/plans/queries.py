@@ -138,9 +138,11 @@ _DRIVER_ORDER = [
     # --- ingest: the r8 from-scratch Avro Object Container round trip
     "avro_ingest",
     # --- stats breadth: chi-square independence, Gini concentration,
-    # per-source entropy, CBO-style skew profile (first driver rows)
+    # per-source entropy (first driver rows; skew_profile stays
+    # registered + locally swept — its slot goes to the r8-new
+    # Iceberg interop read)
     "stats_chi2_lang_source", "stats_gini_sources",
-    "stats_entropy_sources", "stats_skew_profile",
+    "stats_entropy_sources", "iceberg_interop",
     # --- events: growth accounting + robust anomaly flags (first
     # driver rows)
     "ev_growth_accounting", "ev_anomaly",
@@ -10261,6 +10263,55 @@ def q_lake_delta_interop(spark, sf_dir):
     droot = work + "/delta"
     di.delta_export(root, droot, checkpoint_every=2)
     return di.delta_read(spark, droot)
+
+
+@register(
+    "iceberg_interop",
+    """SELECT o_orderkey, o_custkey, o_orderpriority
+       FROM orders WHERE o_orderkey % 9 <> 4""",
+    "Read-only Apache Iceberg interop (r8): the query commits an "
+    "orders snapshot to the native txn lake, lands a tombstone batch "
+    "as an RLE deletion vector, exports the state as a REAL Iceberg "
+    "v2 table — metadata json + version-hint, manifest list and "
+    "manifest written through the repo's own from-scratch Avro "
+    "ENCODER, data files copied, the deletion vector converted to a "
+    "v2 POSITION-DELETE parquet file — then returns iceberg_read of "
+    "that tree: metadata resolve -> manifest-list Avro decode -> "
+    "manifest Avro decode -> one parquet scan of exactly the live "
+    "files with the position deletes anti-joined out. The oracle "
+    "replays the same state in closed form, so the hash match proves "
+    "a foreign-format Iceberg table read through this engine (and "
+    "the Avro layer underneath it) returns byte-identical rows "
+    "(tests/test_iceberg_interop.py adds a hand-authored foreign "
+    "metadata tree, snapshot pinning, partition-column "
+    "re-materialization and the equality-delete/format-v3 refusals). "
+    "At 100 TB: snapshot resolution is O(manifest bytes) driver-side "
+    "metadata — the scalable half Iceberg was designed around — and "
+    "the data read is one pruned parquet scan.",
+)
+def q_iceberg_interop(spark, sf_dir):
+    import tempfile
+
+    from ..sources import iceberg_interop as ice
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    work = tempfile.mkdtemp(prefix="iceberg_q_")
+    root = work + "/t"
+    lake.txn_write(
+        base.repartitionByRange(4, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("o_orderkey") % 9 == 4).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    iroot = work + "/ice"
+    ice.iceberg_export(root, iroot)
+    return ice.iceberg_read(spark, iroot)
 
 
 @register(

@@ -1,0 +1,255 @@
+"""Read-only Apache Iceberg interop (r8): metadata-json -> manifest
+list (Avro) -> manifests (Avro) -> parquet data files + v2 position
+deletes, all through the repo's own from-scratch Avro reader. The
+exporter round-trips the native txn lake; a HAND-AUTHORED metadata
+tree (different code than the exporter, Spark-written parquet) pins
+the reader against exporter quirks; refusals (format-version 3,
+equality deletes, ORC files) are loud."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cassandra_collabfiltering_spark.sources import (
+    avro_source as av,
+    iceberg_interop as ice,
+    lake,
+)
+
+
+def _d(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_export_round_trips_with_dvs_and_metadata_count(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 200).coalesce(2), root, stats_cols=["id"])
+    lake.txn_delete_dv(spark, root, spark.range(0, 15).select("id"), ["id"])
+    lake.txn_write(_d(spark, 500, 520).coalesce(1), root)
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    got = ice.iceberg_read(spark, iroot)
+    assert _rows(got) == _rows(lake.txn_read(spark, root))
+    assert ice.iceberg_count(iroot) == lake.txn_count(root) == 205
+
+
+def test_export_restores_partition_columns(spark, tmp_path):
+    # hive layouts strip the partition column from data files; Iceberg
+    # files must CONTAIN every column — the exporter re-materializes it
+    root = str(tmp_path / "t")
+    d = spark.range(0, 60).select(
+        "id", (F.col("id") % 3).cast("int").alias("bucket"),
+        (F.col("id") * 7).alias("v"),
+    )
+    lake.txn_write(d.repartition(2), root, partition_by=["bucket"])
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    got = ice.iceberg_read(spark, iroot)
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert _rows(got) == _rows(lake.txn_read(spark, root))
+
+
+def test_export_collapses_column_mapping_to_logical_names(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 30).coalesce(1), root)
+    lake.txn_enable_column_mapping(root)
+    lake.txn_rename_column(root, "v", "speed")
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    got = ice.iceberg_read(spark, iroot)
+    assert set(got.columns) == {"id", "speed"}
+    assert _rows(got) == _rows(lake.txn_read(spark, root))
+
+
+def test_hand_authored_foreign_table_reads(spark, tmp_path):
+    """An Iceberg tree as another engine would lay it out: parquet
+    written by plain Spark, manifests hand-built, one data file
+    logically deleted via manifest status, one shrunk by a position-
+    delete file, metadata under the uuid naming convention (no
+    version-hint)."""
+    root = str(tmp_path / "ext")
+    meta = os.path.join(root, "metadata")
+    data = os.path.join(root, "data")
+    os.makedirs(meta)
+    os.makedirs(data)
+
+    def _part(df, name):
+        tmpd = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(tmpd)
+        src = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
+        dst = os.path.join(data, name)
+        os.replace(os.path.join(tmpd, src), dst)
+        return dst
+
+    p0 = _part(_d(spark, 0, 10), "a.parquet")
+    p1 = _part(_d(spark, 10, 20), "b.parquet")
+    p2 = _part(_d(spark, 20, 30), "c.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdel = os.path.join(data, "del.parquet")
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([p2, p2], type=pa.string()),
+            "pos": pa.array([0, 5], type=pa.int64()),
+        }),
+        pdel,
+    )
+    entries = [
+        {"status": 1, "snapshot_id": 9, "sequence_number": 1,
+         "file_sequence_number": 1,
+         "data_file": {"content": 0, "file_path": p0,
+                       "file_format": "parquet", "record_count": 10,
+                       "file_size_in_bytes": 1}},
+        {"status": 2, "snapshot_id": 9, "sequence_number": 1,
+         "file_sequence_number": 1,  # DELETED: must not scan
+         "data_file": {"content": 0, "file_path": p1,
+                       "file_format": "parquet", "record_count": 10,
+                       "file_size_in_bytes": 1}},
+        {"status": 0, "snapshot_id": 9, "sequence_number": 1,
+         "file_sequence_number": 1,
+         "data_file": {"content": 0, "file_path": p2,
+                       "file_format": "parquet", "record_count": 10,
+                       "file_size_in_bytes": 1}},
+        {"status": 1, "snapshot_id": 9, "sequence_number": 1,
+         "file_sequence_number": 1,
+         "data_file": {"content": 1, "file_path": pdel,
+                       "file_format": "parquet", "record_count": 2,
+                       "file_size_in_bytes": 1}},
+    ]
+    man = os.path.join(meta, "m0.avro")
+    av.write_avro(entries, ice._MANIFEST_SCHEMA, man)
+    mlist = os.path.join(meta, "snap-9.avro")
+    av.write_avro(
+        [{"manifest_path": man,
+          "manifest_length": os.path.getsize(man),
+          "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+          "min_sequence_number": 1, "added_snapshot_id": 9,
+          "added_files_count": 4, "existing_files_count": 0,
+          "deleted_files_count": 0, "added_rows_count": 20,
+          "existing_rows_count": 0, "deleted_rows_count": 0}],
+        ice._MANIFEST_LIST_SCHEMA, mlist,
+    )
+    tmeta = {
+        "format-version": 2, "table-uuid": "u", "location": root,
+        "last-sequence-number": 1, "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "last-partition-id": 999,
+        "current-snapshot-id": 9,
+        "snapshots": [{"snapshot-id": 9, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": mlist,
+                       "schema-id": 0,
+                       "summary": {"operation": "append"}}],
+    }
+    with open(os.path.join(meta, "00001-abcd.metadata.json"), "w") as fh:
+        json.dump(tmeta, fh)
+    got = ice.iceberg_read(spark, root)
+    ids = sorted(r["id"] for r in got.collect())
+    # p1 deleted entirely; p2 rows at positions 0 (id=20) and 5 (id=25)
+    # hidden by the position-delete file
+    assert ids == list(range(10)) + [
+        i for i in range(20, 30) if i not in (20, 25)
+    ]
+    assert ice.iceberg_count(root) == 18
+
+
+def test_refusals_are_loud(spark, tmp_path):
+    root = str(tmp_path / "ext")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as fh:
+        json.dump({"format-version": 3}, fh)
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(lake.UnsupportedProtocol, match="format-version"):
+        ice.iceberg_read(spark, root)
+
+
+def test_equality_deletes_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 10).coalesce(1), root)
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    # graft an equality-delete entry into the manifest
+    man = os.path.join(iroot, "metadata", "manifest-00000.avro")
+    with open(man, "rb") as fh:
+        rows = [
+            {k: v for k, v in r.items()
+             if k not in ("file", "corrupt_reason")}
+            for r in av.parse_avro_bytes(fh.read())
+        ]
+    rows.append({"status": 1, "snapshot_id": 1, "sequence_number": 1,
+                 "file_sequence_number": 1,
+                 "data_file": {"content": 2, "file_path": "eq.parquet",
+                               "file_format": "parquet",
+                               "record_count": 1,
+                               "file_size_in_bytes": 1}})
+    av.write_avro(rows, ice._MANIFEST_SCHEMA, man)
+    with pytest.raises(lake.UnsupportedProtocol, match="equality"):
+        ice.iceberg_read(spark, iroot)
+
+
+def test_snapshot_pinning(spark, tmp_path):
+    """Two snapshots in one metadata file: pinning reads the old one."""
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 20).coalesce(1), root)
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    # append a second snapshot by hand (new manifest + list + metadata)
+    meta = ice.load_table_metadata(iroot)
+    data = os.path.join(iroot, "data")
+    p_new = os.path.join(data, "extra.parquet")
+    tmpd = str(tmp_path / "stage")
+    _d(spark, 100, 105).coalesce(1).write.parquet(tmpd)
+    src = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmpd, src), p_new)
+    man0 = os.path.join(iroot, "metadata", "manifest-00000.avro")
+    man1 = os.path.join(iroot, "metadata", "manifest-00001.avro")
+    av.write_avro(
+        [{"status": 1, "snapshot_id": 2, "sequence_number": 2,
+          "file_sequence_number": 2,
+          "data_file": {"content": 0, "file_path": p_new,
+                        "file_format": "parquet", "record_count": 5,
+                        "file_size_in_bytes": 1}}],
+        ice._MANIFEST_SCHEMA, man1,
+    )
+    mlist2 = os.path.join(iroot, "metadata", "snap-2-manifest-list.avro")
+    mk = lambda p: {  # noqa: E731
+        "manifest_path": p, "manifest_length": os.path.getsize(p),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 2,
+        "min_sequence_number": 1, "added_snapshot_id": 2,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 5,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }
+    av.write_avro([mk(man0), mk(man1)], ice._MANIFEST_LIST_SCHEMA, mlist2)
+    meta["snapshots"].append({
+        "snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 1,
+        "manifest-list": mlist2, "schema-id": 0,
+        "summary": {"operation": "append"},
+    })
+    meta["current-snapshot-id"] = 2
+    with open(os.path.join(iroot, "metadata", "v2.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(iroot, "metadata", "version-hint.text"),
+              "w") as fh:
+        fh.write("2")
+    assert ice.iceberg_read(spark, iroot).count() == 25
+    assert ice.iceberg_read(spark, iroot, snapshot_id=1).count() == 20
+    assert ice.iceberg_count(iroot) == 25
+    assert ice.iceberg_count(iroot, snapshot_id=1) == 20
