@@ -10266,6 +10266,79 @@ def q_lake_delta_interop(spark, sf_dir):
 
 
 @register(
+    "proto_ingest",
+    """SELECT c_custkey, c_name,
+              CASE WHEN c_custkey % 3 <> 0
+                   THEN c_nationkey END AS nation,
+              CASE WHEN c_custkey % 2 = 1
+                   THEN (c_custkey % 5)::INT END AS f1,
+              CASE WHEN c_custkey % 2 = 1
+                   THEN (-(c_custkey % 7))::INT END AS f2
+       FROM customer""",
+    "Protocol Buffers ingest, from scratch (r8, the second half of "
+    "VERDICT r7 missing #4 — no protobuf runtime in this container; "
+    "the wire format is a public spec): the customer table is encoded "
+    "into FOUR delimited-protobuf stream files (varint length "
+    "framing, zigzag sint32 packed repeated field, a nested message, "
+    "deliberately-sparse optional fields) through the from-scratch "
+    "encoder, then read back through the INDEPENDENT decoder over the "
+    "file-parallel Spark surface (binaryFile + Arrow mapInPandas, "
+    "zero shuffle — plan-asserted in tests/test_proto.py, which also "
+    "pins unknown-field skipping by wire type, unpacked repeateds, "
+    "the hand-computed spec bytes and the corrupt-tail quarantine). "
+    "The oracle recomputes the rows in closed form, so the hash match "
+    "proves the encode->decode round trip value-exact including the "
+    "zigzag arithmetic and the nested/optional NULL semantics.",
+)
+def q_proto_ingest(spark, sf_dir):
+    import tempfile
+
+    from ..sources import proto_source as pr
+
+    schema = {
+        1: ("c_custkey", "int64"),
+        2: ("c_name", "string"),
+        3: ("flags", "repeated sint32"),
+        4: ("meta", {1: ("nation", "int64")}),
+    }
+    rows = [
+        {
+            "c_custkey": r["c_custkey"],
+            "c_name": r["c_name"],
+            "flags": (
+                [r["c_custkey"] % 5, -(r["c_custkey"] % 7)]
+                if r["c_custkey"] % 2 == 1
+                else None
+            ),
+            "meta": (
+                {"nation": r["c_nationkey"]}
+                if r["c_custkey"] % 3 != 0
+                else None
+            ),
+        }
+        for r in t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .collect()
+    ]
+    work = tempfile.mkdtemp(prefix="proto_q_")
+    for i in range(4):
+        pr.write_proto(
+            [r for r in rows if r["c_custkey"] % 4 == i],
+            schema,
+            f"{work}/part-{i}.pb",
+        )
+    clean, bad = pr.split_corrupt(pr.read_proto(spark, work, schema))
+    assert bad.isEmpty()
+    return clean.select(
+        "c_custkey",
+        "c_name",
+        F.col("meta.nation").alias("nation"),
+        F.element_at("flags", 1).alias("f1"),
+        F.element_at("flags", 2).alias("f2"),
+    )
+
+
+@register(
     "iceberg_interop",
     """SELECT o_orderkey, o_custkey, o_orderpriority
        FROM orders WHERE o_orderkey % 9 <> 4""",
