@@ -52,6 +52,27 @@ from spark_cassandra_collabfiltering_spark.sources.lake import (
 from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
     TxnLakeDataSource,
 )
+from spark_cassandra_collabfiltering_spark.sources.avro_source import (
+    read_avro,
+    write_avro,
+)
+from spark_cassandra_collabfiltering_spark.sources.proto_source import (
+    read_proto,
+    write_proto,
+)
+from spark_cassandra_collabfiltering_spark.sources.delta_interop import (
+    delta_count,
+    delta_export,
+    delta_read,
+)
+from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
+    DeltaLogDataSource,
+)
+from spark_cassandra_collabfiltering_spark.sources.iceberg_interop import (
+    iceberg_count,
+    iceberg_export,
+    iceberg_read,
+)
 
 __all__ = [
     "read_ratings_csv",
@@ -101,4 +122,17 @@ __all__ = [
     "txn_table_read_pruned",
     # the lake as a native Spark data source: format("txnlake")
     "TxnLakeDataSource",
+    # r8 ingest: from-scratch Avro container + delimited protobuf
+    "read_avro",
+    "write_avro",
+    "read_proto",
+    "write_proto",
+    # r8 interop: read-only Delta Lake + Apache Iceberg
+    "delta_read",
+    "delta_count",
+    "delta_export",
+    "DeltaLogDataSource",
+    "iceberg_read",
+    "iceberg_count",
+    "iceberg_export",
 ]
