@@ -327,13 +327,21 @@ def test_cdf_across_rename_uses_range_end_vocabulary(spark, tmp_path):
     assert now.exceptAll(replayed).isEmpty()
 
 
-def test_restore_to_pre_enable_version_downgrades(spark, tmp_path):
+def test_restore_to_pre_enable_version_keeps_mapping(spark, tmp_path):
+    # r8 contract change (the r7 ROADMAP corner): restoring BELOW the
+    # mapping enable must NOT downgrade the table protocol — a reader
+    # that replayed the mapped middle commits would misproject, and
+    # CDF under the range-end schema would NULL-fill the mapped
+    # history. The restored files carry logical-as-physical names, so
+    # the restore stamps enable-time physical names: same data, same
+    # logical columns, protocol stays 2.
     root = _mapped(spark, tmp_path)
     v = lake.txn_restore(root, 0)
-    assert lake.txn_column_mapping(root) is None
+    assert lake.txn_column_mapping(root) == {
+        "id": "id", "name": "name", "score": "score"
+    }
     assert lake.txn_read(spark, root).columns == ["id", "name", "score"]
-    # the restore commit carries the old (unmapped) schema -> protocol 1
-    assert lake._read_commit(root, v)["protocol"] == lake.PROTOCOL_VERSION
+    assert lake._read_commit(root, v)["protocol"] == lake.CM_PROTOCOL
 
 
 def test_clone_carries_mapping_and_protocol(spark, tmp_path):
