@@ -31,7 +31,12 @@ import os
 import typing
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from spark_cassandra_collabfiltering_spark.sources import delta_dv, lake
 from spark_cassandra_collabfiltering_spark.sources import delta_interop as di
@@ -182,6 +187,88 @@ class DeltaLogReader(DataSourceReader):
         )
 
 
+class DeltaLogStreamReader(DataSourceStreamReader):
+    """Stream FROM a Delta table (the delta-as-a-streaming-source
+    contract): offsets are log versions; micro-batch (start, end] =
+    the data files the gap commits ADDED with ``dataChange: true``,
+    one input partition per file, decoded executor-side. A commit
+    that REWRITES data (removes with dataChange, or an add carrying a
+    deletion vector) raises unless ``skipChangeCommits`` — exactly
+    Delta's documented semantics; compaction commits (dataChange
+    false) skip silently."""
+
+    def __init__(self, root: str, skip_change_commits: bool):
+        self._root = root
+        self._skip = skip_change_commits
+
+    def initialOffset(self):
+        return {"version": -1}
+
+    def latestOffset(self):
+        latest = di.delta_latest_version(self._root)
+        return {"version": latest if latest is not None else -1}
+
+    def _actions(self, v: int) -> list:
+        p = di._commit_path(self._root, v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"Delta commit v{v} missing (log truncated); restart "
+                "the stream from a newer offset"
+            )
+        out = []
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    def _parts_for(self, v: int) -> list:
+        from urllib.parse import unquote
+
+        acts = self._actions(v)
+        adds = [a["add"] for a in acts if a.get("add")]
+        removes = [a["remove"] for a in acts if a.get("remove")]
+        changing = any(r.get("dataChange", True) for r in removes) or any(
+            a.get("deletionVector") for a in adds
+        )
+        if changing:
+            if self._skip:
+                return []
+            raise ValueError(
+                f"streaming source hit a data-changing rewrite at "
+                f"v{v}; this source streams APPEND-ONLY Delta tables "
+                "— set skipChangeCommits to ignore rewrites"
+            )
+        return [
+            _DeltaFilePartition(
+                self._root,
+                os.path.join(self._root, unquote(a["path"])),
+                dict(a.get("partitionValues") or {}),
+                None,
+            )
+            for a in adds
+            if a.get("dataChange", True)
+        ]
+
+    def partitions(self, start, end):
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            parts += self._parts_for(v)
+        return parts
+
+    def read(self, partition):
+        state, _ = di._replay_delta(self._root, None)
+        schema = T.StructType.fromJson(
+            json.loads(state.meta["schemaString"])
+        )
+        part_cols = list(state.meta.get("partitionColumns") or ())
+        yield from _delta_file_to_batches(partition, schema, part_cols)
+
+    def commit(self, end):
+        pass  # offsets are durable in the engine's checkpoint
+
+
 class DeltaLogDataSource(DataSource):
     """format("deltalog") — options: root (required), version (time
     travel). Read-only."""
@@ -206,6 +293,12 @@ class DeltaLogDataSource(DataSource):
     def reader(self, schema):
         v = self.options.get("version")
         return DeltaLogReader(self._root(), None if v is None else int(v))
+
+    def streamReader(self, schema):
+        skip = str(
+            self.options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+        return DeltaLogStreamReader(self._root(), skip)
 
     def writer(self, schema, overwrite):
         raise NotImplementedError(

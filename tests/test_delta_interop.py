@@ -408,3 +408,60 @@ def test_ds_is_read_only(dlspark, tmp_path):
     with pytest.raises(Exception, match="read-only"):
         (_d(dlspark, 0, 5).write.format("deltalog")
          .option("root", droot).mode("append").save())
+
+
+def test_ds_streaming_source_appends_and_change_commit_contract(
+    dlspark, tmp_path
+):
+    """readStream.format('deltalog'): version offsets, append-only
+    micro-batches, the Delta change-commit refusal, and
+    skipChangeCommits."""
+    import time
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(dlspark, 0, 30).coalesce(1), root)
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (dlspark.readStream.format("deltalog").option("root", droot)
+         .load()
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(
+        r["id"] for r in dlspark.read.parquet(out).collect()
+    ) == list(range(30))
+
+    # a second Delta commit appears (append): the stream picks up
+    # exactly the new rows from the stored offset
+    lake.txn_write(_d(dlspark, 100, 110).coalesce(1), root)
+    droot2 = str(tmp_path / "delta2")
+    di.delta_export(root, droot2)
+    # continue the SAME checkpoint against the two-commit log
+    q2 = (dlspark.readStream.format("deltalog").option("root", droot2)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = sorted(r["id"] for r in dlspark.read.parquet(out).collect())
+    assert got == list(range(30)) + list(range(100, 110))
+
+    # a data-changing rewrite (DV re-add) must fail the stream unless
+    # skipChangeCommits
+    lake.txn_delete_dv(dlspark, root,
+                       dlspark.range(0, 3).select("id"), ["id"])
+    droot3 = str(tmp_path / "delta3")
+    di.delta_export(root, droot3)
+    from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
+        DeltaLogStreamReader,
+    )
+
+    r = DeltaLogStreamReader(droot3, skip_change_commits=False)
+    with pytest.raises(ValueError, match="skipChangeCommits"):
+        r.partitions({"version": 1}, {"version": 2})
+    r2 = DeltaLogStreamReader(droot3, skip_change_commits=True)
+    assert r2.partitions({"version": 1}, {"version": 2}) == []
