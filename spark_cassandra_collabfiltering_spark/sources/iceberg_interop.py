@@ -261,29 +261,109 @@ def snapshot_files(
     return data, deletes
 
 
+def _file_field_ids(path: str) -> "dict[int, str] | None":
+    """{field_id: physical column name} from one parquet footer's
+    PARQUET:field_id metadata, or None when the file carries no ids
+    (then name-based resolution is all there is). Footer-only read —
+    metadata bytes, no data pages."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path)
+    out = {}
+    for f in sch:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is None:
+            return None
+        out[int(fid)] = f.name
+    return out or None
+
+
 def iceberg_read(
     spark: SparkSession, root: str, snapshot_id: "int | None" = None
 ) -> DataFrame:
     """The Iceberg table at the current (or pinned) snapshot. Position
-    deletes anti-join out by (file_path, row position)."""
+    deletes anti-join out by (file_path, row position). Column
+    resolution is FIELD-ID based per the spec: each data file's
+    parquet footer maps its PARQUET:field_id metadata to the current
+    schema's field ids, so a foreign table whose columns were RENAMED
+    (ids stable, names changed) still reads the right bytes — files
+    are grouped by their id->name signature and each group scans
+    under its own projection (one footer read per file, metadata
+    only; files without recorded ids fall back to name resolution)."""
     from pyspark.sql import functions as F
 
     data, deletes = snapshot_files(root, snapshot_id)
+    meta = load_table_metadata(root)
+    cur = _current_schema(meta)
     schema = iceberg_spark_schema(root)
+    ids = {f["name"]: f.get("id") for f in cur["fields"]}
     if not data:
         return spark.createDataFrame([], schema)
-    scan = spark.read.option("mergeSchema", "true").parquet(
-        *[d["_abs"] for d in data]
-    )
-    have = set(scan.columns)
-    sel = [
-        (
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-        )
-        for f in schema.fields
-    ]
+
+    # group files by their field-id signature: per schema field, the
+    # PHYSICAL column name this file stores it under (None = absent)
+    groups: dict[tuple, list] = {}
+    for d in data:
+        fmap = _file_field_ids(d["_abs"])
+        if fmap is None:
+            sig = tuple(f.name for f in schema.fields)  # name-based
+        else:
+            sig = tuple(
+                fmap.get(ids.get(f.name)) for f in schema.fields
+            )
+        groups.setdefault(sig, []).append(d["_abs"])
+
+    def _scan(sig, files):
+        s = spark.read.option("mergeSchema", "true").parquet(*files)
+        have = set(s.columns)
+        sel = []
+        for f, phys in zip(schema.fields, sig):
+            if phys is not None and phys in have:
+                sel.append(F.col(phys).cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return s, sel
+
+    scan = None
+    if len(groups) == 1:
+        (sig, files), = groups.items()
+        scan, sel = _scan(sig, files)
+    else:
+        for sig, files in sorted(groups.items(), key=str):
+            s, sel_g = _scan(sig, files)
+            part = s.select(
+                *sel_g,
+                lake._strip_file_uri(F.col("_metadata.file_path")).alias(
+                    "_dv_file"
+                ),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+            scan = part if scan is None else scan.unionByName(part)
+        # deletes (if any) filter below on the already-attached temps
+        if deletes:
+            del_df = spark.read.parquet(*[d["_abs"] for d in deletes])
+            pos = del_df.select(
+                F.col("file_path").alias("_raw"),
+                F.col("pos").alias("_dpos"),
+            ).collect()
+            rows = [
+                (lake._uri_path(_resolve_path(root, r["_raw"])),
+                 int(r["_dpos"]))
+                for r in pos
+            ]
+            if rows:
+                dvdf = spark.createDataFrame(
+                    rows,
+                    T.StructType([
+                        T.StructField("_dv_file", T.StringType(), False),
+                        T.StructField("_dv_pos", T.LongType(), False),
+                    ]),
+                )
+                scan = scan.join(
+                    F.broadcast(dvdf), ["_dv_file", "_dv_pos"],
+                    "left_anti",
+                )
+        return scan.drop("_dv_file", "_dv_pos")
     if deletes:
         # positions reference data files by their METADATA path string;
         # normalize both sides to the URI form Spark reports
@@ -465,6 +545,16 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
                 cols.append(pa.nulls(tbl.num_rows, type=at))
             names.append(fld.name)
         out_tbl = pa.table(cols, names=names)
+        # stamp PARQUET:field_id per column (ids = schema order, the
+        # same ids the metadata json records) so readers resolve
+        # columns by ID — surviving any later rename
+        out_tbl = out_tbl.cast(pa.schema([
+            pa.field(
+                n, out_tbl.schema.field(k).type,
+                metadata={b"PARQUET:field_id": str(k + 1).encode()},
+            )
+            for k, n in enumerate(names)
+        ]))
         dst = os.path.join(data_dir, f"{i:05d}-data.parquet")
         pq.write_table(out_tbl, dst)
         path_map[f] = dst

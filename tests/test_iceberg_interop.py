@@ -253,3 +253,68 @@ def test_snapshot_pinning(spark, tmp_path):
     assert ice.iceberg_read(spark, iroot, snapshot_id=1).count() == 20
     assert ice.iceberg_count(iroot) == 25
     assert ice.iceberg_count(iroot, snapshot_id=1) == 20
+
+
+def test_field_id_resolution_survives_a_foreign_rename(spark, tmp_path):
+    """Rename a column in the metadata json only (id stable, name
+    changed — what an Iceberg engine's ALTER TABLE RENAME does): the
+    reader must resolve the column by FIELD ID from the parquet
+    footers and return the same values under the new name."""
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 25).coalesce(1), root)
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    mp = ice._latest_metadata_path(iroot)
+    meta = json.load(open(mp))
+    for f in meta["schemas"][0]["fields"]:
+        if f["name"] == "v":
+            f["name"] = "velocity"  # id unchanged
+    json.dump(meta, open(mp, "w"))
+    got = ice.iceberg_read(spark, iroot)
+    assert set(got.columns) == {"id", "velocity"}
+    assert sorted((r["id"], r["velocity"]) for r in got.collect()) == [
+        (i, i * 2) for i in range(25)
+    ]
+
+
+def test_mixed_id_signatures_scan_per_group(spark, tmp_path):
+    """Two files storing the same field id under DIFFERENT physical
+    names (one written before a rename, one after) read back as one
+    coherent column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 10).coalesce(1), root)
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    # hand-add a second data file whose column 2 is physically named
+    # 'velocity' but carries the same field id 2
+    data_dir = os.path.join(iroot, "data")
+    t2 = pa.table(
+        [pa.array(range(100, 105), type=pa.int64()),
+         pa.array([x * 2 for x in range(100, 105)], type=pa.int64())],
+        schema=pa.schema([
+            pa.field("id", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("velocity", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]),
+    )
+    p2 = os.path.join(data_dir, "renamed.parquet")
+    pq.write_table(t2, p2)
+    man = os.path.join(iroot, "metadata", "manifest-00000.avro")
+    rows = [
+        {k: v for k, v in r.items() if k not in ("file", "corrupt_reason")}
+        for r in av.parse_avro_bytes(open(man, "rb").read())
+    ]
+    rows.append({"status": 1, "snapshot_id": 1, "sequence_number": 1,
+                 "file_sequence_number": 1,
+                 "data_file": {"content": 0, "file_path": p2,
+                               "file_format": "PARQUET",
+                               "record_count": 5,
+                               "file_size_in_bytes": 1}})
+    av.write_avro(rows, ice._MANIFEST_SCHEMA, man)
+    got = ice.iceberg_read(spark, iroot)
+    vals = {r["id"]: r["v"] for r in got.collect()}
+    assert vals == {i: i * 2 for i in list(range(10)) + list(range(100, 105))}
