@@ -357,29 +357,55 @@ def delta_count(root: str, version: "int | None" = None) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _delta_schema_string(schema_json: str) -> "tuple[str, dict]":
+def _delta_schema_string(
+    schema_json: str,
+    generated: "dict | None" = None,
+    constraints: "dict | None" = None,
+) -> "tuple[str, dict]":
     """Translate the native schema json (cm_phys metadata) to Delta's
-    schemaString (delta.columnMapping.physicalName + field ids).
-    Returns (schemaString, configuration)."""
+    schemaString (delta.columnMapping.physicalName + field ids;
+    generated columns as the per-field delta.generationExpression
+    metadata) and the table configuration (columnMapping mode plus
+    delta.constraints.<name> CHECK entries — the property shapes the
+    Delta spec defines). Returns (schemaString, configuration)."""
     s = T.StructType.fromJson(json.loads(schema_json))
     mapped = any(f.metadata and "cm_phys" in f.metadata for f in s.fields)
-    if not mapped:
-        out = T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in s.fields]
-        )
-        return out.json(), {}
+    gen = generated or {}
     fields = []
     for i, f in enumerate(s.fields, start=1):
-        md = {
-            _PHYS_KEY: (f.metadata or {}).get("cm_phys", f.name),
-            "delta.columnMapping.id": i,
-        }
-        fields.append(T.StructField(f.name, f.dataType, True, md))
-    cfg = {
-        "delta.columnMapping.mode": "name",
-        "delta.columnMapping.maxColumnId": str(len(fields)),
-    }
+        md: dict = {}
+        if mapped:
+            md[_PHYS_KEY] = (f.metadata or {}).get("cm_phys", f.name)
+            md["delta.columnMapping.id"] = i
+        if f.name in gen:
+            md["delta.generationExpression"] = gen[f.name]
+        fields.append(T.StructField(f.name, f.dataType, True, md or None))
+    cfg: dict = {}
+    if mapped:
+        cfg["delta.columnMapping.mode"] = "name"
+        cfg["delta.columnMapping.maxColumnId"] = str(len(fields))
+    for name, expr in sorted((constraints or {}).items()):
+        cfg[f"delta.constraints.{name}"] = expr
     return T.StructType(fields).json(), cfg
+
+
+def delta_properties(root: str, version: "int | None" = None) -> dict:
+    """The table properties a migration IN needs: CHECK constraints
+    ({name: expr} from delta.constraints.*) and generation
+    expressions ({column: expr} from the per-field
+    delta.generationExpression metadata) of a foreign Delta table."""
+    state, _v = _replay_delta(root, version)
+    cfg = state.meta.get("configuration") or {}
+    pre = "delta.constraints."
+    cons = {k[len(pre):]: v for k, v in cfg.items() if k.startswith(pre)}
+    gen = {}
+    for f in T.StructType.fromJson(
+        json.loads(state.meta["schemaString"])
+    ).fields:
+        e = (f.metadata or {}).get("delta.generationExpression")
+        if e:
+            gen[f.name] = e
+    return {"constraints": cons, "generated": gen}
 
 
 def _delta_stats(st: "dict | None") -> "str | None":
@@ -544,6 +570,7 @@ def delta_export(
     rel_of: dict[str, str] = {}  # txn file path -> exported rel path
     seq = 0
     last_schema: "str | None" = None
+    last_props: "tuple | None" = None
     out_v = -1
     versions = [latest] if snapshot else list(range(latest + 1))
     for v in versions:
@@ -562,11 +589,19 @@ def delta_export(
         actions: list[dict] = []
         first = out_v == -1
         schema_json = c.get("schema")
-        if first or (schema_json is not None and schema_json != last_schema):
+        # table PROPERTIES (constraints, generation expressions) ride
+        # the metaData action too — a meta commit that only changes a
+        # constraint must still re-emit it
+        props = (dict(st.constraints), dict(st.generated))
+        if first or (
+            schema_json is not None and schema_json != last_schema
+        ) or props != last_props:
             sstr, cfg = _delta_schema_string(
                 schema_json
                 if schema_json is not None
-                else T.StructType([]).json()
+                else T.StructType([]).json(),
+                generated=st.generated,
+                constraints=st.constraints,
             )
             if first:
                 actions.append(_protocol_action())
@@ -580,6 +615,7 @@ def delta_export(
                 }
             })
             last_schema = schema_json
+            last_props = props
 
         def _add_action(f, rel, data_change, stats_src, with_dv):
             add = {

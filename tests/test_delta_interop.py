@@ -465,3 +465,25 @@ def test_ds_streaming_source_appends_and_change_commit_contract(
         r.partitions({"version": 1}, {"version": 2})
     r2 = DeltaLogStreamReader(droot3, skip_change_commits=True)
     assert r2.partitions({"version": 1}, {"version": 2}) == []
+
+
+def test_table_properties_export_and_surface(spark, tmp_path):
+    """CHECK constraints and generation expressions travel to the
+    Delta log in the spec's property shapes (delta.constraints.* in
+    the configuration, delta.generationExpression per field) and
+    delta_properties surfaces them for a migration in."""
+    root = str(tmp_path / "t")
+    d = spark.range(1, 40).select(
+        "id", (F.col("id") % 7).alias("bucket"), (F.col("id") * 2).alias("v")
+    )
+    lake.txn_write(d.coalesce(1), root, generated={"bucket": "id % 7"})
+    lake.txn_set_constraint(root, "v_pos", "v > 0")
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot)
+    props = di.delta_properties(droot)
+    assert props["constraints"] == {"v_pos": "v > 0"}
+    assert props["generated"] == {"bucket": "id % 7"}
+    # rows still round-trip
+    assert _rows(di.delta_read(spark, droot)) == _rows(
+        lake.txn_read(spark, root)
+    )
