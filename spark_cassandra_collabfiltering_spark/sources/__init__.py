@@ -63,6 +63,7 @@ from spark_cassandra_collabfiltering_spark.sources.proto_source import (
 from spark_cassandra_collabfiltering_spark.sources.delta_interop import (
     delta_count,
     delta_export,
+    delta_properties,
     delta_read,
 )
 from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
@@ -131,6 +132,7 @@ __all__ = [
     "delta_read",
     "delta_count",
     "delta_export",
+    "delta_properties",
     "DeltaLogDataSource",
     "iceberg_read",
     "iceberg_count",
