@@ -63,6 +63,7 @@ from spark_cassandra_collabfiltering_spark.sources.proto_source import (
 from spark_cassandra_collabfiltering_spark.sources.delta_interop import (
     delta_count,
     delta_export,
+    delta_import,
     delta_properties,
     delta_read,
 )
@@ -72,6 +73,7 @@ from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
 from spark_cassandra_collabfiltering_spark.sources.iceberg_interop import (
     iceberg_count,
     iceberg_export,
+    iceberg_import,
     iceberg_read,
 )
 
@@ -132,9 +134,11 @@ __all__ = [
     "delta_read",
     "delta_count",
     "delta_export",
+    "delta_import",
     "delta_properties",
     "DeltaLogDataSource",
     "iceberg_read",
     "iceberg_count",
     "iceberg_export",
+    "iceberg_import",
 ]

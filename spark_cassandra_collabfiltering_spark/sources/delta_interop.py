@@ -329,6 +329,30 @@ def delta_read(
     return out.select(*[f.name for f in schema.fields])
 
 
+def delta_import(
+    spark: SparkSession,
+    delta_root: str,
+    txn_root: str,
+    stats_cols: "list[str] | None" = None,
+) -> int:
+    """Migration IN: materialize a foreign Delta table's CURRENT
+    snapshot as a native txn-lake table — rows via delta_read (DVs
+    applied, mapping renamed, evolution null-filled), then the table
+    PROPERTIES: generation expressions ride the creating write,
+    CHECK constraints re-apply via txn_set_constraint, so the
+    imported table enforces what the source declared. Returns the
+    lake's latest committed version."""
+    props = delta_properties(delta_root)
+    df = delta_read(spark, delta_root)
+    v = lake.txn_write(
+        df, txn_root, stats_cols=stats_cols,
+        generated=props["generated"] or None,
+    )
+    for name, expr in sorted(props["constraints"].items()):
+        v = lake.txn_set_constraint(txn_root, name, expr)
+    return v
+
+
 def delta_count(root: str, version: "int | None" = None) -> int:
     """Metadata-only COUNT(*): the adds' embedded numRecords stats
     minus each add's deletion-vector cardinality (refuses when any

@@ -397,6 +397,28 @@ def iceberg_read(
     return scan.select(*sel)
 
 
+def iceberg_import(
+    spark: SparkSession,
+    ice_root: str,
+    txn_root: str,
+    stats_cols: "list[str] | None" = None,
+    partition_by: "list[str] | None" = None,
+) -> int:
+    """Migration IN: materialize a foreign Iceberg table's current
+    snapshot as a native txn-lake table (rows via iceberg_read —
+    position deletes applied, columns resolved by field id).
+    ``partition_by`` optionally re-lays the data hive-style; Iceberg's
+    own partition spec is transform-based metadata, so the caller
+    picks the target layout explicitly. Returns the committed
+    version."""
+    return lake.txn_write(
+        iceberg_read(spark, ice_root),
+        txn_root,
+        stats_cols=stats_cols,
+        partition_by=partition_by,
+    )
+
+
 def iceberg_count(root: str, snapshot_id: "int | None" = None) -> int:
     """Metadata-only COUNT(*): manifest record_count sums minus
     position-delete record counts (refuses on a missing count — never

@@ -487,3 +487,34 @@ def test_table_properties_export_and_surface(spark, tmp_path):
     assert _rows(di.delta_read(spark, droot)) == _rows(
         lake.txn_read(spark, root)
     )
+
+
+def test_delta_import_round_trips_rows_and_properties(spark, tmp_path):
+    root = str(tmp_path / "t")
+    d = spark.range(1, 60).select(
+        "id", (F.col("id") % 7).alias("bucket"), (F.col("id") * 2).alias("v")
+    )
+    lake.txn_write(d.coalesce(2), root, generated={"bucket": "id % 7"})
+    lake.txn_set_constraint(root, "v_pos", "v > 0")
+    lake.txn_delete_dv(spark, root, spark.range(1, 5).select("id"), ["id"])
+    droot = str(tmp_path / "delta")
+    di.delta_export(root, droot, snapshot=True)
+    back = str(tmp_path / "back")
+    di.delta_import(spark, droot, back, stats_cols=["id"])
+    assert _rows(lake.txn_read(spark, back)) == _rows(
+        lake.txn_read(spark, root)
+    )
+    # properties re-applied: the imported table ENFORCES them
+    assert lake.txn_constraints(back) == {"v_pos": "v > 0"}
+    with pytest.raises(lake.ConstraintViolation):
+        lake.txn_write(
+            spark.createDataFrame([(100, 2, -1)],
+                                  "id long, bucket long, v long"),
+            back,
+        )
+    with pytest.raises(lake.GeneratedColumnViolation):
+        lake.txn_write(
+            spark.createDataFrame([(100, 3, 5)],
+                                  "id long, bucket long, v long"),
+            back,
+        )

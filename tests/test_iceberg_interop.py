@@ -318,3 +318,17 @@ def test_mixed_id_signatures_scan_per_group(spark, tmp_path):
     got = ice.iceberg_read(spark, iroot)
     vals = {r["id"]: r["v"] for r in got.collect()}
     assert vals == {i: i * 2 for i in list(range(10)) + list(range(100, 105))}
+
+
+def test_iceberg_import_round_trips(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 80).coalesce(2), root, stats_cols=["id"])
+    lake.txn_delete_dv(spark, root, spark.range(0, 6).select("id"), ["id"])
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    back = str(tmp_path / "back")
+    ice.iceberg_import(spark, iroot, back, stats_cols=["id"])
+    assert _rows(lake.txn_read(spark, back)) == _rows(
+        lake.txn_read(spark, root)
+    )
+    assert lake.txn_count(back) == 74
