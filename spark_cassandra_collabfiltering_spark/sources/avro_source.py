@@ -127,9 +127,29 @@ def _prim(avro_name: str):
 
 
 def _logical(schema: dict):
-    """date / timestamp-millis / timestamp-micros decorate int/long."""
+    """date / timestamp-millis / timestamp-micros decorate int/long;
+    decimal decorates bytes/fixed (big-endian two's-complement
+    unscaled value, per the spec)."""
+    import decimal as _dec
+
     lt = schema.get("logicalType")
     base = schema.get("type")
+    if lt == "decimal" and base in ("bytes", "fixed"):
+        prec = int(schema["precision"])
+        scale = int(schema.get("scale", 0))
+        size = int(schema["size"]) if base == "fixed" else None
+
+        def rdec(buf, p):
+            if size is not None:
+                if p + size > len(buf):
+                    raise ValueError("fixed decimal past end")
+                raw, p2 = buf[p : p + size], p + size
+            else:
+                raw, p2 = _read_len_bytes(buf, p)
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _dec.Decimal(unscaled).scaleb(-scale), p2
+
+        return T.DecimalType(prec, scale), rdec
     if lt == "date" and base == "int":
         def rdte(buf, p):
             days, p = _read_long(buf, p)
@@ -450,6 +470,21 @@ def _make_writer(schema):
         raise ValueError(f"unsupported union {schema!r}")
     t = schema["type"]
     lt = schema.get("logicalType")
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        scale = int(schema.get("scale", 0))
+        size = int(schema["size"]) if t == "fixed" else None
+
+        def wdec(v):
+            import decimal as _dec
+
+            unscaled = int(
+                (_dec.Decimal(v).scaleb(scale)).to_integral_value()
+            )
+            n = size or max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(n, "big", signed=True)
+            return raw if size else _enc_len_bytes(raw)
+
+        return wdec
     if lt == "date" and t == "int":
         return lambda v: _zz((v - _EPOCH).days)
     if lt in ("timestamp-millis", "timestamp-micros") and t == "long":

@@ -182,3 +182,35 @@ def test_multi_file_parallel_scan_under_one_schema(spark, tmp_path):
     assert clean.select("file").distinct().count() == 6
     # the scan is file-parallel: one decode task per file, no shuffle
     assert "Exchange" not in clean._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decimal_logical_type_round_trips(spark, tmp_path):
+    """Avro decimal: big-endian two's-complement unscaled value over
+    bytes AND fixed underlying types, negative values included."""
+    from decimal import Decimal
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "amt", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 12, "scale": 2}},
+            {"name": "fx", "type": {"type": "fixed", "name": "d8",
+                                    "size": 8,
+                                    "logicalType": "decimal",
+                                    "precision": 16, "scale": 4}},
+        ],
+    }
+    rows = [
+        {"id": 1, "amt": Decimal("12345.67"), "fx": Decimal("-9.0001")},
+        {"id": 2, "amt": Decimal("-0.03"), "fx": Decimal("123456.7890")},
+    ]
+    p = str(tmp_path / "dec.avro")
+    av.write_avro(rows, schema, p)
+    got = {r["id"]: r for r in av.read_avro(spark, p).collect()}
+    assert got[1]["amt"] == Decimal("12345.67")
+    assert got[1]["fx"] == Decimal("-9.0001")
+    assert got[2]["amt"] == Decimal("-0.03")
+    assert got[2]["fx"] == Decimal("123456.7890")
+    assert dict(av.read_avro(spark, p).dtypes)["amt"] == "decimal(12,2)"
