@@ -16,10 +16,11 @@ encoding), no third-party code:
   negative-count byte-size form writers may emit), enum indexes,
   fixed, nested records by recursion.
 - logical types: ``date`` (int days), ``timestamp-millis`` /
-  ``timestamp-micros`` (long) map to DATE/TIMESTAMP columns; others
-  surface as their underlying primitive. Non-nullable multi-branch
-  unions and unknown codecs REFUSE loudly (quarantine) rather than
-  guess.
+  ``timestamp-micros`` (long) map to DATE/TIMESTAMP columns,
+  ``decimal`` (bytes/fixed, big-endian two's-complement unscaled)
+  maps to DECIMAL(p, s); others surface as their underlying
+  primitive. Non-nullable multi-branch unions and unknown codecs
+  REFUSE loudly (quarantine) rather than guess.
 - corrupt handling: the JSONL/WARC PERMISSIVE discipline — a block
   whose sync marker or row bytes do not check out quarantines as one
   in-band row (``corrupt_reason`` set, clean rows keep flowing) and
