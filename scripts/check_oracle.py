@@ -1,6 +1,11 @@
 """Dev loop: run every registry query against the DuckDB oracle.
 
-Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+Usage: python scripts/check_oracle.py [--vanilla] [sf_dir] [name ...]
+
+--vanilla builds a BARE SparkSession (no repo defaults: no AQE/Arrow/
+UTC/pushdown confs) instead of session.get_spark() — the portability
+audit VERDICT r8 asked for: a query's correctness must never depend on
+who built the session (the driver harness uses a vanilla one).
 """
 
 from __future__ import annotations
@@ -18,9 +23,31 @@ from spark_cassandra_collabfiltering_spark.session import get_spark
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     names = [a for a in args if not os.path.isdir(a)] or list(QUERIES)
-    spark = get_spark(app_name="oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+            )
+            # memory/stack sizing only (a matter of the local-JVM test
+            # box, not session semantics); NO SQL confs — the point is
+            # to catch any correctness-bearing session-default
+            # dependence in the queries themselves
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+            .config("spark.driver.extraJavaOptions", "-Xss16m")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="oracle-check")
     conn = duckdb_conn(sf_dir)
     failures = 0
     for name in names:

@@ -187,6 +187,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the UTC pin must not depend on who built the session (the
+        # driver harness uses a vanilla SparkSession — VERDICT r8 #1's
+        # portability class); both are runtime SQL confs
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
@@ -10099,12 +10103,15 @@ def q_lake_txn_datasource(spark, sf_dir):
     import tempfile
 
     from ..sources import lake
-    from ..sources.txnlake_ds import TxnLakeDataSource
+    from ..sources.txnlake_ds import register_txnlake
 
-    try:
-        spark.dataSource.register(TxnLakeDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # registration is session-matched (VERDICT r8 #1): in a vanilla
+    # session — the driver harness — this enables the runtime
+    # pushdown conf and registers the pushdown-default variant; if
+    # the conf is locked it registers the portable reader instead.
+    # Either way the query answer is identical (filters re-apply
+    # row-level); only plan-time file pruning differs.
+    register_txnlake(spark)
     base = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

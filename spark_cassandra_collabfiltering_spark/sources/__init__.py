@@ -51,6 +51,8 @@ from spark_cassandra_collabfiltering_spark.sources.lake import (
 )
 from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
     TxnLakeDataSource,
+    TxnLakePushdownDataSource,
+    register_txnlake,
 )
 from spark_cassandra_collabfiltering_spark.sources.avro_source import (
     read_avro,
@@ -69,6 +71,8 @@ from spark_cassandra_collabfiltering_spark.sources.delta_interop import (
 )
 from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
     DeltaLogDataSource,
+    DeltaLogPushdownDataSource,
+    register_deltalog,
 )
 from spark_cassandra_collabfiltering_spark.sources.iceberg_interop import (
     iceberg_count,
@@ -123,8 +127,12 @@ __all__ = [
     "txn_catalog_tables",
     "txn_table_read",
     "txn_table_read_pruned",
-    # the lake as a native Spark data source: format("txnlake")
+    # the lake as a native Spark data source: format("txnlake").
+    # register_txnlake matches the registration to the session (Spark
+    # 4 gates pushFilters readers on a session conf — VERDICT r8 #1)
     "TxnLakeDataSource",
+    "TxnLakePushdownDataSource",
+    "register_txnlake",
     # r8 ingest: from-scratch Avro container + delimited protobuf
     "read_avro",
     "write_avro",
@@ -137,6 +145,8 @@ __all__ = [
     "delta_import",
     "delta_properties",
     "DeltaLogDataSource",
+    "DeltaLogPushdownDataSource",
+    "register_deltalog",
     "iceberg_read",
     "iceberg_count",
     "iceberg_export",

@@ -15,7 +15,12 @@ batch construction; ``pushFilters`` prunes the FILE LIST through the
 adds' embedded ``stats`` (minValues/maxValues, parsed once at plan
 time) plus exact partition values — log arithmetic, no footer opened
 — and returns every filter unhandled so Spark re-applies them
-row-exactly above the scan.
+row-exactly above the scan. Pushdown is SESSION-GATED exactly as in
+txnlake_ds.py (Spark 4 refuses pushFilters readers unless
+``spark.sql.python.filterPushdown.enabled``): the default reader
+omits pushFilters so a vanilla session can always load;
+``register_deltalog(spark)`` or ``.option("pushdown", "true")``
+selects the pruning subclass where the session allows.
 
 All table-state logic lives in sources/delta_interop.py (log replay,
 checkpoint seeding, protocol gate) and sources/delta_dv.py (the
@@ -130,45 +135,44 @@ class DeltaLogReader(DataSourceReader):
             return None
         return (lo, hi)
 
-    def pushFilters(self, filters):
+    def _prune_adds(self, filters):
         bounds = _prunable_bound(filters)
-        if bounds:
-            keep = []
-            for path, a in self._adds:
-                ok = True
-                for col, (lo, hi) in bounds.items():
-                    rng = self._stat_bounds(
-                        a, self._mapping.get(col, col), col
+        if not bounds:
+            return
+        keep = []
+        for path, a in self._adds:
+            ok = True
+            for col, (lo, hi) in bounds.items():
+                rng = self._stat_bounds(
+                    a, self._mapping.get(col, col), col
+                )
+                if rng is None:
+                    continue  # no proof -> must keep
+                mn, mx = rng
+                # partition values arrive as strings; type them
+                # against the filter value's type via the schema
+                if col in self._part_cols:
+                    dt = next(
+                        f.dataType
+                        for f in self._schema.fields
+                        if f.name == col
                     )
-                    if rng is None:
-                        continue  # no proof -> must keep
-                    mn, mx = rng
-                    # partition values arrive as strings; type them
-                    # against the filter value's type via the schema
-                    if col in self._part_cols:
-                        dt = next(
-                            f.dataType
-                            for f in self._schema.fields
-                            if f.name == col
-                        )
-                        mn = di._typed_part_val(mn, dt)
-                        mx = di._typed_part_val(mx, dt)
-                    lo_c = lake._stat_val(lo) if lo is not None else None
-                    hi_c = lake._stat_val(hi) if hi is not None else None
-                    mn = lake._stat_val(mn)
-                    mx = lake._stat_val(mx)
-                    if mn is None or mx is None:
-                        continue
-                    if (hi_c is not None and mn > hi_c) or (
-                        lo_c is not None and mx < lo_c
-                    ):
-                        ok = False
-                        break
-                if ok:
-                    keep.append((path, a))
-            self._adds = keep
-        # file pruning never proves row truth: Spark re-applies all
-        return filters
+                    mn = di._typed_part_val(mn, dt)
+                    mx = di._typed_part_val(mx, dt)
+                lo_c = lake._stat_val(lo) if lo is not None else None
+                hi_c = lake._stat_val(hi) if hi is not None else None
+                mn = lake._stat_val(mn)
+                mx = lake._stat_val(mx)
+                if mn is None or mx is None:
+                    continue
+                if (hi_c is not None and mn > hi_c) or (
+                    lo_c is not None and mx < lo_c
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append((path, a))
+        self._adds = keep
 
     def partitions(self):
         return [
@@ -185,6 +189,19 @@ class DeltaLogReader(DataSourceReader):
         yield from _delta_file_to_batches(
             partition, self._schema, self._part_cols
         )
+
+
+class DeltaLogPushdownReader(DeltaLogReader):
+    """DeltaLogReader + Catalyst ``pushFilters`` file pruning — a
+    subclass because Spark 4 refuses pushFilters readers in sessions
+    where ``spark.sql.python.filterPushdown.enabled`` is false (the
+    same session-gating as sources/txnlake_ds.py); select via
+    ``.option("pushdown", "true")`` or :func:`register_deltalog`."""
+
+    def pushFilters(self, filters):
+        self._prune_adds(filters)
+        # file pruning never proves row truth: Spark re-applies all
+        return filters
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
@@ -290,9 +307,18 @@ class DeltaLogDataSource(DataSource):
         )
         return T.StructType.fromJson(json.loads(state.meta["schemaString"]))
 
+    _default_pushdown = False  # see register_deltalog
+
     def reader(self, schema):
         v = self.options.get("version")
-        return DeltaLogReader(self._root(), None if v is None else int(v))
+        opt = self.options.get("pushdown")
+        push = (
+            self._default_pushdown
+            if opt is None
+            else str(opt).lower() in ("true", "1")
+        )
+        cls = DeltaLogPushdownReader if push else DeltaLogReader
+        return cls(self._root(), None if v is None else int(v))
 
     def streamReader(self, schema):
         skip = str(
@@ -305,3 +331,33 @@ class DeltaLogDataSource(DataSource):
             "format('deltalog') is read-only interop; write through the "
             "native txn lake and delta_export, or a real Delta writer"
         )
+
+
+class DeltaLogPushdownDataSource(DeltaLogDataSource):
+    """format("deltalog") with pushdown-default reads — register only
+    where the session conf allows (use :func:`register_deltalog`)."""
+
+    _default_pushdown = True
+
+
+def register_deltalog(spark) -> bool:
+    """Register ``format("deltalog")`` with the strongest reader the
+    session permits — same contract as
+    :func:`~spark_cassandra_collabfiltering_spark.sources.txnlake_ds.register_txnlake`:
+    enable ``spark.sql.python.filterPushdown.enabled`` at runtime and
+    register the pushdown-default variant iff it took effect, else
+    the portable variant (identical answers, no plan-time pruning).
+    Returns True when pushdown is active."""
+    conf = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(conf, "true")
+    except Exception:
+        pass  # static/locked conf: fall through to read the value
+    try:
+        enabled = str(spark.conf.get(conf)).lower() == "true"
+    except Exception:
+        enabled = False
+    spark.dataSource.register(
+        DeltaLogPushdownDataSource if enabled else DeltaLogDataSource
+    )
+    return enabled

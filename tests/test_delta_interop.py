@@ -362,7 +362,7 @@ def test_ds_pushdown_prunes_files_and_partitions(dlspark, tmp_path):
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
 
     from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
-        DeltaLogReader,
+        DeltaLogPushdownReader,
     )
 
     root = str(tmp_path / "t")
@@ -373,11 +373,11 @@ def test_ds_pushdown_prunes_files_and_partitions(dlspark, tmp_path):
                    stats_cols=["id"])
     droot = str(tmp_path / "delta")
     di.delta_export(root, droot)
-    r = DeltaLogReader(droot, None)
+    r = DeltaLogPushdownReader(droot, None)
     total = len(r.partitions())
     r.pushFilters([EqualTo(("bucket",), 1)])
     assert 0 < len(r.partitions()) < total  # partition-value pruning
-    r2 = DeltaLogReader(droot, None)
+    r2 = DeltaLogPushdownReader(droot, None)
     r2.pushFilters([GreaterThanOrEqual(("id",), 10**9)])
     assert len(r2.partitions()) == 0  # min/max stats pruning
     # rows stay exact through Spark's own re-applied filter

@@ -392,7 +392,7 @@ def test_data_source_reads_and_writes_mapped_tables(spark, tmp_path):
 
     from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
         TxnLakeDataSource,
-        TxnLakeReader,
+        TxnLakePushdownReader,
     )
 
     spark.dataSource.register(TxnLakeDataSource)
@@ -415,7 +415,7 @@ def test_data_source_reads_and_writes_mapped_tables(spark, tmp_path):
     # pushed filters prune through the physically-keyed stats even
     # after the stats column itself is renamed
     lake.txn_rename_column(root, "id", "doc_id")
-    r = TxnLakeReader(root, None)
+    r = TxnLakePushdownReader(root, None)
     r.pushFilters(
         [GreaterThanOrEqual(("doc_id",), 0), LessThanOrEqual(("doc_id",), 4)]
     )

@@ -14,7 +14,7 @@ import pytest
 from spark_cassandra_collabfiltering_spark.sources import lake
 from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
     TxnLakeDataSource,
-    TxnLakeReader,
+    TxnLakePushdownReader,
 )
 
 
@@ -63,7 +63,7 @@ def test_pushed_filters_prune_files_and_rows_stay_exact(dspark, tmp_path):
         _d(dspark, 0, 100).repartitionByRange(4, "id"), root,
         stats_cols=["id"],
     )
-    r = TxnLakeReader(root, None)
+    r = TxnLakePushdownReader(root, None)
     r.pushFilters([GreaterThanOrEqual(("id",), 50), LessThanOrEqual(("id",), 60)])
     assert len(r.partitions()) < 4  # log-arithmetic file pruning
     got = dspark.read.format("txnlake").option("root", root).load()
