@@ -538,10 +538,13 @@ def write_avro(
     codec: str = "null",
     rows_per_block: int = 1000,
     sync: "bytes | None" = None,
+    extra_meta: "dict[str, bytes] | None" = None,
 ) -> int:
     """Write an Avro Object Container file (deterministic: the sync
-    marker derives from the path unless given). Returns bytes
-    written."""
+    marker derives from the path unless given). ``extra_meta`` adds
+    application key-value pairs to the container header (Iceberg
+    manifests REQUIRE schema/partition-spec/format-version/content
+    keys there — sources/iceberg_interop.py). Returns bytes written."""
     import hashlib
 
     if isinstance(schema, str):
@@ -557,6 +560,8 @@ def write_avro(
         "avro.schema": json.dumps(schema, sort_keys=True).encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode()
     buf.write(_zz(len(meta)))
     for k in sorted(meta):
         buf.write(_enc_len_bytes(k.encode()))

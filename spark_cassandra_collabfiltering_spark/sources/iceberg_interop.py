@@ -12,26 +12,35 @@ avro_source.py), with no Iceberg jar or library:
 
 - :func:`iceberg_read` — the table at the current or a pinned
   snapshot: resolve the live data-file set through the manifest tree
-  (entries with status DELETED drop out), scan the parquet, and
-  anti-join v2 position-delete rows out ((file_path, pos) — the same
-  filter shape as the native lake's RLE vectors and Delta's roaring
-  DVs). Iceberg data files CARRY their partition columns (unlike hive
+  (entries with status DELETED drop out; sequence numbers inherit
+  from the manifest list per the v2 rule), scan the parquet, then
+  anti-join out v2 POSITION deletes ((file_path, pos), applying to
+  data files with seq <= the delete's) and v2 EQUALITY deletes
+  (content=2, the Flink CDC shape: null-safe equality on the file's
+  ``equality_ids`` column set, applying strictly below the delete's
+  seq). Iceberg data files CARRY their partition columns (unlike hive
   layouts), so nothing is re-attached; partition pruning value lives
   in the manifest stats, which :func:`iceberg_read`'s caller gets for
   free from parquet pushdown on the scan.
 - :func:`iceberg_count` — metadata-only COUNT(*) from the manifest
-  entries' ``record_count`` minus position-delete counts.
+  entries' ``record_count`` minus position-delete counts (refuses
+  under equality deletes — predicate counts are not row counts).
 - :func:`iceberg_export` — the fixture generator / migration path OUT
   of the native txn lake: writes the metadata json, the manifest list
-  and manifests through the repo's own Avro ENCODER, copies data
-  files (hive-partitioned tables are re-materialized with their
-  partition column restored, since Iceberg files must contain every
-  column), and converts active RLE deletion vectors into v2 position-
-  delete parquet files.
+  and manifests through the repo's own Avro ENCODER — spec-faithful:
+  field-id annotations on every manifest field, the required
+  ``partition`` struct (field-id 102), data and delete files in
+  SEPARATE manifests, the required container metadata keys
+  (schema / partition-spec / format-version / content), and
+  TABLE-RELATIVE paths so the export survives a directory move.
+  Data files are copied (hive-partitioned tables re-materialized with
+  their partition column restored, since Iceberg files must contain
+  every column) and active RLE deletion vectors convert to v2
+  position-delete parquet files.
 
-Refusal posture (never misread): format-version > 2, equality deletes
-(content=2), ORC/Avro data files, and non-identity partition
-transforms in the EXPORT direction all raise with a clear message.
+Refusal posture (never misread): format-version > 2, ORC/Avro data
+files, and non-identity partition transforms in the EXPORT direction
+all raise with a clear message.
 Field-id-based column resolution is honored for name-stable histories
 (this exporter's own output and any table never renamed); a FOREIGN
 table whose current schema names diverge from its parquet footers
@@ -226,15 +235,20 @@ def _read_avro_rows(path: str) -> list:
 
 def snapshot_files(
     root: str, snapshot_id: "int | None" = None
-) -> "tuple[list[dict], list[dict]]":
-    """(live data-file entries, live position-delete entries) for the
-    snapshot — each entry the manifest's data_file record plus the
-    resolved absolute path under '_abs'. Equality deletes refuse."""
+) -> "tuple[list[dict], list[dict], list[dict]]":
+    """(live data files, live position-delete files, live
+    equality-delete files) for the snapshot — each entry the
+    manifest's data_file record plus the resolved absolute path under
+    '_abs' and its DATA SEQUENCE NUMBER under '_seq' (the entry's own
+    field, inheriting the manifest's sequence_number when null — the
+    spec's v2 inheritance rule; v1 tables have no sequence numbers and
+    read as 0)."""
     meta = load_table_metadata(root)
     snap = _pick_snapshot(meta, snapshot_id)
     mlist = _read_avro_rows(_resolve_path(root, snap["manifest-list"]))
-    data, deletes = [], []
+    data, pos_deletes, eq_deletes = [], [], []
     for m in mlist:
+        m_seq = int(m.get("sequence_number") or 0)
         entries = _read_avro_rows(_resolve_path(root, m["manifest_path"]))
         for e in entries:
             if int(e.get("status") or 0) == _ST_DELETED:
@@ -248,17 +262,24 @@ def snapshot_files(
                 )
             df_ = dict(df_)
             df_["_abs"] = _resolve_path(root, df_["file_path"])
+            seq = e.get("sequence_number")
+            df_["_seq"] = m_seq if seq is None else int(seq)
             if content == _C_DATA:
                 data.append(df_)
             elif content == _C_POS_DELETES:
-                deletes.append(df_)
+                pos_deletes.append(df_)
+            elif content == _C_EQ_DELETES:
+                if not df_.get("equality_ids"):
+                    raise ValueError(
+                        "equality-delete file "
+                        f"{df_['file_path']} lacks equality_ids"
+                    )
+                eq_deletes.append(df_)
             else:
                 raise lake.UnsupportedProtocol(
-                    "Iceberg equality deletes (content=2) are not "
-                    "supported by this read-only reader; rewrite them "
-                    "to position deletes or compact first"
+                    f"unknown Iceberg data_file content {content}"
                 )
-    return data, deletes
+    return data, pos_deletes, eq_deletes
 
 
 def _file_field_ids(path: str) -> "dict[int, str] | None":
@@ -281,24 +302,46 @@ def _file_field_ids(path: str) -> "dict[int, str] | None":
 def iceberg_read(
     spark: SparkSession, root: str, snapshot_id: "int | None" = None
 ) -> DataFrame:
-    """The Iceberg table at the current (or pinned) snapshot. Position
-    deletes anti-join out by (file_path, row position). Column
+    """The Iceberg table at the current (or pinned) snapshot. Column
     resolution is FIELD-ID based per the spec: each data file's
     parquet footer maps its PARQUET:field_id metadata to the current
     schema's field ids, so a foreign table whose columns were RENAMED
     (ids stable, names changed) still reads the right bytes — files
     are grouped by their id->name signature and each group scans
     under its own projection (one footer read per file, metadata
-    only; files without recorded ids fall back to name resolution)."""
+    only; files without recorded ids fall back to name resolution).
+
+    Delete semantics (v2, sequence-number aware):
+
+    - POSITION deletes (content=1) anti-join out by (file_path, pos),
+      matching the manifest's recorded path string exactly per the
+      spec, and apply only to data files whose data sequence number
+      is <= the delete's. Delete rows are read EXECUTOR-side (no
+      driver materialization — positions scale with deleted rows,
+      not metadata; ADVICE r8).
+    - EQUALITY deletes (content=2, the Flink CDC shape) anti-join on
+      the delete file's ``equality_ids`` column set with NULL-SAFE
+      equality, applying only to data files whose sequence number is
+      STRICTLY below the delete's (a writer's own-commit inserts
+      survive its deletes — the spec rule). Delete columns resolve by
+      field id through the delete file's own footer.
+
+    Driver-side work stays metadata-sized throughout: one (path, seq)
+    row per live file feeds a broadcast map; all row-scale work is
+    distributed joins."""
     from pyspark.sql import functions as F
 
-    data, deletes = snapshot_files(root, snapshot_id)
+    data, pos_del, eq_del = snapshot_files(root, snapshot_id)
     meta = load_table_metadata(root)
     cur = _current_schema(meta)
     schema = iceberg_spark_schema(root)
     ids = {f["name"]: f.get("id") for f in cur["fields"]}
+    id_to_field = {
+        f.get("id"): sf for f, sf in zip(cur["fields"], schema.fields)
+    }
     if not data:
         return spark.createDataFrame([], schema)
+    need_meta = bool(pos_del or eq_del)
 
     # group files by their field-id signature: per schema field, the
     # PHYSICAL column name this file stores it under (None = absent)
@@ -313,7 +356,8 @@ def iceberg_read(
             )
         groups.setdefault(sig, []).append(d["_abs"])
 
-    def _scan(sig, files):
+    scan = None
+    for sig, files in sorted(groups.items(), key=str):
         s = spark.read.option("mergeSchema", "true").parquet(*files)
         have = set(s.columns)
         sel = []
@@ -322,79 +366,84 @@ def iceberg_read(
                 sel.append(F.col(phys).cast(f.dataType).alias(f.name))
             else:
                 sel.append(F.lit(None).cast(f.dataType).alias(f.name))
-        return s, sel
-
-    scan = None
-    if len(groups) == 1:
-        (sig, files), = groups.items()
-        scan, sel = _scan(sig, files)
-    else:
-        for sig, files in sorted(groups.items(), key=str):
-            s, sel_g = _scan(sig, files)
-            part = s.select(
-                *sel_g,
+        if need_meta:
+            sel.append(
                 lake._strip_file_uri(F.col("_metadata.file_path")).alias(
-                    "_dv_file"
-                ),
-                F.col("_metadata.row_index").alias("_dv_pos"),
+                    "_ice_file"
+                )
             )
-            scan = part if scan is None else scan.unionByName(part)
-        # deletes (if any) filter below on the already-attached temps
-        if deletes:
-            del_df = spark.read.parquet(*[d["_abs"] for d in deletes])
-            pos = del_df.select(
-                F.col("file_path").alias("_raw"),
-                F.col("pos").alias("_dpos"),
-            ).collect()
-            rows = [
-                (lake._uri_path(_resolve_path(root, r["_raw"])),
-                 int(r["_dpos"]))
-                for r in pos
-            ]
-            if rows:
-                dvdf = spark.createDataFrame(
-                    rows,
-                    T.StructType([
-                        T.StructField("_dv_file", T.StringType(), False),
-                        T.StructField("_dv_pos", T.LongType(), False),
-                    ]),
-                )
-                scan = scan.join(
-                    F.broadcast(dvdf), ["_dv_file", "_dv_pos"],
-                    "left_anti",
-                )
-        return scan.drop("_dv_file", "_dv_pos")
-    if deletes:
-        # positions reference data files by their METADATA path string;
-        # normalize both sides to the URI form Spark reports
-        del_df = spark.read.parquet(*[d["_abs"] for d in deletes])
-        pos = del_df.select(
-            F.col("file_path").alias("_raw"), F.col("pos").alias("_dpos")
-        ).collect()
-        rows = [
-            (lake._uri_path(_resolve_path(root, r["_raw"])), int(r["_dpos"]))
-            for r in pos
-        ]
-        scan = scan.select(
-            *sel,
-            lake._strip_file_uri(F.col("_metadata.file_path")).alias(
-                "_dv_file"
-            ),
-            F.col("_metadata.row_index").alias("_dv_pos"),
+            sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
+        part = s.select(*sel)
+        scan = part if scan is None else scan.unionByName(part)
+    if not need_meta:
+        return scan
+
+    # per-file (scan path form, manifest path string, data seq) —
+    # one row per LIVE FILE (metadata-sized), broadcast onto the scan
+    seq_df = spark.createDataFrame(
+        [
+            (lake._uri_path(d["_abs"]), d["file_path"], int(d["_seq"]))
+            for d in data
+        ],
+        T.StructType([
+            T.StructField("_ice_file", T.StringType(), False),
+            T.StructField("_ice_mf_path", T.StringType(), False),
+            T.StructField("_ice_seq", T.LongType(), False),
+        ]),
+    )
+    scan = scan.join(F.broadcast(seq_df), "_ice_file", "left")
+
+    if pos_del:
+        # the spec matches position deletes on the manifest's EXACT
+        # path string, so no path normalization is needed — group
+        # delete files by sequence number and union (executor reads)
+        by_seq: dict[int, list] = {}
+        for d in pos_del:
+            by_seq.setdefault(int(d["_seq"]), []).append(d["_abs"])
+        pdf = None
+        for dseq, files in sorted(by_seq.items()):
+            one = spark.read.parquet(*files).select(
+                F.col("file_path").alias("_ice_mf_path"),
+                F.col("pos").alias("_ice_pos"),
+                F.lit(dseq).alias("_del_seq"),
+            )
+            pdf = one if pdf is None else pdf.unionByName(one)
+        cond = (
+            (scan["_ice_mf_path"] == pdf["_ice_mf_path"])
+            & (scan["_ice_pos"] == pdf["_ice_pos"])
+            & (scan["_ice_seq"] <= pdf["_del_seq"])
         )
-        if rows:
-            dvdf = spark.createDataFrame(
-                rows,
-                T.StructType([
-                    T.StructField("_dv_file", T.StringType(), False),
-                    T.StructField("_dv_pos", T.LongType(), False),
-                ]),
+        scan = scan.join(F.broadcast(pdf), cond, "left_anti")
+
+    # equality deletes grouped by (id set, seq): one null-safe
+    # broadcast anti-join per group
+    eq_groups: dict[tuple, list] = {}
+    for d in eq_del:
+        key = (tuple(int(i) for i in d["equality_ids"]), int(d["_seq"]))
+        eq_groups.setdefault(key, []).append(d["_abs"])
+    for (eq_ids, dseq), files in sorted(eq_groups.items()):
+        missing = [i for i in eq_ids if i not in id_to_field]
+        if missing:
+            raise lake.UnsupportedProtocol(
+                f"equality delete references unknown field ids {missing}"
             )
-            scan = scan.join(
-                F.broadcast(dvdf), ["_dv_file", "_dv_pos"], "left_anti"
+        sel = []
+        for i in eq_ids:
+            fld = id_to_field[i]
+            # the delete file's own footer maps id -> its column name
+            fmap = _file_field_ids(files[0])
+            phys = (fmap or {}).get(i, fld.name)
+            sel.append(
+                F.col(phys).cast(fld.dataType).alias(f"_eq_{fld.name}")
             )
-        return scan.drop("_dv_file", "_dv_pos")
-    return scan.select(*sel)
+        deldf = spark.read.parquet(*files).select(*sel).distinct()
+        cond = F.lit(dseq) > scan["_ice_seq"]
+        for i in eq_ids:
+            n = id_to_field[i].name
+            cond = cond & scan[n].eqNullSafe(deldf[f"_eq_{n}"])
+        scan = scan.join(F.broadcast(deldf), cond, "left_anti")
+
+    return scan.drop("_ice_file", "_ice_pos", "_ice_mf_path", "_ice_seq")
 
 
 def iceberg_import(
@@ -422,8 +471,15 @@ def iceberg_import(
 def iceberg_count(root: str, snapshot_id: "int | None" = None) -> int:
     """Metadata-only COUNT(*): manifest record_count sums minus
     position-delete record counts (refuses on a missing count — never
-    a wrong answer)."""
-    data, deletes = snapshot_files(root, snapshot_id)
+    a wrong answer). Equality deletes refuse: their record_count
+    counts delete PREDICATES, not matched rows, so no metadata-only
+    answer exists — use iceberg_read(...).count()."""
+    data, deletes, eq_deletes = snapshot_files(root, snapshot_id)
+    if eq_deletes:
+        raise lake.UnsupportedProtocol(
+            "metadata-only COUNT(*) is impossible under equality "
+            "deletes (predicate counts, not row counts); scan instead"
+        )
     n = 0
     for d in data:
         rc = d.get("record_count")
@@ -462,44 +518,71 @@ def _spark_to_ice(dt: T.DataType) -> str:
     raise ValueError(f"no Iceberg mapping for Spark type {dt}")
 
 
-_MANIFEST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "file_sequence_number", "type": ["null", "long"]},
-        {"name": "data_file", "type": {
-            "type": "record", "name": "r2",
-            "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
-            ],
-        }},
-    ],
-}
+# The spec's v2 manifest_entry schema with the REQUIRED parts real
+# readers depend on (ADVICE r8): every field carries its spec
+# ``field-id`` (Java Iceberg and pyiceberg resolve manifest columns by
+# id, not name), data_file includes the ``partition`` struct (id 102 —
+# empty for an unpartitioned spec, but the field itself is required),
+# and equality_ids (id 135) is present so delete manifests round-trip.
+def _manifest_entry_schema(partition_fields: "list[dict] | None" = None):
+    part_struct = {
+        "type": "record",
+        "name": "r102",
+        "fields": list(partition_fields or []),
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "type": part_struct,
+                     "field-id": 102},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "equality_ids", "field-id": 135,
+                     "type": ["null", {
+                         "type": "array", "items": "int",
+                         "element-id": 136,
+                     }]},
+                ],
+            }},
+        ],
+    }
+
 
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
     "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "min_sequence_number", "type": "long"},
-        {"name": "added_snapshot_id", "type": "long"},
-        {"name": "added_files_count", "type": "int"},
-        {"name": "existing_files_count", "type": "int"},
-        {"name": "deleted_files_count", "type": "int"},
-        {"name": "added_rows_count", "type": "long"},
-        {"name": "existing_rows_count", "type": "long"},
-        {"name": "deleted_rows_count", "type": "long"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
 
@@ -577,17 +660,23 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
             )
             for k, n in enumerate(names)
         ]))
-        dst = os.path.join(data_dir, f"{i:05d}-data.parquet")
+        # paths are written TABLE-RELATIVE (ADVICE r8: absolute local
+        # paths break the export when the directory moves; the
+        # reader's _resolve_path handles both forms)
+        rel = f"data/{i:05d}-data.parquet"
+        dst = os.path.join(ice_root, rel)
         pq.write_table(out_tbl, dst)
-        path_map[f] = dst
+        path_map[f] = rel
         entries.append({
             "status": _ST_ADDED, "snapshot_id": 1,
             "sequence_number": 1, "file_sequence_number": 1,
             "data_file": {
-                "content": _C_DATA, "file_path": dst,
+                "content": _C_DATA, "file_path": rel,
                 "file_format": "PARQUET",
+                "partition": {},
                 "record_count": out_tbl.num_rows,
                 "file_size_in_bytes": os.path.getsize(dst),
+                "equality_ids": None,
             },
         })
 
@@ -595,8 +684,10 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     from .delta_interop import _txn_dv_positions
 
     dvpos = _txn_dv_positions(st) if st.dvs else {}
+    delete_entries = []
     for j, (f, positions) in enumerate(sorted(dvpos.items())):
-        dst = os.path.join(data_dir, f"{j:05d}-deletes.parquet")
+        rel = f"data/{j:05d}-deletes.parquet"
+        dst = os.path.join(ice_root, rel)
         pq.write_table(
             pa.table({
                 "file_path": pa.array(
@@ -606,51 +697,25 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
             }),
             dst,
         )
-        entries.append({
+        delete_entries.append({
             "status": _ST_ADDED, "snapshot_id": 1,
             "sequence_number": 1, "file_sequence_number": 1,
             "data_file": {
-                "content": _C_POS_DELETES, "file_path": dst,
+                "content": _C_POS_DELETES, "file_path": rel,
                 "file_format": "PARQUET",
+                "partition": {},
                 "record_count": len(positions),
                 "file_size_in_bytes": os.path.getsize(dst),
+                "equality_ids": None,
             },
         })
 
-    # --- manifest + manifest list (the repo's own Avro encoder)
-    manifest_path = os.path.join(
-        _meta_dir(ice_root), "manifest-00000.avro"
-    )
-    av.write_avro(entries, _MANIFEST_SCHEMA, manifest_path)
-    mlist_path = os.path.join(
-        _meta_dir(ice_root), "snap-1-manifest-list.avro"
-    )
-    n_rows = sum(
-        e["data_file"]["record_count"]
-        for e in entries
-        if e["data_file"]["content"] == _C_DATA
-    )
-    av.write_avro(
-        [{
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": 1,
-            "min_sequence_number": 1,
-            "added_snapshot_id": 1,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }],
-        _MANIFEST_LIST_SCHEMA,
-        mlist_path,
-    )
-
-    # --- table metadata json + version hint
+    # --- manifests + manifest list (the repo's own Avro encoder).
+    # Spec fidelity (ADVICE r8): data and delete files live in
+    # SEPARATE manifests (manifest_file.content 0 vs 1), and every
+    # manifest container carries the required key-value metadata —
+    # real readers refuse manifests without schema/partition-spec/
+    # format-version/content.
     ice_fields = [
         {
             "id": i + 1,
@@ -660,6 +725,77 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
         }
         for i, f in enumerate(schema.fields)
     ]
+    schema_json_str = json.dumps(
+        {"schema-id": 0, "type": "struct", "fields": ice_fields},
+        sort_keys=True,
+    )
+
+    def _manifest_meta(content: str) -> dict:
+        return {
+            "schema": schema_json_str,
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": content,
+        }
+
+    entry_schema = _manifest_entry_schema()
+    manifests = []  # (relative path, manifest_file row)
+    mf_rel = "metadata/manifest-00000-data.avro"
+    mf_abs = os.path.join(ice_root, mf_rel)
+    av.write_avro(
+        entries, entry_schema, mf_abs, extra_meta=_manifest_meta("data")
+    )
+    n_rows = sum(e["data_file"]["record_count"] for e in entries)
+    manifests.append({
+        "manifest_path": mf_rel,
+        "manifest_length": os.path.getsize(mf_abs),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+        "added_snapshot_id": 1,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    })
+    if delete_entries:
+        dm_rel = "metadata/manifest-00001-deletes.avro"
+        dm_abs = os.path.join(ice_root, dm_rel)
+        av.write_avro(
+            delete_entries, entry_schema, dm_abs,
+            extra_meta=_manifest_meta("deletes"),
+        )
+        n_del = sum(
+            e["data_file"]["record_count"] for e in delete_entries
+        )
+        manifests.append({
+            "manifest_path": dm_rel,
+            "manifest_length": os.path.getsize(dm_abs),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_files_count": len(delete_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_del,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
+    mlist_rel = "metadata/snap-1-manifest-list.avro"
+    mlist_path = os.path.join(ice_root, mlist_rel)
+    av.write_avro(
+        manifests, _MANIFEST_LIST_SCHEMA, mlist_path,
+        extra_meta={"format-version": "2"},
+    )
+
+    # --- table metadata json + version hint
     meta = {
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-000000000001",
@@ -682,7 +818,7 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
                 "snapshot-id": 1,
                 "sequence-number": 1,
                 "timestamp-ms": 0,
-                "manifest-list": mlist_path,
+                "manifest-list": mlist_rel,
                 "schema-id": 0,
                 "summary": {"operation": "append"},
             }

@@ -107,26 +107,34 @@ def test_hand_authored_foreign_table_reads(spark, tmp_path):
         {"status": 1, "snapshot_id": 9, "sequence_number": 1,
          "file_sequence_number": 1,
          "data_file": {"content": 0, "file_path": p0,
-                       "file_format": "parquet", "record_count": 10,
-                       "file_size_in_bytes": 1}},
+                       "file_format": "parquet", "partition": {},
+                       "record_count": 10,
+                       "file_size_in_bytes": 1,
+                       "equality_ids": None}},
         {"status": 2, "snapshot_id": 9, "sequence_number": 1,
          "file_sequence_number": 1,  # DELETED: must not scan
          "data_file": {"content": 0, "file_path": p1,
-                       "file_format": "parquet", "record_count": 10,
-                       "file_size_in_bytes": 1}},
+                       "file_format": "parquet", "partition": {},
+                       "record_count": 10,
+                       "file_size_in_bytes": 1,
+                       "equality_ids": None}},
         {"status": 0, "snapshot_id": 9, "sequence_number": 1,
          "file_sequence_number": 1,
          "data_file": {"content": 0, "file_path": p2,
-                       "file_format": "parquet", "record_count": 10,
-                       "file_size_in_bytes": 1}},
+                       "file_format": "parquet", "partition": {},
+                       "record_count": 10,
+                       "file_size_in_bytes": 1,
+                       "equality_ids": None}},
         {"status": 1, "snapshot_id": 9, "sequence_number": 1,
          "file_sequence_number": 1,
          "data_file": {"content": 1, "file_path": pdel,
-                       "file_format": "parquet", "record_count": 2,
-                       "file_size_in_bytes": 1}},
+                       "file_format": "parquet", "partition": {},
+                       "record_count": 2,
+                       "file_size_in_bytes": 1,
+                       "equality_ids": None}},
     ]
     man = os.path.join(meta, "m0.avro")
-    av.write_avro(entries, ice._MANIFEST_SCHEMA, man)
+    av.write_avro(entries, ice._manifest_entry_schema(), man)
     mlist = os.path.join(meta, "snap-9.avro")
     av.write_avro(
         [{"manifest_path": man,
@@ -179,28 +187,161 @@ def test_refusals_are_loud(spark, tmp_path):
         ice.iceberg_read(spark, root)
 
 
-def test_equality_deletes_refused(spark, tmp_path):
+def _entry(seq, content, path, nrows, eq_ids=None, status=1):
+    return {
+        "status": status, "snapshot_id": 1, "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": content, "file_path": path,
+            "file_format": "PARQUET", "partition": {},
+            "record_count": nrows, "file_size_in_bytes": 1,
+            "equality_ids": eq_ids,
+        },
+    }
+
+
+def _mlist_row(p, seq, content=0):
+    return {
+        "manifest_path": p, "manifest_length": os.path.getsize(p),
+        "partition_spec_id": 0, "content": content,
+        "sequence_number": seq, "min_sequence_number": 1,
+        "added_snapshot_id": 1, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": 1, "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+
+def test_equality_deletes_apply_with_sequence_semantics(spark, tmp_path):
+    """v2 EQUALITY deletes (the Flink CDC shape, VERDICT r8 missing
+    #3): a delete file's equality_ids column values remove matching
+    rows from data files with STRICTLY lower data sequence numbers —
+    a writer's own-commit inserts survive its deletes — and matching
+    is NULL-SAFE (null deletes null). iceberg_count refuses under
+    them: an equality delete's record_count counts predicates, not
+    matched rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 10).coalesce(1), root)  # v = 2*id
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)  # one data manifest at seq 1
+
+    def _ice_file(name, rows):
+        p = os.path.join(iroot, "data", name)
+        pq.write_table(
+            pa.table(
+                [pa.array([r[0] for r in rows], type=pa.int64()),
+                 pa.array([r[1] for r in rows], type=pa.int64())],
+                schema=pa.schema([
+                    pa.field("id", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("v", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                ]),
+            ),
+            p,
+        )
+        return p
+
+    # seq-1 sibling file: two v=4 rows and one v=null row — all
+    # below the delete's seq, so all must go
+    f2 = _ice_file("f2.parquet", [(100, 4), (101, 4), (102, None)])
+    # seq-2 file: v=4 again, but NOT strictly below seq 2 — survives
+    f3 = _ice_file("f3.parquet", [(200, 4)])
+    # the equality-delete file: delete v IN (4, NULL) at seq 2;
+    # its own footer carries field id 2 for the column
+    eqp = os.path.join(iroot, "data", "eqdel.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([4, None], type=pa.int64())],
+            schema=pa.schema([
+                pa.field("v", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]),
+        ),
+        eqp,
+    )
+    man1 = os.path.join(iroot, "metadata", "manifest-00000-data.avro")
+    man2 = os.path.join(iroot, "metadata", "manifest-00002-data.avro")
+    man3 = os.path.join(iroot, "metadata", "manifest-00003-del.avro")
+    av.write_avro(
+        [_entry(1, 0, f2, 3), _entry(2, 0, f3, 1)],
+        ice._manifest_entry_schema(), man2,
+    )
+    av.write_avro(
+        [_entry(2, 2, eqp, 2, eq_ids=[2])],
+        ice._manifest_entry_schema(), man3,
+    )
+    mlist = os.path.join(iroot, "metadata", "snap-1-manifest-list.avro")
+    av.write_avro(
+        [_mlist_row(man1, 1), _mlist_row(man2, 2),
+         _mlist_row(man3, 2, content=1)],
+        ice._MANIFEST_LIST_SCHEMA, mlist,
+    )
+    got = ice.iceberg_read(spark, iroot)
+    ids = sorted(r["id"] for r in got.collect())
+    # from the export (v=2*id): v=4 removes id 2 only; the seq-1
+    # fixture rows (v=4, v=4, v=null) all go; the seq-2 row survives
+    assert ids == [0, 1] + list(range(3, 10)) + [200]
+    with pytest.raises(lake.UnsupportedProtocol, match="equality"):
+        ice.iceberg_count(iroot)
+
+
+def test_position_deletes_respect_sequence_numbers(spark, tmp_path):
+    """A position delete applies only to data files with data seq <=
+    the delete's seq: a file REWRITTEN at a later seq sheds older
+    position deletes (the compaction contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     root = str(tmp_path / "t")
     lake.txn_write(_d(spark, 0, 10).coalesce(1), root)
     iroot = str(tmp_path / "ice")
     ice.iceberg_export(root, iroot)
-    # graft an equality-delete entry into the manifest
-    man = os.path.join(iroot, "metadata", "manifest-00000.avro")
-    with open(man, "rb") as fh:
-        rows = [
-            {k: v for k, v in r.items()
-             if k not in ("file", "corrupt_reason")}
-            for r in av.parse_avro_bytes(fh.read())
-        ]
-    rows.append({"status": 1, "snapshot_id": 1, "sequence_number": 1,
-                 "file_sequence_number": 1,
-                 "data_file": {"content": 2, "file_path": "eq.parquet",
-                               "file_format": "parquet",
-                               "record_count": 1,
-                               "file_size_in_bytes": 1}})
-    av.write_avro(rows, ice._MANIFEST_SCHEMA, man)
-    with pytest.raises(lake.UnsupportedProtocol, match="equality"):
-        ice.iceberg_read(spark, iroot)
+    man1 = os.path.join(iroot, "metadata", "manifest-00000-data.avro")
+    # the exported data file's manifest-recorded path
+    rows = [
+        {k: v for k, v in r.items() if k not in ("file", "corrupt_reason")}
+        for r in av.parse_avro_bytes(open(man1, "rb").read())
+    ]
+    data_rel = rows[0]["data_file"]["file_path"]
+    # a position delete at seq 1 hits the seq-1 file ...
+    pdel = os.path.join(iroot, "data", "pdel.parquet")
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([data_rel], type=pa.string()),
+            "pos": pa.array([0], type=pa.int64()),
+        }),
+        pdel,
+    )
+    # ... but the same file re-added at seq 2 (a rewrite) does not
+    rows.append(_entry(2, 0, data_rel, 10))
+    man2 = os.path.join(iroot, "metadata", "manifest-00002-data.avro")
+    av.write_avro([rows[-1]], ice._manifest_entry_schema(), man2)
+    mand = os.path.join(iroot, "metadata", "manifest-00003-del.avro")
+    av.write_avro(
+        [_entry(1, 1, pdel, 1)], ice._manifest_entry_schema(), mand
+    )
+    mlist = os.path.join(iroot, "metadata", "snap-1-manifest-list.avro")
+    # snapshot A: seq-1 file + seq-1 delete -> row 0 hidden
+    av.write_avro(
+        [_mlist_row(man1, 1), _mlist_row(mand, 1, content=1)],
+        ice._MANIFEST_LIST_SCHEMA, mlist,
+    )
+    assert sorted(
+        r["id"] for r in ice.iceberg_read(spark, iroot).collect()
+    ) == list(range(1, 10))
+    # snapshot B: the SAME bytes re-added at seq 2 + the old delete ->
+    # the delete no longer applies
+    av.write_avro(
+        [_mlist_row(man2, 2), _mlist_row(mand, 1, content=1)],
+        ice._MANIFEST_LIST_SCHEMA, mlist,
+    )
+    assert sorted(
+        r["id"] for r in ice.iceberg_read(spark, iroot).collect()
+    ) == list(range(10))
 
 
 def test_snapshot_pinning(spark, tmp_path):
@@ -217,15 +358,17 @@ def test_snapshot_pinning(spark, tmp_path):
     _d(spark, 100, 105).coalesce(1).write.parquet(tmpd)
     src = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
     os.replace(os.path.join(tmpd, src), p_new)
-    man0 = os.path.join(iroot, "metadata", "manifest-00000.avro")
+    man0 = os.path.join(iroot, "metadata", "manifest-00000-data.avro")
     man1 = os.path.join(iroot, "metadata", "manifest-00001.avro")
     av.write_avro(
         [{"status": 1, "snapshot_id": 2, "sequence_number": 2,
           "file_sequence_number": 2,
           "data_file": {"content": 0, "file_path": p_new,
-                        "file_format": "parquet", "record_count": 5,
-                        "file_size_in_bytes": 1}}],
-        ice._MANIFEST_SCHEMA, man1,
+                        "file_format": "parquet", "partition": {},
+                        "record_count": 5,
+                        "file_size_in_bytes": 1,
+                        "equality_ids": None}}],
+        ice._manifest_entry_schema(), man1,
     )
     mlist2 = os.path.join(iroot, "metadata", "snap-2-manifest-list.avro")
     mk = lambda p: {  # noqa: E731
@@ -303,7 +446,7 @@ def test_mixed_id_signatures_scan_per_group(spark, tmp_path):
     )
     p2 = os.path.join(data_dir, "renamed.parquet")
     pq.write_table(t2, p2)
-    man = os.path.join(iroot, "metadata", "manifest-00000.avro")
+    man = os.path.join(iroot, "metadata", "manifest-00000-data.avro")
     rows = [
         {k: v for k, v in r.items() if k not in ("file", "corrupt_reason")}
         for r in av.parse_avro_bytes(open(man, "rb").read())
@@ -311,10 +454,11 @@ def test_mixed_id_signatures_scan_per_group(spark, tmp_path):
     rows.append({"status": 1, "snapshot_id": 1, "sequence_number": 1,
                  "file_sequence_number": 1,
                  "data_file": {"content": 0, "file_path": p2,
-                               "file_format": "PARQUET",
+                               "file_format": "PARQUET", "partition": {},
                                "record_count": 5,
-                               "file_size_in_bytes": 1}})
-    av.write_avro(rows, ice._MANIFEST_SCHEMA, man)
+                               "file_size_in_bytes": 1,
+                               "equality_ids": None}})
+    av.write_avro(rows, ice._manifest_entry_schema(), man)
     got = ice.iceberg_read(spark, iroot)
     vals = {r["id"]: r["v"] for r in got.collect()}
     assert vals == {i: i * 2 for i in list(range(10)) + list(range(100, 105))}
@@ -332,3 +476,63 @@ def test_iceberg_import_round_trips(spark, tmp_path):
         lake.txn_read(spark, root)
     )
     assert lake.txn_count(back) == 74
+
+
+def _export_fixture(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 40).coalesce(1), root, stats_cols=["id"])
+    lake.txn_delete_dv(spark, root, spark.range(0, 4).select("id"), ["id"])
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)
+    return iroot
+
+
+def test_export_manifests_are_spec_shaped(spark, tmp_path):
+    """The parts real readers resolve by (ADVICE r8): container
+    metadata keys, field-id annotations, the required partition
+    struct, data/deletes manifest split, table-relative paths."""
+    iroot = _export_fixture(spark, tmp_path)
+    man = os.path.join(iroot, "metadata", "manifest-00000-data.avro")
+    blob = open(man, "rb").read()
+    meta_kv, _ = av._read_meta_map(blob, len(av.MAGIC))
+    for key in ("schema", "partition-spec", "format-version", "content"):
+        assert key in meta_kv, f"manifest lacks required metadata {key}"
+    assert meta_kv["content"] == b"data"
+    sch = json.loads(meta_kv["avro.schema"])
+    by_name = {f["name"]: f for f in sch["fields"]}
+    assert by_name["status"]["field-id"] == 0
+    assert by_name["data_file"]["field-id"] == 2
+    df_fields = {
+        f["name"]: f for f in by_name["data_file"]["type"]["fields"]
+    }
+    assert df_fields["file_path"]["field-id"] == 100
+    assert df_fields["partition"]["field-id"] == 102
+    assert df_fields["content"]["field-id"] == 134
+    for r in av.parse_avro_bytes(blob):
+        assert not r["corrupt_reason"]
+        assert not os.path.isabs(r["data_file"]["file_path"])
+    dman = os.path.join(iroot, "metadata", "manifest-00001-deletes.avro")
+    dmeta, _ = av._read_meta_map(open(dman, "rb").read(), len(av.MAGIC))
+    assert dmeta["content"] == b"deletes"
+
+
+def test_export_validates_against_pyiceberg_when_available(
+    spark, tmp_path
+):
+    """Foreign-reader validation (ADVICE r8): when pyiceberg is
+    installed, it must load the exported table and return the same
+    rows — proving the export is spec-real, not just self-consistent.
+    Skips where pyiceberg is absent (not in this container); the
+    spec-shape pins above run everywhere."""
+    iroot = _export_fixture(spark, tmp_path)
+    try:
+        from pyiceberg.table import StaticTable
+    except ImportError:
+        pytest.skip("pyiceberg not installed in this environment")
+    t = StaticTable.from_metadata(
+        os.path.join(iroot, "metadata", "v1.metadata.json")
+    )
+    got = t.scan().to_arrow().to_pylist()
+    assert sorted((r["id"], r["v"]) for r in got) == [
+        (i, i * 2) for i in range(4, 40)
+    ]
