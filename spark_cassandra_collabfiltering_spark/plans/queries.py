@@ -10218,8 +10218,11 @@ def q_avro_ingest(spark, sf_dir):
     "Read-only Delta Lake interop (r8, VERDICT r7 missing #2): the "
     "query builds a three-commit history on the native txn lake (an "
     "orders snapshot, an append of derived new keys, a stats-pruned "
-    "MERGE update), exports it with delta_export as a REAL Delta "
-    "_delta_log — newline-delimited JSON add/remove/metaData/protocol "
+    "MERGE update), exports it via delta_export_incremental in TWO "
+    "drains plus an idempotent retry drain (r9: each exported commit "
+    "carries a txn stamp — Delta's own exactly-once key — so the "
+    "retry lands nothing) as a REAL Delta _delta_log — "
+    "newline-delimited JSON add/remove/metaData/protocol "
     "actions with numRecords+min/max stats, plus a parquet checkpoint "
     "and _last_checkpoint — then returns delta_read of that log: "
     "checkpoint-seeded replay, live-file resolution across the "
@@ -10244,10 +10247,14 @@ def q_lake_delta_interop(spark, sf_dir):
     )
     work = tempfile.mkdtemp(prefix="delta_interop_q_")
     root = work + "/t"
+    droot = work + "/delta"
     lake.txn_write(
         base.repartitionByRange(4, "o_orderkey"), root,
         stats_cols=["o_orderkey"],
     )
+    # drain 1: full export of the snapshot (r9: the export is the
+    # INCREMENTAL path — txn-stamped Delta commits, exactly-once)
+    di.delta_export_incremental(root, droot, checkpoint_every=2)
     lake.txn_write(
         base.filter(F.col("o_orderkey") % 40 == 7).select(
             (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
@@ -10267,8 +10274,10 @@ def q_lake_delta_interop(spark, sf_dir):
         when_not_matched="ignore",
         stats_cols=["o_orderkey"],
     )
-    droot = work + "/delta"
-    di.delta_export(root, droot, checkpoint_every=2)
+    # drain 2 appends ONLY the two new commits; the retry drain is a
+    # no-op (the log's txn stamps are the idempotence key)
+    di.delta_export_incremental(root, droot, checkpoint_every=2)
+    di.delta_export_incremental(root, droot, checkpoint_every=2)
     return di.delta_read(spark, droot)
 
 

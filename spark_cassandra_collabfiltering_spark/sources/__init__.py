@@ -65,6 +65,7 @@ from spark_cassandra_collabfiltering_spark.sources.proto_source import (
 from spark_cassandra_collabfiltering_spark.sources.delta_interop import (
     delta_count,
     delta_export,
+    delta_export_incremental,
     delta_import,
     delta_properties,
     delta_read,
@@ -142,6 +143,7 @@ __all__ = [
     "delta_read",
     "delta_count",
     "delta_export",
+    "delta_export_incremental",
     "delta_import",
     "delta_properties",
     "DeltaLogDataSource",

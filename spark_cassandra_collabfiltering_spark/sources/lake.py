@@ -782,6 +782,113 @@ class _TableState(typing.NamedTuple):
     row_hwm: int  # row-id high-water mark (never reused, monotone)
 
 
+class _ReplayCursor:
+    """Incremental replay: apply commits ONE at a time and snapshot
+    the state after any of them. ``_replay(root, v)`` is the one-shot
+    wrapper; whole-history walkers (delta_export's history mode) hold
+    a cursor instead, turning an O(V^2) re-replay-per-version loop
+    into a single O(V) pass. The application logic lives here ONCE —
+    the wrapper and the cursor can never disagree."""
+
+    def __init__(self, root: str, start_version: int = -1):
+        """Seed from the newest checkpoint at or below
+        ``start_version`` (pass -1 for a from-empty walk)."""
+        self.files: list[str] = []
+        self.txns: set[tuple] = set()
+        self.stats: dict = {}
+        self.fschema: dict = {}
+        self.dvs: list = []
+        self.parts: dict = {}
+        self.spec: list = []
+        self.constraints: dict = {}
+        self.generated: dict = {}
+        self.row_tracking = False
+        self.row_bases: dict = {}
+        self.row_hwm = 0
+        self._root = root
+        self.next_version = 0
+        cp = (
+            _latest_checkpoint(root, start_version)
+            if start_version >= 0
+            else None
+        )
+        if cp is not None:
+            self.files = list(cp["files"])
+            self.txns = {tuple(t) for t in cp["txns"]}
+            self.stats = dict(cp.get("stats", {}))
+            self.fschema = dict(cp.get("file_schemas", {}))
+            self.dvs = [tuple(d) for d in cp.get("dvs", [])]
+            self.parts = dict(cp.get("parts", {}))
+            self.spec = list(cp.get("spec", []))
+            self.constraints = dict(cp.get("constraints", {}))
+            self.generated = dict(cp.get("generated", {}))
+            self.row_tracking = bool(cp.get("row_tracking", False))
+            self.row_bases = dict(cp.get("row_bases", {}))
+            self.row_hwm = int(cp.get("row_hwm", 0))
+            self.next_version = cp["version"] + 1
+
+    def apply(self, c: dict) -> None:
+        """Apply one commit dict (the next version's)."""
+        self.files = _apply_commit(self.files, c)
+        self.stats.update(c.get("stats", {}))
+        self.parts.update(c.get("partitions", {}))
+        if "partition_by" in c:
+            self.spec = list(c["partition_by"])
+        if "constraints" in c:  # meta commits carry the FULL map
+            self.constraints = dict(c["constraints"])
+        if "generated" in c:  # creation/overwrite carries the FULL map
+            self.generated = dict(c["generated"])
+        if "row_tracking" in c:
+            self.row_tracking = bool(c["row_tracking"])
+        if "row_bases" in c:
+            self.row_bases.update(c["row_bases"])
+        if "row_hwm" in c:  # allocators stamp the new high-water mark
+            self.row_hwm = max(self.row_hwm, int(c["row_hwm"]))
+        if c["op"] == "overwrite":
+            # an overwrite (incl. RESTORE) defines a COMPLETE state:
+            # prior DVs belong to the replaced history, and must not
+            # re-attach just because a restore reuses file paths
+            self.dvs = []
+        if c["op"] == "dv":
+            self.dvs.append((list(c["files"]), list(c["dv_for"])))
+        if "schema" in c:
+            for f in c["files"]:
+                self.fschema[f] = c["schema"]
+        if "txn_app" in c:
+            self.txns.add((c["txn_app"], c["txn_run"]))
+        self.next_version += 1
+
+    def advance_to(self, version: int) -> None:
+        while self.next_version <= version:
+            self.apply(_read_commit(self._root, self.next_version))
+
+    def state(self) -> _TableState:
+        """A live-filtered snapshot of the current state (does not
+        mutate the cursor — keep advancing after)."""
+        live = set(self.files)
+        # a DV whose every target was rewritten (compact/merge/
+        # overwrite) is inert — its positions reference dead files
+        dvs = [
+            (sf, [t for t in tg if t in live])
+            for sf, tg in self.dvs
+            if set(tg) & live
+        ]
+        return _TableState(
+            list(self.files),
+            set(self.txns),
+            {f: s for f, s in self.stats.items() if f in live},
+            {f: s for f, s in self.fschema.items() if f in live},
+            dvs,
+            {f: p for f, p in self.parts.items() if f in live},
+            list(self.spec),
+            dict(self.constraints),
+            dict(self.generated),
+            self.row_tracking,
+            {f: b for f, b in self.row_bases.items() if f in live},
+            self.row_hwm,
+        )
+
+
 def _replay(root: str, version: int) -> _TableState:
     """State at ``version``: live file list, seen (app, run) txns,
     per-file min/max stats, the schema each live file was written
@@ -789,85 +896,9 @@ def _replay(root: str, version: int) -> _TableState:
     deletion vectors, and the partition layout (spec + per-file
     partition values). Starts from the newest checkpoint at or below
     ``version``."""
-    files: list[str] = []
-    txns: set[tuple] = set()
-    stats: dict = {}
-    fschema: dict = {}
-    dvs: list = []
-    parts: dict = {}
-    spec: list = []
-    constraints: dict = {}
-    generated: dict = {}
-    row_tracking = False
-    row_bases: dict = {}
-    row_hwm = 0
-    start = 0
-    cp = _latest_checkpoint(root, version)
-    if cp is not None:
-        files = list(cp["files"])
-        txns = {tuple(t) for t in cp["txns"]}
-        stats = dict(cp.get("stats", {}))
-        fschema = dict(cp.get("file_schemas", {}))
-        dvs = [tuple(d) for d in cp.get("dvs", [])]
-        parts = dict(cp.get("parts", {}))
-        spec = list(cp.get("spec", []))
-        constraints = dict(cp.get("constraints", {}))
-        generated = dict(cp.get("generated", {}))
-        row_tracking = bool(cp.get("row_tracking", False))
-        row_bases = dict(cp.get("row_bases", {}))
-        row_hwm = int(cp.get("row_hwm", 0))
-        start = cp["version"] + 1
-    for v in range(start, version + 1):
-        c = _read_commit(root, v)
-        files = _apply_commit(files, c)
-        stats.update(c.get("stats", {}))
-        parts.update(c.get("partitions", {}))
-        if "partition_by" in c:
-            spec = list(c["partition_by"])
-        if "constraints" in c:  # meta commits carry the FULL map
-            constraints = dict(c["constraints"])
-        if "generated" in c:  # creation/overwrite carries the FULL map
-            generated = dict(c["generated"])
-        if "row_tracking" in c:
-            row_tracking = bool(c["row_tracking"])
-        if "row_bases" in c:
-            row_bases.update(c["row_bases"])
-        if "row_hwm" in c:  # allocators stamp the new high-water mark
-            row_hwm = max(row_hwm, int(c["row_hwm"]))
-        if c["op"] == "overwrite":
-            # an overwrite (incl. RESTORE) defines a COMPLETE state:
-            # prior DVs belong to the replaced history, and must not
-            # re-attach just because a restore reuses file paths
-            dvs = []
-        if c["op"] == "dv":
-            dvs.append((list(c["files"]), list(c["dv_for"])))
-        if "schema" in c:
-            for f in c["files"]:
-                fschema[f] = c["schema"]
-        if "txn_app" in c:
-            txns.add((c["txn_app"], c["txn_run"]))
-    live = set(files)
-    # a DV whose every target was rewritten (compact/merge/overwrite)
-    # is inert — its row positions reference dead files
-    dvs = [
-        (sf, [t for t in tg if t in live])
-        for sf, tg in dvs
-        if set(tg) & live
-    ]
-    return _TableState(
-        files,
-        txns,
-        {f: s for f, s in stats.items() if f in live},
-        {f: s for f, s in fschema.items() if f in live},
-        dvs,
-        {f: p for f, p in parts.items() if f in live},
-        spec,
-        constraints,
-        generated,
-        row_tracking,
-        {f: b for f, b in row_bases.items() if f in live},
-        row_hwm,
-    )
+    cur = _ReplayCursor(root, start_version=version)
+    cur.advance_to(version)
+    return cur.state()
 
 
 def _txn_state(root: str, version: int) -> list[str]:

@@ -518,3 +518,84 @@ def test_delta_import_round_trips_rows_and_properties(spark, tmp_path):
                                   "id long, bucket long, v long"),
             back,
         )
+
+
+def test_incremental_export_drains_exactly_once(spark, tmp_path):
+    """delta_export_incremental: the continuous migration-out path.
+    Drain 1 full-exports; later drains append ONLY the new txn
+    commits; a repeated drain with nothing new is a byte-level no-op
+    (the txn stamps in the Delta log are the exactly-once key — same
+    contract shape as txn_cdc_sink's (app, epoch))."""
+    root = str(tmp_path / "t")
+    droot = str(tmp_path / "delta")
+    lake.txn_write(_d(spark, 0, 40).coalesce(2), root, stats_cols=["id"])
+
+    v1 = di.delta_export_incremental(root, droot)
+    assert v1 == 0 and di.delta_latest_version(droot) == 0
+    assert _rows(di.delta_read(spark, droot)) == _rows(
+        lake.txn_read(spark, root)
+    )
+
+    # nothing new -> no-op, log untouched
+    log_bytes = open(di._commit_path(droot, 0), "rb").read()
+    assert di.delta_export_incremental(root, droot) == 0
+    assert open(di._commit_path(droot, 0), "rb").read() == log_bytes
+
+    # two more txn commits: append + a DV delete (which also forces a
+    # PROTOCOL UPGRADE — the original export had no DV feature)
+    lake.txn_write(_d(spark, 100, 120).coalesce(1), root)
+    lake.txn_delete_dv(
+        spark, root, spark.range(0, 7).select("id"), ["id"]
+    )
+    v2 = di.delta_export_incremental(root, droot)
+    assert v2 == 2 and di.delta_latest_version(droot) == 2
+    assert _rows(di.delta_read(spark, droot)) == _rows(
+        lake.txn_read(spark, root)
+    )
+    # version-for-version time travel still holds across the seam
+    for v in (0, 1, 2):
+        assert _rows(di.delta_read(spark, droot, version=v)) == _rows(
+            lake.txn_read(spark, root, version=v)
+        )
+    # the upgrade action landed in the first NEW commit
+    acts = [json.loads(line) for line in open(di._commit_path(droot, 1))]
+    protos = [a["protocol"] for a in acts if a.get("protocol")]
+    assert protos and "deletionVectors" in protos[0]["readerFeatures"]
+
+    # drain again immediately (the crash-retry shape): no-op
+    assert di.delta_export_incremental(root, droot) == 2
+
+    # a third batch drains on top of the resumed state
+    lake.txn_write(_d(spark, 200, 205).coalesce(1), root)
+    assert di.delta_export_incremental(root, droot) == 3
+    assert _rows(di.delta_read(spark, droot)) == _rows(
+        lake.txn_read(spark, root)
+    )
+
+
+def test_incremental_export_resumes_overwrite_and_compact(spark, tmp_path):
+    """Operations that REMOVE prior files must resolve their rel paths
+    across the drain seam (the rebuilt txn-file -> exported-path map):
+    an overwrite and a compaction landed AFTER the first drain remove
+    the files the first drain exported."""
+    root = str(tmp_path / "t")
+    droot = str(tmp_path / "delta")
+    lake.txn_write(_d(spark, 0, 30).coalesce(3), root, stats_cols=["id"])
+    di.delta_export_incremental(root, droot)
+    lake.txn_write(_d(spark, 50, 60).coalesce(2), root)  # v1
+    lake.txn_compact(spark, root)                        # v2: removes all
+    lake.txn_write(_d(spark, 70, 75).coalesce(1), root,  # v3: overwrite
+                   mode="overwrite")
+    di.delta_export_incremental(root, droot)
+    assert _rows(di.delta_read(spark, droot)) == _rows(
+        lake.txn_read(spark, root)
+    )
+    for v in (1, 2, 3):
+        assert _rows(di.delta_read(spark, droot, version=v)) == _rows(
+            lake.txn_read(spark, root, version=v)
+        )
+    # the foreign-log adoption refusal is loud
+    alien = str(tmp_path / "alien")
+    di.delta_export(root, alien, snapshot=True)
+    with pytest.raises(ValueError, match="txn stamps"):
+        di.delta_export_incremental(root, alien)
