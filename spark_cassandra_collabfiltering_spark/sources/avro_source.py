@@ -260,6 +260,325 @@ def _make_reader(schema) -> "tuple[T.DataType, object]":
     return _prim(t)  # {"type": "long"} wrapper form
 
 
+# ---------------------------------------------------------------------------
+# schema RESOLUTION (the spec's "Schema Resolution" section): decode
+# WRITER bytes into READER shape — field matching by name or alias,
+# reader-only fields filled from their defaults, writer-only fields
+# decoded and discarded, numeric promotions (int->long/float/double,
+# long->float/double, float->double) and string<->bytes, unions by
+# first-match, enums falling back to the reader's default symbol.
+# Everything unresolvable refuses loudly at BUILD time (never a
+# misdecoded row); per-datum branch mismatches raise at decode and
+# quarantine through the normal corrupt-block path.
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+_PRIM_NAMES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes",
+    "string",
+}
+
+
+def _tname(s) -> str:
+    if isinstance(s, str):
+        return s
+    if isinstance(s, list):
+        return "union"
+    return s["type"]
+
+
+def _has_logical(s) -> bool:
+    return isinstance(s, dict) and "logicalType" in s
+
+
+def _names_match(w: dict, r: dict) -> bool:
+    """Named types match on equal name or the reader aliasing the
+    writer's name (short-name comparison; namespaces in this repo's
+    fixtures are unused)."""
+    wn, rn = w.get("name"), r.get("name")
+    if wn is None or rn is None or wn == rn:
+        return True
+    return wn in (r.get("aliases") or ())
+
+
+def _resolves(w, r) -> bool:
+    """Shallow can-this-pair-resolve check (union branch selection)."""
+    wn, rn = _tname(w), _tname(r)
+    if wn == "union" or rn == "union":
+        return True  # handled structurally by _make_resolver
+    if wn in _PRIM_NAMES and rn in _PRIM_NAMES:
+        return wn == rn or rn in _PROMOTIONS.get(wn, ())
+    if wn != rn:
+        return False
+    if wn in ("record", "enum", "fixed"):
+        return _names_match(w, r)
+    return True  # array/map/wrapped prim: recursion decides
+
+
+def _default_value(r, d):
+    """A reader field's JSON default as the python value decode would
+    produce. Union defaults type against the FIRST branch (spec)."""
+    if isinstance(r, list):
+        return None if d is None else _default_value(r[0], d)
+    tn = _tname(r)
+    if _has_logical(r):
+        log = _logical(r)
+        if log is not None and r.get("logicalType") == "date":
+            return _EPOCH + datetime.timedelta(days=int(d))
+        raise ValueError(
+            f"unsupported default for logical type {r!r}"
+        )
+    if tn == "null":
+        return None
+    if tn == "bytes" or tn == "fixed":
+        # the spec encodes byte defaults as codepoints 0-255
+        return d.encode("latin-1") if isinstance(d, str) else bytes(d)
+    if tn in ("int", "long"):
+        return int(d)
+    if tn in ("float", "double"):
+        return float(d)
+    if tn == "boolean":
+        return bool(d)
+    if tn in ("string", "enum"):
+        return d
+    if tn == "array":
+        return [_default_value(r["items"], x) for x in d]
+    if tn == "map":
+        return {k: _default_value(r["values"], v) for k, v in d.items()}
+    if tn == "record":
+        return {
+            f["name"]: _default_value(f["type"], d.get(f["name"], f.get("default")))
+            for f in r["fields"]
+        }
+    raise ValueError(f"unsupported default for reader type {r!r}")
+
+
+def _make_skip(s):
+    """A discard decoder (None, p) for writer-only fields — handles
+    ANY union shape, since a skipped field never becomes a column."""
+    if isinstance(s, list):
+        subs = [_make_skip(b) for b in s]
+
+        def sku(buf, p):
+            i, p = _read_long(buf, p)
+            if not 0 <= i < len(subs):
+                raise ValueError(f"union index {i} out of range")
+            return subs[i](buf, p)
+
+        return sku
+    _dt, rd = _make_reader(s)
+
+    def sk(buf, p):
+        _v, p = rd(buf, p)
+        return None, p
+
+    return sk
+
+
+def _make_resolver(w, r):
+    """(Spark type, decoder) that reads WRITER-encoded bytes and
+    yields READER-shaped values."""
+    if json.dumps(w, sort_keys=True) == json.dumps(r, sort_keys=True):
+        return _make_reader(r)  # identical subtree: plain decode
+    wn, rn = _tname(w), _tname(r)
+
+    # writer union: decode the branch index, then resolve that branch
+    if isinstance(w, list):
+        if isinstance(r, list):
+            dt, _ = _make_reader(r)  # enforces the [null, T] column rule
+
+            def branch_resolver(b):
+                for rb in r:
+                    if _resolves(b, rb):
+                        return _make_resolver(b, rb)[1]
+                return None
+        else:
+            dt, _ = _make_reader(r) if rn != "null" else (T.NullType(), None)
+
+            def branch_resolver(b):
+                return (
+                    _make_resolver(b, r)[1] if _resolves(b, r) else None
+                )
+
+        rds = [branch_resolver(b) for b in w]
+        if all(x is None for x in rds):
+            raise ValueError(f"no writer branch of {w!r} resolves to {r!r}")
+
+        def ru(buf, p):
+            idx, p = _read_long(buf, p)
+            if not 0 <= idx < len(rds):
+                raise ValueError(f"union index {idx} out of range")
+            rd = rds[idx]
+            if rd is None:
+                raise ValueError(
+                    f"writer branch {w[idx]!r} does not resolve to reader"
+                )
+            return rd(buf, p)
+
+        return dt, ru
+
+    # reader union, writer not: the writer value types against the
+    # first resolvable reader branch
+    if isinstance(r, list):
+        dt, _ = _make_reader(r)
+        for rb in r:
+            if _resolves(w, rb):
+                _dt2, rd = _make_resolver(w, rb)
+                return dt, rd
+        raise ValueError(f"writer {w!r} resolves to no branch of {r!r}")
+
+    if _has_logical(w) or _has_logical(r):
+        raise ValueError(
+            f"cannot resolve differing logical types {w!r} -> {r!r}"
+        )
+
+    if wn in _PRIM_NAMES and rn in _PRIM_NAMES:
+        rdt, _rrd = _make_reader(rn)
+        _wdt, wrd = _make_reader(wn)
+        if wn == rn:
+            return rdt, wrd
+        if rn not in _PROMOTIONS.get(wn, ()):
+            raise ValueError(f"no promotion {wn} -> {rn}")
+        if wn == "string" and rn == "bytes":
+            conv = lambda v: v.encode("utf-8")  # noqa: E731
+        elif wn == "bytes" and rn == "string":
+            conv = lambda v: v.decode("utf-8")  # noqa: E731
+        elif rn in ("float", "double"):
+            conv = float
+        else:  # int -> long
+            conv = int
+
+        def rp(buf, p):
+            v, p = wrd(buf, p)
+            return conv(v), p
+
+        return rdt, rp
+
+    if wn != rn:
+        raise ValueError(f"cannot resolve {wn} -> {rn}")
+    if wn in ("record", "enum", "fixed") and not _names_match(w, r):
+        raise ValueError(
+            f"named types do not match: {w.get('name')} -> "
+            f"{r.get('name')} (no alias)"
+        )
+
+    if wn == "record":
+        rfields = list(r["fields"])
+        by_name = {f["name"]: f for f in rfields}
+        for f in rfields:
+            for a in f.get("aliases") or ():
+                by_name.setdefault(a, f)
+        steps = []  # (reader field name | None, decoder)
+        matched = set()
+        for wf in w["fields"]:
+            rf = by_name.get(wf["name"])
+            if rf is None or id(rf) in matched:
+                steps.append((None, _make_skip(wf["type"])))
+            else:
+                matched.add(id(rf))
+                _dt, rd = _make_resolver(wf["type"], rf["type"])
+                steps.append((rf["name"], rd))
+        defaults = {}
+        for rf in rfields:
+            if id(rf) not in matched:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} missing from "
+                        "writer and has no default"
+                    )
+                defaults[rf["name"]] = _default_value(
+                    rf["type"], rf["default"]
+                )
+        dts = [_make_reader(f["type"])[0] for f in rfields]
+        stype = T.StructType(
+            [
+                T.StructField(f["name"], dt, True)
+                for f, dt in zip(rfields, dts)
+            ]
+        )
+
+        def rr(buf, p):
+            out = dict(defaults)
+            for name, rd in steps:
+                v, p = rd(buf, p)
+                if name is not None:
+                    out[name] = v
+            return out, p
+
+        return stype, rr
+
+    if wn == "enum":
+        wsyms = list(w["symbols"])
+        rsyms = set(r["symbols"])
+        fallback = r.get("default")
+
+        def re_(buf, p):
+            i, p = _read_long(buf, p)
+            if not 0 <= i < len(wsyms):
+                raise ValueError(f"enum index {i} out of range")
+            s = wsyms[i]
+            if s in rsyms:
+                return s, p
+            if fallback is not None:
+                return fallback, p
+            raise ValueError(
+                f"writer enum symbol {s!r} absent from reader (no default)"
+            )
+
+        return T.StringType(), re_
+
+    if wn == "fixed":
+        if int(w["size"]) != int(r["size"]):
+            raise ValueError("fixed sizes differ")
+        return _make_reader(r)
+
+    if wn == "array":
+        idt, ird = _make_resolver(w["items"], r["items"])
+
+        def ra(buf, p):
+            out = []
+            while True:
+                n, p = _read_long(buf, p)
+                if n == 0:
+                    return out, p
+                if n < 0:
+                    n = -n
+                    _sz, p = _read_long(buf, p)
+                for _ in range(n):
+                    v, p = ird(buf, p)
+                    out.append(v)
+
+        return T.ArrayType(idt, True), ra
+
+    if wn == "map":
+        vdt, vrd = _make_resolver(w["values"], r["values"])
+
+        def rm(buf, p):
+            out = {}
+            while True:
+                n, p = _read_long(buf, p)
+                if n == 0:
+                    return out, p
+                if n < 0:
+                    n = -n
+                    _sz, p = _read_long(buf, p)
+                for _ in range(n):
+                    kraw, p = _read_len_bytes(buf, p)
+                    v, p = vrd(buf, p)
+                    out[kraw.decode("utf-8")] = v
+
+        return T.MapType(T.StringType(), vdt, True), rm
+
+    # wrapped primitive dicts ({"type": "long"}) recurse as names
+    return _make_resolver(wn, rn)
+
+
 def avro_spark_schema(schema_json: str) -> T.StructType:
     """The Spark schema an Avro container's rows decode to (top-level
     record required), plus the ingest bookkeeping columns."""
@@ -295,7 +614,10 @@ def _read_meta_map(buf: bytes, p: int) -> "tuple[dict, int]":
 
 
 def parse_avro_bytes(
-    data: bytes, file: str = "", schema_json: "str | None" = None
+    data: bytes,
+    file: str = "",
+    schema_json: "str | None" = None,
+    reader_schema_json: "str | None" = None,
 ) -> Iterator[dict]:
     """Walk one container's bytes. Clean rows carry the record fields;
     corrupt blocks quarantine in-band (one row, fields None,
@@ -304,7 +626,11 @@ def parse_avro_bytes(
     scan decodes every file under the FIRST file's schema so the
     output is one uniform frame; a file whose own schema diverges
     fails its blocks' decode and quarantines — never silently
-    misdecoded)."""
+    misdecoded). ``reader_schema_json`` instead RESOLVES each file's
+    own writer schema to the given reader schema per the spec's
+    resolution rules (aliases, defaults, promotions) — the
+    schema-evolution read path; an unresolvable file quarantines
+    whole (``bad_schema``), never misdecodes."""
     def bad(reason: str) -> dict:
         return {"file": file, "corrupt_reason": reason}
 
@@ -323,8 +649,15 @@ def parse_avro_bytes(
     sj = schema_json or meta.get("avro.schema", b"").decode("utf-8")
     try:
         schema = json.loads(sj)
-        _dt, reader = _make_reader(schema)
-        field_names = [f["name"] for f in schema["fields"]]
+        if reader_schema_json is not None:
+            # schema-evolution path: decode WRITER bytes (the file's
+            # own schema) into the READER shape via spec resolution.
+            rschema = json.loads(reader_schema_json)
+            _dt, reader = _make_resolver(schema, rschema)
+            field_names = [f["name"] for f in rschema["fields"]]
+        else:
+            _dt, reader = _make_reader(schema)
+            field_names = [f["name"] for f in schema["fields"]]
     except (ValueError, KeyError) as exc:
         yield bad(f"bad_schema:{exc}")
         return
@@ -370,27 +703,43 @@ def parse_avro_bytes(
 
 
 def read_avro(
-    spark: SparkSession, path: str, schema_json: "str | None" = None
+    spark: SparkSession,
+    path: str,
+    schema_json: "str | None" = None,
+    reader_schema_json: "str | None" = None,
 ) -> DataFrame:
     """Read Avro container file(s) into rows, file-parallel: the
     binaryFile scan distributes whole files across tasks, decoding is
     Arrow-batched ``mapInPandas`` inside each task, corrupt blocks
     quarantine in-band. The driver peeks ONE header for the schema
     (or takes ``schema_json``); every file decodes under that schema
-    so the frame is uniform."""
+    so the frame is uniform. ``reader_schema_json`` instead applies
+    the spec's schema-resolution rules per FILE: each container's own
+    writer schema is resolved to the given reader schema (aliases,
+    defaults, numeric promotions), so a lake written across schema
+    versions reads as one reader-shaped frame; a file that cannot
+    resolve quarantines whole rather than misdecoding."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
-    if schema_json is None:
-        head = files.select("path", "content").first()
-        if head is None:
-            raise FileNotFoundError(f"no files match {path}")
-        blob = bytes(head["content"])
-        if not blob.startswith(MAGIC):
-            raise ValueError(f"{head['path']} is not an Avro container")
-        meta, _p = _read_meta_map(blob, len(MAGIC))
-        schema_json = meta["avro.schema"].decode("utf-8")
-    out_schema = avro_spark_schema(schema_json)
+    if reader_schema_json is not None:
+        if schema_json is not None:
+            raise ValueError(
+                "pass schema_json (uniform decode) OR reader_schema_json "
+                "(per-file resolution), not both"
+            )
+        out_schema = avro_spark_schema(reader_schema_json)
+    else:
+        if schema_json is None:
+            head = files.select("path", "content").first()
+            if head is None:
+                raise FileNotFoundError(f"no files match {path}")
+            blob = bytes(head["content"])
+            if not blob.startswith(MAGIC):
+                raise ValueError(f"{head['path']} is not an Avro container")
+            meta, _p = _read_meta_map(blob, len(MAGIC))
+            schema_json = meta["avro.schema"].decode("utf-8")
+        out_schema = avro_spark_schema(schema_json)
     cols = [f.name for f in out_schema.fields]
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -399,7 +748,10 @@ def read_avro(
                 r
                 for f, blob in zip(pdf["path"], pdf["content"])
                 for r in parse_avro_bytes(
-                    bytes(blob), file=str(f), schema_json=schema_json
+                    bytes(blob),
+                    file=str(f),
+                    schema_json=schema_json,
+                    reader_schema_json=reader_schema_json,
                 )
             ]
             yield pd.DataFrame(rows, columns=cols)

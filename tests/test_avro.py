@@ -214,3 +214,180 @@ def test_decimal_logical_type_round_trips(spark, tmp_path):
     assert got[2]["amt"] == Decimal("-0.03")
     assert got[2]["fx"] == Decimal("123456.7890")
     assert dict(av.read_avro(spark, p).dtypes)["amt"] == "decimal(12,2)"
+
+
+# ---------------------------------------------------------------------------
+# schema RESOLUTION (r9, VERDICT r8 missing #4): reader-schema reads
+# over writer-schema bytes per the spec's resolution rules — the three
+# mandated ways (aliases, reader defaults, numeric promotions) plus
+# union/enum edge semantics and the refuse-loudly contract.
+# ---------------------------------------------------------------------------
+
+V1_WRITER = {
+    "type": "record", "name": "cust",
+    "fields": [
+        {"name": "ck", "type": "int"},
+        {"name": "name", "type": "string"},
+        {"name": "bal", "type": "float"},
+        {"name": "legacy", "type": "string"},  # writer-only: skipped
+    ],
+}
+V2_WRITER = {
+    "type": "record", "name": "cust",
+    "fields": [
+        {"name": "ck", "type": "long"},
+        {"name": "full_name", "type": "string"},
+        {"name": "bal", "type": "double"},
+        {"name": "seg", "type": ["null", "string"]},
+        {"name": "gen", "type": "int"},
+    ],
+}
+READER = {
+    "type": "record", "name": "cust",
+    "fields": [
+        {"name": "ck", "type": "long"},                      # int -> long
+        {"name": "full_name", "type": "string",
+         "aliases": ["name"]},                               # alias rename
+        {"name": "bal", "type": "double"},                   # float -> double
+        {"name": "seg", "type": ["null", "string"],
+         "default": None},                                   # reader default
+        {"name": "gen", "type": "int", "default": 1},        # reader default
+    ],
+}
+
+
+def test_resolution_aliases_defaults_promotions_across_versions(
+    spark, tmp_path
+):
+    """A lake written under TWO schema versions reads as one
+    reader-shaped frame: v1 rows fill defaults (seg NULL, gen 1) and
+    promote int->long / float->double through the alias; v2 rows pass
+    through; the writer-only 'legacy' field is decoded-and-discarded."""
+    v1 = [{"ck": i, "name": f"c{i}", "bal": i * 0.25, "legacy": "x"}
+          for i in range(0, 40, 2)]
+    v2 = [{"ck": i, "full_name": f"c{i}", "bal": i * 0.25,
+           "seg": None if i % 5 == 0 else f"s{i % 3}", "gen": 2}
+          for i in range(1, 40, 2)]
+    av.write_avro(v1, V1_WRITER, str(tmp_path / "v1.avro"), codec="deflate")
+    av.write_avro(v2, V2_WRITER, str(tmp_path / "v2.avro"))
+    got = av.read_avro(
+        spark, str(tmp_path), reader_schema_json=json.dumps(READER)
+    )
+    clean, bad = av.split_corrupt(got)
+    assert bad.isEmpty()
+    rows = {r["ck"]: r for r in clean.collect()}
+    assert len(rows) == 40
+    assert rows[4]["full_name"] == "c4" and rows[4]["gen"] == 1
+    assert rows[4]["seg"] is None
+    # float32 round-trip, then promoted: exactly float(struct('<f'))
+    assert rows[6]["bal"] == struct.unpack("<f", struct.pack("<f", 1.5))[0]
+    assert rows[7]["full_name"] == "c7" and rows[7]["gen"] == 2
+    assert rows[7]["seg"] == "s1" and rows[5]["seg"] is None
+    assert "legacy" not in clean.columns
+    assert dict(clean.dtypes)["ck"] == "bigint"
+    assert dict(clean.dtypes)["bal"] == "double"
+
+
+def test_resolution_enum_fallback_and_nested_array_promotion(tmp_path):
+    writer = {
+        "type": "record", "name": "e",
+        "fields": [
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["A", "B", "OLD"]}},
+            {"name": "tags", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "e",
+        "fields": [
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["A", "B"],
+                                      "default": "A"}},
+            {"name": "tags", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    p = str(tmp_path / "e.avro")
+    av.write_avro(
+        [{"kind": "OLD", "tags": [1, 2]}, {"kind": "B", "tags": []}],
+        writer, p,
+    )
+    out = list(av.parse_avro_bytes(
+        open(p, "rb").read(), reader_schema_json=json.dumps(reader)
+    ))
+    assert [r["corrupt_reason"] for r in out] == [None, None]
+    assert out[0]["kind"] == "A" and out[0]["tags"] == [1, 2]
+    assert out[1]["kind"] == "B"
+
+
+def test_resolution_string_bytes_both_ways(tmp_path):
+    for wt, rt, want in (("string", "bytes", b"hi"), ("bytes", "string",
+                                                      "hi")):
+        writer = {"type": "record", "name": "r",
+                  "fields": [{"name": "v", "type": wt}]}
+        reader = {"type": "record", "name": "r",
+                  "fields": [{"name": "v", "type": rt}]}
+        p = str(tmp_path / f"{wt}.avro")
+        av.write_avro(
+            [{"v": "hi" if wt == "string" else b"hi"}], writer, p
+        )
+        out = list(av.parse_avro_bytes(
+            open(p, "rb").read(), reader_schema_json=json.dumps(reader)
+        ))
+        assert out[0]["corrupt_reason"] is None
+        assert out[0]["v"] == want
+
+
+def test_resolution_writer_union_collapses_to_reader_branch(tmp_path):
+    """Writer [null,string] read as plain string: rows whose datum is
+    the string branch decode; a block carrying the null branch
+    quarantines at decode (never a misdecoded value)."""
+    writer = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": ["null", "string"]}]}
+    reader = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "string"}]}
+    ok = str(tmp_path / "ok.avro")
+    av.write_avro([{"v": "a"}, {"v": "b"}], writer, ok)
+    out = list(av.parse_avro_bytes(
+        open(ok, "rb").read(), reader_schema_json=json.dumps(reader)
+    ))
+    assert [r["v"] for r in out] == ["a", "b"]
+    nul = str(tmp_path / "nul.avro")
+    av.write_avro([{"v": None}], writer, nul)
+    out = list(av.parse_avro_bytes(
+        open(nul, "rb").read(), reader_schema_json=json.dumps(reader)
+    ))
+    assert len(out) == 1 and "corrupt_block" in out[0]["corrupt_reason"]
+
+
+def test_resolution_unresolvable_quarantines_whole_file(tmp_path):
+    writer = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "string"}]}
+    p = str(tmp_path / "w.avro")
+    av.write_avro([{"v": "x"}], writer, p)
+    blob = open(p, "rb").read()
+    # reader-only field with NO default: build-time refusal
+    r1 = {"type": "record", "name": "r",
+          "fields": [{"name": "v", "type": "string"},
+                     {"name": "extra", "type": "long"}]}
+    out = list(av.parse_avro_bytes(
+        blob, reader_schema_json=json.dumps(r1)
+    ))
+    assert len(out) == 1 and "bad_schema" in out[0]["corrupt_reason"]
+    # incompatible type (string -> long): build-time refusal
+    r2 = {"type": "record", "name": "r",
+          "fields": [{"name": "v", "type": "long"}]}
+    out = list(av.parse_avro_bytes(
+        blob, reader_schema_json=json.dumps(r2)
+    ))
+    assert len(out) == 1 and "bad_schema" in out[0]["corrupt_reason"]
+
+
+def test_resolution_rejects_both_schema_args(spark, tmp_path):
+    p = str(tmp_path / "x.avro")
+    av.write_avro(_rows(3), SCHEMA, p)
+    with pytest.raises(ValueError, match="not both"):
+        av.read_avro(
+            spark, p,
+            schema_json=json.dumps(SCHEMA),
+            reader_schema_json=json.dumps(SCHEMA),
+        )
