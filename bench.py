@@ -86,6 +86,13 @@ HEADLINE = [
     # deterministic 25% user draw, exact-oracled. Totals widen BY
     # CONSTRUCTION; the legacy subtotals stay the comparables.
     "cf_ndcg_itemknn_sub",
+    # r9 adds the Zipfian-vocabulary ppjoin arm (VERDICT r8 #6): the
+    # dedup_ppjoin series is output-bound on the dense shared-vocab
+    # corpus (sf1 answer grows 544×), so this twin runs the IDENTICAL
+    # operator on a sparse-duplicate corpus with linear true-pair
+    # growth — the series that measures the algorithm. Totals widen
+    # BY CONSTRUCTION; the legacy subtotals stay the comparables.
+    "dedup_ppjoin_zipf",
 ]
 
 
