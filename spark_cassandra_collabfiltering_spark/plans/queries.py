@@ -9281,7 +9281,8 @@ _ZIPF_TOKEN_HASH_T = (
     f"""WITH tok AS (
           SELECT doc_id, u.i AS i,
                  ({_ZIPF_TOKEN_HASH_T.format(I="u.i")}) AS h
-          FROM documents, LATERAL unnest(range(0, 32)) u(i)),
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 50 < 10) d,
+               LATERAL unnest(range(0, 32)) u(i)),
         z AS (
           SELECT doc_id,
                  string_agg('w' || CAST(CASE WHEN h % 8 = 0
@@ -9308,10 +9309,14 @@ _ZIPF_TOKEN_HASH_T = (
     "exact prefix+size+positional+tiered-verify operator as "
     "dedup_ppjoin, driven by a deterministic two-tier Zipf text "
     "derivation over doc_id (hot 32-word head shared by every doc, 1M "
-    "uniform tail, planted 3-member near-dup groups every 10 ids — "
-    "see _ZIPF_TOKEN_HASH). True pairs grow LINEARLY (3 per 10 docs: "
-    "exactly 150 at 500 docs, sf0.01), planted Jaccard >= 0.63 vs a "
-    "background ceiling of 0.375, so the tracked sf0.1 -> sf1 series "
+    "uniform tail, planted 3-member near-dup groups — see "
+    "_ZIPF_TOKEN_HASH) on a 20% subset chosen to keep the planted "
+    "triples INTACT (doc_id % 50 < 10; the other baselines' % 5 "
+    "subset would split every group), the same input size as "
+    "dedup_ppjoin's subset so the two series compare corpus shapes "
+    "at equal N. True pairs grow LINEARLY (one triple = 3 pairs per "
+    "50 ids), planted Jaccard >= 0.63 vs a "
+    "background ceiling of ~0.375, so the tracked sf0.1 -> sf1 series "
     "measures the ALGORITHM on a realistic sparse-duplicate corpus "
     "while dedup_ppjoin's dense shared-vocab corpus stays as the "
     "stress pin. The oracle replays the identical integer-only text "
@@ -9323,7 +9328,16 @@ _ZIPF_TOKEN_HASH_T = (
     "the planted-group structure.",
 )
 def q_dedup_ppjoin_zipf(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # 20% subset that keeps planted triples INTACT (ids {50m, 50m+1,
+    # 50m+2} all satisfy doc_id % 50 < 10 — the %5 subset used by the
+    # other dedup baselines would split every group): same input size
+    # as dedup_ppjoin's subset, so the two tracked series compare the
+    # corpus shapes at equal N.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 < 10)
+        .select("doc_id")
+    )
     z = docs.withColumn(
         "text",
         F.expr(
@@ -10514,6 +10528,72 @@ def q_proto_ingest(spark, sf_dir):
         F.col("meta.nation").alias("nation"),
         F.element_at("flags", 1).alias("f1"),
         F.element_at("flags", 2).alias("f2"),
+    )
+
+
+@register(
+    "orc_ingest",
+    """SELECT p_partkey, p_name,
+              CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+              CASE WHEN p_partkey % 7 <> 0 THEN p_brand END AS brand,
+              (DATE '1994-01-01' + (p_partkey % 800)::INT)::VARCHAR AS d,
+              (p_partkey % 4)::INT AS pbucket
+       FROM part WHERE p_partkey % 4 <> 3""",
+    "ORC ingest/egress through Spark's NATIVE columnar ORC support "
+    "(r9 — unlike Avro/protobuf, ORC needs no external jar: the "
+    "reader/writer ship inside the Spark distribution, so the "
+    "idiomatic move is the built-in format, not a from-scratch "
+    "decoder): the part table is derived into a typed frame (decimal, "
+    "nullable string, date, int partition key), written as a "
+    "zstd-compressed hive-partitioned ORC layout DISTRIBUTED (no "
+    "driver fixture collect — egress and ingest are both executor- "
+    "parallel, the difference from the container formats), and read "
+    "back with a partition filter. The oracle recomputes the frame "
+    "in closed form from the raw table, so the hash match proves the "
+    "write->read round trip is value-exact across the decimal/date/ "
+    "null semantics AND that the excluded partition never leaks. "
+    "tests/test_orc.py pins the scale contracts: predicate pushdown "
+    "reaches the ORC scan (PushedFilters in the plan), partition "
+    "pruning reads only matching directories, schema-merge reads "
+    "across evolved file schemas, and type round-trips (timestamp, "
+    "array, struct, binary, both zstd and snappy). At 100 TB: ORC "
+    "lakes are the Hive-ecosystem counterpart of parquet; stripe "
+    "stats + pushdown + partition pruning give the same "
+    "scan-minimization story as the parquet path.",
+)
+def q_orc_ingest(spark, sf_dir):
+    import tempfile
+
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        F.when(F.col("p_partkey") % 7 != 0, F.col("p_brand")).alias("brand"),
+        F.date_add(
+            F.lit("1994-01-01").cast("date"),
+            (F.col("p_partkey") % 800).cast("int"),
+        ).alias("d"),
+        (F.col("p_partkey") % 4).cast("int").alias("pbucket"),
+    )
+    work = tempfile.mkdtemp(prefix="orc_q_")
+    (
+        base.write.format("orc")
+        .option("compression", "zstd")
+        .partitionBy("pbucket")
+        .mode("overwrite")
+        .save(work)
+    )
+    back = spark.read.format("orc").load(work).filter(F.col("pbucket") != 3)
+    return back.select(
+        "p_partkey",
+        "p_name",
+        # the ORC file CARRIES the decimal (round-trip pinned in
+        # tests/test_orc.py); the driver compare wants a hashable
+        # numeric kind, so surface it as double on both sides
+        F.col("price").cast("double").alias("price"),
+        "brand",
+        F.col("d").cast("string").alias("d"),
+        F.col("pbucket").cast("int").alias("pbucket"),
     )
 
 
