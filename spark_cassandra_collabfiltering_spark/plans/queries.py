@@ -10601,12 +10601,18 @@ def q_orc_ingest(spark, sf_dir):
     "iceberg_interop",
     """SELECT o_orderkey, o_custkey, o_orderpriority
        FROM orders WHERE o_orderkey % 9 <> 4""",
-    "Read-only Apache Iceberg interop (r8): the query commits an "
-    "orders snapshot to the native txn lake, lands a tombstone batch "
-    "as an RLE deletion vector, exports the state as a REAL Iceberg "
-    "v2 table — metadata json + version-hint, manifest list and "
-    "manifest written through the repo's own from-scratch Avro "
-    "ENCODER, data files copied, the deletion vector converted to a "
+    "Read-only Apache Iceberg interop (r8; r9 drives the INCREMENTAL "
+    "export): the query commits an orders snapshot to the native txn "
+    "lake and exports it via iceberg_export_incremental (drain 1), "
+    "lands a tombstone batch as an RLE deletion vector and drains "
+    "again — appending ONE Iceberg snapshot whose summary carries the "
+    "exported txn version (Iceberg's string-map, the same exactly-"
+    "once role as Delta's txn action) — plus an idempotent retry "
+    "drain that must land nothing. The result is a REAL Iceberg v2 "
+    "table — metadata json + version-hint, manifest list and "
+    "manifests written through the repo's own from-scratch Avro "
+    "ENCODER (carried files as EXISTING entries keeping their "
+    "original sequence numbers), the deletion vector converted to a "
     "v2 POSITION-DELETE parquet file — then returns iceberg_read of "
     "that tree: metadata resolve -> manifest-list Avro decode -> "
     "manifest Avro decode -> one parquet scan of exactly the live "
@@ -10632,17 +10638,25 @@ def q_iceberg_interop(spark, sf_dir):
     )
     work = tempfile.mkdtemp(prefix="iceberg_q_")
     root = work + "/t"
+    iroot = work + "/ice"
     lake.txn_write(
         base.repartitionByRange(4, "o_orderkey"), root,
         stats_cols=["o_orderkey"],
     )
+    # drain 1: full export of the snapshot (r9: the export is the
+    # INCREMENTAL path — the exported txn version rides in the
+    # snapshot summary, Iceberg's own string-map, so retries land
+    # nothing twice)
+    ice.iceberg_export_incremental(root, iroot)
     lake.txn_delete_dv(
         spark, root,
         base.filter(F.col("o_orderkey") % 9 == 4).select("o_orderkey"),
         ["o_orderkey"],
     )
-    iroot = work + "/ice"
-    ice.iceberg_export(root, iroot)
+    # drain 2: exactly the DV commit, appended as snapshot 2 — plus
+    # an idempotent retry drain that must land nothing
+    ice.iceberg_export_incremental(root, iroot)
+    ice.iceberg_export_incremental(root, iroot)
     return ice.iceberg_read(spark, iroot)
 
 

@@ -78,6 +78,7 @@ from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
 from spark_cassandra_collabfiltering_spark.sources.iceberg_interop import (
     iceberg_count,
     iceberg_export,
+    iceberg_export_incremental,
     iceberg_import,
     iceberg_read,
 )
@@ -152,5 +153,6 @@ __all__ = [
     "iceberg_read",
     "iceberg_count",
     "iceberg_export",
+    "iceberg_export_incremental",
     "iceberg_import",
 ]

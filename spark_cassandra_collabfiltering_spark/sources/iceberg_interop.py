@@ -37,6 +37,12 @@ avro_source.py), with no Iceberg jar or library:
   their partition column restored, since Iceberg files must contain
   every column) and active RLE deletion vectors convert to v2
   position-delete parquet files.
+- :func:`iceberg_export_incremental` (r9) — CONTINUOUS export: one
+  appended Iceberg snapshot per new txn commit, exactly-once on the
+  snapshot summary's ``txnlake-export-version`` stamp; carried files
+  enter fresh manifests as EXISTING entries keeping their original
+  sequence numbers, so the exported history time-travels. Refuses to
+  adopt unstamped tables and to append across a schema change.
 
 Refusal posture (never misread): format-version > 2, ORC/Avro data
 files, and non-identity partition transforms in the EXPORT direction
@@ -587,6 +593,73 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+def _materialize_data_file(
+    src: str, schema, mapping: dict, parts: dict, ice_root: str, rel: str
+) -> "tuple[int, int]":
+    """Rewrite ONE txn-lake parquet under the current LOGICAL schema
+    at ``ice_root/rel`` — hive partition columns restored (Iceberg
+    data files must contain every column), pre-evolution files filled
+    with typed nulls, column-mapped physical names translated, and
+    ``PARQUET:field_id`` stamped per column (ids = schema order, the
+    same ids the metadata json records) so readers resolve columns by
+    ID across any later rename. Returns (row_count, size_bytes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .txnlake_ds import _arrow_type
+
+    tbl = pq.read_table(src)
+    cols, names = [], []
+    for fld in schema.fields:
+        at = _arrow_type(fld.dataType)
+        phys = mapping.get(fld.name, fld.name) if mapping else fld.name
+        pv = parts or {}
+        if phys in tbl.column_names:
+            col = tbl.column(phys)
+            if at is not None and col.type != at:
+                col = col.cast(at)
+            cols.append(col)
+        elif fld.name in pv or phys in pv:
+            sval = pv.get(phys, pv.get(fld.name))
+            v = lake._py_part_val(sval, fld.dataType)
+            cols.append(pa.array([v] * tbl.num_rows, type=at))
+        else:  # pre-evolution file: typed nulls
+            cols.append(pa.nulls(tbl.num_rows, type=at))
+        names.append(fld.name)
+    out_tbl = pa.table(cols, names=names)
+    out_tbl = out_tbl.cast(pa.schema([
+        pa.field(
+            n, out_tbl.schema.field(k).type,
+            metadata={b"PARQUET:field_id": str(k + 1).encode()},
+        )
+        for k, n in enumerate(names)
+    ]))
+    dst = os.path.join(ice_root, rel)
+    pq.write_table(out_tbl, dst)
+    return out_tbl.num_rows, os.path.getsize(dst)
+
+
+def _ice_schema_json_str(schema) -> str:
+    """The Iceberg schema json the metadata and manifest headers
+    share (ids = schema order, matching the stamped field ids)."""
+    return json.dumps(
+        {
+            "schema-id": 0,
+            "type": "struct",
+            "fields": [
+                {
+                    "id": i + 1,
+                    "name": f.name,
+                    "required": False,
+                    "type": _spark_to_ice(f.dataType),
+                }
+                for i, f in enumerate(schema.fields)
+            ],
+        },
+        sort_keys=True,
+    )
+
+
 def iceberg_export(txn_root: str, ice_root: str) -> int:
     """Export the native txn lake's CURRENT state as an Iceberg v2
     table (one snapshot): data files copied (hive-partitioned tables
@@ -623,49 +696,19 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     data_dir = os.path.join(ice_root, "data")
     os.makedirs(data_dir, exist_ok=True)
 
-    # --- copy / re-materialize data files under logical names
-    from .txnlake_ds import _arrow_type
-
+    # --- copy / re-materialize data files under logical names.
+    # Paths are TABLE-RELATIVE (ADVICE r8: absolute local paths break
+    # the export when the directory moves; the reader's _resolve_path
+    # handles both forms) and EMBED the source file's basename so the
+    # incremental exporter can diff later txn versions against what is
+    # already exported without any side-channel mapping.
     entries = []
-    path_map = {}  # txn file -> iceberg absolute path
+    path_map = {}  # txn file -> iceberg relative path
     for i, f in enumerate(sorted(st.files)):
-        tbl = pq.read_table(f)
-        cols, names = [], []
-        for fld in schema.fields:
-            at = _arrow_type(fld.dataType)
-            phys = (
-                mapping.get(fld.name, fld.name) if mapping else fld.name
-            )
-            pv = st.parts.get(f) or {}
-            if phys in tbl.column_names:
-                col = tbl.column(phys)
-                if at is not None and col.type != at:
-                    col = col.cast(at)
-                cols.append(col)
-            elif fld.name in pv or phys in pv:
-                sval = pv.get(phys, pv.get(fld.name))
-                v = lake._py_part_val(sval, fld.dataType)
-                cols.append(pa.array([v] * tbl.num_rows, type=at))
-            else:  # pre-evolution file: typed nulls
-                cols.append(pa.nulls(tbl.num_rows, type=at))
-            names.append(fld.name)
-        out_tbl = pa.table(cols, names=names)
-        # stamp PARQUET:field_id per column (ids = schema order, the
-        # same ids the metadata json records) so readers resolve
-        # columns by ID — surviving any later rename
-        out_tbl = out_tbl.cast(pa.schema([
-            pa.field(
-                n, out_tbl.schema.field(k).type,
-                metadata={b"PARQUET:field_id": str(k + 1).encode()},
-            )
-            for k, n in enumerate(names)
-        ]))
-        # paths are written TABLE-RELATIVE (ADVICE r8: absolute local
-        # paths break the export when the directory moves; the
-        # reader's _resolve_path handles both forms)
-        rel = f"data/{i:05d}-data.parquet"
-        dst = os.path.join(ice_root, rel)
-        pq.write_table(out_tbl, dst)
+        rel = f"data/s1-{i:05d}-{os.path.basename(f)}"
+        nrows, size = _materialize_data_file(
+            f, schema, mapping, st.parts.get(f) or {}, ice_root, rel
+        )
         path_map[f] = rel
         entries.append({
             "status": _ST_ADDED, "snapshot_id": 1,
@@ -674,8 +717,8 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
                 "content": _C_DATA, "file_path": rel,
                 "file_format": "PARQUET",
                 "partition": {},
-                "record_count": out_tbl.num_rows,
-                "file_size_in_bytes": os.path.getsize(dst),
+                "record_count": nrows,
+                "file_size_in_bytes": size,
                 "equality_ids": None,
             },
         })
@@ -686,7 +729,7 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     dvpos = _txn_dv_positions(st) if st.dvs else {}
     delete_entries = []
     for j, (f, positions) in enumerate(sorted(dvpos.items())):
-        rel = f"data/{j:05d}-deletes.parquet"
+        rel = f"data/s1-{j:05d}-deletes.parquet"
         dst = os.path.join(ice_root, rel)
         pq.write_table(
             pa.table({
@@ -716,19 +759,8 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     # manifest container carries the required key-value metadata —
     # real readers refuse manifests without schema/partition-spec/
     # format-version/content.
-    ice_fields = [
-        {
-            "id": i + 1,
-            "name": f.name,
-            "required": False,
-            "type": _spark_to_ice(f.dataType),
-        }
-        for i, f in enumerate(schema.fields)
-    ]
-    schema_json_str = json.dumps(
-        {"schema-id": 0, "type": "struct", "fields": ice_fields},
-        sort_keys=True,
-    )
+    schema_json_str = _ice_schema_json_str(schema)
+    ice_fields = json.loads(schema_json_str)["fields"]
 
     def _manifest_meta(content: str) -> dict:
         return {
@@ -820,7 +852,14 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
                 "timestamp-ms": 0,
                 "manifest-list": mlist_rel,
                 "schema-id": 0,
-                "summary": {"operation": "append"},
+                # the exported txn version rides in the summary (a
+                # string map per spec — same role as Delta's txn
+                # action): the incremental exporter reads its
+                # high-water mark back from the table it wrote
+                "summary": {
+                    "operation": "append",
+                    "txnlake-export-version": str(latest),
+                },
             }
         ],
         "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 0}],
@@ -833,3 +872,274 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
               "w") as fh:
         fh.write("1")
     return 1
+
+
+def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
+    """CONTINUOUS export to a foreign Iceberg consumer, exactly once
+    (r9 — the Iceberg mirror of delta_export_incremental): the first
+    call full-exports the current state; every later call appends ONE
+    Iceberg snapshot per new txn commit. The high-water mark rides in
+    each snapshot's ``summary`` map (``txnlake-export-version`` — a
+    string map per spec, the same role Delta's ``txn`` action plays),
+    so a crashed or repeated drain reads its position back from the
+    table it wrote and lands nothing twice. Exported data files embed
+    their source file's basename, so the diff against already-exported
+    state is pure name arithmetic — no side-channel mapping to lose.
+
+    Per appended snapshot: new txn data files re-materialize under the
+    logical schema (field-ids stamped); carried files enter the fresh
+    data manifest as EXISTING entries keeping their original
+    snapshot/sequence numbers (the spec's explicit-sequence rule for
+    non-inherited entries); the cumulative DV state lands as ADDED
+    position-delete files at the snapshot's own sequence number (a
+    delete applies to data with data-seq <= delete-seq, and the
+    current sequence dominates every carried file). Removed txn files
+    simply leave the new manifest — their exported parquet stays put,
+    still referenced by OLDER snapshots, which is what keeps Iceberg
+    time travel working across the export history.
+
+    Refusals (never misexport): a foreign table without the summary
+    stamp cannot be adopted; a schema change since the last exported
+    version refuses with instructions to start a fresh full export
+    (carried files materialized under an older schema would otherwise
+    silently miss columns); the usual unconverged-widening guard runs
+    per call. Returns the current snapshot id; a no-new-commits call
+    is a no-op returning it unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .delta_interop import _export_guards, _txn_dv_positions
+
+    latest = lake.txn_latest_version(txn_root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {txn_root}")
+    d = _meta_dir(ice_root)
+    if not (os.path.isdir(d) and os.listdir(d)):
+        return iceberg_export(txn_root, ice_root)
+
+    meta = load_table_metadata(ice_root)
+    snap = _pick_snapshot(meta, None)
+    stamp = (snap.get("summary") or {}).get("txnlake-export-version")
+    if stamp is None:
+        raise ValueError(
+            f"{ice_root} is not a txnlake export (no "
+            "txnlake-export-version in the current snapshot summary); "
+            "incremental export cannot adopt a foreign Iceberg table"
+        )
+    done = int(stamp)
+    if done >= latest:
+        return int(snap["snapshot-id"])
+
+    tj_now = lake._table_schema_json(txn_root, latest)
+    tj_done = lake._table_schema_json(txn_root, done)
+    if tj_now != tj_done:
+        raise ValueError(
+            "table schema changed since the last exported version "
+            f"({done}); start a fresh full export — carried files "
+            "were materialized under the old schema"
+        )
+    schema = T.StructType.fromJson(json.loads(tj_now))
+    mapping = lake._cm_mapping(tj_now) or {}
+    _export_guards(txn_root, latest, history=False)
+    schema_json_str = _ice_schema_json_str(schema)
+
+    def _manifest_meta(content: str) -> dict:
+        return {
+            "schema": schema_json_str,
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": content,
+        }
+
+    def _src_base(rel: str) -> str:
+        # exported name shape: data/s<snap>-<idx>-<source basename>
+        return os.path.basename(rel).split("-", 2)[-1]
+
+    # live data entries of the CURRENT snapshot, keyed by source name
+    by_src: dict = {}
+    for m in _read_avro_rows(_resolve_path(ice_root, snap["manifest-list"])):
+        if int(m.get("content") or 0) != 0:
+            continue
+        for e in _read_avro_rows(
+            _resolve_path(ice_root, m["manifest_path"])
+        ):
+            if int(e.get("status") or 0) == _ST_DELETED:
+                continue
+            by_src[_src_base(e["data_file"]["file_path"])] = e
+
+    # current metadata version number (the vN in vN.metadata.json)
+    meta_v = int(
+        os.path.basename(_latest_metadata_path(ice_root))
+        .split(".")[0]
+        .lstrip("v")
+    )
+    seq = int(meta.get("last-sequence-number") or 0)
+    snap_id = int(snap["snapshot-id"])
+    entry_schema = _manifest_entry_schema()
+
+    for v in range(done + 1, latest + 1):
+        st = lake._replay(txn_root, v)
+        seq += 1
+        snap_id += 1
+        entries, n_added, n_existing = [], 0, 0
+        for i, f in enumerate(sorted(st.files)):
+            base = os.path.basename(f)
+            prior = by_src.get(base)
+            if prior is not None:
+                entries.append({
+                    "status": _ST_EXISTING,
+                    "snapshot_id": prior["snapshot_id"],
+                    "sequence_number": prior["sequence_number"],
+                    "file_sequence_number": prior["file_sequence_number"],
+                    "data_file": dict(prior["data_file"]),
+                })
+                n_existing += 1
+                continue
+            rel = f"data/s{snap_id}-{i:05d}-{base}"
+            nrows, size = _materialize_data_file(
+                f, schema, mapping, st.parts.get(f) or {}, ice_root, rel
+            )
+            e = {
+                "status": _ST_ADDED, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": _C_DATA, "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": size,
+                    "equality_ids": None,
+                },
+            }
+            entries.append(e)
+            by_src[base] = e
+            n_added += 1
+        # files removed at v drop out of by_src too (a later re-add —
+        # restore — must re-materialize, the removed export may have
+        # been vacuumed upstream)
+        live_bases = {os.path.basename(f) for f in sorted(st.files)}
+        by_src = {b: e for b, e in by_src.items() if b in live_bases}
+
+        dvpos = _txn_dv_positions(st) if st.dvs else {}
+        delete_entries = []
+        for j, (f, positions) in enumerate(sorted(dvpos.items())):
+            base = os.path.basename(f)
+            if base not in by_src:
+                continue  # DV on a file no longer live at v
+            rel = f"data/s{snap_id}-{j:05d}-deletes.parquet"
+            target = by_src[base]["data_file"]["file_path"]
+            dst = os.path.join(ice_root, rel)
+            pq.write_table(
+                pa.table({
+                    "file_path": pa.array(
+                        [target] * len(positions), type=pa.string()
+                    ),
+                    "pos": pa.array(sorted(positions), type=pa.int64()),
+                }),
+                dst,
+            )
+            delete_entries.append({
+                "status": _ST_ADDED, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": _C_POS_DELETES, "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(positions),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": None,
+                },
+            })
+
+        manifests = []
+        mf_rel = f"metadata/manifest-s{snap_id:05d}-data.avro"
+        mf_abs = os.path.join(ice_root, mf_rel)
+        av.write_avro(
+            entries, entry_schema, mf_abs,
+            extra_meta=_manifest_meta("data"),
+        )
+        manifests.append({
+            "manifest_path": mf_rel,
+            "manifest_length": os.path.getsize(mf_abs),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                (int(e["sequence_number"]) for e in entries), default=seq
+            ),
+            "added_snapshot_id": snap_id,
+            "added_files_count": n_added,
+            "existing_files_count": n_existing,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries
+                if e["status"] == _ST_ADDED
+            ),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries
+                if e["status"] == _ST_EXISTING
+            ),
+            "deleted_rows_count": 0,
+        })
+        if delete_entries:
+            dm_rel = f"metadata/manifest-s{snap_id:05d}-deletes.avro"
+            dm_abs = os.path.join(ice_root, dm_rel)
+            av.write_avro(
+                delete_entries, entry_schema, dm_abs,
+                extra_meta=_manifest_meta("deletes"),
+            )
+            manifests.append({
+                "manifest_path": dm_rel,
+                "manifest_length": os.path.getsize(dm_abs),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(delete_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in delete_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            })
+        mlist_rel = f"metadata/snap-{snap_id}-manifest-list.avro"
+        av.write_avro(
+            manifests, _MANIFEST_LIST_SCHEMA,
+            os.path.join(ice_root, mlist_rel),
+            extra_meta={"format-version": "2"},
+        )
+
+        op = "overwrite" if n_existing < len(by_src) or dvpos else "append"
+        meta["snapshots"].append({
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": mlist_rel,
+            "schema-id": 0,
+            "summary": {
+                "operation": op,
+                "txnlake-export-version": str(v),
+            },
+        })
+        meta["snapshot-log"].append(
+            {"snapshot-id": snap_id, "timestamp-ms": 0}
+        )
+        meta.setdefault("metadata-log", []).append({
+            "timestamp-ms": 0,
+            "metadata-file": f"metadata/v{meta_v}.metadata.json",
+        })
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta_v += 1
+        with open(
+            os.path.join(d, f"v{meta_v}.metadata.json"), "w"
+        ) as fh:
+            json.dump(meta, fh, sort_keys=True)
+        with open(os.path.join(d, "version-hint.text"), "w") as fh:
+            fh.write(str(meta_v))
+    return snap_id
