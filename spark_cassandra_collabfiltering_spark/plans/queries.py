@@ -9285,14 +9285,14 @@ _ZIPF_TOKEN_HASH_T = (
                LATERAL unnest(range(0, 32)) u(i)),
         z AS (
           SELECT doc_id,
-                 string_agg('w' || CAST(CASE WHEN h % 8 = 0
-                                             THEN 1 + (h // 8) % 32
-                                             ELSE 33 + (h // 8) % 1000000
-                                        END AS VARCHAR),
-                            ' ' ORDER BY i) AS text
+                 string_agg(CASE WHEN h % 8 = 0
+                                 THEN 'ZQHOT' || lpad(CAST(1 + (h // 8) % 32
+                                                           AS VARCHAR), 2, '0') || 'Z'
+                                 ELSE lpad(hex(h // 8), 8, '0')
+                            END, ' ' ORDER BY i) AS text
           FROM tok GROUP BY doc_id),
-        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 4) AS shingle
-              FROM z, LATERAL unnest(range(1, length(text) - 2)) u(i)),
+        g AS (SELECT DISTINCT doc_id, substr(text, u.i::INT, 8) AS shingle
+              FROM z, LATERAL unnest(range(1, length(text) - 6)) u(i)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
         cand AS (SELECT DISTINCT ga.doc_id AS id_a, gb.doc_id AS id_b
                  FROM g ga JOIN g gb ON ga.shingle = gb.shingle AND ga.doc_id < gb.doc_id),
@@ -9307,25 +9307,34 @@ _ZIPF_TOKEN_HASH_T = (
         WHERE ix / (sa.sz + sb.sz - ix) >= 0.40""",
     "PPJoin on a Zipfian-vocabulary corpus (r9, VERDICT r8 #6): same "
     "exact prefix+size+positional+tiered-verify operator as "
-    "dedup_ppjoin, driven by a deterministic two-tier Zipf text "
-    "derivation over doc_id (hot 32-word head shared by every doc, 1M "
-    "uniform tail, planted 3-member near-dup groups — see "
-    "_ZIPF_TOKEN_HASH) on a 20% subset chosen to keep the planted "
-    "triples INTACT (doc_id % 50 < 10; the other baselines' % 5 "
-    "subset would split every group), the same input size as "
+    "dedup_ppjoin (at n=8 shingles), driven by a deterministic "
+    "two-tier Zipf text derivation over doc_id — a 32-word hot head "
+    "of 8-char non-hex tokens shared by every doc, an 8-hex-char "
+    "uniform tail, planted 3-member near-dup groups (see "
+    "_ZIPF_TOKEN_HASH_T) — on a 20% subset chosen to keep the "
+    "planted triples INTACT (doc_id % 50 < 10; the other baselines' "
+    "% 5 subset would split every group), the same input size as "
     "dedup_ppjoin's subset so the two series compare corpus shapes "
-    "at equal N. True pairs grow LINEARLY (one triple = 3 pairs per "
-    "50 ids), planted Jaccard >= 0.63 vs a "
-    "background ceiling of ~0.375, so the tracked sf0.1 -> sf1 series "
-    "measures the ALGORITHM on a realistic sparse-duplicate corpus "
-    "while dedup_ppjoin's dense shared-vocab corpus stays as the "
-    "stress pin. The oracle replays the identical integer-only text "
-    "derivation and the quadratic all-pairs join, so the hash match "
-    "proves no-recall-loss on this corpus shape too. At 100 TB: the "
-    "hot head is the case the rarity-ordered prefix filter exists "
-    "for — hot posting lists never enter the candidate join; "
-    "candidates come only from shared TAIL tokens, which is exactly "
-    "the planted-group structure.",
+    "at equal N. The token/shingle geometry is the point: an 8-gram "
+    "is either a WHOLE token (hot tokens -> genuinely hot posting "
+    "lists; hex tail tokens -> df~1) or spans a boundary (identity = "
+    "the adjacent token PAIR -> shared only by aligned group "
+    "partners), so the gram space never saturates as the corpus "
+    "grows — the first cut used decimal tokens at n=4, whose ~13^4 "
+    "gram alphabet saturated at sf1 and sent the candidate join "
+    "superlinear (51x/decade, measured and rejected). True pairs "
+    "grow LINEARLY (one triple = 3 pairs per 50 ids), planted "
+    "Jaccard >= 0.48 vs a background ceiling of ~0.06, so the "
+    "tracked sf0.1 -> sf1 series measures the ALGORITHM on a "
+    "realistic sparse-duplicate corpus while dedup_ppjoin's dense "
+    "shared-vocab corpus stays as the stress pin. The oracle replays "
+    "the identical integer-only text derivation and the quadratic "
+    "all-pairs join, so the hash match proves no-recall-loss on this "
+    "corpus shape too. At 100 TB: the hot head is the case the "
+    "rarity-ordered prefix filter exists for — hot posting lists "
+    "never enter the candidate join; candidates come only from "
+    "shared TAIL content, which is exactly the planted-group "
+    "structure.",
 )
 def q_dedup_ppjoin_zipf(spark, sf_dir):
     # 20% subset that keeps planted triples INTACT (ids {50m, 50m+1,
@@ -9345,13 +9354,14 @@ def q_dedup_ppjoin_zipf(spark, sf_dir):
             "  transform(sequence(0, 31), i -> "
             + _ZIPF_TOKEN_HASH_T.format(I="i")
             + "),"
-            "  h -> concat('w', CAST(CASE WHEN h % 8 = 0"
-            "                             THEN 1 + (h DIV 8) % 32"
-            "                             ELSE 33 + (h DIV 8) % 1000000"
-            "                        END AS STRING))))"
+            "  h -> CASE WHEN h % 8 = 0"
+            "            THEN concat('ZQHOT',"
+            "                        lpad(CAST(1 + (h DIV 8) % 32 AS STRING),"
+            "                             2, '0'), 'Z')"
+            "            ELSE lpad(hex(h DIV 8), 8, '0') END))"
         ),
     )
-    return dd.ppjoin_pairs(z, "doc_id", "text", n=4, threshold=0.40)
+    return dd.ppjoin_pairs(z, "doc_id", "text", n=8, threshold=0.40)
 
 
 # ===========================================================================
