@@ -26,6 +26,15 @@ encoding), no third-party code:
   in-band row (``corrupt_reason`` set, clean rows keep flowing) and
   the walk RESYNCS by scanning for the next 16-byte sync marker, the
   exact recovery the sync marker exists for.
+- schema RESOLUTION (r9, the spec's "Schema Resolution" section):
+  ``read_avro(reader_schema_json=...)`` resolves each file's own
+  writer schema to one reader schema — field matching by name or
+  alias, reader-only fields filled from defaults, writer-only fields
+  decoded and discarded, numeric promotions and string<->bytes,
+  unions by first-resolvable-branch, enums falling back to the
+  reader's default symbol. Anything unresolvable refuses at BUILD
+  time and the file quarantines whole (``bad_schema``) — an evolved
+  lake reads as one reader-shaped frame, never a misdecoded row.
 
 Scale shape (same argument as sources/warc_source.py): Avro files in
 a lake land thousands-wide; a deflate'd container is effectively

@@ -983,6 +983,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
         st = lake._replay(txn_root, v)
         seq += 1
         snap_id += 1
+        prior_live = len(by_src)
         entries, n_added, n_existing = [], 0, 0
         for i, f in enumerate(sorted(st.files)):
             base = os.path.basename(f)
@@ -1114,7 +1115,15 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
             extra_meta={"format-version": "2"},
         )
 
-        op = "overwrite" if n_existing < len(by_src) or dvpos else "append"
+        # advisory operation label: files dropped or rows newly hidden
+        # -> overwrite/delete; pure file additions -> append
+        removed = prior_live - n_existing
+        if removed > 0:
+            op = "overwrite"
+        elif delete_entries and not n_added:
+            op = "delete"
+        else:
+            op = "append"
         meta["snapshots"].append({
             "snapshot-id": snap_id,
             "sequence-number": seq,

@@ -567,6 +567,11 @@ def test_incremental_export_appends_snapshots_and_time_travels(
     meta = ice.load_table_metadata(iroot)
     assert [s["snapshot-id"] for s in meta["snapshots"]] == [1, 2, 3]
     assert meta["current-snapshot-id"] == 3
+    # advisory operation labels: the append commit reads as append,
+    # the DV commit (rows hidden, no files added) as delete
+    ops = {s["snapshot-id"]: s["summary"]["operation"]
+           for s in meta["snapshots"]}
+    assert ops[2] == "append" and ops[3] == "delete"
     # current state matches the lake
     assert _rows(ice.iceberg_read(spark, iroot)) == _rows(
         lake.txn_read(spark, root)
