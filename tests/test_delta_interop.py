@@ -599,3 +599,56 @@ def test_incremental_export_resumes_overwrite_and_compact(spark, tmp_path):
     di.delta_export(root, alien, snapshot=True)
     with pytest.raises(ValueError, match="txn stamps"):
         di.delta_export_incremental(root, alien)
+
+
+def test_continuous_delta_to_lake_migration_composes(dlspark, tmp_path):
+    """Migration-IN, continuously (r9): readStream.format('deltalog')
+    -> writeStream.format('txnlake') live-syncs a growing foreign
+    Delta table into a native txn-lake table — version offsets on the
+    source side, the idempotent (txnApp, batchId) key on the sink
+    side, so BOTH ends are exactly-once and a re-run drain lands
+    nothing. The source Delta log grows IN PLACE via
+    delta_export_incremental between drains (a real Delta writer's
+    shape)."""
+    from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
+        TxnLakeDataSource,
+    )
+
+    dlspark.dataSource.register(TxnLakeDataSource)
+    src = str(tmp_path / "src")          # the native table feeding delta
+    droot = str(tmp_path / "delta")      # the foreign Delta table
+    dst = str(tmp_path / "dst")          # the migration target lake
+    ck = str(tmp_path / "ck")
+
+    lake.txn_write(_d(dlspark, 0, 40).coalesce(1), src)
+    di.delta_export_incremental(src, droot)
+
+    def drain():
+        q = (dlspark.readStream.format("deltalog").option("root", droot)
+             .load()
+             .writeStream.format("txnlake")
+             .option("root", dst)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(
+        r["id"] for r in lake.txn_read(dlspark, dst).collect()
+    ) == list(range(40))
+
+    # the foreign table grows by one commit; the next drain syncs
+    # exactly the delta
+    lake.txn_write(_d(dlspark, 100, 115).coalesce(1), src)
+    di.delta_export_incremental(src, droot)
+    drain()
+    got = sorted(r["id"] for r in lake.txn_read(dlspark, dst).collect())
+    assert got == list(range(40)) + list(range(100, 115))
+
+    # idempotent re-drain: no new txn-lake version, no duplicate rows
+    v_before = lake.txn_latest_version(dst)
+    drain()
+    assert lake.txn_latest_version(dst) == v_before
+    assert sorted(
+        r["id"] for r in lake.txn_read(dlspark, dst).collect()
+    ) == got
