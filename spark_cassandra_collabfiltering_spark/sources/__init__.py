@@ -76,6 +76,7 @@ from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
     register_deltalog,
 )
 from spark_cassandra_collabfiltering_spark.sources.iceberg_interop import (
+    iceberg_appends,
     iceberg_count,
     iceberg_export,
     iceberg_export_incremental,
@@ -154,5 +155,6 @@ __all__ = [
     "iceberg_count",
     "iceberg_export",
     "iceberg_export_incremental",
+    "iceberg_appends",
     "iceberg_import",
 ]

@@ -22,6 +22,10 @@ avro_source.py), with no Iceberg jar or library:
   layouts), so nothing is re-attached; partition pruning value lives
   in the manifest stats, which :func:`iceberg_read`'s caller gets for
   free from parquet pushdown on the scan.
+- :func:`iceberg_appends` (r9) — incremental APPEND scan: the rows
+  added by snapshots after a given snapshot id (refuses across
+  non-append churn, the IncrementalAppendScan contract) — the read
+  twin of the incremental export.
 - :func:`iceberg_count` — metadata-only COUNT(*) from the manifest
   entries' ``record_count`` minus position-delete counts (refuses
   under equality deletes — predicate counts are not row counts).
@@ -305,6 +309,115 @@ def _file_field_ids(path: str) -> "dict[int, str] | None":
     return out or None
 
 
+def _grouped_scan(spark, cur, schema, data, need_meta: bool):
+    """Scan data files under the current schema with FIELD-ID column
+    resolution: group files by their id->name footer signature, scan
+    each group under its own projection (absent ids surface as typed
+    NULL), union. ``need_meta`` adds the (_ice_file, _ice_pos)
+    columns the delete anti-joins key on."""
+    from pyspark.sql import functions as F
+
+    ids = {f["name"]: f.get("id") for f in cur["fields"]}
+    groups: dict[tuple, list] = {}
+    for d in data:
+        fmap = _file_field_ids(d["_abs"])
+        if fmap is None:
+            sig = tuple(f.name for f in schema.fields)  # name-based
+        else:
+            sig = tuple(
+                fmap.get(ids.get(f.name)) for f in schema.fields
+            )
+        groups.setdefault(sig, []).append(d["_abs"])
+
+    scan = None
+    for sig, files in sorted(groups.items(), key=str):
+        s = spark.read.option("mergeSchema", "true").parquet(*files)
+        have = set(s.columns)
+        sel = []
+        for f, phys in zip(schema.fields, sig):
+            if phys is not None and phys in have:
+                sel.append(F.col(phys).cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        if need_meta:
+            sel.append(
+                lake._strip_file_uri(F.col("_metadata.file_path")).alias(
+                    "_ice_file"
+                )
+            )
+            sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
+        part = s.select(*sel)
+        scan = part if scan is None else scan.unionByName(part)
+    return scan
+
+
+def iceberg_appends(
+    spark: SparkSession,
+    root: str,
+    from_snapshot_id: int,
+    to_snapshot_id: "int | None" = None,
+) -> DataFrame:
+    """Incremental APPEND scan (the Iceberg IncrementalAppendScan
+    shape, r9 — the read twin of :func:`iceberg_export_incremental`):
+    the rows appended by snapshots AFTER ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (default: current), i.e. the data files whose
+    manifest entries are status ADDED by an in-range snapshot, read
+    under the current schema with field-id resolution. Any in-range
+    snapshot whose summary operation is not ``append`` refuses loudly
+    (overwrite/delete churn is not expressible as an append stream —
+    the same contract real Iceberg's incremental scan enforces; use a
+    full read or CDC instead). Driver work is metadata-sized."""
+    meta = load_table_metadata(root)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: int(s.get("sequence-number") or 0),
+    )
+    ids_in_order = [int(s["snapshot-id"]) for s in snaps]
+    if from_snapshot_id not in ids_in_order:
+        raise ValueError(f"unknown from snapshot {from_snapshot_id}")
+    to_id = (
+        int(meta["current-snapshot-id"])
+        if to_snapshot_id is None else int(to_snapshot_id)
+    )
+    if to_id not in ids_in_order:
+        raise ValueError(f"unknown to snapshot {to_id}")
+    lo = ids_in_order.index(from_snapshot_id)
+    hi = ids_in_order.index(to_id)
+    if hi < lo:
+        raise ValueError("to snapshot precedes from snapshot")
+    in_range = snaps[lo + 1 : hi + 1]
+
+    cur = _current_schema(meta)
+    schema = iceberg_spark_schema(root)
+    data = []
+    for s in in_range:
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} is {op!r}, not append; "
+                "an incremental append scan cannot express its churn"
+            )
+        sid = int(s["snapshot-id"])
+        for m in _read_avro_rows(_resolve_path(root, s["manifest-list"])):
+            if int(m.get("content") or 0) != 0:
+                continue
+            if int(m.get("added_snapshot_id") or -1) != sid:
+                continue  # carried manifest: nothing added by sid
+            for e in _read_avro_rows(
+                _resolve_path(root, m["manifest_path"])
+            ):
+                if (
+                    int(e.get("status") or 0) == _ST_ADDED
+                    and int(e.get("snapshot_id") or -1) == sid
+                ):
+                    df_ = dict(e["data_file"])
+                    df_["_abs"] = _resolve_path(root, df_["file_path"])
+                    data.append(df_)
+    if not data:
+        return spark.createDataFrame([], schema)
+    return _grouped_scan(spark, cur, schema, data, need_meta=False)
+
+
 def iceberg_read(
     spark: SparkSession, root: str, snapshot_id: "int | None" = None
 ) -> DataFrame:
@@ -341,46 +454,13 @@ def iceberg_read(
     meta = load_table_metadata(root)
     cur = _current_schema(meta)
     schema = iceberg_spark_schema(root)
-    ids = {f["name"]: f.get("id") for f in cur["fields"]}
     id_to_field = {
         f.get("id"): sf for f, sf in zip(cur["fields"], schema.fields)
     }
     if not data:
         return spark.createDataFrame([], schema)
     need_meta = bool(pos_del or eq_del)
-
-    # group files by their field-id signature: per schema field, the
-    # PHYSICAL column name this file stores it under (None = absent)
-    groups: dict[tuple, list] = {}
-    for d in data:
-        fmap = _file_field_ids(d["_abs"])
-        if fmap is None:
-            sig = tuple(f.name for f in schema.fields)  # name-based
-        else:
-            sig = tuple(
-                fmap.get(ids.get(f.name)) for f in schema.fields
-            )
-        groups.setdefault(sig, []).append(d["_abs"])
-
-    scan = None
-    for sig, files in sorted(groups.items(), key=str):
-        s = spark.read.option("mergeSchema", "true").parquet(*files)
-        have = set(s.columns)
-        sel = []
-        for f, phys in zip(schema.fields, sig):
-            if phys is not None and phys in have:
-                sel.append(F.col(phys).cast(f.dataType).alias(f.name))
-            else:
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
-        if need_meta:
-            sel.append(
-                lake._strip_file_uri(F.col("_metadata.file_path")).alias(
-                    "_ice_file"
-                )
-            )
-            sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
-        part = s.select(*sel)
-        scan = part if scan is None else scan.unionByName(part)
+    scan = _grouped_scan(spark, cur, schema, data, need_meta)
     if not need_meta:
         return scan
 

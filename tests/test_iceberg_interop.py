@@ -671,3 +671,39 @@ def test_incremental_export_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema changed"):
         ice.iceberg_export_incremental(root2, iroot2)
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """iceberg_appends: rows appended by snapshots after a given
+    snapshot — the read twin of the incremental export; refuses
+    across non-append churn."""
+    root = str(tmp_path / "t")
+    iroot = str(tmp_path / "ice")
+    lake.txn_write(_d(spark, 0, 30).coalesce(1), root)
+    ice.iceberg_export_incremental(root, iroot)          # snapshot 1
+    lake.txn_write(_d(spark, 100, 110).coalesce(1), root)
+    lake.txn_write(_d(spark, 200, 205).coalesce(1), root)
+    ice.iceberg_export_incremental(root, iroot)          # snapshots 2, 3
+    # everything appended since snapshot 1
+    got = sorted(
+        r["id"] for r in ice.iceberg_appends(spark, iroot, 1).collect()
+    )
+    assert got == list(range(100, 110)) + list(range(200, 205))
+    # bounded range: only snapshot 2's rows
+    got2 = sorted(
+        r["id"]
+        for r in ice.iceberg_appends(spark, iroot, 1, 2).collect()
+    )
+    assert got2 == list(range(100, 110))
+    # nothing after the current snapshot
+    assert ice.iceberg_appends(spark, iroot, 3).count() == 0
+    # a DV (delete churn) in range refuses loudly
+    lake.txn_delete_dv(spark, root, spark.range(0, 3).select("id"), ["id"])
+    ice.iceberg_export_incremental(root, iroot)          # snapshot 4: delete
+    with pytest.raises(ValueError, match="not append"):
+        ice.iceberg_appends(spark, iroot, 1)
+    # but the pre-churn range still scans
+    assert len(ice.iceberg_appends(spark, iroot, 1, 3).collect()) == 15
+    # unknown snapshot ids refuse
+    with pytest.raises(ValueError, match="unknown"):
+        ice.iceberg_appends(spark, iroot, 99)
