@@ -10671,6 +10671,70 @@ def q_iceberg_interop(spark, sf_dir):
 
 
 @register(
+    "iceberg_appends",
+    """SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey,
+              o_totalprice * 2 AS amt
+       FROM orders WHERE o_orderkey % 16 = 5
+       UNION ALL
+       SELECT o_orderkey + 40000000, o_custkey, o_totalprice * 3
+       FROM orders WHERE o_orderkey % 16 = 9""",
+    "Iceberg incremental APPEND scan (r9 — the read twin of "
+    "iceberg_export_incremental, the IncrementalAppendScan shape): "
+    "the query exports an orders snapshot to a real Iceberg v2 tree, "
+    "then lands TWO append commits of derived keys and drains them as "
+    "snapshots 2 and 3; iceberg_appends(root, from=1) returns exactly "
+    "the rows those two snapshots added — manifest entries with "
+    "status ADDED by an in-range snapshot, read with field-id "
+    "resolution, the base snapshot untouched. The oracle recomputes "
+    "the two appended batches in closed form, so the hash match "
+    "proves the scan reads exactly the appended files — nothing from "
+    "the base, nothing double-counted across the carried EXISTING "
+    "entries. Non-append churn in range refuses loudly "
+    "(tests/test_iceberg_interop.py). At 100 TB: incremental "
+    "consumers (downstream sync, CDC bootstrap, feature refresh) read "
+    "O(appended bytes), never the table.",
+)
+def q_iceberg_appends(spark, sf_dir):
+    import tempfile
+
+    from ..sources import iceberg_interop as ice
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="iceberg_app_q_")
+    root = work + "/t"
+    iroot = work + "/ice"
+    lake.txn_write(
+        base.repartitionByRange(2, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot)  # snapshot 1
+    lake.txn_write(
+        base.filter(F.col("o_orderkey") % 16 == 5).select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ).coalesce(1),
+        root,
+    )
+    lake.txn_write(
+        base.filter(F.col("o_orderkey") % 16 == 9).select(
+            (F.col("o_orderkey") + 40000000).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        ).coalesce(1),
+        root,
+    )
+    ice.iceberg_export_incremental(root, iroot)  # snapshots 2 + 3
+    return ice.iceberg_appends(spark, iroot, 1).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").alias("amt"),
+    )
+
+
+@register(
     "cf_preference_pairs",
     """WITH r AS (SELECT o_custkey AS user_id, l_partkey AS product,
                          sum(l_quantity) AS rating
