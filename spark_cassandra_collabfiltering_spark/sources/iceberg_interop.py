@@ -48,9 +48,12 @@ avro_source.py), with no Iceberg jar or library:
   sequence numbers, so the exported history time-travels. Refuses to
   adopt unstamped tables and to append across a schema change.
 
-Refusal posture (never misread): format-version > 2, ORC/Avro data
-files, and non-identity partition transforms in the EXPORT direction
-all raise with a clear message.
+Refusal posture (never misread): format-version > 2, Avro data files,
+ORC data files in snapshots that carry deletes (ORC scans expose no
+``_metadata.row_index`` for position deletes to key on — delete-free
+ORC tables read natively with name-based resolution, r9), and
+non-identity partition transforms in the EXPORT direction all raise
+with a clear message.
 Field-id-based column resolution is honored for name-stable histories
 (this exporter's own output and any table never renamed); a FOREIGN
 table whose current schema names diverge from its parquet footers
@@ -266,11 +269,14 @@ def snapshot_files(
             df_ = e["data_file"]
             content = int(df_.get("content") or 0)
             fmt = (df_.get("file_format") or "PARQUET").upper()
-            if fmt != "PARQUET":
+            if fmt == "ORC" and content == _C_DATA:
+                pass  # ORC data files scan natively (delete-free only)
+            elif fmt != "PARQUET":
                 raise ValueError(
                     f"unsupported Iceberg data-file format {fmt}"
                 )
             df_ = dict(df_)
+            df_["_fmt"] = fmt
             df_["_abs"] = _resolve_path(root, df_["file_path"])
             seq = e.get("sequence_number")
             df_["_seq"] = m_seq if seq is None else int(seq)
@@ -307,6 +313,45 @@ def _file_field_ids(path: str) -> "dict[int, str] | None":
             return None
         out[int(fid)] = f.name
     return out or None
+
+
+def _orc_scan(spark, schema, files: list):
+    """Scan ORC data files under the current schema, NAME-based
+    resolution (ORC footers carry no PARQUET:field_id; absent columns
+    surface as typed NULL). ORC has no ``_metadata.row_index``, so
+    this path exists only for delete-free snapshots — the caller
+    refuses otherwise."""
+    from pyspark.sql import functions as F
+
+    s = spark.read.option("mergeSchema", "true").orc(*files)
+    have = set(s.columns)
+    return s.select(*[
+        (F.col(f.name).cast(f.dataType) if f.name in have
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema.fields
+    ])
+
+
+def _scan_with_formats(spark, cur, schema, data, need_meta: bool):
+    """Dispatch data files by recorded format: parquet through the
+    field-id grouped scan, ORC through the name-based scan (refused
+    when deletes are in play — no row_index to key them on)."""
+    orc = [d for d in data if d.get("_fmt") == "ORC"]
+    parq = [d for d in data if d.get("_fmt") != "ORC"]
+    if orc and need_meta:
+        raise ValueError(
+            "ORC data files are supported only in delete-free "
+            "snapshots (ORC scans expose no _metadata.row_index for "
+            "position deletes to key on)"
+        )
+    scan = (
+        _grouped_scan(spark, cur, schema, parq, need_meta)
+        if parq else None
+    )
+    if orc:
+        oscan = _orc_scan(spark, schema, [d["_abs"] for d in orc])
+        scan = oscan if scan is None else scan.unionByName(oscan)
+    return scan
 
 
 def _grouped_scan(spark, cur, schema, data, need_meta: bool):
@@ -415,7 +460,7 @@ def iceberg_appends(
                     data.append(df_)
     if not data:
         return spark.createDataFrame([], schema)
-    return _grouped_scan(spark, cur, schema, data, need_meta=False)
+    return _scan_with_formats(spark, cur, schema, data, need_meta=False)
 
 
 def iceberg_read(
@@ -460,7 +505,7 @@ def iceberg_read(
     if not data:
         return spark.createDataFrame([], schema)
     need_meta = bool(pos_del or eq_del)
-    scan = _grouped_scan(spark, cur, schema, data, need_meta)
+    scan = _scan_with_formats(spark, cur, schema, data, need_meta)
     if not need_meta:
         return scan
 
