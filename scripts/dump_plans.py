@@ -163,6 +163,11 @@ SHOWN = [
     # r8
     "lake_delta_interop",
     "avro_ingest",
+    # r9
+    "dedup_ppjoin_zipf",
+    "avro_evolution",
+    "orc_ingest",
+    "iceberg_appends",
 ]
 
 HEADER = """# PLANS — physical-plan evidence (auto-generated)
