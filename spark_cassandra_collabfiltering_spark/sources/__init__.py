@@ -75,6 +75,9 @@ from spark_cassandra_collabfiltering_spark.sources.deltalog_ds import (
     DeltaLogPushdownDataSource,
     register_deltalog,
 )
+from spark_cassandra_collabfiltering_spark.sources.iceberg_ds import (
+    IcebergLogDataSource,
+)
 from spark_cassandra_collabfiltering_spark.sources.iceberg_interop import (
     iceberg_appends,
     iceberg_count,
@@ -151,6 +154,7 @@ __all__ = [
     "DeltaLogDataSource",
     "DeltaLogPushdownDataSource",
     "register_deltalog",
+    "IcebergLogDataSource",
     "iceberg_read",
     "iceberg_count",
     "iceberg_export",

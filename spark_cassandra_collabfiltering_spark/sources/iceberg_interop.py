@@ -442,25 +442,37 @@ def iceberg_appends(
                 f"snapshot {s['snapshot-id']} is {op!r}, not append; "
                 "an incremental append scan cannot express its churn"
             )
-        sid = int(s["snapshot-id"])
-        for m in _read_avro_rows(_resolve_path(root, s["manifest-list"])):
-            if int(m.get("content") or 0) != 0:
-                continue
-            if int(m.get("added_snapshot_id") or -1) != sid:
-                continue  # carried manifest: nothing added by sid
-            for e in _read_avro_rows(
-                _resolve_path(root, m["manifest_path"])
-            ):
-                if (
-                    int(e.get("status") or 0) == _ST_ADDED
-                    and int(e.get("snapshot_id") or -1) == sid
-                ):
-                    df_ = dict(e["data_file"])
-                    df_["_abs"] = _resolve_path(root, df_["file_path"])
-                    data.append(df_)
+        data += _added_files(root, s)
     if not data:
         return spark.createDataFrame([], schema)
     return _scan_with_formats(spark, cur, schema, data, need_meta=False)
+
+
+def _added_files(root: str, snap: dict) -> list:
+    """The data_file records a snapshot ADDED (status 1, its own
+    snapshot_id), each with the resolved absolute path under '_abs'
+    and its format under '_fmt' — metadata-sized driver work."""
+    sid = int(snap["snapshot-id"])
+    out = []
+    for m in _read_avro_rows(_resolve_path(root, snap["manifest-list"])):
+        if int(m.get("content") or 0) != 0:
+            continue
+        if int(m.get("added_snapshot_id") or -1) != sid:
+            continue  # carried manifest: nothing added by sid
+        for e in _read_avro_rows(
+            _resolve_path(root, m["manifest_path"])
+        ):
+            if (
+                int(e.get("status") or 0) == _ST_ADDED
+                and int(e.get("snapshot_id") or -1) == sid
+            ):
+                df_ = dict(e["data_file"])
+                df_["_abs"] = _resolve_path(root, df_["file_path"])
+                df_["_fmt"] = (
+                    df_.get("file_format") or "PARQUET"
+                ).upper()
+                out.append(df_)
+    return out
 
 
 def iceberg_read(
