@@ -10735,6 +10735,53 @@ def q_iceberg_appends(spark, sf_dir):
 
 
 @register(
+    "iceberg_datasource",
+    """SELECT o_orderkey, o_custkey, o_orderpriority
+       FROM orders WHERE o_orderkey % 9 <> 4""",
+    "The Iceberg interop through Spark's OWN reader protocol (r9): "
+    "the same two-drain incremental export as iceberg_interop, read "
+    "back via format('iceberglog') — one input partition per data "
+    "file, field-id projection computed at plan time, the v2 "
+    "position deletes masked EXECUTOR-side inside each task (no "
+    "driver materialization of positions). The DataSource registers "
+    "INSIDE the builder and implements no pushFilters, so it loads "
+    "from any SparkSession (the r8 portability lesson). Same oracle "
+    "as iceberg_interop: the hash match proves the DS path and the "
+    "DataFrame path can never disagree about table state. At 100 TB: "
+    "per-file partitions give the scan the same executor parallelism "
+    "as a parquet read; delete masking stays per-task.",
+)
+def q_iceberg_datasource(spark, sf_dir):
+    import tempfile
+
+    from ..sources import iceberg_interop as ice
+    from ..sources import lake
+    from ..sources.iceberg_ds import IcebergLogDataSource
+
+    spark.dataSource.register(IcebergLogDataSource)
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    work = tempfile.mkdtemp(prefix="iceberg_ds_q_")
+    root = work + "/t"
+    iroot = work + "/ice"
+    lake.txn_write(
+        base.repartitionByRange(2, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot)
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("o_orderkey") % 9 == 4).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot)
+    return (
+        spark.read.format("iceberglog").option("root", iroot).load()
+    )
+
+
+@register(
     "cf_preference_pairs",
     """WITH r AS (SELECT o_custkey AS user_id, l_partkey AS product,
                          sum(l_quantity) AS rating
