@@ -776,6 +776,56 @@ def _materialize_data_file(
     return out_tbl.num_rows, os.path.getsize(dst)
 
 
+def _part_avro_type(dt):
+    """Avro type of one identity-partition value (the lake validates
+    partition columns to these at write time)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    return "string"
+
+
+def _partition_export_shape(schema, spec_cols: list):
+    """(avro partition-struct fields, iceberg spec fields json) for an
+    identity partition spec over ``spec_cols`` — field-ids 1000+ per
+    the spec's partition-field numbering, source-id = the schema
+    field's id."""
+    by_name = {f.name: f for f in schema.fields}
+    ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    pfields = [
+        {"name": c,
+         "type": ["null", _part_avro_type(by_name[c].dataType)],
+         "field-id": 1000 + i, "default": None}
+        for i, c in enumerate(spec_cols)
+    ]
+    spec_json = [
+        {"name": c, "transform": "identity",
+         "source-id": ids[c], "field-id": 1000 + i}
+        for i, c in enumerate(spec_cols)
+    ]
+    return pfields, spec_json
+
+
+def _entry_partition(st, f: str, schema, mapping: dict,
+                     spec_cols: list) -> dict:
+    """One data file's typed identity-partition tuple from the lake's
+    recorded hive values (logical names; column mapping translated)."""
+    by_name = {fl.name: fl for fl in schema.fields}
+    pv = st.parts.get(f) or {}
+    out = {}
+    for c in spec_cols:
+        phys = mapping.get(c, c) if mapping else c
+        out[c] = lake._py_part_val(
+            pv.get(phys, pv.get(c)), by_name[c].dataType
+        )
+    return out
+
+
 def _ice_schema_json_str(schema) -> str:
     """The Iceberg schema json the metadata and manifest headers
     share (ids = schema order, matching the stamped field ids)."""
@@ -833,6 +883,13 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     data_dir = os.path.join(ice_root, "data")
     os.makedirs(data_dir, exist_ok=True)
 
+    # identity partition spec (r9): the manifest entries carry each
+    # file's TYPED partition tuple and the metadata records the spec,
+    # so a foreign reader can partition-prune from the manifests alone
+    # (the data files still contain every column per the spec)
+    spec_cols = list(getattr(st, "spec", None) or [])
+    pfields, spec_json = _partition_export_shape(schema, spec_cols)
+
     # --- copy / re-materialize data files under logical names.
     # Paths are TABLE-RELATIVE (ADVICE r8: absolute local paths break
     # the export when the directory moves; the reader's _resolve_path
@@ -853,7 +910,9 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
             "data_file": {
                 "content": _C_DATA, "file_path": rel,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": _entry_partition(
+                    st, f, schema, mapping, spec_cols
+                ),
                 "record_count": nrows,
                 "file_size_in_bytes": size,
                 "equality_ids": None,
@@ -883,7 +942,8 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
             "data_file": {
                 "content": _C_POS_DELETES, "file_path": rel,
                 "file_format": "PARQUET",
-                "partition": {},
+                # global delete files: unbound partition tuple
+                "partition": {c: None for c in spec_cols},
                 "record_count": len(positions),
                 "file_size_in_bytes": os.path.getsize(dst),
                 "equality_ids": None,
@@ -903,13 +963,13 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
         return {
             "schema": schema_json_str,
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_json),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": content,
         }
 
-    entry_schema = _manifest_entry_schema()
+    entry_schema = _manifest_entry_schema(pfields or None)
     manifests = []  # (relative path, manifest_file row)
     mf_rel = "metadata/manifest-00000-data.avro"
     mf_abs = os.path.join(ice_root, mf_rel)
@@ -976,9 +1036,9 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
             {"schema-id": 0, "type": "struct", "fields": ice_fields}
         ],
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
         "default-spec-id": 0,
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(spec_cols),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "current-snapshot-id": 1,
@@ -1080,11 +1140,29 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
     _export_guards(txn_root, latest, history=False)
     schema_json_str = _ice_schema_json_str(schema)
 
+    # the partition spec must be stable across the appended range —
+    # the exported metadata records ONE spec-id 0 (same refusal class
+    # as the schema change above)
+    exported_spec = [
+        f["name"]
+        for f in (meta.get("partition-specs") or [{}])[0].get("fields", [])
+    ]
+    spec_cols = list(
+        getattr(lake._replay(txn_root, latest), "spec", None) or []
+    )
+    if spec_cols != exported_spec:
+        raise ValueError(
+            f"partition spec changed since the last export "
+            f"({exported_spec} -> {spec_cols}); start a fresh full "
+            "export"
+        )
+    pfields, spec_json = _partition_export_shape(schema, spec_cols)
+
     def _manifest_meta(content: str) -> dict:
         return {
             "schema": schema_json_str,
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_json),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": content,
@@ -1114,7 +1192,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
     )
     seq = int(meta.get("last-sequence-number") or 0)
     snap_id = int(snap["snapshot-id"])
-    entry_schema = _manifest_entry_schema()
+    entry_schema = _manifest_entry_schema(pfields or None)
 
     for v in range(done + 1, latest + 1):
         st = lake._replay(txn_root, v)
@@ -1145,7 +1223,9 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
                 "data_file": {
                     "content": _C_DATA, "file_path": rel,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": _entry_partition(
+                        st, f, schema, mapping, spec_cols
+                    ),
                     "record_count": nrows,
                     "file_size_in_bytes": size,
                     "equality_ids": None,
@@ -1184,7 +1264,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
                 "data_file": {
                     "content": _C_POS_DELETES, "file_path": rel,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {c: None for c in spec_cols},
                     "record_count": len(positions),
                     "file_size_in_bytes": os.path.getsize(dst),
                     "equality_ids": None,

@@ -53,6 +53,24 @@ def test_export_restores_partition_columns(spark, tmp_path):
     got = ice.iceberg_read(spark, iroot)
     assert dict(got.dtypes)["bucket"] == "int"
     assert _rows(got) == _rows(lake.txn_read(spark, root))
+    # r9: the export records an IDENTITY partition spec and each
+    # manifest entry carries its typed partition tuple, so a foreign
+    # reader can prune from the manifests alone
+    meta = ice.load_table_metadata(iroot)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("bucket", "identity")
+    ]
+    assert spec[0]["field-id"] == 1000
+    snap = meta["snapshots"][-1]
+    m = ice._read_avro_rows(
+        ice._resolve_path(iroot, snap["manifest-list"])
+    )[0]
+    entries = ice._read_avro_rows(
+        ice._resolve_path(iroot, m["manifest_path"])
+    )
+    vals = [e["data_file"]["partition"]["bucket"] for e in entries]
+    assert sorted(set(vals)) == [0, 1, 2] and len(vals) == len(entries)
 
 
 def test_export_collapses_column_mapping_to_logical_names(
