@@ -667,7 +667,12 @@ def parse_avro_bytes(
         else:
             _dt, reader = _make_reader(schema)
             field_names = [f["name"] for f in schema["fields"]]
-    except (ValueError, KeyError) as exc:
+    except Exception as exc:  # noqa: BLE001 — quarantine contract:
+        # the build path walks UNTRUSTED schema json; _default_value /
+        # _make_resolver can raise TypeError/AttributeError on
+        # malformed reader defaults (int(None), bytes() on a non-str),
+        # and those must quarantine the file as bad_schema, never
+        # crash the whole mapInPandas task (r9 ADVICE)
         yield bad(f"bad_schema:{exc}")
         return
     if p + 16 > len(data):

@@ -93,17 +93,29 @@ def _ice_file_to_batches(partition, schema: T.StructType):
     else:
         tbl = pq.read_table(partition.file)
     n = tbl.num_rows
-    dead: set = set()
+    dead_chunks = []
     for dpath, dseq in partition.deletes:
         if dseq < partition.seq:
             continue  # applies only to data with seq <= delete seq
         dt = pq.read_table(dpath, columns=["file_path", "pos"])
         mask = pa.compute.equal(dt.column("file_path"),
                                 pa.scalar(partition.mf_path))
-        dead |= set(dt.filter(mask).column("pos").to_pylist())
-    if dead:
-        keep = [i for i in range(n) if i not in dead]
-        tbl = tbl.take(pa.array(keep, type=pa.int64()))
+        dead_chunks.append(
+            dt.filter(mask).column("pos").cast(pa.int64())
+            .combine_chunks()
+        )
+    if dead_chunks:
+        import numpy as np
+
+        # vectorized boolean mask, no per-row Python (r9 ADVICE: the
+        # old `[i for i in range(n) if i not in dead]` loop was O(n)
+        # Python per data file — hostile to large files with deletes)
+        dead = np.concatenate(
+            [c.to_numpy(zero_copy_only=False) for c in dead_chunks]
+        ).astype(np.int64, copy=False)
+        keep = np.ones(n, dtype=bool)
+        keep[dead[(dead >= 0) & (dead < n)]] = False
+        tbl = tbl.filter(pa.array(keep))
         n = tbl.num_rows
     arrays, names = [], []
     for f, phys in zip(schema.fields, partition.sig):

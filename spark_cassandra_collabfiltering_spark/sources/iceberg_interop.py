@@ -89,6 +89,34 @@ _ST_EXISTING, _ST_ADDED, _ST_DELETED = 0, 1, 2
 _C_DATA, _C_POS_DELETES, _C_EQ_DELETES = 0, 1, 2
 
 
+def _export_rel(snap_id: int, idx: int, txn_file: str) -> str:
+    """Exported data-file name: embeds md5(full txn path)[:10] so the
+    incremental exporter can diff later txn versions against what is
+    already exported by SOURCE PATH, not bare basename (r9 ADVICE:
+    lake.py documents that data-file basenames repeat across commits —
+    a basename key would silently carry a colliding new file as
+    EXISTING, pointing at a different file's rows). Same scheme as
+    delta_interop._export_file."""
+    import hashlib
+
+    digest = hashlib.md5(txn_file.encode()).hexdigest()[:10]
+    return (
+        f"data/s{snap_id}-{idx:05d}-{digest}-"
+        f"{os.path.basename(txn_file)}"
+    )
+
+
+def _src_digest(rel: str) -> "str | None":
+    """Recover the source-path digest from an exported rel path; None
+    for pre-digest exports (those files are then re-materialized under
+    fresh names — correct, merely unshared — instead of being carried
+    on an unsafe basename match)."""
+    import re
+
+    m = re.match(r"^s\d+-\d{5}-([0-9a-f]{10})-", os.path.basename(rel))
+    return m.group(1) if m else None
+
+
 # ---------------------------------------------------------------------------
 # metadata resolution
 # ---------------------------------------------------------------------------
@@ -570,16 +598,29 @@ def iceberg_read(
             raise lake.UnsupportedProtocol(
                 f"equality delete references unknown field ids {missing}"
             )
-        sel = []
-        for i in eq_ids:
-            fld = id_to_field[i]
-            # the delete file's own footer maps id -> its column name
-            fmap = _file_field_ids(files[0])
-            phys = (fmap or {}).get(i, fld.name)
-            sel.append(
-                F.col(phys).cast(fld.dataType).alias(f"_eq_{fld.name}")
+        # resolve each id's physical column name PER DELETE FILE and
+        # scan per distinct signature (r9 ADVICE: a rename mid-history
+        # makes footers disagree within one (ids, seq) group; resolving
+        # from files[0] alone reads NULL from the renamed files and the
+        # eqNullSafe anti-join then silently deletes NULL-keyed rows)
+        by_sig: dict = {}
+        for f in files:
+            fmap = _file_field_ids(f) or {}
+            sig = tuple(
+                fmap.get(i, id_to_field[i].name) for i in eq_ids
             )
-        deldf = spark.read.parquet(*files).select(*sel).distinct()
+            by_sig.setdefault(sig, []).append(f)
+        deldf = None
+        for sig, grp in sorted(by_sig.items()):
+            sel = [
+                F.col(phys)
+                .cast(id_to_field[i].dataType)
+                .alias(f"_eq_{id_to_field[i].name}")
+                for i, phys in zip(eq_ids, sig)
+            ]
+            one = spark.read.parquet(*grp).select(*sel)
+            deldf = one if deldf is None else deldf.unionByName(one)
+        deldf = deldf.distinct()
         cond = F.lit(dseq) > scan["_ice_seq"]
         for i in eq_ids:
             n = id_to_field[i].name
@@ -893,13 +934,15 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     # --- copy / re-materialize data files under logical names.
     # Paths are TABLE-RELATIVE (ADVICE r8: absolute local paths break
     # the export when the directory moves; the reader's _resolve_path
-    # handles both forms) and EMBED the source file's basename so the
+    # handles both forms) and EMBED md5(source path)[:10] so the
     # incremental exporter can diff later txn versions against what is
-    # already exported without any side-channel mapping.
+    # already exported without any side-channel mapping (r9 ADVICE:
+    # keyed by full path, not basename — basenames repeat across
+    # commits).
     entries = []
     path_map = {}  # txn file -> iceberg relative path
     for i, f in enumerate(sorted(st.files)):
-        rel = f"data/s1-{i:05d}-{os.path.basename(f)}"
+        rel = _export_rel(1, i, f)
         nrows, size = _materialize_data_file(
             f, schema, mapping, st.parts.get(f) or {}, ice_root, rel
         )
@@ -1168,11 +1211,12 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
             "content": content,
         }
 
-    def _src_base(rel: str) -> str:
-        # exported name shape: data/s<snap>-<idx>-<source basename>
-        return os.path.basename(rel).split("-", 2)[-1]
+    import hashlib
 
-    # live data entries of the CURRENT snapshot, keyed by source name
+    # live data entries of the CURRENT snapshot, keyed by the SOURCE
+    # PATH digest embedded in the exported name (never the bare
+    # basename — see _export_rel); pre-digest entries key as None and
+    # are dropped, so their files re-materialize instead of mis-carrying
     by_src: dict = {}
     for m in _read_avro_rows(_resolve_path(ice_root, snap["manifest-list"])):
         if int(m.get("content") or 0) != 0:
@@ -1182,7 +1226,9 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
         ):
             if int(e.get("status") or 0) == _ST_DELETED:
                 continue
-            by_src[_src_base(e["data_file"]["file_path"])] = e
+            dg = _src_digest(e["data_file"]["file_path"])
+            if dg is not None:
+                by_src[dg] = e
 
     # current metadata version number (the vN in vN.metadata.json)
     meta_v = int(
@@ -1194,15 +1240,20 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
     snap_id = int(snap["snapshot-id"])
     entry_schema = _manifest_entry_schema(pfields or None)
 
+    # one cursor for the whole drain: each version advances O(1)
+    # commits instead of replaying the full history (r9 ADVICE — the
+    # same O(V^2) -> O(V) move delta_export made via _ReplayCursor)
+    cursor = lake._ReplayCursor(txn_root, start_version=done)
     for v in range(done + 1, latest + 1):
-        st = lake._replay(txn_root, v)
+        cursor.advance_to(v)
+        st = cursor.state()
         seq += 1
         snap_id += 1
         prior_live = len(by_src)
         entries, n_added, n_existing = [], 0, 0
         for i, f in enumerate(sorted(st.files)):
-            base = os.path.basename(f)
-            prior = by_src.get(base)
+            digest = hashlib.md5(f.encode()).hexdigest()[:10]
+            prior = by_src.get(digest)
             if prior is not None:
                 entries.append({
                     "status": _ST_EXISTING,
@@ -1213,7 +1264,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
                 })
                 n_existing += 1
                 continue
-            rel = f"data/s{snap_id}-{i:05d}-{base}"
+            rel = _export_rel(snap_id, i, f)
             nrows, size = _materialize_data_file(
                 f, schema, mapping, st.parts.get(f) or {}, ice_root, rel
             )
@@ -1232,22 +1283,24 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
                 },
             }
             entries.append(e)
-            by_src[base] = e
+            by_src[digest] = e
             n_added += 1
         # files removed at v drop out of by_src too (a later re-add —
         # restore — must re-materialize, the removed export may have
         # been vacuumed upstream)
-        live_bases = {os.path.basename(f) for f in sorted(st.files)}
-        by_src = {b: e for b, e in by_src.items() if b in live_bases}
+        live = {
+            hashlib.md5(f.encode()).hexdigest()[:10] for f in st.files
+        }
+        by_src = {b: e for b, e in by_src.items() if b in live}
 
         dvpos = _txn_dv_positions(st) if st.dvs else {}
         delete_entries = []
         for j, (f, positions) in enumerate(sorted(dvpos.items())):
-            base = os.path.basename(f)
-            if base not in by_src:
+            digest = hashlib.md5(f.encode()).hexdigest()[:10]
+            if digest not in by_src:
                 continue  # DV on a file no longer live at v
             rel = f"data/s{snap_id}-{j:05d}-deletes.parquet"
-            target = by_src[base]["data_file"]["file_path"]
+            target = by_src[digest]["data_file"]["file_path"]
             dst = os.path.join(ice_root, rel)
             pq.write_table(
                 pa.table({
