@@ -63,7 +63,9 @@ class _IceFilePartition(InputPartition):
         self.sig = sig          # per schema field: physical name | None
         self.mf_path = mf_path  # the manifest's exact path string
         self.seq = seq          # data sequence number
-        self.deletes = deletes  # [(abs delete path, delete seq), ...]
+        # [("pos", seq, abs delete path) | ("dv", seq, abs puffin
+        #  path, content_offset, content_size), ...]
+        self.deletes = deletes
 
 
 def _sig_for(abs_path: str, fmt: str, cur: dict, schema) -> tuple:
@@ -93,25 +95,35 @@ def _ice_file_to_batches(partition, schema: T.StructType):
     else:
         tbl = pq.read_table(partition.file)
     n = tbl.num_rows
-    dead_chunks = []
-    for dpath, dseq in partition.deletes:
-        if dseq < partition.seq:
+    dead_arrays = []
+    for d in partition.deletes:
+        if d[1] < partition.seq:
             continue  # applies only to data with seq <= delete seq
-        dt = pq.read_table(dpath, columns=["file_path", "pos"])
+        if d[0] == "dv":
+            # v3 deletion vector: a seek-read of one Puffin blob
+            from . import puffin
+
+            _, _, dpath, off, size = d
+            dead_arrays.append(
+                pa.array(puffin.read_dv_blob(dpath, off, size),
+                         type=pa.int64())
+            )
+            continue
+        dt = pq.read_table(d[2], columns=["file_path", "pos"])
         mask = pa.compute.equal(dt.column("file_path"),
                                 pa.scalar(partition.mf_path))
-        dead_chunks.append(
+        dead_arrays.append(
             dt.filter(mask).column("pos").cast(pa.int64())
             .combine_chunks()
         )
-    if dead_chunks:
+    if dead_arrays:
         import numpy as np
 
         # vectorized boolean mask, no per-row Python (r9 ADVICE: the
         # old `[i for i in range(n) if i not in dead]` loop was O(n)
         # Python per data file — hostile to large files with deletes)
         dead = np.concatenate(
-            [c.to_numpy(zero_copy_only=False) for c in dead_chunks]
+            [c.to_numpy(zero_copy_only=False) for c in dead_arrays]
         ).astype(np.int64, copy=False)
         keep = np.ones(n, dtype=bool)
         keep[dead[(dead >= 0) & (dead < n)]] = False
@@ -147,7 +159,21 @@ def _snapshot_partitions(root: str, snapshot_id: "int | None") -> list:
     meta = ice.load_table_metadata(root)
     cur = ice._current_schema(meta)
     schema = ice.iceberg_spark_schema(root)
-    deletes = [(d["_abs"], int(d["_seq"])) for d in pos_del]
+    # delete descriptors: ("pos", seq, abs path) apply to every data
+    # file (filtered on the manifest path at read); ("dv", seq, abs,
+    # offset, size) attach only to their referenced file
+    pos = [
+        ("pos", int(d["_seq"]), d["_abs"])
+        for d in pos_del if not d.get("_dv")
+    ]
+    dv_by_ref: dict = {}
+    for d in pos_del:
+        if d.get("_dv"):
+            dv_by_ref.setdefault(d["referenced_data_file"], []).append(
+                ("dv", int(d["_seq"]), d["_abs"],
+                 int(d["content_offset"]),
+                 int(d["content_size_in_bytes"]))
+            )
     return [
         _IceFilePartition(
             d["_abs"],
@@ -155,7 +181,7 @@ def _snapshot_partitions(root: str, snapshot_id: "int | None") -> list:
             _sig_for(d["_abs"], d.get("_fmt") or "PARQUET", cur, schema),
             d["file_path"],
             int(d["_seq"]),
-            deletes,
+            pos + dv_by_ref.get(d["file_path"], []),
         )
         for d in data
     ]

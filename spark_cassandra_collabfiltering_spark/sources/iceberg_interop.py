@@ -48,7 +48,18 @@ avro_source.py), with no Iceberg jar or library:
   sequence numbers, so the exported history time-travels. Refuses to
   adopt unstamped tables and to append across a schema change.
 
-Refusal posture (never misread): format-version > 2, Avro data files,
+Format-version 3 (r10): deletion vectors — ``deletion-vector-v1``
+Puffin blobs (sources/puffin.py, sharing delta_dv's roaring codec) —
+both read (driver-side metadata-sized decode into the same anti-join
+shape) and written (``iceberg_export(..., format_version=3)`` emits
+one Puffin file per snapshot with per-file blobs, manifest entries
+carrying referenced_data_file/content_offset/content_size_in_bytes,
+spec field ids 143-145), row-lineage bookkeeping (first-row-id /
+next-row-id), and ``initial-default`` column values (absent columns
+surface the declared default instead of NULL; non-primitive defaults
+refuse). v3 tables carrying position-delete FILES refuse per the spec.
+
+Refusal posture (never misread): format-version > 3, Avro data files,
 ORC data files in snapshots that carry deletes (ORC scans expose no
 ``_metadata.row_index`` for position deletes to key on — delete-free
 ORC tables read natively with name-based resolution, r9), and
@@ -157,9 +168,9 @@ def load_table_metadata(root: str) -> dict:
     with open(_latest_metadata_path(root)) as fh:
         meta = json.load(fh)
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise lake.UnsupportedProtocol(
-            f"Iceberg format-version {fv} > 2 is not supported"
+            f"Iceberg format-version {fv} > 3 is not supported"
         )
     return meta
 
@@ -285,6 +296,7 @@ def snapshot_files(
     spec's v2 inheritance rule; v1 tables have no sequence numbers and
     read as 0)."""
     meta = load_table_metadata(root)
+    fv = int(meta.get("format-version", 1))
     snap = _pick_snapshot(meta, snapshot_id)
     mlist = _read_avro_rows(_resolve_path(root, snap["manifest-list"]))
     data, pos_deletes, eq_deletes = [], [], []
@@ -297,14 +309,43 @@ def snapshot_files(
             df_ = e["data_file"]
             content = int(df_.get("content") or 0)
             fmt = (df_.get("file_format") or "PARQUET").upper()
-            if fmt == "ORC" and content == _C_DATA:
+            is_dv = (
+                content == _C_POS_DELETES
+                and df_.get("referenced_data_file") is not None
+            )
+            if is_dv:
+                # v3 deletion vector: a Puffin blob addressed by
+                # (content_offset, content_size_in_bytes)
+                if fmt != "PUFFIN":
+                    raise ValueError(
+                        "deletion vector "
+                        f"{df_['file_path']} has format {fmt}, "
+                        "expected PUFFIN"
+                    )
+                if (
+                    df_.get("content_offset") is None
+                    or df_.get("content_size_in_bytes") is None
+                ):
+                    raise ValueError(
+                        f"deletion vector {df_['file_path']} lacks "
+                        "content_offset/content_size_in_bytes"
+                    )
+            elif fmt == "ORC" and content == _C_DATA:
                 pass  # ORC data files scan natively (delete-free only)
             elif fmt != "PARQUET":
                 raise ValueError(
                     f"unsupported Iceberg data-file format {fmt}"
                 )
+            if fv >= 3 and content == _C_POS_DELETES and not is_dv:
+                # the v3 spec forbids position-delete FILES: they must
+                # have been rewritten as deletion vectors at upgrade
+                raise lake.UnsupportedProtocol(
+                    f"v3 table carries position-delete file "
+                    f"{df_['file_path']}; v3 requires deletion vectors"
+                )
             df_ = dict(df_)
             df_["_fmt"] = fmt
+            df_["_dv"] = is_dv
             df_["_abs"] = _resolve_path(root, df_["file_path"])
             seq = e.get("sequence_number")
             df_["_seq"] = m_seq if seq is None else int(seq)
@@ -343,19 +384,57 @@ def _file_field_ids(path: str) -> "dict[int, str] | None":
     return out or None
 
 
-def _orc_scan(spark, schema, files: list):
+def _initial_defaults(cur: dict) -> dict:
+    """{field name: JSON default} for v3 ``initial-default`` fields —
+    the value rows written BEFORE the column existed must surface
+    (instead of NULL). Primitive single-value JSON serializations only
+    (number / string / boolean, incl. the date/timestamp/decimal
+    string forms, which ``lit().cast()`` parses); a non-primitive or
+    binary default refuses loudly rather than misreading."""
+    out = {}
+    for f in cur.get("fields", []):
+        d = f.get("initial-default")
+        if d is None:
+            continue
+        t = f["type"]
+        ok = isinstance(t, str) and (
+            t in ("boolean", "int", "long", "float", "double", "date",
+                  "timestamp", "timestamptz", "string")
+            or t.startswith("decimal(")
+        )
+        if not ok:
+            raise lake.UnsupportedProtocol(
+                f"initial-default on field {f['name']!r} of type "
+                f"{t!r} is not supported"
+            )
+        out[f["name"]] = d
+    return out
+
+
+def _absent_col(f, defaults: dict):
+    """The column an absent field surfaces as: its v3 initial-default
+    when declared, else typed NULL."""
+    from pyspark.sql import functions as F
+
+    d = defaults.get(f.name)
+    return (
+        F.lit(d) if d is not None else F.lit(None)
+    ).cast(f.dataType).alias(f.name)
+
+
+def _orc_scan(spark, schema, files: list, defaults: "dict | None" = None):
     """Scan ORC data files under the current schema, NAME-based
     resolution (ORC footers carry no PARQUET:field_id; absent columns
-    surface as typed NULL). ORC has no ``_metadata.row_index``, so
-    this path exists only for delete-free snapshots — the caller
-    refuses otherwise."""
+    surface as their initial-default, else typed NULL). ORC has no
+    ``_metadata.row_index``, so this path exists only for delete-free
+    snapshots — the caller refuses otherwise."""
     from pyspark.sql import functions as F
 
     s = spark.read.option("mergeSchema", "true").orc(*files)
     have = set(s.columns)
     return s.select(*[
-        (F.col(f.name).cast(f.dataType) if f.name in have
-         else F.lit(None).cast(f.dataType)).alias(f.name)
+        (F.col(f.name).cast(f.dataType).alias(f.name) if f.name in have
+         else _absent_col(f, defaults or {}))
         for f in schema.fields
     ])
 
@@ -377,7 +456,10 @@ def _scan_with_formats(spark, cur, schema, data, need_meta: bool):
         if parq else None
     )
     if orc:
-        oscan = _orc_scan(spark, schema, [d["_abs"] for d in orc])
+        oscan = _orc_scan(
+            spark, schema, [d["_abs"] for d in orc],
+            defaults=_initial_defaults(cur),
+        )
         scan = oscan if scan is None else scan.unionByName(oscan)
     return scan
 
@@ -391,6 +473,7 @@ def _grouped_scan(spark, cur, schema, data, need_meta: bool):
     from pyspark.sql import functions as F
 
     ids = {f["name"]: f.get("id") for f in cur["fields"]}
+    defaults = _initial_defaults(cur)
     groups: dict[tuple, list] = {}
     for d in data:
         fmap = _file_field_ids(d["_abs"])
@@ -411,7 +494,7 @@ def _grouped_scan(spark, cur, schema, data, need_meta: bool):
             if phys is not None and phys in have:
                 sel.append(F.col(phys).cast(f.dataType).alias(f.name))
             else:
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                sel.append(_absent_col(f, defaults))
         if need_meta:
             sel.append(
                 lake._strip_file_uri(F.col("_metadata.file_path")).alias(
@@ -567,10 +650,25 @@ def iceberg_read(
     if pos_del:
         # the spec matches position deletes on the manifest's EXACT
         # path string, so no path normalization is needed — group
-        # delete files by sequence number and union (executor reads)
+        # delete files by sequence number and union (executor reads);
+        # v3 deletion vectors decode driver-side (metadata-sized
+        # Puffin blobs) into the same (path, pos, seq) shape
+        from . import puffin
+
         by_seq: dict[int, list] = {}
+        dv_rows = []
         for d in pos_del:
-            by_seq.setdefault(int(d["_seq"]), []).append(d["_abs"])
+            if d.get("_dv"):
+                dv_rows += [
+                    (d["referenced_data_file"], int(p), int(d["_seq"]))
+                    for p in puffin.read_dv_blob(
+                        d["_abs"],
+                        int(d["content_offset"]),
+                        int(d["content_size_in_bytes"]),
+                    )
+                ]
+            else:
+                by_seq.setdefault(int(d["_seq"]), []).append(d["_abs"])
         pdf = None
         for dseq, files in sorted(by_seq.items()):
             one = spark.read.parquet(*files).select(
@@ -579,12 +677,23 @@ def iceberg_read(
                 F.lit(dseq).alias("_del_seq"),
             )
             pdf = one if pdf is None else pdf.unionByName(one)
-        cond = (
-            (scan["_ice_mf_path"] == pdf["_ice_mf_path"])
-            & (scan["_ice_pos"] == pdf["_ice_pos"])
-            & (scan["_ice_seq"] <= pdf["_del_seq"])
-        )
-        scan = scan.join(F.broadcast(pdf), cond, "left_anti")
+        if dv_rows:
+            one = spark.createDataFrame(
+                dv_rows,
+                T.StructType([
+                    T.StructField("_ice_mf_path", T.StringType(), False),
+                    T.StructField("_ice_pos", T.LongType(), False),
+                    T.StructField("_del_seq", T.LongType(), False),
+                ]),
+            )
+            pdf = one if pdf is None else pdf.unionByName(one)
+        if pdf is not None:  # all-empty DVs leave nothing to apply
+            cond = (
+                (scan["_ice_mf_path"] == pdf["_ice_mf_path"])
+                & (scan["_ice_pos"] == pdf["_ice_pos"])
+                & (scan["_ice_seq"] <= pdf["_del_seq"])
+            )
+            scan = scan.join(F.broadcast(pdf), cond, "left_anti")
 
     # equality deletes grouped by (id set, seq): one null-safe
     # broadcast anti-join per group
@@ -708,12 +817,23 @@ def _spark_to_ice(dt: T.DataType) -> str:
 # id, not name), data_file includes the ``partition`` struct (id 102 —
 # empty for an unpartitioned spec, but the field itself is required),
 # and equality_ids (id 135) is present so delete manifests round-trip.
-def _manifest_entry_schema(partition_fields: "list[dict] | None" = None):
+def _manifest_entry_schema(
+    partition_fields: "list[dict] | None" = None, v3: bool = False
+):
     part_struct = {
         "type": "record",
         "name": "r102",
         "fields": list(partition_fields or []),
     }
+    dv_fields = [
+        # v3 deletion-vector reference (spec field ids 143-145)
+        {"name": "referenced_data_file", "field-id": 143,
+         "type": ["null", "string"], "default": None},
+        {"name": "content_offset", "field-id": 144,
+         "type": ["null", "long"], "default": None},
+        {"name": "content_size_in_bytes", "field-id": 145,
+         "type": ["null", "long"], "default": None},
+    ] if v3 else []
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -744,7 +864,7 @@ def _manifest_entry_schema(partition_fields: "list[dict] | None" = None):
                          "type": "array", "items": "int",
                          "element-id": 136,
                      }]},
-                ],
+                ] + dv_fields,
             }},
         ],
     }
@@ -888,7 +1008,55 @@ def _ice_schema_json_str(schema) -> str:
     )
 
 
-def iceberg_export(txn_root: str, ice_root: str) -> int:
+def _write_v3_dvs(
+    ice_root: str, rel: str, dv_map: "dict[str, list[int]]",
+    snap_id: int, seq: int, spec_cols: list,
+) -> list:
+    """Write ONE Puffin file of deletion-vector-v1 blobs (one per
+    referenced data file) and return the v3 manifest delete entries
+    addressing it by (content_offset, content_size_in_bytes)."""
+    from . import puffin
+
+    dst = os.path.join(ice_root, rel)
+    blob_meta = puffin.write_puffin_dvs(dst, dv_map, snap_id, seq)
+    size = os.path.getsize(dst)
+    out = []
+    for ref in sorted(blob_meta):
+        off, blen, card = blob_meta[ref]
+        out.append({
+            "status": _ST_ADDED, "snapshot_id": snap_id,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": _C_POS_DELETES, "file_path": rel,
+                "file_format": "PUFFIN",
+                "partition": {c: None for c in spec_cols},
+                "record_count": card,
+                "file_size_in_bytes": size,
+                "equality_ids": None,
+                "referenced_data_file": ref,
+                "content_offset": off,
+                "content_size_in_bytes": blen,
+            },
+        })
+    return out
+
+
+def _norm_v3_entries(entries: list, v3: bool) -> list:
+    """v3 manifests carry the DV reference fields on EVERY data_file
+    record (null for plain data files) — the Avro record encoder
+    requires each schema field present."""
+    if not v3:
+        return entries
+    for e in entries:
+        for k in ("referenced_data_file", "content_offset",
+                  "content_size_in_bytes"):
+            e["data_file"].setdefault(k, None)
+    return entries
+
+
+def iceberg_export(
+    txn_root: str, ice_root: str, format_version: int = 2
+) -> int:
     """Export the native txn lake's CURRENT state as an Iceberg v2
     table (one snapshot): data files copied (hive-partitioned tables
     re-materialized with the partition column restored — Iceberg data
@@ -904,6 +1072,10 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if format_version not in (2, 3):
+        raise ValueError(
+            f"format_version must be 2 or 3, got {format_version}"
+        )
     latest = lake.txn_latest_version(txn_root)
     if latest is None:
         raise FileNotFoundError(f"no committed versions under {txn_root}")
@@ -962,36 +1134,44 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
             },
         })
 
-    # --- active deletion vectors -> v2 position-delete files
+    # --- active deletion vectors -> v2 position-delete files, or (v3)
+    # deletion-vector-v1 Puffin blobs
     from .delta_interop import _txn_dv_positions
 
     dvpos = _txn_dv_positions(st) if st.dvs else {}
     delete_entries = []
-    for j, (f, positions) in enumerate(sorted(dvpos.items())):
-        rel = f"data/s1-{j:05d}-deletes.parquet"
-        dst = os.path.join(ice_root, rel)
-        pq.write_table(
-            pa.table({
-                "file_path": pa.array(
-                    [path_map[f]] * len(positions), type=pa.string()
-                ),
-                "pos": pa.array(sorted(positions), type=pa.int64()),
-            }),
-            dst,
+    if dvpos and format_version >= 3:
+        delete_entries = _write_v3_dvs(
+            ice_root, "data/s1-dvs.puffin",
+            {path_map[f]: positions for f, positions in dvpos.items()},
+            1, 1, spec_cols,
         )
-        delete_entries.append({
-            "status": _ST_ADDED, "snapshot_id": 1,
-            "sequence_number": 1, "file_sequence_number": 1,
-            "data_file": {
-                "content": _C_POS_DELETES, "file_path": rel,
-                "file_format": "PARQUET",
-                # global delete files: unbound partition tuple
-                "partition": {c: None for c in spec_cols},
-                "record_count": len(positions),
-                "file_size_in_bytes": os.path.getsize(dst),
-                "equality_ids": None,
-            },
-        })
+    elif dvpos:
+        for j, (f, positions) in enumerate(sorted(dvpos.items())):
+            rel = f"data/s1-{j:05d}-deletes.parquet"
+            dst = os.path.join(ice_root, rel)
+            pq.write_table(
+                pa.table({
+                    "file_path": pa.array(
+                        [path_map[f]] * len(positions), type=pa.string()
+                    ),
+                    "pos": pa.array(sorted(positions), type=pa.int64()),
+                }),
+                dst,
+            )
+            delete_entries.append({
+                "status": _ST_ADDED, "snapshot_id": 1,
+                "sequence_number": 1, "file_sequence_number": 1,
+                "data_file": {
+                    "content": _C_POS_DELETES, "file_path": rel,
+                    "file_format": "PARQUET",
+                    # global delete files: unbound partition tuple
+                    "partition": {c: None for c in spec_cols},
+                    "record_count": len(positions),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": None,
+                },
+            })
 
     # --- manifests + manifest list (the repo's own Avro encoder).
     # Spec fidelity (ADVICE r8): data and delete files live in
@@ -1008,16 +1188,18 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
             "schema-id": "0",
             "partition-spec": json.dumps(spec_json),
             "partition-spec-id": "0",
-            "format-version": "2",
+            "format-version": str(format_version),
             "content": content,
         }
 
-    entry_schema = _manifest_entry_schema(pfields or None)
+    v3 = format_version >= 3
+    entry_schema = _manifest_entry_schema(pfields or None, v3=v3)
     manifests = []  # (relative path, manifest_file row)
     mf_rel = "metadata/manifest-00000-data.avro"
     mf_abs = os.path.join(ice_root, mf_rel)
     av.write_avro(
-        entries, entry_schema, mf_abs, extra_meta=_manifest_meta("data")
+        _norm_v3_entries(entries, v3), entry_schema, mf_abs,
+        extra_meta=_manifest_meta("data"),
     )
     n_rows = sum(e["data_file"]["record_count"] for e in entries)
     manifests.append({
@@ -1039,7 +1221,7 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
         dm_rel = "metadata/manifest-00001-deletes.avro"
         dm_abs = os.path.join(ice_root, dm_rel)
         av.write_avro(
-            delete_entries, entry_schema, dm_abs,
+            _norm_v3_entries(delete_entries, v3), entry_schema, dm_abs,
             extra_meta=_manifest_meta("deletes"),
         )
         n_del = sum(
@@ -1064,12 +1246,12 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     mlist_path = os.path.join(ice_root, mlist_rel)
     av.write_avro(
         manifests, _MANIFEST_LIST_SCHEMA, mlist_path,
-        extra_meta={"format-version": "2"},
+        extra_meta={"format-version": str(format_version)},
     )
 
     # --- table metadata json + version hint
     meta = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": "00000000-0000-0000-0000-000000000001",
         "location": ice_root,
         "last-sequence-number": 1,
@@ -1105,6 +1287,11 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
         "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 0}],
         "metadata-log": [],
     }
+    if format_version >= 3:
+        # v3 row lineage: ids are assigned first-row-id + position;
+        # one snapshot of n_rows rows claims [0, n_rows)
+        meta["snapshots"][0]["first-row-id"] = 0
+        meta["next-row-id"] = n_rows
     with open(os.path.join(_meta_dir(ice_root), "v1.metadata.json"),
               "w") as fh:
         json.dump(meta, fh, sort_keys=True)
@@ -1114,7 +1301,9 @@ def iceberg_export(txn_root: str, ice_root: str) -> int:
     return 1
 
 
-def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
+def iceberg_export_incremental(
+    txn_root: str, ice_root: str, format_version: int = 2
+) -> int:
     """CONTINUOUS export to a foreign Iceberg consumer, exactly once
     (r9 — the Iceberg mirror of delta_export_incremental): the first
     call full-exports the current state; every later call appends ONE
@@ -1155,9 +1344,15 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
         raise FileNotFoundError(f"no committed versions under {txn_root}")
     d = _meta_dir(ice_root)
     if not (os.path.isdir(d) and os.listdir(d)):
-        return iceberg_export(txn_root, ice_root)
+        return iceberg_export(
+            txn_root, ice_root, format_version=format_version
+        )
 
     meta = load_table_metadata(ice_root)
+    # continue in the TABLE's format version (the parameter only
+    # shapes the bootstrapping full export)
+    fv = int(meta.get("format-version", 1))
+    v3 = fv >= 3
     snap = _pick_snapshot(meta, None)
     stamp = (snap.get("summary") or {}).get("txnlake-export-version")
     if stamp is None:
@@ -1207,7 +1402,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
             "schema-id": "0",
             "partition-spec": json.dumps(spec_json),
             "partition-spec-id": "0",
-            "format-version": "2",
+            "format-version": str(max(fv, 2)),
             "content": content,
         }
 
@@ -1238,7 +1433,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
     )
     seq = int(meta.get("last-sequence-number") or 0)
     snap_id = int(snap["snapshot-id"])
-    entry_schema = _manifest_entry_schema(pfields or None)
+    entry_schema = _manifest_entry_schema(pfields or None, v3=v3)
 
     # one cursor for the whole drain: each version advances O(1)
     # commits instead of replaying the full history (r9 ADVICE — the
@@ -1295,12 +1490,16 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
 
         dvpos = _txn_dv_positions(st) if st.dvs else {}
         delete_entries = []
+        dv_map = {}  # v3: target rel path -> positions (one puffin)
         for j, (f, positions) in enumerate(sorted(dvpos.items())):
             digest = hashlib.md5(f.encode()).hexdigest()[:10]
             if digest not in by_src:
                 continue  # DV on a file no longer live at v
-            rel = f"data/s{snap_id}-{j:05d}-deletes.parquet"
             target = by_src[digest]["data_file"]["file_path"]
+            if v3:
+                dv_map[target] = positions
+                continue
+            rel = f"data/s{snap_id}-{j:05d}-deletes.parquet"
             dst = os.path.join(ice_root, rel)
             pq.write_table(
                 pa.table({
@@ -1323,12 +1522,17 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
                     "equality_ids": None,
                 },
             })
+        if dv_map:
+            delete_entries = _write_v3_dvs(
+                ice_root, f"data/s{snap_id}-dvs.puffin", dv_map,
+                snap_id, seq, spec_cols,
+            )
 
         manifests = []
         mf_rel = f"metadata/manifest-s{snap_id:05d}-data.avro"
         mf_abs = os.path.join(ice_root, mf_rel)
         av.write_avro(
-            entries, entry_schema, mf_abs,
+            _norm_v3_entries(entries, v3), entry_schema, mf_abs,
             extra_meta=_manifest_meta("data"),
         )
         manifests.append({
@@ -1358,8 +1562,8 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
             dm_rel = f"metadata/manifest-s{snap_id:05d}-deletes.avro"
             dm_abs = os.path.join(ice_root, dm_rel)
             av.write_avro(
-                delete_entries, entry_schema, dm_abs,
-                extra_meta=_manifest_meta("deletes"),
+                _norm_v3_entries(delete_entries, v3), entry_schema,
+                dm_abs, extra_meta=_manifest_meta("deletes"),
             )
             manifests.append({
                 "manifest_path": dm_rel,
@@ -1382,7 +1586,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
         av.write_avro(
             manifests, _MANIFEST_LIST_SCHEMA,
             os.path.join(ice_root, mlist_rel),
-            extra_meta={"format-version": "2"},
+            extra_meta={"format-version": str(max(fv, 2))},
         )
 
         # advisory operation label: files dropped or rows newly hidden
@@ -1394,7 +1598,7 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
             op = "delete"
         else:
             op = "append"
-        meta["snapshots"].append({
+        new_snap = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "timestamp-ms": 0,
@@ -1404,7 +1608,17 @@ def iceberg_export_incremental(txn_root: str, ice_root: str) -> int:
                 "operation": op,
                 "txnlake-export-version": str(v),
             },
-        })
+        }
+        if v3:
+            # v3 row lineage: this snapshot's fresh rows claim
+            # [next-row-id, next-row-id + added_rows)
+            added_rows = sum(
+                e["data_file"]["record_count"] for e in entries
+                if e["status"] == _ST_ADDED
+            )
+            new_snap["first-row-id"] = int(meta.get("next-row-id") or 0)
+            meta["next-row-id"] = new_snap["first-row-id"] + added_rows
+        meta["snapshots"].append(new_snap)
         meta["snapshot-log"].append(
             {"snapshot-id": snap_id, "timestamp-ms": 0}
         )

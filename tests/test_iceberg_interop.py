@@ -194,11 +194,12 @@ def test_hand_authored_foreign_table_reads(spark, tmp_path):
 
 
 def test_refusals_are_loud(spark, tmp_path):
+    # v3 reads natively since r10; the refusal line is now v4
     root = str(tmp_path / "ext")
     meta = os.path.join(root, "metadata")
     os.makedirs(meta)
     with open(os.path.join(meta, "v1.metadata.json"), "w") as fh:
-        json.dump({"format-version": 3}, fh)
+        json.dump({"format-version": 4}, fh)
     with open(os.path.join(meta, "version-hint.text"), "w") as fh:
         fh.write("1")
     with pytest.raises(lake.UnsupportedProtocol, match="format-version"):
