@@ -10782,6 +10782,101 @@ def q_iceberg_datasource(spark, sf_dir):
 
 
 @register(
+    "iceberg_v3_dv",
+    """SELECT o_orderkey, o_custkey, o_orderpriority
+       FROM orders WHERE o_orderkey % 11 <> 3""",
+    "Iceberg FORMAT-VERSION 3 round trip (r10): the same incremental "
+    "two-drain export as iceberg_interop but with format_version=3 — "
+    "the tombstone batch lands as a deletion-vector-v1 blob in a "
+    "PUFFIN file (sources/puffin.py: PFA1 container + BE-length/"
+    "magic/portable-64-roaring/CRC-32 blob framing, the roaring codec "
+    "shared with the Delta DV module), the manifest entry carries "
+    "referenced_data_file/content_offset/content_size_in_bytes (spec "
+    "field ids 143-145), and the metadata records v3 row lineage "
+    "(first-row-id/next-row-id). iceberg_read seek-reads the blob "
+    "driver-side (metadata-sized positions) into the SAME anti-join "
+    "as v2 position deletes. The oracle replays the surviving rows in "
+    "closed form, so the hash match proves the v3 DV path deletes "
+    "exactly the tombstoned keys — no resurrection, no over-delete "
+    "(tests/test_iceberg_v3.py adds CRC corruption, pos-delete-file "
+    "refusal, initial-defaults and the executor-side DS mask). At "
+    "100 TB: a DV is O(deleted positions) bytes against a rewrite-"
+    "the-file baseline, and the read costs one seek per (file, DV).",
+)
+def q_iceberg_v3_dv(spark, sf_dir):
+    import tempfile
+
+    from ..sources import iceberg_interop as ice
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    work = tempfile.mkdtemp(prefix="iceberg_v3_q_")
+    root = work + "/t"
+    iroot = work + "/ice"
+    lake.txn_write(
+        base.repartitionByRange(4, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot, format_version=3)
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("o_orderkey") % 11 == 3).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot)  # v3 DV snapshot
+    ice.iceberg_export_incremental(root, iroot)  # idempotent retry
+    return ice.iceberg_read(spark, iroot)
+
+
+@register(
+    "iceberg_v3_datasource",
+    """SELECT o_orderkey, o_custkey, o_orderpriority
+       FROM orders WHERE o_orderkey % 11 <> 3""",
+    "The v3 deletion-vector read through Spark's OWN reader protocol "
+    "(r10): the same v3 export as iceberg_v3_dv, read back via "
+    "format('iceberglog') — one input partition per data file, and "
+    "the Puffin DV blob seek-read EXECUTOR-side inside the task that "
+    "scans its referenced file (a DV attaches to exactly one file, so "
+    "unlike v2 position-delete parquet it is never broadcast to every "
+    "task), masked with the vectorized numpy keep-mask. Same oracle "
+    "as iceberg_v3_dv: the DS path and the DataFrame path can never "
+    "disagree about v3 table state. At 100 TB: per-(file, DV) seek "
+    "reads keep delete masking O(positions) per task with zero "
+    "driver-side materialization.",
+)
+def q_iceberg_v3_datasource(spark, sf_dir):
+    import tempfile
+
+    from ..sources import iceberg_interop as ice
+    from ..sources import lake
+    from ..sources.iceberg_ds import IcebergLogDataSource
+
+    spark.dataSource.register(IcebergLogDataSource)
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    work = tempfile.mkdtemp(prefix="iceberg_v3_ds_q_")
+    root = work + "/t"
+    iroot = work + "/ice"
+    lake.txn_write(
+        base.repartitionByRange(2, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot, format_version=3)
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("o_orderkey") % 11 == 3).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot)
+    return (
+        spark.read.format("iceberglog").option("root", iroot).load()
+    )
+
+
+@register(
     "cf_preference_pairs",
     """WITH r AS (SELECT o_custkey AS user_id, l_partkey AS product,
                          sum(l_quantity) AS rating
