@@ -10394,6 +10394,62 @@ def q_avro_evolution(spark, sf_dir):
 
 
 @register(
+    "avro_egress_evolved",
+    """SELECT c_custkey AS ck, c_name AS full_name,
+              c_mktsegment AS seg, 'v2-writer' AS origin
+       FROM customer WHERE c_custkey % 3 <> 1""",
+    "Distributed Avro EGRESS under an evolved writer schema (r10 — "
+    "the write twin of avro_evolution's reader-side resolution): a "
+    "frame still shaped like the OLD schema (int key, old column "
+    "name 'name') lands as containers valid under the EVOLVED target "
+    "via avro_write — one container per non-empty partition written "
+    "EXECUTOR-side (Arrow mapInPandas, no collect), target fields "
+    "matched by name or FIELD alias ('full_name' aliases 'name'), "
+    "the int key promoted to long in the projection, the absent "
+    "'origin' field filled from its declared default. Anything "
+    "unresolvable — narrowing, an unconsumed frame column (silent "
+    "data drop), a default-less absent field, a non-empty target "
+    "dir — refuses before a byte lands (tests/test_avro_egress.py). "
+    "The result is read back with PLAIN read_avro (no reader-side "
+    "resolution needed — that is the point of writing evolved) and "
+    "hash-matched against the closed form, proving the projection + "
+    "per-partition encoder are value-exact. At 100 TB: egress "
+    "parallelism equals the upstream plan's; old-shape producers "
+    "keep feeding an evolved lake without a driver-side rewrite.",
+)
+def q_avro_egress_evolved(spark, sf_dir):
+    import json as _json
+    import tempfile
+
+    from ..sources import avro_source as av
+
+    target = {
+        "type": "record", "name": "cust",
+        "fields": [
+            {"name": "ck", "type": "long"},
+            {"name": "full_name", "type": "string", "aliases": ["name"]},
+            {"name": "seg", "type": ["null", "string"]},
+            {"name": "origin", "type": "string", "default": "v2-writer"},
+        ],
+    }
+    old_shape = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 1)
+        .select(
+            F.col("c_custkey").cast("int").alias("ck"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .repartition(4)
+    )
+    work = tempfile.mkdtemp(prefix="avro_egress_q_")
+    av.avro_write(old_shape, work, _json.dumps(target), codec="deflate")
+    clean, bad = av.split_corrupt(av.read_avro(spark, work))
+    assert bad.isEmpty()
+    return clean.select("ck", "full_name", "seg", "origin")
+
+
+@register(
     "lake_delta_interop",
     """SELECT o_orderkey, o_custkey,
               CASE WHEN o_orderkey % 11 = 3 THEN -1.0

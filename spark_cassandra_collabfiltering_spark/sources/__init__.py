@@ -55,6 +55,7 @@ from spark_cassandra_collabfiltering_spark.sources.txnlake_ds import (
     register_txnlake,
 )
 from spark_cassandra_collabfiltering_spark.sources.avro_source import (
+    avro_write,
     read_avro,
     write_avro,
 )
@@ -140,6 +141,7 @@ __all__ = [
     "TxnLakePushdownDataSource",
     "register_txnlake",
     # r8 ingest: from-scratch Avro container + delimited protobuf
+    "avro_write",
     "read_avro",
     "write_avro",
     "read_proto",

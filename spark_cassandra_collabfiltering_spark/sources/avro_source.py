@@ -56,6 +56,7 @@ from __future__ import annotations
 import datetime
 import io
 import json
+import os
 import struct
 import zlib
 from collections.abc import Iterator
@@ -948,3 +949,177 @@ def write_avro(
     with open(path, "wb") as fh:
         fh.write(out)
     return len(out)
+
+
+# ---------------------------------------------------------------------------
+# distributed egress under a TARGET writer schema (r10) — the write
+# twin of the reader-side resolution: a frame still shaped like an OLD
+# schema version lands as containers valid under the EVOLVED schema.
+# ---------------------------------------------------------------------------
+
+# lossless Spark-type widenings the spec's promotion table permits in
+# the write direction (narrowing always refuses)
+_WIDEN_OK = {
+    (T.ByteType(), T.ShortType()), (T.ByteType(), T.IntegerType()),
+    (T.ByteType(), T.LongType()), (T.ShortType(), T.IntegerType()),
+    (T.ShortType(), T.LongType()), (T.IntegerType(), T.LongType()),
+    (T.IntegerType(), T.FloatType()), (T.IntegerType(), T.DoubleType()),
+    (T.LongType(), T.FloatType()), (T.LongType(), T.DoubleType()),
+    (T.FloatType(), T.DoubleType()),
+    (T.StringType(), T.BinaryType()), (T.BinaryType(), T.StringType()),
+}
+
+
+def _writer_resolution(df_schema: T.StructType, target: dict):
+    """Resolve a frame's columns to a TARGET Avro record schema —
+    the spec's resolution rules mirrored into the write direction:
+    target fields match a column by name or by one of the FIELD's
+    aliases; a target field with no column fills from its declared
+    default (no default -> refuse); lossless numeric/string-bytes
+    promotions cast in the projection; narrowing refuses; a frame
+    column consumed by no target field refuses (dropping data on
+    egress is never silent). Returns (select_exprs, fills) where
+    ``fills`` maps absent field names to their python default
+    values."""
+    from pyspark.sql import functions as F
+
+    if target.get("type") != "record":
+        raise ValueError("target schema must be a record")
+    by_name = {f.name: f for f in df_schema.fields}
+    exprs, fills, consumed = [], {}, set()
+    for fld in target["fields"]:
+        src = None
+        if fld["name"] in by_name:
+            src = fld["name"]
+        else:
+            for a in fld.get("aliases") or ():
+                if a in by_name:
+                    src = a
+                    break
+        ftype = fld["type"]
+        want, _r = _make_reader(ftype)
+        if src is None:
+            if "default" not in fld:
+                raise ValueError(
+                    f"target field {fld['name']!r} has no source "
+                    "column and no default"
+                )
+            fills[fld["name"]] = _default_value(ftype, fld["default"])
+            continue
+        consumed.add(src)
+        have = by_name[src].dataType
+        if have == want:
+            exprs.append(F.col(src).alias(fld["name"]))
+        elif (have, want) in _WIDEN_OK:
+            exprs.append(F.col(src).cast(want).alias(fld["name"]))
+        else:
+            raise ValueError(
+                f"column {src!r} ({have.simpleString()}) does not "
+                f"losslessly widen to target field {fld['name']!r} "
+                f"({want.simpleString()})"
+            )
+    extra = [f.name for f in df_schema.fields if f.name not in consumed]
+    if extra:
+        raise ValueError(
+            f"columns {extra} match no target field; dropping data "
+            "on egress must be explicit (select them away first)"
+        )
+    return exprs, fills
+
+
+def _py_cell(v, ftype):
+    """One pandas cell -> the python value the encoder expects (nulls
+    normalized, numpy unwrapped, float-backed nullable ints restored,
+    pandas timestamps to datetime/date)."""
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return None
+    base = ftype
+    if isinstance(base, list):  # nullable union: resolve on the value
+        base = base[1] if base[0] == "null" else base[0]
+    t = base if isinstance(base, str) else base.get("type")
+    lt = None if isinstance(base, str) else base.get("logicalType")
+    if lt == "date":
+        if isinstance(v, (pd.Timestamp, datetime.datetime)):
+            return v.date()
+        return v
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+    if lt == "decimal":
+        return v  # the encoder consumes the Decimal directly
+    if t in ("int", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return bool(v)
+    if t == "string":
+        return str(v)
+    if t == "bytes":
+        return bytes(v)
+    return v
+
+
+def avro_write(
+    df: DataFrame,
+    path: str,
+    schema_json: str,
+    codec: str = "null",
+    rows_per_block: int = 1000,
+) -> int:
+    """Distributed Avro egress: ONE container file per non-empty
+    partition, written executor-side (Arrow ``mapInPandas`` — the
+    write mirror of read_avro's file-parallel scan), every file valid
+    under the TARGET ``schema_json`` via :func:`_writer_resolution`
+    (alias matching, default fill, lossless promotions; anything else
+    refuses before a byte lands). Returns the row count written; the
+    target directory must not already hold .avro files (a silent
+    append would duplicate rows on retry).
+
+    Scale: the frame never collects — each task encodes its own
+    partition; at 100 TB the write is as parallel as the upstream
+    plan, and downstream consumers on the EVOLVED schema read every
+    container uniformly (no reader-side resolution needed for the
+    files this writes)."""
+    import uuid
+
+    import pandas as pd
+
+    target = json.loads(schema_json) if isinstance(
+        schema_json, str
+    ) else schema_json
+    exprs, fills = _writer_resolution(df.schema, target)
+    os.makedirs(path, exist_ok=True)
+    if any(f.endswith(".avro") for f in os.listdir(path)):
+        raise FileExistsError(f"{path} already holds .avro files")
+    tschema = json.dumps(target, sort_keys=True)
+    ftypes = {f["name"]: f["type"] for f in target["fields"]}
+    present = [
+        f["name"] for f in target["fields"] if f["name"] not in fills
+    ]
+
+    def egress(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows = []
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                r = {
+                    n: _py_cell(rec[n], ftypes[n]) for n in present
+                }
+                r.update(fills)
+                rows.append(r)
+        if rows:
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            write_avro(
+                rows, tschema, fname, codec=codec,
+                rows_per_block=rows_per_block,
+            )
+            yield pd.DataFrame({"file": [fname], "n_rows": [len(rows)]})
+        else:
+            yield pd.DataFrame({
+                "file": pd.Series([], dtype=str),
+                "n_rows": pd.Series([], dtype="int64"),
+            })
+
+    out = df.select(*exprs).mapInPandas(egress, "file string, n_rows long")
+    return sum(r["n_rows"] for r in out.collect())
