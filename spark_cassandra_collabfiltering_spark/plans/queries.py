@@ -10838,6 +10838,69 @@ def q_iceberg_datasource(spark, sf_dir):
 
 
 @register(
+    "iceberg_expire",
+    """SELECT o_orderkey, o_custkey, o_orderpriority
+       FROM orders WHERE o_orderkey % 13 <> 6""",
+    "Iceberg snapshot EXPIRY (r10 — the maintenance op a continuous "
+    "export needs: one appended snapshot per txn commit grows "
+    "metadata and dead files without bound): three drained snapshots "
+    "(base append, derived-key append, a deletion-vector commit), "
+    "then iceberg_expire_snapshots(keep_last=1) — expired snapshots "
+    "drop from the metadata, and every manifest list, manifest and "
+    "data/delete file ONLY they referenced is unlinked, while files "
+    "carried forward as EXISTING entries survive by construction "
+    "(tests/test_iceberg_maintenance.py also pins the loud failure "
+    "of expired pins, the retained-window variant, orphan removal, "
+    "and that the exporter keeps draining afterwards). The query "
+    "returns the post-expiry read; the oracle replays the surviving "
+    "state in closed form, so the hash match proves expiry deleted "
+    "only dead bytes. At 100 TB: pure metadata arithmetic + unlinks "
+    "— no data scan — keeping snapshot resolution O(live manifests) "
+    "forever.",
+)
+def q_iceberg_expire(spark, sf_dir):
+    import tempfile
+
+    from ..sources import iceberg_interop as ice
+    from ..sources import lake
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    work = tempfile.mkdtemp(prefix="iceberg_exp_q_")
+    root = work + "/t"
+    iroot = work + "/ice"
+    lake.txn_write(
+        base.repartitionByRange(3, "o_orderkey"), root,
+        stats_cols=["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot)
+    lake.txn_write(
+        base.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + 80000000).alias("o_orderkey"),
+            "o_custkey", "o_orderpriority",
+        ).coalesce(1),
+        root,
+    )
+    ice.iceberg_export_incremental(root, iroot)
+    lake.txn_delete_dv(
+        spark, root,
+        base.filter(F.col("o_orderkey") % 13 == 6).select("o_orderkey")
+        .union(
+            base.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 80000000).alias("o_orderkey")
+            )
+        ),
+        ["o_orderkey"],
+    )
+    ice.iceberg_export_incremental(root, iroot)
+    res = ice.iceberg_expire_snapshots(iroot, keep_last=1)
+    assert res["expired"] and res["deleted_files"] > 0
+    assert ice.iceberg_remove_orphans(iroot) == []
+    return ice.iceberg_read(spark, iroot)
+
+
+@register(
     "iceberg_v3_dv",
     """SELECT o_orderkey, o_custkey, o_orderpriority
        FROM orders WHERE o_orderkey % 11 <> 3""",

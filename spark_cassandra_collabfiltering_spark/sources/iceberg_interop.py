@@ -792,6 +792,136 @@ def iceberg_count(root: str, snapshot_id: "int | None" = None) -> int:
 
 
 # ---------------------------------------------------------------------------
+# maintenance: snapshot expiry + orphan-file removal (r10) — the two
+# table-maintenance ops a CONTINUOUSLY-exported tree needs (one
+# appended snapshot per txn commit grows metadata and dead files
+# without bound). Built to the semantics of Iceberg's own
+# expire_snapshots / remove_orphan_files procedures.
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_refs(root: str, snap: dict) -> "set[str]":
+    """Every absolute path one snapshot pins: its manifest list, the
+    manifests that list names, and every file_path any entry mentions
+    (DELETED entries included — their bytes must survive while any
+    retained snapshot's manifest still references them)."""
+    refs = set()
+    ml = _resolve_path(root, snap["manifest-list"])
+    refs.add(ml)
+    for m in _read_avro_rows(ml):
+        mp = _resolve_path(root, m["manifest_path"])
+        refs.add(mp)
+        for e in _read_avro_rows(mp):
+            refs.add(_resolve_path(root, e["data_file"]["file_path"]))
+    return refs
+
+
+def iceberg_expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots (sequence
+    order; the current snapshot is always retained): drop them from
+    the metadata's snapshot list and log, then delete every file only
+    the expired snapshots referenced — manifest lists, manifests, and
+    data/delete/Puffin files a retained snapshot does not also pin
+    (files carried forward as EXISTING entries survive by
+    construction). Publishes a NEW metadata version (readers pinned
+    to an expired snapshot id fail loudly afterwards, the Iceberg
+    contract). Returns ``{"expired": [ids], "deleted_files": n}``.
+
+    Scale posture: pure metadata arithmetic — O(manifest bytes) reads
+    and unlink calls, no data scan; on a 100 TB tree this is the op
+    that keeps snapshot resolution O(live manifests) forever."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = load_table_metadata(root)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: int(s.get("sequence-number") or 0),
+    )
+    if len(snaps) <= keep_last:
+        return {"expired": [], "deleted_files": 0}
+    expired, retained = snaps[:-keep_last], snaps[-keep_last:]
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in {
+        int(s["snapshot-id"]) for s in retained
+    }:
+        raise ValueError(
+            "current snapshot would be expired; raise keep_last"
+        )
+    keep_refs = set()
+    for s in retained:
+        keep_refs |= _snapshot_refs(root, s)
+    dead = set()
+    for s in expired:
+        dead |= _snapshot_refs(root, s) - keep_refs
+    expired_ids = {int(s["snapshot-id"]) for s in expired}
+    meta["snapshots"] = [
+        s for s in meta["snapshots"]
+        if int(s["snapshot-id"]) not in expired_ids
+    ]
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log") or []
+        if int(e["snapshot-id"]) not in expired_ids
+    ]
+    deleted = 0
+    for p in sorted(dead):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+    _publish_metadata(root, meta)
+    return {"expired": sorted(expired_ids), "deleted_files": deleted}
+
+
+def iceberg_remove_orphans(root: str, dry_run: bool = False) -> list:
+    """Delete (or with ``dry_run`` just report) files under data/ and
+    metadata/ that NO snapshot in the current metadata references —
+    the debris of crashed exports and external copies. Table metadata
+    jsons and the version hint are never candidates. Returns the
+    sorted relative paths removed. Caveat (same as Iceberg's own
+    procedure): do not run concurrently with an in-flight writer —
+    its not-yet-committed files look orphaned; the txnlake exporters
+    commit metadata LAST, so a completed drain is always safe."""
+    meta = load_table_metadata(root)
+    refs = set()
+    for s in meta.get("snapshots") or []:
+        refs |= _snapshot_refs(root, s)
+    out = []
+    for sub in ("data", "metadata"):
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for dirpath, _dirs, files in os.walk(base):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if sub == "metadata" and (
+                    f.endswith(".metadata.json")
+                    or f == "version-hint.text"
+                ):
+                    continue
+                if p not in refs:
+                    out.append(os.path.relpath(p, root))
+                    if not dry_run:
+                        os.remove(p)
+    return sorted(out)
+
+
+def _publish_metadata(root: str, meta: dict) -> None:
+    """Write the next vN.metadata.json + version hint (the
+    HadoopCatalog commit shape this exporter uses throughout)."""
+    cur = _latest_metadata_path(root)
+    stem = os.path.basename(cur).split(".")[0]
+    v = int(stem.lstrip("v")) if stem.lstrip("v").isdigit() else 0
+    nxt = v + 1
+    with open(
+        os.path.join(_meta_dir(root), f"v{nxt}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh, sort_keys=True)
+    with open(
+        os.path.join(_meta_dir(root), "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(nxt))
+
+
+# ---------------------------------------------------------------------------
 # exporter: native txn lake -> Iceberg (fixture generator + migration)
 # ---------------------------------------------------------------------------
 
