@@ -587,7 +587,10 @@ def _added_files(root: str, snap: dict) -> list:
 
 
 def iceberg_read(
-    spark: SparkSession, root: str, snapshot_id: "int | None" = None
+    spark: SparkSession,
+    root: str,
+    snapshot_id: "int | None" = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """The Iceberg table at the current (or pinned) snapshot. Column
     resolution is FIELD-ID based per the spec: each data file's
@@ -615,7 +618,16 @@ def iceberg_read(
 
     Driver-side work stays metadata-sized throughout: one (path, seq)
     row per live file feeds a broadcast map; all row-scale work is
-    distributed joins."""
+    distributed joins.
+
+    ``with_row_ids`` (r10, v3 row lineage) appends a ``_row_id``
+    column: the data file's explicit ``first_row_id`` plus the row's
+    position in the file — STABLE across snapshots, because carried
+    EXISTING entries keep their assigned first_row_id and deleted
+    rows' ids are never reissued. Files without an explicit
+    first_row_id refuse (the spec's inheritance chain exists for
+    writers mid-commit; a committed v3 manifest this exporter writes
+    always records the assigned value)."""
     from pyspark.sql import functions as F
 
     data, pos_del, eq_del = snapshot_files(root, snapshot_id)
@@ -625,9 +637,28 @@ def iceberg_read(
     id_to_field = {
         f.get("id"): sf for f, sf in zip(cur["fields"], schema.fields)
     }
+    if with_row_ids:
+        if int(meta.get("format-version", 1)) < 3:
+            raise lake.UnsupportedProtocol(
+                "row lineage (_row_id) is a v3 feature"
+            )
+        missing = [
+            d["file_path"] for d in data
+            if d.get("first_row_id") is None
+        ]
+        if missing:
+            raise lake.UnsupportedProtocol(
+                f"data files without explicit first_row_id: {missing}"
+            )
+    out_schema = schema
+    if with_row_ids:
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_row_id", T.LongType(), False)]
+        )
     if not data:
-        return spark.createDataFrame([], schema)
-    need_meta = bool(pos_del or eq_del)
+        return spark.createDataFrame([], out_schema)
+    need_meta = bool(pos_del or eq_del) or with_row_ids
     scan = _scan_with_formats(spark, cur, schema, data, need_meta)
     if not need_meta:
         return scan
@@ -636,16 +667,25 @@ def iceberg_read(
     # one row per LIVE FILE (metadata-sized), broadcast onto the scan
     seq_df = spark.createDataFrame(
         [
-            (lake._uri_path(d["_abs"]), d["file_path"], int(d["_seq"]))
+            (
+                lake._uri_path(d["_abs"]), d["file_path"],
+                int(d["_seq"]),
+                int(d["first_row_id"]) if with_row_ids else 0,
+            )
             for d in data
         ],
         T.StructType([
             T.StructField("_ice_file", T.StringType(), False),
             T.StructField("_ice_mf_path", T.StringType(), False),
             T.StructField("_ice_seq", T.LongType(), False),
+            T.StructField("_ice_first_row", T.LongType(), False),
         ]),
     )
     scan = scan.join(F.broadcast(seq_df), "_ice_file", "left")
+    if with_row_ids:
+        scan = scan.withColumn(
+            "_row_id", F.col("_ice_first_row") + F.col("_ice_pos")
+        )
 
     if pos_del:
         # the spec matches position deletes on the manifest's EXACT
@@ -736,7 +776,10 @@ def iceberg_read(
             cond = cond & scan[n].eqNullSafe(deldf[f"_eq_{n}"])
         scan = scan.join(F.broadcast(deldf), cond, "left_anti")
 
-    return scan.drop("_ice_file", "_ice_pos", "_ice_mf_path", "_ice_seq")
+    return scan.drop(
+        "_ice_file", "_ice_pos", "_ice_mf_path", "_ice_seq",
+        "_ice_first_row",
+    )
 
 
 def iceberg_import(
@@ -956,7 +999,9 @@ def _manifest_entry_schema(
         "fields": list(partition_fields or []),
     }
     dv_fields = [
-        # v3 deletion-vector reference (spec field ids 143-145)
+        # v3 row lineage (142) + deletion-vector reference (143-145)
+        {"name": "first_row_id", "field-id": 142,
+         "type": ["null", "long"], "default": None},
         {"name": "referenced_data_file", "field-id": 143,
          "type": ["null", "string"], "default": None},
         {"name": "content_offset", "field-id": 144,
@@ -1178,8 +1223,8 @@ def _norm_v3_entries(entries: list, v3: bool) -> list:
     if not v3:
         return entries
     for e in entries:
-        for k in ("referenced_data_file", "content_offset",
-                  "content_size_in_bytes"):
+        for k in ("first_row_id", "referenced_data_file",
+                  "content_offset", "content_size_in_bytes"):
             e["data_file"].setdefault(k, None)
     return entries
 
@@ -1243,13 +1288,14 @@ def iceberg_export(
     # commits).
     entries = []
     path_map = {}  # txn file -> iceberg relative path
+    frid = 0  # v3 row lineage: assigned EXPLICITLY per data file
     for i, f in enumerate(sorted(st.files)):
         rel = _export_rel(1, i, f)
         nrows, size = _materialize_data_file(
             f, schema, mapping, st.parts.get(f) or {}, ice_root, rel
         )
         path_map[f] = rel
-        entries.append({
+        e = {
             "status": _ST_ADDED, "snapshot_id": 1,
             "sequence_number": 1, "file_sequence_number": 1,
             "data_file": {
@@ -1262,7 +1308,11 @@ def iceberg_export(
                 "file_size_in_bytes": size,
                 "equality_ids": None,
             },
-        })
+        }
+        if format_version >= 3:
+            e["data_file"]["first_row_id"] = frid
+            frid += nrows
+        entries.append(e)
 
     # --- active deletion vectors -> v2 position-delete files, or (v3)
     # deletion-vector-v1 Puffin blobs
@@ -1576,6 +1626,10 @@ def iceberg_export_incremental(
         snap_id += 1
         prior_live = len(by_src)
         entries, n_added, n_existing = [], 0, 0
+        # v3 row lineage: fresh files claim ids from the table's
+        # high-water mark; carried entries KEEP their assigned
+        # first_row_id (the stability contract)
+        frid = int(meta.get("next-row-id") or 0)
         for i, f in enumerate(sorted(st.files)):
             digest = hashlib.md5(f.encode()).hexdigest()[:10]
             prior = by_src.get(digest)
@@ -1607,6 +1661,9 @@ def iceberg_export_incremental(
                     "equality_ids": None,
                 },
             }
+            if v3:
+                e["data_file"]["first_row_id"] = frid
+                frid += nrows
             entries.append(e)
             by_src[digest] = e
             n_added += 1
@@ -1740,14 +1797,10 @@ def iceberg_export_incremental(
             },
         }
         if v3:
-            # v3 row lineage: this snapshot's fresh rows claim
-            # [next-row-id, next-row-id + added_rows)
-            added_rows = sum(
-                e["data_file"]["record_count"] for e in entries
-                if e["status"] == _ST_ADDED
-            )
+            # v3 row lineage: this snapshot's fresh rows claimed
+            # [next-row-id, frid) during entry assignment above
             new_snap["first-row-id"] = int(meta.get("next-row-id") or 0)
-            meta["next-row-id"] = new_snap["first-row-id"] + added_rows
+            meta["next-row-id"] = frid
         meta["snapshots"].append(new_snap)
         meta["snapshot-log"].append(
             {"snapshot-id": snap_id, "timestamp-ms": 0}

@@ -194,3 +194,76 @@ def test_puffin_footer_refuses_compressed_payload(tmp_path):
     open(p, "wb").write(bytes(b))
     with pytest.raises(ValueError, match="compressed"):
         puffin.read_puffin_footer(p)
+
+
+def test_v3_row_ids_are_stable_across_snapshots(spark, tmp_path):
+    """with_row_ids: _row_id = the file's EXPLICIT first_row_id + row
+    position. Carried EXISTING entries keep their assigned ids, so a
+    row's id never changes across later appends, and DV-deleted rows'
+    ids vanish without being reissued."""
+    root = str(tmp_path / "t")
+    iroot = str(tmp_path / "ice")
+    lake.txn_write(_d(spark, 0, 40).coalesce(2), root)
+    ice.iceberg_export_incremental(root, iroot, format_version=3)
+    ids1 = {
+        r["id"]: r["_row_id"]
+        for r in ice.iceberg_read(
+            spark, iroot, with_row_ids=True
+        ).collect()
+    }
+    assert sorted(ids1.values()) == list(range(40))
+    lake.txn_write(_d(spark, 100, 110).coalesce(1), root)
+    ice.iceberg_export_incremental(root, iroot)
+    ids2 = {
+        r["id"]: r["_row_id"]
+        for r in ice.iceberg_read(
+            spark, iroot, with_row_ids=True
+        ).collect()
+    }
+    # old rows keep their ids; appended rows claim the next block
+    assert all(ids2[k] == v for k, v in ids1.items())
+    assert sorted(
+        v for k, v in ids2.items() if k >= 100
+    ) == list(range(40, 50))
+    lake.txn_delete_dv(spark, root, spark.range(0, 5).select("id"), ["id"])
+    ice.iceberg_export_incremental(root, iroot)
+    ids3 = {
+        r["id"]: r["_row_id"]
+        for r in ice.iceberg_read(
+            spark, iroot, with_row_ids=True
+        ).collect()
+    }
+    assert set(ids3) == set(ids2) - {0, 1, 2, 3, 4}
+    assert all(ids3[k] == ids2[k] for k in ids3)  # survivors stable
+    # deleted ids are gone, not reissued
+    dead = {ids2[k] for k in (0, 1, 2, 3, 4)}
+    assert dead.isdisjoint(set(ids3.values()))
+
+
+def test_row_ids_refuse_below_v3_and_without_assignment(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake.txn_write(_d(spark, 0, 10).coalesce(1), root)
+    iroot = str(tmp_path / "ice")
+    ice.iceberg_export(root, iroot)  # v2
+    with pytest.raises(lake.UnsupportedProtocol, match="v3"):
+        ice.iceberg_read(spark, iroot, with_row_ids=True)
+    # a v3 table whose entries lack explicit first_row_id refuses
+    # (inheritance mid-commit is a writer concern, not a read path)
+    iroot3 = str(tmp_path / "ice3")
+    ice.iceberg_export(root, iroot3, format_version=3)
+    mp = ice._latest_metadata_path(iroot3)
+    meta = json.load(open(mp))
+    man = os.path.join(iroot3, "metadata", "manifest-00000-data.avro")
+    rows = [
+        {k: v for k, v in r.items() if k not in ("file", "corrupt_reason")}
+        for r in av.parse_avro_bytes(open(man, "rb").read())
+    ]
+    for r in rows:
+        r["data_file"]["first_row_id"] = None
+    av.write_avro(
+        rows, ice._manifest_entry_schema(v3=True), man,
+        extra_meta={"format-version": "3", "content": "data"},
+    )
+    with pytest.raises(lake.UnsupportedProtocol, match="first_row_id"):
+        ice.iceberg_read(spark, iroot3, with_row_ids=True)
+    assert meta["format-version"] == 3
