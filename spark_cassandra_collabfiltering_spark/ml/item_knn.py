@@ -131,14 +131,31 @@ def item_similarity(
 def item_neighbors(sim: DataFrame, k: int = 10) -> DataFrame:
     """Symmetrize the unordered pairs and keep each item's top-k
     neighbors (sim desc, neighbor asc tiebreak). Output:
-    (item, neighbor, sim_e6, nrank <= k)."""
+    (item, neighbor, sim_e6, nrank <= k).
+
+    Symmetrization is a ROW-LOCAL explode of a 2-struct array, not a
+    union of two projections: a union duplicates the entire upstream
+    plan subtree, so the wedge join + 2M-row pair aggregate feeding
+    ``sim`` would execute twice (measured: the two largest exchanges
+    in the r9 itemknn plan were the same wedge agg, once per union
+    arm). The explode emits the identical row multiset from ONE pass.
+    """
     sym = sim.select(
-        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "sim_e6"
-    ).unionByName(
-        sim.select(
-            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "sim_e6"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("item"),
+                    F.col("ib").alias("neighbor"),
+                    F.col("sim_e6"),
+                ),
+                F.struct(
+                    F.col("ib").alias("item"),
+                    F.col("ia").alias("neighbor"),
+                    F.col("sim_e6"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.item", "_e.neighbor", "_e.sim_e6")
     w = Window.partitionBy("item").orderBy(
         F.col("sim_e6").desc(), F.col("neighbor").asc()
     )

@@ -6213,6 +6213,16 @@ def _itemknn_pipeline(spark, sf_dir, user_subset_mod: int | None = None):
         )
     train, val = rk.hash_split_pairs(ratings)
     capped = ik.cap_user_items(train, max_user_items=100)
+    # capped is referenced FIVE times downstream (both wedge-join arms,
+    # the per-item counts, the scoring join, the seen anti-join) and
+    # val twice (hits + per-user denominator); as plain subtrees each
+    # reference re-runs the lineitem⋈orders scan + md5 split + cap
+    # window. Lazy local checkpoints compute each ONCE at first action
+    # (the diamond-reuse rule used by graph_triangles/ppjoin; values
+    # are deterministic md5/integer arithmetic, so results are
+    # identical either way).
+    capped = capped.localCheckpoint(eager=False)
+    val = val.localCheckpoint(eager=False)
     # min_count=2 is the r8 support floor: singleton co-occurrences
     # were 99% of all pairs and pure noise at the top of rare items'
     # neighbor lists — dropping them shrinks every stage downstream of
