@@ -3419,6 +3419,15 @@ def q_cf_als(spark, sf_dir):
         .groupBy("user", "product")
         .agg(F.avg("rating").alias("rating"))
     )
+    # The ratings subtree (lineitem⋈orders scan + bounded-id groupBy)
+    # feeds three separate actions — ALS.fit, model.transform(val),
+    # and the final val⋈preds — and re-executed for each (measured:
+    # the three largest stages of the r9 profile were this subtree,
+    # not the solver). A lazy local checkpoint computes it once; the
+    # materialized partitions are the same physical output, so the
+    # seeded per-partition randomSplit draws identical rows (verified:
+    # identical 4517 rows + float predictions at sf0.01).
+    ratings = ratings.localCheckpoint(eager=False)
     train, val = ratings.randomSplit([0.9, 0.1], seed=42)
     model = cf.train(train, max_iter=10)
     preds = cf.predict(model, val)
