@@ -462,11 +462,19 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.length(c) - (k - 1)),
         lambda i: shingle_hash(c.substr(i, F.lit(k))),
     )
+    # Both exchanges pin an EXPLICIT partition count: this stage is
+    # CPU-bound (one md5 per character position), not byte-bound, so
+    # AQE's advisory-size coalescing — which only sees the few hundred
+    # KB of compressed text — would shrink each exchange to ONE
+    # partition and run the whole hash pass on a single core (measured
+    # at sf0.1: 3.9 s single-task vs ~0.5 s spread). defaultParallelism
+    # is the session's core/slot count, so the pin stays scale-adaptive.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
-        df.repartition(F.col(id_col))
+        df.repartition(n_part, F.col(id_col))
         .filter(F.length(c) >= k + w - 1)
         .select(F.col(id_col), hs.alias("_hs"))
-        .repartition(F.col(id_col))
+        .repartition(n_part, F.col(id_col))
     )
     fps = F.array_distinct(
         F.transform(
