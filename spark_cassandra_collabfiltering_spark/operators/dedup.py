@@ -370,9 +370,22 @@ def minhash_dedup_pairs(
     sets never leave their row; verification is array_intersect on the
     doc-level hs arrays, joined by id.
     """
+    # sets is consumed by FOUR subtrees (the signature table and both
+    # verify sides); under AQE those leaf query stages materialize
+    # CONCURRENTLY, so a .cache() here doesn't deduplicate the md5
+    # shingle pass — every racing stage recomputes it before any of
+    # them fills the cache (measured at sf0.1: 4 duplicate 32-task
+    # scan+hash stages, ~19 s of executor time for ~2 s of real work).
+    # Publishing the hashed sets through an EXPLICIT exchange instead
+    # makes the consumers' subtrees identical, so AQE materializes ONE
+    # reused shuffle stage: the hash pass runs exactly once. Both
+    # exchanges pin defaultParallelism partitions because the pass is
+    # CPU-bound (md5 per shingle) and byte-based coalescing would
+    # serialize it (the winnowing rule).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     sets = doc_shingle_sets(
-        df.repartition(F.col(id_col)), id_col, text_col, n=n
-    ).cache()
+        df.repartition(n_part, F.col(id_col)), id_col, text_col, n=n
+    ).repartition(n_part, F.col(id_col))
     # the signature table is referenced four times (both sides of the
     # band self-join, both prefilter probes); the k permutation
     # transforms re-run per reference even over the cached sets — a
@@ -387,6 +400,10 @@ def minhash_dedup_pairs(
     probable = signature_prefilter(
         cands, sigs, id_col, n_hashes=n_hashes, min_matches=prefilter_matches
     )
+    # the exact-Jaccard verify (array_intersect over the full shingle
+    # sets) is the priciest per-row step; spread the surviving pairs
+    # so it doesn't run as one AQE-coalesced task
+    probable = probable.repartition(n_part, "id_a")
     verified = _jaccard_on_sets(sets, probable, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
