@@ -4820,6 +4820,44 @@ def q_text_oov_rate(spark, sf_dir):
 # Triangle counting — degree-oriented wedge join (r5-cont)
 # ===========================================================================
 
+def _cooccur_part_edges(spark, sf_dir):
+    """Part co-occurrence edges (parts sharing >= 2 distinct orders),
+    built WITHOUT the distinct + self-join the r9 plan used: collect
+    each order's distinct part set in one aggregate (collect_set does
+    the dedup the old .distinct() exchange paid for), sort it, and
+    expand the i<j pairs ROW-LOCALLY. Per-order fan-out is bounded by
+    order size, so the expansion is safe at any scale; the pair
+    multiset — and therefore the >= 2-support edge list — is identical
+    to the distinct⋈distinct formulation (oracle-pinned), with one
+    exchange and one join fewer (measured at sf0.1: the join chain was
+    ~7 s of the query's 8.7 s executor time)."""
+    pair_arr = F.expr(
+        "flatten(transform(_ps, (x, i) ->"
+        " transform(slice(_ps, i + 2, size(_ps)),"
+        "           y -> struct(x AS src, y AS dst))))"
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        t(spark, sf_dir, "lineitem")
+        # explicit width for the order-key exchange: the stage after it
+        # (pair expansion + partial count) is CPU-bound, and AQE's
+        # byte-based coalescing would squeeze it onto ~4 tasks
+        .repartition(n_part, "l_orderkey")
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col("l_partkey").cast("bigint"))
+            ).alias("_ps")
+        )
+        .select(F.explode(pair_arr).alias("_p"))
+        .select("_p.src", "_p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("src", "dst")
+    )
+
+
 @register(
     "graph_triangles",
     """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
@@ -4872,23 +4910,7 @@ def q_text_oov_rate(spark, sf_dir):
 def q_graph_triangles(spark, sf_dir):
     from spark_cassandra_collabfiltering_spark.operators import graph as gr
 
-    os_ = (
-        t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"),
-            F.col("l_partkey").cast("bigint").alias("s"),
-        )
-        .distinct()
-    )
-    edges = (
-        os_.alias("a")
-        .join(os_.alias("b"), "o")
-        .filter(F.col("a.s") < F.col("b.s"))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("src", "dst")
-    )
+    edges = _cooccur_part_edges(spark, sf_dir)
     # The triangle machinery references the edge list SIX times (deg
     # twice, both wedge arms, the closing semi-join, the final left
     # join); as a plain plan subtree Spark recomputes the expensive
@@ -7803,23 +7825,7 @@ def q_dedup_clusters_incremental(spark, sf_dir):
 def q_graph_modularity_brand(spark, sf_dir):
     from spark_cassandra_collabfiltering_spark.operators import graph as gr
 
-    os_ = (
-        t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"),
-            F.col("l_partkey").cast("bigint").alias("s"),
-        )
-        .distinct()
-    )
-    edges = (
-        os_.alias("a")
-        .join(os_.alias("b"), "o")
-        .filter(F.col("a.s") < F.col("b.s"))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("src", "dst")
-    )
+    edges = _cooccur_part_edges(spark, sf_dir)
     labels = t(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("bigint").alias("node"),
         F.col("p_brand").alias("label"),
