@@ -112,14 +112,16 @@ def nb_classify(
     counts = tok.groupBy(label_col, "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # The count table IS the model — bounded by |vocab| x C, not
+    # corpus rows — and it has four consumers (class totals, vocab
+    # size, weight grid, the grid's left join). As a plain subtree
+    # each consumer would re-run the train tokenize (the regex explode
+    # is the query's hottest expression); a lazy local checkpoint
+    # computes it once at first action. At corpus scale you train once
+    # and PERSIST it (to the lake, across scoring runs); ``materialize``
+    # additionally pins it in executor memory for repeated scoring.
+    counts = counts.localCheckpoint(eager=False)
     if materialize:
-        # The count table IS the model — bounded by |vocab| x C, not
-        # corpus rows — and it has four consumers (class totals, vocab
-        # size, weight grid, the grid's left join). At corpus scale
-        # you train once and PERSIST it (to the lake, across scoring
-        # runs); cache() is the in-session stand-in. At bench scale
-        # the redundant re-tokenizations of a small corpus are cheaper
-        # than materialization, hence opt-in (the BM25 trade note).
         counts = counts.cache()
     # per-class scalars: doc prior numerator, token total. C rows.
     cls = (
@@ -273,11 +275,16 @@ def bigram_lm_xent(
     """
     train = docs.filter(train_filter)
     tb = _bigrams(train, [], text_col)
+    # the bigram-count table IS the model (bounded by observed-bigram
+    # vocabulary); it feeds the context totals, the vocab scalar and
+    # the scoring join — checkpoint lazily so the train tokenize runs
+    # once, and derive the vocab from the counts (distinct cur of
+    # c_uv == distinct cur of the bigrams) instead of re-tokenizing
     c_uv = tb.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_uv")
-    )
+    ).localCheckpoint(eager=False)
     c_u = c_uv.groupBy("prev").agg(F.sum("c_uv").cast("bigint").alias("c_u"))
-    vocab_n = tb.select(F.col("cur").alias("t")).distinct().agg(
+    vocab_n = c_uv.select("cur").distinct().agg(
         (F.count(F.lit(1)) + 1).cast("bigint").alias("v")
     )
 
@@ -331,14 +338,17 @@ def bigram_lm_xent_grouped(
     doc with >=1 token: (id, group, n_bigrams, xent_e3).
     """
     tb = _bigrams(docs, [group_col], text_col)
+    # same reuse discipline as the global LM: checkpoint the count
+    # table (the model) and read the per-group vocab off it instead of
+    # tokenizing the corpus a second time
     c_uv = tb.groupBy(group_col, "prev", "cur").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_uv")
-    )
+    ).localCheckpoint(eager=False)
     c_u = c_uv.groupBy(group_col, "prev").agg(
         F.sum("c_uv").cast("bigint").alias("c_u")
     )
     vocab_n = (
-        tb.select(group_col, "cur")
+        c_uv.select(group_col, "cur")
         .distinct()
         .groupBy(group_col)
         .agg((F.count(F.lit(1)) + 1).cast("bigint").alias("v"))
