@@ -198,7 +198,11 @@ def contamination_check(
             F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
         ).distinct()
     )
-    corpus_grams = corpus.select(
+    # spread the corpus before the gram explode: the explode + probe
+    # is CPU-bound, and a small single-file scan would otherwise run it
+    # on one core (byte-based AQE coalescing can't see compute cost)
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus_grams = corpus.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
     )
     if bloom_bits_log2 is not None:
@@ -259,7 +263,10 @@ def contamination_check_multi(
             F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
         ).distinct()
     )
-    corpus_grams = corpus.select(
+    # same compute-spreading rule as contamination_check: the gram
+    # explode must not inherit a one-partition scan
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus_grams = corpus.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
     )
     return (
