@@ -927,7 +927,7 @@ def bpe_train(
 
     Returns (merge list in order, final symbol table).
     """
-    symtab = bpe_symbols(vocab).localCheckpoint(eager=True)
+    symtab = bpe_symbols(vocab).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = (
@@ -946,7 +946,7 @@ def bpe_train(
         merges.append((a, b))
         symtab = symtab.withColumn(
             "syms", _merge_pair_expr(F.col("syms"), a, b)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges, symtab
 
 
@@ -1183,16 +1183,20 @@ def bm25_topk(
         )
         return words.groupBy(out_id, "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    cp = postings(corpus, "doc_id")
+    # Four consumers (lengths, stats, dfreq, weights) would otherwise
+    # each re-scan and re-tokenize the corpus (the r9 formatted plan
+    # showed 14 parquet scans; the executed plan ran the 270k-row
+    # tokenize Generate four times). A lazy local checkpoint computes
+    # the posting table once; the input repartition keeps the
+    # CPU-bound tokenize wide when the corpus is a single small file.
+    # At corpus scale you'd really PERSIST the inverted index to the
+    # lake once and amortize it across query batches; ``materialize``
+    # additionally pins it in executor memory for that usage.
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    cp = postings(
+        corpus.repartition(n_part, F.col(id_col)), "doc_id"
+    ).localCheckpoint(eager=False)
     if materialize:
-        # four consumers (lengths, stats, dfreq, weights) otherwise
-        # each re-scan and re-tokenize the corpus (the formatted plan
-        # shows 14 parquet scans). At corpus scale you materialize:
-        # really by PERSISTING the inverted index to the lake once and
-        # amortizing it across queries — cache() is the in-session
-        # stand-in. At bench scale the 4 redundant scans of a small
-        # corpus are cheaper than materialization (measured 1.5 s vs
-        # 2.4 s at sf0.1), hence opt-in.
         cp = cp.cache()
     dl = cp.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(
