@@ -1393,16 +1393,8 @@ def ppjoin_pairs(
     # and the intersect-verify counts on the pair too, so the emitted
     # Jaccard stays exact. The string-shingle oracle differentially
     # verifies all of this on every run.
-    # The checkpointed gram table inherits its partitioning from the
-    # input scan — a single small parquet file means a ONE-partition
-    # checkpoint, which serializes every downstream map side (shingle
-    # explode+hash, join probes). Spread the docs across the session's
-    # parallelism first: this stage is CPU-bound, so width, not bytes,
-    # is what matters (the winnowing rule).
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     g = (
-        df.repartition(n_part, F.col(id_col))
-        .filter(F.length(c) >= n)
+        df.filter(F.length(c) >= n)
         .select(F.col(id_col).alias("doc"), F.explode(grams).alias("_s"))
         .select(
             "doc",

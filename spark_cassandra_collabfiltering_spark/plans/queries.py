@@ -9386,6 +9386,10 @@ def q_dedup_ppjoin_zipf(spark, sf_dir):
             "            ELSE lpad(hex(h DIV 8), 8, '0') END))"
         ),
     )
+    # spread the generated corpus before shingling: the 32-token text
+    # derivation + 8-gram explode is CPU-bound and would otherwise run
+    # on the single partition of the doc_id scan (the winnowing rule)
+    z = z.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return dd.ppjoin_pairs(z, "doc_id", "text", n=8, threshold=0.40)
 
 
