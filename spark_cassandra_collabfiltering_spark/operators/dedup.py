@@ -516,22 +516,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = ckpt(
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter+count over the partitions the
+        # checkpoint just materialized — the r9 shape re-joined
+        # new_labels with labels, an extra join job per round
+        stepped = ckpt(
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("_prev"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("_prev")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             converged = True
             break
@@ -1236,10 +1236,14 @@ def connected_components_bigstar(
             )
             .distinct()
         )
-        changed = (
-            new_edges.exceptAll(edges).count()
-            + edges.exceptAll(new_edges).count()
-        )
+        # convergence = edge-set equality; both frames are distinct, so
+        # equal counts + (new ⊆ old) ⟺ equal — one count plus at most
+        # one anti-join instead of the r9 double exceptAll per round
+        n_new, n_old = new_edges.count(), edges.count()
+        if n_new == n_old:
+            changed = new_edges.join(edges, ["u", "v"], "left_anti").count()
+        else:
+            changed = 1
         edges = new_edges
         if changed == 0:
             converged = True

@@ -533,10 +533,19 @@ def q_global_mean(spark, sf_dir):
     "doubles are exact; squares cannot tie at the cast scale).",
 )
 def q_rmse_item_mean(spark, sf_dir):
-    r = ratings_df(spark, sf_dir)
-    w = Window.partitionBy("product")
-    joined = r.withColumn(
-        "prediction", F.sum("rating").over(w) / F.count(F.lit(1)).over(w)
+    # One materialization of the ratings aggregate (lazy checkpoint),
+    # then the item means reduce from it and broadcast-join back: same
+    # single pass over lineitem⋈orders as the r1-r9 window form, minus
+    # the window's full sort of the ratings (measured: the window
+    # stage was 1.5 s of the query's 2.0 s). Predictions are the same
+    # sum/count per product and the squared errors accumulate in exact
+    # decimal, so the rounded RMSE is bit-identical (oracle-pinned).
+    r = ratings_df(spark, sf_dir).localCheckpoint(eager=False)
+    means = r.groupBy("product").agg(
+        F.sum("rating").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    joined = r.join(F.broadcast(means), "product").withColumn(
+        "prediction", F.col("_s") / F.col("_n")
     )
     sq = (F.col("rating") - F.col("prediction")) * (F.col("rating") - F.col("prediction"))
     return joined.agg(
@@ -4750,10 +4759,19 @@ def q_curation_pipeline_verdict(spark, sf_dir):
     qf = QUERIES["curation_quality_floor"].builder(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("floor_keep")
     )
+    # build the cluster map ONCE and derive the winners from it:
+    # composing dedup_canonicalize's builder here would run the whole
+    # minhash + iterative connected-components pipeline a second time
+    # (CC iterations are build-time jobs, so the duplication is real
+    # work, not a shared plan subtree — measured 2x the query's cost)
     clusters = QUERIES["dedup_clusters"].builder(spark, sf_dir)
-    canon = QUERIES["dedup_canonicalize"].builder(spark, sf_dir).select(
-        "cluster_id", "keep_id"
+    quality = QUERIES["text_quality"].builder(spark, sf_dir).select(
+        "doc_id", "quality_e6"
     )
+    canon = dd.keep_best_scored(
+        clusters, quality, node_col="node", id_col="doc_id",
+        score_col="quality_e6",
+    ).select("cluster_id", "keep_id")
     losers = clusters.join(canon, "cluster_id").select(
         F.col("node").alias("doc_id"),
         (F.col("keep_id") != F.col("node")).alias("dup_loser"),
@@ -6023,7 +6041,13 @@ def q_cf_ndcg_als(spark, sf_dir):
         .groupBy("user", "product")
         .agg(F.avg("rating").alias("rating"))
     )
+    # same input-reuse discipline as cf_als_pipeline: the ratings
+    # aggregate feeds the fit action and the two eval references —
+    # compute it once (md5 split is per-row deterministic, so rows are
+    # identical either way)
+    ratings = ratings.localCheckpoint(eager=False)
     train, val = rk.hash_split_pairs(ratings)
+    val = val.localCheckpoint(eager=False)
     model = cf.train(train, max_iter=10)
     recs = (
         model.recommendForAllUsers(10)
