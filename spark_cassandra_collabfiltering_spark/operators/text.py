@@ -1183,19 +1183,20 @@ def bm25_topk(
         )
         return words.groupBy(out_id, "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    # Four consumers (lengths, stats, dfreq, weights) would otherwise
-    # each re-scan and re-tokenize the corpus (the r9 formatted plan
-    # showed 14 parquet scans; the executed plan ran the 270k-row
-    # tokenize Generate four times). A lazy local checkpoint computes
-    # the posting table once; the input repartition keeps the
-    # CPU-bound tokenize wide when the corpus is a single small file.
-    # At corpus scale you'd really PERSIST the inverted index to the
-    # lake once and amortize it across query batches; ``materialize``
-    # additionally pins it in executor memory for that usage.
-    n_part = corpus.sparkSession.sparkContext.defaultParallelism
-    cp = postings(
-        corpus.repartition(n_part, F.col(id_col)), "doc_id"
-    ).localCheckpoint(eager=False)
+    # Four consumers (lengths, stats, dfreq, weights) each re-derive
+    # the posting table — visible as repeated tokenize Generates in
+    # the plan. Two materialization attempts are A/B-REJECTED negative
+    # results, kept as documentation: cache() (r5: 2.4 s vs 1.5 s —
+    # and under AQE the four consumer stages materialize CONCURRENTLY,
+    # so racing stages recompute before the cache fills) and a
+    # repartition + localCheckpoint(eager=False) (r10: 2.8 s vs 1.7 s
+    # interleaved — the racing stages recompute the widened
+    # 32-partition plan four times, costing more than four cheap
+    # serial tokenizes). At corpus scale the real answer is PERSISTING
+    # the inverted index to the lake once and amortizing it across
+    # query batches; ``materialize`` pins it in executor memory for
+    # that repeated-scoring usage.
+    cp = postings(corpus, "doc_id")
     if materialize:
         cp = cp.cache()
     dl = cp.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
