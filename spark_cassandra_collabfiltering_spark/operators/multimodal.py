@@ -766,6 +766,15 @@ def dhash_near_dup_pairs(bands: DataFrame, max_dist: int = 3) -> DataFrame:
     import pyspark.sql.functions as F
 
     b = bands.filter(F.col("b0").isNotNull())
+    # publish the hashed bands through ONE explicit exchange: the two
+    # self-join sides are otherwise two copies of the whole Python
+    # encode+decode+dHash subtree, and AQE materializes both leaf
+    # stages concurrently, so the codec pipeline would execute twice;
+    # identical subtrees below an exchange are materialized once and
+    # reused (the minhash-sets rule)
+    b = b.repartition(
+        b.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     sides = []
     for side in ("a", "b"):
         sides.append(
@@ -904,6 +913,12 @@ def audio_envelope_fingerprint(
 def audio_near_dup_pairs(fps: DataFrame) -> DataFrame:
     """Pairs sharing the envelope fingerprint (and frame count):
     (doc_a, doc_b, n_frames), doc_a < doc_b. One exchange on fp."""
+    # same single-materialization rule as the image bands: both join
+    # sides read one explicit exchange instead of re-running the WAV
+    # decode + fingerprint subtree per side
+    fps = fps.repartition(
+        fps.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     a = fps.select(
         F.col("doc_id").alias("doc_a"), "n_frames", "fp"
     )
