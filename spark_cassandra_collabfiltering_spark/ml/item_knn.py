@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_cassandra_collabfiltering_spark.operators.relational import md5_draw60
+from spark_cassandra_collabfiltering_spark.operators.width import cpu_spread_width
 
 
 def cap_user_items(
@@ -103,8 +104,21 @@ def item_similarity(
             .filter(F.col("_r") <= max_item_reach)
             .select("u", "i")
         )
-    a = capped.select("u", F.col("i").alias("ia"))
-    b = capped.select("u", F.col("i").alias("ib"))
+    # Wedge enumeration stays a self-join on u: an r11 A/B of the
+    # graph_triangles-style row-local explode (collect_set + i<j
+    # expansion) measured SLOWER here — the SMJ inner loop enumerates
+    # pairs inside WholeStageCodegen (~1.8 s single-task at sf0.1)
+    # while the higher-order-function explode allocates
+    # array/struct/boxed objects per pair (~2.7-3.6 s) — so the
+    # pretty rewrite was rejected on evidence (guide §1.2). What WAS
+    # wrong: AQE's byte-based coalescing sees only ~0.6 MB of capped
+    # pairs and ran the CPU-bound enumeration + partial agg on ONE
+    # task. The explicit-width exchange below spreads it; both join
+    # arms are projections of the SAME repartition, so ReuseExchange
+    # shuffles capped once.
+    spread = capped.repartition(cpu_spread_width(capped, 16 << 10), "u")
+    a = spread.select("u", F.col("i").alias("ia"))
+    b = spread.select("u", F.col("i").alias("ib"))
     co = (
         a.join(b, "u")
         .filter(F.col("ia") < F.col("ib"))

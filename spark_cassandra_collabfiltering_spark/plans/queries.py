@@ -36,6 +36,7 @@ from spark_cassandra_collabfiltering_spark.operators import (
     aggregates as agg,
     joins_ext as jx,
     relational as rel,
+    width as wd,
     windows as win,
 )
 
