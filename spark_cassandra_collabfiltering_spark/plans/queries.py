@@ -545,7 +545,13 @@ def q_rmse_item_mean(spark, sf_dir):
     means = r.groupBy("product").agg(
         F.sum("rating").alias("_s"), F.count(F.lit(1)).alias("_n")
     )
-    joined = r.join(F.broadcast(means), "product").withColumn(
+    # No broadcast hint (r11): means has one row per distinct product —
+    # catalog cardinality, which grows with scale factor — so an
+    # unconditional F.broadcast is the §3 anti-pattern (8 GB broadcast
+    # cap / driver OOM at the 100 TB bar). AQE still CHOOSES a
+    # broadcast join at bench scale from the runtime size; at scale it
+    # falls back to a shuffle join on its own.
+    joined = r.join(means, "product").withColumn(
         "prediction", F.col("_s") / F.col("_n")
     )
     sq = (F.col("rating") - F.col("prediction")) * (F.col("rating") - F.col("prediction"))
