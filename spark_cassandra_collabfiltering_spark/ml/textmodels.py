@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_cassandra_collabfiltering_spark.operators.relational import hash_bucket
+from spark_cassandra_collabfiltering_spark.operators.reuse import shared_subtree
 from spark_cassandra_collabfiltering_spark.operators.text import _log2lin_e3
 
 _TOKEN_RE = "[A-Za-z0-9]+"
@@ -84,6 +85,7 @@ def nb_classify(
     train_bucket: int = 0,
     materialize: bool = False,
     top_k: int = 1,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Train a multinomial Naive Bayes classifier on the md5-bucket
     train split and score the held-out docs; returns one row per test
@@ -120,7 +122,7 @@ def nb_classify(
     # computes it once at first action. At corpus scale you train once
     # and PERSIST it (to the lake, across scoring runs); ``materialize``
     # additionally pins it in executor memory for repeated scoring.
-    counts = counts.localCheckpoint(eager=False)
+    counts = shared_subtree(counts, reliable_checkpoint)
     if materialize:
         counts = counts.cache()
     # per-class scalars: doc prior numerator, token total. C rows.
@@ -217,13 +219,14 @@ def nb_confusion(
     train_buckets: int = 2,
     train_bucket: int = 0,
     materialize: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Confusion matrix of :func:`nb_classify` over the held-out split:
     (actual, predicted, n_docs) — the C x C quality readout that makes
     the classifier's behavior (not just its shape) driver-visible."""
     pred = nb_classify(
         docs, label_col, id_col, text_col, train_buckets, train_bucket,
-        materialize,
+        materialize, reliable_checkpoint=reliable_checkpoint,
     )
     return (
         pred.groupBy("actual", "predicted")
@@ -255,6 +258,7 @@ def bigram_lm_xent(
     train_filter,
     id_col: str = "doc_id",
     text_col: str = "text",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Per-document cross-entropy under an add-one-smoothed bigram LM
     trained on the ``train_filter`` slice of the same frame — the
@@ -280,9 +284,12 @@ def bigram_lm_xent(
     # the scoring join — checkpoint lazily so the train tokenize runs
     # once, and derive the vocab from the counts (distinct cur of
     # c_uv == distinct cur of the bigrams) instead of re-tokenizing
-    c_uv = tb.groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_uv")
-    ).localCheckpoint(eager=False)
+    c_uv = shared_subtree(
+        tb.groupBy("prev", "cur").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_uv")
+        ),
+        reliable_checkpoint,
+    )
     c_u = c_uv.groupBy("prev").agg(F.sum("c_uv").cast("bigint").alias("c_u"))
     vocab_n = c_uv.select("cur").distinct().agg(
         (F.count(F.lit(1)) + 1).cast("bigint").alias("v")
@@ -315,6 +322,7 @@ def bigram_lm_xent_grouped(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """GROUPED in-plan model training (r6): one add-one-smoothed
     bigram LM per ``group_col`` value, every model trained in the SAME
@@ -341,9 +349,12 @@ def bigram_lm_xent_grouped(
     # same reuse discipline as the global LM: checkpoint the count
     # table (the model) and read the per-group vocab off it instead of
     # tokenizing the corpus a second time
-    c_uv = tb.groupBy(group_col, "prev", "cur").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_uv")
-    ).localCheckpoint(eager=False)
+    c_uv = shared_subtree(
+        tb.groupBy(group_col, "prev", "cur").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_uv")
+        ),
+        reliable_checkpoint,
+    )
     c_u = c_uv.groupBy(group_col, "prev").agg(
         F.sum("c_uv").cast("bigint").alias("c_u")
     )
@@ -387,6 +398,7 @@ def nb_reliability(
     text_col: str = "text",
     train_buckets: int = 2,
     train_bucket: int = 0,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """RELIABILITY readout for the NB classifier: bucket held-out docs
     by the winner's MARGIN over the runner-up (the model's own
@@ -400,11 +412,12 @@ def nb_reliability(
     fixed edges — no floats, no data-dependent quantiles — so the
     whole table hash-matches. Output: (margin_bin, n_docs,
     n_correct)."""
-    top2 = nb_classify(
-        docs, label_col, id_col, text_col, train_buckets, train_bucket,
-        top_k=2,
-    ).localCheckpoint(
-        eager=False
+    top2 = shared_subtree(
+        nb_classify(
+            docs, label_col, id_col, text_col, train_buckets, train_bucket,
+            top_k=2, reliable_checkpoint=reliable_checkpoint,
+        ),
+        reliable_checkpoint,
     )  # rank-1 and rank-2 arms share one scoring run
     a = top2.filter(F.col("rk") == 1).select(
         id_col, "actual", "predicted", F.col("score_e3").alias("_s1")
@@ -454,6 +467,7 @@ def nb_binary_auc(
     train_buckets: int = 2,
     train_bucket: int = 0,
     bucket_bits: int = 16,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """ROC-AUC of the trained NB model as a one-vs-rest detector for
     ``pos_label``, in EXACT integers (Mann-Whitney U): per held-out
@@ -477,10 +491,13 @@ def nb_binary_auc(
     U2 integer as a global cumsum, so the simple global-window oracle
     hash-matches.
     """
-    pred = nb_classify(
-        docs, label_col, id_col, text_col, train_buckets, train_bucket,
-        top_k=1_000_000_000,
-    ).localCheckpoint(eager=False)  # pos + best-other both read it —
+    pred = shared_subtree(
+        nb_classify(
+            docs, label_col, id_col, text_col, train_buckets, train_bucket,
+            top_k=1_000_000_000, reliable_checkpoint=reliable_checkpoint,
+        ),
+        reliable_checkpoint,
+    )  # pos + best-other both read it —
     # share one scoring run instead of doubling the whole NB lineage
     # (diamond-reuse discipline; plan audit measured 120 parquet-scan
     # references without this)

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_cassandra_collabfiltering_spark.operators.width import cpu_spread_width
+
 from spark_cassandra_collabfiltering_spark.operators.relational import (
     hash_bucket,
     md5_draw60,
@@ -200,8 +202,9 @@ def contamination_check(
     )
     # spread the corpus before the gram explode: the explode + probe
     # is CPU-bound, and a small single-file scan would otherwise run it
-    # on one core (byte-based AQE coalescing can't see compute cost)
-    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    # on one core (byte-based AQE coalescing can't see compute cost);
+    # width is data-proportional (r11), capped at cores
+    n_part = cpu_spread_width(corpus, 24 << 10)
     corpus_grams = corpus.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
     )
@@ -264,8 +267,9 @@ def contamination_check_multi(
         ).distinct()
     )
     # same compute-spreading rule as contamination_check: the gram
-    # explode must not inherit a one-partition scan
-    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    # explode must not inherit a one-partition scan; data-proportional
+    # width (r11), capped at cores
+    n_part = cpu_spread_width(corpus, 24 << 10)
     corpus_grams = corpus.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
     )

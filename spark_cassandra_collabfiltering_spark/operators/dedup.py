@@ -31,6 +31,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_cassandra_collabfiltering_spark.operators.reuse import shared_subtree
+from spark_cassandra_collabfiltering_spark.operators.width import cpu_spread_width
+
 # 2^31 - 1 (Mersenne prime): a*h + b stays < 2^63 for a, b, h < p.
 MINHASH_PRIME = 2147483647
 
@@ -354,6 +357,7 @@ def minhash_dedup_pairs(
     prefilter_matches: int = 4,
     max_band_bucket: int | None = None,
     oversize: str = "drop",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Full minhash-LSH near-dup pipeline: shingle → k-permutation
     signatures → band buckets → candidate pairs → signature-agreement
@@ -379,10 +383,12 @@ def minhash_dedup_pairs(
     # Publishing the hashed sets through an EXPLICIT exchange instead
     # makes the consumers' subtrees identical, so AQE materializes ONE
     # reused shuffle stage: the hash pass runs exactly once. Both
-    # exchanges pin defaultParallelism partitions because the pass is
-    # CPU-bound (md5 per shingle) and byte-based coalescing would
-    # serialize it (the winnowing rule).
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # exchanges pin an explicit width because the pass is CPU-bound
+    # (md5 per shingle) and byte-based coalescing would serialize it
+    # (the winnowing rule); r11 makes the width data-proportional
+    # (~24 KB of input estimate per task, capped at cores) so tiny
+    # inputs stop over-sharding.
+    n_part = cpu_spread_width(df, 24 << 10)
     sets = doc_shingle_sets(
         df.repartition(n_part, F.col(id_col)), id_col, text_col, n=n
     ).repartition(n_part, F.col(id_col))
@@ -390,8 +396,9 @@ def minhash_dedup_pairs(
     # band self-join, both prefilter probes); the k permutation
     # transforms re-run per reference even over the cached sets — a
     # lazy local checkpoint computes them once (diamond-reuse rule)
-    sigs = minhash_signature_table(sets, id_col, n_hashes=n_hashes).localCheckpoint(
-        eager=False
+    sigs = shared_subtree(
+        minhash_signature_table(sets, id_col, n_hashes=n_hashes),
+        reliable_checkpoint,
     )
     cands = lsh_candidate_pairs(
         sigs, id_col, n_hashes=n_hashes, bands=bands,
@@ -1304,6 +1311,7 @@ def ppjoin_pairs(
     threshold: float = 0.40,
     hot_min_df: int = 64,
     hot_vocab_cap: int = 1024,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """EXACT similarity join via prefix filtering (the PPJoin family,
     Xiao et al. 2008 — prefix + size + positional filters as of r6):
@@ -1405,7 +1413,8 @@ def ppjoin_pairs(
             F.xxhash64("_s").alias("sha"),
             F.xxhash64(F.lit(0x9E3779B9), "_s").alias("shb"),
         )
-    ).localCheckpoint(eager=False)  # feeds df-agg, prefix, and both verify sides
+    )
+    g = shared_subtree(g, reliable_checkpoint)  # feeds df-agg, prefix, both verify sides
     sizes = g.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     dfreq = g.groupBy("sha", "shb").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
@@ -1420,14 +1429,55 @@ def ppjoin_pairs(
     prefix = ranked.filter(
         F.col("_r") <= F.col("sz") - F.expr(f"({t_pct} * sz + 99) div 100") + 1
     ).select("doc", "sha", "shb", "sz", "_r")
+    # LENGTH-BAND key on the candidate join (r11 — the classic PPJoin
+    # length filter as a join key): a qualifying pair needs
+    # min(sa, sb) >= t * max(sa, sb), so its sizes differ by at most a
+    # factor 1/t. Banding docs by integer bit-length (length(bin(sz))
+    # — exact integer arithmetic, no floating-point floor(log2) edge
+    # cases, coarsened to base-8 octaves: (bitlen-1) div 3) and
+    # joining on (sha, shb, band) restricts the per-gram enumeration
+    # to Jaccard-FEASIBLE length bands: a hot gram's posting list of
+    # P docs enumerates only same-band pairs instead of all P^2. The
+    # id_a side sits at its own band; the id_b side is exploded over
+    # the bands its feasible partners can occupy (band(ceil(t*sb)) ..
+    # band(floor(sb/t)) — at most 2 copies at t=0.40 with base-8
+    # bands, the duplication/pruning tradeoff an r11 A/B picked: the
+    # fine bit-length bands cost ~45% more join CPU on the
+    # length-uniform bench corpora for pruning only relevant to
+    # >2.5x length spreads).
+    # Size-monotonicity of bit-length makes every feasible pair match
+    # on EXACTLY one band per shared prefix gram, so the groupBy
+    # below sees the identical row multiset and the retained size
+    # filter still removes band-coarse false candidates — counts and
+    # output are unchanged (oracle-pinned). On a length-uniform
+    # corpus the band key is near-constant (no enumeration cut, just
+    # the small id_b-side duplication); on length-diverse corpora it
+    # prunes the candidate join itself (test-pinned).
     pa = prefix.select(
         F.col("doc").alias("id_a"), "sha", "shb",
         F.col("sz").alias("_sa"), F.col("_r").alias("_ra"),
+        F.expr("int((length(bin(sz)) - 1) div 3)").alias("_band"),
     )
     pb = prefix.select(
         F.col("doc").alias("id_b"), "sha", "shb",
         F.col("sz").alias("_sb"), F.col("_r").alias("_rb"),
+        F.explode(
+            F.sequence(
+                F.expr(
+                    f"int((length(bin(({t_pct} * sz + 99) div 100)) - 1) div 3)"
+                ),
+                F.expr(
+                    f"int((length(bin((100 * sz) div {t_pct})) - 1) div 3)"
+                ),
+            )
+        ).alias("_band"),
     )
+    # NOT spread explicitly (r11 A/B, quiet windows): pinning an
+    # explicit width on the candidate-join exchanges measured SLOWER
+    # (ppjoin 5.32 s vs 4.45 s at AQE's own ~3-task layout at sf0.1)
+    # — the SMJ + positional partial-agg collapses best on the
+    # planner's byte-based layout, consistent with the r10 rejected
+    # widenings of this same join.
     # POSITIONAL filter (the "PP" in PPJoin, r6 — was prefix+size only):
     # J >= t  <=>  overlap o >= alpha := ceil(t/(1+t) * (sa+sb)). Every
     # matched prefix token at ordered positions (ra, rb) yields a valid
@@ -1441,7 +1491,7 @@ def ppjoin_pairs(
         f"({t_pct} * (_sa + _sb) + {100 + t_pct} - 1) div {100 + t_pct}"
     )
     cands = (
-        pa.join(pb, ["sha", "shb"])
+        pa.join(pb, ["sha", "shb", "_band"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(  # size filter: min >= t * max (integer cross-multiply)
             F.least("_sa", "_sb") * 100 >= t_pct * F.greatest("_sa", "_sb")
@@ -1458,7 +1508,7 @@ def ppjoin_pairs(
         .filter(F.col("_ub") >= alpha)
         .select("id_a", "id_b", "_sa", "_sb")
     )
-    cands = cands.localCheckpoint(eager=False)  # feeds all three tiers
+    cands = shared_subtree(cands, reliable_checkpoint)  # feeds all three tiers
     nwords = (hot_vocab_cap + 63) // 64
     zero_mask = F.expr(f"array_repeat(0L, {nwords})")
 
@@ -1473,7 +1523,8 @@ def ppjoin_pairs(
             "_hidx", F.row_number().over(Window.orderBy(*hot_order)) - 1
         )
         .select("sha", "shb", "_hidx")
-    ).localCheckpoint(eager=False)  # <= hot_vocab_cap rows; reused 2x
+    )
+    hot = shared_subtree(hot, reliable_checkpoint)  # <= hot_vocab_cap rows; reused 2x
     # per-doc fixed-width bitmap: two-level agg (map-side combine on
     # (doc, word)), then the word list becomes a dense array
     words = (

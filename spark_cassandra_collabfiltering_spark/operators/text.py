@@ -14,6 +14,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_cassandra_collabfiltering_spark.operators.reuse import shared_subtree
+from spark_cassandra_collabfiltering_spark.operators.width import cpu_spread_width
+
 # Tiny per-language function-word lists for the n-gram/stopword
 # heuristic. Real pipelines plug fastText/CLD3 here via a pandas_udf;
 # the heuristic keeps the plumbing dependency-free and deterministic.
@@ -467,9 +470,12 @@ def winnow_fingerprints(
     # AQE's advisory-size coalescing — which only sees the few hundred
     # KB of compressed text — would shrink each exchange to ONE
     # partition and run the whole hash pass on a single core (measured
-    # at sf0.1: 3.9 s single-task vs ~0.5 s spread). defaultParallelism
-    # is the session's core/slot count, so the pin stays scale-adaptive.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # at sf0.1: 3.9 s single-task vs ~0.5 s spread). r11: the width is
+    # data-proportional (one task per ~24 KB of input estimate, an
+    # md5-grade per-byte cost), capped at defaultParallelism — the
+    # unconditional cores pin over-sharded tiny inputs (BENCH_r10's
+    # 8-core run beat 32 cores on every pinned query).
+    n_part = cpu_spread_width(df, 24 << 10)
     hashed = (
         df.repartition(n_part, F.col(id_col))
         .filter(F.length(c) >= k + w - 1)
@@ -910,7 +916,7 @@ def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
 
 
 def bpe_train(
-    vocab: DataFrame, n_merges: int = 10
+    vocab: DataFrame, n_merges: int = 10, reliable_checkpoint: bool = False
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Byte-pair-encoding tokenizer training over a distributed
     weighted vocabulary: ``n_merges`` rounds of (count adjacent pairs
@@ -927,7 +933,7 @@ def bpe_train(
 
     Returns (merge list in order, final symbol table).
     """
-    symtab = bpe_symbols(vocab).localCheckpoint(eager=False)
+    symtab = shared_subtree(bpe_symbols(vocab), reliable_checkpoint)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = (
@@ -944,9 +950,10 @@ def bpe_train(
             break
         a, b = best[0]["sym_a"], best[0]["sym_b"]
         merges.append((a, b))
-        symtab = symtab.withColumn(
-            "syms", _merge_pair_expr(F.col("syms"), a, b)
-        ).localCheckpoint(eager=False)
+        symtab = shared_subtree(
+            symtab.withColumn("syms", _merge_pair_expr(F.col("syms"), a, b)),
+            reliable_checkpoint,
+        )
     return merges, symtab
 
 

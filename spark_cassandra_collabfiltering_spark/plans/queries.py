@@ -4861,12 +4861,15 @@ def _cooccur_part_edges(spark, sf_dir):
         " transform(slice(_ps, i + 2, size(_ps)),"
         "           y -> struct(x AS src, y AS dst))))"
     )
-    n_part = spark.sparkContext.defaultParallelism
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # explicit width for the order-key exchange: the stage after it
+    # (pair expansion + partial count) is CPU-bound, and AQE's
+    # byte-based coalescing would squeeze it onto ~4 tasks; the width
+    # is data-proportional (r11, ~192 KB of the 2-column scan estimate
+    # per task), capped at cores
+    n_part = wd.cpu_spread_width(li, 192 << 10)
     return (
-        t(spark, sf_dir, "lineitem")
-        # explicit width for the order-key exchange: the stage after it
-        # (pair expansion + partial count) is CPU-bound, and AQE's
-        # byte-based coalescing would squeeze it onto ~4 tasks
+        li
         .repartition(n_part, "l_orderkey")
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(
@@ -9419,8 +9422,11 @@ def q_dedup_ppjoin_zipf(spark, sf_dir):
     )
     # spread the generated corpus before shingling: the 32-token text
     # derivation + 8-gram explode is CPU-bound and would otherwise run
-    # on the single partition of the doc_id scan (the winnowing rule)
-    z = z.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # on the single partition of the doc_id scan (the winnowing rule);
+    # data-proportional width (r11, ~12 KB of the doc_id scan estimate
+    # per task — the text expands ~36x out of the generator), capped
+    # at cores
+    z = z.repartition(wd.cpu_spread_width(docs, 12 << 10), "doc_id")
     return dd.ppjoin_pairs(z, "doc_id", "text", n=8, threshold=0.40)
 
 
