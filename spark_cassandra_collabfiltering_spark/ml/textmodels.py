@@ -85,7 +85,6 @@ def nb_classify(
     train_bucket: int = 0,
     materialize: bool = False,
     top_k: int = 1,
-    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Train a multinomial Naive Bayes classifier on the md5-bucket
     train split and score the held-out docs; returns one row per test
@@ -114,15 +113,18 @@ def nb_classify(
     counts = tok.groupBy(label_col, "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    # The count table IS the model — bounded by |vocab| x C, not
-    # corpus rows — and it has four consumers (class totals, vocab
-    # size, weight grid, the grid's left join). As a plain subtree
-    # each consumer would re-run the train tokenize (the regex explode
-    # is the query's hottest expression); a lazy local checkpoint
-    # computes it once at first action. At corpus scale you train once
-    # and PERSIST it (to the lake, across scoring runs); ``materialize``
-    # additionally pins it in executor memory for repeated scoring.
-    counts = shared_subtree(counts, reliable_checkpoint)
+    # The count table IS the model — bounded by |vocab| x C — and it
+    # has four consumers (class totals, vocab size, weight grid, the
+    # grid's left join). The r10 lazy localCheckpoint here was
+    # REVERTED in r11: the driver measured it 17% slower and ordered
+    # quiet-window A/Bs agree (~2.13 s plain vs ~2.3-2.4 s
+    # checkpointed at sf0.1) — the RDD boundary breaks whole-stage
+    # fusion and per-consumer column pruning, which costs more than
+    # the duplicated train tokenize at bench scale. At corpus scale
+    # you train once and PERSIST the model to the lake across scoring
+    # runs (that, not an in-plan checkpoint, is the real reuse story);
+    # ``materialize`` additionally pins it in executor memory for
+    # repeated scoring in one session.
     if materialize:
         counts = counts.cache()
     # per-class scalars: doc prior numerator, token total. C rows.
@@ -219,14 +221,13 @@ def nb_confusion(
     train_buckets: int = 2,
     train_bucket: int = 0,
     materialize: bool = False,
-    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Confusion matrix of :func:`nb_classify` over the held-out split:
     (actual, predicted, n_docs) — the C x C quality readout that makes
     the classifier's behavior (not just its shape) driver-visible."""
     pred = nb_classify(
         docs, label_col, id_col, text_col, train_buckets, train_bucket,
-        materialize, reliable_checkpoint=reliable_checkpoint,
+        materialize,
     )
     return (
         pred.groupBy("actual", "predicted")
@@ -415,7 +416,7 @@ def nb_reliability(
     top2 = shared_subtree(
         nb_classify(
             docs, label_col, id_col, text_col, train_buckets, train_bucket,
-            top_k=2, reliable_checkpoint=reliable_checkpoint,
+            top_k=2,
         ),
         reliable_checkpoint,
     )  # rank-1 and rank-2 arms share one scoring run
@@ -494,7 +495,7 @@ def nb_binary_auc(
     pred = shared_subtree(
         nb_classify(
             docs, label_col, id_col, text_col, train_buckets, train_bucket,
-            top_k=1_000_000_000, reliable_checkpoint=reliable_checkpoint,
+            top_k=1_000_000_000,
         ),
         reliable_checkpoint,
     )  # pos + best-other both read it —

@@ -4100,6 +4100,23 @@ def q_text_chunking(spark, sf_dir):
     )
 
 
+def _canonicalize_from_clusters(spark, sf_dir, clusters):
+    """Cluster winners by the text_quality score — the
+    dedup_canonicalize semantics (quality_e6 desc, node tie-break)
+    from an ALREADY-BUILT cluster map. Shared by q_dedup_canonicalize
+    and q_curation_pipeline_verdict (ADVICE r10: the verdict used to
+    inline a copy of these args, so a change to the canonicalize
+    definition could silently diverge from the verdict's oracle,
+    which composes the canonicalize oracle)."""
+    quality = QUERIES["text_quality"].builder(spark, sf_dir).select(
+        "doc_id", "quality_e6"
+    )
+    return dd.keep_best_scored(
+        clusters, quality, node_col="node", id_col="doc_id",
+        score_col="quality_e6",
+    )
+
+
 @register(
     "dedup_canonicalize",
     f"""WITH cl AS (SELECT node, cluster_id
@@ -4127,13 +4144,7 @@ def q_text_chunking(spark, sf_dir):
 )
 def q_dedup_canonicalize(spark, sf_dir):
     clusters = QUERIES["dedup_clusters"].builder(spark, sf_dir)
-    quality = QUERIES["text_quality"].builder(spark, sf_dir).select(
-        "doc_id", "quality_e6"
-    )
-    return dd.keep_best_scored(
-        clusters, quality, node_col="node", id_col="doc_id",
-        score_col="quality_e6",
-    )
+    return _canonicalize_from_clusters(spark, sf_dir, clusters)
 
 
 # ===========================================================================
@@ -4772,13 +4783,9 @@ def q_curation_pipeline_verdict(spark, sf_dir):
     # (CC iterations are build-time jobs, so the duplication is real
     # work, not a shared plan subtree — measured 2x the query's cost)
     clusters = QUERIES["dedup_clusters"].builder(spark, sf_dir)
-    quality = QUERIES["text_quality"].builder(spark, sf_dir).select(
-        "doc_id", "quality_e6"
+    canon = _canonicalize_from_clusters(spark, sf_dir, clusters).select(
+        "cluster_id", "keep_id"
     )
-    canon = dd.keep_best_scored(
-        clusters, quality, node_col="node", id_col="doc_id",
-        score_col="quality_e6",
-    ).select("cluster_id", "keep_id")
     losers = clusters.join(canon, "cluster_id").select(
         F.col("node").alias("doc_id"),
         (F.col("keep_id") != F.col("node")).alias("dup_loser"),
