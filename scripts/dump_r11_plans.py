@@ -2,6 +2,12 @@
 plans/r11/<query>_<suffix>.txt.
 
 Usage: python scripts/dump_r11_plans.py <suffix> [query ...]
+
+FLAT=1 additionally monkeypatches DataFrame.localCheckpoint /
+checkpoint to identity BEFORE building, so subtrees that normally
+hide inside a lazy-checkpoint LogicalRDD (e.g. the ppjoin candidate
+join and its r11 length-band key) appear in the dumped plan. Display
+only — the shipped queries keep their checkpoints.
 """
 
 from __future__ import annotations
@@ -44,6 +50,14 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("FLAT"):
+        # patch the CLASSIC class — pyspark.sql.DataFrame is the
+        # abstract base in Spark 4 and sessions hand out the classic
+        # subclass, whose own method would shadow a base-class patch
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+        DataFrame.checkpoint = lambda self, eager=True: self  # type: ignore[method-assign]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for name in names:
         df = QUERIES[name].builder(spark, sf_dir)

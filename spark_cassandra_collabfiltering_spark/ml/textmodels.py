@@ -285,12 +285,14 @@ def bigram_lm_xent(
     # the scoring join — checkpoint lazily so the train tokenize runs
     # once, and derive the vocab from the counts (distinct cur of
     # c_uv == distinct cur of the bigrams) instead of re-tokenizing
-    c_uv = shared_subtree(
-        tb.groupBy("prev", "cur").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c_uv")
-        ),
-        reliable_checkpoint,
+    # the checkpoint here WINS (r11 A/B: 1.50-1.55 s vs 1.72 s plain
+    # at sf0.1) unlike the reverted NB one: c_uv feeds the full-corpus
+    # scoring join plus the context totals and vocab scalar, so the
+    # un-checkpointed form re-runs the train tokenize three times
+    c_uv = tb.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_uv")
     )
+    c_uv = shared_subtree(c_uv, reliable_checkpoint)
     c_u = c_uv.groupBy("prev").agg(F.sum("c_uv").cast("bigint").alias("c_u"))
     vocab_n = c_uv.select("cur").distinct().agg(
         (F.count(F.lit(1)) + 1).cast("bigint").alias("v")

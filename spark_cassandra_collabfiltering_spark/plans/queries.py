@@ -6293,8 +6293,28 @@ def _itemknn_pipeline(spark, sf_dir, user_subset_mod: int | None = None):
     # (the diamond-reuse rule used by graph_triangles/ppjoin; values
     # are deterministic md5/integer arithmetic, so results are
     # identical either way).
-    capped = capped.localCheckpoint(eager=False)
-    val = val.localCheckpoint(eager=False)
+    # r11: capped and val are fused into ONE tagged-union checkpoint.
+    # As two separate lazy checkpoints they materialized as two
+    # SERIAL jobs at first action (each re-running the lineitem⋈orders
+    # ratings subtree); as arms of one union they materialize inside
+    # one job with independent, concurrently-scheduled stages. The
+    # filters below recover exactly the original row sets (the tag is
+    # a literal), so every downstream value is unchanged.
+    tagged = (
+        capped.select("u", "i", F.lit(False).alias("_v"))
+        .unionByName(
+            val.select(
+                F.col("user").alias("u"),
+                F.col("product").alias("i"),
+                F.lit(True).alias("_v"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    capped = tagged.filter(~F.col("_v")).select("u", "i")
+    val = tagged.filter(F.col("_v")).select(
+        F.col("u").alias("user"), F.col("i").alias("product")
+    )
     # min_count=2 is the r8 support floor: singleton co-occurrences
     # were 99% of all pairs and pure noise at the top of rare items'
     # neighbor lists — dropping them shrinks every stage downstream of

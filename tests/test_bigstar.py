@@ -5,6 +5,8 @@ diameter rounds; star rewrites collapse it logarithmically)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from spark_cassandra_collabfiltering_spark.operators import dedup as dd
@@ -36,6 +38,7 @@ def _cc_ref(edges):
     return label
 
 
+@pytest.mark.slow
 def test_bigstar_equals_label_propagation_on_random_graphs(spark):
     rnd = random.Random(3)
     for _ in range(3):

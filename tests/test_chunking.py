@@ -68,6 +68,7 @@ _texts = st.lists(
     chunk=st.integers(2, 12),
     overlap=st.integers(0, 6),
 )
+@pytest.mark.slow
 def test_chunker_matches_reference(spark, texts, chunk, overlap):
     if overlap >= chunk:
         overlap = chunk - 1

@@ -233,3 +233,34 @@ def test_pair_source_matrix_canonical_and_counts(spark):
     assert got[("web", "wiki")] == (2, 0.8)  # both orientations folded
     assert got[("code", "wiki")] == (1, 0.5)
     assert len(got) == 3
+
+
+def test_ppjoin_band_key_exact_on_length_diverse_corpus(spark):
+    """The r11 length-band join key must lose NO pairs on a corpus
+    whose doc lengths span several base-8 octaves (the banding's
+    selective case — the bench corpora are length-uniform and cannot
+    exercise band boundaries). Reference = the quadratic all-pairs
+    join; near-threshold pairs with sizes in DIFFERENT octaves are
+    present by construction (repeated motifs at 1x/2x/3x length, so
+    cross-band feasible pairs exist alongside >2.5x infeasible
+    spans the band key prunes)."""
+    base = "the quick brown fox jumps over the lazy dog while "
+    rows = []
+    for i in range(24):
+        reps = 1 + (i % 4) * 2          # lengths ~50 / ~150 / ~250 / ~350
+        mut = str(i % 5) * 3
+        rows.append((i, base * reps + mut))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=4, threshold=0.4
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.ppjoin_pairs(
+            df, "doc_id", "text", n=4, threshold=0.4
+        ).collect()
+    )
+    assert got == want and want  # no recall loss, non-trivial answer

@@ -106,6 +106,7 @@ def test_ds_equality_delete_refusal(ispark, tmp_path):
          .option("root", iroot).load().collect())
 
 
+@pytest.mark.slow
 def test_ds_streaming_source_over_snapshots(ispark, tmp_path):
     """Offsets = snapshot sequence numbers: each drain reads exactly
     the appended files; a delete snapshot raises unless

@@ -14,6 +14,8 @@ pinned here instead:
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -51,6 +53,7 @@ def _vocab_corpus(spark, m=4, sub_d=2, n_codes=4, n_rows=48):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
 
+@pytest.mark.slow
 def test_pq_lossless_on_vocabulary_corpus(spark):
     corpus = _vocab_corpus(spark)
     qs = sim.make_queries(corpus, [0, 1, 2])
@@ -62,6 +65,7 @@ def test_pq_lossless_on_vocabulary_corpus(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_pq_codes_compress_to_m_ints(spark):
     corpus = _vocab_corpus(spark)
     codes, codebook = sim.pq_index(corpus, m=4, n_codes=4)

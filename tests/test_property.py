@@ -153,6 +153,7 @@ def test_space_saving_bounds_hold_for_any_input(spark, values, capacity):
     ),
     cap=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_lsh_band_cap_is_monotone_subset(spark, texts, cap):
     """For ANY corpus: capped candidate pairs ⊆ uncapped, and raising
     the cap can only add pairs (monotone in max_band_bucket)."""

@@ -5,6 +5,8 @@ invariance, and PageRank mass bounds on random graphs.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -30,6 +32,7 @@ doc_texts = st.lists(
 
 @SETTINGS
 @given(texts=doc_texts)
+@pytest.mark.slow
 def test_span_invariants(spark, texts):
     """For any corpus: spans are within-doc non-overlapping and
     non-adjacent (maximal), ordered, n_dup_grams <= span_len - n + 1,
@@ -50,6 +53,7 @@ def test_span_invariants(spark, texts):
 
 @SETTINGS
 @given(texts=doc_texts)
+@pytest.mark.slow
 def test_vocab_ids_always_dense_and_ordered(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     rows = tx.vocab_build(df, "text", min_count=1).collect()
@@ -66,6 +70,7 @@ def test_vocab_ids_always_dense_and_ordered(spark, texts):
     values=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60),
     reps=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_hll_duplicate_invariance(spark, values, reps):
     from spark_cassandra_collabfiltering_spark.operators import aggregates as agg
 
@@ -87,6 +92,7 @@ def test_hll_duplicate_invariance(spark, values, reps):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_pagerank_mass_bounds_on_random_graphs(spark, pairs):
     """Symmetric closure of any random pair set: one rank row per
     node, every rank positive, total <= SCALE (floor leakage only

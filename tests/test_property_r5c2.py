@@ -6,6 +6,8 @@ integer median/MAD outlier flags.
 
 from __future__ import annotations
 
+import pytest
+
 from itertools import combinations
 
 from hypothesis import HealthCheck, given, settings
@@ -37,6 +39,7 @@ urls = st.builds(
 
 @SETTINGS
 @given(batch=st.lists(urls, min_size=1, max_size=8))
+@pytest.mark.slow
 def test_url_canonicalization_idempotent(spark, batch):
     """canon(canon(u)) == canon(u): the canonical form is a fixed
     point, so re-ingesting already-canonical URLs can never re-split
@@ -57,6 +60,7 @@ edges_strategy = st.lists(
 
 @SETTINGS
 @given(pairs=edges_strategy)
+@pytest.mark.slow
 def test_triangle_counts_match_bruteforce(spark, pairs):
     """Degree-oriented counts equal the O(n^3) reference on any small
     graph, including duplicates, self-loops, and both orientations."""
@@ -79,6 +83,7 @@ values_strategy = st.lists(st.integers(-1000, 1000), min_size=1, max_size=20)
 
 @SETTINGS
 @given(xs=values_strategy, a=st.integers(1, 5), b=st.integers(-50, 50))
+@pytest.mark.slow
 def test_mad_outlier_flags_affine_invariant(spark, xs, a, b):
     """x -> a*x + b (a > 0) scales med2/mad4 exactly and cannot change
     which rows are flagged — the point of a robust scale statistic."""

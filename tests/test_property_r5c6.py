@@ -5,6 +5,8 @@ and expectations_check vs a pure-Python recount."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -33,6 +35,7 @@ _WORDS = ["fox", "dog", "river", "bank", "cloud", "query", "join", "scan"]
         max_size=7,
     )
 )
+@pytest.mark.slow
 def test_ppjoin_equals_quadratic_on_random_corpora(spark, docs):
     rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -56,6 +59,7 @@ def test_ppjoin_equals_quadratic_on_random_corpora(spark, docs):
     ),
     k=st.sampled_from([4, 8]),
 )
+@pytest.mark.slow
 def test_bottomk_merge_associativity(spark, vals, k):
     """sketch(all) == merge(merge(s(A), s(B)), s(C)) for any 3-way
     split — merge order can't matter (membership is a pure function

@@ -4,6 +4,8 @@ tiebreaks, and split determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -104,6 +106,7 @@ def test_per_user_eval_agrees_with_global_when_lists_identical(spark):
     assert a.asDict() == b.asDict()
 
 
+@pytest.mark.slow
 def test_cf_ndcg_als_runs_and_is_deterministic(spark):
     from spark_cassandra_collabfiltering_spark.plans.queries import QUERIES
 

@@ -74,6 +74,7 @@ def test_connected_components_nonconvergence_raises(spark):
         dd.connected_components(pairs, max_iter=1)
 
 
+@pytest.mark.slow
 def test_connected_components_reliable_without_ckpt_dir_raises():
     """The no-checkpoint-dir guard, exercised in a SUBPROCESS with its
     own fresh SparkContext: the session-scoped context shared by this

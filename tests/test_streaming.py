@@ -131,6 +131,7 @@ def test_sliding_avg_runs(spark, event_source):
     assert rows["n"] > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, event_source, batch_events):
     _, batch = batch_events
     stream = ev.read_event_stream(spark, event_source)
@@ -186,6 +187,7 @@ def ordered_event_source(spark, batch_events, tmp_path_factory):
     return src, chunk_max_ts
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join(spark, ordered_event_source, batch_events):
     """left_outer keeps purchases with no qualifying click, emitting
     them with null click columns once the watermark passes their
@@ -367,6 +369,7 @@ def test_kafka_reader_option_wiring():
     assert "maxOffsetsPerTrigger" not in ev.kafka_reader_options("b:9092", "t")
 
 
+@pytest.mark.slow
 def test_live_soak_kill_restore_exactly_once(spark, batch_events, tmp_path):
     """LIVE soak of the stateful upsert pipeline (round-5 stretch):
     a real continuous readStream (processingTime trigger, not
@@ -637,6 +640,7 @@ def test_streaming_space_saving_merge_bounds_and_exactness(
                     assert v in est, (v, c, err)
 
 
+@pytest.mark.slow
 def test_streaming_incremental_clusters_match_batch(spark, tmp_path):
     """Near-dup CLUSTER MAINTENANCE as a stream: documents arrive in
     micro-batches (file source, one file per trigger); foreachBatch

@@ -383,6 +383,7 @@ def test_pre_mapping_reader_refuses_mapped_log(spark, tmp_path, monkeypatch):
     assert lake.txn_read(spark, root).count() == 10
 
 
+@pytest.mark.slow
 def test_data_source_reads_and_writes_mapped_tables(spark, tmp_path):
     # format("txnlake") handles column mapping natively: the schema's
     # cm_phys metadata drives the physical->logical rename executor-

@@ -31,6 +31,7 @@ def test_count_tracks_appends_and_time_travel(spark, tmp_path):
     assert lake.txn_detail(root)["num_rows"] == 1050
 
 
+@pytest.mark.slow
 def test_count_subtracts_dv_rows_exactly(spark, tmp_path):
     root = str(tmp_path / "t")
     lake.txn_write(_d(spark, 0, 1000).repartitionByRange(4, "id"), root,

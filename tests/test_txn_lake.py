@@ -789,6 +789,7 @@ def test_merge_idempotent_txn_replay_is_noop(spark, tmp_path):
     assert _kv(lake.txn_read(spark, root))[5] == -5
 
 
+@pytest.mark.slow
 def test_cdc_sink_exactly_once_upsert_and_replay(spark, tmp_path):
     root = str(tmp_path / "t")
     _seed_three_files(spark, root)
@@ -861,6 +862,7 @@ def test_dv_deletes_rows_without_touching_data_files(spark, tmp_path):
     assert lake.txn_history(root)[0]["op"] == "dv"
 
 
+@pytest.mark.slow
 def test_dv_compose_and_pruned_read_respects_them(spark, tmp_path):
     root = str(tmp_path / "t")
     _seed_three_files(spark, root)
@@ -893,6 +895,7 @@ def test_compact_materializes_dvs_away(spark, tmp_path):
     assert st.stats[st.files[0]]["id"] == [0, 209]
 
 
+@pytest.mark.slow
 def test_merge_rewrite_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
     root = str(tmp_path / "t")
     _seed_three_files(spark, root)
@@ -909,6 +912,7 @@ def test_merge_rewrite_does_not_resurrect_dv_deleted_rows(spark, tmp_path):
     assert lake._replay(root, v).dvs == []  # target rewritten -> inert
 
 
+@pytest.mark.slow
 def test_dv_conflicts_with_concurrent_compact_both_directions(
     spark, tmp_path, monkeypatch
 ):
@@ -933,6 +937,7 @@ def test_dv_conflicts_with_concurrent_compact_both_directions(
         )
 
 
+@pytest.mark.slow
 def test_compact_conflicts_with_concurrent_dv(spark, tmp_path, monkeypatch):
     # direction 2: a compact computed WITHOUT a freshly-committed DV
     # would resurrect the deleted rows — it must conflict
@@ -956,6 +961,7 @@ def test_compact_conflicts_with_concurrent_dv(spark, tmp_path, monkeypatch):
         lake.txn_compact(spark, root, stats_cols=["id"])
 
 
+@pytest.mark.slow
 def test_append_rebases_past_dv_and_vacuum_keeps_sidecars(spark, tmp_path):
     root = str(tmp_path / "t")
     _seed_three_files(spark, root)
@@ -970,6 +976,7 @@ def test_append_rebases_past_dv_and_vacuum_keeps_sidecars(spark, tmp_path):
     assert 7 not in _ids(lake.txn_read(spark, root))
 
 
+@pytest.mark.slow
 def test_dv_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(lake, "CHECKPOINT_EVERY", 4)
     root = str(tmp_path / "t")
@@ -1084,6 +1091,7 @@ def test_changes_per_op_shapes(spark, tmp_path):
     assert _changes(spark, root, 5, 5) == []
 
 
+@pytest.mark.slow
 def test_changes_replay_reconstructs_any_snapshot(spark, tmp_path):
     """The algebraic contract: snapshot(v0) + inserts − deletes over
     (v0, vN] == snapshot(vN), as multisets."""
@@ -1140,6 +1148,7 @@ def test_changes_overwrite_and_empty_range(spark, tmp_path):
         lake.txn_changes(spark, root, 0, 5)
 
 
+@pytest.mark.slow
 def test_incremental_view_maintenance_over_change_feed(spark, tmp_path):
     """The CDF consumer pattern: a downstream aggregate (sum(v), count
     per id-bucket) maintained from txn_changes deltas alone — reading
@@ -1344,6 +1353,7 @@ def test_repeat_tombstone_is_honest_noop(spark, tmp_path):
     assert 5 not in ids and 6 not in ids and len(ids) == 28
 
 
+@pytest.mark.slow
 def test_merge_composite_key_pruning_and_update(spark, tmp_path):
     """Two-column keys: per-key pruning must require BOTH columns to
     fit a file's ranges (a file matching on k1 alone is prunable via
@@ -1438,6 +1448,7 @@ def test_date_and_decimal_stats_are_safe(spark, tmp_path):
 # --------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_randomized_op_sequences_match_dict_model(spark, tmp_path):
     import random
 
@@ -1743,6 +1754,7 @@ def test_physical_erasure_after_purge_compact_vacuum(spark, tmp_path):
     assert got == {1: "keep-a", 3: "keep-b"}
 
 
+@pytest.mark.slow
 def test_fourway_composition_torture(spark, tmp_path, monkeypatch):
     """The r8 composition pin (VERDICT r7 #7): column mapping + type
     widening + row tracking + the full history machinery (merge ->

@@ -124,6 +124,7 @@ def test_unsupported_partition_types_and_missing_cols_raise(spark, tmp_path):
         lake.txn_write(bad, root, partition_by=["nope"])
 
 
+@pytest.mark.slow
 def test_merge_prunes_victims_to_the_touched_partition(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -149,6 +150,7 @@ def test_merge_prunes_victims_to_the_touched_partition(spark, tmp_path):
     assert [r["name"] for r in got] == ["UPD"]
 
 
+@pytest.mark.slow
 def test_dv_delete_keyed_on_partition_column(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -356,6 +358,7 @@ def test_read_dv_accepts_legacy_position_sidecars(spark, tmp_path):
     assert got == [("fA", 3), ("fA", 7), ("fB", 10), ("fB", 11), ("fB", 12)]
 
 
+@pytest.mark.slow
 def test_randomized_op_sequences_on_a_partitioned_table(spark, tmp_path):
     """The single-table model pin replayed over a PARTITIONED table:
     append / upsert / CoW delete / RLE-DV delete / compact / restore in

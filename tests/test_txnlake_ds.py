@@ -335,6 +335,7 @@ def test_catalog_tables_read_through_the_data_source(dspark, tmp_path):
         ).load().collect()
 
 
+@pytest.mark.slow
 def test_change_feed_stream_folds_to_the_table_state(dspark, tmp_path):
     """readChangeFeed mode: appends -> inserts, DV commits -> the
     newly-hidden rows as deletes, merges -> uncancelled churn,
